@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A named bundle of driver-checkable queries.
+  *
+  * `queries` produce DataFrames from a scale-factor directory;
+  * `oracles` hold the DuckDB-equivalent ANSI SQL with IDENTICAL
+  * column aliases and a total ORDER BY, so the driver's
+  * sort-columns-then-hash compare is deterministic.
+  */
+trait QueryModule {
+  type Q = (SparkSession, String) => DataFrame
+  def queries: Map[String, Q]
+  def oracles: Map[String, String]
+}
+
+/** Cross-module column helpers (all codegen'd built-ins, no UDFs). */
+object Util {
+  /** 4-dp rounding applied to every floating aggregate on BOTH sides
+    * of the oracle compare, absorbing fp summation-order noise. */
+  def r4(c: Column): Column = round(c, 4)
+
+  /** Cosine similarity over two float/double array columns, computed
+    * entirely with codegen'd higher-order functions (no UDF). Sums
+    * accumulate sequentially in DOUBLE — same order as DuckDB's
+    * list_cosine_similarity on DOUBLE[], so results agree bitwise
+    * up to rounding. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  }
+
+  /** Whitespace tokenization matching DuckDB
+    * `string_split_regex(trim(x), '\s+')`. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+}
