@@ -5,7 +5,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
-    operators.RelationalQueries
+    operators.RelationalQueries,
+    operators.EventQueries,
+    quality.DataQualityQueries,
+    features.FeatureQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,159 @@
+package graft.features
+
+import graft.{QueryModule, Tables => T}
+import graft.Util.r4
+import graft.ml.LinearModel
+import org.apache.spark.sql.functions._
+
+/** §2.4 — feature engineering + closed-form ML as driver-checkable
+  * queries, mirroring the reference pipeline's transform/train/eval
+  * stages on the shared corpus. */
+object FeatureQueries extends QueryModule {
+
+  private val segments =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  val queries: Map[String, Q] = Map(
+    "feat_onehot" -> ((s, d) => {
+      import s.implicits._
+      Encoders.oneHot(T.customer(s, d), "c_mktsegment", segments, "seg")
+        .select($"c_custkey" +: segments.map(c =>
+          col(s"seg_${Encoders.sanitize(c)}")): _*)
+        .orderBy($"c_custkey")
+    }),
+
+    "feat_datetime" -> ((s, d) => {
+      import s.implicits._
+      TimeFeatures.expand(T.events(s, d), "ts")
+        .select($"event_id", $"hour_of_day", $"dow_iso", $"month_num", $"day_num")
+        .orderBy($"event_id")
+    }),
+
+    "feat_zscore" -> ((s, d) => {
+      import s.implicits._
+      Scalers.zscore(T.orders(s, d), "o_totalprice", "z")
+        .select($"o_orderkey", r4($"z").as("z_totalprice"))
+        .orderBy($"o_orderkey")
+    }),
+
+    "feat_minmax" -> ((s, d) => {
+      import s.implicits._
+      Scalers.minmax(T.orders(s, d), "o_totalprice", "mm")
+        .select($"o_orderkey", r4($"mm").as("mm_totalprice"))
+        .orderBy($"o_orderkey")
+    }),
+
+    "feat_bucketize" -> ((s, d) => {
+      import s.implicits._
+      Scalers.bucketize(T.orders(s, d), "o_totalprice", 50000.0, "bucket")
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"), r4(avg($"o_totalprice")).as("avg_price"))
+        .orderBy($"bucket")
+    }),
+
+    "feat_split" -> ((s, d) => {
+      import s.implicits._
+      Splits.byKeyModulo(T.orders(s, d), "o_orderkey")
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n"), r4(sum($"o_totalprice")).as("total"))
+        .orderBy($"split")
+    }),
+
+    "feat_target_enc" -> ((s, d) => {
+      import s.implicits._
+      TargetEncoding.encode(T.orders(s, d), "o_orderpriority",
+          "o_totalprice", "prio_enc")
+        .select($"o_orderkey", $"o_orderpriority", r4($"prio_enc").as("prio_target_enc"))
+        .orderBy($"o_orderkey")
+    }),
+
+    "ml_linreg" -> ((s, d) => {
+      import s.implicits._
+      LinearModel.fit(T.lineitem(s, d), "l_quantity", "l_extendedprice",
+          "l_returnflag")
+        .select($"l_returnflag", r4($"slope").as("slope"),
+          r4($"intercept").as("intercept"))
+        .orderBy($"l_returnflag")
+    }),
+
+    "ml_eval" -> ((s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d)
+      val train = li.filter($"l_orderkey" % 5 =!= 0)
+      val test = li.filter($"l_orderkey" % 5 === 0)
+      val model = LinearModel.fit(train, "l_quantity", "l_extendedprice")
+      LinearModel.evaluate(
+          LinearModel.predict(test, model, "l_quantity"),
+          "l_extendedprice", "prediction")
+        .select(r4($"rmse").as("rmse"), r4($"mae").as("mae"), r4($"r2").as("r2"))
+    })
+  )
+
+  private val segCols = segments.map(c =>
+    s"CAST(CASE WHEN c_mktsegment = '$c' THEN 1 ELSE 0 END AS BIGINT) AS seg_${Encoders.sanitize(c)}")
+    .mkString(",\n  ")
+
+  val oracles: Map[String, String] = Map(
+    "feat_onehot" ->
+      s"""SELECT c_custkey,
+         |  $segCols
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "feat_datetime" ->
+      """SELECT event_id,
+        |  CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hour_of_day,
+        |  CAST(isodow(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow_iso,
+        |  CAST(month(CAST(ts AS TIMESTAMP)) AS BIGINT) AS month_num,
+        |  CAST(day(CAST(ts AS TIMESTAMP)) AS BIGINT) AS day_num
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "feat_zscore" ->
+      """SELECT o_orderkey,
+        |  round((o_totalprice - (SELECT avg(o_totalprice) FROM orders))
+        |        / (SELECT stddev_samp(o_totalprice) FROM orders), 4) AS z_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "feat_minmax" ->
+      """SELECT o_orderkey,
+        |  round((o_totalprice - (SELECT min(o_totalprice) FROM orders))
+        |        / ((SELECT max(o_totalprice) FROM orders) - (SELECT min(o_totalprice) FROM orders)), 4) AS mm_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "feat_bucketize" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        |  count(*) AS n, round(avg(o_totalprice),4) AS avg_price
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "feat_split" ->
+      """SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'test' ELSE 'train' END AS split,
+        |  count(*) AS n, round(sum(o_totalprice),4) AS total
+        |FROM orders GROUP BY split ORDER BY split""".stripMargin,
+
+    "feat_target_enc" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  round(avg(o_totalprice) OVER (PARTITION BY o_orderpriority),4) AS prio_target_enc
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "ml_linreg" ->
+      """SELECT l_returnflag,
+        |  round(covar_pop(l_extendedprice, l_quantity)/var_pop(l_quantity),4) AS slope,
+        |  round(avg(l_extendedprice)
+        |        - covar_pop(l_extendedprice, l_quantity)/var_pop(l_quantity)*avg(l_quantity),4) AS intercept
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "ml_eval" ->
+      """WITH m AS (
+        |  SELECT covar_pop(l_extendedprice, l_quantity)/var_pop(l_quantity) AS slope,
+        |         avg(l_extendedprice)
+        |         - covar_pop(l_extendedprice, l_quantity)/var_pop(l_quantity)*avg(l_quantity) AS icept
+        |  FROM lineitem WHERE l_orderkey % 5 <> 0)
+        |SELECT
+        |  round(sqrt(avg((l_extendedprice - (m.slope*l_quantity + m.icept))
+        |                *(l_extendedprice - (m.slope*l_quantity + m.icept)))),4) AS rmse,
+        |  round(avg(abs(l_extendedprice - (m.slope*l_quantity + m.icept))),4) AS mae,
+        |  round(1.0 - sum((l_extendedprice - (m.slope*l_quantity + m.icept))
+        |                 *(l_extendedprice - (m.slope*l_quantity + m.icept)))
+        |            / (var_pop(l_extendedprice) * count(*)), 4) AS r2
+        |FROM lineitem, m WHERE l_orderkey % 5 = 0""".stripMargin
+  )
+}

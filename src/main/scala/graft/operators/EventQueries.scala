@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.{QueryModule, Tables => T}
+import graft.Util.r4
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.2 — event/time-series operators over the `events` table.
+  *
+  * All window partitioning is by `user_id` (the entity key) — no
+  * global sorts; timestamps are projected as epoch micros (BIGINT) in
+  * outputs so engine timestamp encodings never enter the compare.
+  */
+object EventQueries extends QueryModule {
+
+  private val GapUs: Long = 30L * 60 * 1000000 // 30-min session gap
+
+  val queries: Map[String, Q] = Map(
+    "q_tumbling_window" -> ((s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy(
+          unix_timestamp(date_trunc("hour", $"ts")).as("bucket"),
+          $"event_type")
+        .agg(count(lit(1)).as("n"), r4(sum($"value")).as("total_value"))
+        .orderBy($"bucket", $"event_type")
+    }),
+
+    "q_sessionize" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      T.events(s, d)
+        .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+        .withColumn("new_sess",
+          when($"prev_us".isNull ||
+            unix_micros($"ts") - $"prev_us" > GapUs, 1L).otherwise(0L))
+        .groupBy($"user_id")
+        .agg(sum($"new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy($"user_id")
+    }),
+
+    "q_latest_event" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".desc, $"event_id".desc)
+      T.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_id",
+          unix_micros($"ts").as("ts_us"), $"value")
+        .orderBy($"user_id")
+    }),
+
+    "q_asof_join" -> ((s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val views = ev.filter($"event_type" === "view")
+        .select($"event_id", $"user_id", $"ts")
+      AsOfJoin(purchases, views, key = "user_id", ts = "ts",
+          tiebreak = "event_id")
+        .filter($"asof_ts".isNotNull)
+        .select($"event_id", $"user_id",
+          unix_micros($"ts").as("ts_us"),
+          unix_micros($"asof_ts").as("view_ts_us"))
+        .orderBy($"event_id")
+    }),
+
+    "q_range_join" -> ((s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .join(T.lineitem(s, d),
+          $"o_orderkey" === $"l_orderkey" &&
+            $"l_shipdate" >= $"o_orderdate" &&
+            $"l_shipdate" <= $"o_orderdate" + expr("INTERVAL 90 DAYS"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          r4(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    "q_funnel" -> ((s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy($"user_id")
+        .agg(
+          min(when($"event_type" === "view", unix_micros($"ts"))).as("v"),
+          min(when($"event_type" === "click", unix_micros($"ts"))).as("c"),
+          min(when($"event_type" === "purchase", unix_micros($"ts"))).as("p"))
+        .agg(
+          count($"v").as("n_viewed"),
+          sum(when($"c" > $"v", 1L).otherwise(0L)).as("n_clicked_after_view"),
+          sum(when($"p" > $"c" && $"c" > $"v", 1L).otherwise(0L)).as("n_purchased_after_click"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_tumbling_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS bucket,
+        |  event_type, count(*) AS n, round(sum(value),4) AS total_value
+        |FROM events GROUP BY bucket, event_type
+        |ORDER BY bucket, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_us IS NULL OR epoch_us(CAST(ts AS TIMESTAMP)) - prev_us > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM (
+        |    SELECT user_id, ts,
+        |      lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER (
+        |        PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+        |    FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_latest_event" ->
+      """SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM (
+        |  SELECT user_id, event_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT event_id, user_id, ts_us, view_ts_us FROM (
+        |  SELECT event_id, user_id, tag, epoch_us(ts) AS ts_us,
+        |    last_value(CASE WHEN tag = 0 THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |        ORDER BY ts, tag, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_ts_us
+        |  FROM (
+        |    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS tag
+        |    FROM events WHERE event_type IN ('view','purchase')))
+        |WHERE tag = 1 AND view_ts_us IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(l_extendedprice*(1.0-l_discount)),4) AS revenue
+        |FROM orders JOIN lineitem
+        |  ON o_orderkey = l_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_funnel" ->
+      """SELECT count(v) AS n_viewed,
+        |  CAST(sum(CASE WHEN c > v THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+        |  CAST(sum(CASE WHEN p > c AND c > v THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_after_click
+        |FROM (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS v,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS c,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS p
+        |  FROM events GROUP BY user_id)""".stripMargin
+  )
+}

@@ -220,7 +220,7 @@ object RelationalQueries extends QueryModule {
           $"c_custkey",
           upper($"c_name").as("uname"),
           substring($"c_name", 1, 8).as("prefix"),
-          length($"c_name").as("namelen"),
+          length($"c_name").cast("long").as("namelen"),
           concat($"c_mktsegment", lit(":"), $"c_name").as("tagged"))
         .orderBy($"c_custkey")
     }),

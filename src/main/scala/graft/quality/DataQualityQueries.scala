@@ -1,0 +1,203 @@
+package graft.quality
+
+import graft.{QueryModule, Tables => T}
+import graft.Util.r4
+import org.apache.spark.sql.functions._
+
+/** §2.3 — the reference's Great Expectations checkpoint surface as
+  * driver-checkable queries. Report schema everywhere:
+  * (table_name, exp_name, col_name, success BIGINT, observed DOUBLE).
+  */
+object DataQualityQueries extends QueryModule {
+
+  private def ordersSuite = ExpectationSuite("orders", Seq(
+    ExpectNotNull("o_orderkey"),
+    ExpectNotNull("o_custkey"),
+    ExpectNotNull("o_totalprice"),
+    ExpectNotNull("o_orderdate")))
+
+  private def lineitemBetween = ExpectationSuite("lineitem", Seq(
+    ExpectBetween("l_quantity", 1, 50),
+    ExpectBetween("l_discount", 0, 0.1),
+    ExpectBetween("l_tax", 0, 0.2)))
+
+  private def statusSuite = ExpectationSuite("orders", Seq(
+    ExpectInSet("o_orderstatus", Seq("F", "O", "P")),
+    ExpectInSet("o_orderpriority",
+      Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))))
+
+  private def uniqueSuite = ExpectationSuite("orders", Seq(
+    ExpectUnique("o_orderkey"),
+    ExpectUnique("o_custkey"))) // intentionally violated: shows failures
+
+  private def statsSuite = ExpectationSuite("lineitem", Seq(
+    ExpectMeanBetween("l_quantity", 1, 50),
+    ExpectMeanBetween("l_discount", 0, 0.1),
+    ExpectStddevBetween("l_quantity", 0, 100)))
+
+  /** The quarantine routing rule (deliberately tight so both routes
+    * are non-empty on the synthetic corpus). */
+  private def quarantineSuite = ExpectationSuite("lineitem", Seq(
+    ExpectBetween("l_quantity", 1, 45),
+    ExpectBetween("l_discount", 0, 0.08)))
+
+  val queries: Map[String, Q] = Map(
+    "dq_not_null" -> ((s, d) =>
+      ordersSuite.run(T.orders(s, d))
+        .orderBy("table_name", "exp_name", "col_name")),
+
+    "dq_between" -> ((s, d) =>
+      lineitemBetween.run(T.lineitem(s, d))
+        .orderBy("table_name", "exp_name", "col_name")),
+
+    "dq_in_set" -> ((s, d) =>
+      statusSuite.run(T.orders(s, d))
+        .orderBy("table_name", "exp_name", "col_name")),
+
+    "dq_unique" -> ((s, d) =>
+      uniqueSuite.run(T.orders(s, d))
+        .orderBy("table_name", "exp_name", "col_name")),
+
+    "dq_row_count" -> ((s, d) =>
+      ExpectationSuite("orders", Seq(ExpectRowCountBetween(1L, 1000000000000L)))
+        .run(T.orders(s, d))
+        .orderBy("table_name", "exp_name", "col_name")),
+
+    "dq_stats" -> ((s, d) =>
+      statsSuite.run(T.lineitem(s, d))
+        .orderBy("table_name", "exp_name", "col_name")),
+
+    "dq_lengths" -> ((s, d) =>
+      ExpectationSuite("customer", Seq(ExpectLengthsBetween("c_name", 5, 40)))
+        .run(T.customer(s, d))
+        .orderBy("table_name", "exp_name", "col_name")),
+
+    "dq_regex" -> ((s, d) =>
+      ExpectationSuite("orders", Seq(
+        ExpectMatchRegex("o_orderpriority", "^[1-5]-"),
+        ExpectMatchRegex("o_orderstatus", "^[FOP]$")))
+        .run(T.orders(s, d))
+        .orderBy("table_name", "exp_name", "col_name")),
+
+    "dq_suite" -> ((s, d) => {
+      // the full checkpoint: several tables, one report — what the
+      // reference's GX validation task emits per dataset
+      ordersSuite.run(T.orders(s, d))
+        .unionAll(statusSuite.run(T.orders(s, d)))
+        .unionAll(uniqueSuite.run(T.orders(s, d)))
+        .unionAll(lineitemBetween.run(T.lineitem(s, d)))
+        .unionAll(statsSuite.run(T.lineitem(s, d)))
+        .unionAll(ExpectationSuite("customer",
+          Seq(ExpectLengthsBetween("c_name", 5, 40))).run(T.customer(s, d)))
+        .orderBy("table_name", "exp_name", "col_name")
+    }),
+
+    "dq_quarantine" -> ((s, d) => {
+      import s.implicits._
+      val (valid, bad) = quarantineSuite.quarantine(T.lineitem(s, d))
+      valid.select(lit("valid").as("route"), $"l_extendedprice")
+        .unionAll(bad.select(lit("quarantine").as("route"), $"l_extendedprice"))
+        .groupBy($"route")
+        .agg(count(lit(1)).as("n"), r4(sum($"l_extendedprice")).as("total"))
+        .orderBy($"route")
+    }),
+
+    "dq_schema" -> ((s, d) => {
+      import s.implicits._
+      // rows-only: declared-vs-actual schema conformance
+      val expected = Seq(
+        ("o_orderkey", "bigint"), ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"), ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp"), ("o_orderpriority", "string"))
+      val actual = T.orders(s, d).schema.fields
+        .map(f => (f.name, f.dataType.simpleString)).toSeq
+      val exp = expected.toDF("col_name", "expected_type")
+      val act = actual.toDF("col_name", "actual_type")
+      exp.join(act, Seq("col_name"), "full_outer")
+        .withColumn("success",
+          (col("expected_type") === col("actual_type")).cast("long"))
+        .orderBy("col_name")
+    })
+  )
+
+  private def obsRow(table: String, exp: String, col: String,
+      obsSql: String, successSql: String, from: String): String =
+    s"""SELECT '$table' AS table_name, '$exp' AS exp_name, '$col' AS col_name,
+       |  CAST($successSql AS BIGINT) AS success,
+       |  round(CAST($obsSql AS DOUBLE), 4) AS observed FROM $from""".stripMargin
+
+  private def violRow(table: String, exp: String, col: String,
+      violSql: String): String =
+    obsRow(table, exp, col, violSql, s"CASE WHEN $violSql = 0 THEN 1 ELSE 0 END", table)
+
+  private def notNullRow(t: String, c: String) =
+    violRow(t, "expect_not_null", c, s"count(*) - count($c)")
+  private def betweenRow(t: String, c: String, lo: Double, hi: Double) =
+    violRow(t, "expect_between", c,
+      s"sum(CASE WHEN $c < $lo OR $c > $hi THEN 1 ELSE 0 END)")
+  private def inSetRow(t: String, c: String, vs: Seq[String]) =
+    violRow(t, "expect_in_set", c,
+      s"sum(CASE WHEN $c IS NOT NULL AND $c NOT IN (${vs.map("'" + _ + "'").mkString(",")}) THEN 1 ELSE 0 END)")
+  private def uniqueRow(t: String, c: String) =
+    violRow(t, "expect_unique", c, s"count($c) - count(DISTINCT $c)")
+  private def meanRow(t: String, c: String, lo: Double, hi: Double) =
+    obsRow(t, "expect_mean_between", c, s"avg($c)",
+      s"CASE WHEN avg($c) >= $lo AND avg($c) <= $hi THEN 1 ELSE 0 END", t)
+  private def stddevRow(t: String, c: String, lo: Double, hi: Double) =
+    obsRow(t, "expect_stddev_between", c, s"stddev_samp($c)",
+      s"CASE WHEN stddev_samp($c) >= $lo AND stddev_samp($c) <= $hi THEN 1 ELSE 0 END", t)
+  private def lengthsRow(t: String, c: String, lo: Int, hi: Int) =
+    violRow(t, "expect_lengths_between", c,
+      s"sum(CASE WHEN length($c) < $lo OR length($c) > $hi THEN 1 ELSE 0 END)")
+  private def regexRow(t: String, c: String, pat: String) =
+    violRow(t, "expect_match_regex", c,
+      s"sum(CASE WHEN $c IS NOT NULL AND NOT regexp_matches($c, '$pat') THEN 1 ELSE 0 END)")
+  private def rowCountRow(t: String, lo: Long, hi: Long) =
+    obsRow(t, "expect_row_count_between", "*", "count(*)",
+      s"CASE WHEN count(*) >= $lo AND count(*) <= $hi THEN 1 ELSE 0 END", t)
+
+  private val ordersNotNullRows = Seq(
+    notNullRow("orders", "o_orderkey"), notNullRow("orders", "o_custkey"),
+    notNullRow("orders", "o_totalprice"), notNullRow("orders", "o_orderdate"))
+  private val lineitemBetweenRows = Seq(
+    betweenRow("lineitem", "l_quantity", 1, 50),
+    betweenRow("lineitem", "l_discount", 0, 0.1),
+    betweenRow("lineitem", "l_tax", 0, 0.2))
+  private val statusRows = Seq(
+    inSetRow("orders", "o_orderstatus", Seq("F", "O", "P")),
+    inSetRow("orders", "o_orderpriority",
+      Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")))
+  private val uniqueRows = Seq(
+    uniqueRow("orders", "o_orderkey"), uniqueRow("orders", "o_custkey"))
+  private val statsRows = Seq(
+    meanRow("lineitem", "l_quantity", 1, 50),
+    meanRow("lineitem", "l_discount", 0, 0.1),
+    stddevRow("lineitem", "l_quantity", 0, 100))
+  private val lengthsRows = Seq(lengthsRow("customer", "c_name", 5, 40))
+
+  private def u(rows: Seq[String]): String =
+    rows.mkString("SELECT * FROM (", " UNION ALL ", ")") +
+      " ORDER BY table_name, exp_name, col_name"
+
+  val oracles: Map[String, String] = Map(
+    "dq_not_null" -> u(ordersNotNullRows),
+    "dq_between" -> u(lineitemBetweenRows),
+    "dq_in_set" -> u(statusRows),
+    "dq_unique" -> u(uniqueRows),
+    "dq_row_count" -> u(Seq(rowCountRow("orders", 1L, 1000000000000L))),
+    "dq_stats" -> u(statsRows),
+    "dq_lengths" -> u(lengthsRows),
+    "dq_regex" -> u(Seq(
+      regexRow("orders", "o_orderpriority", "^[1-5]-"),
+      regexRow("orders", "o_orderstatus", "^[FOP]$"))),
+    "dq_suite" -> u(ordersNotNullRows ++ statusRows ++ uniqueRows ++
+      lineitemBetweenRows ++ statsRows ++ lengthsRows),
+    "dq_quarantine" ->
+      """SELECT route, count(*) AS n, round(sum(l_extendedprice),4) AS total
+        |FROM (SELECT CASE WHEN (l_quantity IS NULL OR (l_quantity >= 1 AND l_quantity <= 45))
+        |              AND (l_discount IS NULL OR (l_discount >= 0 AND l_discount <= 0.08))
+        |             THEN 'valid' ELSE 'quarantine' END AS route, l_extendedprice
+        |      FROM lineitem)
+        |GROUP BY route ORDER BY route""".stripMargin
+  )
+}

@@ -1,0 +1,136 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Spark-native re-expression of the reference's Great Expectations
+  * surface (cf. /root/reference/aws_infrastructure/airflow-setup.py:38
+  * — the GX config shipped to the Airflow DAGs bucket).
+  *
+  * Each [[Expectation]] contributes ONE aggregate expression; a whole
+  * [[ExpectationSuite]] therefore runs as a SINGLE aggregation pass
+  * over the table (map-side partial aggregation, one shuffle of one
+  * row per partition) — at 100 TB this is one scan, not one scan per
+  * check like the reference's per-expectation pandas evaluation.
+  *
+  * Conventions: `observed` is a double (violation count for value
+  * expectations, the statistic itself for statistic expectations);
+  * `success` is 1/0 (long) so the report round-trips engines without
+  * boolean-encoding ambiguity.
+  */
+sealed trait Expectation {
+  def name: String
+  def column: String
+  /** Aggregate expression producing the observed value. */
+  def observedAgg: Column
+  /** Success predicate over the observed value. */
+  def success(observed: Column): Column
+}
+
+final case class ExpectNotNull(column: String) extends Expectation {
+  val name = "expect_not_null"
+  def observedAgg: Column = sum(when(col(column).isNull, 1L).otherwise(0L))
+  def success(o: Column): Column = o === 0
+}
+
+final case class ExpectBetween(column: String, lo: Double, hi: Double)
+    extends Expectation {
+  val name = "expect_between"
+  def observedAgg: Column =
+    sum(when(col(column) < lo || col(column) > hi, 1L).otherwise(0L))
+  def success(o: Column): Column = o === 0
+}
+
+final case class ExpectInSet(column: String, values: Seq[String])
+    extends Expectation {
+  val name = "expect_in_set"
+  def observedAgg: Column =
+    sum(when(col(column).isNotNull && !col(column).isin(values: _*), 1L)
+      .otherwise(0L))
+  def success(o: Column): Column = o === 0
+}
+
+final case class ExpectUnique(column: String) extends Expectation {
+  val name = "expect_unique"
+  def observedAgg: Column = count(col(column)) - countDistinct(col(column))
+  def success(o: Column): Column = o === 0
+}
+
+final case class ExpectRowCountBetween(lo: Long, hi: Long) extends Expectation {
+  val name = "expect_row_count_between"
+  val column = "*"
+  def observedAgg: Column = count(lit(1))
+  def success(o: Column): Column = o >= lo && o <= hi
+}
+
+final case class ExpectMeanBetween(column: String, lo: Double, hi: Double)
+    extends Expectation {
+  val name = "expect_mean_between"
+  def observedAgg: Column = avg(col(column))
+  def success(o: Column): Column = o >= lo && o <= hi
+}
+
+final case class ExpectStddevBetween(column: String, lo: Double, hi: Double)
+    extends Expectation {
+  val name = "expect_stddev_between"
+  def observedAgg: Column = stddev_samp(col(column))
+  def success(o: Column): Column = o >= lo && o <= hi
+}
+
+final case class ExpectLengthsBetween(column: String, lo: Int, hi: Int)
+    extends Expectation {
+  val name = "expect_lengths_between"
+  def observedAgg: Column =
+    sum(when(length(col(column)) < lo || length(col(column)) > hi, 1L)
+      .otherwise(0L))
+  def success(o: Column): Column = o === 0
+}
+
+final case class ExpectMatchRegex(column: String, pattern: String)
+    extends Expectation {
+  val name = "expect_match_regex"
+  def observedAgg: Column =
+    sum(when(col(column).isNotNull && !col(column).rlike(pattern), 1L)
+      .otherwise(0L))
+  def success(o: Column): Column = o === 0
+}
+
+/** A named suite over one table — the analog of a GX checkpoint. */
+final case class ExpectationSuite(table: String, expectations: Seq[Expectation]) {
+
+  /** Run all expectations in one aggregation pass; returns the report
+    * DataFrame (table_name, exp_name, col_name, success, observed). */
+  def run(df: DataFrame): DataFrame = {
+    require(expectations.nonEmpty, "empty suite")
+    val aggs = expectations.zipWithIndex.map { case (e, i) =>
+      e.observedAgg.cast("double").as(s"obs_$i")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = expectations.zipWithIndex.map { case (e, i) =>
+      struct(
+        lit(table).as("table_name"),
+        lit(e.name).as("exp_name"),
+        lit(e.column).as("col_name"),
+        e.success(col(s"obs_$i")).cast("long").as("success"),
+        round(col(s"obs_$i"), 4).as("observed"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
+  /** Rows of `df` that violate any value-level expectation — the
+    * quarantine routing stage of the reference pipeline. */
+  def rowPredicate: Column =
+    expectations.collect {
+      case ExpectNotNull(c)        => col(c).isNotNull
+      case ExpectBetween(c, lo, hi) =>
+        col(c).isNull || (col(c) >= lo && col(c) <= hi)
+      case ExpectInSet(c, vs)      => col(c).isNull || col(c).isin(vs: _*)
+      case ExpectLengthsBetween(c, lo, hi) =>
+        col(c).isNull || (length(col(c)) >= lo && length(col(c)) <= hi)
+      case ExpectMatchRegex(c, p)  => col(c).isNull || col(c).rlike(p)
+    }.reduceOption(_ && _).getOrElse(lit(true))
+
+  /** Split into (valid, quarantined) without evaluating twice. */
+  def quarantine(df: DataFrame): (DataFrame, DataFrame) =
+    (df.filter(rowPredicate), df.filter(!rowPredicate))
+}
