@@ -8,7 +8,12 @@ object SparkEntry {
     operators.RelationalQueries,
     operators.EventQueries,
     quality.DataQualityQueries,
-    features.FeatureQueries
+    features.FeatureQueries,
+    text.TextQueries,
+    dedup.DedupQueries,
+    similarity.SimilarityQueries,
+    pipeline.PipelineQueries,
+    multimodal.MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

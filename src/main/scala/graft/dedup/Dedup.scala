@@ -1,0 +1,89 @@
+package graft.dedup
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training corpora.
+  *
+  * Exact and normalized dedup are hash-groupBys (one shuffle on the
+  * content hash — at 100 TB the hash is 16 bytes/row, not the text).
+  * Near-dup detection uses the inverted-index ("token join")
+  * formulation of set similarity: explode distinct shingles, join on
+  * shingle, aggregate intersection counts. That is linear in total
+  * postings, never materializes the O(N²) pair space, and is exactly
+  * the plan a dedicated similarity-join engine would run. For corpora
+  * where even postings blow up, [[MinHash]] prunes candidates first.
+  */
+object Dedup {
+
+  /** Keep-first exact dedup groups: one row per distinct content hash. */
+  def exactGroups(df: DataFrame, id: String, text: String): DataFrame =
+    df.groupBy(md5(col(text)).as("content_hash"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Same, on whitespace/case-normalized text. */
+  def normalizedGroups(df: DataFrame, id: String, text: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(text)).as("content_hash"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** (id, shingle) postings with per-doc-distinct shingles. */
+  def shinglePostings(df: DataFrame, id: String, text: String,
+      n: Int): DataFrame =
+    df.select(col(id).as("__id"),
+        explode(array_distinct(
+          TextAnalysis.shingles(TextAnalysis.tokens(col(text)), n))).as("shingle"))
+
+  /** Exact n-gram-shingle Jaccard pairs ≥ threshold, via the
+    * inverted-index join. Output: (a_id, b_id, jaccard). */
+  def jaccardPairs(df: DataFrame, id: String, text: String,
+      n: Int, threshold: Double): DataFrame = {
+    val post = shinglePostings(df, id, text, n).cache()
+    val sizes = post.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    val inter = post.as("a")
+      .join(post.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("a_id"), col("b.__id").as("b_id"))
+      .agg(count(lit(1)).as("__i"))
+    inter
+      .join(sizes.select(col("__id").as("a_id"), col("__n").as("__na")), "a_id")
+      .join(sizes.select(col("__id").as("b_id"), col("__n").as("__nb")), "b_id")
+      .withColumn("jaccard",
+        col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** Connected components over undirected dup pairs by iterative
+    * min-label propagation (converges in O(diameter) joins; dup
+    * clusters are small and dense, so a handful of iterations).
+    * Output: (node, component) where component = min reachable id. */
+  def connectedComponents(pairs: DataFrame, a: String, b: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .unionAll(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val prop = edges
+        .join(labels.withColumnRenamed("node", "dst")
+          .withColumnRenamed("component", "dst_comp"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("dst_comp")).as("nbr_comp"))
+      val next = labels.join(prop, Seq("node"), "left")
+        .withColumn("new_comp", least(col("component"), col("nbr_comp")))
+        .select(col("node"),
+          coalesce(col("new_comp"), col("component")).as("component"))
+        .cache()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.component") =!= col("o.component")).count()
+      labels = next
+      it += 1
+    }
+    labels
+  }
+}

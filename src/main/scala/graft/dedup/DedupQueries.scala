@@ -1,0 +1,144 @@
+package graft.dedup
+
+import graft.{QueryModule, Tables => T}
+import graft.Util.r4
+import graft.text.TextAnalysis
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+/** §2.5 — deduplication over `documents` / `embeddings`.
+  *
+  * dedup_minhash shares its oracle with dedup_jaccard: the LSH
+  * parameters (64 hashes, 16 bands × 4) give miss probability
+  * ≈ 4e-8 at jaccard 0.9 and the corpus' near-dup pairs all sit
+  * ≥ 0.9, so candidates∩verify == the exact join — validated at
+  * sf0.01, and the pipeline is fully deterministic (seeded hashes).
+  */
+object DedupQueries extends QueryModule {
+
+  private val ShingleN = 3
+  private val JThreshold = 0.5
+
+  private def shingleArr = TextAnalysis.shingles(
+    TextAnalysis.tokens(col("text")), ShingleN)
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> ((s, d) => {
+      import s.implicits._
+      Dedup.exactGroups(T.documents(s, d), "doc_id", "text")
+        .select($"keep_id", $"n_copies")
+        .orderBy($"keep_id")
+    }),
+
+    "dedup_normalized" -> ((s, d) => {
+      import s.implicits._
+      Dedup.normalizedGroups(T.documents(s, d), "doc_id", "text")
+        .select($"keep_id", $"n_copies")
+        .orderBy($"keep_id")
+    }),
+
+    "dedup_jaccard" -> ((s, d) => {
+      import s.implicits._
+      Dedup.jaccardPairs(T.documents(s, d), "doc_id", "text",
+          ShingleN, JThreshold)
+        .select($"a_id", $"b_id", r4($"jaccard").as("jaccard"))
+        .orderBy($"a_id", $"b_id")
+    }),
+
+    "dedup_minhash" -> ((s, d) => {
+      import s.implicits._
+      MinHash.nearDupPairs(T.documents(s, d), "doc_id", shingleArr,
+          JThreshold)
+        .select($"a_id", $"b_id", r4($"jaccard").as("jaccard"))
+        .orderBy($"a_id", $"b_id")
+    }),
+
+    "dedup_simhash" -> ((s, d) => {
+      import s.implicits._
+      // rows-only: SimHash fingerprints are algorithm-specific
+      SimHash.nearPairs(T.documents(s, d), "doc_id",
+          TextAnalysis.tokens($"text"), maxHamming = 3)
+        .orderBy($"a_id", $"b_id")
+    }),
+
+    "dedup_embed" -> ((s, d) => {
+      import s.implicits._
+      Similarity.similarityJoin(T.embeddings(s, d), "vec_id",
+          "embedding", threshold = 0.45)
+        .select($"a_id", $"b_id", r4($"cos").as("cos"))
+        .orderBy($"a_id", $"b_id")
+    }),
+
+    "dedup_clusters" -> ((s, d) => {
+      import s.implicits._
+      val pairs = Dedup.jaccardPairs(T.documents(s, d), "doc_id", "text",
+        ShingleN, JThreshold)
+      Dedup.connectedComponents(pairs, "a_id", "b_id")
+        .select($"node", $"component")
+        .orderBy($"node")
+    })
+  )
+
+  /** Shared CTE: exact shingle-jaccard pairs ≥ threshold. */
+  private val pairsCte =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id, unnest(list_transform(
+       |    generate_series(1, len(t)-${ShingleN - 1}),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |        FROM documents)
+       |  WHERE len(t) >= $ShingleN),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a_id, b_id, CAST(i AS DOUBLE)/(sa.n + sb.n - i) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON a_id = sa.doc_id
+       |  JOIN sizes sb ON b_id = sb.doc_id
+       |  WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= $JThreshold)""".stripMargin
+
+  private val pairsSql =
+    s"""WITH $pairsCte
+       |SELECT a_id, b_id, round(jaccard, 4) AS jaccard FROM pairs
+       |ORDER BY a_id, b_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "dedup_normalized" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |ORDER BY keep_id""".stripMargin,
+
+    "dedup_jaccard" -> pairsSql,
+    "dedup_minhash" -> pairsSql,
+
+    "dedup_embed" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $pairsCte,
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS n FROM edges),
+         |reach(n, m) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src)
+         |SELECT n AS node, min(m) AS component FROM reach
+         |GROUP BY n ORDER BY node""".stripMargin
+  )
+}

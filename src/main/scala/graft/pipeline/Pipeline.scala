@@ -1,0 +1,44 @@
+package graft.pipeline
+
+import graft.quality.ExpectationSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's dynamic-DAG pattern (one Airflow DAG instantiated
+  * per dataset config; cf. /root/reference/aws_infrastructure/
+  * airflow-setup.py — DAG generator + per-vendor datasets under
+  * source_data/datasets/), re-expressed as a pure-Scala pipeline
+  * combinator.
+  *
+  * A [[Stage]] is a named lazy DataFrame transform; a [[Pipeline]]
+  * composes them; [[PipelineGenerator]] instantiates one pipeline per
+  * dataset config. Nothing executes until an action runs — Catalyst
+  * sees the WHOLE per-dataset pipeline as one plan and optimizes
+  * across stage boundaries (filter pushdown through the transform
+  * stages, etc.), which an orchestrator running stages as separate
+  * jobs can never do.
+  */
+final case class Stage(name: String)(val transform: DataFrame => DataFrame)
+
+final case class Pipeline(name: String, stages: Seq[Stage]) {
+  def run(input: DataFrame): DataFrame =
+    stages.foldLeft(input)((df, s) => s.transform(df))
+  def andThen(s: Stage): Pipeline = copy(stages = stages :+ s)
+}
+
+object Pipeline {
+  /** validate → quarantine-filter stage from an expectation suite. */
+  def validateStage(suite: ExpectationSuite): Stage =
+    Stage(s"validate:${suite.table}")(df => df.filter(suite.rowPredicate))
+}
+
+/** Per-dataset pipeline instantiation — the DAG-generator analog. */
+final case class DatasetConfig(name: String, load: SparkSession => DataFrame)
+
+object PipelineGenerator {
+  /** One pipeline per dataset; results stay lazy. */
+  def generate(spark: SparkSession, datasets: Seq[DatasetConfig],
+      build: DatasetConfig => Pipeline): Map[String, DataFrame] =
+    datasets.map { cfg =>
+      cfg.name -> build(cfg).run(cfg.load(spark))
+    }.toMap
+}

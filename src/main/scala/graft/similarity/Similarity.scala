@@ -1,0 +1,125 @@
+package graft.similarity
+
+import graft.Util.cosine
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Brute-force top-k broadcasts the query set (queries ≪ corpus) so
+  * the corpus is scanned once with no shuffle; ranking shuffles only
+  * (qid, nid, score) triples. The LSH and IVF variants are the scale
+  * paths: they route each query to a bucket/partition so the scan
+  * touches corpus/|buckets| instead of everything.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector (inner product space
+    * = cosine). Output: (qid, nid, cos). */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("qid"), col(vec).as("__qv"))
+    val c = corpus.select(col(id).as("nid"), col(vec).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rank"))
+  }
+
+  /** Deterministic ±1 pseudo-random hyperplane sign for (table, plane,
+    * dim) — seeded hashing, reproducible across runs and engines. */
+  private def planeSign(table: Int, plane: Int, dim: Column): Column =
+    when(pmod(xxhash64(lit(table * 1009 + plane), dim), lit(2)) === 0, lit(1.0))
+      .otherwise(lit(-1.0))
+
+  /** Random-hyperplane LSH bucket id (nPlanes-bit signature) for one
+    * hash table, computed row-local — no shuffle. */
+  def lshBucket(vec: Column, nPlanes: Int, table: Int): Column =
+    (0 until nPlanes).map { p =>
+      val dot = aggregate(
+        zip_with(vec, transform(vec, (_, i) => planeSign(table, p, i)),
+          (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** (table, bucket) posting rows — L tables OR-amplify recall:
+    * P(candidate) = 1−(1−p^planes)^tables. */
+  def lshPostings(df: DataFrame, nPlanes: Int, nTables: Int): DataFrame = {
+    val buckets = (0 until nTables).map(t =>
+      struct(lit(t).as("__table"),
+        lshBucket(col("__vec"), nPlanes, t).as("__bucket")))
+    df.select(col("*"), explode(array(buckets: _*)).as("__tb"))
+      .select(df.columns.map(col) :+ col("__tb.__table") :+ col("__tb.__bucket"): _*)
+  }
+
+  /** ANN top-k over the union of the query's buckets across L hash
+    * tables. Recall < 1 by construction; spec-tested vs bruteTopK. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
+    val c = lshPostings(corpus.select(col(id).as("nid"),
+      col(vec).as("__vec")), nPlanes, nTables)
+    val q = lshPostings(queries.select(col(id).as("qid"),
+      col(vec).as("__vec")), nPlanes, nTables)
+      .withColumnRenamed("__vec", "__qv")
+    val scored = c.join(broadcast(q), Seq("__table", "__bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("__qv"), col("__vec")).distinct()
+      .withColumn("cos", cosine(col("__qv"), col("__vec")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rank"))
+  }
+
+  /** Element-wise mean vectors per partition key (IVF centroids).
+    * posexplode → per-dimension avg → reassemble ordered array. */
+  def centroids(df: DataFrame, key: String, vec: String): DataFrame =
+    df.select(col(key), posexplode(col(vec)).as(Seq("__dim", "__x")))
+      .groupBy(col(key), col("__dim"))
+      .agg(avg(col("__x")).as("__m"))
+      .groupBy(col(key))
+      .agg(array_sort(collect_list(struct(col("__dim"), col("__m")))).as("__s"))
+      .select(col(key), transform(col("__s"), s => s.getField("__m")).as("centroid"))
+
+  /** IVF-style ANN: k-means coarse quantizer cells over the corpus;
+    * each query searches only its nearest `nprobe` cells. The
+    * centroid matrix (k×dim) is the only driver-side state; corpus
+    * assignment and search stay fully distributed, turning O(N·Q)
+    * into O(N·Q·nprobe/k). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int, nCells: Int = 16, nprobe: Int = 4,
+      kmeansIters: Int = 5): DataFrame = {
+    val cents = KMeans.fit(corpus, id, vec, nCells, kmeansIters)
+    val c = corpus.select(col(id).as("nid"), col(vec).as("__cv"),
+      KMeans.cellExpr(col(vec), cents).as("__cell"))
+    val q = queries.select(col(id).as("qid"), col(vec).as("__qv"),
+        explode(KMeans.probeExpr(col(vec), cents, nprobe)).as("__cell"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    c.join(broadcast(q), "__cell")
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rank"))
+  }
+
+  /** All pairs with cosine ≥ threshold (brute pairwise — correctness
+    * baseline; LSH/IVF bucket joins are the scale path). */
+  def similarityJoin(df: DataFrame, id: String, vec: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(id).as("a_id"), col(vec).as("__va"))
+    val b = df.select(col(id).as("b_id"), col(vec).as("__vb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos", cosine(col("__va"), col("__vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+}

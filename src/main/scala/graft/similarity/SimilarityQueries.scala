@@ -1,0 +1,73 @@
+package graft.similarity
+
+import graft.{QueryModule, Tables => T}
+import graft.Util.r4
+import org.apache.spark.sql.functions._
+
+/** §2.6 — similarity search over `embeddings`. */
+object SimilarityQueries extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    "sim_topk_brute" -> ((s, d) => {
+      import s.implicits._
+      val emb = T.embeddings(s, d)
+      Similarity.bruteTopK(emb, emb.filter($"vec_id" < 10),
+          "vec_id", "embedding", k = 10)
+        .select($"qid", $"nid", r4($"cos").as("cos"), $"rank".cast("long").as("rank"))
+        .orderBy($"qid", $"rank")
+    }),
+
+    "sim_join" -> ((s, d) => {
+      import s.implicits._
+      Similarity.similarityJoin(T.embeddings(s, d), "vec_id",
+          "embedding", threshold = 0.4)
+        .select($"a_id", $"b_id", r4($"cos").as("cos"))
+        .orderBy($"a_id", $"b_id")
+    }),
+
+    "sim_topk_lsh" -> ((s, d) => {
+      import s.implicits._
+      // rows-only: bucket routing is algorithm-specific; recall vs
+      // brute force is asserted in SimilaritySpec
+      val emb = T.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter($"vec_id" < 10),
+          "vec_id", "embedding", k = 10, nPlanes = 4, nTables = 8)
+        .select($"qid", $"nid", r4($"cos").as("cos"), $"rank".cast("long").as("rank"))
+        .orderBy($"qid", $"rank")
+    }),
+
+    "sim_topk_ivf" -> ((s, d) => {
+      import s.implicits._
+      // rows-only: k-means IVF probing 4 of 16 cells
+      val emb = T.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter($"vec_id" < 10),
+          "vec_id", "embedding", k = 10, nCells = 16, nprobe = 4)
+        .select($"qid", $"nid", r4($"cos").as("cos"), $"rank".cast("long").as("rank"))
+        .orderBy($"qid", $"rank")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk_brute" ->
+      """SELECT qid, nid, round(cos, 4) AS cos, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(c.embedding AS DOUBLE[])) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                      CAST(c.embedding AS DOUBLE[])) DESC,
+        |               c.vec_id ASC) AS rank
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10)
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "sim_join" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin
+  )
+}

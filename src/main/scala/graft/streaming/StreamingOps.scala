@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** §2.2 streaming variants — Structured Streaming versions of the
+  * tumbling-window aggregate and gap sessionization.
+  *
+  * Watermarks bound state (1h for windows); sessionization keeps one
+  * tiny [[SessionState]] per user in the state store. Both run
+  * identically on a 1000-executor cluster: state is partitioned by
+  * the grouping key, exactly like the batch shuffles.
+  */
+object StreamingOps {
+
+  /** events schema with ts as int64 nanos (see Tables.events). */
+  val rawEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file stream source wants a directory: stream the sf dir,
+    // globbed down to the events table
+    spark.readStream.schema(rawEventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Streaming tumbling-hour counts, watermarked so late state ages out. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("bucket"),
+        col("event_type"), col("n"), col("total_value"))
+
+  case class SessionState(lastTsUs: Long, sessions: Long, events: Long)
+  case class UserEvent(user_id: Long, ts_us: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Stateful gap sessionization via flatMapGroupsWithState: per-user
+    * running (sessions, events) counts, updated per micro-batch. */
+  def sessionCounts(events: Dataset[UserEvent],
+      gapUs: Long): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSessions](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[SessionState]) =>
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          rows.map(_.ts_us).toSeq.sorted.foreach { t =>
+            val newSession = st.lastTsUs == Long.MinValue || t - st.lastTsUs > gapUs
+            st = SessionState(t,
+              st.sessions + (if (newSession) 1 else 0), st.events + 1)
+          }
+          state.update(st)
+          Iterator(UserSessions(user, st.sessions, st.events))
+      }
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.dedup.{Dedup, MinHash, SimHash}
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def docs = Tables.documents(spark, TestSpark.sf)
+  private def shingleArr = TextAnalysis.shingles(
+    TextAnalysis.tokens(col("text")), 3)
+
+  test("LSH candidates are a superset of exact jaccard pairs >= 0.5") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = MinHash.candidatePairs(docs, "doc_id", shingleArr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "no near-dup pairs at sf0.001 — vacuous test")
+    assert(exact.subsetOf(cands),
+      s"LSH missed ${exact -- cands}")
+  }
+
+  test("minhash near-dup pairs equal the exact jaccard join") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = MinHash.nearDupPairs(docs, "doc_id", shingleArr, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == exact)
+  }
+
+  test("simhash near pairs respect the hamming bound and catch near-dups") {
+    val pairs = SimHash.nearPairs(docs, "doc_id",
+      TextAnalysis.tokens(col("text")), maxHamming = 3).collect()
+    assert(pairs.forall(_.getLong(2) <= 3))
+  }
+
+  test("connected components merge transitive dup chains") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("exact dedup keeps one row per distinct content") {
+    val total = docs.count()
+    val kept = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(kept.agg(sum("n_copies")).head.getLong(0) == total)
+  }
+}

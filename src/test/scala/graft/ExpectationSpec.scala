@@ -1,0 +1,47 @@
+package graft
+
+import graft.quality._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExpectationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def df = {
+    import spark.implicits._
+    Seq(
+      (1L, Some(10.0), "A"), (2L, Some(20.0), "B"),
+      (3L, None, "A"), (4L, Some(999.0), "C"), (4L, Some(30.0), "Z"))
+      .toDF("id", "x", "cat")
+  }
+
+  test("suite evaluates all expectations in one pass") {
+    val suite = ExpectationSuite("t", Seq(
+      ExpectNotNull("x"),
+      ExpectBetween("x", 0, 100),
+      ExpectInSet("cat", Seq("A", "B", "C")),
+      ExpectUnique("id"),
+      ExpectRowCountBetween(1, 100)))
+    val report = suite.run(df).collect()
+      .map(r => r.getString(1) -> ((r.getLong(3), r.getDouble(4)))).toMap
+
+    assert(report("expect_not_null") == ((0L, 1.0)))     // 1 null
+    assert(report("expect_between") == ((0L, 1.0)))      // 999 out of range
+    assert(report("expect_in_set") == ((0L, 1.0)))       // Z not in set
+    assert(report("expect_unique") == ((0L, 1.0)))       // id 4 duplicated
+    assert(report("expect_row_count_between") == ((1L, 5.0)))
+  }
+
+  test("quarantine splits by row predicate") {
+    val suite = ExpectationSuite("t", Seq(
+      ExpectBetween("x", 0, 100), ExpectInSet("cat", Seq("A", "B", "C"))))
+    val (valid, bad) = suite.quarantine(df)
+    // nulls pass value expectations (GX semantics); 999 and Z fail
+    assert(valid.count() == 3)
+    assert(bad.count() == 2)
+  }
+
+  test("suite report matches between engines on real data") {
+    val got = SparkEntry.queries("dq_suite")(spark, TestSpark.sf)
+    assert(got.count() == 15)
+  }
+}

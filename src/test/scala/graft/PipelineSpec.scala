@@ -1,0 +1,53 @@
+package graft
+
+import graft.pipeline._
+import graft.quality.{ExpectBetween, ExpectationSuite}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("generator instantiates one lazy pipeline per dataset config") {
+    val segs = Seq("BUILDING", "MACHINERY", "AUTOMOBILE")
+    val configs = segs.map { seg =>
+      DatasetConfig(seg, sp => Tables.customer(sp, TestSpark.sf)
+        .filter(col("c_mktsegment") === seg))
+    }
+    val suite = ExpectationSuite("customer",
+      Seq(ExpectBetween("c_acctbal", -1000, 10000)))
+    val results = PipelineGenerator.generate(spark, configs, _ =>
+      Pipeline("clean", Seq(
+        Pipeline.validateStage(suite),
+        Stage("project")(_.select("c_custkey", "c_acctbal")))))
+    assert(results.keySet == segs.toSet)
+    results.values.foreach { df =>
+      assert(df.columns.toSeq == Seq("c_custkey", "c_acctbal"))
+      assert(df.count() > 0)
+    }
+  }
+
+  test("validate stage quarantines out-of-range rows") {
+    import spark.implicits._
+    val df = Seq((1L, 5.0), (2L, 99999.0)).toDF("id", "x")
+    val suite = ExpectationSuite("t", Seq(ExpectBetween("x", 0, 100)))
+    val cleaned = Pipeline("p", Seq(Pipeline.validateStage(suite))).run(df)
+    assert(cleaned.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("multimodal decode emits deterministic stub features") {
+    import spark.implicits._
+    val decoded = graft.multimodal.Multimodal.decodeFeatures(
+      graft.multimodal.Multimodal.withFakePayload(
+        Tables.documents(spark, TestSpark.sf), "doc_id", "text"))
+    val row = decoded.filter($"media_id" === 0L).head()
+    val len = row.getAs[Long]("payload_len")
+    assert(len > 0)
+    assert(row.getAs[Long]("width") == len % 640 + 1)
+    assert(row.getAs[Long]("n_frames") == len % 10 + 1)
+    // frames explode to exactly sum(n_frames)
+    val frames = graft.multimodal.Multimodal.sampleFrames(decoded)
+    val expected = decoded.agg(sum("n_frames")).head.getLong(0)
+    assert(frames.count() == expected)
+  }
+}

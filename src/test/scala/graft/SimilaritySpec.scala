@@ -1,0 +1,59 @@
+package graft
+
+import graft.similarity.Similarity
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def emb = Tables.embeddings(spark, TestSpark.sf)
+
+  private def topkSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("qid", "nid").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+  /** keys.toSeq matters: mapping over the key *Set* would collapse
+    * equal per-query recalls before summing. */
+  private def recallOf(brute: Map[Long, Set[Long]],
+      got: Map[Long, Set[Long]]): Double =
+    brute.keys.toSeq.map { k =>
+      got.getOrElse(k, Set.empty).intersect(brute(k)).size / 10.0
+    }.sum / brute.size
+
+  test("brute-force top-k returns k ranked neighbors per query") {
+    import spark.implicits._
+    val res = Similarity.bruteTopK(emb, emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", 10)
+    val byQ = res.collect().groupBy(_.getLong(0))
+    assert(byQ.size == 5)
+    assert(byQ.values.forall(_.length == 10))
+    // ranks are 1..10 and cos non-increasing
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to 10))
+      val cs = sorted.map(_.getDouble(2)).toSeq
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH top-k recall vs brute force") {
+    import spark.implicits._
+    val q = emb.filter($"vec_id" < 20)
+    val brute = topkSet(Similarity.bruteTopK(emb, q, "vec_id", "embedding", 10))
+    val lsh = topkSet(Similarity.lshTopK(emb, q, "vec_id", "embedding", 10,
+      nPlanes = 4, nTables = 8))
+    val recall = recallOf(brute, lsh)
+    info(f"LSH recall@10 (4 planes x 8 tables) = $recall%.3f")
+    assert(recall >= 0.5, f"LSH recall collapsed: $recall%.3f")
+  }
+
+  test("IVF top-k recall vs brute force") {
+    import spark.implicits._
+    val q = emb.filter($"vec_id" < 20)
+    val brute = topkSet(Similarity.bruteTopK(emb, q, "vec_id", "embedding", 10))
+    val ivf = topkSet(Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+      10, nCells = 16, nprobe = 4))
+    val recall = recallOf(brute, ivf)
+    info(f"IVF recall@10 (nprobe=4/16) = $recall%.3f")
+    assert(recall >= 0.3, f"IVF recall collapsed: $recall%.3f")
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every declared query must execute at sf0.001 — the cheap net that
+  * catches plan-time and runtime errors across the whole inventory. */
+class SmokeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle or is explicitly rows-only") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // keep this list in sync with SURVEY.md §2 (🟡 rows)
+    val expectedRowsOnly = Set("q_approx_distinct", "dq_schema",
+      "dedup_simhash", "sim_topk_lsh", "sim_topk_ivf")
+    assert(rowsOnly == expectedRowsOnly,
+      s"oracle coverage drifted: rows-only = $rowsOnly")
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name executes") {
+      val df = fn(spark, TestSpark.sf)
+      assert(df.count() >= 0)
+    }
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1)
+    .filterNot(q => Set("q_anti_join", "dedup_simhash").contains(q._1))
+    .foreach { case (name, fn) =>
+      test(s"$name is non-empty at sf0.001") {
+        assert(fn(spark, TestSpark.sf).limit(1).count() > 0,
+          s"$name returned 0 rows — vacuous correctness check")
+      }
+    }
+}

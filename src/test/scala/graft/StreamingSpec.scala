@@ -1,0 +1,53 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming results must equal their batch counterparts when the
+  * whole table is replayed through the stream. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("streaming tumbling counts equal batch aggregation") {
+    val stream = StreamingOps.tumblingCounts(
+      StreamingOps.eventStream(spark, TestSpark.sf))
+    val q = stream.writeStream.format("memory")
+      .queryName("tumbling_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("tumbling_out")
+      .select("bucket", "event_type", "n")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val exp = Tables.events(spark, TestSpark.sf)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    assert(got == exp)
+  }
+
+  test("stateful streaming sessionize equals batch sessionize") {
+    import spark.implicits._
+    val ev = StreamingOps.eventStream(spark, TestSpark.sf)
+      .select($"user_id", unix_micros($"ts").as("ts_us"))
+      .as[StreamingOps.UserEvent]
+    val q = StreamingOps.sessionCounts(ev, 30L * 60 * 1000000)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // last update per user wins
+    val got = spark.table("sessions_out")
+      .groupBy("user_id")
+      .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    val exp = SparkEntry.queries("q_sessionize")(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    assert(got == exp)
+  }
+}
