@@ -22,19 +22,28 @@ object Util {
     * of the oracle compare, absorbing fp summation-order noise. */
   def r4(c: Column): Column = round(c, 4)
 
-  /** Cosine similarity over two float/double array columns, computed
-    * entirely with codegen'd higher-order functions (no UDF). Sums
+  /** Cosine similarity over two float/double array columns via the
+    * codegen'd [[graft.functions.ArrayDot]] expression. Sums
     * accumulate sequentially in DOUBLE — same order as DuckDB's
     * list_cosine_similarity on DOUBLE[], so results agree bitwise
     * up to rounding. */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+    val dot = graft.functions.ArrayDot.dot _
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
   }
 
   /** Whitespace tokenization matching DuckDB
     * `string_split_regex(trim(x), '\s+')`. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Ensure minimum map-side parallelism for CPU-heavy per-row ops.
+    * A local single-row-group parquet scan arrives as ONE partition
+    * (so every downstream map runs single-threaded); on a real
+    * cluster inputs come pre-split and this is a no-op. The shuffled
+    * bytes are the raw rows — only use ahead of work that dwarfs one
+    * pass over the data. */
+  def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

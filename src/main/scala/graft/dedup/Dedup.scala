@@ -30,9 +30,9 @@ object Dedup {
   /** (id, shingle) postings with per-doc-distinct shingles. */
   def shinglePostings(df: DataFrame, id: String, text: String,
       n: Int): DataFrame =
-    df.select(col(id).as("__id"),
-        explode(array_distinct(
-          TextAnalysis.shingles(TextAnalysis.tokens(col(text)), n))).as("shingle"))
+    TextAnalysis.shingleDocs(df, id, text, n)
+      .select(col("__id"),
+        explode(array_distinct(col("__shingles"))).as("shingle"))
 
   /** Exact n-gram-shingle Jaccard pairs ≥ threshold, via the
     * inverted-index join. Output: (a_id, b_id, jaccard). */
@@ -54,17 +54,30 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** Connected components over undirected dup pairs by iterative
-    * min-label propagation (converges in O(diameter) joins; dup
-    * clusters are small and dense, so a handful of iterations).
-    * Output: (node, component) where component = min reachable id. */
+  /** Connected components over undirected dup pairs. Output:
+    * (node, component) where component = min reachable id.
+    *
+    * Hybrid execution: below `localThreshold` edges the graph is
+    * collected and solved with union-find on the driver (dup-pair
+    * graphs are normally tiny relative to the corpus, and a
+    * distributed iteration pays multi-second scheduling latency per
+    * round); above it, iterative min-label propagation runs fully
+    * distributed (converges in O(diameter) join rounds). */
   def connectedComponents(pairs: DataFrame, a: String, b: String,
-      maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
-      .unionAll(pairs.select(col(b).as("src"), col(a).as("dst")))
-      .distinct().cache()
+      maxIter: Int = 20, localThreshold: Long = 5000000L): DataFrame = {
+    val p = pairs.cache() // sized by count(), then consumed again below
+    val edgeCount = p.count()
+    if (edgeCount <= localThreshold)
+      return localComponents(p, a, b)
+    // localCheckpoint (eager) truncates lineage: without it each
+    // iteration's plan re-derives the candidate-pair join from scratch
+    // and the final plan grows exponentially with iterations.
+    val edges = p.select(col(a).as("src"), col(b).as("dst"))
+      .unionAll(p.select(col(b).as("src"), col(a).as("dst")))
+      .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
+      .localCheckpoint()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -77,7 +90,7 @@ object Dedup {
         .withColumn("new_comp", least(col("component"), col("nbr_comp")))
         .select(col("node"),
           coalesce(col("new_comp"), col("component")).as("component"))
-        .cache()
+        .localCheckpoint()
       changed = next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.component") =!= col("o.component")).count()
@@ -85,5 +98,30 @@ object Dedup {
       it += 1
     }
     labels
+  }
+
+  /** Driver-side union-find with path compression (small graphs). */
+  private def localComponents(pairs: DataFrame, a: String,
+      b: String): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col(a).cast("long"), col(b).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val p = parent(c); parent(c) = r; c = p }
+      r
+    }
+    edges.foreach { case (x, y) =>
+      parent.getOrElseUpdate(x, x); parent.getOrElseUpdate(y, y)
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) parent(rx) = ry
+    }
+    val nodes = parent.keys.toSeq
+    val minOfRoot = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+    nodes.sorted.map(n => (n, minOfRoot(find(n)))).toDF("node", "component")
   }
 }

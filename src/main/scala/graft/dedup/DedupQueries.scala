@@ -2,7 +2,6 @@ package graft.dedup
 
 import graft.{QueryModule, Tables => T}
 import graft.Util.r4
-import graft.text.TextAnalysis
 import graft.similarity.Similarity
 import org.apache.spark.sql.functions._
 
@@ -18,9 +17,6 @@ object DedupQueries extends QueryModule {
 
   private val ShingleN = 3
   private val JThreshold = 0.5
-
-  private def shingleArr = TextAnalysis.shingles(
-    TextAnalysis.tokens(col("text")), ShingleN)
 
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> ((s, d) => {
@@ -47,8 +43,8 @@ object DedupQueries extends QueryModule {
 
     "dedup_minhash" -> ((s, d) => {
       import s.implicits._
-      MinHash.nearDupPairs(T.documents(s, d), "doc_id", shingleArr,
-          JThreshold)
+      MinHash.nearDupPairs(T.documents(s, d), "doc_id", "text",
+          ShingleN, JThreshold)
         .select($"a_id", $"b_id", r4($"jaccard").as("jaccard"))
         .orderBy($"a_id", $"b_id")
     }),
@@ -56,8 +52,7 @@ object DedupQueries extends QueryModule {
     "dedup_simhash" -> ((s, d) => {
       import s.implicits._
       // rows-only: SimHash fingerprints are algorithm-specific
-      SimHash.nearPairs(T.documents(s, d), "doc_id",
-          TextAnalysis.tokens($"text"), maxHamming = 3)
+      SimHash.nearPairs(T.documents(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy($"a_id", $"b_id")
     }),
 

@@ -1,6 +1,7 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.text.TextAnalysis
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** MinHash + LSH near-duplicate candidate generation.
@@ -21,20 +22,29 @@ object MinHash {
   val NumBands = 16
   val RowsPerBand: Int = NumHashes / NumBands
 
-  /** MinHash signature as NumHashes long columns sig_0..sig_{H-1}. */
-  def withSignature(df: DataFrame, shingleArr: Column): DataFrame = {
-    val distinctSh = array_distinct(shingleArr)
-    (0 until NumHashes).foldLeft(df) { (acc, i) =>
-      acc.withColumn(s"sig_$i",
-        array_min(transform(distinctSh, s => xxhash64(s, lit(i)))))
-    }
+  /** MinHash signatures (__id, sig_0..sig_{H-1}) via shingle explode +
+    * H min-aggregates in ONE grouped pass.
+    *
+    * Why not per-row `transform`+`array_min` columns: Catalyst's
+    * projection collapsing inlines the whole shingle pipeline into
+    * each of the 64 signature expressions (64× recompute, codegen
+    * method-size blowup → interpreted fallback; measured ~400×
+    * slower). The explode form shuffles (id, shingle) once with
+    * map-side partial min aggregation — linear in total postings.
+    * min over a multiset equals min over the set, so no distinct
+    * is needed before exploding. */
+  def signatures(shingled: DataFrame): DataFrame = {
+    val posts = shingled.select(col("__id"),
+      explode(col("__shingles")).as("__s"))
+    val aggs = (0 until NumHashes).map(i =>
+      min(xxhash64(col("__s"), lit(i))).as(s"sig_$i"))
+    posts.groupBy(col("__id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** (doc, band_idx, band_hash) rows; docs with no shingles drop out. */
-  def bands(df: DataFrame, id: String, shingleArr: Column): DataFrame = {
-    val sig = withSignature(df.select(col(id).as("__id"),
-      shingleArr.as("__sh")), col("__sh"))
-      .filter(size(col("__sh")) > 0)
+  /** (doc, band_idx, band_hash) rows; docs with no shingles drop out
+    * at the explode. */
+  def bands(shingled: DataFrame): DataFrame = {
+    val sig = signatures(shingled)
     val bandCols = (0 until NumBands).map { b =>
       val slice = (0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}"))
       struct(lit(b).as("band_idx"), xxhash64(slice: _*).as("band_hash"))
@@ -44,8 +54,9 @@ object MinHash {
   }
 
   /** Distinct candidate pairs (a_id < b_id) sharing ≥1 band bucket. */
-  def candidatePairs(df: DataFrame, id: String, shingleArr: Column): DataFrame = {
-    val b = bands(df, id, shingleArr)
+  def candidatePairs(df: DataFrame, id: String, text: String,
+      shingleN: Int): DataFrame = {
+    val b = bands(TextAnalysis.shingleDocs(df, id, text, shingleN)).cache()
     b.as("x").join(b.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_hash") === col("y.band_hash") &&
@@ -57,11 +68,16 @@ object MinHash {
   /** LSH candidates verified with exact Jaccard over the shingle sets
     * (verification joins only the candidate pairs — O(candidates),
     * not O(N²)). Output: (a_id, b_id, jaccard) ≥ threshold. */
-  def nearDupPairs(df: DataFrame, id: String, shingleArr: Column,
-      threshold: Double): DataFrame = {
-    val sets = df.select(col(id).as("__sid"),
-      array_distinct(shingleArr).as("__set"))
-    candidatePairs(df, id, shingleArr)
+  def nearDupPairs(df: DataFrame, id: String, text: String,
+      shingleN: Int, threshold: Double): DataFrame = {
+    // cache: the shingle sets feed both sides of the verify join, and
+    // the band frame feeds both sides of the candidate self-join —
+    // without caching the whole tokenize+shingle pipeline runs 4×
+    val sets = TextAnalysis.shingleDocs(df, id, text, shingleN)
+      .select(col("__id").as("__sid"),
+        array_distinct(col("__shingles")).as("__set"))
+      .cache()
+    candidatePairs(df, id, text, shingleN)
       .join(sets.select(col("__sid").as("a_id"), col("__set").as("__sa")), "a_id")
       .join(sets.select(col("__sid").as("b_id"), col("__set").as("__sb")), "b_id")
       .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))).cast("double"))

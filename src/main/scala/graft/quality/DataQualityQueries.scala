@@ -81,12 +81,14 @@ object DataQualityQueries extends QueryModule {
 
     "dq_suite" -> ((s, d) => {
       // the full checkpoint: several tables, one report — what the
-      // reference's GX validation task emits per dataset
-      ordersSuite.run(T.orders(s, d))
-        .unionAll(statusSuite.run(T.orders(s, d)))
-        .unionAll(uniqueSuite.run(T.orders(s, d)))
-        .unionAll(lineitemBetween.run(T.lineitem(s, d)))
-        .unionAll(statsSuite.run(T.lineitem(s, d)))
+      // reference's GX validation task emits per dataset. Suites on
+      // the same table are merged so each table is scanned ONCE.
+      val ordersAll = ExpectationSuite("orders", ordersSuite.expectations ++
+        statusSuite.expectations ++ uniqueSuite.expectations)
+      val lineitemAll = ExpectationSuite("lineitem",
+        lineitemBetween.expectations ++ statsSuite.expectations)
+      ordersAll.run(T.orders(s, d))
+        .unionAll(lineitemAll.run(T.lineitem(s, d)))
         .unionAll(ExpectationSuite("customer",
           Seq(ExpectLengthsBetween("c_name", 5, 40))).run(T.customer(s, d)))
         .orderBy("table_name", "exp_name", "col_name")

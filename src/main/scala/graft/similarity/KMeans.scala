@@ -38,8 +38,8 @@ object KMeans {
   /** Fit centroids; returns k vectors (driver-side k×dim only). */
   def fit(df: DataFrame, id: String, vec: String, k: Int,
       iters: Int = 5): Seq[Seq[Double]] = {
-    val base = df.select(col(id).as("__id"),
-      transform(col(vec), _.cast("double")).as("__v"))
+    val base = graft.Util.ensureParallelism(df.select(col(id).as("__id"),
+      transform(col(vec), _.cast("double")).as("__v")))
     var centroids: Seq[Seq[Double]] = base.orderBy(col("__id")).limit(k)
       .select(col("__v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
     for (_ <- 0 until iters) {

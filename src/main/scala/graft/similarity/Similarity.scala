@@ -20,7 +20,8 @@ object Similarity {
   def bruteTopK(corpus: DataFrame, queries: DataFrame, id: String,
       vec: String, k: Int): DataFrame = {
     val q = queries.select(col(id).as("qid"), col(vec).as("__qv"))
-    val c = corpus.select(col(id).as("nid"), col(vec).as("__cv"))
+    val c = graft.Util.ensureParallelism(
+      corpus.select(col(id).as("nid"), col(vec).as("__cv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", cosine(col("__qv"), col("__cv")))
@@ -54,7 +55,8 @@ object Similarity {
     val buckets = (0 until nTables).map(t =>
       struct(lit(t).as("__table"),
         lshBucket(col("__vec"), nPlanes, t).as("__bucket")))
-    df.select(col("*"), explode(array(buckets: _*)).as("__tb"))
+    graft.Util.ensureParallelism(df)
+      .select(col("*"), explode(array(buckets: _*)).as("__tb"))
       .select(df.columns.map(col) :+ col("__tb.__table") :+ col("__tb.__bucket"): _*)
   }
 
@@ -97,8 +99,9 @@ object Similarity {
       vec: String, k: Int, nCells: Int = 16, nprobe: Int = 4,
       kmeansIters: Int = 5): DataFrame = {
     val cents = KMeans.fit(corpus, id, vec, nCells, kmeansIters)
-    val c = corpus.select(col(id).as("nid"), col(vec).as("__cv"),
-      KMeans.cellExpr(col(vec), cents).as("__cell"))
+    val c = graft.Util.ensureParallelism(
+      corpus.select(col(id).as("nid"), col(vec).as("__cv")))
+      .withColumn("__cell", KMeans.cellExpr(col("__cv"), cents))
     val q = queries.select(col(id).as("qid"), col(vec).as("__qv"),
         explode(KMeans.probeExpr(col(vec), cents, nprobe)).as("__cell"))
     val w = Window.partitionBy(col("qid"))
@@ -115,7 +118,8 @@ object Similarity {
     * baseline; LSH/IVF bucket joins are the scale path). */
   def similarityJoin(df: DataFrame, id: String, vec: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(id).as("a_id"), col(vec).as("__va"))
+    val a = graft.Util.ensureParallelism(
+      df.select(col(id).as("a_id"), col(vec).as("__va")))
     val b = df.select(col(id).as("b_id"), col(vec).as("__vb"))
     a.join(b, col("a_id") < col("b_id"))
       .withColumn("cos", cosine(col("__va"), col("__vb")))

@@ -41,7 +41,8 @@ object SimilarityQueries extends QueryModule {
       // rows-only: k-means IVF probing 4 of 16 cells
       val emb = T.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter($"vec_id" < 10),
-          "vec_id", "embedding", k = 10, nCells = 16, nprobe = 4)
+          "vec_id", "embedding", k = 10, nCells = 16, nprobe = 4,
+          kmeansIters = 3)
         .select($"qid", $"nid", r4($"cos").as("cos"), $"rank".cast("long").as("rank"))
         .orderBy($"qid", $"rank")
     })

@@ -1,20 +1,17 @@
 package graft
 
 import graft.dedup.{Dedup, MinHash, SimHash}
-import graft.text.TextAnalysis
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.sum
 import org.scalatest.funsuite.AnyFunSuite
 
 class DedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private def docs = Tables.documents(spark, TestSpark.sf)
-  private def shingleArr = TextAnalysis.shingles(
-    TextAnalysis.tokens(col("text")), 3)
 
   test("LSH candidates are a superset of exact jaccard pairs >= 0.5") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val cands = MinHash.candidatePairs(docs, "doc_id", shingleArr)
+    val cands = MinHash.candidatePairs(docs, "doc_id", "text", 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "no near-dup pairs at sf0.001 — vacuous test")
     assert(exact.subsetOf(cands),
@@ -24,14 +21,14 @@ class DedupSpec extends AnyFunSuite {
   test("minhash near-dup pairs equal the exact jaccard join") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val mh = MinHash.nearDupPairs(docs, "doc_id", shingleArr, 0.5)
+    val mh = MinHash.nearDupPairs(docs, "doc_id", "text", 3, 0.5)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(mh == exact)
   }
 
   test("simhash near pairs respect the hamming bound and catch near-dups") {
-    val pairs = SimHash.nearPairs(docs, "doc_id",
-      TextAnalysis.tokens(col("text")), maxHamming = 3).collect()
+    val pairs = SimHash.nearPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect()
     assert(pairs.forall(_.getLong(2) <= 3))
   }
 
