@@ -76,6 +76,21 @@ object FeatureQueries extends QueryModule {
         .orderBy($"l_returnflag")
     }),
 
+    "ml_linreg_multi" -> ((s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d)
+      val xs = Seq("l_quantity", "l_discount")
+      val model = LinearModel.fitMulti(li, xs, "l_extendedprice")
+      LinearModel.predictMulti(li, model, xs)
+        .agg(sqrt(avg(($"l_extendedprice" - $"prediction") *
+          ($"l_extendedprice" - $"prediction"))).as("rmse_raw"))
+        .select(
+          round(lit(model._1), 4).as("intercept"),
+          round(lit(model._2.head), 4).as("slope_qty"),
+          round(lit(model._2(1)), 4).as("slope_disc"),
+          r4($"rmse_raw").as("rmse"))
+    }),
+
     "ml_eval" -> ((s, d) => {
       import s.implicits._
       val li = T.lineitem(s, d)
@@ -140,6 +155,30 @@ object FeatureQueries extends QueryModule {
         |  round(avg(l_extendedprice)
         |        - covar_pop(l_extendedprice, l_quantity)/var_pop(l_quantity)*avg(l_quantity),4) AS intercept
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "ml_linreg_multi" ->
+      """WITH s AS (
+        |  SELECT covar_pop(l_quantity, l_quantity) AS s11,
+        |         covar_pop(l_quantity, l_discount) AS s12,
+        |         covar_pop(l_discount, l_discount) AS s22,
+        |         covar_pop(l_quantity, l_extendedprice) AS s1y,
+        |         covar_pop(l_discount, l_extendedprice) AS s2y,
+        |         avg(l_extendedprice) AS my, avg(l_quantity) AS m1,
+        |         avg(l_discount) AS m2
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT (s22*s1y - s12*s2y)/(s11*s22 - s12*s12) AS b1,
+        |         (s11*s2y - s12*s1y)/(s11*s22 - s12*s12) AS b2,
+        |         my, m1, m2
+        |  FROM s)
+        |SELECT round(m.my - m.b1*m.m1 - m.b2*m.m2, 4) AS intercept,
+        |  round(m.b1, 4) AS slope_qty,
+        |  round(m.b2, 4) AS slope_disc,
+        |  round(sqrt(avg(
+        |    (l_extendedprice - ((m.my - m.b1*m.m1 - m.b2*m.m2) + m.b1*l_quantity + m.b2*l_discount))
+        |   *(l_extendedprice - ((m.my - m.b1*m.m1 - m.b2*m.m2) + m.b1*l_quantity + m.b2*l_discount)))), 4) AS rmse
+        |FROM lineitem, m
+        |GROUP BY m.b1, m.b2, m.my, m.m1, m.m2""".stripMargin,
 
     "ml_eval" ->
       """WITH m AS (

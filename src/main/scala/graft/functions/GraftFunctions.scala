@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration for the library's custom Catalyst expressions, so
+  * `spark.sql("... array_dot(a, b) ...")` works alongside the Column
+  * API. Session-local via [[GraftFunctions.registerAll]], or
+  * cluster-wide via `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+object GraftFunctions {
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "array_dot" -> (es => ArrayDot(es(0), es(1))))
+
+  def registerAll(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[ArrayDot].getName, name), builder))
+    }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.functions.{ArrayDot, GraftFunctions}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("ArrayDot computes sequential double dot product") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(2.0, 4.0, 6.0)))
+      .toDF("a", "b")
+    val got = df.select(ArrayDot.dot(col("a"), col("b"))).head.getDouble(0)
+    assert(got == 1.0 * 2 + 2 * 4 + 3 * 6)
+  }
+
+  test("ArrayDot null propagates") {
+    import spark.implicits._
+    val df = Seq((Option.empty[Seq[Double]], Seq(1.0)))
+      .toDF("a", "b")
+    assert(df.select(ArrayDot.dot(col("a"), col("b"))).head.isNullAt(0))
+  }
+
+  test("array_dot is SQL-callable after registration") {
+    GraftFunctions.registerAll(spark)
+    val got = spark.sql(
+      "SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head.getDouble(0)
+    assert(got == 11.0)
+  }
+
+  test("fitMulti recovers exact coefficients on synthetic linear data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 2000).map { _ =>
+      val x1 = rnd.nextDouble() * 10; val x2 = rnd.nextDouble() * 5
+      (x1, x2, 3.5 + 2.0 * x1 - 4.0 * x2)
+    }
+    val df = rows.toDF("x1", "x2", "y")
+    val (b0, slopes) = graft.ml.LinearModel.fitMulti(df, Seq("x1", "x2"), "y")
+    assert(math.abs(b0 - 3.5) < 1e-9)
+    assert(math.abs(slopes.head - 2.0) < 1e-9)
+    assert(math.abs(slopes(1) + 4.0) < 1e-9)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** §2.9 — sources/sinks: schema'd csv/json round-trips, partitioned
+  * parquet writes with partition pruning, scan pushdown. */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("csv round-trip with explicit schema") {
+    val dir = tmp("graft-csv")
+    val cust = Tables.customer(spark, TestSpark.sf)
+    cust.write.mode("overwrite").option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    val back = spark.read.schema(schema).option("header", "true").csv(dir)
+    assert(back.count() == cust.count())
+    assert(math.abs(back.agg(sum("c_acctbal")).head.getDouble(0) -
+      cust.agg(sum("c_acctbal")).head.getDouble(0)) <= 1e-4)
+  }
+
+  test("json round-trip with explicit schema") {
+    val dir = tmp("graft-json")
+    val nation = Tables.nation(spark, TestSpark.sf)
+    nation.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(nation.schema).json(dir)
+    assert(back.count() == nation.count())
+    assert(back.select("n_name").collect().map(_.getString(0)).sorted.toSeq ==
+      nation.select("n_name").collect().map(_.getString(0)).sorted.toSeq)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = tmp("graft-part")
+    val orders = Tables.orders(spark, TestSpark.sf)
+      .withColumn("o_year", year(col("o_orderdate")))
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    val back = spark.read.parquet(dir).filter(col("o_year") === 1996)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition pruning:\n$plan")
+    assert(back.count() ==
+      orders.filter(col("o_year") === 1996).count())
+  }
+
+  test("filters and projections push down to the parquet scan") {
+    val df = Tables.lineitem(spark, TestSpark.sf)
+      .filter(col("l_orderkey") < 100)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") &&
+      scan.contains("LessThan(l_orderkey,100)"),
+      s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$scan")
+  }
+}
