@@ -46,4 +46,20 @@ object Util {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** Salted equi-join for extreme key skew (beyond what AQE's skew
+    * join splits): the skewed side gets a deterministic salt from a
+    * row-identifying column, the other side is replicated `salts`
+    * ways, and the join key becomes (key, salt) — one hot key spreads
+    * over `salts` reducers. Replication cost is `salts`× the small
+    * side, so use for dimension-ish right sides only. */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
+      saltFrom: String, salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts > 0)
+    val l = skewed.withColumn("__salt",
+      pmod(xxhash64(col(saltFrom)), lit(salts)).cast("int"))
+    val r = other.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
+  }
 }

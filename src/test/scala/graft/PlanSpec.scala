@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the physical plans the operators are
+  * designed around must actually materialize — broadcasts broadcast,
+  * codegen spans exist, salted joins spread keys. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+
+  test("star join broadcasts the dimension tables") {
+    val p = plan("q_star_join")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"dimension join degenerated to sort-merge:\n$p")
+  }
+
+  test("pricing summary stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, TestSpark.sf)
+    df.collect() // finalize the adaptive plan so codegen spans appear
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      s"no codegen span:\n$p")
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
+    assert(p.contains("partial_sum"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("semi and anti joins plan as join types, not subquery rewrites") {
+    assert(plan("q_semi_join").contains("LeftSemi"))
+    assert(plan("q_anti_join").contains("LeftAnti"))
+  }
+
+  test("expectation suite is a single aggregation over the table") {
+    val p = plan("dq_not_null")
+    // one scan of orders, one aggregate pair (partial+final)
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"suite scanned the table more than once:\n$p")
+  }
+
+  test("salted join matches plain join results and spreads the key") {
+    val li = Tables.lineitem(spark, TestSpark.sf)
+    val supp = Tables.supplier(spark, TestSpark.sf)
+    val plainCount = li.join(supp, Seq("s_suppkey").map(_ => col("l_suppkey") === col("s_suppkey")).head).count()
+    val salted = Util.saltedJoin(
+      li.withColumnRenamed("l_suppkey", "s_suppkey"), supp,
+      key = "s_suppkey", saltFrom = "l_orderkey", salts = 8)
+    assert(salted.count() == plainCount)
+    // every salt bucket participates for the hottest key
+    val spread = li.withColumn("__salt",
+        pmod(xxhash64(col("l_orderkey")), lit(8)))
+      .groupBy("l_suppkey").agg(countDistinct("__salt").as("n"))
+      .agg(min("n")).head.getLong(0)
+    assert(spread == 8, s"salt only hit $spread of 8 buckets")
+  }
+}
