@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     operators.RelationalQueries,
+    operators.AdvancedQueries,
     operators.EventQueries,
     quality.DataQualityQueries,
     features.FeatureQueries,
