@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryModule, Tables => T}
 import graft.Util.r4
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -253,12 +253,33 @@ object RelationalQueries extends QueryModule {
 
     "q_percentile" -> ((s, d) => {
       import s.implicits._
-      T.lineitem(s, d)
-        .groupBy($"l_returnflag")
-        .agg(
-          r4(percentile($"l_extendedprice", lit(0.25))).as("p25"),
-          r4(percentile($"l_extendedprice", lit(0.5))).as("p50"),
-          r4(percentile($"l_extendedprice", lit(0.75))).as("p75"))
+      // Exact interpolated percentiles WITHOUT Spark's percentile()
+      // agg (which buffers every value of a group in one reducer's
+      // hash map — an OOM at 100 TB with 3 groups). Instead:
+      // (1) count per (group, value) — fully parallel, map-side
+      //     combinable shuffle; (2) running count over the DISTINCT
+      //     values of each group (tiny); (3) rank interpolation,
+      //     identical to percentile()/quantile_cont semantics.
+      val vals = T.lineitem(s, d)
+        .groupBy($"l_returnflag", $"l_extendedprice".as("v"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy($"l_returnflag").orderBy($"v")
+      val n = vals.groupBy($"l_returnflag").agg(sum($"c").as("n"))
+      val ranked = vals
+        .withColumn("hi_rank", sum($"c").over(w))
+        .withColumn("lo_rank", $"hi_rank" - $"c" + 1)
+        .join(broadcast(n), "l_returnflag")
+      def pct(p: Double): Column = {
+        val pos = lit(1.0) + lit(p) * ($"n" - 1).cast("double")
+        val lo = floor(pos)
+        val hi = least(lo + 1, $"n".cast("double"))
+        val vLo = max(when($"lo_rank" <= lo && lo <= $"hi_rank", $"v"))
+        val vHi = max(when($"lo_rank" <= hi && hi <= $"hi_rank", $"v"))
+        val frac = max(pos - lo)
+        r4(vLo + frac * (vHi - vLo))
+      }
+      ranked.groupBy($"l_returnflag")
+        .agg(pct(0.25).as("p25"), pct(0.5).as("p50"), pct(0.75).as("p75"))
         .orderBy($"l_returnflag")
     }),
 
