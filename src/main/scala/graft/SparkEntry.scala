@@ -7,10 +7,14 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     operators.RelationalQueries,
     operators.AdvancedQueries,
+    operators.AnalyticsQueries,
     operators.EventQueries,
+    operators.BehaviorQueries,
     quality.DataQualityQueries,
     features.FeatureQueries,
+    features.FeatureQueries2,
     text.TextQueries,
+    text.TextQueries2,
     dedup.DedupQueries,
     similarity.SimilarityQueries,
     pipeline.PipelineQueries,

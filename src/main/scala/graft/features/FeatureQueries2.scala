@@ -1,0 +1,151 @@
+package graft.features
+
+import graft.{QueryModule, Tables => T}
+import graft.Util.r4
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.4b feature/ML extensions: imputation, interaction features,
+  * quantile binning, confusion-matrix evaluation, logistic
+  * regression, k-means clustering.
+  */
+object FeatureQueries2 extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    "feat_impute" -> ((s, d) => {
+      import s.implicits._
+      // Group-mean imputation: the fill statistic comes from a
+      // per-key window aggregate (one shuffle), not a driver pass.
+      val ev = T.events(s, d).select($"event_type",
+        when($"value" < 2, lit(null)).otherwise($"value").as("v"))
+      val w = Window.partitionBy($"event_type")
+      ev.withColumn("v_imp", coalesce($"v", avg($"v").over(w)))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"v".isNull, 1L).otherwise(0L)).as("n_imputed"),
+          r4(avg($"v_imp")).as("avg_imputed"))
+        .orderBy($"event_type")
+    }),
+
+    "feat_interaction" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          r4(avg($"l_quantity" * $"l_extendedprice")).as("qty_price"),
+          r4(avg($"l_quantity" * $"l_quantity")).as("qty_sq"),
+          r4(avg(log(lit(1.0) + $"l_extendedprice"))).as("log_price"))
+        .orderBy($"l_returnflag")
+    }),
+
+    "feat_quantile_bin" -> ((s, d) => {
+      import s.implicits._
+      // Quintile bins WITHIN each status — the window partitions by
+      // key, so no global sort; for unkeyed binning at 100 TB use
+      // approx-quantile cutpoints instead.
+      val w = Window.partitionBy($"o_orderstatus")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      T.orders(s, d)
+        .withColumn("bin",
+          least(floor(percent_rank().over(w) * 5), lit(4.0)).cast("long"))
+        .groupBy($"o_orderstatus", $"bin")
+        .agg(count(lit(1)).as("n"),
+          r4(min($"o_totalprice")).as("lo"),
+          r4(max($"o_totalprice")).as("hi"))
+        .orderBy($"o_orderstatus", $"bin")
+    }),
+
+    "ml_confusion" -> ((s, d) => {
+      import s.implicits._
+      // Rule classifier vs ground truth: confusion counts in one
+      // partial-agg pass, metrics derived from the four cells.
+      val labeled = T.lineitem(s, d).select(
+        ($"l_returnflag" === "R").as("y"),
+        ($"l_discount" >= 0.06).as("pred"))
+      labeled.agg(
+          sum(when($"y" && $"pred", 1L).otherwise(0L)).as("tp"),
+          sum(when(!$"y" && $"pred", 1L).otherwise(0L)).as("fp"),
+          sum(when($"y" && !$"pred", 1L).otherwise(0L)).as("fn"),
+          sum(when(!$"y" && !$"pred", 1L).otherwise(0L)).as("tn"))
+        .select($"tp", $"fp", $"fn", $"tn",
+          r4($"tp" / ($"tp" + $"fp")).as("prec"),
+          r4($"tp" / ($"tp" + $"fn")).as("recall"),
+          r4(lit(2.0) * $"tp" / (lit(2.0) * $"tp" + $"fp" + $"fn")).as("f1"))
+    }),
+
+    "ml_logreg" -> ((s, d) => {
+      // rows-only: iterative fit (LogRegSpec asserts loss decreases
+      // and accuracy beats the majority class)
+      import s.implicits._
+      val li = T.lineitem(s, d)
+        .select(($"l_returnflag" === "R").cast("double").as("label"),
+          $"l_quantity", $"l_discount", $"l_tax", $"l_extendedprice")
+      val fitted = graft.ml.LogReg.fit(li, "label",
+        Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice"),
+        iters = 6)
+      val rows = fitted.weights.map { case (c, v) =>
+        (c, BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      } :+ ("__intercept", BigDecimal(fitted.intercept)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      rows.toDF("feature", "coef").orderBy($"feature")
+    }),
+
+    "ml_kmeans" -> ((s, d) => {
+      // rows-only: deterministic k-means over embeddings; cluster
+      // sizes + mean cosine-to-centroid per cell (KMeansSpec).
+      import s.implicits._
+      val emb = T.embeddings(s, d)
+      val cents = graft.similarity.KMeans.fit(emb, "vec_id", "embedding",
+        k = 8, iters = 3)
+      emb.select($"vec_id", $"embedding")
+        .withColumn("cell",
+          graft.similarity.KMeans.cellExpr($"embedding", cents).cast("long"))
+        .withColumn("cos", graft.Util.cosine($"embedding",
+          graft.similarity.KMeans.centroidFor($"cell", cents)))
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n"), r4(avg($"cos")).as("avg_cos"))
+        .orderBy($"cell")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "feat_impute" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+        |  round(avg(coalesce(v, m)),4) AS avg_imputed
+        |FROM (SELECT event_type, v, avg(v) OVER (PARTITION BY event_type) AS m
+        |      FROM (SELECT event_type,
+        |              CASE WHEN value < 2 THEN NULL ELSE value END AS v
+        |            FROM events))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "feat_interaction" ->
+      """SELECT l_returnflag,
+        |  round(avg(l_quantity * l_extendedprice),4) AS qty_price,
+        |  round(avg(l_quantity * l_quantity),4) AS qty_sq,
+        |  round(avg(ln(1.0 + l_extendedprice)),4) AS log_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "feat_quantile_bin" ->
+      """SELECT o_orderstatus, bin, count(*) AS n,
+        |  round(min(o_totalprice),4) AS lo, round(max(o_totalprice),4) AS hi
+        |FROM (SELECT o_orderstatus, o_totalprice,
+        |        CAST(least(floor(percent_rank() OVER (
+        |          PARTITION BY o_orderstatus
+        |          ORDER BY o_totalprice, o_orderkey) * 5), 4) AS BIGINT) AS bin
+        |      FROM orders)
+        |GROUP BY o_orderstatus, bin ORDER BY o_orderstatus, bin""".stripMargin,
+
+    "ml_confusion" ->
+      """SELECT tp, fp, fn, tn,
+        |  round(tp / (tp + fp),4) AS prec,
+        |  round(tp / (tp + fn),4) AS recall,
+        |  round(2.0 * tp / (2.0 * tp + fp + fn),4) AS f1
+        |FROM (SELECT
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' AND l_discount >= 0.06 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(sum(CASE WHEN l_returnflag <> 'R' AND l_discount >= 0.06 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' AND l_discount < 0.06 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |  CAST(sum(CASE WHEN l_returnflag <> 'R' AND l_discount < 0.06 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |FROM lineitem)""".stripMargin
+  )
+}

@@ -35,27 +35,55 @@ object KMeans {
       s => s.getField("cell"))
   }
 
-  /** Fit centroids; returns k vectors (driver-side k×dim only). */
+  /** The centroid vector for a cell-id column, as an array column
+    * (literal k×dim lookup table — broadcast with the plan). */
+  def centroidFor(cell: Column, centroids: Seq[Seq[Double]]): Column =
+    element_at(array(centroids.map(typedlit(_)): _*), (cell + 1).cast("int"))
+
+  /** Fit centroids on a bounded deterministic training sample —
+    * standard coarse-quantizer practice (FAISS trains IVF on a few
+    * hundred vectors per centroid, not the corpus): ONE distributed
+    * top-`maxTrain`-by-id collect, then Lloyd's locally on the
+    * (≤ maxTrain)×dim sample. Corpus ASSIGNMENT stays fully
+    * distributed ([[cellExpr]]); only the k×dim matrix plus the
+    * sample ever reach the driver, independent of corpus size. */
   def fit(df: DataFrame, id: String, vec: String, k: Int,
-      iters: Int = 5): Seq[Seq[Double]] = {
-    val base = graft.Util.ensureParallelism(df.select(col(id).as("__id"),
-      transform(col(vec), _.cast("double")).as("__v")))
-    var centroids: Seq[Seq[Double]] = base.orderBy(col("__id")).limit(k)
-      .select(col("__v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
-    for (_ <- 0 until iters) {
-      val assigned = base.withColumn("__cell", cellExpr(col("__v"), centroids))
-      val next = assigned
-        .select(col("__cell"), posexplode(col("__v")).as(Seq("__dim", "__x")))
-        .groupBy(col("__cell"), col("__dim"))
-        .agg(avg(col("__x")).as("__m"))
-        .groupBy(col("__cell"))
-        .agg(array_sort(collect_list(struct(col("__dim"), col("__m")))).as("__s"))
-        .select(col("__cell"),
-          transform(col("__s"), s => s.getField("__m")).as("__c"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
-      // empty cells keep their previous centroid
-      centroids = centroids.indices.map(i => next.getOrElse(i, centroids(i)))
+      iters: Int = 5, maxTrain: Int = 10000): Seq[Seq[Double]] = {
+    // TakeOrdered top-k by id: deterministic, no global sort
+    val train: Array[Array[Double]] = df
+      .select(col(id).as("__id"), transform(col(vec), _.cast("double")).as("__v"))
+      .orderBy(col("__id")).limit(maxTrain)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(train.length >= k, s"need ≥ $k vectors, got ${train.length}")
+    val dim = train.head.length
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d, na, nb = 0.0
+      var i = 0
+      while (i < dim) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
     }
-    centroids
+    // init = k smallest ids; nearest = max cosine, ties → lower cell
+    // (identical rules to cellExpr's struct-min)
+    var cents = train.take(k).map(_.clone)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      for (v <- train) {
+        var best = 0
+        var bestCos = cos(v, cents(0))
+        for (c <- 1 until k) {
+          val s = cos(v, cents(c))
+          if (s > bestCos) { best = c; bestCos = s }
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      // empty cells keep their previous centroid
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    cents.map(_.toSeq).toSeq
   }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import graft.ml.LogReg
+import graft.similarity.KMeans
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MlExtrasSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("logreg: loss decreases and fit is deterministic") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, TestSpark.sf)
+      .select(($"l_returnflag" === "R").cast("double").as("label"),
+        $"l_quantity", $"l_discount")
+    val fit = LogReg.fit(li, "label", Seq("l_quantity", "l_discount"), iters = 5)
+    assert(fit.losses.size == 5)
+    assert(fit.losses.last < fit.losses.head) // GD makes progress
+    assert(fit.losses.forall(l => !l.isNaN && !l.isInfinite))
+    assert(fit.accuracy >= 0.5)
+    val again = LogReg.fit(li, "label", Seq("l_quantity", "l_discount"), iters = 5)
+    assert(again.weights == fit.weights && again.intercept == fit.intercept)
+  }
+
+  test("logreg separates a linearly separable label") {
+    import spark.implicits._
+    // label := quantity above its median — near-perfectly separable
+    // on the standardized feature, so accuracy must be high.
+    val li = Tables.lineitem(spark, TestSpark.sf)
+      .select(($"l_quantity" >= 25).cast("double").as("label"), $"l_quantity")
+    val fit = LogReg.fit(li, "label", Seq("l_quantity"), iters = 20, lr = 2.0)
+    assert(fit.accuracy > 0.95, s"accuracy ${fit.accuracy}")
+    assert(fit.weights.head._2 > 0) // higher quantity → label 1
+  }
+
+  test("kmeans clusters cover the corpus and are deterministic") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val total = emb.count()
+    val out = SparkEntry.queries("ml_kmeans")(spark, TestSpark.sf).collect()
+    assert(out.map(_.getLong(0)).toSet.subsetOf((0L until 8L).toSet))
+    assert(out.map(_.getLong(1)).sum == total)
+    val cents1 = KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val cents2 = KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    assert(cents1 == cents2)
+  }
+
+  test("kmeans iterations do not increase mean distance to centroid") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    def inertia(iters: Int): Double = {
+      val cents = KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = iters)
+      emb.select(Util.cosine($"embedding",
+          KMeans.centroidFor(
+            KMeans.cellExpr($"embedding", cents), cents)).as("cos"))
+        .agg(avg($"cos")).collect()(0).getDouble(0)
+    }
+    // mean cosine-to-assigned-centroid should improve with iterations
+    assert(inertia(3) >= inertia(0) - 1e-9)
+  }
+}

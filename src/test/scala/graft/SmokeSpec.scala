@@ -15,7 +15,8 @@ class SmokeSpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep this list in sync with SURVEY.md §2 (🟡 rows)
     val expectedRowsOnly = Set("q_approx_distinct", "dq_schema",
-      "dedup_simhash", "sim_topk_lsh", "sim_topk_ivf")
+      "dedup_simhash", "sim_topk_lsh", "sim_topk_ivf",
+      "ml_logreg", "ml_kmeans")
     assert(rowsOnly == expectedRowsOnly,
       s"oracle coverage drifted: rows-only = $rowsOnly")
   }
