@@ -65,4 +65,26 @@ object StreamingOps {
           Iterator(UserSessions(user, st.sessions, st.events))
       }
   }
+
+  /** Sliding-window counts (1h window / 30m slide): each event lands
+    * in two windows; the watermark ages out closed windows' state. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("bucket"),
+        col("event_type"), col("n"))
+
+  /** Stream-static enrichment: the static dimension joins against
+    * every micro-batch (broadcast when small) — the streaming analog
+    * of the star-schema broadcast join. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key))
+
+  /** Watermarked streaming dedup: drops repeats of `idCol` arriving
+    * within the watermark delay, with state bounded by the watermark
+    * (exactly-once per id without unbounded memory). */
+  def deduped(events: DataFrame, idCol: String): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(idCol)
 }
