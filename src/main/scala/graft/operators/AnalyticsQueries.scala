@@ -121,6 +121,23 @@ object AnalyticsQueries extends QueryModule {
         .orderBy($"o_orderstatus")
     }),
 
+    "q_approx_quantile" -> ((s, d) => {
+      import s.implicits._
+      // rows-only: sketch-based quantiles (fixed-size state per
+      // group, partial-mergeable) — the 100 TB path where the exact
+      // per-group form (q_percentile) would sort too much.
+      // AnalyticsSpec asserts ε-closeness to the exact answer.
+      T.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(percentile_approx($"l_extendedprice",
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("q"))
+        .select($"l_returnflag",
+          r4(element_at($"q", 1)).as("p25"),
+          r4(element_at($"q", 2)).as("p50"),
+          r4(element_at($"q", 3)).as("p75"))
+        .orderBy($"l_returnflag")
+    }),
+
     "q_stratified_sample" -> ((s, d) => {
       import s.implicits._
       // Per-stratum systematic sampling on the key — deterministic
