@@ -18,20 +18,32 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** (__id, simhash) — one 64-bit fingerprint per document. */
+  /** (__id, simhash) — one 64-bit fingerprint per document.
+    *
+    * The 64 per-bit vote counters are packed 4-per-long into 16
+    * lanes of 16 bits (safe while a document has < 65 536 distinct
+    * tokens): the aggregate buffer shrinks 64 → 17 columns, which
+    * quarters the hash-agg update/merge cost. `±1 votes > 0` is
+    * equivalently `2·ones > n`, so fingerprints are bit-identical
+    * to the unpacked form. */
   def fingerprints(df: DataFrame, id: String, text: String): DataFrame = {
     val posts = graft.Util.ensureParallelism(df.select(col(id), col(text)))
       .select(col(id).as("__id"),
         explode(array_distinct(TextAnalysis.tokens(col(text)))).as("__t"))
       .select(col("__id"), xxhash64(col("__t")).as("__h"))
-    val votes = (0 until 64).map(b =>
-      sum(when(shiftright(col("__h"), b).bitwiseAND(1L) === 1L, 1L)
-        .otherwise(-1L)).as(s"v_$b"))
-    posts.groupBy(col("__id")).agg(votes.head, votes.tail: _*)
+    val lanes = (0 until 16).map { j =>
+      sum((0 until 4).map(k =>
+        shiftright(col("__h"), 4 * j + k).bitwiseAND(1L) * lit(1L << (16 * k)))
+        .reduce(_ + _)).as(s"lane_$j")
+    }
+    val aggs = count(lit(1)).as("__n") +: lanes
+    posts.groupBy(col("__id")).agg(aggs.head, aggs.tail: _*)
       .select(col("__id"),
-        (0 until 64).map(b =>
-          when(col(s"v_$b") > 0, lit(1L << b)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
+        (0 until 64).map { b =>
+          val (j, k) = (b / 4, b % 4)
+          val ones = shiftright(col(s"lane_$j"), 16 * k).bitwiseAND(0xFFFFL)
+          when(ones * 2 > col("__n"), lit(1L << b)).otherwise(0L)
+        }.reduce(_ + _).as("simhash"))
   }
 
   /** (id, chunk_idx, chunk_value) — 4 rows/doc of 16-bit chunks. */
@@ -46,7 +58,10 @@ object SimHash {
   /** Candidate pairs within `maxHamming` (≤ 3 guaranteed complete). */
   def nearPairs(df: DataFrame, id: String, text: String,
       maxHamming: Int = 3): DataFrame = {
-    val ch = chunks(fingerprints(df, id, text))
+    // checkpoint before the self-join: both join sides would otherwise
+    // re-derive the whole tokenize+aggregate pipeline; the chunk table
+    // is 4 small rows per doc
+    val ch = chunks(fingerprints(df, id, text)).localCheckpoint()
     ch.as("x").join(ch.as("y"),
         col("x.chunk_idx") === col("y.chunk_idx") &&
         col("x.chunk_value") === col("y.chunk_value") &&
