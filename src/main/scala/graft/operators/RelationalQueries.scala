@@ -260,11 +260,14 @@ object RelationalQueries extends QueryModule {
       //     combinable shuffle; (2) running count over the DISTINCT
       //     values of each group (tiny); (3) rank interpolation,
       //     identical to percentile()/quantile_cont semantics.
-      val vals = T.lineitem(s, d)
-        .groupBy($"l_returnflag", $"l_extendedprice".as("v"))
-        .agg(count(lit(1)).as("c"))
+      val li = T.lineitem(s, d)
+        .select($"l_returnflag", $"l_extendedprice".as("v"))
+        .filter($"v".isNotNull) // percentile/quantile_cont skip nulls
+      val vals = li.groupBy($"l_returnflag", $"v").agg(count(lit(1)).as("c"))
       val w = Window.partitionBy($"l_returnflag").orderBy($"v")
-      val n = vals.groupBy($"l_returnflag").agg(sum($"c").as("n"))
+      // group sizes from the source (3-group partial agg), not from a
+      // second pass over the 100k+-key value-count aggregate
+      val n = li.groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
       val ranked = vals
         .withColumn("hi_rank", sum($"c").over(w))
         .withColumn("lo_rank", $"hi_rank" - $"c" + 1)

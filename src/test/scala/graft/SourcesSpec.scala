@@ -38,6 +38,16 @@ class SourcesSpec extends AnyFunSuite {
       nation.select("n_name").collect().map(_.getString(0)).sorted.toSeq)
   }
 
+  test("orc round-trip preserves rows and aggregates") {
+    val dir = tmp("graft-orc")
+    val orders = Tables.orders(spark, TestSpark.sf)
+    orders.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == orders.count())
+    assert(math.abs(back.agg(sum("o_totalprice")).head.getDouble(0) -
+      orders.agg(sum("o_totalprice")).head.getDouble(0)) <= 1e-4)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = tmp("graft-part")
     val orders = Tables.orders(spark, TestSpark.sf)
