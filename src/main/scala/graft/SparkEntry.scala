@@ -10,13 +10,16 @@ object SparkEntry {
     operators.AnalyticsQueries,
     operators.EventQueries,
     operators.BehaviorQueries,
+    operators.IncrementalQueries,
     quality.DataQualityQueries,
     features.FeatureQueries,
     features.FeatureQueries2,
     text.TextQueries,
     text.TextQueries2,
+    text.TextQueries3,
     dedup.DedupQueries,
     similarity.SimilarityQueries,
+    similarity.VectorQueries,
     pipeline.PipelineQueries,
     multimodal.MultimodalQueries
   )

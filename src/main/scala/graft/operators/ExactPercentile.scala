@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact interpolated percentiles (percentile_cont / DuckDB
+  * quantile_cont semantics) WITHOUT Spark's `percentile()` aggregate,
+  * which buffers every value of a group in one reducer's hash map —
+  * an OOM with few groups at 100 TB. Instead:
+  *
+  *   1. count per (group, value) — fully parallel, map-side
+  *      combinable shuffle;
+  *   2. running count over the DISTINCT values of each group (the
+  *      window input is value-cardinality, not row-cardinality);
+  *   3. rank interpolation, identical to percentile_cont.
+  *
+  * Group sizes come from a separate partial agg of the source (one
+  * row per group), not a second pass over the value-count aggregate.
+  */
+object ExactPercentile {
+
+  /** One row per group with an unrounded double column per requested
+    * (name, fraction). Null values are skipped, matching
+    * percentile_cont / quantile_cont. */
+  def perGroup(df: DataFrame, group: String, value: String,
+      fracs: Seq[(String, Double)]): DataFrame = {
+    require(fracs.nonEmpty)
+    val src = df.select(col(group), col(value).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val vals = src.groupBy(col(group), col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col(group)).orderBy(col("v"))
+    val n = src.groupBy(col(group)).agg(count(lit(1)).as("n"))
+    val ranked = vals
+      .withColumn("hi_rank", sum(col("c")).over(w))
+      .withColumn("lo_rank", col("hi_rank") - col("c") + 1)
+      .join(broadcast(n), group)
+
+    def pct(p: Double): Column = {
+      val pos = lit(1.0) + lit(p) * (col("n") - 1).cast("double")
+      val lo = floor(pos)
+      val hi = least(lo + 1, col("n").cast("double"))
+      val vLo = max(when(col("lo_rank") <= lo && lo <= col("hi_rank"), col("v")))
+      val vHi = max(when(col("lo_rank") <= hi && hi <= col("hi_rank"), col("v")))
+      val frac = max(pos - lo)
+      vLo + frac * (vHi - vLo)
+    }
+
+    val aggs = fracs.map { case (nm, p) => pct(p).as(nm) }
+    ranked.groupBy(col(group)).agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.{QueryModule, Tables => T}
+import graft.Util.r4
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental-processing / robust-statistics operators a production
+  * pipeline runs between snapshots: snapshot diffing, sequence
+  * transition mining, IQR outlier gating, and PII-style pattern
+  * scrubbing.
+  *
+  * Mirrors the reference pipeline's "validate the new drop before it
+  * enters training" stage (cf. the Great Expectations checkpoint the
+  * reference copies into its DAG bucket) as pure declarative plans.
+  */
+object IncrementalQueries extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    "q_snapshot_diff" -> ((s, d) => {
+      import s.implicits._
+      // Snapshot diff: per-supplier revenue in adjacent months,
+      // full-outer joined and classified added/removed/changed/same —
+      // the incremental-load reconciliation every warehouse runs.
+      // Each side is a partial-agg shuffle keyed by supplier; the
+      // month filters are range predicates that push to the scan, so
+      // at 100 TB only the two month partitions are read.
+      def rev(lo: String, hi: String, as: String) = T.lineitem(s, d)
+        .filter($"l_shipdate" >= lit(lo).cast("timestamp") &&
+          $"l_shipdate" < lit(hi).cast("timestamp"))
+        .groupBy($"l_suppkey")
+        .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as(as))
+      rev("1995-03-01", "1995-04-01", "rev_a")
+        .join(rev("1995-04-01", "1995-05-01", "rev_b"), Seq("l_suppkey"), "full_outer")
+        .select($"l_suppkey",
+          when($"rev_a".isNull, "added")
+            .when($"rev_b".isNull, "removed")
+            .when(round($"rev_a", 4) === round($"rev_b", 4), "same")
+            .otherwise("changed").as("status"),
+          coalesce(r4($"rev_a"), lit(0.0)).as("rev_a"),
+          coalesce(r4($"rev_b"), lit(0.0)).as("rev_b"))
+        .orderBy($"l_suppkey")
+    }),
+
+    "q_markov" -> ((s, d) => {
+      import s.implicits._
+      // Event-transition matrix: lead() per user gives each event its
+      // successor; counting (from, to) pairs yields the first-order
+      // Markov transition counts. One shuffle on user_id — per-key
+      // state, never a global sort.
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      T.events(s, d)
+        .select($"user_id", $"event_id", $"ts", $"event_type")
+        .withColumn("to_type", lead($"event_type", 1).over(w))
+        .filter($"to_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"to_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"from_type", $"to_type")
+    }),
+
+    "q_outlier_iqr" -> ((s, d) => {
+      import s.implicits._
+      // Tukey-fence outlier gate: exact p25/p75 per group via the
+      // scalable two-stage percentile (see [[ExactPercentile]]), the
+      // 3-row bounds broadcast back over the fact scan — the pattern
+      // that replaces "collect the column and numpy it" at scale.
+      val bounds = ExactPercentile.perGroup(T.lineitem(s, d),
+          "l_returnflag", "l_extendedprice", Seq("p25" -> 0.25, "p75" -> 0.75))
+        .withColumn("lo", $"p25" - lit(1.5) * ($"p75" - $"p25"))
+        .withColumn("hi", $"p75" + lit(1.5) * ($"p75" - $"p25"))
+        .select($"l_returnflag", $"lo", $"hi")
+      T.lineitem(s, d).select($"l_returnflag", $"l_extendedprice".as("v"))
+        .join(broadcast(bounds), "l_returnflag")
+        .groupBy($"l_returnflag")
+        .agg(sum(when($"v" < $"lo" || $"v" > $"hi", 1L).otherwise(0L)).as("n_out"),
+          count(lit(1)).as("n"),
+          r4(max($"lo")).as("lo_bound"),
+          r4(max($"hi")).as("hi_bound"))
+        .orderBy($"l_returnflag")
+    }),
+
+    "q_scrub_digits" -> ((s, d) => {
+      import s.implicits._
+      // PII-style scrubbing plumbing: mask digit runs in a payload
+      // column and report masked volume per event type. regexp_replace
+      // is codegen'd and embarrassingly parallel — the scrub itself
+      // adds zero shuffles; only the audit aggregate shuffles.
+      T.events(s, d)
+        .select($"event_type", $"props",
+          regexp_replace($"props", "[0-9]+", "#").as("masked"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"masked").as("n_patterns"),
+          sum((length($"props") - length($"masked")).cast("long")).as("chars_masked"))
+        .orderBy($"event_type")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_snapshot_diff" ->
+      """WITH a AS (SELECT l_suppkey,
+        |    sum(l_extendedprice * (1 - l_discount)) AS rev_a
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+        |    AND l_shipdate < TIMESTAMP '1995-04-01' GROUP BY 1),
+        |b AS (SELECT l_suppkey,
+        |    sum(l_extendedprice * (1 - l_discount)) AS rev_b
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-04-01'
+        |    AND l_shipdate < TIMESTAMP '1995-05-01' GROUP BY 1)
+        |SELECT COALESCE(a.l_suppkey, b.l_suppkey) AS l_suppkey,
+        |  CASE WHEN rev_a IS NULL THEN 'added'
+        |       WHEN rev_b IS NULL THEN 'removed'
+        |       WHEN round(rev_a, 4) = round(rev_b, 4) THEN 'same'
+        |       ELSE 'changed' END AS status,
+        |  COALESCE(round(rev_a, 4), 0.0) AS rev_a,
+        |  COALESCE(round(rev_b, 4), 0.0) AS rev_b
+        |FROM a FULL OUTER JOIN b ON a.l_suppkey = b.l_suppkey
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "q_markov" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type FROM events),
+        |s AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM e)
+        |SELECT from_type, to_type, count(*) AS n
+        |FROM s WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+
+    "q_outlier_iqr" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.25) AS p25,
+        |    quantile_cont(l_extendedprice, 0.75) AS p75
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  CAST(sum(CASE WHEN l_extendedprice < p25 - 1.5 * (p75 - p25)
+        |    OR l_extendedprice > p75 + 1.5 * (p75 - p25)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+        |  count(*) AS n,
+        |  round(p25 - 1.5 * (p75 - p25), 4) AS lo_bound,
+        |  round(p75 + 1.5 * (p75 - p25), 4) AS hi_bound
+        |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+        |GROUP BY l.l_returnflag, b.p25, b.p75
+        |ORDER BY l.l_returnflag""".stripMargin,
+
+    "q_scrub_digits" ->
+      """WITH m AS (SELECT event_type, props,
+        |    regexp_replace(props, '[0-9]+', '#', 'g') AS masked
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  count(DISTINCT masked) AS n_patterns,
+        |  CAST(sum(len(props) - len(masked)) AS BIGINT) AS chars_masked
+        |FROM m GROUP BY 1 ORDER BY event_type""".stripMargin
+  )
+}

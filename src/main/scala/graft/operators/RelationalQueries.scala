@@ -253,36 +253,13 @@ object RelationalQueries extends QueryModule {
 
     "q_percentile" -> ((s, d) => {
       import s.implicits._
-      // Exact interpolated percentiles WITHOUT Spark's percentile()
-      // agg (which buffers every value of a group in one reducer's
-      // hash map — an OOM at 100 TB with 3 groups). Instead:
-      // (1) count per (group, value) — fully parallel, map-side
-      //     combinable shuffle; (2) running count over the DISTINCT
-      //     values of each group (tiny); (3) rank interpolation,
-      //     identical to percentile()/quantile_cont semantics.
-      val li = T.lineitem(s, d)
-        .select($"l_returnflag", $"l_extendedprice".as("v"))
-        .filter($"v".isNotNull) // percentile/quantile_cont skip nulls
-      val vals = li.groupBy($"l_returnflag", $"v").agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy($"l_returnflag").orderBy($"v")
-      // group sizes from the source (3-group partial agg), not from a
-      // second pass over the 100k+-key value-count aggregate
-      val n = li.groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
-      val ranked = vals
-        .withColumn("hi_rank", sum($"c").over(w))
-        .withColumn("lo_rank", $"hi_rank" - $"c" + 1)
-        .join(broadcast(n), "l_returnflag")
-      def pct(p: Double): Column = {
-        val pos = lit(1.0) + lit(p) * ($"n" - 1).cast("double")
-        val lo = floor(pos)
-        val hi = least(lo + 1, $"n".cast("double"))
-        val vLo = max(when($"lo_rank" <= lo && lo <= $"hi_rank", $"v"))
-        val vHi = max(when($"lo_rank" <= hi && hi <= $"hi_rank", $"v"))
-        val frac = max(pos - lo)
-        r4(vLo + frac * (vHi - vLo))
-      }
-      ranked.groupBy($"l_returnflag")
-        .agg(pct(0.25).as("p25"), pct(0.5).as("p50"), pct(0.75).as("p75"))
+      // Exact interpolated percentiles via the scalable two-stage
+      // plan (see [[ExactPercentile]] — no per-group value buffering).
+      ExactPercentile.perGroup(T.lineitem(s, d),
+          "l_returnflag", "l_extendedprice",
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+        .select($"l_returnflag", r4($"p25").as("p25"),
+          r4($"p50").as("p50"), r4($"p75").as("p75"))
         .orderBy($"l_returnflag")
     }),
 
