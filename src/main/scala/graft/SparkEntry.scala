@@ -11,6 +11,7 @@ object SparkEntry {
     operators.EventQueries,
     operators.BehaviorQueries,
     operators.IncrementalQueries,
+    operators.SketchQueries,
     quality.DataQualityQueries,
     features.FeatureQueries,
     features.FeatureQueries2,

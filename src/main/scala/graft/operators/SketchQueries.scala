@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.{QueryModule, Tables => T}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Sketch-backed operators from `spark-sketch`: Bloom-filter semi-join
+  * reduction and count-min heavy hitters. Both sketches build as
+  * mergeable per-partition partials (treeAggregate) — driver state is
+  * the fixed-size sketch, never the data.
+  */
+object SketchQueries extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    "q_bloom_prune" -> ((s, d) => {
+      import s.implicits._
+      // Runtime semi-join reduction: a Bloom filter over the selective
+      // dim side's keys pre-filters the fact scan BEFORE the join
+      // shuffle — at 100 TB this drops ~24/25ths of shuffled fact
+      // bytes for a 1-nation query. False positives (fpp 1%) pass the
+      // bloom but are removed by the real join, so the result stays
+      // EXACT and the oracle is the plain join.
+      val dim = T.supplier(s, d)
+        .join(broadcast(T.nation(s, d).filter($"n_name" === "NATION_3")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_name")
+      // build the sketch as mergeable per-partition partials
+      // (df.stat.bloomFilter NPEs in 4.1.2 on some inputs)
+      val bf = dim.select($"s_suppkey").as[Long].rdd
+        .treeAggregate(BloomFilter.create(100000L, 0.01))(
+          (f, k) => { f.putLong(k); f },
+          (a, b) => { a.mergeInPlace(b); a })
+      val bc = s.sparkContext.broadcast(bf)
+      val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+      T.lineitem(s, d)
+        .select($"l_suppkey", $"l_extendedprice", $"l_discount")
+        .filter(mightContain($"l_suppkey"))
+        .join(broadcast(dim), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_suppkey", $"s_name")
+        .agg(count(lit(1)).as("n_items"),
+          graft.Util.r4(sum($"l_extendedprice" * (lit(1) - $"l_discount")))
+            .as("revenue"))
+        .orderBy($"s_suppkey")
+    }),
+
+    "q_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      // Count-min heavy hitters: the CMS (eps 1e-4, fixed seed →
+      // deterministic) estimates any key's frequency from kilobytes of
+      // state; here it annotates the exact top-10 parts so the spec
+      // can assert the CMS guarantee est ∈ [exact, exact + eps·N].
+      val li = T.lineitem(s, d).select($"l_partkey")
+      val cms = li.stat.countMinSketch($"l_partkey", 1e-4, 0.99, 42)
+      val bc = s.sparkContext.broadcast(cms)
+      val est = udf((k: Long) => bc.value.estimateCount(k))
+      li.groupBy($"l_partkey").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"l_partkey")
+        .limit(10)
+        .withColumn("est_n", est($"l_partkey"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_bloom_prune" ->
+      """SELECT s_suppkey, s_name, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin
+    // q_heavy_hitters: CMS estimates are sketch-specific → rows-only
+  )
+}

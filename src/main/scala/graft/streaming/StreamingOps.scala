@@ -87,4 +87,25 @@ object StreamingOps {
   def deduped(events: DataFrame, idCol: String): DataFrame =
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(idCol)
+
+  /** Stream-stream interval join: each click pairs with the same
+    * user's purchases within the following hour. Both sides carry
+    * watermarks and the join condition bounds event time on both
+    * ends, so the state store holds at most watermark+interval of
+    * either stream — the standard bounded-state stream-stream join. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    c.join(p, expr(
+      """user_id = p_user_id AND
+        |purchase_ts >= click_ts AND
+        |purchase_ts <= click_ts + interval 1 hour""".stripMargin))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
 }

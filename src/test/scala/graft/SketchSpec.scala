@@ -1,0 +1,61 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("bloom-pruned join equals the unpruned join") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_bloom_prune")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val exp = Tables.lineitem(spark, TestSpark.sf)
+      .join(Tables.supplier(spark, TestSpark.sf), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.nation(spark, TestSpark.sf).filter($"n_name" === "NATION_3"),
+        $"s_nationkey" === $"n_nationkey")
+      .groupBy($"s_suppkey", $"s_name").agg(count(lit(1)).as("n_items"))
+      .orderBy($"s_suppkey")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == exp.toSeq && got.nonEmpty)
+  }
+
+  test("count-min estimates bound the exact counts from above") {
+    val total = Tables.lineitem(spark, TestSpark.sf).count()
+    val rows = SparkEntry.queries("q_heavy_hitters")(spark, TestSpark.sf).collect()
+    assert(rows.length == 10)
+    for (r <- rows) {
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS must overestimate: $est < $exact")
+      assert(est <= exact + math.ceil(1e-4 * total).toLong + 1,
+        s"CMS est $est beyond eps bound for exact $exact (N=$total)")
+    }
+  }
+
+  test("stream-stream interval join equals the batch interval join") {
+    import spark.implicits._
+    val joined = StreamingOps.clickPurchaseJoin(
+      StreamingOps.eventStream(spark, TestSpark.sf),
+      StreamingOps.eventStream(spark, TestSpark.sf))
+    val q = joined.writeStream.format("memory")
+      .queryName("ssj_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ssj_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val ev = Tables.events(spark, TestSpark.sf)
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user_id"), $"event_id".as("purchase_id"),
+        $"ts".as("purchase_ts"))
+    val exp = c.join(p, expr(
+        """user_id = p_user_id AND
+          |purchase_ts >= click_ts AND
+          |purchase_ts <= click_ts + interval 1 hour""".stripMargin))
+      .select($"user_id", $"click_id", $"purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exp && got.nonEmpty)
+  }
+}
