@@ -12,6 +12,7 @@ object SparkEntry {
     operators.BehaviorQueries,
     operators.IncrementalQueries,
     operators.SketchQueries,
+    operators.TemporalQueries,
     quality.DataQualityQueries,
     features.FeatureQueries,
     features.FeatureQueries2,
