@@ -79,6 +79,19 @@ object IncrementalQueries extends QueryModule {
         .orderBy($"l_returnflag")
     }),
 
+    "q_variant" -> ((s, d) => {
+      import s.implicits._
+      // Spark 4 VARIANT: parse the open-schema JSON payload once into
+      // the binary variant encoding, then typed-path extraction — the
+      // semi-structured column pattern that replaces repeated string
+      // re-parsing (variant decode is columnar and codegen'd).
+      T.events(s, d)
+        .withColumn("k", variant_get(parse_json($"props"), "$.k", "long"))
+        .groupBy(($"k" % 7).as("bucket"))
+        .agg(count(lit(1)).as("n"), max($"k").as("max_k"))
+        .orderBy($"bucket")
+    }),
+
     "q_scrub_digits" -> ((s, d) => {
       import s.implicits._
       // PII-style scrubbing plumbing: mask digit runs in a payload
@@ -142,6 +155,13 @@ object IncrementalQueries extends QueryModule {
         |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
         |GROUP BY l.l_returnflag, b.p25, b.p75
         |ORDER BY l.l_returnflag""".stripMargin,
+
+    "q_variant" ->
+      """SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) % 7
+        |    AS bucket,
+        |  count(*) AS n,
+        |  max(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS max_k
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_scrub_digits" ->
       """WITH m AS (SELECT event_type, props,

@@ -117,6 +117,21 @@ final case class ExpectationSuite(table: String, expectations: Seq[Expectation])
     one.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
 
+  /** Attach the suite's aggregates to a passing-through DataFrame via
+    * `df.observe`: the metrics ride along with whatever action the
+    * pipeline already executes (accumulator merge, no extra scan) —
+    * "validate while you write" instead of a second 100 TB pass.
+    * Read results from the returned [[Observation]] after an action:
+    * key `obs_i` is expectation i's observed value. */
+  def observe(df: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+    require(expectations.nonEmpty, "empty suite")
+    val obs = org.apache.spark.sql.Observation(s"dq_$table")
+    val aggs = expectations.zipWithIndex.map { case (e, i) =>
+      e.observedAgg.cast("double").as(s"obs_$i")
+    }
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
+
   /** Rows of `df` that violate any value-level expectation — the
     * quarantine routing stage of the reference pipeline. */
   def rowPredicate: Column =

@@ -44,4 +44,20 @@ class ExpectationSpec extends AnyFunSuite {
     val got = SparkEntry.queries("dq_suite")(spark, TestSpark.sf)
     assert(got.count() == 15)
   }
+
+  test("observed metrics ride along with an action and match the report") {
+    val orders = Tables.orders(spark, TestSpark.sf)
+    val suite = ExpectationSuite("orders", Seq(
+      ExpectNotNull("o_orderkey"),
+      ExpectBetween("o_totalprice", 0, 1e9),
+      ExpectInSet("o_orderstatus", Seq("F", "O", "P"))))
+    val (observedDf, obs) = suite.observe(orders)
+    observedDf.write.format("noop").mode("overwrite").save() // one action
+    val metrics = obs.get
+    val report = suite.run(orders).collect()
+      .map(r => r.getString(1) -> r.getDouble(4)).toMap
+    assert(metrics("obs_0").asInstanceOf[Double] == report("expect_not_null"))
+    assert(metrics("obs_1").asInstanceOf[Double] == report("expect_between"))
+    assert(metrics("obs_2").asInstanceOf[Double] == report("expect_in_set"))
+  }
 }
