@@ -23,6 +23,25 @@ final case class Pipeline(name: String, stages: Seq[Stage]) {
   def run(input: DataFrame): DataFrame =
     stages.foldLeft(input)((df, s) => s.transform(df))
   def andThen(s: Stage): Pipeline = copy(stages = stages :+ s)
+
+  /** Like [[run]], but plants an `observe` between stages so per-stage
+    * row counts (the Airflow task-log analog) arrive with the ONE
+    * action the caller eventually runs — no counting passes, no
+    * broken plan fusion: observe is a no-op node for Catalyst, so
+    * pushdown still crosses stage boundaries. Read each
+    * [[org.apache.spark.sql.Observation]] after the action;
+    * key "rows" holds the stage's output row count. */
+  def runObserved(input: DataFrame)
+      : (DataFrame, Seq[(String, org.apache.spark.sql.Observation)]) = {
+    import org.apache.spark.sql.functions._
+    val metrics = Seq.newBuilder[(String, org.apache.spark.sql.Observation)]
+    val out = stages.foldLeft(input) { (df, s) =>
+      val obs = org.apache.spark.sql.Observation(s"$name/${s.name}")
+      metrics += s.name -> obs
+      s.transform(df).observe(obs, count(lit(1)).as("rows"))
+    }
+    (out, metrics.result())
+  }
 }
 
 object Pipeline {

@@ -35,6 +35,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(cleaned.select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("observed pipeline reports per-stage row counts with one action") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val pipe = Pipeline("obs", Seq(
+      Stage("filter")(_.filter($"o_totalprice" > 50000)),
+      Stage("project")(_.select($"o_custkey", $"o_totalprice"))))
+    val (out, metrics) = pipe.runObserved(Tables.orders(spark, TestSpark.sf))
+    out.write.format("noop").mode("overwrite").save()
+    val counts = metrics.map { case (n, o) => n -> o.get("rows") }.toMap
+    val expected = Tables.orders(spark, TestSpark.sf)
+      .filter($"o_totalprice" > 50000).count()
+    assert(counts("filter") == expected)
+    assert(counts("project") == expected)
+    assert(expected > 0)
+  }
+
   test("multimodal decode emits deterministic stub features") {
     import spark.implicits._
     val decoded = graft.multimodal.Multimodal.decodeFeatures(
