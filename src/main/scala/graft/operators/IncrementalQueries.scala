@@ -79,6 +79,26 @@ object IncrementalQueries extends QueryModule {
         .orderBy($"l_returnflag")
     }),
 
+    "q_topk_agg" -> ((s, d) => {
+      import s.implicits._
+      // Top-3 orders per priority WITHOUT a window sort: the bounded
+      // typed TopKAgg reduces each group map-side to 3 tuples before
+      // the shuffle (state O(k) per group vs sorting the whole group).
+      // Same semantics/oracle as the row_number form (q_topk_per_group
+      // family) — this is the 100 TB path.
+      T.orders(s, d)
+        .select($"o_orderpriority", $"o_totalprice", $"o_orderkey")
+        .as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .agg(new graft.functions.TopKAgg[(String, Double, Long)](
+          3, t => (t._2, t._3)).toColumn.name("top"))
+        .toDF("o_orderpriority", "top")
+        .select($"o_orderpriority", posexplode($"top.items"))
+        .select($"o_orderpriority", $"col._2".as("o_orderkey"),
+          $"col._1".as("o_totalprice"), ($"pos" + 1).cast("int").as("rn"))
+        .orderBy($"o_orderpriority", $"rn")
+    }),
+
     "q_variant" -> ((s, d) => {
       import s.implicits._
       // Spark 4 VARIANT: parse the open-schema JSON payload once into
@@ -155,6 +175,15 @@ object IncrementalQueries extends QueryModule {
         |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
         |GROUP BY l.l_returnflag, b.p25, b.p75
         |ORDER BY l.l_returnflag""".stripMargin,
+
+    "q_topk_agg" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
 
     "q_variant" ->
       """SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) % 7

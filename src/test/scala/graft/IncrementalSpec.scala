@@ -70,6 +70,14 @@ class IncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("bounded top-k aggregator equals the window row_number form") {
+    val agg = SparkEntry.queries("q_topk_agg")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val win = SparkEntry.queries("q_topk_per_group")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(agg.toSeq == win.toSeq && agg.nonEmpty)
+  }
+
   test("repetition signals are valid ratios over every document") {
     import spark.implicits._
     val rep = SparkEntry.queries("text_repetition")(spark, TestSpark.sf)
