@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** §2.2 streaming variants — Structured Streaming versions of the
@@ -87,6 +88,43 @@ object StreamingOps {
   def deduped(events: DataFrame, idCol: String): DataFrame =
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(idCol)
+
+  case class UserValue(user_id: Long, value: Double)
+  case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Per-user running totals on the Spark 4 `transformWithState` API:
+    * typed [[ValueState]] in the RocksDB state store, updated per
+    * micro-batch. The arbitrary-state successor to
+    * flatMapGroupsWithState — state is columnar-encoded, TTL-able,
+    * and rescalable across executors. */
+  class RunningTotalsProcessor
+      extends StatefulProcessor[Long, UserValue, UserTotals] {
+    @transient private var totals: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[UserValue],
+        timers: TimerValues): Iterator[UserTotals] = {
+      var (n, tot) = if (totals.exists()) totals.get() else (0L, 0.0)
+      rows.foreach { r => n += 1; tot += r.value }
+      totals.update((n, tot))
+      Iterator(UserTotals(user, n, tot))
+    }
+  }
+
+  /** Running per-user (count, value-sum) via transformWithState.
+    * Requires the RocksDB state store provider (set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * `...state.RocksDBStateStoreProvider`). */
+  def runningTotals(events: Dataset[UserValue]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 
   /** Stream-stream interval join: each click pairs with the same
     * user's purchases within the following hour. Both sides carry

@@ -33,6 +33,34 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState running totals equal the batch rollup") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val totals = StreamingOps.runningTotals(
+        StreamingOps.eventStream(spark, TestSpark.sf)
+          .select($"user_id", $"value").as[StreamingOps.UserValue])
+      val q = totals.toDF.writeStream.format("memory")
+        .queryName("tws_out").outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      // last update per user = final running totals
+      val got = spark.table("tws_out")
+        .groupBy($"user_id")
+        .agg(max($"n_events").as("n"), max($"total_value").as("tv"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), math.round(r.getDouble(2) * 1e4))))
+        .toMap
+      val exp = Tables.events(spark, TestSpark.sf)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"), sum($"value").as("tv"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), math.round(r.getDouble(2) * 1e4))))
+        .toMap
+      assert(got == exp && got.nonEmpty)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     import spark.implicits._
     val joined = StreamingOps.clickPurchaseJoin(
