@@ -138,6 +138,46 @@ object AnalyticsQueries extends QueryModule {
         .orderBy($"l_returnflag")
     }),
 
+    "q_mad" -> ((s, d) => {
+      import s.implicits._
+      // Median absolute deviation — the robust spread statistic —
+      // as two rounds of the scalable two-stage exact percentile:
+      // group medians broadcast back over the scan, then the median
+      // of absolute deviations. No per-group value buffering anywhere.
+      val li = T.lineitem(s, d).select($"l_returnflag", $"l_extendedprice")
+      val med = ExactPercentile.perGroup(li,
+        "l_returnflag", "l_extendedprice", Seq("med" -> 0.5))
+      val dev = li.join(broadcast(med), "l_returnflag")
+        .select($"l_returnflag", abs($"l_extendedprice" - $"med").as("dev"))
+      ExactPercentile.perGroup(dev, "l_returnflag", "dev", Seq("m" -> 0.5))
+        .select($"l_returnflag", r4($"m").as("mad"))
+        .orderBy($"l_returnflag")
+    }),
+
+    "q_entropy" -> ((s, d) => {
+      import s.implicits._
+      // Shannon entropy (base 2) of each user's event-type mix from
+      // the count decomposition H = log2(n) − Σ c·log2(c) / n — two
+      // partial-agg shuffles, no per-user collections.
+      T.events(s, d)
+        .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("c"))
+        .groupBy($"user_id")
+        .agg(r4(log2(sum($"c")) - sum($"c" * log2($"c")) / sum($"c"))
+          .as("ent"))
+        .orderBy($"user_id")
+    }),
+
+    "q_percent_rank" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      T.orders(s, d).filter($"o_custkey" < 200)
+        .select($"o_orderpriority", $"o_orderkey",
+          r4(percent_rank().over(w)).as("pr"),
+          r4(cume_dist().over(w)).as("cd"))
+        .orderBy($"o_orderpriority", $"o_orderkey")
+    }),
+
     "q_stratified_sample" -> ((s, d) => {
       import s.implicits._
       // Per-stratum systematic sampling on the key — deterministic
@@ -220,6 +260,23 @@ object AnalyticsQueries extends QueryModule {
         |        ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
         |      FROM orders)
         |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "q_mad" ->
+      """SELECT l_returnflag, round(mad(l_extendedprice), 4) AS mad
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_entropy" ->
+      """SELECT user_id, round(entropy(event_type), 4) AS ent
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_percent_rank" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  round(percent_rank() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey), 4) AS pr,
+        |  round(cume_dist() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey), 4) AS cd
+        |FROM orders WHERE o_custkey < 200
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "q_stratified_sample" ->
       """SELECT event_type, count(*) AS n, round(sum(value),4) AS total
