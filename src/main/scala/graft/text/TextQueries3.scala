@@ -13,6 +13,33 @@ import org.apache.spark.sql.functions._
 object TextQueries3 extends QueryModule {
 
   val queries: Map[String, Q] = Map(
+    "text_bm25" -> ((s, d) => {
+      import s.implicits._
+      // BM25 (k1=1.2, b=0.75) for a fixed query against the corpus.
+      // Everything decomposes: tf/df/dl are partial aggs, corpus
+      // stats are a 1-row broadcast — no operator holds a posting
+      // list, so the ranking runs at corpus scale. The IN-list on
+      // query terms prunes the token stream before any shuffle.
+      val q = Seq("spark", "data", "query")
+      val toks = T.documents(s, d)
+        .select($"doc_id", explode(Util.tokens($"text")).as("tok"))
+      val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
+      val tf = toks.filter($"tok".isin(q: _*))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val score = log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1) *
+        ($"tf" * 2.2) /
+        ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl"))
+      tf.join(dl, "doc_id")
+        .join(broadcast(df), "tok")
+        .crossJoin(broadcast(stats))
+        .groupBy($"doc_id")
+        .agg(r4(sum(score)).as("bm25"))
+        .orderBy($"bm25".desc, $"doc_id")
+        .limit(50)
+    }),
+
     "text_repetition" -> ((s, d) => {
       import s.implicits._
       val tc = T.documents(s, d)
@@ -31,6 +58,24 @@ object TextQueries3 extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+        |  WHERE tok IN ('spark', 'data', 'query') GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT t.doc_id,
+        |    ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1) *
+        |    (t.tf * 2.2) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))
+        |      AS sco
+        |  FROM tf t JOIN dl l USING (doc_id) JOIN df d USING (tok)
+        |  CROSS JOIN stats s)
+        |SELECT doc_id, round(sum(sco), 4) AS bm25 FROM sc GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin,
+
     "text_repetition" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(string_split_regex(trim(text), '\s+')) AS tok
