@@ -19,6 +19,7 @@ object SparkEntry {
     text.TextQueries,
     text.TextQueries2,
     text.TextQueries3,
+    text.TextQueries4,
     dedup.DedupQueries,
     similarity.SimilarityQueries,
     similarity.VectorQueries,

@@ -1,0 +1,99 @@
+package graft.text
+
+import graft.{QueryModule, Tables => T}
+import graft.Util.r4
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene operators for pretraining pipelines:
+  * train/eval contamination detection and sequence packing.
+  *
+  * Contamination is the LSH-free cousin of dedup: the eval split is
+  * tiny relative to a 100 TB train corpus, so the distinct eval
+  * shingle set stays small and the overlap check is a semi-join keyed
+  * on the shingle — one shuffle, linear in the train token stream
+  * (broadcastable when the eval side fits).
+  *
+  * Packing assigns documents to fixed-token-budget bins with a
+  * per-source prefix sum — partitioned by source, so no global sort;
+  * at 100 TB the window runs per source shard and the output bin
+  * stats are a map-side-combinable aggregate.
+  */
+object TextQueries4 extends QueryModule {
+
+  private val N = 5         // shingle width (word 5-grams)
+  private val Budget = 1000 // tokens per packed sequence
+
+  val queries: Map[String, Q] = Map(
+    // Even doc_ids play the train corpus, odd the held-out eval set.
+    // A shingle of an eval doc is "contaminated" if any train doc
+    // contains it; report per-eval-doc contamination ratio.
+    "text_contamination" -> ((s, d) => {
+      import s.implicits._
+      val sh = TextAnalysis
+        .shingleDocs(T.documents(s, d), "doc_id", "text", N)
+        .select($"__id".as("doc_id"), explode($"__shingles").as("sh"))
+      val train = sh.filter($"doc_id" % 2 === 0).select($"sh").distinct()
+      val eval_ = sh.filter($"doc_id" % 2 === 1)
+        .select($"doc_id", $"sh").distinct()
+      val totals = eval_.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"))
+      val hit = eval_.join(train, Seq("sh"), "left_semi")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_contaminated"))
+      totals.join(hit, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_shingles",
+          coalesce($"n_contaminated", lit(0L)).as("n_contaminated"),
+          r4(coalesce($"n_contaminated", lit(0L)).cast("double") /
+            $"n_shingles").as("contamination"))
+        .orderBy($"doc_id")
+    }),
+
+    // Pack docs into Budget-token sequences: per source, in doc_id
+    // order, bin = exclusive-prefix-sum(tokens) div Budget. Contiguous
+    // greedy fill — each bin overflows at most one document past the
+    // budget, and bin membership is a pure function of the prefix sum.
+    "text_pack" -> ((s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d).select($"source", $"doc_id",
+        size(graft.Util.tokens($"text")).cast("long").as("n_tok"))
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+      docs.withColumn("cum", sum($"n_tok").over(w) - $"n_tok")
+        .withColumn("bin", floor($"cum" / Budget).cast("long"))
+        .groupBy($"source", $"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("bin_tokens"))
+        .orderBy($"source", $"bin")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_contamination" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (SELECT doc_id, array_to_string(t[g:g+4], ' ') AS sh
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, len(t) - 4)) AS g
+        |        FROM toks)),
+        |train AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 2 = 0),
+        |ev AS (SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id % 2 = 1),
+        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY 1),
+        |hit AS (SELECT doc_id, count(*) AS n_contaminated FROM ev
+        |  WHERE sh IN (SELECT sh FROM train) GROUP BY 1)
+        |SELECT t.doc_id, t.n_shingles,
+        |  CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+        |  round(coalesce(h.n_contaminated, 0) / CAST(t.n_shingles AS DOUBLE), 4)
+        |    AS contamination
+        |FROM tot t LEFT JOIN hit h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_pack" ->
+      """WITH docs AS (SELECT source, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |cum AS (SELECT source, doc_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok AS cum
+        |  FROM docs)
+        |SELECT source, CAST(floor(cum / 1000.0) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+        |FROM cum GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
+  )
+}
