@@ -8,6 +8,7 @@ object SparkEntry {
     operators.RelationalQueries,
     operators.AdvancedQueries,
     operators.AnalyticsQueries,
+    operators.AnalyticsQueries2,
     operators.EventQueries,
     operators.BehaviorQueries,
     operators.IncrementalQueries,

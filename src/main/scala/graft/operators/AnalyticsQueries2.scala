@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.{QueryModule, Tables => T}
+import graft.Util.r4
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second analytics batch: deterministic per-group sampling, 2-D
+  * skyline, sweep-line concurrency, chi-square independence.
+  *
+  * Scale notes:
+  * - reservoir sample: one window per group key, k rows survive per
+  *   group — the exchange ships only (key, md5) sort runs, and the
+  *   limit applies before any wide row is carried.
+  * - skyline: the classic NOT-EXISTS dominance check is O(n²); after
+  *   reducing to one max-y point per distinct x (a partial agg), the
+  *   skyline is a single ordered window with an exclusive-preceding
+  *   running max — one shuffle of the distinct-x set only.
+  * - concurrency: pairwise interval overlap is O(n²); the sweep-line
+  *   form explodes each interval into ±1 delta points and takes a
+  *   running sum per partition key — linear, one shuffle.
+  * - chi-square: observed/marginal counts are map-side-combinable
+  *   aggregates; the expected grid is a broadcast cross of the two
+  *   marginal vectors (|types| × |weekdays| rows), never the data.
+  */
+object AnalyticsQueries2 extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    // Deterministic k-per-group sample: order by md5 of the key —
+    // uniform, reproducible, engine-independent (reservoir-sampling
+    // semantics without RNG state).
+    "q_reservoir_sample" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_nationkey")
+        .orderBy(md5($"c_custkey".cast("string")), $"c_custkey")
+      T.customer(s, d)
+        .select($"c_nationkey", $"c_custkey",
+          row_number().over(w).as("rk"))
+        .filter($"rk" <= 5)
+        .orderBy($"c_nationkey", $"rk")
+    }),
+
+    // Pareto frontier over per-customer (n_orders, floor(total
+    // spend)): a point survives iff no other point beats-or-ties it
+    // on both dims (strictly on one). Reduce to max-y per distinct x,
+    // sort x desc, keep where y exceeds the running max of all
+    // strictly-greater-x points.
+    "q_skyline" -> ((s, d) => {
+      import s.implicits._
+      val pts = T.orders(s, d)
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("x"),
+          floor(sum($"o_totalprice")).cast("long").as("y"))
+        .groupBy($"x").agg(max($"y").as("y"))
+      val w = Window.orderBy($"x".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      pts.withColumn("prev_max", max($"y").over(w))
+        .filter($"prev_max".isNull || $"y" > $"prev_max")
+        .select($"x", $"y")
+        .orderBy($"x")
+    }),
+
+    // Max concurrent intervals per event_type: interval = [ts, ts +
+    // value seconds); sweep-line over ±1 endpoint deltas, ends sort
+    // before starts at the same instant (half-open semantics). The
+    // RANGE-with-peers default frame makes the running sum
+    // deterministic under endpoint ties.
+    "q_concurrency" -> ((s, d) => {
+      import s.implicits._
+      val iv = T.events(s, d).select($"event_type",
+        unix_micros($"ts").as("t0"),
+        (unix_micros($"ts") +
+          floor($"value" * 1e6).cast("long")).as("t1"))
+      val pts = iv.select($"event_type", $"t0".as("t"), lit(1).as("delta"))
+        .unionAll(iv.select($"event_type", $"t1".as("t"), lit(-1).as("delta")))
+      val w = Window.partitionBy($"event_type").orderBy($"t", $"delta")
+      pts.withColumn("conc", sum($"delta").over(w))
+        .groupBy($"event_type")
+        .agg(max($"conc").as("max_concurrent"))
+        .orderBy($"event_type")
+    }),
+
+    // Chi-square independence: event_type × ISO weekday. The expected
+    // grid (rowtot × coltot / N) covers empty observed cells, so
+    // zero-count cells still contribute their expectation.
+    "q_chisq" -> ((s, d) => {
+      import s.implicits._
+      val cells = T.events(s, d)
+        .select($"event_type", (weekday($"ts") + 1).as("dow"))
+      val obs = cells.groupBy($"event_type", $"dow")
+        .agg(count(lit(1)).as("o"))
+      val rowt = cells.groupBy($"event_type").agg(count(lit(1)).as("rt"))
+      val colt = cells.groupBy($"dow").agg(count(lit(1)).as("ct"))
+      val n = cells.agg(count(lit(1)).as("n"))
+      val grid = broadcast(rowt).crossJoin(broadcast(colt))
+        .join(obs, Seq("event_type", "dow"), "left")
+        .crossJoin(broadcast(n))
+        .select($"event_type", $"dow",
+          coalesce($"o", lit(0L)).as("o"),
+          ($"rt" * $"ct" / $"n").cast("double").as("e"))
+      grid.agg(
+        r4(sum(pow($"o" - $"e", 2) / $"e")).as("chisq"),
+        ((countDistinct($"event_type") - 1) *
+          (countDistinct($"dow") - 1)).as("dof"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_reservoir_sample" ->
+      """SELECT c_nationkey, c_custkey, CAST(rk AS INT) AS rk FROM (
+        |  SELECT c_nationkey, c_custkey,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rk
+        |  FROM customer)
+        |WHERE rk <= 5 ORDER BY c_nationkey, rk""".stripMargin,
+
+    "q_skyline" ->
+      """WITH cust AS (SELECT o_custkey, count(*) AS x,
+        |    CAST(floor(sum(o_totalprice)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |pts AS (SELECT x, max(y) AS y FROM cust GROUP BY 1)
+        |SELECT x, y FROM pts p
+        |WHERE NOT EXISTS (SELECT 1 FROM pts q
+        |  WHERE q.x > p.x AND q.y >= p.y)
+        |ORDER BY x""".stripMargin,
+
+    "q_concurrency" ->
+      """WITH iv AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t0,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      + CAST(floor(value * 1e6) AS BIGINT) AS t1
+        |  FROM events),
+        |pts AS (
+        |  SELECT event_type, t0 AS t, 1 AS delta FROM iv
+        |  UNION ALL
+        |  SELECT event_type, t1 AS t, -1 AS delta FROM iv),
+        |sw AS (SELECT event_type,
+        |    sum(delta) OVER (PARTITION BY event_type
+        |      ORDER BY t, delta) AS conc
+        |  FROM pts)
+        |SELECT event_type, CAST(max(conc) AS BIGINT) AS max_concurrent
+        |FROM sw GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_chisq" ->
+      """WITH cells AS (SELECT event_type,
+        |    CAST(extract(isodow FROM CAST(ts AS TIMESTAMP)) AS INT) AS dow
+        |  FROM events),
+        |obs AS (SELECT event_type, dow, count(*) AS o
+        |  FROM cells GROUP BY 1, 2),
+        |rowt AS (SELECT event_type, count(*) AS rt FROM cells GROUP BY 1),
+        |colt AS (SELECT dow, count(*) AS ct FROM cells GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM cells),
+        |grid AS (SELECT r.event_type, c.dow,
+        |    coalesce(o.o, 0) AS o,
+        |    CAST(r.rt * c.ct AS DOUBLE) / n.n AS e
+        |  FROM rowt r CROSS JOIN colt c
+        |  LEFT JOIN obs o ON o.event_type = r.event_type AND o.dow = c.dow
+        |  CROSS JOIN n)
+        |SELECT round(sum((o - e) * (o - e) / e), 4) AS chisq,
+        |  CAST((count(DISTINCT event_type) - 1)
+        |    * (count(DISTINCT dow) - 1) AS BIGINT) AS dof
+        |FROM grid""".stripMargin
+  )
+}
