@@ -24,6 +24,7 @@ object SparkEntry {
     dedup.DedupQueries,
     similarity.SimilarityQueries,
     similarity.VectorQueries,
+    similarity.VectorQueries2,
     pipeline.PipelineQueries,
     multimodal.MultimodalQueries
   )

@@ -80,6 +80,23 @@ object AnalyticsQueries2 extends QueryModule {
         .orderBy($"event_type")
     }),
 
+    // Trailing 7-row moving median of daily revenue — robust
+    // smoothing (median ignores single-day spikes that wreck a moving
+    // average). Daily totals are a partial agg; the window orders the
+    // small daily series, not the fact rows. Inputs are rounded to
+    // 4dp BEFORE the median so both engines pick middles from
+    // identical values.
+    "q_median_window" -> ((s, d) => {
+      import s.implicits._
+      val daily = T.orders(s, d)
+        .groupBy($"o_orderdate".cast("date").as("day"))
+        .agg(r4(sum($"o_totalprice")).as("rev"))
+      val w = Window.orderBy($"day").rowsBetween(-6, 0)
+      daily.withColumn("med7",
+          r4(expr("percentile(rev, 0.5D)").over(w)))
+        .orderBy($"day")
+    }),
+
     // Chi-square independence: event_type × ISO weekday. The expected
     // grid (rowtot × coltot / N) covers empty observed cells, so
     // zero-count cells still contribute their expectation.
@@ -140,6 +157,14 @@ object AnalyticsQueries2 extends QueryModule {
         |  FROM pts)
         |SELECT event_type, CAST(max(conc) AS BIGINT) AS max_concurrent
         |FROM sw GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_median_window" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    round(sum(o_totalprice), 4) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT day, rev, round(median(rev) OVER (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+        |FROM daily ORDER BY day""".stripMargin,
 
     "q_chisq" ->
       """WITH cells AS (SELECT event_type,

@@ -1,0 +1,61 @@
+package graft.similarity
+
+import graft.{QueryModule, Tables => T}
+import graft.Util.r4
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** kNN label-vote classification over the embedding corpus.
+  *
+  * The vote is a pure composition of existing distributed pieces:
+  * brute-force top-k (the oracle-grade path; swap in IVF/LSH routing
+  * for the 100 TB corpus), a (query, label) partial count, and a
+  * deterministic argmax window. No per-query driver state — queries
+  * are themselves a DataFrame side, so a million-query batch
+  * classifies in one job.
+  */
+object VectorQueries2 extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    "sim_knn" -> ((s, d) => {
+      import s.implicits._
+      val emb = T.embeddings(s, d)
+      val queriesDf = emb.filter($"vec_id" < 20)
+      val corpus = emb.filter($"vec_id" >= 20)
+      val nn = Similarity.bruteTopK(corpus, queriesDf,
+        "vec_id", "embedding", k = 10)
+      val votes = nn
+        .join(corpus.select($"vec_id".as("nid"), $"label"), "nid")
+        .groupBy($"qid", $"label")
+        .agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy($"qid")
+        .orderBy($"votes".desc, $"label".asc)
+      votes.withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .select($"qid", $"label".cast("long").as("pred_label"),
+          $"votes")
+        .orderBy($"qid")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim_knn" ->
+      """WITH q AS (SELECT * FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT * FROM embeddings WHERE vec_id >= 20),
+        |nn AS (SELECT qid, nid FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                CAST(c.embedding AS DOUBLE[])) DESC,
+        |        c.vec_id) AS rk
+        |  FROM q CROSS JOIN c)
+        |  WHERE rk <= 10),
+        |votes AS (SELECT nn.qid, c.label, count(*) AS votes
+        |  FROM nn JOIN c ON c.vec_id = nn.nid GROUP BY 1, 2)
+        |SELECT qid, CAST(label AS BIGINT) AS pred_label, votes FROM (
+        |  SELECT qid, label, votes, row_number() OVER (
+        |    PARTITION BY qid ORDER BY votes DESC, label ASC) AS rk
+        |  FROM votes)
+        |WHERE rk = 1 ORDER BY qid""".stripMargin
+  )
+}
