@@ -43,10 +43,68 @@ object PipelineQueries extends QueryModule {
         .select($"c_mktsegment", $"slope", $"intercept", $"n_test",
           $"rmse", $"mae")
         .orderBy($"c_mktsegment")
+    }),
+
+    // Corpus-curation pipeline (quality gate → language filter →
+    // exact dedup) with per-stage retention counts, computed in ONE
+    // aggregation pass: every stage is a boolean column, the funnel is
+    // conditional counting — no per-stage scans or materialization,
+    // so the 100 TB curation report costs one shuffle of (source,
+    // partial counts).
+    "pipe_text_corpus" -> ((s, d) => {
+      import s.implicits._
+      import graft.text.TextAnalysis
+      val feat = T.documents(s, d).select(
+        $"source",
+        size(TextAnalysis.tokens($"text")).as("n_words"),
+        TextAnalysis.langPredict($"text").as("lang_pred"),
+        TextAnalysis.fingerprint($"text").as("fp"))
+      feat
+        .withColumn("q_ok", $"n_words" >= 30)
+        .withColumn("l_ok", $"q_ok" && $"lang_pred" === "en")
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_raw"),
+          count_if($"q_ok").as("n_quality"),
+          count_if($"l_ok").as("n_lang"),
+          countDistinct(when($"l_ok", $"fp")).as("n_unique"),
+          r4(count_if($"l_ok").cast("double") / count(lit(1)))
+            .as("retention"))
+        .orderBy($"source")
     })
   )
 
+  private val lp = graft.text.TextAnalysis.langPatterns.toMap
+
   val oracles: Map[String, String] = Map(
+    "pipe_text_corpus" ->
+      s"""WITH scored AS (
+         |  SELECT source, text,
+         |    len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+         |    len(regexp_extract_all(lower(text), '${lp("en")}')) AS en_n,
+         |    len(regexp_extract_all(lower(text), '${lp("de")}')) AS de_n,
+         |    len(regexp_extract_all(lower(text), '${lp("es")}')) AS es_n,
+         |    len(regexp_extract_all(lower(text), '${lp("fr")}')) AS fr_n
+         |  FROM documents),
+         |feat AS (
+         |  SELECT source, n_words, fp,
+         |    CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) >= 3 THEN 'zh'
+         |         WHEN de_n > en_n AND de_n >= es_n AND de_n >= fr_n THEN 'de'
+         |         WHEN es_n > en_n AND es_n >= fr_n THEN 'es'
+         |         WHEN fr_n > en_n THEN 'fr'
+         |         ELSE 'en' END AS lang_pred
+         |  FROM scored),
+         |st AS (SELECT source, fp, n_words >= 30 AS q_ok,
+         |    (n_words >= 30 AND lang_pred = 'en') AS l_ok FROM feat)
+         |SELECT source, count(*) AS n_raw,
+         |  CAST(count(*) FILTER (q_ok) AS BIGINT) AS n_quality,
+         |  CAST(count(*) FILTER (l_ok) AS BIGINT) AS n_lang,
+         |  CAST(count(DISTINCT CASE WHEN l_ok THEN fp END) AS BIGINT) AS n_unique,
+         |  round(count(*) FILTER (l_ok) / CAST(count(*) AS DOUBLE), 4)
+         |    AS retention
+         |FROM st GROUP BY source ORDER BY source""".stripMargin,
+
     "pipe_dataset" ->
       """WITH joined AS (
         |  SELECT c_mktsegment, o_orderkey, c_acctbal, o_totalprice
