@@ -60,6 +60,29 @@ class SourcesSpec extends AnyFunSuite {
       orders.filter(col("o_year") === 1996).count())
   }
 
+  test("binaryFile source ingests raw files into the multimodal pipeline") {
+    val dir = tmp("graft-bin")
+    val payloads = Map("a.img" -> "payload-alpha-0123456789",
+      "b.img" -> "payload-beta", "c.txt" -> "not-an-image")
+    for ((name, content) <- payloads)
+      Files.write(java.nio.file.Paths.get(dir, name), content.getBytes("UTF-8"))
+    // pathGlobFilter prunes non-matching files at listing time — no
+    // bytes of c.txt are ever read (the 100 TB media-lake filter).
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.img").load(dir)
+    assert(bin.columns.toSeq ==
+      Seq("path", "modificationTime", "length", "content"))
+    assert(bin.count() == 2)
+    val media = bin.select(
+      xxhash64(col("path")).as("media_id"),
+      col("content").as("payload"),
+      lit("image/fake").as("media_type"))
+    val decoded = multimodal.Multimodal.decodeFeatures(media)
+      .select("payload_len").collect().map(_.getLong(0)).sorted
+    assert(decoded.toSeq == payloads.filterKeys(_.endsWith(".img"))
+      .values.map(_.length.toLong).toSeq.sorted)
+  }
+
   test("filters and projections push down to the parquet scan") {
     val df = Tables.lineitem(spark, TestSpark.sf)
       .filter(col("l_orderkey") < 100)
