@@ -17,6 +17,7 @@ object SparkEntry {
     quality.DataQualityQueries,
     features.FeatureQueries,
     features.FeatureQueries2,
+    features.FeatureQueries3,
     text.TextQueries,
     text.TextQueries2,
     text.TextQueries3,

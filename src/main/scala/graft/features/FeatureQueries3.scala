@@ -1,0 +1,96 @@
+package graft.features
+
+import graft.{QueryModule, Tables => T}
+import graft.Util.r4
+import graft.ml.LinearModel
+import org.apache.spark.sql.functions._
+
+/** Training-hygiene extras: target-leakage screening and empirical
+  * prediction intervals.
+  *
+  * Leakage screening computes corr(feature, label) for every numeric
+  * candidate in ONE aggregate pass (corr decomposes into six
+  * map-side-combinable sums), then unpivots the scalar row — the
+  * 100 TB feature audit costs one scan regardless of feature count.
+  *
+  * Prediction intervals are conformal-style: fit on train, take
+  * exact residual quantiles on test per segment — quantile inputs are
+  * rounded so both engines interpolate identical values.
+  */
+object FeatureQueries3 extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    "feat_leakage" -> ((s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d)
+      val stats = li.agg(
+        corr($"l_quantity", $"l_extendedprice").as("l_quantity"),
+        corr($"l_discount", $"l_extendedprice").as("l_discount"),
+        corr($"l_tax", $"l_extendedprice").as("l_tax"))
+      stats.select(expr(
+        """stack(3,
+          |  'l_quantity', l_quantity,
+          |  'l_discount', l_discount,
+          |  'l_tax', l_tax) AS (feature, corr_with_label)""".stripMargin))
+        .select($"feature", r4($"corr_with_label").as("corr_with_label"),
+          (abs($"corr_with_label") > 0.5).as("leak_flag"))
+        .orderBy($"feature")
+    }),
+
+    "ml_pred_interval" -> ((s, d) => {
+      import s.implicits._
+      val joined = T.orders(s, d)
+        .join(T.customer(s, d), $"o_custkey" === $"c_custkey")
+        .select($"c_mktsegment", $"o_orderkey", $"c_acctbal", $"o_totalprice")
+      val split = Splits.byKeyModulo(joined, "o_orderkey")
+      val train = split.filter($"split" === "train")
+      val test = split.filter($"split" === "test")
+      val models = LinearModel.fit(train, "c_acctbal", "o_totalprice",
+        "c_mktsegment")
+      test.join(broadcast(models), Seq("c_mktsegment"))
+        .withColumn("resid",
+          r4($"o_totalprice" - ($"slope" * $"c_acctbal" + $"intercept")))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_test"),
+          r4(expr("percentile(resid, 0.05D)")).as("resid_q05"),
+          r4(expr("percentile(resid, 0.95D)")).as("resid_q95"))
+        .orderBy($"c_mktsegment")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "feat_leakage" ->
+      """WITH stats AS (SELECT
+        |    corr(l_quantity, l_extendedprice) AS q,
+        |    corr(l_discount, l_extendedprice) AS d,
+        |    corr(l_tax, l_extendedprice) AS t
+        |  FROM lineitem)
+        |SELECT feature, round(c, 4) AS corr_with_label,
+        |  abs(c) > 0.5 AS leak_flag
+        |FROM (
+        |  SELECT 'l_quantity' AS feature, q AS c FROM stats
+        |  UNION ALL SELECT 'l_discount', d FROM stats
+        |  UNION ALL SELECT 'l_tax', t FROM stats)
+        |ORDER BY feature""".stripMargin,
+
+    "ml_pred_interval" ->
+      """WITH joined AS (
+        |  SELECT c_mktsegment, o_orderkey, c_acctbal, o_totalprice
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |train AS (SELECT * FROM joined WHERE o_orderkey % 5 <> 0),
+        |test AS (SELECT * FROM joined WHERE o_orderkey % 5 = 0),
+        |models AS (
+        |  SELECT c_mktsegment,
+        |    covar_pop(o_totalprice, c_acctbal)/var_pop(c_acctbal) AS slope,
+        |    avg(o_totalprice)
+        |      - covar_pop(o_totalprice, c_acctbal)/var_pop(c_acctbal)*avg(c_acctbal) AS intercept
+        |  FROM train GROUP BY c_mktsegment),
+        |resids AS (SELECT t.c_mktsegment,
+        |    round(o_totalprice - (m.slope*c_acctbal + m.intercept), 4) AS resid
+        |  FROM test t JOIN models m ON t.c_mktsegment = m.c_mktsegment)
+        |SELECT c_mktsegment, count(*) AS n_test,
+        |  round(quantile_cont(resid, 0.05), 4) AS resid_q05,
+        |  round(quantile_cont(resid, 0.95), 4) AS resid_q95
+        |FROM resids GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+}

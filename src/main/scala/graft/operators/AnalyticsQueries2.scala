@@ -97,6 +97,39 @@ object AnalyticsQueries2 extends QueryModule {
         .orderBy($"day")
     }),
 
+    // Lag-1 autocorrelation of the daily revenue series: daily totals
+    // are a partial agg; corr over (rev, lag(rev)) needs one ordered
+    // window over the small daily series, then a scalar aggregate.
+    "q_autocorr" -> ((s, d) => {
+      import s.implicits._
+      val daily = T.orders(s, d)
+        .groupBy($"o_orderdate".cast("date").as("day"))
+        .agg(r4(sum($"o_totalprice")).as("rev"))
+      val w = Window.orderBy($"day")
+      daily.withColumn("prev", lag($"rev", 1).over(w))
+        .filter($"prev".isNotNull)
+        .agg(r4(corr($"rev", $"prev")).as("autocorr_lag1"),
+          count(lit(1)).as("n_days"))
+    }),
+
+    // Day-of-week seasonality index: avg daily revenue per ISO
+    // weekday over the grand mean of daily revenue. The grand mean is
+    // a broadcast scalar — no second scan of the fact table.
+    "q_seasonality" -> ((s, d) => {
+      import s.implicits._
+      val daily = T.orders(s, d)
+        .groupBy($"o_orderdate".cast("date").as("day"))
+        .agg(sum($"o_totalprice").as("rev"))
+      val byDow = daily
+        .groupBy((weekday($"day") + 1).as("dow"))
+        .agg(avg($"rev").as("avg_rev"))
+      val overall = daily.agg(avg($"rev").as("grand"))
+      byDow.crossJoin(broadcast(overall))
+        .select($"dow", r4($"avg_rev").as("avg_rev"),
+          r4($"avg_rev" / $"grand").as("season_idx"))
+        .orderBy($"dow")
+    }),
+
     // Chi-square independence: event_type × ISO weekday. The expected
     // grid (rowtot × coltot / N) covers empty observed cells, so
     // zero-count cells still contribute their expectation.
@@ -157,6 +190,28 @@ object AnalyticsQueries2 extends QueryModule {
         |  FROM pts)
         |SELECT event_type, CAST(max(conc) AS BIGINT) AS max_concurrent
         |FROM sw GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_autocorr" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    round(sum(o_totalprice), 4) AS rev
+        |  FROM orders GROUP BY 1),
+        |lagged AS (SELECT rev, lag(rev) OVER (ORDER BY day) AS prev
+        |  FROM daily)
+        |SELECT round(corr(rev, prev), 4) AS autocorr_lag1,
+        |  count(*) AS n_days
+        |FROM lagged WHERE prev IS NOT NULL""".stripMargin,
+
+    "q_seasonality" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1),
+        |by_dow AS (SELECT CAST(extract(isodow FROM day) AS INT) AS dow,
+        |    avg(rev) AS avg_rev
+        |  FROM daily GROUP BY 1),
+        |overall AS (SELECT avg(rev) AS grand FROM daily)
+        |SELECT dow, round(avg_rev, 4) AS avg_rev,
+        |  round(avg_rev / grand, 4) AS season_idx
+        |FROM by_dow CROSS JOIN overall ORDER BY dow""".stripMargin,
 
     "q_median_window" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
