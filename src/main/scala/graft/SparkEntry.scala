@@ -9,6 +9,7 @@ object SparkEntry {
     operators.AdvancedQueries,
     operators.AnalyticsQueries,
     operators.AnalyticsQueries2,
+    operators.AnalyticsQueries3,
     operators.EventQueries,
     operators.BehaviorQueries,
     operators.IncrementalQueries,

@@ -48,6 +48,33 @@ object TextQueries4 extends QueryModule {
         .orderBy($"doc_id")
     }),
 
+    // Corpus-level overlap between sources: Jaccard of each source
+    // pair's distinct 5-gram sets. The shingle equi-join groups
+    // postings by shingle (linear; per-shingle fanout bounded by the
+    // source count, not the corpus), and set sizes broadcast onto the
+    // tiny pair table — the cross-source dedup heatmap at 100 TB.
+    "text_source_overlap" -> ((s, d) => {
+      import s.implicits._
+      val sh = TextAnalysis
+        .shingleDocs(T.documents(s, d), "doc_id", "text", N)
+        .join(T.documents(s, d).select($"doc_id".as("__id"), $"source"),
+          "__id")
+        .select($"source", explode($"__shingles").as("sh"))
+        .distinct()
+      val inter = sh.as("a").join(sh.as("b"),
+          $"a.sh" === $"b.sh" && $"a.source" < $"b.source")
+        .groupBy($"a.source".as("s1"), $"b.source".as("s2"))
+        .agg(count(lit(1)).as("inter"))
+      val sizes = sh.groupBy($"source").agg(count(lit(1)).as("sz"))
+      inter
+        .join(broadcast(sizes.select($"source".as("s1"), $"sz".as("sz1"))), "s1")
+        .join(broadcast(sizes.select($"source".as("s2"), $"sz".as("sz2"))), "s2")
+        .select($"s1", $"s2", $"inter",
+          r4($"inter".cast("double") / ($"sz1" + $"sz2" - $"inter"))
+            .as("jaccard"))
+        .orderBy($"s1", $"s2")
+    }),
+
     // Pack docs into Budget-token sequences: per source, in doc_id
     // order, bin = exclusive-prefix-sum(tokens) div Budget. Contiguous
     // greedy fill — each bin overflows at most one document past the
@@ -84,6 +111,24 @@ object TextQueries4 extends QueryModule {
         |    AS contamination
         |FROM tot t LEFT JOIN hit h USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "text_source_overlap" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (SELECT DISTINCT source, array_to_string(t[g:g+4], ' ') AS sh
+        |  FROM (SELECT source, t,
+        |          unnest(generate_series(1, len(t) - 4)) AS g
+        |        FROM toks)),
+        |inter AS (SELECT a.source AS s1, b.source AS s2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT source, count(*) AS sz FROM sh GROUP BY 1)
+        |SELECT s1, s2, inter,
+        |  round(inter / CAST(z1.sz + z2.sz - inter AS DOUBLE), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes z1 ON z1.source = s1
+        |JOIN sizes z2 ON z2.source = s2
+        |ORDER BY s1, s2""".stripMargin,
 
     "text_pack" ->
       """WITH docs AS (SELECT source, doc_id,
