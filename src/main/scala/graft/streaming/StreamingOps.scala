@@ -43,6 +43,19 @@ object StreamingOps {
       .select(unix_timestamp(col("window.start")).as("bucket"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Built-in session windows (merge-on-gap): Spark fuses events
+    * within `gap` of each other into one window per user and keeps
+    * only bounded per-session state under the watermark — the
+    * declarative alternative to [[sessionCounts]]'s manual state
+    * machine. Works identically on batch and streaming frames. */
+  def sessionWindows(events: DataFrame, gap: String): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("sess_start"),
+        col("n_events"))
+
   case class SessionState(lastTsUs: Long, sessions: Long, events: Long)
   case class UserEvent(user_id: Long, ts_us: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)

@@ -29,6 +29,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("built-in session windows equal batch session windows and gap sessionize") {
+    import spark.implicits._
+    val stream = StreamingOps.sessionWindows(
+      StreamingOps.eventStream(spark, TestSpark.sf), "30 minutes")
+    val q = stream.writeStream.format("memory")
+      .queryName("sesswin_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sesswin_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    // batch execution of the SAME declarative plan
+    val batch = StreamingOps.sessionWindows(
+        Tables.events(spark, TestSpark.sf), "30 minutes")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == batch)
+
+    // session COUNT per user must agree with the gap-based sessionizer
+    val nSess = got.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val exp = SparkEntry.queries("q_sessionize")(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nSess == exp)
+    // and every event lands in exactly one session
+    val nEvents = Tables.events(spark, TestSpark.sf).count()
+    assert(got.values.sum == nEvents)
+  }
+
   test("stateful streaming sessionize equals batch sessionize") {
     import spark.implicits._
     val ev = StreamingOps.eventStream(spark, TestSpark.sf)
