@@ -30,21 +30,33 @@ object TextQueries4 extends QueryModule {
     // contains it; report per-eval-doc contamination ratio.
     "text_contamination" -> ((s, d) => {
       import s.implicits._
-      val sh = TextAnalysis
+      // Single lineage — ONE scan, one shingle evaluation: explode
+      // postings (explode_outer so Catalyst doesn't push a duplicate
+      // of the whole shingle pipeline into a pre-generator filter),
+      // distinct (doc, shingle) pairs, then a window keyed on the
+      // shingle marks train membership — the semi-join without a
+      // second derivation of the corpus.
+      // Shingles reduce to 64-bit xxhash64 keys before any shuffle:
+      // the distinct/window exchanges carry 8-byte longs, not ~30-char
+      // strings (collision odds ~n²/2⁶⁵ — immaterial for counting).
+      // Hash AFTER the null filter: xxhash64 maps NULL to the seed,
+      // not to NULL.
+      val pairs = TextAnalysis
         .shingleDocs(T.documents(s, d), "doc_id", "text", N)
-        .select($"__id".as("doc_id"), explode($"__shingles").as("sh"))
-      val train = sh.filter($"doc_id" % 2 === 0).select($"sh").distinct()
-      val eval_ = sh.filter($"doc_id" % 2 === 1)
-        .select($"doc_id", $"sh").distinct()
-      val totals = eval_.groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_shingles"))
-      val hit = eval_.join(train, Seq("sh"), "left_semi")
-        .groupBy($"doc_id").agg(count(lit(1)).as("n_contaminated"))
-      totals.join(hit, Seq("doc_id"), "left")
-        .select($"doc_id", $"n_shingles",
-          coalesce($"n_contaminated", lit(0L)).as("n_contaminated"),
-          r4(coalesce($"n_contaminated", lit(0L)).cast("double") /
-            $"n_shingles").as("contamination"))
+        .select($"__id".as("doc_id"), explode_outer($"__shingles").as("sh"))
+        .filter($"sh".isNotNull)
+        .select($"doc_id", xxhash64($"sh").as("h"))
+        .distinct()
+      val flagged = pairs.withColumn("in_train",
+        max(when($"doc_id" % 2 === 0, 1).otherwise(0))
+          .over(Window.partitionBy($"h")))
+      flagged.filter($"doc_id" % 2 === 1)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          count_if($"in_train" === 1).as("n_contaminated"))
+        .select($"doc_id", $"n_shingles", $"n_contaminated",
+          r4($"n_contaminated".cast("double") / $"n_shingles")
+            .as("contamination"))
         .orderBy($"doc_id")
     }),
 
@@ -59,7 +71,9 @@ object TextQueries4 extends QueryModule {
         .shingleDocs(T.documents(s, d), "doc_id", "text", N)
         .join(T.documents(s, d).select($"doc_id".as("__id"), $"source"),
           "__id")
-        .select($"source", explode($"__shingles").as("sh"))
+        .select($"source", explode_outer($"__shingles").as("sh"))
+        .filter($"sh".isNotNull)
+        .select($"source", xxhash64($"sh").as("sh"))
         .distinct()
       val inter = sh.as("a").join(sh.as("b"),
           $"a.sh" === $"b.sh" && $"a.source" < $"b.source")

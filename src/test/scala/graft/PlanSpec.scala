@@ -42,6 +42,44 @@ class PlanSpec extends AnyFunSuite {
       s"suite scanned the table more than once:\n$p")
   }
 
+  test("corpus funnel is one aggregation pass over one documents scan") {
+    val p = plan("pipe_text_corpus")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"funnel re-scanned documents:\n$p")
+  }
+
+  test("skyline plans without a cartesian product") {
+    val p = plan("q_skyline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"skyline fell back to pairwise dominance:\n$p")
+  }
+
+  test("chi-square expected grid builds from broadcasts, not shuffled joins") {
+    val p = plan("q_chisq")
+    assert(!p.contains("SortMergeJoin"),
+      s"marginal grid shuffled instead of broadcasting:\n$p")
+  }
+
+  test("kNN corpus side broadcasts the query batch") {
+    val p = plan("sim_knn")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query batch not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"kNN planned a shuffled cartesian:\n$p")
+  }
+
+  test("contamination check reads the corpus once and builds shingles once") {
+    val p = plan("text_contamination")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"contamination degenerated to pairwise:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"corpus scanned more than once:\n$p")
+    assert("zip_with".r.findAllIn(p).size <= TextAnalysis_shingleRefs,
+      s"shingle pipeline duplicated into scan filters:\n$p")
+  }
+  // shingles(n=5) composes 4 zip_with calls; one evaluation site only
+  private val TextAnalysis_shingleRefs = 4
+
   test("salted join matches plain join results and spreads the key") {
     val li = Tables.lineitem(spark, TestSpark.sf)
     val supp = Tables.supplier(spark, TestSpark.sf)
