@@ -10,6 +10,8 @@ object SparkEntry {
     operators.AnalyticsQueries,
     operators.AnalyticsQueries2,
     operators.AnalyticsQueries3,
+    operators.TpchQueries,
+    operators.PageRank,
     operators.EventQueries,
     operators.BehaviorQueries,
     operators.IncrementalQueries,

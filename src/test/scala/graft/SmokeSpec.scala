@@ -16,7 +16,8 @@ class SmokeSpec extends AnyFunSuite {
     // keep this list in sync with SURVEY.md §2 (🟡 rows)
     val expectedRowsOnly = Set("q_approx_distinct", "dq_schema",
       "dedup_simhash", "sim_topk_lsh", "sim_topk_ivf",
-      "ml_logreg", "ml_kmeans", "q_approx_quantile", "q_heavy_hitters")
+      "ml_logreg", "ml_kmeans", "q_approx_quantile", "q_heavy_hitters",
+      "q_pagerank")
     assert(rowsOnly == expectedRowsOnly,
       s"oracle coverage drifted: rows-only = $rowsOnly")
   }
