@@ -58,6 +58,65 @@ object AnalyticsQueries3 extends QueryModule {
         .orderBy($"r_q", $"f_q", $"m_q")
     }),
 
+    // 7-day rolling active users (WAU per day), exactly and linearly:
+    // each (user, active-day) posting fans out to the 7 window-ends
+    // it belongs to — constant 7× amplification of the DISTINCT
+    // (user, day) set, never a distinct-over-range window (which
+    // can't decompose) or a pairwise date self-join.
+    "q_rolling_active" -> ((s, d) => {
+      import s.implicits._
+      val act = T.events(s, d)
+        .select($"user_id", $"ts".cast("date").as("day")).distinct()
+      val maxDay = act.agg(max($"day").as("max_day"))
+      act
+        .select($"user_id",
+          explode(sequence($"day", date_add($"day", 6))).as("day"))
+        .distinct()
+        .crossJoin(broadcast(maxDay))
+        .filter($"day" <= $"max_day")
+        .groupBy($"day")
+        .agg(count(lit(1)).as("wau"))
+        .orderBy($"day")
+    }),
+
+    // Weight-of-evidence encoding of order priority against the
+    // "order fulfilled" label — the classic scorecard categorical
+    // encoder. Class totals ride along via window-free broadcast.
+    "feat_woe" -> ((s, d) => {
+      import s.implicits._
+      val labeled = T.orders(s, d)
+        .select($"o_orderpriority",
+          ($"o_orderstatus" === "F").cast("int").as("y"))
+      val per = labeled.groupBy($"o_orderpriority")
+        .agg(sum($"y").as("pos"), sum(lit(1) - $"y").as("neg"))
+      val tot = labeled.agg(sum($"y").as("tpos"),
+        sum(lit(1) - $"y").as("tneg"))
+      per.crossJoin(broadcast(tot))
+        .select($"o_orderpriority", $"pos", $"neg",
+          r4(log(($"pos" / $"tpos") / ($"neg" / $"tneg"))).as("woe"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // Benford first-digit audit of order totals: digit frequencies vs
+    // the Benford expectation — one projection + tiny aggregate.
+    "q_benford" -> ((s, d) => {
+      import s.implicits._
+      // first digit via floor→bigint→string: engine-identical (no
+      // locale formatting, no log10 ulp differences at power-of-ten
+      // boundaries)
+      val digits = T.orders(s, d)
+        .select(substring($"o_totalprice".cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .filter($"digit".between(1, 9))
+      val tot = digits.agg(count(lit(1)).as("n_tot"))
+      digits.groupBy($"digit").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select($"digit", $"n",
+          r4($"n" / $"n_tot").as("freq"),
+          r4(log(10.0, lit(1) + lit(1) / $"digit")).as("benford"))
+        .orderBy($"digit")
+    }),
+
     // Top event-type trigram paths: per-user ordered lead/lead2 —
     // partitioned by user (no global sort), then a global count of
     // the tiny path vocabulary.
@@ -103,6 +162,44 @@ object AnalyticsQueries3 extends QueryModule {
         |  FROM cust)
         |SELECT r_q, f_q, m_q, count(*) AS n_customers
         |FROM scored GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin,
+
+    "q_rolling_active" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |maxd AS (SELECT max(day) AS max_day FROM act),
+        |expanded AS (SELECT DISTINCT user_id, CAST(w AS DATE) AS day
+        |  FROM (SELECT user_id,
+        |          unnest(generate_series(day, day + 6, INTERVAL 1 DAY)) AS w
+        |        FROM act))
+        |SELECT day, count(*) AS wau
+        |FROM expanded CROSS JOIN maxd
+        |WHERE day <= max_day
+        |GROUP BY day ORDER BY day""".stripMargin,
+
+    "feat_woe" ->
+      """WITH labeled AS (SELECT o_orderpriority,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |per AS (SELECT o_orderpriority, sum(y) AS pos, sum(1 - y) AS neg
+        |  FROM labeled GROUP BY 1),
+        |tot AS (SELECT sum(y) AS tpos, sum(1 - y) AS tneg FROM labeled)
+        |SELECT o_orderpriority, CAST(pos AS BIGINT) AS pos,
+        |  CAST(neg AS BIGINT) AS neg,
+        |  round(ln((pos / tpos) / (neg / tneg)), 4) AS woe
+        |FROM per CROSS JOIN tot ORDER BY o_orderpriority""".stripMargin,
+
+    "q_benford" ->
+      """WITH digits AS (SELECT CAST(substring(
+        |    CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+        |    AS INT) AS digit
+        |  FROM orders),
+        |filtered AS (SELECT digit FROM digits WHERE digit BETWEEN 1 AND 9),
+        |tot AS (SELECT count(*) AS n_tot FROM filtered)
+        |SELECT digit, count(*) AS n,
+        |  round(count(*) / CAST(n_tot AS DOUBLE), 4) AS freq,
+        |  round(log10(1 + 1.0 / digit), 4) AS benford
+        |FROM filtered CROSS JOIN tot
+        |GROUP BY digit, n_tot ORDER BY digit""".stripMargin,
 
     "q_event_paths" ->
       """WITH seq AS (SELECT
