@@ -55,6 +55,18 @@ object TpchQueries extends QueryModule {
         .orderBy($"revenue".desc, $"n_name")
     }),
 
+    // Q6: forecast revenue change — pure scan+filter+agg, the
+    // pushdown benchmark (filters reach the parquet footer stats).
+    "q_tpch_q6" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+          $"l_discount".between(0.02, 0.04) && $"l_quantity" < 24)
+        .agg(r4(sum($"l_extendedprice" * $"l_discount")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // Q10: returned-item revenue loss per customer for one quarter.
     "q_tpch_q10" -> ((s, d) => {
       import s.implicits._
@@ -102,6 +114,15 @@ object TpchQueries extends QueryModule {
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.04
+        |  AND l_quantity < 24""".stripMargin,
 
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name,

@@ -60,6 +60,46 @@ class SourcesSpec extends AnyFunSuite {
       orders.filter(col("o_year") === 1996).count())
   }
 
+  test("malformed csv rows route to the corrupt-record column, not job failure") {
+    val dir = tmp("graft-badcsv")
+    Files.write(java.nio.file.Paths.get(dir, "data.csv"),
+      "1,alpha,10.5\n2,beta,not_a_number\n3,gamma,7.25\nbroken row\n"
+        .getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir).cache()
+    try {
+      assert(df.count() == 4)
+      val bad = df.filter(col("_corrupt_record").isNotNull)
+        .select("_corrupt_record").collect().map(_.getString(0)).toSet
+      assert(bad == Set("2,beta,not_a_number", "broken row"))
+      // clean rows aggregate normally
+      assert(df.filter(col("_corrupt_record").isNull)
+        .agg(sum("score")).head.getDouble(0) == 17.75)
+    } finally df.unpersist()
+  }
+
+  test("parquet schema evolution merges old and new columns") {
+    val dir = tmp("graft-evolve")
+    spark.range(3).select(col("id"), lit("v1").as("tag"))
+      .write.parquet(dir + "/batch=1")
+    spark.range(3, 6).select(col("id"), lit("v2").as("tag"),
+        (col("id") * 10).as("score"))
+      .write.parquet(dir + "/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "tag", "score", "batch"))
+    // old rows surface the new column as null
+    assert(merged.filter(col("batch") === 1)
+      .filter(col("score").isNotNull).count() == 0)
+    assert(merged.filter(col("batch") === 2)
+      .agg(sum("score")).head.getLong(0) == 120)
+  }
+
   test("binaryFile source ingests raw files into the multimodal pipeline") {
     val dir = tmp("graft-bin")
     val payloads = Map("a.img" -> "payload-alpha-0123456789",
