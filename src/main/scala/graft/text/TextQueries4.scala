@@ -60,6 +60,44 @@ object TextQueries4 extends QueryModule {
         .orderBy($"doc_id")
     }),
 
+    // Sparse TF-IDF document similarity — the inverted-index
+    // counterpart of dense embedding cosine: postings join on the
+    // term, never doc×doc. The df window [2, 20] drops un-pairable
+    // singletons AND hot terms, so per-term pair fanout is bounded —
+    // the knob that keeps the posting join linear-ish at corpus
+    // scale. Norms use the same filtered weights (cosine over the
+    // mid-df term space).
+    "text_sim_sparse" -> ((s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d)
+      // bigram terms: the unigram vocabulary of this corpus is tiny
+      // (~31 words, all stopword-grade df); bigrams give the
+      // discriminative mid-df term space sparse cosine needs
+      val terms = TextAnalysis.shingleDocs(docs, "doc_id", "text", 2)
+        .select($"__id".as("doc_id"),
+          explode_outer($"__shingles").as("t"))
+        .filter($"t".isNotNull)
+        .select($"doc_id", lower($"t").as("term"))
+      val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(countDistinct($"doc_id").as("n"))
+      val wtd = tf.join(broadcast(dfreq), "term")
+        .filter($"df".between(2, 100))
+        .crossJoin(broadcast(n))
+        .select($"doc_id", $"term", ($"tf" * log($"n" / $"df")).as("wt"))
+      val norms = wtd.groupBy($"doc_id")
+        .agg(sqrt(sum($"wt" * $"wt")).as("norm"))
+      wtd.as("a").join(wtd.as("b"),
+          $"a.term" === $"b.term" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+        .agg(sum($"a.wt" * $"b.wt").as("dot"))
+        .join(norms.select($"doc_id".as("d1"), $"norm".as("n1")), "d1")
+        .join(norms.select($"doc_id".as("d2"), $"norm".as("n2")), "d2")
+        .select($"d1", $"d2", r4($"dot" / ($"n1" * $"n2")).as("cos"))
+        .orderBy($"cos".desc, $"d1", $"d2")
+        .limit(15)
+    }),
+
     // Corpus-level overlap between sources: Jaccard of each source
     // pair's distinct 5-gram sets. The shingle equi-join groups
     // postings by shingle (linear; per-shingle fanout bounded by the
@@ -125,6 +163,33 @@ object TextQueries4 extends QueryModule {
         |    AS contamination
         |FROM tot t LEFT JOIN hit h USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "text_sim_sparse" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |terms AS (SELECT doc_id,
+        |    lower(array_to_string(t[g:g+1], ' ')) AS term
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, len(t) - 1)) AS g
+        |        FROM toks)),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |wtd AS (SELECT doc_id, term, tf * ln(n.n / df) AS wt
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |  WHERE df BETWEEN 2 AND 100),
+        |norms AS (SELECT doc_id, sqrt(sum(wt * wt)) AS norm
+        |  FROM wtd GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    sum(a.wt * b.wt) AS dot
+        |  FROM wtd a JOIN wtd b
+        |    ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, round(dot / (z1.norm * z2.norm), 4) AS cos
+        |FROM dots
+        |JOIN norms z1 ON z1.doc_id = d1
+        |JOIN norms z2 ON z2.doc_id = d2
+        |ORDER BY cos DESC, d1, d2 LIMIT 15""".stripMargin,
 
     "text_source_overlap" ->
       """WITH toks AS (SELECT doc_id, source,
