@@ -11,6 +11,7 @@ object SparkEntry {
     operators.AnalyticsQueries2,
     operators.AnalyticsQueries3,
     operators.TpchQueries,
+    operators.DriftQueries,
     operators.PageRank,
     operators.EventQueries,
     operators.BehaviorQueries,

@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.{QueryModule, Tables => T}
+import graft.Util.r4
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution monitoring: inequality and train/serve drift — the
+  * checks a production data pipeline runs between ingestion batches.
+  *
+  * All three reduce the fact stream to per-group counts or the
+  * distinct-value grid BEFORE any window, so the ordered pass touches
+  * thousands of rows regardless of corpus size, and every aggregate
+  * decomposes map-side.
+  */
+object DriftQueries extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    // Gini coefficient of customer spend: rank-weighted form
+    // G = 2·Σ(i·vᵢ)/(n·Σv) − (n+1)/n over ascending per-customer
+    // totals (4dp-rounded so both engines rank identical values).
+    "q_gini" -> ((s, d) => {
+      import s.implicits._
+      val cust = T.orders(s, d).groupBy($"o_custkey")
+        .agg(r4(sum($"o_totalprice")).as("v"))
+      val w = Window.orderBy($"v", $"o_custkey")
+      cust.withColumn("i", row_number().over(w))
+        .agg(r4(lit(2) * sum($"i" * $"v") / (count(lit(1)) * sum($"v")) -
+          (count(lit(1)) + 1) / count(lit(1)).cast("double")).as("gini"),
+          count(lit(1)).as("n_customers"))
+    }),
+
+    // Population stability index of the order-total distribution,
+    // 1997 vs 1998, over fixed decade-of-thousands bins. PSI ≥ 0.2
+    // is the classic "investigate drift" threshold.
+    "dq_drift" -> ((s, d) => {
+      import s.implicits._
+      val binned = T.orders(s, d)
+        .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1999-01-01").cast("timestamp"))
+        .select(
+          (year($"o_orderdate") === 1997).as("is_base"),
+          least(floor($"o_totalprice" / 50000), lit(5)).cast("int").as("bin"))
+      val counts = binned.groupBy($"bin").agg(
+        count_if($"is_base").as("n1"),
+        count_if(!$"is_base").as("n2"))
+      val tot = counts.agg(sum($"n1").as("t1"), sum($"n2").as("t2"))
+      counts.crossJoin(broadcast(tot))
+        .select($"bin",
+          ($"n1" / $"t1").as("p1"), ($"n2" / $"t2").as("p2"))
+        .agg(r4(sum(($"p1" - $"p2") * log($"p1" / $"p2"))).as("psi"),
+          count(lit(1)).as("n_bins"))
+    }),
+
+    // Kolmogorov-Smirnov two-sample statistic (BUILDING vs MACHINERY
+    // segment spend): running ECDFs over the merged distinct-value
+    // grid — one ordered window over per-value counts, no pairwise
+    // comparisons.
+    "q_ks_test" -> ((s, d) => {
+      import s.implicits._
+      val seg = T.orders(s, d)
+        .join(broadcast(T.customer(s, d)
+            .filter($"c_mktsegment".isin("BUILDING", "MACHINERY"))
+            .select($"c_custkey", $"c_mktsegment")),
+          $"o_custkey" === $"c_custkey")
+        .select(($"c_mktsegment" === "BUILDING").as("a"),
+          r4($"o_totalprice").as("v"))
+      val perVal = seg.groupBy($"v").agg(
+        count_if($"a").as("ca"), count_if(!$"a").as("cb"))
+      val tot = perVal.agg(sum($"ca").as("na"), sum($"cb").as("nb"))
+      val w = Window.orderBy($"v")
+      perVal
+        .withColumn("cum_a", sum($"ca").over(w))
+        .withColumn("cum_b", sum($"cb").over(w))
+        .crossJoin(broadcast(tot))
+        .agg(r4(max(abs($"cum_a" / $"na" - $"cum_b" / $"nb"))).as("ks"),
+          max($"na").as("n_a"), max($"nb").as("n_b"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_gini" ->
+      """WITH cust AS (SELECT o_custkey, round(sum(o_totalprice), 4) AS v
+        |  FROM orders GROUP BY 1),
+        |ranked AS (SELECT v,
+        |    row_number() OVER (ORDER BY v, o_custkey) AS i FROM cust)
+        |SELECT round(2 * sum(i * v) / (count(*) * sum(v))
+        |    - (count(*) + 1) / CAST(count(*) AS DOUBLE), 4) AS gini,
+        |  count(*) AS n_customers
+        |FROM ranked""".stripMargin,
+
+    "dq_drift" ->
+      """WITH binned AS (SELECT
+        |    (year(o_orderdate) = 1997) AS is_base,
+        |    CAST(least(floor(o_totalprice / 50000), 5) AS INT) AS bin
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1999-01-01'),
+        |counts AS (SELECT bin,
+        |    count(*) FILTER (is_base) AS n1,
+        |    count(*) FILTER (NOT is_base) AS n2
+        |  FROM binned GROUP BY 1),
+        |tot AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM counts)
+        |SELECT round(sum((n1 / CAST(t1 AS DOUBLE) - n2 / CAST(t2 AS DOUBLE))
+        |    * ln((n1 / CAST(t1 AS DOUBLE)) / (n2 / CAST(t2 AS DOUBLE)))), 4)
+        |    AS psi,
+        |  count(*) AS n_bins
+        |FROM counts CROSS JOIN tot""".stripMargin,
+
+    "q_ks_test" ->
+      """WITH seg AS (SELECT (c_mktsegment = 'BUILDING') AS a,
+        |    round(o_totalprice, 4) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |per_val AS (SELECT v, count(*) FILTER (a) AS ca,
+        |    count(*) FILTER (NOT a) AS cb
+        |  FROM seg GROUP BY 1),
+        |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM per_val),
+        |cum AS (SELECT
+        |    sum(ca) OVER (ORDER BY v) AS cum_a,
+        |    sum(cb) OVER (ORDER BY v) AS cum_b
+        |  FROM per_val)
+        |SELECT round(max(abs(cum_a / CAST(na AS DOUBLE)
+        |    - cum_b / CAST(nb AS DOUBLE))), 4) AS ks,
+        |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b
+        |FROM cum CROSS JOIN tot""".stripMargin
+  )
+}
