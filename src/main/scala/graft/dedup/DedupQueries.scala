@@ -19,6 +19,32 @@ object DedupQueries extends QueryModule {
   private val JThreshold = 0.5
 
   val queries: Map[String, Q] = Map(
+    // Fuzzy dedup by edit distance with banded length blocking: each
+    // doc emits its length-block ±1 on the probe side, the build side
+    // keeps one block key — every |len diff| ≤ 10 pair meets in
+    // EXACTLY one block (floors within 10/20 differ by ≤ 1), so the
+    // quadratic levenshtein only runs inside (lang, ~20-char) blocks,
+    // never doc × doc.
+    "dedup_edit" -> ((s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d)
+        .select($"doc_id", $"lang", $"n_chars", $"text",
+          floor($"n_chars" / 20).as("blk0"))
+      val probe = docs.select($"doc_id".as("a_id"), $"lang",
+        $"n_chars".as("a_chars"), $"text".as("a_text"),
+        explode(array($"blk0" - 1, $"blk0", $"blk0" + 1)).as("blk"))
+      val build = docs.select($"doc_id".as("b_id"), $"lang",
+        $"n_chars".as("b_chars"), $"text".as("b_text"),
+        $"blk0".as("blk"))
+      probe.join(build, Seq("lang", "blk"))
+        .filter($"a_id" < $"b_id" &&
+          abs($"a_chars" - $"b_chars") <= 10)
+        .select($"a_id", $"b_id",
+          levenshtein($"a_text", $"b_text").cast("long").as("lev"))
+        .filter($"lev" <= 30)
+        .orderBy($"a_id", $"b_id")
+    }),
+
     "dedup_exact" -> ((s, d) => {
       import s.implicits._
       Dedup.exactGroups(T.documents(s, d), "doc_id", "text")
@@ -101,6 +127,15 @@ object DedupQueries extends QueryModule {
        |ORDER BY a_id, b_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_edit" ->
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev
+        |FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  AND abs(a.n_chars - b.n_chars) <= 10
+        |WHERE levenshtein(a.text, b.text) <= 30
+        |ORDER BY a_id, b_id""".stripMargin,
+
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
