@@ -67,6 +67,25 @@ object TpchQueries extends QueryModule {
           count(lit(1)).as("n_lines"))
     }),
 
+    // Q18: large-volume orders — the HAVING-subquery reduction joins
+    // back to the enriched row. The qualifying-order set is tiny and
+    // AQE converts its join side to broadcast at runtime.
+    "q_tpch_q18" -> ((s, d) => {
+      import s.implicits._
+      val big = T.lineitem(s, d).groupBy($"l_orderkey")
+        .agg(sum($"l_quantity").as("qty"))
+        .filter($"qty" > 300)
+      T.orders(s, d)
+        .join(big, $"o_orderkey" === $"l_orderkey")
+        .join(broadcast(T.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .select($"c_custkey", $"c_name", $"o_orderkey",
+          $"o_orderdate".cast("date").as("odate"),
+          r4($"o_totalprice").as("o_totalprice"),
+          r4($"qty").as("qty"))
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(20)
+    }),
+
     // Q10: returned-item revenue loss per customer for one quarter.
     "q_tpch_q10" -> ((s, d) => {
       import s.implicits._
@@ -123,6 +142,18 @@ object TpchQueries extends QueryModule {
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |  AND l_discount BETWEEN 0.02 AND 0.04
         |  AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q18" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS odate,
+        |  round(o_totalprice, 4) AS o_totalprice,
+        |  round(qty, 4) AS qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS qty
+        |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300) big
+        |  ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name,
