@@ -17,6 +17,30 @@ import org.apache.spark.sql.functions._
 object VectorQueries2 extends QueryModule {
 
   val queries: Map[String, Q] = Map(
+    // Per-vector int8 scalar quantization (the FAISS SQ8 layout):
+    // dims map to 0..255 against the vector's own [min, max], and the
+    // round-trip error is reported per vector. Pure higher-order
+    // array expressions — codegen'd, no UDFs, no shuffle at all
+    // (embarrassingly parallel over vector partitions).
+    "sim_quantize" -> ((s, d) => {
+      import s.implicits._
+      val v = $"v"
+      val emb = T.embeddings(s, d)
+        .select($"vec_id", $"embedding".cast("array<double>").as(v.toString))
+        .withColumn("mn", array_min(v))
+        .withColumn("mx", array_max(v))
+      val scale = ($"mx" - $"mn") / 255.0
+      val deq = transform(v, x =>
+        $"mn" + round((x - $"mn") / scale) * scale)
+      emb
+        .withColumn("mse",
+          aggregate(zip_with(v, deq, (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, e) => acc + e) / size(v))
+        .select($"vec_id", r4($"mn").as("mn"), r4($"mx").as("mx"),
+          r4($"mse" * 1e6).as("mse_ppm"))
+        .orderBy($"vec_id")
+    }),
+
     "sim_knn" -> ((s, d) => {
       import s.implicits._
       val emb = T.embeddings(s, d)
@@ -39,6 +63,22 @@ object VectorQueries2 extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx
+        |  FROM e),
+        |q AS (SELECT vec_id, mn, mx,
+        |    list_sum(list_transform(v, x ->
+        |      (x - (mn + round((x - mn) / ((mx - mn) / 255.0))
+        |                 * ((mx - mn) / 255.0)))
+        |      * (x - (mn + round((x - mn) / ((mx - mn) / 255.0))
+        |                 * ((mx - mn) / 255.0))))) / len(v) AS mse
+        |  FROM m)
+        |SELECT vec_id, round(mn, 4) AS mn, round(mx, 4) AS mx,
+        |  round(mse * 1e6, 4) AS mse_ppm
+        |FROM q ORDER BY vec_id""".stripMargin,
+
     "sim_knn" ->
       """WITH q AS (SELECT * FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT * FROM embeddings WHERE vec_id >= 20),
