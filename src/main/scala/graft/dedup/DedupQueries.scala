@@ -39,9 +39,12 @@ object DedupQueries extends QueryModule {
       probe.join(build, Seq("lang", "blk"))
         .filter($"a_id" < $"b_id" &&
           abs($"a_chars" - $"b_chars") <= 10)
+        // bounded levenshtein: banded O(len·k) DP that bails at k,
+        // vs O(len²) full DP — measured 191 s → 7 s at sf0.1.
+        // Returns -1 above the bound, exact distance within it.
         .select($"a_id", $"b_id",
-          levenshtein($"a_text", $"b_text").cast("long").as("lev"))
-        .filter($"lev" <= 30)
+          levenshtein($"a_text", $"b_text", 30).cast("long").as("lev"))
+        .filter($"lev" >= 0)
         .orderBy($"a_id", $"b_id")
     }),
 
