@@ -60,6 +60,18 @@ class SourcesSpec extends AnyFunSuite {
       orders.filter(col("o_year") === 1996).count())
   }
 
+  test("xml round-trip preserves rows and aggregates (Spark 4 native source)") {
+    val dir = tmp("graft-xml")
+    val nations = Tables.nation(spark, TestSpark.sf)
+    nations.write.mode("overwrite")
+      .option("rootTag", "nations").option("rowTag", "nation")
+      .format("xml").save(dir)
+    val back = spark.read.option("rowTag", "nation").format("xml").load(dir)
+    assert(back.count() == nations.count())
+    assert(back.select(sum("n_nationkey")).head.getLong(0) ==
+      nations.select(sum("n_nationkey")).head.getLong(0))
+  }
+
   test("malformed csv rows route to the corrupt-record column, not job failure") {
     val dir = tmp("graft-badcsv")
     Files.write(java.nio.file.Paths.get(dir, "data.csv"),
