@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Throwaway diagnostic main (not part of the library surface). */
 object Scratch {
@@ -14,15 +15,32 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def run(name: String): Double = {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+    import spark.implicits._
+
+    // A/B: shingle map-side cost — composable pipeline vs ShingleHashes
+    val docs = Util.ensureParallelism(
+      Tables.documents(spark, sfDir)).cache()
+    docs.count()
+
+    def time(label: String)(f: => Unit): Unit = {
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$label%-12s min ${ts.min}%.3f  med ${ts.sorted.apply(2)}%.3f")
     }
-    run("q1_pricing_summary") // JIT warmup
-    for (name <- args; i <- 1 to 3)
-      println(f"[scratch] $name run$i: ${run(name)}%.3f s")
+
+    time("zip_with") {
+      graft.text.TextAnalysis.shingleDocs(docs, "doc_id", "text", 5)
+        .select(explode($"__shingles").as("sh"))
+        .select(xxhash64($"sh").as("h"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("expr") {
+      docs.select(explode_outer(
+          graft.functions.ShingleHashes.of($"text", 5)).as("h"))
+        .filter($"h".isNotNull)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

@@ -11,7 +11,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "array_dot" -> (es => ArrayDot(es(0), es(1))))
+    "array_dot" -> (es => ArrayDot(es(0), es(1))),
+    "shingle_hashes" -> (es => ShingleHashes(es(0),
+      es(1).eval().asInstanceOf[Number].intValue)))
 
   def registerAll(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

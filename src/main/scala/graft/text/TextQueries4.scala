@@ -36,16 +36,14 @@ object TextQueries4 extends QueryModule {
       // distinct (doc, shingle) pairs, then a window keyed on the
       // shingle marks train membership — the semi-join without a
       // second derivation of the corpus.
-      // Shingles reduce to 64-bit xxhash64 keys before any shuffle:
-      // the distinct/window exchanges carry 8-byte longs, not ~30-char
-      // strings (collision odds ~n²/2⁶⁵ — immaterial for counting).
-      // Hash AFTER the null filter: xxhash64 maps NULL to the seed,
-      // not to NULL.
-      val pairs = TextAnalysis
-        .shingleDocs(T.documents(s, d), "doc_id", "text", N)
-        .select($"__id".as("doc_id"), explode_outer($"__shingles").as("sh"))
-        .filter($"sh".isNotNull)
-        .select($"doc_id", xxhash64($"sh").as("h"))
+      // Shingles come from the codegen'd [[graft.functions.ShingleHashes]]
+      // expression — one pass over the bytes, 64-bit keys, no
+      // intermediate token/slice arrays — so the exchanges carry
+      // 8-byte longs and the map side is a single tight loop.
+      val pairs = graft.Util.ensureParallelism(T.documents(s, d))
+        .select($"doc_id", explode_outer(
+          graft.functions.ShingleHashes.of($"text", N)).as("h"))
+        .filter($"h".isNotNull)
         .distinct()
       val flagged = pairs.withColumn("in_train",
         max(when($"doc_id" % 2 === 0, 1).otherwise(0))
@@ -105,13 +103,10 @@ object TextQueries4 extends QueryModule {
     // tiny pair table — the cross-source dedup heatmap at 100 TB.
     "text_source_overlap" -> ((s, d) => {
       import s.implicits._
-      val sh = TextAnalysis
-        .shingleDocs(T.documents(s, d), "doc_id", "text", N)
-        .join(T.documents(s, d).select($"doc_id".as("__id"), $"source"),
-          "__id")
-        .select($"source", explode_outer($"__shingles").as("sh"))
+      val sh = graft.Util.ensureParallelism(T.documents(s, d))
+        .select($"source", explode_outer(
+          graft.functions.ShingleHashes.of($"text", N)).as("sh"))
         .filter($"sh".isNotNull)
-        .select($"source", xxhash64($"sh").as("sh"))
         .distinct()
       val inter = sh.as("a").join(sh.as("b"),
           $"a.sh" === $"b.sh" && $"a.source" < $"b.source")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayDot, GraftFunctions}
+import graft.functions.{ArrayDot, GraftFunctions, ShingleHashes}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -28,6 +28,38 @@ class FunctionsSpec extends AnyFunSuite {
       "SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .head.getDouble(0)
     assert(got == 11.0)
+  }
+
+  test("shingle_hashes matches the composable shingle pipeline shape") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.sf).limit(200)
+    // per-doc distinct-hash count must equal the distinct count of
+    // string shingles from the split/slice/zip_with formulation
+    val viaExpr = docs.select($"doc_id",
+        explode_outer(ShingleHashes.of($"text", 5)).as("h"))
+      .filter($"h".isNotNull)
+      .groupBy($"doc_id").agg(countDistinct($"h").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPipe = graft.text.TextAnalysis
+      .shingleDocs(docs, "doc_id", "text", 5)
+      .select($"__id".as("doc_id"), explode($"__shingles").as("sh"))
+      .groupBy($"doc_id").agg(countDistinct($"sh").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaPipe)
+  }
+
+  test("shingle_hashes edge cases: short docs empty, nulls null, SQL-callable") {
+    import spark.implicits._
+    val df = Seq(("a b c d e f", 0), ("a b", 1), ("  ", 2), ("one", 3))
+      .toDF("t", "id")
+    val got = df.select($"id", size(ShingleHashes.of($"t", 5)).as("k"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got == Map(0 -> 2, 1 -> 0, 2 -> 0, 3 -> 0))
+    assert(df.limit(1).select(ShingleHashes.of(lit(null).cast("string"), 3))
+      .head.isNullAt(0))
+    GraftFunctions.registerAll(spark)
+    assert(spark.sql("SELECT size(shingle_hashes('a b c', 2)) AS k")
+      .head.getInt(0) == 2)
   }
 
   test("fitMulti recovers exact coefficients on synthetic linear data") {
