@@ -15,6 +15,7 @@ object SparkEntry {
     operators.PageRank,
     operators.EventQueries,
     operators.BehaviorQueries,
+    operators.BehaviorQueries2,
     operators.IncrementalQueries,
     operators.SketchQueries,
     operators.TemporalQueries,

@@ -3,6 +3,7 @@ package graft.features
 import graft.{QueryModule, Tables => T}
 import graft.Util.r4
 import graft.ml.LinearModel
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-hygiene extras: target-leakage screening and empirical
@@ -35,6 +36,45 @@ object FeatureQueries3 extends QueryModule {
         .select($"feature", r4($"corr_with_label").as("corr_with_label"),
           (abs($"corr_with_label") > 0.5).as("leak_flag"))
         .orderBy($"feature")
+    }),
+
+    // Cyclic encoding of event hour/weekday — sin/cos pairs put
+    // 23:00 next to 00:00 in feature space. Pure projection,
+    // shuffle-free.
+    "feat_cyclic" -> ((s, d) => {
+      import s.implicits._
+      val tau = 2 * math.Pi
+      T.events(s, d)
+        .select($"event_id", hour($"ts").as("h"),
+          (weekday($"ts") + 1).as("dow"))
+        .select($"event_id", $"h", $"dow",
+          r4(sin($"h" * (tau / 24))).as("hour_sin"),
+          r4(cos($"h" * (tau / 24))).as("hour_cos"),
+          r4(sin($"dow" * (tau / 7))).as("dow_sin"),
+          r4(cos($"dow" * (tau / 7))).as("dow_cos"))
+        .orderBy($"event_id")
+        .limit(500)
+    }),
+
+    // Per-customer lagged spend features (lag-1/2 + trailing-3 mean)
+    // — the standard autoregressive feature block, one window per
+    // customer ordered by order date.
+    "feat_lag" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      T.orders(s, d)
+        .filter($"o_custkey" < 100)
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+        .withColumn("lag1", lag($"o_totalprice", 1).over(w))
+        .withColumn("lag2", lag($"o_totalprice", 2).over(w))
+        .withColumn("ma3",
+          avg($"o_totalprice").over(w.rowsBetween(-2, 0)))
+        .select($"o_custkey", $"o_orderkey",
+          r4($"o_totalprice").as("o_totalprice"),
+          r4($"lag1").as("lag1"), r4($"lag2").as("lag2"),
+          r4($"ma3").as("ma3"))
+        .orderBy($"o_custkey", $"o_orderkey")
     }),
 
     "ml_pred_interval" -> ((s, d) => {
@@ -72,6 +112,33 @@ object FeatureQueries3 extends QueryModule {
         |  UNION ALL SELECT 'l_discount', d FROM stats
         |  UNION ALL SELECT 'l_tax', t FROM stats)
         |ORDER BY feature""".stripMargin,
+
+    "feat_cyclic" ->
+      """SELECT event_id, h, dow,
+        |  round(sin(h * (2 * pi() / 24)), 4) AS hour_sin,
+        |  round(cos(h * (2 * pi() / 24)), 4) AS hour_cos,
+        |  round(sin(dow * (2 * pi() / 7)), 4) AS dow_sin,
+        |  round(cos(dow * (2 * pi() / 7)), 4) AS dow_cos
+        |FROM (SELECT event_id,
+        |    CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS h,
+        |    CAST(extract(isodow FROM CAST(ts AS TIMESTAMP)) AS INT) AS dow
+        |  FROM events)
+        |ORDER BY event_id LIMIT 500""".stripMargin,
+
+    "feat_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(o_totalprice, 4) AS o_totalprice,
+        |  round(lag1, 4) AS lag1, round(lag2, 4) AS lag2,
+        |  round(ma3, 4) AS ma3
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |    lag(o_totalprice, 1) OVER w AS lag1,
+        |    lag(o_totalprice, 2) OVER w AS lag2,
+        |    avg(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING
+        |      AND CURRENT ROW) AS ma3
+        |  FROM orders WHERE o_custkey < 100
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey))
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "ml_pred_interval" ->
       """WITH joined AS (
