@@ -22,6 +22,13 @@ object Util {
     * of the oracle compare, absorbing fp summation-order noise. */
   def r4(c: Column): Column = round(c, 4)
 
+  /** Like [[r4]] but additionally normalizes IEEE negative zero
+    * (-0.0 + 0.0 = +0.0). DuckDB's round() preserves the sign of
+    * -1.8e-16 → -0.0 while Spark's BigDecimal round returns +0.0, so
+    * trig features that land exactly on an axis hash-mismatch unless
+    * BOTH sides add zero after rounding. */
+  def r4z(c: Column): Column = round(c, 4) + lit(0.0)
+
   /** Cosine similarity over two float/double array columns via the
     * codegen'd [[graft.functions.ArrayDot]] expression. Sums
     * accumulate sequentially in DOUBLE — same order as DuckDB's

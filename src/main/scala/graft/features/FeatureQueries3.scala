@@ -1,7 +1,7 @@
 package graft.features
 
 import graft.{QueryModule, Tables => T}
-import graft.Util.r4
+import graft.Util.{r4, r4z}
 import graft.ml.LinearModel
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -48,10 +48,10 @@ object FeatureQueries3 extends QueryModule {
         .select($"event_id", hour($"ts").as("h"),
           (weekday($"ts") + 1).as("dow"))
         .select($"event_id", $"h", $"dow",
-          r4(sin($"h" * (tau / 24))).as("hour_sin"),
-          r4(cos($"h" * (tau / 24))).as("hour_cos"),
-          r4(sin($"dow" * (tau / 7))).as("dow_sin"),
-          r4(cos($"dow" * (tau / 7))).as("dow_cos"))
+          r4z(sin($"h" * (tau / 24))).as("hour_sin"),
+          r4z(cos($"h" * (tau / 24))).as("hour_cos"),
+          r4z(sin($"dow" * (tau / 7))).as("dow_sin"),
+          r4z(cos($"dow" * (tau / 7))).as("dow_cos"))
         .orderBy($"event_id")
         .limit(500)
     }),
@@ -115,10 +115,10 @@ object FeatureQueries3 extends QueryModule {
 
     "feat_cyclic" ->
       """SELECT event_id, h, dow,
-        |  round(sin(h * (2 * pi() / 24)), 4) AS hour_sin,
-        |  round(cos(h * (2 * pi() / 24)), 4) AS hour_cos,
-        |  round(sin(dow * (2 * pi() / 7)), 4) AS dow_sin,
-        |  round(cos(dow * (2 * pi() / 7)), 4) AS dow_cos
+        |  round(sin(h * (2 * pi() / 24)), 4) + 0 AS hour_sin,
+        |  round(cos(h * (2 * pi() / 24)), 4) + 0 AS hour_cos,
+        |  round(sin(dow * (2 * pi() / 7)), 4) + 0 AS dow_sin,
+        |  round(cos(dow * (2 * pi() / 7)), 4) + 0 AS dow_cos
         |FROM (SELECT event_id,
         |    CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS h,
         |    CAST(extract(isodow FROM CAST(ts AS TIMESTAMP)) AS INT) AS dow

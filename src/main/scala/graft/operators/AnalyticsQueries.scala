@@ -123,18 +123,29 @@ object AnalyticsQueries extends QueryModule {
 
     "q_approx_quantile" -> ((s, d) => {
       import s.implicits._
-      // rows-only: sketch-based quantiles (fixed-size state per
-      // group, partial-mergeable) — the 100 TB path where the exact
-      // per-group form (q_percentile) would sort too much.
-      // AnalyticsSpec asserts ε-closeness to the exact answer.
-      T.lineitem(s, d)
+      // Sketch-based quantiles (fixed-size state per group,
+      // partial-mergeable) — the 100 TB path where the exact
+      // per-group form (q_percentile) would sort too much. The
+      // hashed output carries the EXACT quantiles plus booleans
+      // asserting the sketch landed within 1% of them (accuracy
+      // 10000 ⇒ rank error ≤ n/10000, far inside 1% of value here),
+      // so DuckDB verifies the sketch against quantile_cont.
+      val li = T.lineitem(s, d).select($"l_returnflag", $"l_extendedprice")
+      val approx = li
         .groupBy($"l_returnflag")
         .agg(percentile_approx($"l_extendedprice",
           array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("q"))
+      val exact = ExactPercentile.perGroup(li,
+        "l_returnflag", "l_extendedprice",
+        Seq("e25" -> 0.25, "e50" -> 0.5, "e75" -> 0.75))
+      def ok(a: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =
+        abs(a - e) <= greatest(abs(e) * 0.01, lit(0.01))
+      approx.join(exact, "l_returnflag")
         .select($"l_returnflag",
-          r4(element_at($"q", 1)).as("p25"),
-          r4(element_at($"q", 2)).as("p50"),
-          r4(element_at($"q", 3)).as("p75"))
+          r4($"e25").as("p25"), r4($"e50").as("p50"), r4($"e75").as("p75"),
+          ok(element_at($"q", 1), $"e25").as("p25_ok"),
+          ok(element_at($"q", 2), $"e50").as("p50_ok"),
+          ok(element_at($"q", 3), $"e75").as("p75_ok"))
         .orderBy($"l_returnflag")
     }),
 
@@ -283,6 +294,16 @@ object AnalyticsQueries extends QueryModule {
         |FROM events
         |WHERE event_id % (CASE event_type WHEN 'view' THEN 20
         |  WHEN 'click' THEN 4 WHEN 'purchase' THEN 1 ELSE 10 END) = 0
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Exact quantiles recomputed in DuckDB; the sketch's 1%-closeness
+    // contract is the hashed boolean triple (≡ TRUE when healthy).
+    "q_approx_quantile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25),4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5),4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75),4) AS p75,
+        |  TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

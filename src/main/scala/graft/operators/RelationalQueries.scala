@@ -265,11 +265,17 @@ object RelationalQueries extends QueryModule {
 
     "q_approx_distinct" -> ((s, d) => {
       import s.implicits._
-      // HLL sketch — algorithm-specific, so rows-only check (no oracle).
+      // HLL sketch next to its exact counterpart in ONE pass; the
+      // hashed output is the exact count + the HLL guarantee (rel.
+      // error ≤ 5% = the sketch's default rsd), so DuckDB can verify
+      // the sketch without re-implementing it.
       T.lineitem(s, d)
         .groupBy($"l_returnflag")
         .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
           countDistinct($"l_partkey").as("exact_parts"))
+        .select($"l_returnflag", $"exact_parts",
+          (abs($"approx_parts" - $"exact_parts")
+            <= $"exact_parts" * 0.05).as("within_tol"))
         .orderBy($"l_returnflag")
     }),
 
@@ -463,6 +469,15 @@ object RelationalQueries extends QueryModule {
     "q_cross_join" ->
       """SELECT r_regionkey, r_name, o_orderstatus
         |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
-        |ORDER BY r_regionkey, o_orderstatus""".stripMargin
+        |ORDER BY r_regionkey, o_orderstatus""".stripMargin,
+
+    // The oracle states the HLL accuracy CONTRACT: the exact count is
+    // recomputed in DuckDB and the sketch estimate must sit within the
+    // advertised 5% rsd (within_tol ≡ TRUE). A broken sketch flips the
+    // boolean and the hash compare fails.
+    "q_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS within_tol
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -46,17 +46,26 @@ object SketchQueries extends QueryModule {
     "q_heavy_hitters" -> ((s, d) => {
       import s.implicits._
       // Count-min heavy hitters: the CMS (eps 1e-4, fixed seed →
-      // deterministic) estimates any key's frequency from kilobytes of
-      // state; here it annotates the exact top-10 parts so the spec
-      // can assert the CMS guarantee est ∈ [exact, exact + eps·N].
+      // deterministic) estimates any key's frequency from kilobytes
+      // of state. The hashed output is the exact top-10 plus the CMS
+      // guarantee est ∈ [exact, exact + eps·N] as a boolean, so the
+      // oracle verifies the sketch without re-implementing it. The
+      // estimate UDF runs on exactly 10 post-limit rows, never the
+      // fact scan.
       val li = T.lineitem(s, d).select($"l_partkey")
       val cms = li.stat.countMinSketch($"l_partkey", 1e-4, 0.99, 42)
+      val total = cms.totalCount()
       val bc = s.sparkContext.broadcast(cms)
       val est = udf((k: Long) => bc.value.estimateCount(k))
       li.groupBy($"l_partkey").agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"l_partkey")
         .limit(10)
         .withColumn("est_n", est($"l_partkey"))
+        .select($"l_partkey", $"n",
+          ($"est_n" >= $"n" &&
+            $"est_n" <= $"n" + ceil(lit(1e-4) * total).cast("long"))
+            .as("cms_ok"))
+        .orderBy($"n".desc, $"l_partkey")
     })
   )
 
@@ -68,7 +77,13 @@ object SketchQueries extends QueryModule {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE n_name = 'NATION_3'
-        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin
-    // q_heavy_hitters: CMS estimates are sketch-specific → rows-only
+        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
+
+    // Exact top-10 recomputed in DuckDB; the CMS over-estimate bound
+    // est ∈ [n, n + eps·N] is the hashed boolean (≡ TRUE when healthy).
+    "q_heavy_hitters" ->
+      """SELECT l_partkey, count(*) AS n, TRUE AS cms_ok
+        |FROM lineitem GROUP BY l_partkey
+        |ORDER BY n DESC, l_partkey LIMIT 10""".stripMargin
   )
 }

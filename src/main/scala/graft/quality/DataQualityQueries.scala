@@ -110,7 +110,7 @@ object DataQualityQueries extends QueryModule {
       val expected = Seq(
         ("o_orderkey", "bigint"), ("o_custkey", "bigint"),
         ("o_orderstatus", "string"), ("o_totalprice", "double"),
-        ("o_orderdate", "timestamp"), ("o_orderpriority", "string"))
+        ("o_orderdate", "timestamp_ntz"), ("o_orderpriority", "string"))
       val actual = T.orders(s, d).schema.fields
         .map(f => (f.name, f.dataType.simpleString)).toSeq
       val exp = expected.toDF("col_name", "expected_type")
@@ -200,6 +200,22 @@ object DataQualityQueries extends QueryModule {
         |              AND (l_discount IS NULL OR (l_discount >= 0 AND l_discount <= 0.08))
         |             THEN 'valid' ELSE 'quarantine' END AS route, l_extendedprice
         |      FROM lineitem)
-        |GROUP BY route ORDER BY route""".stripMargin
+        |GROUP BY route ORDER BY route""".stripMargin,
+
+    // Declared-vs-actual schema conformance: the oracle pins the
+    // EXPECTED report as literals (the orders parquet footer is the
+    // contract — 6 columns, all matching). A reader-side type change
+    // flips actual_type/success in the Spark output and the hash
+    // compare fails.
+    "dq_schema" ->
+      """SELECT * FROM (VALUES
+        |  ('o_custkey', 'bigint', 'bigint', CAST(1 AS BIGINT)),
+        |  ('o_orderdate', 'timestamp_ntz', 'timestamp_ntz', CAST(1 AS BIGINT)),
+        |  ('o_orderkey', 'bigint', 'bigint', CAST(1 AS BIGINT)),
+        |  ('o_orderpriority', 'string', 'string', CAST(1 AS BIGINT)),
+        |  ('o_orderstatus', 'string', 'string', CAST(1 AS BIGINT)),
+        |  ('o_totalprice', 'double', 'double', CAST(1 AS BIGINT)))
+        |  t(col_name, expected_type, actual_type, success)
+        |ORDER BY col_name""".stripMargin
   )
 }

@@ -14,10 +14,8 @@ class SmokeSpec extends AnyFunSuite {
   test("every query has an oracle or is explicitly rows-only") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep this list in sync with SURVEY.md §2 (🟡 rows)
-    val expectedRowsOnly = Set("q_approx_distinct", "dq_schema",
-      "dedup_simhash", "sim_topk_lsh", "sim_topk_ivf",
-      "ml_logreg", "ml_kmeans", "q_approx_quantile", "q_heavy_hitters",
-      "q_pagerank")
+    val expectedRowsOnly = Set("dedup_simhash", "sim_topk_lsh",
+      "sim_topk_ivf", "ml_logreg", "ml_kmeans", "q_pagerank")
     assert(rowsOnly == expectedRowsOnly,
       s"oracle coverage drifted: rows-only = $rowsOnly")
   }
