@@ -74,8 +74,10 @@ object FeatureQueries2 extends QueryModule {
     }),
 
     "ml_logreg" -> ((s, d) => {
-      // rows-only: iterative fit (LogRegSpec asserts loss decreases
-      // and accuracy beats the majority class)
+      // Deterministic full-batch GD (zero init, fixed 6 steps) — the
+      // oracle replays the identical iteration as unrolled CTEs, see
+      // [[logregOracle]]. LogRegSpec asserts loss decreases and
+      // accuracy beats the majority class.
       import s.implicits._
       val li = T.lineitem(s, d)
         .select(($"l_returnflag" === "R").cast("double").as("label"),
@@ -146,6 +148,51 @@ object FeatureQueries2 extends QueryModule {
         |  CAST(sum(CASE WHEN l_returnflag <> 'R' AND l_discount >= 0.06 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
         |  CAST(sum(CASE WHEN l_returnflag = 'R' AND l_discount < 0.06 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
         |  CAST(sum(CASE WHEN l_returnflag <> 'R' AND l_discount < 0.06 THEN 1 ELSE 0 END) AS BIGINT) AS tn
-        |FROM lineitem)""".stripMargin
+        |FROM lineitem)""".stripMargin,
+
+    "ml_logreg" -> logregOracle(
+      Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice"),
+      iters = 6, lr = 1.0)
   )
+
+  /** [[graft.ml.LogReg.fit]] replayed as unrolled CTEs: one
+    * (p, gradient, weight-update) triple per GD step. Deterministic
+    * (zero init, fixed step count), so the final coefficients
+    * hash-match the Spark fit at 4 dp. */
+  private def logregOracle(feats: Seq[String], iters: Int,
+      lr: Double): String = {
+    val n = feats.size
+    val is = 0 until n
+    val statCols = feats.zipWithIndex.map { case (f, i) =>
+      s"avg($f) AS mu_$i, greatest(stddev_pop($f), 1e-12) AS sd_$i"
+    }.mkString(", ")
+    val xCols = feats.zipWithIndex.map { case (f, i) =>
+      s"($f - st.mu_$i) / st.sd_$i AS x_$i"
+    }.mkString(", ")
+    val xs = is.map(i => s"x_$i").mkString(", ")
+    val steps = (1 to iters).flatMap { t =>
+      val margin = is.map(i => s"b.x_$i * w.w_$i").mkString(" + ") + " + w.w_b"
+      Seq(
+        s"""p$t AS (SELECT b.y, $xs,
+           |  1.0 / (1.0 + exp(-($margin))) AS p FROM base b, w${t - 1} w)"""
+          .stripMargin,
+        s"g$t AS (SELECT ${is.map(i => s"avg((p - y) * x_$i) AS g_$i")
+          .mkString(", ")}, avg(p - y) AS g_b FROM p$t)",
+        s"w$t AS (SELECT ${is.map(i =>
+          s"w.w_$i - $lr * g.g_$i AS w_$i").mkString(", ")}, " +
+          s"w.w_b - $lr * g.g_b AS w_b FROM w${t - 1} w, g$t g)")
+    }
+    val stack = feats.zipWithIndex.map { case (f, i) =>
+      s"SELECT '$f' AS feature, w_$i AS coef FROM w$iters"
+    } :+ s"SELECT '__intercept' AS feature, w_b AS coef FROM w$iters"
+    s"""WITH st AS (SELECT $statCols FROM lineitem),
+       |base AS (SELECT CAST(l_returnflag = 'R' AS DOUBLE) AS y, $xCols
+       |  FROM lineitem, st),
+       |w0 AS (SELECT ${is.map(i => s"0.0 AS w_$i").mkString(", ")},
+       |  0.0 AS w_b),
+       |${steps.mkString(",\n")}
+       |SELECT feature, round(coef, 4) + 0 AS coef
+       |FROM (${stack.mkString(" UNION ALL ")})
+       |ORDER BY feature""".stripMargin
+  }
 }
