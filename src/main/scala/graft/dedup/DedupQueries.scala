@@ -80,7 +80,9 @@ object DedupQueries extends QueryModule {
 
     "dedup_simhash" -> ((s, d) => {
       import s.implicits._
-      // rows-only: SimHash fingerprints are algorithm-specific
+      // md5-based fingerprints are engine-agnostic, so the oracle
+      // recomputes them and brute-forces the pair set (complete for
+      // hamming ≤ 3 by the 4-chunk pigeonhole the Spark side uses).
       SimHash.nearPairs(T.documents(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy($"a_id", $"b_id")
     }),
@@ -129,6 +131,32 @@ object DedupQueries extends QueryModule {
        |SELECT a_id, b_id, round(jaccard, 4) AS jaccard FROM pairs
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** [[SimHash.fingerprints]] replayed in DuckDB: same md5-prefix
+    * token hash, same majority-vote bit construction, then brute-force
+    * hamming ≤ 3 pairs (equivalent to the Spark side's chunk join,
+    * which is complete at that distance). */
+  private val simhashSql = {
+    val bits = SimHash.Bits
+    val votes = (0 until bits)
+      .map(b => s"sum((h >> $b) & 1) AS b$b").mkString(", ")
+    val fp = (0 until bits)
+      .map(b => s"(CASE WHEN 2 * b$b > n THEN (1::BIGINT << $b) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |  FROM documents),
+       |h AS (SELECT doc_id,
+       |    ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+       |v AS (SELECT doc_id, count(*) AS n, $votes FROM h GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $fp AS simhash FROM v)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "dedup_edit" ->
       """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -160,6 +188,8 @@ object DedupQueries extends QueryModule {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_simhash" -> simhashSql,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE $pairsCte,

@@ -93,8 +93,10 @@ object FeatureQueries2 extends QueryModule {
     }),
 
     "ml_kmeans" -> ((s, d) => {
-      // rows-only: deterministic k-means over embeddings; cluster
-      // sizes + mean cosine-to-centroid per cell (KMeansSpec).
+      // Deterministic k-means over embeddings (fixed init + iteration
+      // count) — the oracle replays the same Lloyd's loop as unrolled
+      // SQL; cluster sizes + mean cosine-to-centroid per cell
+      // (KMeansSpec).
       import s.implicits._
       val emb = T.embeddings(s, d)
       val cents = graft.similarity.KMeans.fit(emb, "vec_id", "embedding",
@@ -152,7 +154,10 @@ object FeatureQueries2 extends QueryModule {
 
     "ml_logreg" -> logregOracle(
       Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice"),
-      iters = 6, lr = 1.0)
+      iters = 6, lr = 1.0),
+
+    "ml_kmeans" -> graft.similarity.VectorOracles.kmeansReportSql(
+      k = 8, iters = 3)
   )
 
   /** [[graft.ml.LogReg.fit]] replayed as unrolled CTEs: one

@@ -15,7 +15,10 @@ import org.apache.spark.sql.types._
   * is ascending-index sequential double adds — identical to DuckDB's
   * list_cosine_similarity on DOUBLE[], so oracle parity holds.
   *
-  * Array elements must be non-null (dense embeddings).
+  * Array elements must be non-null (dense embeddings). Mismatched
+  * lengths throw (matching DuckDB's list_cosine_similarity, which
+  * errors on mismatch) — silently truncating would return a
+  * plausible-but-wrong score for malformed embeddings.
   */
 case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -47,7 +50,10 @@ case class ArrayDot(left: Expression, right: Expression)
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val lt = elemType(left); val rt = elemType(right)
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"array_dot: length mismatch ${a.numElements()} vs ${b.numElements()}")
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) { acc += get(a, lt, i) * get(b, rt, i); i += 1 }
@@ -64,7 +70,11 @@ case class ArrayDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "array_dot: length mismatch " + $a.numElements() + " vs " + $b.numElements());
+         |}
+         |int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += ${elem(a, elemType(left), i)} * ${elem(b, elemType(right), i)};

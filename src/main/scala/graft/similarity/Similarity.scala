@@ -32,42 +32,51 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cos"), col("rank"))
   }
 
-  /** Deterministic ±1 pseudo-random hyperplane sign for (table, plane,
-    * dim) — seeded hashing, reproducible across runs and engines. */
-  private def planeSign(table: Int, plane: Int, dim: Column): Column =
-    when(pmod(xxhash64(lit(table * 1009 + plane), dim), lit(2)) === 0, lit(1.0))
-      .otherwise(lit(-1.0))
+  /** Deterministic ±1 hyperplane signs for (table, plane) over `dim`
+    * dimensions — Knuth multiplicative hashing of the flat index, no
+    * RNG, so the Spark literals and the DuckDB oracle's literals are
+    * generated from the SAME code and the bucket assignment is
+    * reproducible in both engines. */
+  def planeSigns(table: Int, plane: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { i =>
+      val x = ((table * 1009 + plane) * 4096 + i).toLong
+      val h = (x * 2654435761L) & 0xFFFFFFFFL
+      if (((h >> 16) & 1L) == 0L) 1.0 else -1.0
+    }
 
   /** Random-hyperplane LSH bucket id (nPlanes-bit signature) for one
-    * hash table, computed row-local — no shuffle. */
-  def lshBucket(vec: Column, nPlanes: Int, table: Int): Column =
+    * hash table, computed row-local — no shuffle. The sign vectors
+    * are plan literals; each plane is one codegen'd [[graft.functions.ArrayDot]]
+    * over the embedding (no per-row hashing, no intermediate array). */
+  def lshBucket(vec: Column, nPlanes: Int, table: Int, dim: Int): Column =
     (0 until nPlanes).map { p =>
-      val dot = aggregate(
-        zip_with(vec, transform(vec, (_, i) => planeSign(table, p, i)),
-          (x, s) => x.cast("double") * s),
-        lit(0.0), (acc, v) => acc + v)
+      val dot = graft.functions.ArrayDot.dot(vec,
+        typedlit(planeSigns(table, p, dim)))
       when(dot > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
 
   /** (table, bucket) posting rows — L tables OR-amplify recall:
     * P(candidate) = 1−(1−p^planes)^tables. */
-  def lshPostings(df: DataFrame, nPlanes: Int, nTables: Int): DataFrame = {
+  def lshPostings(df: DataFrame, nPlanes: Int, nTables: Int,
+      dim: Int): DataFrame = {
     val buckets = (0 until nTables).map(t =>
       struct(lit(t).as("__table"),
-        lshBucket(col("__vec"), nPlanes, t).as("__bucket")))
+        lshBucket(col("__vec"), nPlanes, t, dim).as("__bucket")))
     graft.Util.ensureParallelism(df)
       .select(col("*"), explode(array(buckets: _*)).as("__tb"))
       .select(df.columns.map(col) :+ col("__tb.__table") :+ col("__tb.__bucket"): _*)
   }
 
   /** ANN top-k over the union of the query's buckets across L hash
-    * tables. Recall < 1 by construction; spec-tested vs bruteTopK. */
+    * tables. Recall < 1 by construction; spec-tested vs bruteTopK and
+    * oracle-replayed in DuckDB (same literal hyperplanes). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: String,
-      vec: String, k: Int, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
+      vec: String, k: Int, dim: Int, nPlanes: Int = 4,
+      nTables: Int = 8): DataFrame = {
     val c = lshPostings(corpus.select(col(id).as("nid"),
-      col(vec).as("__vec")), nPlanes, nTables)
+      col(vec).as("__vec")), nPlanes, nTables, dim)
     val q = lshPostings(queries.select(col(id).as("qid"),
-      col(vec).as("__vec")), nPlanes, nTables)
+      col(vec).as("__vec")), nPlanes, nTables, dim)
       .withColumnRenamed("__vec", "__qv")
     val scored = c.join(broadcast(q), Seq("__table", "__bucket"))
       .filter(col("qid") =!= col("nid"))

@@ -7,6 +7,9 @@ import org.apache.spark.sql.functions._
 /** §2.6 — similarity search over `embeddings`. */
 object SimilarityQueries extends QueryModule {
 
+  /** Embedding dimensionality of the test corpus (TESTDATA.md). */
+  val EmbDim = 64
+
   val queries: Map[String, Q] = Map(
     "sim_topk_brute" -> ((s, d) => {
       import s.implicits._
@@ -27,18 +30,22 @@ object SimilarityQueries extends QueryModule {
 
     "sim_topk_lsh" -> ((s, d) => {
       import s.implicits._
-      // rows-only: bucket routing is algorithm-specific; recall vs
-      // brute force is asserted in SimilaritySpec
+      // Deterministic literal hyperplanes → the oracle replays the
+      // identical bucket routing; recall vs brute force is asserted
+      // in SimilaritySpec.
       val emb = T.embeddings(s, d)
       Similarity.lshTopK(emb, emb.filter($"vec_id" < 10),
-          "vec_id", "embedding", k = 10, nPlanes = 4, nTables = 8)
+          "vec_id", "embedding", k = 10, dim = EmbDim,
+          nPlanes = 4, nTables = 8)
         .select($"qid", $"nid", r4($"cos").as("cos"), $"rank".cast("long").as("rank"))
         .orderBy($"qid", $"rank")
     }),
 
     "sim_topk_ivf" -> ((s, d) => {
       import s.implicits._
-      // rows-only: k-means IVF probing 4 of 16 cells
+      // Deterministic Lloyd's quantizer (fixed init + iteration
+      // count) → the oracle replays the same k-means in unrolled SQL,
+      // probing 4 of 16 cells.
       val emb = T.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter($"vec_id" < 10),
           "vec_id", "embedding", k = 10, nCells = 16, nprobe = 4,
@@ -69,6 +76,12 @@ object SimilarityQueries extends QueryModule {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "sim_topk_lsh" -> VectorOracles.lshTopKSql(k = 10, dim = EmbDim,
+      nPlanes = 4, nTables = 8, maxQid = 10),
+
+    "sim_topk_ivf" -> VectorOracles.ivfTopKSql(k = 10, nCells = 16,
+      nprobe = 4, iters = 3, maxQid = 10)
   )
 }

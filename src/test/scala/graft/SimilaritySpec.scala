@@ -40,7 +40,7 @@ class SimilaritySpec extends AnyFunSuite {
     val q = emb.filter($"vec_id" < 20)
     val brute = topkSet(Similarity.bruteTopK(emb, q, "vec_id", "embedding", 10))
     val lsh = topkSet(Similarity.lshTopK(emb, q, "vec_id", "embedding", 10,
-      nPlanes = 4, nTables = 8))
+      dim = 64, nPlanes = 4, nTables = 8))
     val recall = recallOf(brute, lsh)
     info(f"LSH recall@10 (4 planes x 8 tables) = $recall%.3f")
     assert(recall >= 0.5, f"LSH recall collapsed: $recall%.3f")

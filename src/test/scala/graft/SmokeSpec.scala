@@ -14,8 +14,7 @@ class SmokeSpec extends AnyFunSuite {
   test("every query has an oracle or is explicitly rows-only") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep this list in sync with SURVEY.md §2 (🟡 rows)
-    val expectedRowsOnly = Set("dedup_simhash", "sim_topk_lsh",
-      "sim_topk_ivf", "ml_logreg", "ml_kmeans", "q_pagerank")
+    val expectedRowsOnly = Set.empty[String]
     assert(rowsOnly == expectedRowsOnly,
       s"oracle coverage drifted: rows-only = $rowsOnly")
   }
