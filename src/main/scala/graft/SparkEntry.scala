@@ -23,6 +23,7 @@ object SparkEntry {
     features.FeatureQueries,
     features.FeatureQueries2,
     features.FeatureQueries3,
+    ml.NaiveBayes,
     text.TextQueries,
     text.TextQueries2,
     text.TextQueries3,

@@ -57,4 +57,29 @@ class MlExtrasSpec extends AnyFunSuite {
     // mean cosine-to-assigned-centroid should improve with iterations
     assert(inertia(3) >= inertia(0) - 1e-9)
   }
+
+  test("naive Bayes scores every held-out doc exactly once") {
+    // The synthetic corpus shares one vocabulary across languages, so
+    // accuracy is uninformative — numeric correctness is the DuckDB
+    // oracle's job. Here: every odd (held-out) doc with at least one
+    // in-vocabulary token gets exactly one argmax prediction, the
+    // predicted labels come from the training label set, and the
+    // confusion matrix is deterministic.
+    import spark.implicits._
+    val rows = SparkEntry.queries("ml_nb_lang")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val langs = Tables.documents(spark, TestSpark.sf)
+      .filter($"doc_id" % 2 === 0).select($"lang").distinct()
+      .as[String].collect().toSet
+    assert(rows.map(_._2).toSet.subsetOf(langs))
+    val heldOut = Tables.documents(spark, TestSpark.sf)
+      .filter($"doc_id" % 2 === 1).count()
+    val total = rows.map(_._3).sum
+    assert(total <= heldOut && total > heldOut / 2,
+      s"scored $total of $heldOut held-out docs")
+    val again = SparkEntry.queries("ml_nb_lang")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(again.toSeq == rows.toSeq)
+  }
 }
