@@ -54,7 +54,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // also persist to a file: the driver's log tail truncates long
+    // lines, which cost round 1 most of its per-query numbers
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json)
     spark.stop()
   }
 }

@@ -38,7 +38,13 @@ object Dedup {
     * inverted-index join. Output: (a_id, b_id, jaccard). */
   def jaccardPairs(df: DataFrame, id: String, text: String,
       n: Int, threshold: Double): DataFrame = {
-    val post = shinglePostings(df, id, text, n).cache()
+    // localCheckpoint, not cache(): the postings feed three plan arms
+    // (sizes + both self-join sides), but a DataFrame cache is pinned
+    // by the CacheManager until an explicit unpersist — which a lazy
+    // return can never safely issue — and would accumulate across
+    // queries in a long-lived session. Checkpoint blocks are released
+    // by the ContextCleaner once the plan is unreferenced.
+    val post = shinglePostings(df, id, text, n).localCheckpoint()
     val sizes = post.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
     val inter = post.as("a")
       .join(post.as("b"),
@@ -65,7 +71,9 @@ object Dedup {
     * distributed (converges in O(diameter) join rounds). */
   def connectedComponents(pairs: DataFrame, a: String, b: String,
       maxIter: Int = 20, localThreshold: Long = 5000000L): DataFrame = {
-    val p = pairs.cache() // sized by count(), then consumed again below
+    // localCheckpoint (not cache — see jaccardPairs): sized by
+    // count(), then consumed again below
+    val p = pairs.localCheckpoint()
     val edgeCount = p.count()
     if (edgeCount <= localThreshold)
       return localComponents(p, a, b)

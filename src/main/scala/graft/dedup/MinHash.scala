@@ -56,7 +56,10 @@ object MinHash {
   /** Distinct candidate pairs (a_id < b_id) sharing ≥1 band bucket. */
   def candidatePairs(df: DataFrame, id: String, text: String,
       shingleN: Int): DataFrame = {
-    val b = bands(TextAnalysis.shingleDocs(df, id, text, shingleN)).cache()
+    // localCheckpoint, not cache() — ContextCleaner frees the blocks
+    // when the plan is dropped; a DF cache would pin them forever
+    val b = bands(TextAnalysis.shingleDocs(df, id, text, shingleN))
+      .localCheckpoint()
     b.as("x").join(b.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_hash") === col("y.band_hash") &&
@@ -70,13 +73,14 @@ object MinHash {
     * not O(N²)). Output: (a_id, b_id, jaccard) ≥ threshold. */
   def nearDupPairs(df: DataFrame, id: String, text: String,
       shingleN: Int, threshold: Double): DataFrame = {
-    // cache: the shingle sets feed both sides of the verify join, and
-    // the band frame feeds both sides of the candidate self-join —
-    // without caching the whole tokenize+shingle pipeline runs 4×
+    // localCheckpoint: the shingle sets feed both sides of the verify
+    // join, and the band frame feeds both sides of the candidate
+    // self-join — without materializing, the whole tokenize+shingle
+    // pipeline runs 4×. (Not cache(): see jaccardPairs.)
     val sets = TextAnalysis.shingleDocs(df, id, text, shingleN)
       .select(col("__id").as("__sid"),
         array_distinct(col("__shingles")).as("__set"))
-      .cache()
+      .localCheckpoint()
     candidatePairs(df, id, text, shingleN)
       .join(sets.select(col("__sid").as("a_id"), col("__set").as("__sa")), "a_id")
       .join(sets.select(col("__sid").as("b_id"), col("__set").as("__sb")), "b_id")

@@ -28,10 +28,17 @@ object Encoders {
     }
 
   /** One-hot discovering categories from the data (sorted for
-    * determinism). Collects ONLY the distinct category values. */
-  def oneHotAuto(df: DataFrame, column: String, prefix: String): DataFrame = {
-    val cats = df.select(column).distinct().collect()
-      .map(_.getString(0)).sorted.toSeq
+    * determinism). Collects ONLY the distinct category values, and
+    * only up to `maxCategories + 1` of them: pointing auto-discovery
+    * at a high-cardinality column must fail fast with a clear error,
+    * not OOM the driver (the classic one-hot foot-gun). */
+  def oneHotAuto(df: DataFrame, column: String, prefix: String,
+      maxCategories: Int = 1000): DataFrame = {
+    val cats = df.select(column).distinct().limit(maxCategories + 1)
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(cats.length <= maxCategories,
+      s"one-hot discovery found > $maxCategories distinct values in " +
+        s"'$column' — pass an explicit vocabulary or raise maxCategories")
     oneHot(df, column, cats, prefix)
   }
 }

@@ -58,6 +58,10 @@ object LinearModel {
       val piv = (k until d).maxBy(i => math.abs(a(i)(k)))
       val (tr, tb) = (a(k), b(k)); a(k) = a(piv); b(k) = b(piv)
       a(piv) = tr; b(piv) = tb
+      require(math.abs(a(k)(k)) > 1e-12,
+        s"singular covariance matrix at pivot $k: feature '${xs(k)}' is " +
+          "constant or collinear with earlier features — drop it or use " +
+          "a subset of independent features")
       for (i <- k + 1 until d) {
         val f = a(i)(k) / a(k)(k)
         for (j <- k until d) a(i)(j) -= f * a(k)(j)

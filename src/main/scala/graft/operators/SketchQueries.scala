@@ -30,11 +30,20 @@ object SketchQueries extends QueryModule {
         .treeAggregate(BloomFilter.create(100000L, 0.01))(
           (f, k) => { f.putLong(k); f },
           (a, b) => { a.mergeInPlace(b); a })
-      val bc = s.sparkContext.broadcast(bf)
-      val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+      // probe with the NATIVE might_contain expression over the
+      // serialized sketch (BloomFilterImpl bytes — the same format
+      // bloom_filter_agg emits), keeping the fact scan inside
+      // whole-stage codegen; a Scala UDF here would force per-row
+      // serialization on the hottest path of the query.
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val probe = org.apache.spark.sql.GraftColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.GraftColumnBridge.expression(lit(bos.toByteArray)),
+          org.apache.spark.sql.GraftColumnBridge.expression($"l_suppkey")))
       T.lineitem(s, d)
         .select($"l_suppkey", $"l_extendedprice", $"l_discount")
-        .filter(mightContain($"l_suppkey"))
+        .filter(probe)
         .join(broadcast(dim), $"l_suppkey" === $"s_suppkey")
         .groupBy($"s_suppkey", $"s_name")
         .agg(count(lit(1)).as("n_items"),

@@ -61,7 +61,15 @@ object StreamingOps {
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
   /** Stateful gap sessionization via flatMapGroupsWithState: per-user
-    * running (sessions, events) counts, updated per micro-batch. */
+    * running (sessions, events) counts, updated per micro-batch.
+    *
+    * Ordering contract: events are sorted WITHIN each micro-batch;
+    * ACROSS batches an event older than the last processed timestamp
+    * is dropped (it would otherwise compute a negative gap — never
+    * opening a session — and drag `lastTsUs` backwards, silently
+    * undercounting). Cross-batch out-of-order input that must be
+    * honored belongs in the watermark-merging [[sessionWindows]]
+    * path, which buffers late data declaratively. */
   def sessionCounts(events: Dataset[UserEvent],
       gapUs: Long): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
@@ -70,11 +78,13 @@ object StreamingOps {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[UserEvent], state: GroupState[SessionState]) =>
           var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
-          rows.map(_.ts_us).toSeq.sorted.foreach { t =>
-            val newSession = st.lastTsUs == Long.MinValue || t - st.lastTsUs > gapUs
-            st = SessionState(t,
-              st.sessions + (if (newSession) 1 else 0), st.events + 1)
-          }
+          rows.map(_.ts_us).toSeq.sorted
+            .dropWhile(t => st.lastTsUs != Long.MinValue && t < st.lastTsUs)
+            .foreach { t =>
+              val newSession = st.lastTsUs == Long.MinValue || t - st.lastTsUs > gapUs
+              st = SessionState(t,
+                st.sessions + (if (newSession) 1 else 0), st.events + 1)
+            }
           state.update(st)
           Iterator(UserSessions(user, st.sessions, st.events))
       }

@@ -15,6 +15,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == 1.0 * 2 + 2 * 4 + 3 * 6)
   }
 
+  test("ArrayDot throws on mismatched lengths instead of truncating") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(ArrayDot.dot(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("length mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("length mismatch")))
+  }
+
   test("ArrayDot null propagates") {
     import spark.implicits._
     val df = Seq((Option.empty[Seq[Double]], Seq(1.0)))

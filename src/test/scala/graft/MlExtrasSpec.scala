@@ -58,6 +58,27 @@ class MlExtrasSpec extends AnyFunSuite {
     assert(inertia(3) >= inertia(0) - 1e-9)
   }
 
+  test("fitMulti fails fast on collinear features") {
+    import spark.implicits._
+    val df = Tables.lineitem(spark, TestSpark.sf)
+      .select($"l_quantity", ($"l_quantity" * 2).as("q2"), $"l_extendedprice")
+    val e = intercept[IllegalArgumentException] {
+      graft.ml.LinearModel.fitMulti(df, Seq("l_quantity", "q2"),
+        "l_extendedprice")
+    }
+    assert(e.getMessage.contains("collinear"))
+  }
+
+  test("one-hot auto-discovery fails fast on high-cardinality columns") {
+    import spark.implicits._
+    val df = Tables.orders(spark, TestSpark.sf)
+      .select($"o_orderkey".cast("string").as("k"))
+    val e = intercept[IllegalArgumentException] {
+      graft.features.Encoders.oneHotAuto(df, "k", "k", maxCategories = 10)
+    }
+    assert(e.getMessage.contains("one-hot"))
+  }
+
   test("naive Bayes scores every held-out doc exactly once") {
     // The synthetic corpus shares one vocabulary across languages, so
     // accuracy is uninformative — numeric correctness is the DuckDB

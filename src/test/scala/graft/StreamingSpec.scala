@@ -55,6 +55,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.values.sum == nEvents)
   }
 
+  test("stateful sessionize drops cross-batch stale events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 10L
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingOps.UserEvent]
+    val q = StreamingOps.sessionCounts(in.toDS(), gap)
+      .writeStream.format("memory").queryName("stale_sessions")
+      .outputMode("update").start()
+    try {
+      in.addData(StreamingOps.UserEvent(1L, 100L),
+        StreamingOps.UserEvent(1L, 105L))
+      q.processAllAvailable()
+      // batch 2: ts 50 is OLDER than the last processed ts (105) — a
+      // naive gap computation would go negative and drag state
+      // backwards; it must be ignored. ts 200 opens session #2.
+      in.addData(StreamingOps.UserEvent(1L, 50L),
+        StreamingOps.UserEvent(1L, 200L))
+      q.processAllAvailable()
+      val last = spark.table("stale_sessions")
+        .groupBy("user_id")
+        .agg(max("n_sessions").as("s"), max("n_events").as("e"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).head
+      assert(last == ((2L, 3L)), s"got $last")
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionize equals batch sessionize") {
     import spark.implicits._
     val ev = StreamingOps.eventStream(spark, TestSpark.sf)
