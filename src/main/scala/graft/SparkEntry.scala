@@ -33,6 +33,7 @@ object SparkEntry {
     similarity.VectorQueries,
     similarity.VectorQueries2,
     pipeline.PipelineQueries,
+    pipeline.VendorPipeline,
     multimodal.MultimodalQueries
   )
 
@@ -44,6 +45,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.flatMap(_.queries).toMap
+
+  /** Verify-only queries: correctness-gated as usual but excluded from
+    * Bench's timed passes — their plans deliberately pair an expensive
+    * exact path with the sketch it validates, so a timing would
+    * measure the exact path, not the operator (`q_approx_quantile`'s
+    * sketch plan is timed as `q_approx_quantile_sketch`). */
+  def benchExclude: Set[String] = Set("q_approx_quantile")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */

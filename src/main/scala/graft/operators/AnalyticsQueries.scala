@@ -121,6 +121,26 @@ object AnalyticsQueries extends QueryModule {
         .orderBy($"o_orderstatus")
     }),
 
+    // Sketch-only plan — what Bench times (q_approx_quantile below
+    // is verify-only via SparkEntry.benchExclude: its plan
+    // deliberately pairs the sketch with the exact percentile it is
+    // checked against, so timing it would measure the exact sort the
+    // sketch exists to avoid — the round-3 mis-measurement).
+    // Rows-only correctness; the 1% sketch-vs-exact assertion lives
+    // in ApproxQuantileSpec.
+    "q_approx_quantile_sketch" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d).select($"l_returnflag", $"l_extendedprice")
+        .groupBy($"l_returnflag")
+        .agg(percentile_approx($"l_extendedprice",
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("q"))
+        .select($"l_returnflag",
+          r4(element_at($"q", 1)).as("a25"),
+          r4(element_at($"q", 2)).as("a50"),
+          r4(element_at($"q", 3)).as("a75"))
+        .orderBy($"l_returnflag")
+    }),
+
     "q_approx_quantile" -> ((s, d) => {
       import s.implicits._
       // Sketch-based quantiles (fixed-size state per group,

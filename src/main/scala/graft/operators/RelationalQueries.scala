@@ -266,16 +266,19 @@ object RelationalQueries extends QueryModule {
     "q_approx_distinct" -> ((s, d) => {
       import s.implicits._
       // HLL sketch next to its exact counterpart in ONE pass; the
-      // hashed output is the exact count + the HLL guarantee (rel.
-      // error ≤ 5% = the sketch's default rsd), so DuckDB can verify
-      // the sketch without re-implementing it.
+      // hashed output is the exact count + a sketch-sanity boolean,
+      // so DuckDB can verify the sketch without re-implementing it.
+      // The default rsd 0.05 is ONE standard deviation (~68%), not a
+      // hard bound — asserting it directly would make the gate flip
+      // red legitimately at some scale factors. 4σ (P(fail) < 1e-4)
+      // still separates a working sketch from a broken one.
       T.lineitem(s, d)
         .groupBy($"l_returnflag")
         .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
           countDistinct($"l_partkey").as("exact_parts"))
         .select($"l_returnflag", $"exact_parts",
           (abs($"approx_parts" - $"exact_parts")
-            <= $"exact_parts" * 0.05).as("within_tol"))
+            <= $"exact_parts" * 0.20).as("within_tol"))
         .orderBy($"l_returnflag")
     }),
 

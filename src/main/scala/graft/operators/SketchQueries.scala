@@ -56,24 +56,28 @@ object SketchQueries extends QueryModule {
       import s.implicits._
       // Count-min heavy hitters: the CMS (eps 1e-4, fixed seed →
       // deterministic) estimates any key's frequency from kilobytes
-      // of state. The hashed output is the exact top-10 plus the CMS
-      // guarantee est ∈ [exact, exact + eps·N] as a boolean, so the
-      // oracle verifies the sketch without re-implementing it. The
-      // estimate UDF runs on exactly 10 post-limit rows, never the
-      // fact scan.
+      // of state. The hashed output is the exact top-10 plus a
+      // sketch-sanity boolean, so the oracle verifies the sketch
+      // without re-implementing it. The 10 top keys are collected
+      // (bounded: exactly 10 post-limit rows) and their estimates
+      // probed driver-side against the local sketch — no UDF
+      // anywhere in the plan. Bound note: est ≤ n + eps·N holds only
+      // with the sketch's δ=0.01 confidence PER QUERY; 3× slack makes
+      // a false alarm (δ³ per key) practically impossible while still
+      // catching a broken sketch.
       val li = T.lineitem(s, d).select($"l_partkey")
       val cms = li.stat.countMinSketch($"l_partkey", 1e-4, 0.99, 42)
-      val total = cms.totalCount()
-      val bc = s.sparkContext.broadcast(cms)
-      val est = udf((k: Long) => bc.value.estimateCount(k))
-      li.groupBy($"l_partkey").agg(count(lit(1)).as("n"))
+      val slack = math.ceil(3 * 1e-4 * cms.totalCount()).toLong
+      val top = li.groupBy($"l_partkey").agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"l_partkey")
-        .limit(10)
-        .withColumn("est_n", est($"l_partkey"))
-        .select($"l_partkey", $"n",
-          ($"est_n" >= $"n" &&
-            $"est_n" <= $"n" + ceil(lit(1e-4) * total).cast("long"))
-            .as("cms_ok"))
+        .limit(10).collect()
+      top.toSeq
+        .map { r =>
+          val (k, n) = (r.getLong(0), r.getLong(1))
+          val est = cms.estimateCount(k)
+          (k, n, est >= n && est <= n + slack)
+        }
+        .toDF("l_partkey", "n", "cms_ok")
         .orderBy($"n".desc, $"l_partkey")
     })
   )

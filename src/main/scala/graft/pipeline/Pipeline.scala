@@ -48,6 +48,56 @@ object Pipeline {
   /** validate → quarantine-filter stage from an expectation suite. */
   def validateStage(suite: ExpectationSuite): Stage =
     Stage(s"validate:${suite.table}")(df => df.filter(suite.rowPredicate))
+
+  /** Per-stage failure routing — the Spark-native analog of the
+    * reference DAG's retry/failure args (airflow-setup.py default_args:
+    * retries + email_on_failure). An orchestrator reacts to a stage
+    * blowing up at runtime; declaratively the same policy is a SPLIT
+    * decided per row before the stage runs:
+    *  - [[Quarantine]]: violating rows route to a side output, the
+    *    stage proceeds on clean rows (the DAG's "quarantine branch"),
+    *  - [[Continue]]: violations pass through unfiltered (observe-only
+    *    — pair with [[ExpectationSuite.observe]] for the counts),
+    *  - [[FailFast]]: any violating row aborts the job at action time
+    *    via an in-plan raise (no pre-scan; the check rides the same
+    *    pass that would have consumed the row). */
+  sealed trait FailurePolicy
+  case object Quarantine extends FailurePolicy
+  case object Continue extends FailurePolicy
+  case object FailFast extends FailurePolicy
+}
+
+/** A [[Pipeline]] whose stages carry validation gates with failure
+  * routing. `gates` maps stage name → (suite, policy); ungated stages
+  * run as-is. Everything stays lazy: quarantine outputs are plain
+  * DataFrames sharing the input scan, so Catalyst still optimizes
+  * across the whole per-dataset plan. */
+final case class GatedPipeline(pipeline: Pipeline,
+    gates: Map[String, (ExpectationSuite, Pipeline.FailurePolicy)]) {
+  import org.apache.spark.sql.functions._
+
+  /** Returns (final output, per-stage quarantined rows). */
+  def run(input: DataFrame): (DataFrame, Seq[(String, DataFrame)]) = {
+    val quarantined = Seq.newBuilder[(String, DataFrame)]
+    val out = pipeline.stages.foldLeft(input) { (df, s) =>
+      val gated = gates.get(s.name) match {
+        case Some((suite, Pipeline.Quarantine)) =>
+          val (ok, bad) = suite.quarantine(df)
+          quarantined += s.name -> bad
+          ok
+        case Some((suite, Pipeline.FailFast)) =>
+          // raise inside the plan: evaluated per row on the pass the
+          // stage already makes — violations fail the ACTION, exactly
+          // like an Airflow task failing its run.
+          df.filter(when(!suite.rowPredicate,
+            raise_error(concat(lit(s"[${pipeline.name}/${s.name}] dq violation: "),
+              lit(suite.table)))).otherwise(lit(true)))
+        case _ => df // Continue or ungated
+      }
+      s.transform(gated)
+    }
+    (out, quarantined.result())
+  }
 }
 
 /** Per-dataset pipeline instantiation — the DAG-generator analog. */

@@ -1,0 +1,309 @@
+package graft.pipeline
+
+import graft.QueryModule
+import graft.Util.r4
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.4 #56c — the reference's OWN vendor datasets, end to end.
+  *
+  * The reference instantiates one identical Airflow DAG per vendor
+  * dataset (cf. /root/reference/aws_infrastructure/airflow-setup.py:172-241)
+  * over `source_data/datasets/{alitran,easy_destiny,to_my_place_ai}/
+  * {train,test}.parquet`: ingest → validate (Great Expectations) →
+  * transform → split → train → evaluate. Here all three vendor DAGs run
+  * as ONE Spark job: the per-vendor stages become per-group aggregates,
+  * so adding a vendor adds a group, not a pipeline.
+  *
+  * Schema (722 cols): `trip_duration` (label, double), `passenger_count`
+  * (int64), `hour`, `distance` (double), 717 one-hot `uint8` columns
+  * (`pickup_*` 384, `dropoff_*` 324, `weekday_*` 7, `Q_*` 2) and a
+  * pandas `__index_level_0__` row id.
+  *
+  * Scale design: `pipe_vendor` prunes 722 → 6 columns at the scan
+  * (ReadSchema asserted in VendorPipelineSpec); train/eval are grouped
+  * aggregates + a broadcast of the 3-row model frame — nothing driver-
+  * side, no per-vendor scans. The normal-equations solve is Cramer's
+  * rule on z-scored features expressed as column arithmetic, so the
+  * whole fit is ONE shuffle of 14 partial-aggregable stats per vendor
+  * regardless of row count. The wide queries (`pipe_vendor_onehot`,
+  * `pipe_vendor_top_pickup`) raise `spark.sql.codegen.maxFields` so the
+  * 717-column projections stay inside whole-stage codegen instead of
+  * falling back to interpreted rows.
+  */
+object VendorPipeline extends QueryModule {
+
+  val root = "/root/reference/source_data/datasets"
+  val vendors: Seq[String] = Seq("alitran", "easy_destiny", "to_my_place_ai")
+
+  /** One vendor split, tagged. Wide (722-column) frame; select early. */
+  private def vendorSplit(s: SparkSession, v: String, split: String): DataFrame =
+    s.read.parquet(s"$root/$v/$split.parquet")
+      .withColumn("vendor", lit(v)).withColumn("split", lit(split))
+
+  /** All six files, wide (722 columns).
+    *
+    * Whole-stage codegen is deliberately NOT forced here: fusing a
+    * 717-column projection into one `processNext()` exceeds Janino's
+    * 64 KB method limit (measured — the compile fails and Spark burns
+    * ~90 s attempting it before falling back). Below the
+    * `spark.sql.codegen.maxFields` threshold Spark instead runs the
+    * vectorized columnar scan + an operator-level codegen'd
+    * `UnsafeProjection`, which CAN split its generated code into many
+    * methods — the architecture wide schemas are supposed to use. */
+  private def allWide(s: SparkSession): DataFrame =
+    vendors.flatMap(v => Seq(vendorSplit(s, v, "train"), vendorSplit(s, v, "test")))
+      .reduce(_.unionByName(_))
+
+  /** The regression columns only — 722 → 6 pruned at the scan. */
+  private def allNarrow(s: SparkSession): DataFrame =
+    vendors.flatMap(v => Seq(vendorSplit(s, v, "train"), vendorSplit(s, v, "test")))
+      .map(_.select(col("vendor"), col("split"), col("trip_duration"),
+        col("passenger_count"), col("hour"), col("distance")))
+      .reduce(_.unionByName(_))
+
+  val queries: Map[String, Q] = Map(
+    // validate → scale (z-score on train stats) → train (3-feature
+    // normal equations per vendor) → evaluate (RMSE/MAE/R² on test).
+    "pipe_vendor" -> ((s, _) => {
+      import s.implicits._
+      val narrow = allNarrow(s)
+
+      // -- validate (GX stage): null label / negative distance / counts
+      val dq = narrow.groupBy($"vendor").agg(
+        count_if($"split" === "train").as("n_train"),
+        count_if($"split" === "test").as("n_test"),
+        count_if($"trip_duration".isNull).as("n_null_label"),
+        count_if($"distance" < 0).as("n_neg_dist"))
+
+      // -- train: one grouped aggregate of partial-aggregable moments
+      val tr = narrow.filter($"split" === "train")
+      val st = tr.groupBy($"vendor").agg(
+        avg($"passenger_count").as("m1"), avg($"hour").as("m2"),
+        avg($"distance").as("m3"),
+        sqrt(var_pop($"passenger_count")).as("s1"),
+        sqrt(var_pop($"hour")).as("s2"),
+        sqrt(var_pop($"distance")).as("s3"),
+        covar_pop($"passenger_count", $"hour").as("c12"),
+        covar_pop($"passenger_count", $"distance").as("c13"),
+        covar_pop($"hour", $"distance").as("c23"),
+        covar_pop($"passenger_count", $"trip_duration").as("c1y"),
+        covar_pop($"hour", $"trip_duration").as("c2y"),
+        covar_pop($"distance", $"trip_duration").as("c3y"),
+        avg($"trip_duration").as("my"))
+      // z-scored features ⇒ the Gram matrix is the correlation matrix;
+      // 3×3 Cramer solve as column arithmetic (same algebra, same
+      // evaluation order as the DuckDB oracle).
+      val model = st
+        .withColumn("p12", $"c12" / ($"s1" * $"s2"))
+        .withColumn("p13", $"c13" / ($"s1" * $"s3"))
+        .withColumn("p23", $"c23" / ($"s2" * $"s3"))
+        .withColumn("r1", $"c1y" / $"s1")
+        .withColumn("r2", $"c2y" / $"s2")
+        .withColumn("r3", $"c3y" / $"s3")
+        .withColumn("det",
+          ($"p23" * $"p23" * lit(-1) + 1) - $"p12" * ($"p12" - $"p23" * $"p13") +
+            $"p13" * ($"p12" * $"p23" - $"p13"))
+        .withColumn("b1",
+          ($"r1" * ($"p23" * $"p23" * lit(-1) + 1) - $"p12" * ($"r2" - $"p23" * $"r3") +
+            $"p13" * ($"r2" * $"p23" - $"r3")) / $"det")
+        .withColumn("b2",
+          (($"r2" - $"p23" * $"r3") - $"r1" * ($"p12" - $"p23" * $"p13") +
+            $"p13" * ($"p12" * $"r3" - $"r2" * $"p13")) / $"det")
+        .withColumn("b3",
+          (($"r3" - $"r2" * $"p23") - $"p12" * ($"p12" * $"r3" - $"r2" * $"p13") +
+            $"r1" * ($"p12" * $"p23" - $"p13")) / $"det")
+        .select($"vendor", $"m1", $"m2", $"m3", $"s1", $"s2", $"s3", $"my",
+          $"b1", $"b2", $"b3")
+
+      // -- evaluate: broadcast the 3-row model, score the test split
+      val pred = $"my" + $"b1" * ($"passenger_count" - $"m1") / $"s1" +
+        $"b2" * ($"hour" - $"m2") / $"s2" +
+        $"b3" * ($"distance" - $"m3") / $"s3"
+      val res = $"trip_duration" - $"pred"
+      val ev = narrow.filter($"split" === "test")
+        .join(broadcast(model), Seq("vendor"))
+        .withColumn("pred", pred)
+        .groupBy($"vendor").agg(
+          sqrt(avg(res * res)).as("rmse_raw"),
+          avg(abs(res)).as("mae_raw"),
+          (lit(1.0) - sum(res * res) /
+            (var_pop($"trip_duration") * count(lit(1)))).as("r2_raw"))
+
+      dq.join(broadcast(model), Seq("vendor")).join(broadcast(ev), Seq("vendor"))
+        .select($"vendor", $"n_train", $"n_test", $"n_null_label", $"n_neg_dist",
+          r4($"b1").as("b_pc"), r4($"b2").as("b_hour"), r4($"b3").as("b_dist"),
+          r4($"my").as("intercept"),
+          r4($"rmse_raw").as("rmse"), r4($"mae_raw").as("mae"),
+          r4($"r2_raw").as("r2"))
+        .orderBy($"vendor")
+    }),
+
+    // one-hot conformance over the real 717 dummy columns: per vendor,
+    // rows whose pickup/dropoff/weekday/quarter dummies don't sum to 1.
+    // Horizontal sums are a codegen'd add-chain over the scan — one
+    // pass, no unpivot fanout for the conformance path.
+    "pipe_vendor_onehot" -> ((s, _) => {
+      import s.implicits._
+      val wide = allWide(s)
+      // balanced add tree: a left-nested reduce over 384 columns is
+      // ~400 frames deep and overflows Catalyst's recursive transforms;
+      // pairwise grouping keeps the expression depth at log₂(n) ≈ 9.
+      def balanced(cs: Seq[Column]): Column =
+        if (cs.size == 1) cs.head
+        else balanced(cs.grouped(2).map(_.reduce(_ + _)).toSeq)
+      def famSum(prefix: String): Column =
+        balanced(wide.columns.filter(_.startsWith(prefix))
+          .map(col(_).cast("long")).toSeq)
+      wide
+        .select($"vendor",
+          famSum("pickup_").as("ps"), famSum("dropoff_").as("ds"),
+          famSum("weekday_").as("ws"), famSum("Q_").as("qs"))
+        .groupBy($"vendor").agg(
+          count(lit(1)).as("n_rows"),
+          count_if($"ps" =!= 1).as("pickup_bad"),
+          count_if($"ds" =!= 1).as("dropoff_bad"),
+          count_if($"ws" =!= 1).as("weekday_bad"),
+          count_if($"qs" =!= 1).as("quarter_bad"))
+        .orderBy($"vendor")
+    }),
+
+    // wide-to-long: top-5 pickup locations per vendor by trip count.
+    // unpivot(384 cols) → filter flag=1 → grouped agg → bounded window.
+    "pipe_vendor_top_pickup" -> ((s, _) => {
+      import s.implicits._
+      val wide = allWide(s)
+      val pickupCols = wide.columns.filter(_.startsWith("pickup_"))
+      val w = Window.partitionBy($"vendor").orderBy($"trips".desc, $"loc".asc)
+      wide.unpivot(Array($"vendor", $"trip_duration"),
+          pickupCols.map(col), "c", "v")
+        .filter($"v" === 1)
+        .select($"vendor", substring($"c", 8, Int.MaxValue).as("loc"),
+          $"trip_duration")
+        .groupBy($"vendor", $"loc").agg(
+          count(lit(1)).as("trips"),
+          r4(avg($"trip_duration")).as("avg_duration"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 5)
+        .select($"vendor", $"loc", $"trips", $"avg_duration", $"rk")
+        .orderBy($"vendor", $"rk")
+    })
+  )
+
+  /** The six vendor files as a DuckDB UNION ALL (absolute paths — the
+    * oracle reads the same read-only reference parquet as the engine). */
+  private def rawUnion(cols: String): String = vendors.map { v =>
+    s"""SELECT '$v' AS vendor, 'train' AS split, $cols
+       |  FROM read_parquet('$root/$v/train.parquet')
+       |UNION ALL
+       |SELECT '$v', 'test', $cols
+       |  FROM read_parquet('$root/$v/test.parquet')""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
+  private val narrowCols =
+    """trip_duration, passenger_count, "hour", distance"""
+
+  /** Per-family one-hot row sums via UNPIVOT (DuckDB has no horizontal
+    * sum over a column pattern, so each family melts then re-groups on
+    * the pandas row id). */
+  private def famBad(prefix: String, alias: String): String =
+    s"""$alias AS (
+       |  SELECT vendor, count(*) FILTER (s <> 1) AS bad FROM (
+       |    SELECT vendor, split, rid, sum(v) AS s FROM (
+       |      SELECT vendor, split, "__index_level_0__" AS rid, COLUMNS('$prefix.*')
+       |      FROM raw) UNPIVOT (v FOR c IN (COLUMNS('$prefix.*')))
+       |    GROUP BY vendor, split, rid)
+       |  GROUP BY vendor)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "pipe_vendor" ->
+      s"""WITH raw AS (
+         |${rawUnion(narrowCols)}),
+         |dq AS (
+         |  SELECT vendor,
+         |    count(*) FILTER (split = 'train') AS n_train,
+         |    count(*) FILTER (split = 'test') AS n_test,
+         |    count(*) FILTER (trip_duration IS NULL) AS n_null_label,
+         |    count(*) FILTER (distance < 0) AS n_neg_dist
+         |  FROM raw GROUP BY vendor),
+         |st AS (
+         |  SELECT vendor,
+         |    avg(passenger_count) AS m1, avg("hour") AS m2, avg(distance) AS m3,
+         |    sqrt(var_pop(passenger_count)) AS s1, sqrt(var_pop("hour")) AS s2,
+         |    sqrt(var_pop(distance)) AS s3,
+         |    covar_pop(passenger_count, "hour") AS c12,
+         |    covar_pop(passenger_count, distance) AS c13,
+         |    covar_pop("hour", distance) AS c23,
+         |    covar_pop(passenger_count, trip_duration) AS c1y,
+         |    covar_pop("hour", trip_duration) AS c2y,
+         |    covar_pop(distance, trip_duration) AS c3y,
+         |    avg(trip_duration) AS my
+         |  FROM raw WHERE split = 'train' GROUP BY vendor),
+         |rho AS (
+         |  SELECT vendor, m1, m2, m3, s1, s2, s3, my,
+         |    c12/(s1*s2) AS p12, c13/(s1*s3) AS p13, c23/(s2*s3) AS p23,
+         |    c1y/s1 AS r1, c2y/s2 AS r2, c3y/s3 AS r3
+         |  FROM st),
+         |model AS (
+         |  SELECT vendor, m1, m2, m3, s1, s2, s3, my,
+         |    (r1*(-1*p23*p23 + 1) - p12*(r2 - p23*r3) + p13*(r2*p23 - r3))
+         |      / ((-1*p23*p23 + 1) - p12*(p12 - p23*p13) + p13*(p12*p23 - p13)) AS b1,
+         |    ((r2 - p23*r3) - r1*(p12 - p23*p13) + p13*(p12*r3 - r2*p13))
+         |      / ((-1*p23*p23 + 1) - p12*(p12 - p23*p13) + p13*(p12*p23 - p13)) AS b2,
+         |    ((r3 - r2*p23) - p12*(p12*r3 - r2*p13) + r1*(p12*p23 - p13))
+         |      / ((-1*p23*p23 + 1) - p12*(p12 - p23*p13) + p13*(p12*p23 - p13)) AS b3
+         |  FROM rho),
+         |ev AS (
+         |  SELECT r.vendor,
+         |    sqrt(avg((trip_duration - (my + b1*(passenger_count - m1)/s1 + b2*("hour" - m2)/s2 + b3*(distance - m3)/s3))
+         |            *(trip_duration - (my + b1*(passenger_count - m1)/s1 + b2*("hour" - m2)/s2 + b3*(distance - m3)/s3)))) AS rmse_raw,
+         |    avg(abs(trip_duration - (my + b1*(passenger_count - m1)/s1 + b2*("hour" - m2)/s2 + b3*(distance - m3)/s3))) AS mae_raw,
+         |    1.0 - sum((trip_duration - (my + b1*(passenger_count - m1)/s1 + b2*("hour" - m2)/s2 + b3*(distance - m3)/s3))
+         |             *(trip_duration - (my + b1*(passenger_count - m1)/s1 + b2*("hour" - m2)/s2 + b3*(distance - m3)/s3)))
+         |        / (var_pop(trip_duration) * count(*)) AS r2_raw
+         |  FROM raw r JOIN model USING (vendor) WHERE split = 'test' GROUP BY r.vendor)
+         |SELECT dq.vendor, n_train, n_test, n_null_label, n_neg_dist,
+         |  round(b1, 4) AS b_pc, round(b2, 4) AS b_hour, round(b3, 4) AS b_dist,
+         |  round(my, 4) AS intercept,
+         |  round(rmse_raw, 4) AS rmse, round(mae_raw, 4) AS mae,
+         |  round(r2_raw, 4) AS r2
+         |FROM dq JOIN model ON dq.vendor = model.vendor
+         |  JOIN ev ON dq.vendor = ev.vendor
+         |ORDER BY dq.vendor""".stripMargin,
+
+    "pipe_vendor_onehot" ->
+      s"""WITH raw AS (
+         |${rawUnion("*")}),
+         |${famBad("pickup_", "pb")},
+         |${famBad("dropoff_", "db")},
+         |${famBad("weekday_", "wb")},
+         |n AS (SELECT vendor, count(*) AS n_rows,
+         |  count(*) FILTER (Q_1 + Q_2 <> 1) AS quarter_bad
+         |  FROM raw GROUP BY vendor)
+         |SELECT n.vendor, n.n_rows, pb.bad AS pickup_bad, db.bad AS dropoff_bad,
+         |  wb.bad AS weekday_bad, n.quarter_bad
+         |FROM n JOIN pb ON n.vendor = pb.vendor JOIN db ON n.vendor = db.vendor
+         |  JOIN wb ON n.vendor = wb.vendor
+         |ORDER BY n.vendor""".stripMargin,
+
+    "pipe_vendor_top_pickup" ->
+      s"""WITH raw AS (
+         |${rawUnion("*")}),
+         |u AS (
+         |  SELECT vendor, substr(c, 8) AS loc, trip_duration FROM (
+         |    SELECT vendor, trip_duration, COLUMNS('pickup_.*') FROM raw)
+         |  UNPIVOT (v FOR c IN (COLUMNS('pickup_.*')))
+         |  WHERE v = 1),
+         |g AS (
+         |  SELECT vendor, loc, count(*) AS trips,
+         |    round(avg(trip_duration), 4) AS avg_duration
+         |  FROM u GROUP BY vendor, loc)
+         |SELECT vendor, loc, trips, avg_duration, rk FROM (
+         |  SELECT vendor, loc, trips, avg_duration,
+         |    row_number() OVER (PARTITION BY vendor
+         |      ORDER BY trips DESC, loc ASC) AS rk
+         |  FROM g)
+         |WHERE rk <= 5 ORDER BY vendor, rk""".stripMargin
+  )
+}

@@ -19,7 +19,11 @@ object DataQualityQueries extends QueryModule {
   private def lineitemBetween = ExpectationSuite("lineitem", Seq(
     ExpectBetween("l_quantity", 1, 50),
     ExpectBetween("l_discount", 0, 0.1),
-    ExpectBetween("l_tax", 0, 0.2)))
+    ExpectBetween("l_tax", 0, 0.2),
+    // GX `mostly` tolerance: ~4.8% of prices exceed 100000 at every
+    // sf, so the strict form would fail; mostly=0.9 succeeds — the
+    // fractional-tolerance semantics of the reference's GX config.
+    ExpectBetween("l_extendedprice", 0, 100000, mostly = 0.9)))
 
   private def statusSuite = ExpectationSuite("orders", Seq(
     ExpectInSet("o_orderstatus", Seq("F", "O", "P")),
@@ -137,6 +141,14 @@ object DataQualityQueries extends QueryModule {
   private def betweenRow(t: String, c: String, lo: Double, hi: Double) =
     violRow(t, "expect_between", c,
       s"sum(CASE WHEN $c < $lo OR $c > $hi THEN 1 ELSE 0 END)")
+  /** `mostly` form: success ⇔ violations ≤ (1 − mostly)·rows (same
+    * IEEE arithmetic order as ValueExpectation.success). */
+  private def betweenMostlyRow(t: String, c: String, lo: Double, hi: Double,
+      mostly: Double) = {
+    val viol = s"sum(CASE WHEN $c < $lo OR $c > $hi THEN 1 ELSE 0 END)"
+    obsRow(t, "expect_between", c, viol,
+      s"CASE WHEN $viol <= (1.0 - $mostly) * count(*) THEN 1 ELSE 0 END", t)
+  }
   private def inSetRow(t: String, c: String, vs: Seq[String]) =
     violRow(t, "expect_in_set", c,
       s"sum(CASE WHEN $c IS NOT NULL AND $c NOT IN (${vs.map("'" + _ + "'").mkString(",")}) THEN 1 ELSE 0 END)")
@@ -164,7 +176,8 @@ object DataQualityQueries extends QueryModule {
   private val lineitemBetweenRows = Seq(
     betweenRow("lineitem", "l_quantity", 1, 50),
     betweenRow("lineitem", "l_discount", 0, 0.1),
-    betweenRow("lineitem", "l_tax", 0, 0.2))
+    betweenRow("lineitem", "l_tax", 0, 0.2),
+    betweenMostlyRow("lineitem", "l_extendedprice", 0, 100000, 0.9))
   private val statusRows = Seq(
     inSetRow("orders", "o_orderstatus", Seq("F", "O", "P")),
     inSetRow("orders", "o_orderpriority",

@@ -23,76 +23,85 @@ sealed trait Expectation {
   def column: String
   /** Aggregate expression producing the observed value. */
   def observedAgg: Column
-  /** Success predicate over the observed value. */
-  def success(observed: Column): Column
+  /** Success predicate over (observed value, table row count). */
+  def success(observed: Column, total: Column): Column
 }
 
-final case class ExpectNotNull(column: String) extends Expectation {
+/** A value-level expectation with GX `mostly` semantics: succeeds when
+  * the fraction of conforming values is ≥ `mostly` (equivalently:
+  * violations ≤ (1 − mostly)·rows). `mostly = 1.0` (the default) is
+  * the strict form — zero violations. Mirrors the fractional
+  * tolerances the reference's GX config supports
+  * (airflow-setup.py:38). */
+sealed trait ValueExpectation extends Expectation {
+  def mostly: Double
+  require(mostly > 0.0 && mostly <= 1.0, s"mostly must be in (0,1]: $mostly")
+  def success(o: Column, total: Column): Column =
+    o <= (lit(1.0) - lit(mostly)) * total
+}
+
+final case class ExpectNotNull(column: String, mostly: Double = 1.0)
+    extends ValueExpectation {
   val name = "expect_not_null"
   def observedAgg: Column = sum(when(col(column).isNull, 1L).otherwise(0L))
-  def success(o: Column): Column = o === 0
 }
 
-final case class ExpectBetween(column: String, lo: Double, hi: Double)
-    extends Expectation {
+final case class ExpectBetween(column: String, lo: Double, hi: Double,
+    mostly: Double = 1.0) extends ValueExpectation {
   val name = "expect_between"
   def observedAgg: Column =
     sum(when(col(column) < lo || col(column) > hi, 1L).otherwise(0L))
-  def success(o: Column): Column = o === 0
 }
 
-final case class ExpectInSet(column: String, values: Seq[String])
-    extends Expectation {
+final case class ExpectInSet(column: String, values: Seq[String],
+    mostly: Double = 1.0) extends ValueExpectation {
   val name = "expect_in_set"
   def observedAgg: Column =
     sum(when(col(column).isNotNull && !col(column).isin(values: _*), 1L)
       .otherwise(0L))
-  def success(o: Column): Column = o === 0
 }
 
-final case class ExpectUnique(column: String) extends Expectation {
+final case class ExpectUnique(column: String, mostly: Double = 1.0)
+    extends ValueExpectation {
   val name = "expect_unique"
   def observedAgg: Column = count(col(column)) - countDistinct(col(column))
-  def success(o: Column): Column = o === 0
 }
 
 final case class ExpectRowCountBetween(lo: Long, hi: Long) extends Expectation {
   val name = "expect_row_count_between"
   val column = "*"
   def observedAgg: Column = count(lit(1))
-  def success(o: Column): Column = o >= lo && o <= hi
+  def success(o: Column, total: Column): Column = o >= lo && o <= hi
 }
 
 final case class ExpectMeanBetween(column: String, lo: Double, hi: Double)
     extends Expectation {
   val name = "expect_mean_between"
   def observedAgg: Column = avg(col(column))
-  def success(o: Column): Column = o >= lo && o <= hi
+  def success(o: Column, total: Column): Column = o >= lo && o <= hi
 }
 
 final case class ExpectStddevBetween(column: String, lo: Double, hi: Double)
     extends Expectation {
   val name = "expect_stddev_between"
   def observedAgg: Column = stddev_samp(col(column))
-  def success(o: Column): Column = o >= lo && o <= hi
+  def success(o: Column, total: Column): Column = o >= lo && o <= hi
 }
 
-final case class ExpectLengthsBetween(column: String, lo: Int, hi: Int)
-    extends Expectation {
+final case class ExpectLengthsBetween(column: String, lo: Int, hi: Int,
+    mostly: Double = 1.0) extends ValueExpectation {
   val name = "expect_lengths_between"
   def observedAgg: Column =
     sum(when(length(col(column)) < lo || length(col(column)) > hi, 1L)
       .otherwise(0L))
-  def success(o: Column): Column = o === 0
 }
 
-final case class ExpectMatchRegex(column: String, pattern: String)
-    extends Expectation {
+final case class ExpectMatchRegex(column: String, pattern: String,
+    mostly: Double = 1.0) extends ValueExpectation {
   val name = "expect_match_regex"
   def observedAgg: Column =
     sum(when(col(column).isNotNull && !col(column).rlike(pattern), 1L)
       .otherwise(0L))
-  def success(o: Column): Column = o === 0
 }
 
 /** A named suite over one table — the analog of a GX checkpoint. */
@@ -104,14 +113,14 @@ final case class ExpectationSuite(table: String, expectations: Seq[Expectation])
     require(expectations.nonEmpty, "empty suite")
     val aggs = expectations.zipWithIndex.map { case (e, i) =>
       e.observedAgg.cast("double").as(s"obs_$i")
-    }
+    } :+ count(lit(1)).cast("double").as("obs_total")
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = expectations.zipWithIndex.map { case (e, i) =>
       struct(
         lit(table).as("table_name"),
         lit(e.name).as("exp_name"),
         lit(e.column).as("col_name"),
-        e.success(col(s"obs_$i")).cast("long").as("success"),
+        e.success(col(s"obs_$i"), col("obs_total")).cast("long").as("success"),
         round(col(s"obs_$i"), 4).as("observed"))
     }
     one.select(explode(array(rows: _*)).as("r")).select("r.*")
@@ -136,13 +145,13 @@ final case class ExpectationSuite(table: String, expectations: Seq[Expectation])
     * quarantine routing stage of the reference pipeline. */
   def rowPredicate: Column =
     expectations.collect {
-      case ExpectNotNull(c)        => col(c).isNotNull
-      case ExpectBetween(c, lo, hi) =>
+      case ExpectNotNull(c, _)        => col(c).isNotNull
+      case ExpectBetween(c, lo, hi, _) =>
         col(c).isNull || (col(c) >= lo && col(c) <= hi)
-      case ExpectInSet(c, vs)      => col(c).isNull || col(c).isin(vs: _*)
-      case ExpectLengthsBetween(c, lo, hi) =>
+      case ExpectInSet(c, vs, _)      => col(c).isNull || col(c).isin(vs: _*)
+      case ExpectLengthsBetween(c, lo, hi, _) =>
         col(c).isNull || (length(col(c)) >= lo && length(col(c)) <= hi)
-      case ExpectMatchRegex(c, p)  => col(c).isNull || col(c).rlike(p)
+      case ExpectMatchRegex(c, p, _)  => col(c).isNull || col(c).rlike(p)
     }.reduceOption(_ && _).getOrElse(lit(true))
 
   /** Split into (valid, quarantined) without evaluating twice. */

@@ -13,14 +13,22 @@ object VectorOracles {
     * smallest ids, max-cosine assignment with ties to the lower
     * cell, arithmetic-mean update, empty cells keep their centroid)
     * unrolled in SQL. Expects a CTE `emb(vec_id, v DOUBLE[])` in
-    * scope. Matches the Spark fit whenever the corpus fits in the
-    * fit's `maxTrain` sample (true at the verify scale factors). */
-  def kmeansCtes(k: Int, iters: Int): String = {
+    * scope.
+    *
+    * Training runs over `ktr`, the `maxTrain` smallest-id rows —
+    * the SAME bounded deterministic sample [[KMeans.fit]] collects —
+    * so the replay stays exact at ANY corpus size, not just when the
+    * corpus happens to fit the sample (the round-2 latent mismatch:
+    * an unguarded full-corpus oracle silently diverges beyond
+    * `maxTrain` rows). */
+  def kmeansCtes(k: Int, iters: Int, maxTrain: Int = 10000): String = {
     val init =
-      s"""c0 AS (
+      s"""ktr AS (
+         |  SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $maxTrain),
+         |c0 AS (
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
          |    v AS c
-         |  FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $k))"""
+         |  FROM (SELECT vec_id, v FROM ktr ORDER BY vec_id LIMIT $k))"""
         .stripMargin
     val steps = (1 to iters).flatMap { i =>
       Seq(
@@ -29,7 +37,7 @@ object VectorOracles {
            |    SELECT e.vec_id, e.v, c.cell,
            |      row_number() OVER (PARTITION BY e.vec_id
            |        ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.cell) AS rn
-           |    FROM emb e CROSS JOIN c${i - 1} c) WHERE rn = 1)""".stripMargin,
+           |    FROM ktr e CROSS JOIN c${i - 1} c) WHERE rn = 1)""".stripMargin,
         s"""u$i AS (
            |  SELECT cell, list(m ORDER BY i) AS c FROM (
            |    SELECT cell, i, avg(x) AS m FROM (

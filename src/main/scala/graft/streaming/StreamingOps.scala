@@ -56,9 +56,11 @@ object StreamingOps {
         unix_timestamp(col("session_window.start")).as("sess_start"),
         col("n_events"))
 
-  case class SessionState(lastTsUs: Long, sessions: Long, events: Long)
+  case class SessionState(lastTsUs: Long, sessions: Long, events: Long,
+      dropped: Long)
   case class UserEvent(user_id: Long, ts_us: Long)
-  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long,
+      n_dropped: Long)
 
   /** Stateful gap sessionization via flatMapGroupsWithState: per-user
     * running (sessions, events) counts, updated per micro-batch.
@@ -67,9 +69,12 @@ object StreamingOps {
     * ACROSS batches an event older than the last processed timestamp
     * is dropped (it would otherwise compute a negative gap — never
     * opening a session — and drag `lastTsUs` backwards, silently
-    * undercounting). Cross-batch out-of-order input that must be
-    * honored belongs in the watermark-merging [[sessionWindows]]
-    * path, which buffers late data declaratively. */
+    * undercounting). The drop is NOT silent: every dropped event
+    * increments the per-user `n_dropped` counter carried in the
+    * state and emitted with each update, so late-data loss is
+    * observable and alertable. Cross-batch out-of-order input that
+    * must be honored belongs in the watermark-merging
+    * [[sessionWindows]] path, which buffers late data declaratively. */
   def sessionCounts(events: Dataset[UserEvent],
       gapUs: Long): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
@@ -77,16 +82,19 @@ object StreamingOps {
       .flatMapGroupsWithState[SessionState, UserSessions](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[UserEvent], state: GroupState[SessionState]) =>
-          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
-          rows.map(_.ts_us).toSeq.sorted
-            .dropWhile(t => st.lastTsUs != Long.MinValue && t < st.lastTsUs)
-            .foreach { t =>
-              val newSession = st.lastTsUs == Long.MinValue || t - st.lastTsUs > gapUs
-              st = SessionState(t,
-                st.sessions + (if (newSession) 1 else 0), st.events + 1)
-            }
+          var st = state.getOption.getOrElse(
+            SessionState(Long.MinValue, 0L, 0L, 0L))
+          val (stale, fresh) = rows.map(_.ts_us).toSeq.sorted
+            .partition(t => st.lastTsUs != Long.MinValue && t < st.lastTsUs)
+          st = st.copy(dropped = st.dropped + stale.size)
+          fresh.foreach { t =>
+            val newSession = st.lastTsUs == Long.MinValue || t - st.lastTsUs > gapUs
+            st = SessionState(t,
+              st.sessions + (if (newSession) 1 else 0), st.events + 1,
+              st.dropped)
+          }
           state.update(st)
-          Iterator(UserSessions(user, st.sessions, st.events))
+          Iterator(UserSessions(user, st.sessions, st.events, st.dropped))
       }
   }
 

@@ -42,7 +42,22 @@ class ExpectationSpec extends AnyFunSuite {
 
   test("suite report matches between engines on real data") {
     val got = SparkEntry.queries("dq_suite")(spark, TestSpark.sf)
-    assert(got.count() == 15)
+    assert(got.count() == 16)
+  }
+
+  test("mostly tolerance: fractional violations pass, strict fails") {
+    val strict = ExpectationSuite("t", Seq(ExpectBetween("x", 0, 100)))
+    val tolerant = ExpectationSuite("t", Seq(
+      ExpectBetween("x", 0, 100, mostly = 0.75)))
+    // df has 5 rows, one violation (999) → 75% of non-null conform;
+    // of all 5 rows: 1 violation = 20% ≤ 25% allowed by mostly=0.75
+    val sStrict = strict.run(df).collect().head.getLong(3)
+    val sTol = tolerant.run(df).collect().head.getLong(3)
+    assert(sStrict == 0L)
+    assert(sTol == 1L)
+    assertThrows[IllegalArgumentException] {
+      ExpectBetween("x", 0, 100, mostly = 0.0)
+    }
   }
 
   test("observed metrics ride along with an action and match the report") {

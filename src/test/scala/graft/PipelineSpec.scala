@@ -35,6 +35,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(cleaned.select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("gated pipeline routes validation failures per stage policy") {
+    import spark.implicits._
+    val df = Seq((1L, 5.0), (2L, 99999.0), (3L, 50.0), (4L, -7.0))
+      .toDF("id", "x")
+    val suite = ExpectationSuite("t", Seq(ExpectBetween("x", 0, 100)))
+    val pipe = Pipeline("p", Seq(
+      Stage("clean")(identity),
+      Stage("double")(_.withColumn("x2", $"x" * 2))))
+
+    // Quarantine: bad rows split off, stage proceeds on clean rows
+    val (out, q) = GatedPipeline(pipe,
+      Map("clean" -> (suite, Pipeline.Quarantine))).run(df)
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(q.map(_._1) == Seq("clean"))
+    assert(q.head._2.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+
+    // Continue: violations pass through (observe-only policy)
+    val (outC, qC) = GatedPipeline(pipe,
+      Map("clean" -> (suite, Pipeline.Continue))).run(df)
+    assert(outC.count() == 4)
+    assert(qC.isEmpty)
+
+    // FailFast: the ACTION fails when a violating row is hit
+    val (outF, _) = GatedPipeline(pipe,
+      Map("clean" -> (suite, Pipeline.FailFast))).run(df)
+    val e = intercept[Exception] {
+      outF.write.format("noop").mode("overwrite").save()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("dq violation")))
+    // and a clean input passes untouched
+    val (okF, _) = GatedPipeline(pipe,
+      Map("clean" -> (suite, Pipeline.FailFast)))
+      .run(df.filter($"x" >= 0 && $"x" <= 100))
+    assert(okF.count() == 2)
+  }
+
   test("observed pipeline reports per-stage row counts with one action") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

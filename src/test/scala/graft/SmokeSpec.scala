@@ -14,7 +14,11 @@ class SmokeSpec extends AnyFunSuite {
   test("every query has an oracle or is explicitly rows-only") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep this list in sync with SURVEY.md §2 (🟡 rows)
-    val expectedRowsOnly = Set.empty[String]
+    // q_approx_quantile_sketch: sketch-only timed plan — the sketch
+    // picks data values at approximate ranks DuckDB cannot reproduce;
+    // its 1% closeness assertion lives in ApproxQuantileSpec and the
+    // oracle-checked exact+sketch pairing is q_approx_quantile.
+    val expectedRowsOnly = Set("q_approx_quantile_sketch")
     assert(rowsOnly == expectedRowsOnly,
       s"oracle coverage drifted: rows-only = $rowsOnly")
   }

@@ -75,9 +75,11 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val last = spark.table("stale_sessions")
         .groupBy("user_id")
-        .agg(max("n_sessions").as("s"), max("n_events").as("e"))
-        .collect().map(r => (r.getLong(1), r.getLong(2))).head
-      assert(last == ((2L, 3L)), s"got $last")
+        .agg(max("n_sessions").as("s"), max("n_events").as("e"),
+          max("n_dropped").as("d"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+      // ts 50 was dropped AND counted: late-data loss is observable
+      assert(last == ((2L, 3L, 1L)), s"got $last")
     } finally q.stop()
   }
 

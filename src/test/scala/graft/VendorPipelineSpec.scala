@@ -1,0 +1,93 @@
+package graft
+
+import graft.pipeline.VendorPipeline
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's OWN vendor datasets (722-column wide schema)
+  * through the full per-vendor pipeline — correctness + the
+  * wide-schema plan shapes. */
+class VendorPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("per-vendor pipeline fits a usable model per vendor") {
+    val rows = SparkEntry.queries("pipe_vendor")(spark, TestSpark.sf)
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      // validation: complete labels, non-negative distances
+      assert(r.getAs[Long]("n_null_label") == 0L)
+      assert(r.getAs[Long]("n_neg_dist") == 0L)
+      assert(r.getAs[Long]("n_train") > 0 && r.getAs[Long]("n_test") > 0)
+      // distance dominates trip duration — every vendor model must
+      // capture it (R² well above chance, positive distance slope)
+      assert(r.getAs[Double]("r2") > 0.8, s"weak fit: $r")
+      assert(r.getAs[Double]("b_dist") > 0.0)
+      assert(r.getAs[Double]("rmse") > 0.0)
+    }
+  }
+
+  test("narrow pipeline prunes 722 columns to the 4 used at the scan") {
+    val df = SparkEntry.queries("pipe_vendor")(spark, TestSpark.sf)
+    // formatted explain sees scans inside AQE query stages, which
+    // plan.collect does not traverse
+    val explain = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explain.contains("ReadSchema"))
+    // if pruning failed, the 717 one-hot columns appear in ReadSchema
+    assert(!explain.contains("pickup_"),
+      "vendor scan reads one-hot columns the regression never touches")
+    // and the grouped fit aggregates inside a codegen span
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*("))
+  }
+
+  test("wide conformance audit reads the full one-hot schema and completes") {
+    // Wide-schema tradeoff, pinned here deliberately: Spark gates BOTH
+    // whole-stage fusion and the vectorized parquet reader on
+    // `spark.sql.codegen.maxFields` (default 100). Forcing it to 800
+    // makes the 717-column projection fuse into one processNext() that
+    // exceeds Janino's 64 KB method limit — the compile fails and
+    // burns ~90 s before falling back (measured). So the audit runs
+    // the row-based scan + operator-level codegen'd projections with
+    // method splitting, and the HOT path (pipe_vendor, pruned to 4
+    // columns) keeps columnar + whole-stage codegen. On a long-lived
+    // cluster a wide-audit job would set maxFields=800 AND
+    // spark.sql.codegen.wholeStage=false to get the columnar reader
+    // without the doomed fusion attempt.
+    val df = SparkEntry.queries("pipe_vendor_onehot")(spark, TestSpark.sf)
+    val explain = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explain.contains("pickup_"), "audit scan lost the one-hot columns")
+    assert(df.collect().length == 3)
+  }
+
+  test("one-hot conformance catches the real violations in the data") {
+    val byVendor = SparkEntry.queries("pipe_vendor_onehot")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("pickup_bad"), r.getAs[Long]("dropoff_bad"),
+          r.getAs[Long]("weekday_bad"), r.getAs[Long]("quarter_bad"))).toMap
+    // alitran and to_my_place_ai ship rows whose pickup/dropoff
+    // dummies sum to 0 — the conformance gate must see them
+    assert(byVendor("alitran")._1 > 0)
+    assert(byVendor("to_my_place_ai")._1 > 0)
+    assert(byVendor("easy_destiny") == ((0L, 0L, 0L, 0L)))
+    // weekday/quarter one-hots are clean everywhere
+    byVendor.values.foreach { case (_, _, w, q) => assert(w == 0 && q == 0) }
+  }
+
+  test("top pickup locations per vendor are exact and deterministic") {
+    val rows = SparkEntry.queries("pipe_vendor_top_pickup")(spark, TestSpark.sf)
+      .collect()
+    assert(rows.length == 15) // 5 per vendor
+    val ali = rows.filter(_.getString(0) == "alitran").sortBy(_.getAs[Int]("rk"))
+    assert(ali.head.getString(1) == "Highland") // dominant Scottish pickup
+    // ranks are 1..5 per vendor, trips non-increasing
+    VendorPipeline.vendors.foreach { v =>
+      val vr = rows.filter(_.getString(0) == v).sortBy(_.getAs[Int]("rk"))
+      assert(vr.map(_.getAs[Int]("rk")).toSeq == Seq(1, 2, 3, 4, 5))
+      val trips = vr.map(_.getAs[Long]("trips")).toSeq
+      assert(trips == trips.sorted.reverse)
+    }
+  }
+}
