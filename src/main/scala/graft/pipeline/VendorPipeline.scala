@@ -28,9 +28,9 @@ import org.apache.spark.sql.expressions.Window
   * rule on z-scored features expressed as column arithmetic, so the
   * whole fit is ONE shuffle of 14 partial-aggregable stats per vendor
   * regardless of row count. The wide queries (`pipe_vendor_onehot`,
-  * `pipe_vendor_top_pickup`) raise `spark.sql.codegen.maxFields` so the
-  * 717-column projections stay inside whole-stage codegen instead of
-  * falling back to interpreted rows.
+  * `pipe_vendor_top_pickup`) deliberately run below the
+  * `spark.sql.codegen.maxFields` threshold — see [[allWide]] for the
+  * measured wide-schema codegen tradeoff.
   */
 object VendorPipeline extends QueryModule {
 

@@ -52,14 +52,36 @@ class VendorPipelineSpec extends AnyFunSuite {
     // the row-based scan + operator-level codegen'd projections with
     // method splitting, and the HOT path (pipe_vendor, pruned to 4
     // columns) keeps columnar + whole-stage codegen. On a long-lived
-    // cluster a wide-audit job would set maxFields=800 AND
-    // spark.sql.codegen.wholeStage=false to get the columnar reader
-    // without the doomed fusion attempt.
+    // cluster a wide-audit session raises maxFields=800: the scan
+    // plans columnar again (next test) and the one failed fusion
+    // compile amortizes over the session.
     val df = SparkEntry.queries("pipe_vendor_onehot")(spark, TestSpark.sf)
     val explain = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(explain.contains("pickup_"), "audit scan lost the one-hot columns")
     assert(df.collect().length == 3)
+  }
+
+  test("cluster wide-audit knob recovers the vectorized scan") {
+    // The deploy recipe for a dedicated wide-audit session: raising
+    // maxFields re-enables the vectorized parquet reader (the scan's
+    // `Batched:` planning attribute — NOT the ColumnarToRow node,
+    // which disappears whenever the scan fuses into a whole-stage
+    // stage). The cost is one failed 64 KB Janino fusion compile per
+    // plan, after which execution falls back per-stage; assert the
+    // PLANNING decision only so the suite doesn't pay that compile.
+    def batched(s: org.apache.spark.sql.SparkSession): Seq[String] = {
+      val e = SparkEntry.queries("pipe_vendor_onehot")(s, TestSpark.sf)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      "Batched: (true|false)".r.findAllMatchIn(e).map(_.group(1)).toSeq
+    }
+    // default session: row-based scan (and no doomed fusion attempt)
+    assert(batched(spark).nonEmpty && batched(spark).forall(_ == "false"))
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.maxFields", "800")
+    assert(batched(s2).nonEmpty && batched(s2).forall(_ == "true"),
+      "audit session did not plan vectorized scans")
   }
 
   test("one-hot conformance catches the real violations in the data") {
