@@ -17,6 +17,36 @@ import org.apache.spark.sql.functions._
 object IncrementalQueries extends QueryModule {
 
   val queries: Map[String, Q] = Map(
+    // CDC apply / upsert: merge a deterministic change feed
+    // (updates, deletes, inserts keyed by o_orderkey) into the
+    // snapshot — the incremental-ingestion MERGE every warehouse
+    // runs between drops. ONE left-anti join keyed on the change
+    // keys removes updated+deleted rows, then non-delete payloads
+    // union back in; at 100 TB both sides shuffle once on the key
+    // (or zero times with Bucketing on o_orderkey), and the change
+    // feed is typically <<1% of the snapshot so AQE broadcasts it.
+    "q_cdc_apply" -> ((s, d) => {
+      import s.implicits._
+      val base = T.orders(s, d)
+        .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+      val updates = base.filter($"o_orderkey" % 10 === 3)
+        .select($"o_orderkey", ($"o_totalprice" * 1.1).as("o_totalprice"),
+          $"o_orderstatus", lit("U").as("op"))
+      val deletes = base.filter($"o_orderkey" % 10 === 7)
+        .select($"o_orderkey", lit(null).cast("double").as("o_totalprice"),
+          lit(null).cast("string").as("o_orderstatus"), lit("D").as("op"))
+      val inserts = base.filter($"o_orderkey" % 10 === 1)
+        .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+          $"o_totalprice", $"o_orderstatus", lit("I").as("op"))
+      val changes = updates.unionByName(deletes).unionByName(inserts)
+      val applied = base
+        .join(changes.select($"o_orderkey"), Seq("o_orderkey"), "left_anti")
+        .unionByName(changes.filter($"op" =!= "D").drop("op"))
+      applied.groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), r4(sum($"o_totalprice")).as("total"))
+        .orderBy($"o_orderstatus")
+    }),
+
     "q_snapshot_diff" -> ((s, d) => {
       import s.implicits._
       // Snapshot diff: per-supplier revenue in adjacent months,
@@ -130,6 +160,25 @@ object IncrementalQueries extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice,
+        |    o_orderstatus, 'U' AS op FROM base WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, NULL, NULL, 'D' FROM base WHERE o_orderkey % 10 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus, 'I'
+        |  FROM base WHERE o_orderkey % 10 = 1),
+        |applied AS (
+        |  SELECT b.o_orderkey, b.o_totalprice, b.o_orderstatus FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.o_orderkey = b.o_orderkey)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM changes WHERE op <> 'D')
+        |SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+        |FROM applied GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "q_snapshot_diff" ->
       """WITH a AS (SELECT l_suppkey,
         |    sum(l_extendedprice * (1 - l_discount)) AS rev_a

@@ -40,6 +40,29 @@ object TextQueries3 extends QueryModule {
         .limit(50)
     }),
 
+    // Data-mixing weights: per-source sampling weights ∝ tokens^α
+    // with α = 0.5 (temperature-style up-weighting of small sources —
+    // the standard pretraining-mixture knob). sqrt is used instead of
+    // a general pow so both engines produce the correctly-rounded
+    // IEEE result. Per-source token counts are ONE partial agg over
+    // the token stream; the normalizer is a 1-row broadcast — at
+    // 100 TB the mixture table costs a single corpus scan.
+    "text_mix_weights" -> ((s, d) => {
+      import s.implicits._
+      val per = T.documents(s, d)
+        .select($"source", size(Util.tokens($"text")).cast("long").as("toks"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_tokens"))
+        .withColumn("w_raw", sqrt($"n_tokens".cast("double")))
+      val tot = per.agg(sum($"w_raw").as("w_tot"),
+        sum($"n_tokens").as("tok_tot"))
+      per.crossJoin(broadcast(tot))
+        .select($"source", $"n_docs", $"n_tokens",
+          r4($"n_tokens" / $"tok_tot").as("natural_share"),
+          r4($"w_raw" / $"w_tot").as("mix_weight"))
+        .orderBy($"source")
+    }),
+
     "text_repetition" -> ((s, d) => {
       import s.implicits._
       val tc = T.documents(s, d)
@@ -75,6 +98,19 @@ object TextQueries3 extends QueryModule {
         |  CROSS JOIN stats s)
         |SELECT doc_id, round(sum(sco), 4) AS bm25 FROM sc GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin,
+
+    "text_mix_weights" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |    sqrt(CAST(n_tokens AS DOUBLE)) AS w_raw FROM per),
+        |tot AS (SELECT sum(w_raw) AS w_tot, sum(n_tokens) AS tok_tot FROM w)
+        |SELECT source, n_docs, n_tokens,
+        |  round(n_tokens / tok_tot, 4) AS natural_share,
+        |  round(w_raw / w_tot, 4) AS mix_weight
+        |FROM w CROSS JOIN tot ORDER BY source""".stripMargin,
 
     "text_repetition" ->
       """WITH toks AS (SELECT doc_id,
