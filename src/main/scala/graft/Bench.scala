@@ -9,11 +9,22 @@ import org.apache.spark.sql.SparkSession
   * (projections included) executes — `count()` would let Catalyst
   * prune the very columns being benchmarked. A warmup pass absorbs
   * JVM/codegen compilation so per-query numbers measure the plans.
+  *
+  * Budget controls (the round-4 driver run was killed at its timeout
+  * mid-pass-3, yielding NO parsed numbers at all):
+  *   - SPARK_GRAFT_BENCH_PASSES: timed passes after warmup (default 3)
+  *   - SPARK_GRAFT_BENCH_BUDGET_SEC: wall-clock budget (default 1200);
+  *     remaining passes are skipped when the next pass is projected to
+  *     overrun, so the run always exits 0 with whatever passes fit
+  *   - bench.json is rewritten after EVERY query, so even a hard kill
+  *     leaves a parseable file with per-query minima so far
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,6 +33,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val t0Wall = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0Wall) / 1e9
 
     def materialize(name: String): Double = {
       val t0 = System.nanoTime()
@@ -34,11 +48,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // optional args = bench only these queries (local dev loop)
+    // optional args = bench only these queries (local dev loop).
+    // An explicit request wins over benchExclude — the exclusion set
+    // only trims the default full sweep.
     val only = args.toSet
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(SparkEntry.benchExclude)
-      .filter(n => only.isEmpty || only(n))
+    val names =
+      if (only.nonEmpty) SparkEntry.queries.keys.toSeq.sorted.filter(only)
+      else SparkEntry.queries.keys.toSeq.sorted.filterNot(SparkEntry.benchExclude)
 
     def loadavg: String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
@@ -48,35 +64,65 @@ object Bench {
     // Noise defense (round-3 lesson: with ZERO code change, per-query
     // times moved by a median 0.30× between rounds — host contention
     // is the dominant error term). One warmup pass absorbs Catalyst
-    // analysis + codegen compile; then THREE timed passes per query,
-    // reported as the min (the robust steady-state estimator under
-    // one-sided noise). All per-pass times plus /proc/loadavg before
-    // each pass land in the JSON so a reviewer can attribute any
-    // outlier to load instead of guessing.
-    names.foreach(materialize) // warmup
-    val passLoad = Seq.newBuilder[String]
-    val passes: Seq[Map[String, Double]] = (1 to 3).map { _ =>
+    // analysis + codegen compile; then up to `maxPasses` timed passes,
+    // reported as the per-query min (the robust steady-state estimator
+    // under one-sided noise). All per-pass times plus /proc/loadavg
+    // before each pass land in the JSON for outlier attribution.
+    val passLoad = scala.collection.mutable.ArrayBuffer.empty[String]
+    val passes = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.LinkedHashMap[String, Double]]
+
+    def writeJson(): Unit = {
+      val results = names.map { n =>
+        val ts = passes.flatMap(_.get(n)).filter(_ >= 0)
+        n -> (if (ts.isEmpty) -1.0 else ts.min)
+      }
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val perPass = names.map { n =>
+        "\"" + n + "\":[" + passes.map(_.getOrElse(n, -1.0)).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      val loads = passLoad.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      val json =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+          s""""passes":$perPass,"loadavg":$loads,"sf":"$sfDir"}"""
+      // persisted per-query: the driver's log tail truncates long lines
+      // (cost round 1 its numbers) and its timeout kills mid-run (cost
+      // round 4 the whole signal) — the file always holds the latest state
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json)
+    }
+
+    // Warmup: untimed, not recorded (codegen/JIT absorption only).
+    // Capped at 40% of budget so a contended warmup can't starve the
+    // timed passes that actually produce numbers.
+    var warmupTotal = 0.0
+    names.takeWhile(_ => elapsed < budgetSec * 0.4).foreach { n =>
+      warmupTotal = warmupTotal + math.max(0.0, materialize(n))
+    }
+    System.err.println(f"[bench] warmup pass done in $warmupTotal%.1f s (load $loadavg)")
+
+    var pass = 0
+    var lastPassSec = warmupTotal
+    while (pass < maxPasses &&
+        (pass == 0 || elapsed + lastPassSec * 1.2 < budgetSec)) {
       passLoad += loadavg
-      names.map(n => n -> materialize(n)).toMap
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      passes += m
+      val tPass = System.nanoTime()
+      // mid-pass budget check: a contention-inflated pass stops early
+      // with its partial results (min over partial passes stays valid)
+      names.takeWhile(_ => pass == 0 || elapsed < budgetSec).foreach { n =>
+        m(n) = materialize(n); writeJson()
+      }
+      lastPassSec = (System.nanoTime() - tPass) / 1e9
+      System.err.println(f"[bench] pass ${pass + 1} done in $lastPassSec%.1f s, elapsed $elapsed%.1f s")
+      pass += 1
     }
-    val results = names.map { n =>
-      val ts = passes.map(_(n)).filter(_ >= 0)
-      n -> (if (ts.isEmpty) -1.0 else ts.min)
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val perPass = names.map { n =>
-      "\"" + n + "\":[" + passes.map(_(n)).mkString(",") + "]"
-    }.mkString("{", ",", "}")
-    val loads = passLoad.result().map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""passes":$perPass,"loadavg":$loads,"sf":"$sfDir"}"""
-    println(json)
-    // also persist to a file: the driver's log tail truncates long
-    // lines, which cost round 1 most of its per-query numbers
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json)
+    if (pass < maxPasses)
+      System.err.println(s"[bench] stopped after $pass/$maxPasses passes (budget $budgetSec s)")
+
+    writeJson()
+    println(java.nio.file.Files.readString(java.nio.file.Paths.get("bench.json")))
     spark.stop()
   }
 }

@@ -67,9 +67,15 @@ object AdvancedQueries extends QueryModule {
 
     "q_ntile" -> ((s, d) => {
       import s.implicits._
-      val w = Window.orderBy($"o_totalprice", $"o_orderkey")
-      T.orders(s, d)
-        .withColumn("quartile", ntile(4).over(w))
+      // Global quartiles WITHOUT `ntile().over(Window.orderBy(...))`,
+      // whose empty partition spec plans a single-task full sort:
+      // distributed row_number via [[Rank.runningSums]], then NTILE
+      // arithmetic on (row_number, total).
+      val ranked = Rank.runningSums(
+        T.orders(s, d).select($"o_totalprice", $"o_orderkey"),
+        Nil, "o_totalprice", Seq("o_orderkey"), Seq("rn" -> lit(1L)))
+      ranked
+        .withColumn("quartile", Rank.ntileOf($"rn", $"rn_total", 4))
         .groupBy($"quartile")
         .agg(count(lit(1)).as("n"),
           r4(min($"o_totalprice")).as("lo"),

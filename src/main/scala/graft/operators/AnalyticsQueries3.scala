@@ -25,13 +25,13 @@ object AnalyticsQueries3 extends QueryModule {
       val byVal = T.lineitem(s, d)
         .groupBy($"l_returnflag", $"l_extendedprice")
         .agg(sum($"l_quantity").as("w"))
-      val ord = Window.partitionBy($"l_returnflag")
-        .orderBy($"l_extendedprice")
-      val all = Window.partitionBy($"l_returnflag")
+      // running + total weight in one distributed-rank pass: the
+      // 3-value l_returnflag partition spec would otherwise sort each
+      // flag's whole distinct-price set in a single task.
       byVal
-        .withColumn("cum_w", sum($"w").over(ord))
-        .withColumn("tot_w", sum($"w").over(all))
-        .filter($"cum_w" >= $"tot_w" * 0.5)
+        .transform(Rank.runningSums(_, Seq("l_returnflag"),
+          "l_extendedprice", Nil, Seq("cum_w" -> $"w")))
+        .filter($"cum_w" >= $"cum_w_total" * 0.5)
         .groupBy($"l_returnflag")
         .agg(r4(min($"l_extendedprice")).as("w_median"))
         .orderBy($"l_returnflag")
@@ -43,16 +43,25 @@ object AnalyticsQueries3 extends QueryModule {
     // aggregate, never the fact rows.
     "q_rfm" -> ((s, d) => {
       import s.implicits._
+      // recency ranks on its day number (datediff is monotonic in the
+      // date, and only the quartile id survives to the output).
       val cust = T.orders(s, d).groupBy($"o_custkey")
-        .agg(max($"o_orderdate".cast("date")).as("recency"),
+        .agg(datediff(max($"o_orderdate".cast("date")),
+            lit("1990-01-01").cast("date")).as("recency"),
           count(lit(1)).as("frequency"),
           r4(sum($"o_totalprice")).as("monetary"))
-      def q(c: String) = ntile(4).over(
-        Window.orderBy(col(c), $"o_custkey"))
-      cust
-        .withColumn("r_q", q("recency"))
-        .withColumn("f_q", q("frequency"))
-        .withColumn("m_q", q("monetary"))
+      // three distributed row_numbers (range buckets + prefix
+      // offsets — an unpartitioned ntile window would single-task
+      // sort all customers), then NTILE arithmetic on (rn, total).
+      val ranked = Seq("recency" -> "r_rn", "frequency" -> "f_rn",
+          "monetary" -> "m_rn")
+        .foldLeft(cust) { case (df, (v, n)) =>
+          Rank.runningSums(df, Nil, v, Seq("o_custkey"), Seq(n -> lit(1L)))
+        }
+      ranked
+        .select(Rank.ntileOf($"r_rn", $"r_rn_total", 4).as("r_q"),
+          Rank.ntileOf($"f_rn", $"f_rn_total", 4).as("f_q"),
+          Rank.ntileOf($"m_rn", $"m_rn_total", 4).as("m_q"))
         .groupBy($"r_q", $"f_q", $"m_q")
         .agg(count(lit(1)).as("n_customers"))
         .orderBy($"r_q", $"f_q", $"m_q")

@@ -23,8 +23,10 @@ object DriftQueries extends QueryModule {
       import s.implicits._
       val cust = T.orders(s, d).groupBy($"o_custkey")
         .agg(r4(sum($"o_totalprice")).as("v"))
-      val w = Window.orderBy($"v", $"o_custkey")
-      cust.withColumn("i", row_number().over(w))
+      // global ascending rank i without a single-task full sort:
+      // distributed row_number via range buckets + prefix offsets.
+      cust.transform(Rank.runningSums(_, Nil, "v", Seq("o_custkey"),
+          Seq("i" -> lit(1L))))
         .agg(r4(lit(2) * sum($"i" * $"v") / (count(lit(1)) * sum($"v")) -
           (count(lit(1)) + 1) / count(lit(1)).cast("double")).as("gini"),
           count(lit(1)).as("n_customers"))
@@ -67,14 +69,15 @@ object DriftQueries extends QueryModule {
           r4($"o_totalprice").as("v"))
       val perVal = seg.groupBy($"v").agg(
         count_if($"a").as("ca"), count_if(!$"a").as("cb"))
-      val tot = perVal.agg(sum($"ca").as("na"), sum($"cb").as("nb"))
-      val w = Window.orderBy($"v")
+      // both running ECDFs in ONE distributed-rank pass (range
+      // buckets + prefix offsets — no single-task global sort), with
+      // the grand totals falling out as the `_total` columns.
       perVal
-        .withColumn("cum_a", sum($"ca").over(w))
-        .withColumn("cum_b", sum($"cb").over(w))
-        .crossJoin(broadcast(tot))
-        .agg(r4(max(abs($"cum_a" / $"na" - $"cum_b" / $"nb"))).as("ks"),
-          max($"na").as("n_a"), max($"nb").as("n_b"))
+        .transform(Rank.runningSums(_, Nil, "v", Nil,
+          Seq("cum_a" -> $"ca", "cum_b" -> $"cb")))
+        .agg(r4(max(abs($"cum_a" / $"cum_a_total" -
+          $"cum_b" / $"cum_b_total"))).as("ks"),
+          max($"cum_a_total").as("n_a"), max($"cum_b_total").as("n_b"))
     })
   )
 

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact interpolated percentiles (percentile_cont / DuckDB
@@ -11,15 +10,13 @@ import org.apache.spark.sql.functions._
   *
   *   1. count per (group, value) — fully parallel, map-side
   *      combinable shuffle;
-  *   2. running count AND group total over the DISTINCT values of
-  *      each group (two window frames, same partitioning → ONE
-  *      exchange; window input is value-cardinality, not
-  *      row-cardinality);
+  *   2. global running count + group total over the DISTINCT values
+  *      of each group via [[Rank.runningSums]] — range-bucketed, so
+  *      the ordered pass parallelizes across `buckets` tasks per
+  *      group instead of ONE task per group (the grouping keys here
+  *      are 3-4-value flags; a plain `Window.partitionBy(group)`
+  *      would sort each group's whole value set on a single core);
   *   3. rank interpolation, identical to percentile_cont.
-  *
-  * Exactly one scan of the source and one shuffle, total — group
-  * sizes fall out of the same window pass instead of a second
-  * aggregation over the source.
   */
 object ExactPercentile {
 
@@ -32,12 +29,10 @@ object ExactPercentile {
     val src = df.select(col(group), col(value).cast("double").as("v"))
       .filter(col("v").isNotNull)
     val vals = src.groupBy(col(group), col("v")).agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(col(group)).orderBy(col("v"))
-    val wAll = Window.partitionBy(col(group))
-    val ranked = vals
-      .withColumn("hi_rank", sum(col("c")).over(w))
+    val ranked = Rank
+      .runningSums(vals, Seq(group), "v", Nil, Seq("hi_rank" -> col("c")))
       .withColumn("lo_rank", col("hi_rank") - col("c") + 1)
-      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("n", col("hi_rank_total"))
 
     def pct(p: Double): Column = {
       val pos = lit(1.0) + lit(p) * (col("n") - 1).cast("double")

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed rank / running-total primitive.
+  *
+  * `sum(w).over(Window.orderBy(v))` — and every operator built on it:
+  * row_number, ntile, ECDF sweeps, rank interpolation — plans as ONE
+  * task holding every row when the partition spec is empty or has a
+  * handful of distinct keys (`l_returnflag` has 3). Fine at sf0.1,
+  * fatal at 100 TB: the whole table sorts on a single core.
+  *
+  * This primitive computes the same running totals with bounded
+  * parallelism instead:
+  *
+  *   1. bucket each row by range: boundaries are approximate per-group
+  *      quantiles of the order value (one small extra aggregate whose
+  *      shuffle is reused from the caller's pre-aggregation when both
+  *      consume the same child). Equal values always land in the same
+  *      bucket, so RANGE-frame peer groups are never split and the
+  *      results are EXACT — boundary quality only affects balance.
+  *   2. running sums within each (group, bucket) — a window over
+  *      `buckets`× more partitions than the naive plan, all parallel;
+  *   3. cross-bucket offsets from a per-(group, bucket) total — a
+  *      `groups × buckets`-row aggregate, windowed at that tiny size
+  *      and broadcast-joined back.
+  *
+  * Exactness does NOT depend on the approximate boundaries: ranks are
+  * reconstructed from exact per-bucket prefix sums, so a skewed
+  * boundary set merely unbalances tasks.
+  */
+object Rank {
+
+  /** Adds, for every `(name, weight)` in `sums`:
+    *   - `name`: running total of `weight` over rows ordered by
+    *     (`value`, `tie`*) within `group` — identical semantics to
+    *     `sum(weight).over(Window.partitionBy(group*).orderBy(value, tie*))`
+    *     including RANGE-frame peer handling when `tie` is empty;
+    *   - `name_total`: the per-group grand total (the value an
+    *     unordered full-frame window would give).
+    *
+    * `value` must be numeric (it feeds `percentile_approx`) and
+    * non-null; callers filter nulls first. With `tie` columns forming
+    * a unique key and `weight = lit(1L)`, `name` is `row_number()`.
+    *
+    * `buckets` bounds the parallelism recovered: each bucket sorts
+    * independently, so size it near the cluster's task slots. 32
+    * matches the local[32] harness; at 1000 executors you'd pass
+    * `spark.sql.shuffle.partitions`.
+    */
+  def runningSums(df: DataFrame, group: Seq[String], value: String,
+      tie: Seq[String], sums: Seq[(String, Column)],
+      buckets: Int = 32): DataFrame = {
+    require(sums.nonEmpty)
+    val keep = df.columns.toSeq
+    val weighted = sums.foldLeft(df) { case (d, (n, w)) =>
+      d.withColumn(s"_w_$n", w)
+    }
+    val bucketed = withRangeBucket(weighted, group, value, buckets)
+
+    val bucketKey = group :+ "_bucket"
+    val wLocal = Window.partitionBy(bucketKey.map(col): _*)
+      .orderBy((value +: tie).map(col): _*)
+    val local = sums.foldLeft(bucketed) { case (d, (n, _)) =>
+      d.withColumn(s"_loc_$n", sum(col(s"_w_$n")).over(wLocal))
+    }
+
+    // `groups × buckets` rows: exclusive prefix sums give each bucket
+    // its offset, the within-group sum the grand total. Computed as a
+    // within-group self-join + conditional aggregation (≤ buckets²
+    // rows) so NO window node exists anywhere in the plan — even a
+    // tiny `Window.orderBy` would show up as a single-partition sort.
+    val totAggs = sums.map { case (n, _) => sum(col(s"_w_$n")).as(s"_tot_$n") }
+    val totals = bucketed.groupBy(bucketKey.map(col): _*)
+      .agg(totAggs.head, totAggs.tail: _*)
+    val rhs = totals.select(
+      (group.map(c => col(c).as(s"_r_$c")) :+ col("_bucket").as("_r_bucket")) ++
+        sums.map { case (n, _) => col(s"_tot_$n").as(s"_rtot_$n") }: _*)
+    val paired =
+      if (group.isEmpty) totals.crossJoin(rhs)
+      else totals.join(rhs,
+        group.map(c => col(c) === col(s"_r_$c")).reduce(_ && _))
+    val offAggs = sums.flatMap { case (n, _) => Seq(
+      sum(when(col("_r_bucket") < col("_bucket"), col(s"_rtot_$n"))
+        .otherwise(lit(0))).as(s"_off_$n"),
+      sum(col(s"_rtot_$n")).as(s"_ntot_$n"))
+    }
+    val offsets = paired.groupBy(bucketKey.map(col): _*)
+      .agg(offAggs.head, offAggs.tail: _*)
+
+    val joined = local.join(broadcast(offsets), bucketKey)
+    val finalCols = keep.map(col) ++ sums.flatMap { case (n, _) =>
+      Seq((col(s"_off_$n") + col(s"_loc_$n")).as(n),
+        col(s"_ntot_$n").as(s"${n}_total"))
+    }
+    joined.select(finalCols: _*)
+  }
+
+  /** Adds `_bucket`: an order-consistent range-bucket id in
+    * [0, buckets). Boundaries are per-group approximate quantiles of
+    * `value`; rows with equal values always share a bucket. */
+  private def withRangeBucket(df: DataFrame, group: Seq[String],
+      value: String, buckets: Int): DataFrame = {
+    if (buckets <= 1) return df.withColumn("_bucket", lit(0))
+    val fracs = (1 until buckets).map(_.toDouble / buckets)
+    val v = col(value).cast("double")
+    val boundAgg = percentile_approx(v, typedLit(fracs), lit(2000)).as("_bounds")
+    val bounds =
+      if (group.isEmpty) df.agg(boundAgg)
+      else df.groupBy(group.map(col): _*).agg(boundAgg)
+    val joined =
+      if (group.isEmpty) df.crossJoin(broadcast(bounds))
+      else df.join(broadcast(bounds), group)
+    joined
+      .withColumn("_bucket", size(filter(col("_bounds"), b => b < v)))
+      .drop("_bounds")
+  }
+
+  /** `ntile(k)` reconstructed from a global row_number `rn` and group
+    * size `n` (both from [[runningSums]] with a unique tie-break and
+    * weight 1): the first `n % k` tiles get `n/k + 1` rows, the rest
+    * `n/k` — exactly Spark's and SQL's NTILE. */
+  def ntileOf(rn: Column, n: Column, k: Int): Column = {
+    val base = (n.cast("long") / k).cast("long")
+    val rem = n.cast("long") % k
+    val fat = base + 1
+    (when(rn <= rem * fat, (rn - 1).cast("long") / fat)
+      .otherwise(rem + (rn - 1 - rem * fat).cast("long") / greatest(base, lit(1L)))
+      + 1).cast("int")
+  }
+}
