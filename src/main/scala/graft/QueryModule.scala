@@ -9,6 +9,16 @@ import org.apache.spark.sql.functions._
   * `oracles` hold the DuckDB-equivalent ANSI SQL with IDENTICAL
   * column aliases and a total ORDER BY, so the driver's
   * sort-columns-then-hash compare is deterministic.
+  *
+  * Contract note: a query builder is *usually* pure plan
+  * construction, but sketch-driven queries (q_heavy_hitters,
+  * q_bloom_prune, and the iterative fits in ml_logreg/ml_kmeans/
+  * q_pagerank) legitimately RUN bounded jobs at construction time —
+  * a sketch or model must materialize before the result plan can
+  * reference it. Callers that only want the plan shape (explain,
+  * schema probes, plan-assertion tests) should use queries known to
+  * be construction-pure; Verify/Bench always execute, so they are
+  * indifferent.
   */
 trait QueryModule {
   type Q = (SparkSession, String) => DataFrame

@@ -50,18 +50,25 @@ object AnalyticsQueries3 extends QueryModule {
             lit("1990-01-01").cast("date")).as("recency"),
           count(lit(1)).as("frequency"),
           r4(sum($"o_totalprice")).as("monetary"))
-      // three distributed row_numbers (range buckets + prefix
-      // offsets — an unpartitioned ntile window would single-task
-      // sort all customers), then NTILE arithmetic on (rn, total).
-      val ranked = Seq("recency" -> "r_rn", "frequency" -> "f_rn",
-          "monetary" -> "m_rn")
-        .foldLeft(cust) { case (df, (v, n)) =>
-          Rank.runningSums(df, Nil, v, Seq("o_custkey"), Seq(n -> lit(1L)))
-        }
+      // all three distributed row_numbers in ONE rank pass (an
+      // unpartitioned ntile window would single-task sort all
+      // customers; three chained rank passes would replan the
+      // customer aggregate 4× per level): melt to (metric, value)
+      // rows — a fixed 3× of the customer-level aggregate, not the
+      // facts — rank grouped by metric, pivot back, then NTILE
+      // arithmetic on (rn, total).
+      val melted = cust.select($"o_custkey", explode(map(
+        lit("r"), $"recency".cast("double"),
+        lit("f"), $"frequency".cast("double"),
+        lit("m"), $"monetary")).as(Seq("metric", "value")))
+      val ranked = Rank.runningSums(melted, Seq("metric"), "value",
+        Seq("o_custkey"), Seq("rn" -> lit(1L)))
+      def q(m: String) = Rank.ntileOf(
+        max(when($"metric" === m, $"rn")),
+        max(when($"metric" === m, $"rn_total")), 4)
       ranked
-        .select(Rank.ntileOf($"r_rn", $"r_rn_total", 4).as("r_q"),
-          Rank.ntileOf($"f_rn", $"f_rn_total", 4).as("f_q"),
-          Rank.ntileOf($"m_rn", $"m_rn_total", 4).as("m_q"))
+        .groupBy($"o_custkey")
+        .agg(q("r").as("r_q"), q("f").as("f_q"), q("m").as("m_q"))
         .groupBy($"r_q", $"f_q", $"m_q")
         .agg(count(lit(1)).as("n_customers"))
         .orderBy($"r_q", $"f_q", $"m_q")

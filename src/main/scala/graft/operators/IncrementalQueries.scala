@@ -35,8 +35,12 @@ object IncrementalQueries extends QueryModule {
       val deletes = base.filter($"o_orderkey" % 10 === 7)
         .select($"o_orderkey", lit(null).cast("double").as("o_totalprice"),
           lit(null).cast("string").as("o_orderstatus"), lit("D").as("op"))
+      // negated keys give inserts a namespace disjoint from real
+      // orderkeys (all ≥ 1) at EVERY scale factor — a fixed offset
+      // collides once orderkeys exceed it (~SF 2), silently turning
+      // inserts into updates of unrelated rows
       val inserts = base.filter($"o_orderkey" % 10 === 1)
-        .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+        .select((-$"o_orderkey").as("o_orderkey"),
           $"o_totalprice", $"o_orderstatus", lit("I").as("op"))
       val changes = updates.unionByName(deletes).unionByName(inserts)
       val applied = base
@@ -169,7 +173,7 @@ object IncrementalQueries extends QueryModule {
         |  UNION ALL
         |  SELECT o_orderkey, NULL, NULL, 'D' FROM base WHERE o_orderkey % 10 = 7
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus, 'I'
+        |  SELECT -o_orderkey, o_totalprice, o_orderstatus, 'I'
         |  FROM base WHERE o_orderkey % 10 = 1),
         |applied AS (
         |  SELECT b.o_orderkey, b.o_totalprice, b.o_orderstatus FROM base b

@@ -106,7 +106,10 @@ object Rank {
     if (buckets <= 1) return df.withColumn("_bucket", lit(0))
     val fracs = (1 until buckets).map(_.toDouble / buckets)
     val v = col(value).cast("double")
-    val boundAgg = percentile_approx(v, typedLit(fracs), lit(2000)).as("_bounds")
+    // low accuracy on purpose: boundaries only balance buckets (the
+    // rank math is exact regardless), and the sketch insert cost is
+    // per-row on the full input
+    val boundAgg = percentile_approx(v, typedLit(fracs), lit(128)).as("_bounds")
     val bounds =
       if (group.isEmpty) df.agg(boundAgg)
       else df.groupBy(group.map(col): _*).agg(boundAgg)

@@ -258,16 +258,28 @@ object VendorPipeline extends QueryModule {
     }),
 
     // wide-to-long: top-5 pickup locations per vendor by trip count.
-    // unpivot(384 cols) → filter flag=1 → grouped agg → bounded window.
+    // One-hot INVERSION instead of a 384-way unpivot: the unpivot
+    // multiplies every row 384× and drops 383/384 of them on `v = 1`;
+    // a 384-pair horizontal aggregate avoids the fanout but pays
+    // ~1000 aggregate expressions of Catalyst analysis per run. Since
+    // the pickup dummies are one-hot (audited by pipe_vendor_onehot;
+    // this data has zero multi-flag rows, and flagless rows drop in
+    // both forms), the location is just the position of the single 1:
+    // ONE array_position per row recovers the categorical, then a
+    // plain narrow grouped aggregation — no row fanout at any scale.
+    // The ranking window input is schema-bounded (≤384 rows/vendor).
     "pipe_vendor_top_pickup" -> ((s, _) => {
       import s.implicits._
       val wide = allWide(s)
-      val pickupCols = wide.columns.filter(_.startsWith("pickup_"))
+      val pickupCols = wide.columns.filter(_.startsWith("pickup_")).toSeq
+      val names = typedLit(pickupCols.map(_.stripPrefix("pickup_")))
+      val pos = array_position(
+        array(pickupCols.map(col(_).cast("int")): _*), 1)
       val w = Window.partitionBy($"vendor").orderBy($"trips".desc, $"loc".asc)
-      wide.unpivot(Array($"vendor", $"trip_duration"),
-          pickupCols.map(col), "c", "v")
-        .filter($"v" === 1)
-        .select($"vendor", substring($"c", 8, Int.MaxValue).as("loc"),
+      wide
+        .select($"vendor", $"trip_duration", pos.as("p"))
+        .filter($"p" > 0)
+        .select($"vendor", element_at(names, $"p".cast("int")).as("loc"),
           $"trip_duration")
         .groupBy($"vendor", $"loc").agg(
           count(lit(1)).as("trips"),

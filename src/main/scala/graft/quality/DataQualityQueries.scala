@@ -141,13 +141,19 @@ object DataQualityQueries extends QueryModule {
   private def betweenRow(t: String, c: String, lo: Double, hi: Double) =
     violRow(t, "expect_between", c,
       s"sum(CASE WHEN $c < $lo OR $c > $hi THEN 1 ELSE 0 END)")
-  /** `mostly` form: success ⇔ violations ≤ (1 − mostly)·rows (same
-    * IEEE arithmetic order as ValueExpectation.success). */
+  /** `mostly` form: success ⇔ violations ≤ (1 − mostly)·non-null
+    * count (GX semantics; see ValueExpectation). The threshold is
+    * folded to a double in SCALA and interpolated with an explicit
+    * CAST — `(1.0 - 0.9)` left to DuckDB would evaluate in DECIMAL to
+    * exactly 0.1, while Spark computes the binary double
+    * 0.09999999…, and at a violations == threshold boundary the two
+    * engines would then disagree on `success`. */
   private def betweenMostlyRow(t: String, c: String, lo: Double, hi: Double,
       mostly: Double) = {
     val viol = s"sum(CASE WHEN $c < $lo OR $c > $hi THEN 1 ELSE 0 END)"
     obsRow(t, "expect_between", c, viol,
-      s"CASE WHEN $viol <= (1.0 - $mostly) * count(*) THEN 1 ELSE 0 END", t)
+      s"CASE WHEN $viol <= CAST(${1.0 - mostly} AS DOUBLE) * count($c) " +
+        "THEN 1 ELSE 0 END", t)
   }
   private def inSetRow(t: String, c: String, vs: Seq[String]) =
     violRow(t, "expect_in_set", c,

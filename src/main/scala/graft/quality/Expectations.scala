@@ -23,26 +23,41 @@ sealed trait Expectation {
   def column: String
   /** Aggregate expression producing the observed value. */
   def observedAgg: Column
-  /** Success predicate over (observed value, table row count). */
-  def success(observed: Column, total: Column): Column
+  /** Aggregate producing the denominator `success` compares against.
+    * GX evaluates `mostly` over NON-NULL values (nulls are neither
+    * conforming nor violating for value expectations), so value
+    * expectations count the column; expectations whose predicate
+    * ignores the denominator, and not-null (where null IS the
+    * violation), use the table row count. */
+  def denomAgg: Column = count(lit(1))
+  /** Success predicate over (observed value, denominator). */
+  def success(observed: Column, denom: Column): Column
 }
 
 /** A value-level expectation with GX `mostly` semantics: succeeds when
-  * the fraction of conforming values is ≥ `mostly` (equivalently:
-  * violations ≤ (1 − mostly)·rows). `mostly = 1.0` (the default) is
-  * the strict form — zero violations. Mirrors the fractional
-  * tolerances the reference's GX config supports
-  * (airflow-setup.py:38). */
+  * the fraction of conforming NON-NULL values is ≥ `mostly`
+  * (equivalently: violations ≤ (1 − mostly)·non-null count — GX's
+  * unexpected_percent excludes nulls from its denominator).
+  * `mostly = 1.0` (the default) is the strict form — zero violations.
+  * Mirrors the fractional tolerances the reference's GX config
+  * supports (airflow-setup.py:38). The threshold multiplier is folded
+  * in Scala so the oracle SQL can interpolate the identical binary
+  * double. */
 sealed trait ValueExpectation extends Expectation {
   def mostly: Double
   require(mostly > 0.0 && mostly <= 1.0, s"mostly must be in (0,1]: $mostly")
-  def success(o: Column, total: Column): Column =
-    o <= (lit(1.0) - lit(mostly)) * total
+  override def denomAgg: Column = count(col(column))
+  def success(o: Column, denom: Column): Column =
+    o <= lit(1.0 - mostly) * denom
 }
 
 final case class ExpectNotNull(column: String, mostly: Double = 1.0)
     extends ValueExpectation {
   val name = "expect_not_null"
+  // nulls are the violations here, so the `mostly` fraction is over
+  // ALL rows — counting only non-nulls would shrink the denominator
+  // by exactly the violation count
+  override def denomAgg: Column = count(lit(1))
   def observedAgg: Column = sum(when(col(column).isNull, 1L).otherwise(0L))
 }
 
@@ -111,16 +126,17 @@ final case class ExpectationSuite(table: String, expectations: Seq[Expectation])
     * DataFrame (table_name, exp_name, col_name, success, observed). */
   def run(df: DataFrame): DataFrame = {
     require(expectations.nonEmpty, "empty suite")
-    val aggs = expectations.zipWithIndex.map { case (e, i) =>
-      e.observedAgg.cast("double").as(s"obs_$i")
-    } :+ count(lit(1)).cast("double").as("obs_total")
+    val aggs = expectations.zipWithIndex.flatMap { case (e, i) =>
+      Seq(e.observedAgg.cast("double").as(s"obs_$i"),
+        e.denomAgg.cast("double").as(s"den_$i"))
+    }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = expectations.zipWithIndex.map { case (e, i) =>
       struct(
         lit(table).as("table_name"),
         lit(e.name).as("exp_name"),
         lit(e.column).as("col_name"),
-        e.success(col(s"obs_$i"), col("obs_total")).cast("long").as("success"),
+        e.success(col(s"obs_$i"), col(s"den_$i")).cast("long").as("success"),
         round(col(s"obs_$i"), 4).as("observed"))
     }
     one.select(explode(array(rows: _*)).as("r")).select("r.*")

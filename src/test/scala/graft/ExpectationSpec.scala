@@ -49,8 +49,8 @@ class ExpectationSpec extends AnyFunSuite {
     val strict = ExpectationSuite("t", Seq(ExpectBetween("x", 0, 100)))
     val tolerant = ExpectationSuite("t", Seq(
       ExpectBetween("x", 0, 100, mostly = 0.75)))
-    // df has 5 rows, one violation (999) → 75% of non-null conform;
-    // of all 5 rows: 1 violation = 20% ≤ 25% allowed by mostly=0.75
+    // df has 4 non-null x values, one violation (999) → GX denominator
+    // is the non-null count: 1 ≤ (1-0.75)·4 — exactly at the boundary
     val sStrict = strict.run(df).collect().head.getLong(3)
     val sTol = tolerant.run(df).collect().head.getLong(3)
     assert(sStrict == 0L)
