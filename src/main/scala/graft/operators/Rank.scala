@@ -58,7 +58,15 @@ object Rank {
     val weighted = sums.foldLeft(df) { case (d, (n, w)) =>
       d.withColumn(s"_w_$n", w)
     }
+    // lazy localCheckpoint (no job until the caller's action): the
+    // bucketed frame feeds the window arm, the totals arm, and the
+    // offsets self-join — materializing it once truncates a 6×
+    // duplicated static subtree (per-run Catalyst analysis is linear
+    // in tree size) and replaces AQE stage-reuse recomputes with
+    // block reads. Blocks are freed by the ContextCleaner when the
+    // plan is dropped (same reasoning as the dedup pipelines).
     val bucketed = withRangeBucket(weighted, group, value, buckets)
+      .localCheckpoint(false)
 
     val bucketKey = group :+ "_bucket"
     val wLocal = Window.partitionBy(bucketKey.map(col): _*)

@@ -7,8 +7,8 @@ Usage: python3 tools/baseline.py SF_DIR ORACLE_JSON BENCH_JSON > BASELINE.md
 DuckDB executing the oracle SQL is the single-node columnar baseline
 the brief's 2x gate compares against (the reference repo itself ships
 no engine — its pandas/GX stages have no comparable query surface).
-Each query runs 3 times; the min is reported (same estimator Bench
-uses).
+Each query runs 6 times; the min is reported (same 6-sample min
+estimator as the two 3-pass Bench runs).
 """
 import sys, json, time
 
@@ -30,7 +30,7 @@ def main():
     for name, sql in sorted(oracle.items()):
         ts = []
         err = None
-        for _ in range(3):
+        for _ in range(6):
             t0 = time.monotonic()
             try:
                 con.execute(sql).fetchall()
@@ -43,9 +43,11 @@ def main():
     print(f"# BASELINE — DuckDB oracle wall-times at `{sfdir}`")
     print()
     print("Single-node columnar baseline: each `oracleSql` entry executed in")
-    print("DuckDB (all cores, min of 3 runs) on the same parquet the engine")
-    print("reads. `spark_sec` is Bench's min-of-3 `local[32]` time for the")
-    print("matching query (steady state: warmed JVM, codegen compiled).")
+    print("DuckDB (all cores, min of 6 runs) on the same parquet the engine")
+    print("reads. `spark_sec` is the per-query min over two independent")
+    print("min-of-3 Bench runs at `local[32]` (6 timed passes; per-pass")
+    print("times plus loadavg are in bench.json) — steady state: warmed")
+    print("JVM, codegen compiled.")
     print("`ratio` = spark/duckdb; the brief's gate is ratio <= 2x on the")
     print("whole-workload total. Queries without an oracle (rows-only checks)")
     print("are absent here; Bench still times them.")

@@ -78,6 +78,9 @@ def main():
         {"user_id": f"user_id + i*{UK} AS user_id",
          "event_id": f"event_id + i*{UK} AS event_id",
          "value": "value + i*0.0001 AS value",
+         # source stores int64 nanos; DuckDB reads TIMESTAMP(NANOS) as
+         # TIMESTAMP_NTZ and would re-type the column on write
+         "ts": "epoch_ns(ts) AS ts",
          }.get(c, c) for c in ev_cols]))
 
 
