@@ -78,6 +78,90 @@ object DriftQueries extends QueryModule {
         .agg(r4(max(abs($"cum_a" / $"cum_a_total" -
           $"cum_b" / $"cum_b_total"))).as("ks"),
           max($"cum_a_total").as("n_a"), max($"cum_b_total").as("n_b"))
+    }),
+
+    // Spearman rank correlation per group: average ranks (tie =
+    // midrank) come from the distributed rank primitive over the
+    // DISTINCT (group, value) sets — avg_rank = hi_rank − (c−1)/2 —
+    // joined back to the rows on the value key (the x-side rank
+    // frame is distinct-value cardinality; AQE broadcasts the small
+    // one). No per-group single-task sort anywhere, unlike the
+    // textbook rank()-window formulation.
+    "q_spearman" -> ((s, d) => {
+      import s.implicits._
+      // The fact table is reduced ONCE to the joint (x, y) histogram
+      // (≈ distinct-price cardinality, not row count); marginal value
+      // counts, both rank passes, and the weighted corr sums all
+      // derive from that one checkpointed frame. x = l_quantity has a
+      // bounded domain (≤50 distinct values per group at ANY scale),
+      // so its rank pass skips the range-bucket machinery
+      // (buckets=1 ⇒ a ≤50-row window per group, forever); y = price
+      // is unbounded and gets the full distributed rank. corr is the
+      // cxy-weighted co-moment form over midranks — raw double sums
+      // carry ~1e-11 relative error here, far inside the 4dp compare.
+      val li = T.lineitem(s, d).select($"l_returnflag".as("f"),
+        $"l_quantity".cast("double").as("x"),
+        $"l_extendedprice".cast("double").as("y"))
+      val joint = li.groupBy($"f", $"x", $"y")
+        .agg(count(lit(1)).cast("double").as("cxy"))
+        .localCheckpoint(false)
+      def ranks(c: String, as: String, buckets: Int) = {
+        val vals = joint.groupBy($"f", col(c)).agg(sum($"cxy").as("c"))
+        Rank.runningSums(vals, Seq("f"), c, Nil, Seq("hi" -> col("c")),
+            buckets)
+          .select($"f", col(c), ($"hi" - ($"c" - 1) / 2.0).as(as))
+      }
+      joint.join(ranks("x", "rx", 1), Seq("f", "x"))
+        .join(ranks("y", "ry", 32), Seq("f", "y"))
+        .groupBy($"f")
+        .agg(
+          sum($"cxy").as("n"),
+          sum($"cxy" * $"rx" * $"ry").as("sxy"),
+          sum($"cxy" * $"rx").as("sx"), sum($"cxy" * $"ry").as("sy"),
+          sum($"cxy" * $"rx" * $"rx").as("sxx"),
+          sum($"cxy" * $"ry" * $"ry").as("syy"))
+        .select($"f".as("l_returnflag"),
+          r4(($"n" * $"sxy" - $"sx" * $"sy") /
+            sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
+              ($"n" * $"syy" - $"sy" * $"sy"))).as("spearman"),
+          $"n".cast("long").as("n"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // Mann-Whitney U (BUILDING vs MACHINERY spend): rank-sum over
+    // per-value counts with midrank ties and the tie-corrected
+    // normal approximation — everything falls out of ONE distributed
+    // rank pass over the distinct-value grid (counts give rank sums,
+    // tie term, and sample sizes; no row-level ranking at all).
+    // Counts are cast to double before the cubic/quadratic terms so
+    // the arithmetic can't overflow longs at any scale.
+    "q_mannwhitney" -> ((s, d) => {
+      import s.implicits._
+      val seg = T.orders(s, d)
+        .join(broadcast(T.customer(s, d)
+            .filter($"c_mktsegment".isin("BUILDING", "MACHINERY"))
+            .select($"c_custkey", $"c_mktsegment")),
+          $"o_custkey" === $"c_custkey")
+        .select(($"c_mktsegment" === "BUILDING").as("a"),
+          r4($"o_totalprice").as("v"))
+      val perVal = seg.groupBy($"v").agg(
+          count_if($"a").as("ca"), count_if(!$"a").as("cb"))
+        .withColumn("c", $"ca" + $"cb")
+      Rank.runningSums(perVal, Nil, "v", Nil, Seq("hi" -> $"c"))
+        .withColumn("avg_rk", $"hi" - ($"c" - 1) / 2.0)
+        .agg(
+          sum($"avg_rk" * $"ca").as("ra"),
+          sum($"ca").as("na"), sum($"cb").as("nb"),
+          sum($"c".cast("double") * $"c" * $"c" - $"c").as("ties"),
+          sum($"c").as("n"))
+        .select(
+          r4($"ra" - $"na".cast("double") * ($"na" + 1) / 2.0).as("u_stat"),
+          $"na", $"nb",
+          r4(($"ra" - $"na".cast("double") * ($"na" + 1) / 2.0 -
+              $"na".cast("double") * $"nb" / 2.0) /
+            sqrt(($"na".cast("double") * $"nb" / 12.0) *
+              (($"n" + 1) - $"ties" /
+                ($"n".cast("double") * ($"n" - 1))))).as("z"))
     })
   )
 
@@ -126,6 +210,42 @@ object DriftQueries extends QueryModule {
         |SELECT round(max(abs(cum_a / CAST(na AS DOUBLE)
         |    - cum_b / CAST(nb AS DOUBLE))), 4) AS ks,
         |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b
-        |FROM cum CROSS JOIN tot""".stripMargin
+        |FROM cum CROSS JOIN tot""".stripMargin,
+
+    // midrank = rank() (min rank) + (peer count − 1)/2, the textbook
+    // average-rank construction — identical to the Spark side's
+    // hi_rank − (c−1)/2 since hi = min + c − 1.
+    "q_spearman" ->
+      """WITH r AS (SELECT l_returnflag AS f,
+        |  rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |    + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1)/2.0 AS rx,
+        |  rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+        |    + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1)/2.0 AS ry
+        |  FROM lineitem)
+        |SELECT f AS l_returnflag, round(corr(rx, ry), 4) AS spearman,
+        |  count(*) AS n
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_mannwhitney" ->
+      """WITH seg AS (SELECT (c_mktsegment = 'BUILDING') AS a,
+        |    round(o_totalprice, 4) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |r AS (SELECT a,
+        |    rank() OVER (ORDER BY v)
+        |      + (count(*) OVER (PARTITION BY v) - 1)/2.0 AS rk
+        |  FROM seg),
+        |s AS (SELECT sum(rk) FILTER (a) AS ra, count(*) FILTER (a) AS na,
+        |    count(*) FILTER (NOT a) AS nb FROM r),
+        |t AS (SELECT sum(CAST(cnt AS DOUBLE)*cnt*cnt - cnt) AS ties,
+        |    sum(cnt) AS n
+        |  FROM (SELECT count(*) AS cnt FROM seg GROUP BY v))
+        |SELECT round(ra - CAST(na AS DOUBLE)*(na+1)/2.0, 4) AS u_stat,
+        |  na, nb,
+        |  round((ra - CAST(na AS DOUBLE)*(na+1)/2.0
+        |      - CAST(na AS DOUBLE)*nb/2.0) /
+        |    sqrt((CAST(na AS DOUBLE)*nb/12.0) *
+        |      ((n+1) - ties/(CAST(n AS DOUBLE)*(n-1)))), 4) AS z
+        |FROM s, t""".stripMargin
   )
 }

@@ -72,6 +72,39 @@ class RankSpec extends AnyFunSuite {
     }
   }
 
+  test("spearman endpoints: monotone +1, antitone -1 despite ties") {
+    // build a synthetic lineitem-shaped check through the same rank
+    // construction the query uses: monotone (y = 2x) and antitone
+    // (y = -x) relationships with heavy ties in x
+    import graft.operators.Rank
+    val df = (1 to 300).map { i =>
+      val x = (i % 20).toDouble
+      ("g", x, 2 * x, -x)
+    }.toDF("f", "x", "yup", "ydown")
+    def rho(y: String): Double = {
+      def ranks(c: String, as: String) = {
+        val vals = df.groupBy($"f", col(c)).agg(count(lit(1)).as("c"))
+        Rank.runningSums(vals, Seq("f"), c, Nil, Seq("hi" -> col("c")))
+          .select($"f", col(c), ($"hi" - ($"c" - 1) / 2.0).as(as))
+      }
+      df.join(ranks("x", "rx"), Seq("f", "x"))
+        .join(ranks(y, "ry"), Seq("f", y))
+        .agg(corr($"rx", $"ry")).collect().head.getDouble(0)
+    }
+    assert(math.abs(rho("yup") - 1.0) < 1e-9)
+    assert(math.abs(rho("ydown") + 1.0) < 1e-9)
+  }
+
+  test("mann-whitney on the real tables is finite and tie-consistent") {
+    val row = SparkEntry.queries("q_mannwhitney")(spark, TestSpark.sf)
+      .collect().head
+    val (u, na, nb) = (row.getDouble(0), row.getLong(1), row.getLong(2))
+    assert(na > 0 && nb > 0)
+    // U is bounded by na*nb by construction
+    assert(u >= 0 && u <= na.toDouble * nb)
+    assert(!row.getDouble(3).isNaN)
+  }
+
   test("rank-rebased query plans have no single-task window") {
     // the point of the primitive: every Window node left in these
     // queries' plans is partitioned AND includes the range-bucket
