@@ -95,6 +95,60 @@ object FeatureQueries3 extends QueryModule {
           r4(expr("percentile(resid, 0.05D)")).as("resid_q05"),
           r4(expr("percentile(resid, 0.95D)")).as("resid_q95"))
         .orderBy($"c_mktsegment")
+    }),
+
+    // Winsorization: per-group p05/p95 via the distributed exact
+    // percentile, 3-row bounds broadcast back over the fact scan,
+    // tails clipped in one aggregate. Bounds are 4dp-rounded on BOTH
+    // engines before comparison so boundary rows classify identically.
+    "feat_winsorize" -> ((s, d) => {
+      import s.implicits._
+      val bounds = graft.operators.ExactPercentile.perGroup(
+          T.lineitem(s, d), "l_returnflag", "l_extendedprice",
+          Seq("lo" -> 0.05, "hi" -> 0.95))
+        .select($"l_returnflag", r4($"lo").as("lo"), r4($"hi").as("hi"))
+      T.lineitem(s, d).select($"l_returnflag", $"l_extendedprice".as("v"))
+        .join(broadcast(bounds), "l_returnflag")
+        .groupBy($"l_returnflag").agg(
+          count(lit(1)).as("n"),
+          count_if($"v" < $"lo").as("n_lo"),
+          count_if($"v" > $"hi").as("n_hi"),
+          r4(avg($"v")).as("mean_raw"),
+          r4(avg(least(greatest($"v", $"lo"), $"hi"))).as("mean_wins"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // Decile lift/gains table: customers scored by pre-1998 spend,
+    // labeled by a high-value 1998 conversion. Deciles come from the
+    // distributed row_number (rank ascending on the NEGATED score =
+    // score-descending ntile) — no global ntile window; the
+    // cumulative capture is a 10×10 conditional self-join over the
+    // decile aggregate, so no unpartitioned window exists anywhere.
+    "ml_lift" -> ((s, d) => {
+      import s.implicits._
+      val cust = T.orders(s, d).groupBy($"o_custkey").agg(
+          sum(when(year($"o_orderdate") < 1998, $"o_totalprice")).as("pre"),
+          max(when(year($"o_orderdate") >= 1998 && $"o_totalprice" > 150000,
+            1).otherwise(0)).as("label"))
+        .filter($"pre" > 0)
+        .select($"o_custkey", r4($"pre").as("score"), $"label")
+      val ranked = graft.operators.Rank.runningSums(
+        cust.withColumn("neg", -$"score"),
+        Nil, "neg", Seq("o_custkey"), Seq("rn" -> lit(1L)))
+      val agg = ranked
+        .withColumn("decile", graft.operators.Rank.ntileOf($"rn", $"rn_total", 10))
+        .groupBy($"decile").agg(count(lit(1)).as("n"), sum($"label").as("conv"))
+      val rhs = agg.select($"decile".as("d2"), $"n".as("n2"), $"conv".as("c2"))
+      agg.crossJoin(rhs)
+        .groupBy($"decile", $"n", $"conv")
+        .agg(sum($"n2").as("tn"), sum($"c2").as("tc"),
+          sum(when($"d2" <= $"decile", $"c2").otherwise(0L)).as("cumc"))
+        .select($"decile", $"n", $"conv",
+          r4($"conv" / $"n".cast("double")).as("rate"),
+          r4(($"conv" / $"n".cast("double")) /
+            ($"tc" / $"tn".cast("double"))).as("lift"),
+          r4($"cumc" / $"tc".cast("double")).as("cum_capture"))
+        .orderBy($"decile")
     })
   )
 
@@ -158,6 +212,41 @@ object FeatureQueries3 extends QueryModule {
         |SELECT c_mktsegment, count(*) AS n_test,
         |  round(quantile_cont(resid, 0.05), 4) AS resid_q05,
         |  round(quantile_cont(resid, 0.95), 4) AS resid_q95
-        |FROM resids GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |FROM resids GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "feat_winsorize" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+        |    round(quantile_cont(l_extendedprice, 0.95), 4) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  count(*) FILTER (l_extendedprice < lo) AS n_lo,
+        |  count(*) FILTER (l_extendedprice > hi) AS n_hi,
+        |  round(avg(l_extendedprice), 4) AS mean_raw,
+        |  round(avg(least(greatest(l_extendedprice, lo), hi)), 4) AS mean_wins
+        |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ml_lift" ->
+      """WITH cust AS (SELECT o_custkey,
+        |    sum(o_totalprice) FILTER (year(o_orderdate) < 1998) AS pre,
+        |    max(CASE WHEN year(o_orderdate) >= 1998
+        |      AND o_totalprice > 150000 THEN 1 ELSE 0 END) AS label
+        |  FROM orders GROUP BY 1),
+        |scored AS (SELECT o_custkey, round(pre, 4) AS score, label
+        |  FROM cust WHERE pre > 0),
+        |dec AS (SELECT label,
+        |    ntile(10) OVER (ORDER BY score DESC, o_custkey) AS decile
+        |  FROM scored),
+        |agg AS (SELECT decile, count(*) AS n, sum(label) AS conv
+        |  FROM dec GROUP BY 1),
+        |tot AS (SELECT sum(conv) AS tc, sum(n) AS tn FROM agg)
+        |SELECT decile, n, conv,
+        |  round(conv / CAST(n AS DOUBLE), 4) AS rate,
+        |  round((conv / CAST(n AS DOUBLE)) / (tc / CAST(tn AS DOUBLE)), 4)
+        |    AS lift,
+        |  round(sum(conv) OVER (ORDER BY decile) / CAST(tc AS DOUBLE), 4)
+        |    AS cum_capture
+        |FROM agg, tot ORDER BY decile""".stripMargin
   )
 }

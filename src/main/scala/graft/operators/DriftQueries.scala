@@ -54,6 +54,30 @@ object DriftQueries extends QueryModule {
           count(lit(1)).as("n_bins"))
     }),
 
+    // Jensen-Shannon divergence between the same two periods and
+    // fixed bins as dq_drift: symmetric, bounded [0, ln 2], defined
+    // even when one side has empty bins (unlike PSI/KL) — the
+    // bin-count decomposition makes it one aggregate pass.
+    "dq_js_divergence" -> ((s, d) => {
+      import s.implicits._
+      val binned = T.orders(s, d)
+        .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1999-01-01").cast("timestamp"))
+        .select(
+          (year($"o_orderdate") === 1997).as("is_base"),
+          least(floor($"o_totalprice" / 50000), lit(5)).cast("int").as("bin"))
+      val counts = binned.groupBy($"bin").agg(
+        count_if($"is_base").as("n1"),
+        count_if(!$"is_base").as("n2"))
+      val tot = counts.agg(sum($"n1").as("t1"), sum($"n2").as("t2"))
+      counts.crossJoin(broadcast(tot))
+        .select(($"n1" / $"t1").as("p"), ($"n2" / $"t2").as("q"))
+        .withColumn("m", ($"p" + $"q") / 2)
+        .agg(r4(lit(0.5) * sum($"p" * log($"p" / $"m")) +
+          lit(0.5) * sum($"q" * log($"q" / $"m"))).as("js"),
+          count(lit(1)).as("n_bins"))
+    }),
+
     // Kolmogorov-Smirnov two-sample statistic (BUILDING vs MACHINERY
     // segment spend): running ECDFs over the merged distinct-value
     // grid — one ordered window over per-value counts, no pairwise
@@ -211,6 +235,20 @@ object DriftQueries extends QueryModule {
         |    - cum_b / CAST(nb AS DOUBLE))), 4) AS ks,
         |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b
         |FROM cum CROSS JOIN tot""".stripMargin,
+
+    "dq_js_divergence" ->
+      """WITH binned AS (SELECT (year(o_orderdate) = 1997) AS is_base,
+        |    CAST(least(floor(o_totalprice / 50000), 5) AS INT) AS bin
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1999-01-01'),
+        |counts AS (SELECT bin, count(*) FILTER (is_base) AS n1,
+        |    count(*) FILTER (NOT is_base) AS n2 FROM binned GROUP BY 1),
+        |tot AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM counts),
+        |pq AS (SELECT n1/CAST(t1 AS DOUBLE) AS p, n2/CAST(t2 AS DOUBLE) AS q,
+        |    (n1/CAST(t1 AS DOUBLE) + n2/CAST(t2 AS DOUBLE))/2 AS m
+        |  FROM counts, tot)
+        |SELECT round(0.5*sum(p*ln(p/m)) + 0.5*sum(q*ln(q/m)), 4) AS js,
+        |  count(*) AS n_bins FROM pq""".stripMargin,
 
     // midrank = rank() (min rank) + (peer count − 1)/2, the textbook
     // average-rank construction — identical to the Spark side's
