@@ -103,18 +103,25 @@ object FeatureQueries3 extends QueryModule {
     // engines before comparison so boundary rows classify identically.
     "feat_winsorize" -> ((s, d) => {
       import s.implicits._
-      val bounds = graft.operators.ExactPercentile.perGroup(
-          T.lineitem(s, d), "l_returnflag", "l_extendedprice",
-          Seq("lo" -> 0.05, "hi" -> 0.95))
+      // One table scan: the (group, value, count) histogram feeds
+      // both the p05/p95 bounds and every reported aggregate (count
+      // tallies and count-weighted means), so clipping costs no
+      // second pass over the fact table.
+      val hist = T.lineitem(s, d)
+        .groupBy($"l_returnflag", $"l_extendedprice".cast("double").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val bounds = graft.operators.ExactPercentile.perGroupWeighted(
+          hist, "l_returnflag", "v", "c", Seq("lo" -> 0.05, "hi" -> 0.95))
         .select($"l_returnflag", r4($"lo").as("lo"), r4($"hi").as("hi"))
-      T.lineitem(s, d).select($"l_returnflag", $"l_extendedprice".as("v"))
-        .join(broadcast(bounds), "l_returnflag")
+      hist.join(broadcast(bounds), "l_returnflag")
         .groupBy($"l_returnflag").agg(
-          count(lit(1)).as("n"),
-          count_if($"v" < $"lo").as("n_lo"),
-          count_if($"v" > $"hi").as("n_hi"),
-          r4(avg($"v")).as("mean_raw"),
-          r4(avg(least(greatest($"v", $"lo"), $"hi"))).as("mean_wins"))
+          sum($"c").as("n"),
+          sum(when($"v" < $"lo", $"c").otherwise(0L)).as("n_lo"),
+          sum(when($"v" > $"hi", $"c").otherwise(0L)).as("n_hi"),
+          r4(sum($"c" * $"v") / sum($"c")).as("mean_raw"),
+          r4(sum($"c" * least(greatest($"v", $"lo"), $"hi")) / sum($"c"))
+            .as("mean_wins"))
         .orderBy($"l_returnflag")
     }),
 

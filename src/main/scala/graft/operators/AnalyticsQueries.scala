@@ -172,15 +172,23 @@ object AnalyticsQueries extends QueryModule {
     "q_mad" -> ((s, d) => {
       import s.implicits._
       // Median absolute deviation — the robust spread statistic —
-      // as two rounds of the scalable two-stage exact percentile:
-      // group medians broadcast back over the scan, then the median
-      // of absolute deviations. No per-group value buffering anywhere.
+      // as two rounds of the scalable two-stage exact percentile.
+      // The raw table is scanned and shuffled ONCE, into the
+      // (group, value, count) histogram; round 2's deviation
+      // histogram is |v − med| over that same frame (deviations of
+      // equal values are equal), so the second percentile costs a
+      // distinct-value-sized re-group, not a second table pass.
       val li = T.lineitem(s, d).select($"l_returnflag", $"l_extendedprice")
-      val med = ExactPercentile.perGroup(li,
-        "l_returnflag", "l_extendedprice", Seq("med" -> 0.5))
-      val dev = li.join(broadcast(med), "l_returnflag")
-        .select($"l_returnflag", abs($"l_extendedprice" - $"med").as("dev"))
-      ExactPercentile.perGroup(dev, "l_returnflag", "dev", Seq("m" -> 0.5))
+      val hist = li
+        .groupBy($"l_returnflag", $"l_extendedprice".cast("double").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val med = ExactPercentile.perGroupWeighted(hist,
+        "l_returnflag", "v", "c", Seq("med" -> 0.5))
+      val devHist = hist.join(broadcast(med), "l_returnflag")
+        .select($"l_returnflag", abs($"v" - $"med").as("dev"), $"c")
+      ExactPercentile.perGroupWeighted(devHist,
+        "l_returnflag", "dev", "c", Seq("m" -> 0.5))
         .select($"l_returnflag", r4($"m").as("mad"))
         .orderBy($"l_returnflag")
     }),

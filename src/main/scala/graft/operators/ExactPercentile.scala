@@ -25,10 +25,33 @@ object ExactPercentile {
     * percentile_cont / quantile_cont. */
   def perGroup(df: DataFrame, group: String, value: String,
       fracs: Seq[(String, Double)]): DataFrame = {
-    require(fracs.nonEmpty)
     val src = df.select(col(group), col(value).cast("double").as("v"))
       .filter(col("v").isNotNull)
     val vals = src.groupBy(col(group), col("v")).agg(count(lit(1)).as("c"))
+    fromHistogram(vals, group, fracs)
+  }
+
+  /** [[perGroup]] over a pre-built (group, value, weight) histogram,
+    * for callers that already hold per-value counts — q_mad derives
+    * its deviation histogram from the first round's value histogram
+    * instead of rescanning and re-shuffling the raw table. Weights
+    * are occurrence counts (each value row counts `weight` times).
+    * Rows are re-grouped on (group, value) first, so duplicate value
+    * rows (e.g. |v − med| collisions from symmetric deviations) are
+    * safe; null values are skipped as in [[perGroup]]. */
+  def perGroupWeighted(hist: DataFrame, group: String, value: String,
+      weight: String, fracs: Seq[(String, Double)]): DataFrame = {
+    val vals = hist
+      .select(col(group), col(value).cast("double").as("v"),
+        col(weight).cast("long").as("w"))
+      .filter(col("v").isNotNull)
+      .groupBy(col(group), col("v")).agg(sum(col("w")).as("c"))
+    fromHistogram(vals, group, fracs)
+  }
+
+  private def fromHistogram(vals: DataFrame, group: String,
+      fracs: Seq[(String, Double)]): DataFrame = {
+    require(fracs.nonEmpty)
     val ranked = Rank
       .runningSums(vals, Seq(group), "v", Nil, Seq("hi_rank" -> col("c")))
       .withColumn("lo_rank", col("hi_rank") - col("c") + 1)

@@ -95,19 +95,25 @@ object IncrementalQueries extends QueryModule {
     "q_outlier_iqr" -> ((s, d) => {
       import s.implicits._
       // Tukey-fence outlier gate: exact p25/p75 per group via the
-      // scalable two-stage percentile (see [[ExactPercentile]]), the
-      // 3-row bounds broadcast back over the fact scan — the pattern
-      // that replaces "collect the column and numpy it" at scale.
-      val bounds = ExactPercentile.perGroup(T.lineitem(s, d),
-          "l_returnflag", "l_extendedprice", Seq("p25" -> 0.25, "p75" -> 0.75))
+      // scalable two-stage percentile (see [[ExactPercentile]]) —
+      // the pattern that replaces "collect the column and numpy it"
+      // at scale. The raw table is scanned and shuffled ONCE into
+      // the (group, value, count) histogram; both the quartiles AND
+      // the outlier tally (sum of counts outside the fences) come
+      // from that checkpointed frame, so there is no second pass.
+      val hist = T.lineitem(s, d)
+        .groupBy($"l_returnflag", $"l_extendedprice".cast("double").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val bounds = ExactPercentile.perGroupWeighted(hist,
+          "l_returnflag", "v", "c", Seq("p25" -> 0.25, "p75" -> 0.75))
         .withColumn("lo", $"p25" - lit(1.5) * ($"p75" - $"p25"))
         .withColumn("hi", $"p75" + lit(1.5) * ($"p75" - $"p25"))
         .select($"l_returnflag", $"lo", $"hi")
-      T.lineitem(s, d).select($"l_returnflag", $"l_extendedprice".as("v"))
-        .join(broadcast(bounds), "l_returnflag")
+      hist.join(broadcast(bounds), "l_returnflag")
         .groupBy($"l_returnflag")
-        .agg(sum(when($"v" < $"lo" || $"v" > $"hi", 1L).otherwise(0L)).as("n_out"),
-          count(lit(1)).as("n"),
+        .agg(sum(when($"v" < $"lo" || $"v" > $"hi", $"c").otherwise(0L)).as("n_out"),
+          sum($"c").as("n"),
           r4(max($"lo")).as("lo_bound"),
           r4(max($"hi")).as("hi_bound"))
         .orderBy($"l_returnflag")
