@@ -12,6 +12,7 @@ object SparkEntry {
     operators.AnalyticsQueries3,
     operators.TpchQueries,
     operators.DriftQueries,
+    operators.StatQueries,
     operators.PageRank,
     operators.EventQueries,
     operators.BehaviorQueries,

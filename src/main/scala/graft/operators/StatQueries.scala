@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.{QueryModule, Tables => T}
+import graft.Util.r4
+import org.apache.spark.sql.functions._
+
+/** Hypothesis-test / survival statistics over aggregates.
+  *
+  * Every statistic here reduces the fact table to a frame whose size
+  * is bounded by the SCHEMA (a contingency grid, a 2×2 conversion
+  * table, a month-granularity event timeline) before any ordered or
+  * quadratic work happens — the same decomposition discipline as
+  * [[DriftQueries]]: scans stay linear and map-side combinable at any
+  * scale, and only schema-bounded frames are sorted.
+  */
+object StatQueries extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    // Cramér's V association between two categoricals (order
+    // priority × order status): chi-square over the r×c contingency
+    // grid (marginal-count decomposition, broadcast everywhere — the
+    // q_chisq shape), normalized by n·min(r−1, c−1) into [0, 1].
+    "q_cramers_v" -> ((s, d) => {
+      import s.implicits._
+      val cells = T.orders(s, d)
+        .select($"o_orderpriority".as("a"), $"o_orderstatus".as("b"))
+      val obs = cells.groupBy($"a", $"b").agg(count(lit(1)).as("o"))
+      val rowt = cells.groupBy($"a").agg(count(lit(1)).as("rt"))
+      val colt = cells.groupBy($"b").agg(count(lit(1)).as("ct"))
+      val n = cells.agg(count(lit(1)).as("n"))
+      val grid = broadcast(rowt).crossJoin(broadcast(colt))
+        .join(obs, Seq("a", "b"), "left")
+        .crossJoin(broadcast(n))
+        .select($"a", $"b", coalesce($"o", lit(0L)).as("o"),
+          ($"rt" * $"ct" / $"n").cast("double").as("e"), $"n")
+      grid.agg(
+          sum(pow($"o" - $"e", 2) / $"e").as("chi2"),
+          countDistinct($"a").as("r"), countDistinct($"b").as("c"),
+          first($"n").as("n"))
+        .select(r4($"chi2").as("chisq"),
+          (($"r" - 1) * ($"c" - 1)).as("dof"),
+          r4(sqrt($"chi2" /
+            ($"n" * least($"r" - 1, $"c" - 1)))).as("cramers_v"))
+    }),
+
+    // Two-proportion z-test (A/B shape): high-ticket conversion rate
+    // of BUILDING vs MACHINERY customers, pooled-variance normal
+    // statistic. ONE aggregation pass over the broadcast-joined scan
+    // produces all four counts; the z arithmetic is a scalar select.
+    "q_prop_ztest" -> ((s, d) => {
+      import s.implicits._
+      val seg = T.orders(s, d)
+        .join(broadcast(T.customer(s, d)
+            .filter($"c_mktsegment".isin("BUILDING", "MACHINERY"))
+            .select($"c_custkey", $"c_mktsegment")),
+          $"o_custkey" === $"c_custkey")
+        .select(($"c_mktsegment" === "BUILDING").as("a"),
+          ($"o_totalprice" > 150000).as("conv"))
+      seg.agg(
+          count_if($"a").as("na"), count_if($"a" && $"conv").as("xa"),
+          count_if(!$"a").as("nb"), count_if(!$"a" && $"conv").as("xb"))
+        .select($"na", $"nb",
+          r4($"xa".cast("double") / $"na").as("p_a"),
+          r4($"xb".cast("double") / $"nb").as("p_b"),
+          r4(($"xa".cast("double") / $"na" - $"xb".cast("double") / $"nb") /
+            sqrt((($"xa" + $"xb").cast("double") / ($"na" + $"nb")) *
+              (lit(1.0) - ($"xa" + $"xb").cast("double") / ($"na" + $"nb")) *
+              (lit(1.0) / $"na" + lit(1.0) / $"nb"))).as("z"))
+    }),
+
+    // Kaplan-Meier survival curve over customer lifetimes (months
+    // from first to last order; churn event = last order before the
+    // censoring cutoff). The timeline is month-granular, so the
+    // ranked frame is TIME-bounded (~80 rows at any data scale) —
+    // the bounded-domain case where buckets=1 is the right call
+    // (same reasoning as q_spearman's quantity side). Two rank
+    // passes: cumulative counts give the at-risk pool, then the
+    // running log-sum turns the KM product into exp(Σ ln(1 − d/r)).
+    "q_survival_km" -> ((s, d) => {
+      import s.implicits._
+      val cust = T.orders(s, d).groupBy($"o_custkey").agg(
+        floor(datediff(max($"o_orderdate"), min($"o_orderdate")) / 30.0)
+          .cast("long").as("t"),
+        (max($"o_orderdate") < lit("2001-01-01").cast("date")).as("ev"))
+      val perT = cust.groupBy($"t")
+        .agg(count(lit(1)).as("c"), count_if($"ev").as("d"))
+      val atRisk = Rank
+        .runningSums(perT, Nil, "t", Nil, Seq("cum_le" -> $"c"), 1)
+        .select($"t", $"d",
+          ($"cum_le_total" - $"cum_le" + $"c").as("r"))
+        .filter($"d" > 0)
+      Rank.runningSums(
+          atRisk.withColumn("lnterm",
+            log(lit(1.0) - $"d".cast("double") / $"r")),
+          Nil, "t", Nil, Seq("logcum" -> $"lnterm"), 1)
+        .select($"t".as("month"), $"r".as("at_risk"), $"d".as("events"),
+          r4(exp($"logcum")).as("survival"))
+        .orderBy($"month")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_cramers_v" ->
+      """WITH cells AS (SELECT o_orderpriority AS a, o_orderstatus AS b
+        |  FROM orders),
+        |obs AS (SELECT a, b, count(*) AS o FROM cells GROUP BY 1, 2),
+        |rowt AS (SELECT a, count(*) AS rt FROM cells GROUP BY 1),
+        |colt AS (SELECT b, count(*) AS ct FROM cells GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM cells),
+        |grid AS (SELECT r.a, c.b, coalesce(o.o, 0) AS o,
+        |    CAST(r.rt * c.ct AS DOUBLE) / n.n AS e, n.n
+        |  FROM rowt r CROSS JOIN colt c CROSS JOIN n
+        |  LEFT JOIN obs o ON o.a = r.a AND o.b = c.b)
+        |SELECT round(sum((o - e) * (o - e) / e), 4) AS chisq,
+        |  CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT) AS dof,
+        |  round(sqrt(sum((o - e) * (o - e) / e) /
+        |    (max(n) * least(count(DISTINCT a) - 1,
+        |      count(DISTINCT b) - 1))), 4) AS cramers_v
+        |FROM grid""".stripMargin,
+
+    "q_prop_ztest" ->
+      """WITH seg AS (SELECT (c_mktsegment = 'BUILDING') AS a,
+        |    (o_totalprice > 150000) AS conv
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY'))
+        |SELECT count(*) FILTER (a) AS na, count(*) FILTER (NOT a) AS nb,
+        |  round(CAST(count(*) FILTER (a AND conv) AS DOUBLE)
+        |    / count(*) FILTER (a), 4) AS p_a,
+        |  round(CAST(count(*) FILTER (NOT a AND conv) AS DOUBLE)
+        |    / count(*) FILTER (NOT a), 4) AS p_b,
+        |  round((CAST(count(*) FILTER (a AND conv) AS DOUBLE)
+        |      / count(*) FILTER (a)
+        |    - CAST(count(*) FILTER (NOT a AND conv) AS DOUBLE)
+        |      / count(*) FILTER (NOT a)) /
+        |    sqrt((CAST(count(*) FILTER (conv) AS DOUBLE) / count(*)) *
+        |      (1 - CAST(count(*) FILTER (conv) AS DOUBLE) / count(*)) *
+        |      (1.0 / count(*) FILTER (a) + 1.0 / count(*) FILTER (NOT a))), 4)
+        |    AS z
+        |FROM seg""".stripMargin,
+
+    "q_survival_km" ->
+      """WITH cust AS (SELECT o_custkey,
+        |    CAST(floor(date_diff('day', min(o_orderdate),
+        |      max(o_orderdate)) / 30.0) AS BIGINT) AS t,
+        |    (max(o_orderdate) < DATE '2001-01-01') AS ev
+        |  FROM orders GROUP BY 1),
+        |per_t AS (SELECT t, count(*) AS c, count(*) FILTER (ev) AS d
+        |  FROM cust GROUP BY 1),
+        |rk AS (SELECT t, c, d, sum(c) OVER (ORDER BY t) AS cum_le,
+        |    (SELECT count(*) FROM cust) AS n FROM per_t),
+        |surv AS (SELECT t, d, n - cum_le + c AS r,
+        |    exp(sum(ln(1 - CAST(d AS DOUBLE) / (n - cum_le + c)))
+        |      OVER (ORDER BY t)) AS s
+        |  FROM rk WHERE d > 0)
+        |SELECT t AS month, CAST(r AS BIGINT) AS at_risk,
+        |  CAST(d AS BIGINT) AS events, round(s, 4) AS survival
+        |FROM surv ORDER BY month""".stripMargin
+  )
+}

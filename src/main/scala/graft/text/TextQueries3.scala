@@ -77,10 +77,51 @@ object TextQueries3 extends QueryModule {
           r4($"n_distinct".cast("double") / $"n_tokens").as("distinct_ratio"),
           r4($"top_count".cast("double") / $"n_tokens").as("top_tok_frac"))
         .orderBy($"doc_id")
+    }),
+
+    // Zipf-slope corpus health check: OLS fit of ln(freq) ~ ln(rank)
+    // over the top-1000 terms (natural text sits near −1; a flat or
+    // cliff-shaped slope flags synthetic/boilerplate corpora). Term
+    // counts are one partial agg over the token stream; top-k is a
+    // TakeOrdered (no global sort); ranks on the ≤1000-row frame come
+    // from the rank primitive at buckets=1 (schema-bounded input —
+    // the q_spearman quantity-side case), and the fit is
+    // covar_pop/var_pop — regr_slope's exact definition.
+    "text_zipf" -> ((s, d) => {
+      import s.implicits._
+      val top = T.documents(s, d)
+        .select(explode(Util.tokens($"text")).as("t"))
+        .filter($"t" =!= "")
+        .select(lower($"t").as("term"))
+        .groupBy($"term").agg(count(lit(1)).as("f"))
+        .orderBy($"f".desc, $"term").limit(1000)
+      val rk = graft.operators.Rank
+        .runningSums(top.withColumn("nf", -$"f"), Nil, "nf",
+          Seq("term"), Seq("r" -> lit(1L)), 1)
+        .select(log($"f".cast("double")).as("lnf"),
+          log($"r".cast("double")).as("lnr"))
+      rk.agg(covar_pop($"lnr", $"lnf").as("cv"), var_pop($"lnr").as("vr"),
+          avg($"lnf").as("mf"), avg($"lnr").as("mr"),
+          count(lit(1)).as("n_terms"))
+        .select(r4($"cv" / $"vr").as("zipf_slope"),
+          r4($"mf" - ($"cv" / $"vr") * $"mr").as("intercept"),
+          $"n_terms")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "text_zipf" ->
+      """WITH terms AS (SELECT lower(t) AS term, count(*) AS f
+        |  FROM documents,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS u(t)
+        |  WHERE t <> '' GROUP BY 1),
+        |top AS (SELECT term, f FROM terms ORDER BY f DESC, term LIMIT 1000),
+        |rk AS (SELECT f, row_number() OVER (ORDER BY f DESC, term) AS r
+        |  FROM top)
+        |SELECT round(regr_slope(ln(f), ln(r)), 4) AS zipf_slope,
+        |  round(regr_intercept(ln(f), ln(r)), 4) AS intercept,
+        |  count(*) AS n_terms FROM rk""".stripMargin,
+
     "text_bm25" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(string_split_regex(trim(text), '\s+')) AS tok
