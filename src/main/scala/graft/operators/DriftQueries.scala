@@ -113,37 +113,37 @@ object DriftQueries extends QueryModule {
     // textbook rank()-window formulation.
     "q_spearman" -> ((s, d) => {
       import s.implicits._
-      // The fact table is reduced ONCE to the joint (x, y) histogram
-      // (≈ distinct-price cardinality, not row count); marginal value
-      // counts, both rank passes, and the weighted corr sums all
-      // derive from that one checkpointed frame. x = l_quantity has a
-      // bounded domain (≤50 distinct values per group at ANY scale),
-      // so its rank pass skips the range-bucket machinery
-      // (buckets=1 ⇒ a ≤50-row window per group, forever); y = price
-      // is unbounded and gets the full distributed rank. corr is the
-      // cxy-weighted co-moment form over midranks — raw double sums
-      // carry ~1e-11 relative error here, far inside the 4dp compare.
-      val li = T.lineitem(s, d).select($"l_returnflag".as("f"),
-        $"l_quantity".cast("double").as("x"),
-        $"l_extendedprice".cast("double").as("y"))
-      val joint = li.groupBy($"f", $"x", $"y")
-        .agg(count(lit(1)).cast("double").as("cxy"))
+      // The 3-column projection is checkpointed ONCE; marginal value
+      // counts and both rank passes derive from it. Midranks come
+      // from the MARGINAL histograms, so rows need no joint (x, y)
+      // dedup — prices are near-unique and a joint histogram shuffle
+      // would move ~every row to save nothing (measured: it was pure
+      // overhead at sf0.1). x = l_quantity has a bounded domain
+      // (≤50 distinct values per group at ANY scale), so its rank
+      // pass skips the range-bucket machinery (buckets=1 ⇒ a ≤50-row
+      // window per group, forever) and broadcast-joins back; y =
+      // price is unbounded and gets the full distributed rank. corr
+      // is the co-moment form over midranks — raw double sums carry
+      // ~1e-11 relative error here, far inside the 4dp compare.
+      val rows = T.lineitem(s, d).select($"l_returnflag".as("f"),
+          $"l_quantity".cast("double").as("x"),
+          $"l_extendedprice".cast("double").as("y"))
         .localCheckpoint(false)
       def ranks(c: String, as: String, buckets: Int) = {
-        val vals = joint.groupBy($"f", col(c)).agg(sum($"cxy").as("c"))
+        val vals = rows.groupBy($"f", col(c)).agg(count(lit(1)).as("c"))
         Rank.runningSums(vals, Seq("f"), c, Nil, Seq("hi" -> col("c")),
             buckets)
           .select($"f", col(c), ($"hi" - ($"c" - 1) / 2.0).as(as))
       }
-      joint.join(ranks("x", "rx", 1), Seq("f", "x"))
+      rows.join(broadcast(ranks("x", "rx", 1)), Seq("f", "x"))
         .join(ranks("y", "ry", 32), Seq("f", "y"))
         .groupBy($"f")
         .agg(
-          sum($"cxy").as("n"),
-          sum($"cxy" * $"rx" * $"ry").as("sxy"),
-          sum($"cxy" * $"rx").as("sx"), sum($"cxy" * $"ry").as("sy"),
-          sum($"cxy" * $"rx" * $"rx").as("sxx"),
-          sum($"cxy" * $"ry" * $"ry").as("syy"))
+          count(lit(1)).cast("double").as("n"),
+          sum($"rx" * $"ry").as("sxy"),
+          sum($"rx").as("sx"), sum($"ry").as("sy"),
+          sum($"rx" * $"rx").as("sxx"),
+          sum($"ry" * $"ry").as("syy"))
         .select($"f".as("l_returnflag"),
           r4(($"n" * $"sxy" - $"sx" * $"sy") /
             sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
