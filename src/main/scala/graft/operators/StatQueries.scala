@@ -68,6 +68,49 @@ object StatQueries extends QueryModule {
               (lit(1.0) / $"na" + lit(1.0) / $"nb"))).as("z"))
     }),
 
+    // Theil inequality index of customer spend — the entropy-based
+    // complement to q_gini, and unlike Gini it needs NO ordered pass
+    // at all: T = Σ(x·ln x)/Σx − ln(Σx/n) decomposes into three
+    // map-side-combinable sums over the per-customer totals.
+    "q_theil" -> ((s, d) => {
+      import s.implicits._
+      T.orders(s, d).groupBy($"o_custkey")
+        .agg(sum($"o_totalprice").as("x"))
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+          sum($"x" * log($"x")).as("sxlx"))
+        .select($"n".as("n_customers"),
+          r4($"sxlx" / $"sx" - log($"sx" / $"n")).as("theil"))
+    }),
+
+    // CUPED variance-reduced A/B means: per-unit pre-period covariate
+    // x and experiment metric y, θ = cov(y,x)/var(x) fitted on ALL
+    // units (a 1-row broadcast), adjusted metric y − θ(x − x̄) per
+    // arm. Var_ratio reports 1 − ρ² — on this synthetic data pre and
+    // post spend are uncorrelated, so the honest answer is ≈1.0 (no
+    // reduction); the operator's value is the machinery: two
+    // aggregation passes, no shuffle beyond the unit rollup.
+    "q_cuped" -> ((s, d) => {
+      import s.implicits._
+      val cut = lit("1997-01-01").cast("date")
+      val unit = T.orders(s, d).groupBy($"o_custkey").agg(
+          sum(when($"o_orderdate" < cut, $"o_totalprice")
+            .otherwise(lit(0.0))).as("x"),
+          sum(when($"o_orderdate" >= cut, $"o_totalprice")
+            .otherwise(lit(0.0))).as("y"))
+        .select(($"o_custkey" % 2).as("arm"), $"x", $"y")
+      val th = unit.agg(
+        (covar_pop($"y", $"x") / var_pop($"x")).as("theta"),
+        avg($"x").as("mx"))
+      val adj = $"y" - $"theta" * ($"x" - $"mx")
+      unit.crossJoin(broadcast(th))
+        .groupBy($"arm").agg(
+          count(lit(1)).as("n_units"),
+          r4(avg($"y")).as("mean_y"),
+          r4(avg(adj)).as("mean_y_cuped"),
+          r4(var_pop(adj) / var_pop($"y")).as("var_ratio"))
+        .orderBy($"arm")
+    }),
+
     // Kaplan-Meier survival curve over customer lifetimes (months
     // from first to last order; churn event = last order before the
     // censoring cutoff). The timeline is month-granular, so the
@@ -100,6 +143,30 @@ object StatQueries extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_theil" ->
+      """WITH cust AS (SELECT o_custkey, sum(o_totalprice) AS x
+        |  FROM orders GROUP BY 1),
+        |agg AS (SELECT count(*) AS n, sum(x) AS sx,
+        |    sum(x * ln(x)) AS sxlx FROM cust)
+        |SELECT CAST(n AS BIGINT) AS n_customers,
+        |  round(sxlx / sx - ln(sx / n), 4) AS theil FROM agg""".stripMargin,
+
+    "q_cuped" ->
+      """WITH unit AS (SELECT o_custkey % 2 AS arm,
+        |    sum(CASE WHEN o_orderdate < DATE '1997-01-01'
+        |      THEN o_totalprice ELSE 0 END) AS x,
+        |    sum(CASE WHEN o_orderdate >= DATE '1997-01-01'
+        |      THEN o_totalprice ELSE 0 END) AS y
+        |  FROM orders GROUP BY o_custkey),
+        |th AS (SELECT covar_pop(y, x) / var_pop(x) AS theta,
+        |    avg(x) AS mx FROM unit)
+        |SELECT arm, count(*) AS n_units,
+        |  round(avg(y), 4) AS mean_y,
+        |  round(avg(y - theta * (x - mx)), 4) AS mean_y_cuped,
+        |  round(var_pop(y - theta * (x - mx)) / var_pop(y), 4) AS var_ratio
+        |FROM unit CROSS JOIN th
+        |GROUP BY arm, theta, mx ORDER BY arm""".stripMargin,
+
     "q_cramers_v" ->
       """WITH cells AS (SELECT o_orderpriority AS a, o_orderstatus AS b
         |  FROM orders),
