@@ -111,6 +111,29 @@ object StatQueries extends QueryModule {
         .orderBy($"arm")
     }),
 
+    // Difference-in-differences: the 2×2 (treated × pre/post) mean
+    // grid and the DiD effect in ONE aggregation pass over the
+    // broadcast-joined scan — four conditional means, zero shuffles
+    // beyond the partial agg.
+    "q_diff_in_diff" -> ((s, d) => {
+      import s.implicits._
+      val seg = T.orders(s, d)
+        .join(broadcast(T.customer(s, d)
+            .filter($"c_mktsegment".isin("BUILDING", "MACHINERY"))
+            .select($"c_custkey", $"c_mktsegment")),
+          $"o_custkey" === $"c_custkey")
+        .select(($"c_mktsegment" === "BUILDING").as("treat"),
+          ($"o_orderdate" >= lit("1997-01-01").cast("date")).as("post"),
+          $"o_totalprice".as("y"))
+      def m(c: org.apache.spark.sql.Column) = avg(when(c, $"y"))
+      seg.agg(
+          m($"treat" && !$"post").as("tpre"), m($"treat" && $"post").as("tpost"),
+          m(!$"treat" && !$"post").as("cpre"), m(!$"treat" && $"post").as("cpost"))
+        .select(r4($"tpre").as("treat_pre"), r4($"tpost").as("treat_post"),
+          r4($"cpre").as("ctrl_pre"), r4($"cpost").as("ctrl_post"),
+          r4(($"tpost" - $"tpre") - ($"cpost" - $"cpre")).as("did"))
+    }),
+
     // Kaplan-Meier survival curve over customer lifetimes (months
     // from first to last order; churn event = last order before the
     // censoring cutoff). The timeline is month-granular, so the
@@ -166,6 +189,22 @@ object StatQueries extends QueryModule {
         |  round(var_pop(y - theta * (x - mx)) / var_pop(y), 4) AS var_ratio
         |FROM unit CROSS JOIN th
         |GROUP BY arm, theta, mx ORDER BY arm""".stripMargin,
+
+    "q_diff_in_diff" ->
+      """WITH seg AS (SELECT (c_mktsegment = 'BUILDING') AS treat,
+        |    (o_orderdate >= DATE '1997-01-01') AS post, o_totalprice AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY'))
+        |SELECT
+        |  round(avg(y) FILTER (treat AND NOT post), 4) AS treat_pre,
+        |  round(avg(y) FILTER (treat AND post), 4) AS treat_post,
+        |  round(avg(y) FILTER (NOT treat AND NOT post), 4) AS ctrl_pre,
+        |  round(avg(y) FILTER (NOT treat AND post), 4) AS ctrl_post,
+        |  round((avg(y) FILTER (treat AND post)
+        |      - avg(y) FILTER (treat AND NOT post))
+        |    - (avg(y) FILTER (NOT treat AND post)
+        |      - avg(y) FILTER (NOT treat AND NOT post)), 4) AS did
+        |FROM seg""".stripMargin,
 
     "q_cramers_v" ->
       """WITH cells AS (SELECT o_orderpriority AS a, o_orderstatus AS b

@@ -79,6 +79,31 @@ object TextQueries3 extends QueryModule {
         .orderBy($"doc_id")
     }),
 
+    // Unigram-LM surprisal (cross-entropy) per document: mean
+    // −ln p(token) under the corpus unigram distribution — the
+    // classic cheap outlier/quality signal (rare-token documents
+    // score high). Corpus counts, the normalizer, and per-doc term
+    // frequencies are three partial aggs over ONE token stream (AQE
+    // reuses the exploded scan stage, same shape as text_bm25); the
+    // tf⋈vocab join is df-bounded and the 1-row total broadcasts.
+    "text_surprisal" -> ((s, d) => {
+      import s.implicits._
+      val toks = T.documents(s, d)
+        .select($"doc_id", explode(Util.tokens($"text")).as("t"))
+        .filter($"t" =!= "")
+        .select($"doc_id", lower($"t").as("tok"))
+      val corpus = toks.groupBy($"tok").agg(count(lit(1)).as("cf"))
+      val tot = toks.agg(count(lit(1)).as("n"))
+      val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      tf.join(corpus, "tok").crossJoin(broadcast(tot))
+        .groupBy($"doc_id")
+        .agg(sum($"tf").as("n_tokens"),
+          r4(-sum($"tf" * log($"cf".cast("double") / $"n")) / sum($"tf"))
+            .as("surprisal"))
+        .orderBy($"surprisal".desc, $"doc_id")
+        .limit(50)
+    }),
+
     // Zipf-slope corpus health check: OLS fit of ln(freq) ~ ln(rank)
     // over the top-1000 terms (natural text sits near −1; a flat or
     // cliff-shaped slope flags synthetic/boilerplate corpora). Term
@@ -110,6 +135,20 @@ object TextQueries3 extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_surprisal" ->
+      """WITH toks AS (SELECT doc_id, lower(t) AS tok
+        |  FROM documents,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS u(t)
+        |  WHERE t <> ''),
+        |corpus AS (SELECT tok, count(*) AS cf FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM toks),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2)
+        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |  round(-sum(tf.tf * ln(CAST(cf AS DOUBLE) / n)) / sum(tf.tf), 4)
+        |    AS surprisal
+        |FROM tf JOIN corpus USING (tok) CROSS JOIN tot
+        |GROUP BY 1 ORDER BY surprisal DESC, doc_id LIMIT 50""".stripMargin,
+
     "text_zipf" ->
       """WITH terms AS (SELECT lower(t) AS term, count(*) AS f
         |  FROM documents,
