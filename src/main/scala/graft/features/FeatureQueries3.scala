@@ -131,6 +131,31 @@ object FeatureQueries3 extends QueryModule {
     // score-descending ntile) — no global ntile window; the
     // cumulative capture is a 10×10 conditional self-join over the
     // decile aggregate, so no unpartitioned window exists anywhere.
+    // ROC AUC of order value as a score for "urgent order" — the
+    // Mann-Whitney identity AUC = (R⁺ − n₁(n₁+1)/2)/(n₁·n₀) over
+    // midranks, computed on the per-score-value histogram via ONE
+    // distributed rank pass: no per-row ranking, no global sort, no
+    // threshold sweep. Near 0.5 here (price doesn't predict
+    // priority in this data) — the honest answer; the scale-correct
+    // machinery is the deliverable.
+    "ml_auc" -> ((s, d) => {
+      import s.implicits._
+      val pts = T.orders(s, d).select($"o_totalprice".as("v"),
+        ($"o_orderpriority" === "1-URGENT").as("pos"))
+      val per = pts.groupBy($"v").agg(
+          count_if($"pos").as("np"), count_if(!$"pos").as("nn"))
+        .withColumn("c", $"np" + $"nn")
+      graft.operators.Rank
+        .runningSums(per, Nil, "v", Nil, Seq("hi" -> $"c"))
+        .withColumn("avg_rk", $"hi" - ($"c" - 1) / 2.0)
+        .agg(sum($"np").as("n1"), sum($"nn").as("n0"),
+          sum($"avg_rk" * $"np").as("rpos"))
+        .select($"n1".cast("long").as("n_pos"),
+          $"n0".cast("long").as("n_neg"),
+          r4(($"rpos" - $"n1".cast("double") * ($"n1" + 1) / 2.0) /
+            ($"n1".cast("double") * $"n0")).as("auc"))
+    }),
+
     "ml_lift" -> ((s, d) => {
       import s.implicits._
       val cust = T.orders(s, d).groupBy($"o_custkey").agg(
@@ -233,6 +258,20 @@ object FeatureQueries3 extends QueryModule {
         |  round(avg(least(greatest(l_extendedprice, lo), hi)), 4) AS mean_wins
         |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ml_auc" ->
+      """WITH pts AS (SELECT o_totalprice AS v,
+        |    (o_orderpriority = '1-URGENT') AS pos FROM orders),
+        |per AS (SELECT v, count(*) FILTER (pos) AS np,
+        |    count(*) FILTER (NOT pos) AS nn FROM pts GROUP BY 1),
+        |rk AS (SELECT np, nn, np + nn AS c,
+        |    sum(np + nn) OVER (ORDER BY v) AS hi FROM per)
+        |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        |  CAST(sum(nn) AS BIGINT) AS n_neg,
+        |  round((sum((hi - (c - 1) / 2.0) * np)
+        |      - sum(np) * (sum(np) + 1) / 2.0)
+        |    / (CAST(sum(np) AS DOUBLE) * sum(nn)), 4) AS auc
+        |FROM rk""".stripMargin,
 
     "ml_lift" ->
       """WITH cust AS (SELECT o_custkey,
