@@ -100,6 +100,58 @@ object AnalyticsQueries2 extends QueryModule {
     // Lag-1 autocorrelation of the daily revenue series: daily totals
     // are a partial agg; corr over (rev, lag(rev)) needs one ordered
     // window over the small daily series, then a scalar aggregate.
+    // Classical seasonal decomposition of daily revenue: trend =
+    // centered 7-day moving average, DOW seasonal = mean detrended
+    // deviation, residual spread per weekday. The ordered windows run
+    // over the DAILY rollup — a TIME-bounded frame (~2.4k rows here,
+    // and it grows with calendar span, not data volume), the same
+    // accepted class as q_autocorr's lag window.
+    "q_seasonal_decompose" -> ((s, d) => {
+      import s.implicits._
+      val daily = T.orders(s, d)
+        .groupBy($"o_orderdate".as("d"))
+        .agg(sum($"o_totalprice").as("v"))
+      val w = Window.orderBy($"d").rowsBetween(-3, 3)
+      val dev = daily
+        .select($"d", $"v", (weekday($"d") + 1).as("dow"),
+          avg($"v").over(w).as("trend"), count(lit(1)).over(w).as("wn"))
+        .filter($"wn" === 7)
+        .select($"dow", ($"v" - $"trend").as("dt"))
+      val seas = dev.groupBy($"dow")
+        .agg(avg($"dt").as("seasonal"), count(lit(1)).as("n_days"))
+      dev.join(broadcast(seas), "dow")
+        .groupBy($"dow", $"n_days", $"seasonal")
+        .agg(stddev_samp($"dt" - $"seasonal").as("sd"))
+        .select($"dow", $"n_days", r4($"seasonal").as("seasonal"),
+          r4($"sd").as("resid_sd"))
+        .orderBy($"dow")
+    }),
+
+    // CUSUM mean-shift changepoint on the daily revenue series:
+    // the running sum of deviations from the global mean peaks at
+    // the most likely shift point. Prefix sums ride an ordered
+    // window over the bounded daily frame; the argmax is a
+    // TakeOrdered(1), and the before/after means are one
+    // conditional-aggregation pass against the broadcast peak.
+    "q_changepoint" -> ((s, d) => {
+      import s.implicits._
+      val daily = T.orders(s, d)
+        .groupBy($"o_orderdate".as("d"))
+        .agg(sum($"o_totalprice").as("v"))
+        .localCheckpoint(false)
+      val mu = daily.agg(avg($"v").as("mu"))
+      val w = Window.orderBy($"d")
+      val cp = daily.crossJoin(broadcast(mu))
+        .select($"d",
+          abs(sum($"v").over(w) - row_number().over(w) * $"mu").as("ca"))
+        .orderBy($"ca".desc, $"d").limit(1)
+        .select($"d".as("cp_day"), $"ca")
+      daily.crossJoin(broadcast(cp))
+        .agg(max($"cp_day").as("cp_day"), r4(max($"ca")).as("cusum_max"),
+          r4(avg(when($"d" <= $"cp_day", $"v"))).as("mean_before"),
+          r4(avg(when($"d" > $"cp_day", $"v"))).as("mean_after"))
+    }),
+
     "q_autocorr" -> ((s, d) => {
       import s.implicits._
       val daily = T.orders(s, d)
@@ -190,6 +242,38 @@ object AnalyticsQueries2 extends QueryModule {
         |  FROM pts)
         |SELECT event_type, CAST(max(conc) AS BIGINT) AS max_concurrent
         |FROM sw GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_seasonal_decompose" ->
+      """WITH daily AS (SELECT o_orderdate AS d, sum(o_totalprice) AS v
+        |  FROM orders GROUP BY 1),
+        |tr AS (SELECT d, v, CAST(extract(isodow FROM d) AS INT) AS dow,
+        |    avg(v) OVER (ORDER BY d
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+        |    count(*) OVER (ORDER BY d
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+        |  FROM daily),
+        |dev AS (SELECT dow, v - trend AS dt FROM tr WHERE wn = 7),
+        |seas AS (SELECT dow, avg(dt) AS seasonal, count(*) AS n_days
+        |  FROM dev GROUP BY 1)
+        |SELECT s.dow, CAST(s.n_days AS BIGINT) AS n_days,
+        |  round(s.seasonal, 4) AS seasonal,
+        |  round(stddev_samp(d.dt - s.seasonal), 4) AS resid_sd
+        |FROM seas s JOIN dev d ON d.dow = s.dow
+        |GROUP BY s.dow, s.n_days, s.seasonal ORDER BY s.dow""".stripMargin,
+
+    "q_changepoint" ->
+      """WITH daily AS (SELECT o_orderdate AS d, sum(o_totalprice) AS v
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT d, abs(sum(v) OVER (ORDER BY d)
+        |    - row_number() OVER (ORDER BY d)
+        |      * (SELECT avg(v) FROM daily)) AS ca FROM daily),
+        |mx AS (SELECT d AS cp_day, ca FROM st ORDER BY ca DESC, d LIMIT 1)
+        |SELECT cp_day, round(ca, 4) AS cusum_max,
+        |  round((SELECT avg(v) FROM daily WHERE d <= cp_day), 4)
+        |    AS mean_before,
+        |  round((SELECT avg(v) FROM daily WHERE d > cp_day), 4)
+        |    AS mean_after
+        |FROM mx""".stripMargin,
 
     "q_autocorr" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
