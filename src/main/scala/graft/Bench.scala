@@ -45,7 +45,18 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // localCheckpoint registers persistent RDDs that outlive their
+      // query until the ContextCleaner's weak refs happen to get
+      // GC'd — a 180-query sweep otherwise accumulates dead blocks
+      // against later queries. Dropping them between queries (outside
+      // the timer; each query builds its own) keeps the block manager
+      // at single-query pressure. SPARK_GRAFT_BENCH_UNPERSIST=0 to
+      // disable.
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_UNPERSIST", "1") == "1")
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      sec
     }
 
     // optional args = bench only these queries (local dev loop).
