@@ -80,6 +80,32 @@ object EventQueries extends QueryModule {
         .orderBy($"o_orderpriority")
     }),
 
+    // Conversion latency: first-view → first-purchase minutes per
+    // converted user, p50/p90 by the weekday of the first view. The
+    // per-user reduction is one partial agg over the event stream;
+    // the percentiles ride the distributed exact-percentile (range
+    // buckets + prefix offsets — no per-group value buffering), and
+    // the per-dow counts broadcast-join back.
+    "q_funnel_time" -> ((s, d) => {
+      import s.implicits._
+      val conv = T.events(s, d)
+        .groupBy($"user_id")
+        .agg(
+          min(when($"event_type" === "view", unix_micros($"ts"))).as("v"),
+          min(when($"event_type" === "view", $"ts")).as("vts"),
+          min(when($"event_type" === "purchase", unix_micros($"ts"))).as("p"))
+        .filter($"p" > $"v")
+        .select((weekday($"vts") + 1).as("dow"),
+          (($"p" - $"v") / 60000000.0).as("latency_min"))
+      val pct = ExactPercentile.perGroup(conv, "dow", "latency_min",
+        Seq("p50" -> 0.5, "p90" -> 0.9))
+      conv.groupBy($"dow").agg(count(lit(1)).as("n_converted"))
+        .join(broadcast(pct), "dow")
+        .select($"dow", $"n_converted",
+          r4($"p50").as("p50_min"), r4($"p90").as("p90_min"))
+        .orderBy($"dow")
+    }),
+
     "q_funnel" -> ((s, d) => {
       import s.implicits._
       T.events(s, d)
@@ -146,6 +172,22 @@ object EventQueries extends QueryModule {
         |  AND l_shipdate >= o_orderdate
         |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_funnel_time" ->
+      """WITH u AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view'
+        |      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS v,
+        |    min(CASE WHEN event_type = 'view'
+        |      THEN CAST(ts AS TIMESTAMP) END) AS vts,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS p
+        |  FROM events GROUP BY 1),
+        |conv AS (SELECT CAST(extract(isodow FROM vts) AS INT) AS dow,
+        |    (p - v) / 60000000.0 AS latency_min FROM u WHERE p > v)
+        |SELECT dow, CAST(count(*) AS BIGINT) AS n_converted,
+        |  round(quantile_cont(latency_min, 0.5), 4) AS p50_min,
+        |  round(quantile_cont(latency_min, 0.9), 4) AS p90_min
+        |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_funnel" ->
       """SELECT count(v) AS n_viewed,
