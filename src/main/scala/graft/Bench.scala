@@ -82,21 +82,29 @@ object Bench {
     val passLoad = scala.collection.mutable.ArrayBuffer.empty[String]
     val passes = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.LinkedHashMap[String, Double]]
 
-    def writeJson(): Unit = {
+    // Short summary (total + per-query min ONLY) vs full payload
+    // (adds per-pass times + loadavg): stdout gets the SHORT form —
+    // the r5 driver run exited 0 but its tail capture truncated the
+    // full line into unparseable JSON ("parsed": null), so the
+    // diagnostics now live only in the bench.json file on disk.
+    def summaryJson: String = {
       val results = names.map { n =>
         val ts = passes.flatMap(_.get(n)).filter(_ >= 0)
         n -> (if (ts.isEmpty) -1.0 else ts.min)
       }
       val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+
+    def writeJson(): Unit = {
       val perPass = names.map { n =>
         "\"" + n + "\":[" + passes.map(_.getOrElse(n, -1.0)).mkString(",") + "]"
       }.mkString("{", ",", "}")
       val loads = passLoad.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val total = results.map(_._2).filter(_ >= 0).sum
-      val json =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-          s""""passes":$perPass,"loadavg":$loads,"sf":"$sfDir"}"""
+      val json = summaryJson.dropRight(1) +
+        s""","passes":$perPass,"loadavg":$loads}"""
       // persisted per-query: the driver's log tail truncates long lines
       // (cost round 1 its numbers) and its timeout kills mid-run (cost
       // round 4 the whole signal) — the file always holds the latest state
@@ -106,8 +114,12 @@ object Bench {
     // Warmup: untimed, not recorded (codegen/JIT absorption only).
     // Capped at 40% of budget so a contended warmup can't starve the
     // timed passes that actually produce numbers.
+    // `.iterator` is load-bearing: takeWhile on a strict Seq would
+    // evaluate the predicate for the WHOLE list (in microseconds)
+    // before the first materialize ran, making the budget check a
+    // no-op — the iterator interleaves the check with execution.
     var warmupTotal = 0.0
-    names.takeWhile(_ => elapsed < budgetSec * 0.4).foreach { n =>
+    names.iterator.takeWhile(_ => elapsed < budgetSec * 0.4).foreach { n =>
       warmupTotal = warmupTotal + math.max(0.0, materialize(n))
     }
     System.err.println(f"[bench] warmup pass done in $warmupTotal%.1f s (load $loadavg)")
@@ -120,9 +132,10 @@ object Bench {
       val m = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       passes += m
       val tPass = System.nanoTime()
-      // mid-pass budget check: a contention-inflated pass stops early
-      // with its partial results (min over partial passes stays valid)
-      names.takeWhile(_ => pass == 0 || elapsed < budgetSec).foreach { n =>
+      // mid-pass budget check (lazy via .iterator, see warmup note):
+      // a contention-inflated pass stops early with its partial
+      // results (min over partial passes stays valid)
+      names.iterator.takeWhile(_ => pass == 0 || elapsed < budgetSec).foreach { n =>
         m(n) = materialize(n); writeJson()
       }
       lastPassSec = (System.nanoTime() - tPass) / 1e9
@@ -133,7 +146,7 @@ object Bench {
       System.err.println(s"[bench] stopped after $pass/$maxPasses passes (budget $budgetSec s)")
 
     writeJson()
-    println(java.nio.file.Files.readString(java.nio.file.Paths.get("bench.json")))
+    println(summaryJson)
     spark.stop()
   }
 }

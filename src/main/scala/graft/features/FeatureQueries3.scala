@@ -158,12 +158,19 @@ object FeatureQueries3 extends QueryModule {
 
     "ml_lift" -> ((s, d) => {
       import s.implicits._
+      // Score = pre-1998 spend in integer CENTS: a double sum's value
+      // depends on partition/accumulation order, and a 4dp-rounded
+      // double score let boundary customers land in different deciles
+      // across engines (the round-5 hash mismatch). Summing
+      // round(price*100) as BIGINT is order-independent and exact, so
+      // decile assignment is identical everywhere.
       val cust = T.orders(s, d).groupBy($"o_custkey").agg(
-          sum(when(year($"o_orderdate") < 1998, $"o_totalprice")).as("pre"),
+          sum(when(year($"o_orderdate") < 1998,
+            round($"o_totalprice" * 100).cast("long"))).as("pre"),
           max(when(year($"o_orderdate") >= 1998 && $"o_totalprice" > 150000,
             1).otherwise(0)).as("label"))
         .filter($"pre" > 0)
-        .select($"o_custkey", r4($"pre").as("score"), $"label")
+        .select($"o_custkey", $"pre".as("score"), $"label")
       val ranked = graft.operators.Rank.runningSums(
         cust.withColumn("neg", -$"score"),
         Nil, "neg", Seq("o_custkey"), Seq("rn" -> lit(1L)))
@@ -275,11 +282,12 @@ object FeatureQueries3 extends QueryModule {
 
     "ml_lift" ->
       """WITH cust AS (SELECT o_custkey,
-        |    sum(o_totalprice) FILTER (year(o_orderdate) < 1998) AS pre,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      FILTER (year(o_orderdate) < 1998) AS pre,
         |    max(CASE WHEN year(o_orderdate) >= 1998
         |      AND o_totalprice > 150000 THEN 1 ELSE 0 END) AS label
         |  FROM orders GROUP BY 1),
-        |scored AS (SELECT o_custkey, round(pre, 4) AS score, label
+        |scored AS (SELECT o_custkey, pre AS score, label
         |  FROM cust WHERE pre > 0),
         |dec AS (SELECT label,
         |    ntile(10) OVER (ORDER BY score DESC, o_custkey) AS decile

@@ -57,7 +57,9 @@ object DriftQueries extends QueryModule {
     // Jensen-Shannon divergence between the same two periods and
     // fixed bins as dq_drift: symmetric, bounded [0, ln 2], defined
     // even when one side has empty bins (unlike PSI/KL) — the
-    // bin-count decomposition makes it one aggregate pass.
+    // 0·ln 0 = 0 convention is honored EXPLICITLY with a p>0 guard
+    // (a bare p*ln(p/m) yields NaN on an empty bin and poisons the
+    // sum); the bin-count decomposition makes it one aggregate pass.
     "dq_js_divergence" -> ((s, d) => {
       import s.implicits._
       val binned = T.orders(s, d)
@@ -73,8 +75,10 @@ object DriftQueries extends QueryModule {
       counts.crossJoin(broadcast(tot))
         .select(($"n1" / $"t1").as("p"), ($"n2" / $"t2").as("q"))
         .withColumn("m", ($"p" + $"q") / 2)
-        .agg(r4(lit(0.5) * sum($"p" * log($"p" / $"m")) +
-          lit(0.5) * sum($"q" * log($"q" / $"m"))).as("js"),
+        .agg(r4(lit(0.5) *
+            sum(when($"p" > 0, $"p" * log($"p" / $"m")).otherwise(0.0)) +
+          lit(0.5) *
+            sum(when($"q" > 0, $"q" * log($"q" / $"m")).otherwise(0.0))).as("js"),
           count(lit(1)).as("n_bins"))
     }),
 
@@ -247,7 +251,8 @@ object DriftQueries extends QueryModule {
         |pq AS (SELECT n1/CAST(t1 AS DOUBLE) AS p, n2/CAST(t2 AS DOUBLE) AS q,
         |    (n1/CAST(t1 AS DOUBLE) + n2/CAST(t2 AS DOUBLE))/2 AS m
         |  FROM counts, tot)
-        |SELECT round(0.5*sum(p*ln(p/m)) + 0.5*sum(q*ln(q/m)), 4) AS js,
+        |SELECT round(0.5*sum(CASE WHEN p > 0 THEN p*ln(p/m) ELSE 0 END)
+        |    + 0.5*sum(CASE WHEN q > 0 THEN q*ln(q/m) ELSE 0 END), 4) AS js,
         |  count(*) AS n_bins FROM pq""".stripMargin,
 
     // midrank = rank() (min rank) + (peer count − 1)/2, the textbook

@@ -58,22 +58,30 @@ object SketchQueries extends QueryModule {
       // deterministic) estimates any key's frequency from kilobytes
       // of state. The hashed output is the exact top-10 plus a
       // sketch-sanity boolean, so the oracle verifies the sketch
-      // without re-implementing it. The 10 top keys are collected
-      // (bounded: exactly 10 post-limit rows) and their estimates
-      // probed driver-side against the local sketch — no UDF
-      // anywhere in the plan. Bound note: est ≤ n + eps·N holds only
-      // with the sketch's δ=0.01 confidence PER QUERY; 3× slack makes
-      // a false alarm (δ³ per key) practically impossible while still
-      // catching a broken sketch.
+      // without re-implementing it. The sketch is built IN the plan
+      // by the native count_min_sketch aggregate (per-partition
+      // partials merged as binaries — same mergeable-sketch shape as
+      // the old treeAggregate, but lazy: constructing this DataFrame
+      // runs NO job, where the previous form paid two eager scans
+      // before the caller ever asked for a row). The 1-row sketch is
+      // broadcast onto the 10 post-limit keys and probed in a typed
+      // map — 10 deserializations total, off the hot path. Bound
+      // note: est ≤ n + eps·N holds only with the sketch's δ=0.01
+      // confidence PER QUERY; 3× slack makes a false alarm (δ³ per
+      // key) practically impossible while still catching a broken
+      // sketch.
       val li = T.lineitem(s, d).select($"l_partkey")
-      val cms = li.stat.countMinSketch($"l_partkey", 1e-4, 0.99, 42)
-      val slack = math.ceil(3 * 1e-4 * cms.totalCount()).toLong
-      val top = li.groupBy($"l_partkey").agg(count(lit(1)).as("n"))
+      val cmsBin = li.agg(expr(
+        "count_min_sketch(l_partkey, 0.0001d, 0.99d, 42)").as("sk"))
+      li.groupBy($"l_partkey").agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"l_partkey")
-        .limit(10).collect()
-      top.toSeq
-        .map { r =>
-          val (k, n) = (r.getLong(0), r.getLong(1))
+        .limit(10)
+        .crossJoin(broadcast(cmsBin))
+        .as[(Long, Long, Array[Byte])]
+        .map { case (k, n, sk) =>
+          val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            new java.io.ByteArrayInputStream(sk))
+          val slack = math.ceil(3 * 1e-4 * cms.totalCount()).toLong
           val est = cms.estimateCount(k)
           (k, n, est >= n && est <= n + slack)
         }

@@ -136,8 +136,14 @@ object StatQueries extends QueryModule {
 
     // Kaplan-Meier survival curve over customer lifetimes (months
     // from first to last order; churn event = last order before the
-    // censoring cutoff). The timeline is month-granular, so the
-    // ranked frame is TIME-bounded (~80 rows at any data scale) —
+    // censoring cutoff). The cutoff (1998-06-01) sits INSIDE the
+    // data's date range, so customers still ordering near the end of
+    // the data are right-censored — they leave the at-risk pool
+    // without an event, which is the estimator's whole point (a
+    // cutoff past max(o_orderdate) would censor nobody and
+    // degenerate KM into a plain ECDF). The timeline is
+    // month-granular, so the ranked frame is TIME-bounded (~80 rows
+    // at any data scale) —
     // the bounded-domain case where buckets=1 is the right call
     // (same reasoning as q_spearman's quantity side). Two rank
     // passes: cumulative counts give the at-risk pool, then the
@@ -147,7 +153,7 @@ object StatQueries extends QueryModule {
       val cust = T.orders(s, d).groupBy($"o_custkey").agg(
         floor(datediff(max($"o_orderdate"), min($"o_orderdate")) / 30.0)
           .cast("long").as("t"),
-        (max($"o_orderdate") < lit("2001-01-01").cast("date")).as("ev"))
+        (max($"o_orderdate") < lit("1998-06-01").cast("date")).as("ev"))
       val perT = cust.groupBy($"t")
         .agg(count(lit(1)).as("c"), count_if($"ev").as("d"))
       val atRisk = Rank
@@ -248,7 +254,7 @@ object StatQueries extends QueryModule {
       """WITH cust AS (SELECT o_custkey,
         |    CAST(floor(date_diff('day', min(o_orderdate),
         |      max(o_orderdate)) / 30.0) AS BIGINT) AS t,
-        |    (max(o_orderdate) < DATE '2001-01-01') AS ev
+        |    (max(o_orderdate) < DATE '1998-06-01') AS ev
         |  FROM orders GROUP BY 1),
         |per_t AS (SELECT t, count(*) AS c, count(*) FILTER (ev) AS d
         |  FROM cust GROUP BY 1),

@@ -62,8 +62,14 @@ object Similarity {
     val buckets = (0 until nTables).map(t =>
       struct(lit(t).as("__table"),
         lshBucket(col("__vec"), nPlanes, t, dim).as("__bucket")))
-    graft.Util.ensureParallelism(df)
-      .select(col("*"), explode(array(buckets: _*)).as("__tb"))
+    // No forced repartition here (unlike bruteTopK/similarityJoin,
+    // whose per-row fanout is corpus-sized): posting generation is
+    // ~tables·planes codegen'd dot products per row, downstream
+    // collision scoring is bounded by bucket occupancy, and cluster
+    // inputs arrive pre-split anyway — on the local single-file scan
+    // the exchange cost more than the parallelism bought (measured:
+    // two repartitions + two plan→RDD conversions of pure overhead).
+    df.select(col("*"), explode(array(buckets: _*)).as("__tb"))
       .select(df.columns.map(col) :+ col("__tb.__table") :+ col("__tb.__bucket"): _*)
   }
 
@@ -78,13 +84,27 @@ object Similarity {
     val q = lshPostings(queries.select(col(id).as("qid"),
       col(vec).as("__vec")), nPlanes, nTables, dim)
       .withColumnRenamed("__vec", "__qv")
-    val scored = c.join(broadcast(q), Seq("__table", "__bucket"))
-      .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), col("__qv"), col("__vec")).distinct()
-      .withColumn("cos", cosine(col("__qv"), col("__vec")))
+    // Score each bucket collision IMMEDIATELY (codegen'd dot over the
+    // two row-local arrays, map-side) so only (qid, nid, cos) triples
+    // ever shuffle — never the embeddings. A pair colliding in
+    // several tables scores identically in all of them, so its
+    // duplicates are ADJACENT under (cos desc, nid asc): one
+    // qid-partitioned exchange + sort serves dedup (lag ≠ previous
+    // triple), ranking (row_number after the filter reuses the same
+    // partitioning AND sort order — no second exchange), and the
+    // top-k cut. The round-5 shape paid a distinct exchange carrying
+    // full embedding arrays plus a separate window exchange.
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
+    c.join(broadcast(q), Seq("__table", "__bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", cosine(col("__qv"), col("__vec")))
+      .select(col("qid"), col("nid"), col("cos"))
+      .withColumn("__dup",
+        lag(struct(col("cos"), col("nid")), 1).over(w) ===
+          struct(col("cos"), col("nid")))
+      .filter(!coalesce(col("__dup"), lit(false)))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("cos"), col("rank"))
   }
