@@ -144,24 +144,66 @@ object VendorPipeline extends QueryModule {
 
     // one-hot conformance over the real 717 dummy columns: per vendor,
     // rows whose pickup/dropoff/weekday/quarter dummies don't sum to 1.
-    // Horizontal sums are a codegen'd add-chain over the scan — one
-    // pass, no unpivot fanout for the conformance path.
+    //
+    // Round-6 plan: COLUMN-GROUP scans. A single 722-column scan can
+    // never return columnar batches (`supportBatch` gates on schema ≤
+    // spark.sql.codegen.maxFields = 100, and forcing maxFields=800
+    // blows Janino's 64 KB fusion limit — measured in round 4, pinned
+    // in VendorPipelineSpec), so the old one-pass audit ran the
+    // row-based reader. Instead the dummies are read in ⌈717/96⌉ = 8
+    // scans of ≤ 97 fields each — every scan vectorized + inside
+    // whole-stage codegen — emitting per-row PARTIAL family sums;
+    // parquet is columnar so the 8 scans decode each column exactly
+    // once (same total IO, batch decoding back). A union +
+    // (vendor, split, rid) re-group reassembles the full horizontal
+    // sums: the exchange carries rows × groups small fixed-width
+    // tuples — linear, shuffle-friendly at any scale — rather than
+    // any wide row ever existing.
     "pipe_vendor_onehot" -> ((s, _) => {
       import s.implicits._
-      val wide = allWide(s)
-      // balanced add tree: a left-nested reduce over 384 columns is
-      // ~400 frames deep and overflows Catalyst's recursive transforms;
-      // pairwise grouping keeps the expression depth at log₂(n) ≈ 9.
+      val fams = Seq("pickup_" -> "ps", "dropoff_" -> "ds",
+        "weekday_" -> "ws", "Q_" -> "qs")
+      // balanced add tree: a left-nested reduce over ~100 columns is
+      // that many frames deep and stresses Catalyst's recursive
+      // transforms; pairwise grouping keeps depth at log₂(n) ≈ 7.
       def balanced(cs: Seq[Column]): Column =
         if (cs.size == 1) cs.head
         else balanced(cs.grouped(2).map(_.reduce(_ + _)).toSeq)
-      def famSum(prefix: String): Column =
-        balanced(wide.columns.filter(_.startsWith(prefix))
-          .map(col(_).cast("long")).toSeq)
-      wide
-        .select($"vendor",
-          famSum("pickup_").as("ps"), famSum("dropoff_").as("ds"),
-          famSum("weekday_").as("ws"), famSum("Q_").as("qs"))
+      // ONE footer read for the shared schema (all six files come
+      // from the reference's generator). Each group branch then reads
+      // ALL SIX files in a single scan with an explicitly NARROW
+      // (≤ 97-field) schema — vendor/split are recovered from the
+      // file path — so the whole audit is 8 branches of 8 scan nodes
+      // total. Two earlier shapes measured worse: per-(file × group)
+      // reads paid 48 × 722-column schema inference (7.4 s), and
+      // branching 8 group projections off six wide relations still
+      // paid Catalyst analysis against 722-attribute children every
+      // pass (6.0 s). Narrow relations make both the analysis and the
+      // scan (Batched: true) cheap.
+      val sch = s.read.parquet(s"$root/alitran/train.parquet").schema
+      val dummyCols = sch.fieldNames
+        .filter(c => fams.exists { case (p, _) => c.startsWith(p) })
+      val allPaths = vendors.flatMap(v =>
+        Seq("train", "test").map(sp => s"$root/$v/$sp.parquet"))
+      val partials = dummyCols.grouped(96).toSeq.map { cols =>
+        val gsch = org.apache.spark.sql.types.StructType(
+          (cols :+ "__index_level_0__").map(sch(_)))
+        val outCols =
+          regexp_extract(input_file_name(), "datasets/([^/]+)/", 1)
+            .as("vendor") +:
+          regexp_extract(input_file_name(), "/(train|test)\\.parquet", 1)
+            .as("split") +:
+          col("__index_level_0__").as("rid") +:
+          fams.map { case (p, a) =>
+            val fs = cols.filter(_.startsWith(p)).map(col(_).cast("long"))
+            (if (fs.isEmpty) lit(0L) else balanced(fs.toSeq)).as(a)
+          }
+        s.read.schema(gsch).parquet(allPaths: _*).select(outCols: _*)
+      }
+      partials.reduce(_.unionByName(_))
+        .groupBy($"vendor", $"split", $"rid")
+        .agg(sum($"ps").as("ps"), sum($"ds").as("ds"),
+          sum($"ws").as("ws"), sum($"qs").as("qs"))
         .groupBy($"vendor").agg(
           count(lit(1)).as("n_rows"),
           count_if($"ps" =!= 1).as("pickup_bad"),

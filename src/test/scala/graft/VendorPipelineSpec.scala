@@ -43,18 +43,6 @@ class VendorPipelineSpec extends AnyFunSuite {
   }
 
   test("wide conformance audit reads the full one-hot schema and completes") {
-    // Wide-schema tradeoff, pinned here deliberately: Spark gates BOTH
-    // whole-stage fusion and the vectorized parquet reader on
-    // `spark.sql.codegen.maxFields` (default 100). Forcing it to 800
-    // makes the 717-column projection fuse into one processNext() that
-    // exceeds Janino's 64 KB method limit — the compile fails and
-    // burns ~90 s before falling back (measured). So the audit runs
-    // the row-based scan + operator-level codegen'd projections with
-    // method splitting, and the HOT path (pipe_vendor, pruned to 4
-    // columns) keeps columnar + whole-stage codegen. On a long-lived
-    // cluster a wide-audit session raises maxFields=800: the scan
-    // plans columnar again (next test) and the one failed fusion
-    // compile amortizes over the session.
     val df = SparkEntry.queries("pipe_vendor_onehot")(spark, TestSpark.sf)
     val explain = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -62,26 +50,24 @@ class VendorPipelineSpec extends AnyFunSuite {
     assert(df.collect().length == 3)
   }
 
-  test("cluster wide-audit knob recovers the vectorized scan") {
-    // The deploy recipe for a dedicated wide-audit session: raising
-    // maxFields re-enables the vectorized parquet reader (the scan's
-    // `Batched:` planning attribute — NOT the ColumnarToRow node,
-    // which disappears whenever the scan fuses into a whole-stage
-    // stage). The cost is one failed 64 KB Janino fusion compile per
-    // plan, after which execution falls back per-stage; assert the
-    // PLANNING decision only so the suite doesn't pay that compile.
-    def batched(s: org.apache.spark.sql.SparkSession): Seq[String] = {
-      val e = SparkEntry.queries("pipe_vendor_onehot")(s, TestSpark.sf)
-        .queryExecution.explainString(
-          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      "Batched: (true|false)".r.findAllMatchIn(e).map(_.group(1)).toSeq
-    }
-    // default session: row-based scan (and no doomed fusion attempt)
-    assert(batched(spark).nonEmpty && batched(spark).forall(_ == "false"))
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.codegen.maxFields", "800")
-    assert(batched(s2).nonEmpty && batched(s2).forall(_ == "true"),
-      "audit session did not plan vectorized scans")
+  test("column-group audit plans vectorized scans under the default session") {
+    // Wide-schema tradeoff, round-6 resolution: Spark gates BOTH
+    // whole-stage fusion and the vectorized parquet reader on
+    // `spark.sql.codegen.maxFields` (default 100) — a single
+    // 722-column scan always row-reads (and forcing maxFields=800
+    // blows Janino's 64 KB fusion limit, burning ~90 s per failed
+    // compile — measured in round 4). The audit therefore reads the
+    // dummies in ⌈717/96⌉ column-group scans of ≤ 97 fields and
+    // reassembles per-row family sums with a rid re-group, so EVERY
+    // scan plans `Batched: true` with no session knob at all. Pinned
+    // here: a regression that widens any scan past maxFields flips
+    // its Batched attribute back to false.
+    val e = SparkEntry.queries("pipe_vendor_onehot")(spark, TestSpark.sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val batched = "Batched: (true|false)".r.findAllMatchIn(e).map(_.group(1)).toSeq
+    assert(batched.nonEmpty && batched.forall(_ == "true"),
+      s"audit lost the vectorized scan: Batched=$batched")
   }
 
   test("one-hot conformance catches the real violations in the data") {
