@@ -1,0 +1,35 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned train/eval run artifacts — the reference DAG's terminal
+  * stage. Each per-vendor DAG the reference deploys ends by
+  * persisting its trained model and eval metrics (the train→evaluate
+  * stages wired up by aws_infrastructure/airflow-setup.py:172-241);
+  * here the artifact IS the model-as-DataFrame (one row per vendor:
+  * training stats, coefficients, metrics), written as parquet
+  * partitioned by (run_id, vendor):
+  *
+  *   - a scoring job reloads ONE vendor's model of ONE run with
+  *     partition pruning — other runs' files are never listed or
+  *     scanned;
+  *   - dynamic partition overwrite makes re-running a run_id
+  *     idempotent without touching other runs' partitions;
+  *   - doubles round-trip parquet bit-exactly, so reload-and-score
+  *     reproduces the in-memory model to the last ulp.
+  */
+object ModelArtifacts {
+
+  /** Persist one run's model/metrics frame under `path`. */
+  def write(artifact: DataFrame, path: String, runId: String): Unit =
+    artifact.withColumn("run_id", lit(runId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("run_id", "vendor")
+      .parquet(path)
+
+  /** Reload one run's artifact (partition-pruned on run_id). */
+  def load(s: SparkSession, path: String, runId: String): DataFrame =
+    s.read.parquet(path).filter(col("run_id") === runId).drop("run_id")
+}

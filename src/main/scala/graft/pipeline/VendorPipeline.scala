@@ -65,6 +65,73 @@ object VendorPipeline extends QueryModule {
         col("passenger_count"), col("hour"), col("distance")))
       .reduce(_.unionByName(_))
 
+  /** Per-vendor 3-feature fit over the train split: one grouped
+    * aggregate of 14 partial-aggregable moments, then the z-scored
+    * normal equations solved by Cramer's rule as column arithmetic
+    * (same algebra, same evaluation order as the DuckDB oracle).
+    * Output: (vendor, m1..m3, s1..s3, my, b1..b3) — 3 rows. Shared by
+    * pipe_vendor and the artifact sink. */
+  private def fitVendorModels(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val tr = allNarrow(s).filter($"split" === "train")
+    val st = tr.groupBy($"vendor").agg(
+      avg($"passenger_count").as("m1"), avg($"hour").as("m2"),
+      avg($"distance").as("m3"),
+      sqrt(var_pop($"passenger_count")).as("s1"),
+      sqrt(var_pop($"hour")).as("s2"),
+      sqrt(var_pop($"distance")).as("s3"),
+      covar_pop($"passenger_count", $"hour").as("c12"),
+      covar_pop($"passenger_count", $"distance").as("c13"),
+      covar_pop($"hour", $"distance").as("c23"),
+      covar_pop($"passenger_count", $"trip_duration").as("c1y"),
+      covar_pop($"hour", $"trip_duration").as("c2y"),
+      covar_pop($"distance", $"trip_duration").as("c3y"),
+      avg($"trip_duration").as("my"))
+    // z-scored features ⇒ the Gram matrix is the correlation matrix
+    st
+      .withColumn("p12", $"c12" / ($"s1" * $"s2"))
+      .withColumn("p13", $"c13" / ($"s1" * $"s3"))
+      .withColumn("p23", $"c23" / ($"s2" * $"s3"))
+      .withColumn("r1", $"c1y" / $"s1")
+      .withColumn("r2", $"c2y" / $"s2")
+      .withColumn("r3", $"c3y" / $"s3")
+      .withColumn("det",
+        ($"p23" * $"p23" * lit(-1) + 1) - $"p12" * ($"p12" - $"p23" * $"p13") +
+          $"p13" * ($"p12" * $"p23" - $"p13"))
+      .withColumn("b1",
+        ($"r1" * ($"p23" * $"p23" * lit(-1) + 1) - $"p12" * ($"r2" - $"p23" * $"r3") +
+          $"p13" * ($"r2" * $"p23" - $"r3")) / $"det")
+      .withColumn("b2",
+        (($"r2" - $"p23" * $"r3") - $"r1" * ($"p12" - $"p23" * $"p13") +
+          $"p13" * ($"p12" * $"r3" - $"r2" * $"p13")) / $"det")
+      .withColumn("b3",
+        (($"r3" - $"r2" * $"p23") - $"p12" * ($"p12" * $"r3" - $"r2" * $"p13") +
+          $"r1" * ($"p12" * $"p23" - $"p13")) / $"det")
+      .select($"vendor", $"m1", $"m2", $"m3", $"s1", $"s2", $"s3", $"my",
+        $"b1", $"b2", $"b3")
+  }
+
+  /** Score the test split against a model frame (freshly fitted OR
+    * reloaded from an artifact — any frame carrying the fit columns):
+    * broadcast the 3-row model, one grouped metrics aggregate. */
+  private def evalOnTest(s: SparkSession, model: DataFrame): DataFrame = {
+    import s.implicits._
+    val pred = $"my" + $"b1" * ($"passenger_count" - $"m1") / $"s1" +
+      $"b2" * ($"hour" - $"m2") / $"s2" +
+      $"b3" * ($"distance" - $"m3") / $"s3"
+    val res = $"trip_duration" - $"pred"
+    allNarrow(s).filter($"split" === "test")
+      .join(broadcast(model.select($"vendor", $"m1", $"m2", $"m3",
+        $"s1", $"s2", $"s3", $"my", $"b1", $"b2", $"b3")), Seq("vendor"))
+      .withColumn("pred", pred)
+      .groupBy($"vendor").agg(
+        count(lit(1)).as("n_test"),
+        sqrt(avg(res * res)).as("rmse_raw"),
+        avg(abs(res)).as("mae_raw"),
+        (lit(1.0) - sum(res * res) /
+          (var_pop($"trip_duration") * count(lit(1)))).as("r2_raw"))
+  }
+
   val queries: Map[String, Q] = Map(
     // validate → scale (z-score on train stats) → train (3-feature
     // normal equations per vendor) → evaluate (RMSE/MAE/R² on test).
@@ -79,62 +146,40 @@ object VendorPipeline extends QueryModule {
         count_if($"trip_duration".isNull).as("n_null_label"),
         count_if($"distance" < 0).as("n_neg_dist"))
 
-      // -- train: one grouped aggregate of partial-aggregable moments
-      val tr = narrow.filter($"split" === "train")
-      val st = tr.groupBy($"vendor").agg(
-        avg($"passenger_count").as("m1"), avg($"hour").as("m2"),
-        avg($"distance").as("m3"),
-        sqrt(var_pop($"passenger_count")).as("s1"),
-        sqrt(var_pop($"hour")).as("s2"),
-        sqrt(var_pop($"distance")).as("s3"),
-        covar_pop($"passenger_count", $"hour").as("c12"),
-        covar_pop($"passenger_count", $"distance").as("c13"),
-        covar_pop($"hour", $"distance").as("c23"),
-        covar_pop($"passenger_count", $"trip_duration").as("c1y"),
-        covar_pop($"hour", $"trip_duration").as("c2y"),
-        covar_pop($"distance", $"trip_duration").as("c3y"),
-        avg($"trip_duration").as("my"))
-      // z-scored features ⇒ the Gram matrix is the correlation matrix;
-      // 3×3 Cramer solve as column arithmetic (same algebra, same
-      // evaluation order as the DuckDB oracle).
-      val model = st
-        .withColumn("p12", $"c12" / ($"s1" * $"s2"))
-        .withColumn("p13", $"c13" / ($"s1" * $"s3"))
-        .withColumn("p23", $"c23" / ($"s2" * $"s3"))
-        .withColumn("r1", $"c1y" / $"s1")
-        .withColumn("r2", $"c2y" / $"s2")
-        .withColumn("r3", $"c3y" / $"s3")
-        .withColumn("det",
-          ($"p23" * $"p23" * lit(-1) + 1) - $"p12" * ($"p12" - $"p23" * $"p13") +
-            $"p13" * ($"p12" * $"p23" - $"p13"))
-        .withColumn("b1",
-          ($"r1" * ($"p23" * $"p23" * lit(-1) + 1) - $"p12" * ($"r2" - $"p23" * $"r3") +
-            $"p13" * ($"r2" * $"p23" - $"r3")) / $"det")
-        .withColumn("b2",
-          (($"r2" - $"p23" * $"r3") - $"r1" * ($"p12" - $"p23" * $"p13") +
-            $"p13" * ($"p12" * $"r3" - $"r2" * $"p13")) / $"det")
-        .withColumn("b3",
-          (($"r3" - $"r2" * $"p23") - $"p12" * ($"p12" * $"r3" - $"r2" * $"p13") +
-            $"r1" * ($"p12" * $"p23" - $"p13")) / $"det")
-        .select($"vendor", $"m1", $"m2", $"m3", $"s1", $"s2", $"s3", $"my",
-          $"b1", $"b2", $"b3")
-
-      // -- evaluate: broadcast the 3-row model, score the test split
-      val pred = $"my" + $"b1" * ($"passenger_count" - $"m1") / $"s1" +
-        $"b2" * ($"hour" - $"m2") / $"s2" +
-        $"b3" * ($"distance" - $"m3") / $"s3"
-      val res = $"trip_duration" - $"pred"
-      val ev = narrow.filter($"split" === "test")
-        .join(broadcast(model), Seq("vendor"))
-        .withColumn("pred", pred)
-        .groupBy($"vendor").agg(
-          sqrt(avg(res * res)).as("rmse_raw"),
-          avg(abs(res)).as("mae_raw"),
-          (lit(1.0) - sum(res * res) /
-            (var_pop($"trip_duration") * count(lit(1)))).as("r2_raw"))
+      val model = fitVendorModels(s)
+      val ev = evalOnTest(s, model).drop("n_test")
 
       dq.join(broadcast(model), Seq("vendor")).join(broadcast(ev), Seq("vendor"))
         .select($"vendor", $"n_train", $"n_test", $"n_null_label", $"n_neg_dist",
+          r4($"b1").as("b_pc"), r4($"b2").as("b_hour"), r4($"b3").as("b_dist"),
+          r4($"my").as("intercept"),
+          r4($"rmse_raw").as("rmse"), r4($"mae_raw").as("mae"),
+          r4($"r2_raw").as("r2"))
+        .orderBy($"vendor")
+    }),
+
+    // Train/eval ARTIFACT persistence + reload-and-score — the
+    // reference DAG's terminal stage (persist model + metrics, then a
+    // later scoring job consumes the artifact alone). Constructing
+    // this DataFrame runs the sink eagerly (fit → eval → parquet
+    // write partitioned by (run_id, vendor)) — a sink is an action by
+    // nature and this is documented, unlike a query that hides scans
+    // behind plan construction. The RETURNED plan reads only the
+    // reloaded artifact: coefficients come off the artifact scan and
+    // the test metrics are re-scored from those reloaded (bit-exact)
+    // doubles, proving the scoring path needs no access to the
+    // training pipeline.
+    "pipe_vendor_artifact" -> ((s, _) => {
+      import s.implicits._
+      val dir = sys.props("java.io.tmpdir") + "/graft_vendor_artifacts"
+      val model = fitVendorModels(s)
+      val metrics = evalOnTest(s, model)
+      ModelArtifacts.write(model.join(metrics, Seq("vendor")), dir, "run_0001")
+      val art = ModelArtifacts.load(s, dir, "run_0001")
+      evalOnTest(s, art)
+        .join(broadcast(art.select($"vendor", $"b1", $"b2", $"b3", $"my")),
+          Seq("vendor"))
+        .select($"vendor", $"n_test",
           r4($"b1").as("b_pc"), r4($"b2").as("b_hour"), r4($"b3").as("b_dist"),
           r4($"my").as("intercept"),
           r4($"rmse_raw").as("rmse"), r4($"mae_raw").as("mae"),
@@ -413,6 +458,56 @@ object VendorPipeline extends QueryModule {
          |FROM dq JOIN model ON dq.vendor = model.vendor
          |  JOIN ev ON dq.vendor = ev.vendor
          |ORDER BY dq.vendor""".stripMargin,
+
+    // The artifact round-trips doubles bit-exactly, so rescoring from
+    // the reloaded artifact equals direct fit-and-score — the oracle
+    // is pipe_vendor's algebra without the dq stage.
+    "pipe_vendor_artifact" ->
+      s"""WITH raw AS (
+         |${rawUnion(narrowCols)}),
+         |st AS (
+         |  SELECT vendor,
+         |    avg(passenger_count) AS m1, avg("hour") AS m2, avg(distance) AS m3,
+         |    sqrt(var_pop(passenger_count)) AS s1, sqrt(var_pop("hour")) AS s2,
+         |    sqrt(var_pop(distance)) AS s3,
+         |    covar_pop(passenger_count, "hour") AS c12,
+         |    covar_pop(passenger_count, distance) AS c13,
+         |    covar_pop("hour", distance) AS c23,
+         |    covar_pop(passenger_count, trip_duration) AS c1y,
+         |    covar_pop("hour", trip_duration) AS c2y,
+         |    covar_pop(distance, trip_duration) AS c3y,
+         |    avg(trip_duration) AS my
+         |  FROM raw WHERE split = 'train' GROUP BY vendor),
+         |rho AS (
+         |  SELECT vendor, m1, m2, m3, s1, s2, s3, my,
+         |    c12/(s1*s2) AS p12, c13/(s1*s3) AS p13, c23/(s2*s3) AS p23,
+         |    c1y/s1 AS r1, c2y/s2 AS r2, c3y/s3 AS r3
+         |  FROM st),
+         |model AS (
+         |  SELECT vendor, m1, m2, m3, s1, s2, s3, my,
+         |    (r1*(-1*p23*p23 + 1) - p12*(r2 - p23*r3) + p13*(r2*p23 - r3))
+         |      / ((-1*p23*p23 + 1) - p12*(p12 - p23*p13) + p13*(p12*p23 - p13)) AS b1,
+         |    ((r2 - p23*r3) - r1*(p12 - p23*p13) + p13*(p12*r3 - r2*p13))
+         |      / ((-1*p23*p23 + 1) - p12*(p12 - p23*p13) + p13*(p12*p23 - p13)) AS b2,
+         |    ((r3 - r2*p23) - p12*(p12*r3 - r2*p13) + r1*(p12*p23 - p13))
+         |      / ((-1*p23*p23 + 1) - p12*(p12 - p23*p13) + p13*(p12*p23 - p13)) AS b3
+         |  FROM rho),
+         |ev AS (
+         |  SELECT r.vendor, count(*) AS n_test,
+         |    sqrt(avg((trip_duration - (my + b1*(passenger_count - m1)/s1 + b2*("hour" - m2)/s2 + b3*(distance - m3)/s3))
+         |            *(trip_duration - (my + b1*(passenger_count - m1)/s1 + b2*("hour" - m2)/s2 + b3*(distance - m3)/s3)))) AS rmse_raw,
+         |    avg(abs(trip_duration - (my + b1*(passenger_count - m1)/s1 + b2*("hour" - m2)/s2 + b3*(distance - m3)/s3))) AS mae_raw,
+         |    1.0 - sum((trip_duration - (my + b1*(passenger_count - m1)/s1 + b2*("hour" - m2)/s2 + b3*(distance - m3)/s3))
+         |             *(trip_duration - (my + b1*(passenger_count - m1)/s1 + b2*("hour" - m2)/s2 + b3*(distance - m3)/s3)))
+         |        / (var_pop(trip_duration) * count(*)) AS r2_raw
+         |  FROM raw r JOIN model USING (vendor) WHERE split = 'test' GROUP BY r.vendor)
+         |SELECT model.vendor, n_test,
+         |  round(b1, 4) AS b_pc, round(b2, 4) AS b_hour, round(b3, 4) AS b_dist,
+         |  round(my, 4) AS intercept,
+         |  round(rmse_raw, 4) AS rmse, round(mae_raw, 4) AS mae,
+         |  round(r2_raw, 4) AS r2
+         |FROM model JOIN ev ON model.vendor = ev.vendor
+         |ORDER BY model.vendor""".stripMargin,
 
     "ml_fixed_effects" -> {
       val vcase = "CASE WHEN vendor_alitran = 1 THEN 'alitran' " +

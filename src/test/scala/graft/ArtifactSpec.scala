@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Run-artifact sink: persist model + metrics, reload-and-score
+  * (reference DAG terminal stage; see graft.pipeline.ModelArtifacts). */
+class ArtifactSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = sys.props("java.io.tmpdir") + "/graft_vendor_artifacts"
+
+  test("artifact reload-and-score matches the in-memory fit exactly") {
+    val rescored = SparkEntry.queries("pipe_vendor_artifact")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rescored.size == 3)
+    val direct = SparkEntry.queries("pipe_vendor")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // doubles round-trip parquet bit-exactly: rescoring from the
+    // reloaded artifact must reproduce the direct pipeline's metrics
+    // and coefficients to the digit, not just approximately
+    rescored.foreach { case (v, r) =>
+      Seq("b_pc", "b_hour", "b_dist", "intercept", "rmse", "mae", "r2")
+        .foreach { c =>
+          assert(r.getAs[Double](c) == direct(v).getAs[Double](c),
+            s"$v.$c drifted through the artifact round-trip")
+        }
+      assert(r.getAs[Long]("n_test") == direct(v).getAs[Long]("n_test"))
+    }
+  }
+
+  test("scoring one vendor of one run prunes partitions at the scan") {
+    // artifact exists after the query above (same suite ordering) —
+    // but don't depend on it: construct (and thus write) explicitly
+    SparkEntry.queries("pipe_vendor_artifact")(spark, TestSpark.sf)
+    val one = spark.read.parquet(dir)
+      .filter(col("run_id") === "run_0001" && col("vendor") === "alitran")
+    val e = one.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(e.contains("PartitionFilters"), "no partition filter at the scan")
+    assert(
+      "PartitionFilters: \\[[^\\]]*vendor[^\\]]*\\]".r.findFirstIn(e).nonEmpty,
+      s"vendor not pushed to PartitionFilters:\n$e")
+    assert(one.count() == 1)
+  }
+
+  test("re-running a run_id is idempotent") {
+    val a = SparkEntry.queries("pipe_vendor_artifact")(spark, TestSpark.sf)
+      .collect().map(_.toString).sorted
+    val b = SparkEntry.queries("pipe_vendor_artifact")(spark, TestSpark.sf)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+}
