@@ -71,12 +71,60 @@ object PipelineQueries extends QueryModule {
           r4(count_if($"l_ok").cast("double") / count(lit(1)))
             .as("retention"))
         .orderBy($"source")
+    }),
+
+    // Partition-incremental runs (Airflow schedule-interval/backfill
+    // analog): an initial full load partitioned by order year, then an
+    // idempotent single-partition backfill re-run, then totals read
+    // from the SINK alone. Construction runs the two sink jobs eagerly
+    // (a sink is an action by nature — documented, like
+    // pipe_vendor_artifact); the returned plan reads only the sink.
+    // If the backfill leaked rows, double-applied its interval, or
+    // clobbered other partitions, the totals diverge from the oracle's
+    // direct full-input aggregate. Revenue is summed in integer CENTS
+    // through the pipeline so sink re-aggregation matches the oracle
+    // exactly regardless of accumulation order (the ml_lift lesson).
+    "pipe_incremental" -> ((s, d) => {
+      import s.implicits._
+      val dir = sys.props("java.io.tmpdir") +
+        "/graft_incremental_sink_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val input = T.orders(s, d).select(
+        year($"o_orderdate").as("o_year"),
+        month($"o_orderdate").as("o_month"),
+        $"o_totalprice",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      val pipe = Pipeline("orders_monthly", Seq(
+        Stage("clean")(_.filter($"o_totalprice" > 0)),
+        Stage("rollup")(_.groupBy($"o_year", $"o_month")
+          .agg(count(lit(1)).as("n_orders"), sum($"cents").as("cents")))))
+      IncrementalRunner.runAll(pipe, input, "o_year", dir)
+      // one scheduled interval re-runs (backfill): must replace only
+      // its own partition, byte-idempotently
+      IncrementalRunner.runPartition(pipe, input, "o_year", 1995, dir)
+      IncrementalRunner.readSink(s, dir)
+        .groupBy($"o_year").agg(
+          sum($"n_orders").as("n_orders"),
+          count(lit(1)).as("n_months"),
+          r4(sum($"cents") / 100.0).as("revenue"))
+        .orderBy($"o_year")
     })
   )
 
   private val lp = graft.text.TextAnalysis.langPatterns.toMap
 
   val oracles: Map[String, String] = Map(
+    // direct full-input aggregate — equals the sink totals only if
+    // the incremental runs were complete, non-overlapping, and the
+    // backfill replaced exactly its own partition
+    "pipe_incremental" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  count(*) AS n_orders,
+        |  count(DISTINCT month(o_orderdate)) AS n_months,
+        |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 4)
+        |    AS revenue
+        |FROM orders WHERE o_totalprice > 0
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
     "pipe_text_corpus" ->
       s"""WITH scored AS (
          |  SELECT source, text,
