@@ -35,7 +35,8 @@ object SparkEntry {
     similarity.VectorQueries2,
     pipeline.PipelineQueries,
     pipeline.VendorPipeline,
-    multimodal.MultimodalQueries
+    multimodal.MultimodalQueries,
+    streaming.StreamingQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -51,8 +52,11 @@ object SparkEntry {
     * Bench's timed passes — their plans deliberately pair an expensive
     * exact path with the sketch it validates, so a timing would
     * measure the exact path, not the operator (`q_approx_quantile`'s
-    * sketch plan is timed as `q_approx_quantile_sketch`). */
-  def benchExclude: Set[String] = Set("q_approx_quantile")
+    * sketch plan is timed as `q_approx_quantile_sketch`);
+    * `stream_tumbling` replays the table through the file-stream
+    * source + memory sink, so its wall time measures micro-batch
+    * replay, not a query plan comparable to the batch oracle. */
+  def benchExclude: Set[String] = Set("q_approx_quantile", "stream_tumbling")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
