@@ -62,6 +62,11 @@ object DedupQueries extends QueryModule {
         .orderBy($"keep_id")
     }),
 
+    // ORACLE PATH, not the scale path: the standalone full-corpus
+    // postings self-join is the exact reference that dedup_minhash is
+    // validated against. At 100 TB pairwise Jaccard verification only
+    // ever runs INSIDE LSH buckets (MinHash.nearDupPairs) — run this
+    // form standalone only at oracle scale.
     "dedup_jaccard" -> ((s, d) => {
       import s.implicits._
       Dedup.jaccardPairs(T.documents(s, d), "doc_id", "text",

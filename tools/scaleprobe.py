@@ -83,6 +83,34 @@ def main():
          "ts": "epoch_ns(ts) AS ts",
          }.get(c, c) for c in ev_cols]))
 
+    # documents: per-replica alphabet ROTATION (a bijection on texts).
+    # Every token of every replica differs from every other replica's,
+    # so shingle sets are fully decorrelated ACROSS replicas (a naive
+    # 10x copy would make each doc 9 near-dups, exploding LSH buckets
+    # quadratically — synthetic correlation real growth doesn't have),
+    # while WITHIN a replica the dup/near-dup structure, token
+    # frequencies, lengths and language signals are preserved exactly.
+    az = "abcdefghijklmnopqrstuvwxyz"
+    rot_cases = " ".join(
+        f"WHEN {i} THEN translate(text, '{az}{az.upper()}', "
+        f"'{az[i:]+az[:i]}{(az[i:]+az[:i]).upper()}')"
+        for i in range(1, REPLICAS))
+    doc_cols = _cols(con, src, "documents")
+    emit("documents", rep("documents", [
+        {"doc_id": f"doc_id + i*{UK} AS doc_id",
+         "text": f"CASE i {rot_cases} ELSE text END AS text",
+         }.get(c, c) for c in doc_cols]))
+
+    # embeddings: deterministic per-replica, per-value jitter that
+    # DECORRELATES replica copies (a constant shift would keep
+    # cosine ~1 and explode similarity joins quadratically).
+    emb_cols = _cols(con, src, "embeddings")
+    emit("embeddings", rep("embeddings", [
+        {"vec_id": f"vec_id + i*{UK} AS vec_id",
+         "embedding": ("list_transform(embedding, x -> "
+                       "CAST(x + 0.2*sin(37.0*x + i) AS FLOAT)) AS embedding"),
+         }.get(c, c) for c in emb_cols]))
+
 
 def _cols(con, src, table):
     return [r[0] for r in con.execute(
