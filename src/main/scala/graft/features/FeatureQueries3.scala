@@ -133,11 +133,13 @@ object FeatureQueries3 extends QueryModule {
     // decile aggregate, so no unpartitioned window exists anywhere.
     // ROC AUC of order value as a score for "urgent order" — the
     // Mann-Whitney identity AUC = (R⁺ − n₁(n₁+1)/2)/(n₁·n₀) over
-    // midranks, computed on the per-score-value histogram via ONE
-    // distributed rank pass: no per-row ranking, no global sort, no
-    // threshold sweep. Near 0.5 here (price doesn't predict
-    // priority in this data) — the honest answer; the scale-correct
-    // machinery is the deliverable.
+    // midranks of the per-score-value histogram. R⁺ decomposes as
+    // Σ np·(values strictly below) + Σ np·(c+1)/2: the first term is
+    // Rank.prefixDotSums (aggregate-only — no per-row rank, no
+    // offsets join-back, no global sort), the second is windowless.
+    // Near 0.5 here (price doesn't predict priority in this data) —
+    // the honest answer; the scale-correct machinery is the
+    // deliverable.
     "ml_auc" -> ((s, d) => {
       import s.implicits._
       val pts = T.orders(s, d).select($"o_totalprice".as("v"),
@@ -145,14 +147,13 @@ object FeatureQueries3 extends QueryModule {
       val per = pts.groupBy($"v").agg(
           count_if($"pos").as("np"), count_if(!$"pos").as("nn"))
         .withColumn("c", $"np" + $"nn")
-      graft.operators.Rank
-        .runningSums(per, Nil, "v", Nil, Seq("hi" -> $"c"))
-        .withColumn("avg_rk", $"hi" - ($"c" - 1) / 2.0)
-        .agg(sum($"np").as("n1"), sum($"nn").as("n0"),
-          sum($"avg_rk" * $"np").as("rpos"))
+      graft.operators.Rank.prefixDotSums(per, Nil, "v",
+          dots = Seq(("below", $"np", $"c")),
+          totals = Seq(("half", $"np" * ($"c" + 1) / 2.0),
+            ("n1", $"np"), ("n0", $"nn")))
         .select($"n1".cast("long").as("n_pos"),
           $"n0".cast("long").as("n_neg"),
-          r4(($"rpos" - $"n1".cast("double") * ($"n1" + 1) / 2.0) /
+          r4(($"below" + $"half" - $"n1".cast("double") * ($"n1" + 1) / 2.0) /
             ($"n1".cast("double") * $"n0")).as("auc"))
     }),
 

@@ -158,9 +158,11 @@ object DriftQueries extends QueryModule {
 
     // Mann-Whitney U (BUILDING vs MACHINERY spend): rank-sum over
     // per-value counts with midrank ties and the tie-corrected
-    // normal approximation — everything falls out of ONE distributed
-    // rank pass over the distinct-value grid (counts give rank sums,
-    // tie term, and sample sizes; no row-level ranking at all).
+    // normal approximation. The rank sum Σ ca·midrank decomposes as
+    // Σ ca·(count strictly below) + Σ ca·(c+1)/2: the first term is
+    // the aggregate-only Rank.prefixDotSums over the distinct-value
+    // grid (no row-level ranking, no per-row rank column, no offsets
+    // join-back), the rest are windowless sums of the same pass.
     // Counts are cast to double before the cubic/quadratic terms so
     // the arithmetic can't overflow longs at any scale.
     "q_mannwhitney" -> ((s, d) => {
@@ -175,13 +177,13 @@ object DriftQueries extends QueryModule {
       val perVal = seg.groupBy($"v").agg(
           count_if($"a").as("ca"), count_if(!$"a").as("cb"))
         .withColumn("c", $"ca" + $"cb")
-      Rank.runningSums(perVal, Nil, "v", Nil, Seq("hi" -> $"c"))
-        .withColumn("avg_rk", $"hi" - ($"c" - 1) / 2.0)
-        .agg(
-          sum($"avg_rk" * $"ca").as("ra"),
-          sum($"ca").as("na"), sum($"cb").as("nb"),
-          sum($"c".cast("double") * $"c" * $"c" - $"c").as("ties"),
-          sum($"c").as("n"))
+      Rank.prefixDotSums(perVal, Nil, "v",
+          dots = Seq(("below", $"ca", $"c")),
+          totals = Seq(("half", $"ca" * ($"c" + 1) / 2.0),
+            ("na", $"ca"), ("nb", $"cb"),
+            ("ties", $"c".cast("double") * $"c" * $"c" - $"c"),
+            ("n", $"c")))
+        .withColumn("ra", $"below" + $"half")
         .select(
           r4($"ra" - $"na".cast("double") * ($"na" + 1) / 2.0).as("u_stat"),
           $"na", $"nb",

@@ -106,6 +106,86 @@ object Rank {
     joined.select(finalCols: _*)
   }
 
+  /** Aggregate-only sibling of [[runningSums]] for callers whose
+    * answer is a SUM OF rank products, not per-row ranks (ROC AUC via
+    * the Mann-Whitney identity, the U statistic itself): for a
+    * `(group, value)`-keyed histogram it returns, per group,
+    *
+    *   - each `(name, a, b)` in `dots`:
+    *     `name = Σ_v a(v) · (Σ_{u<v} b(u))` — the dot product of `a`
+    *     with the EXCLUSIVE running sum of `b` in `value` order;
+    *   - each `(name, w)` in `totals`: the plain `Σ_v w(v)`.
+    *
+    * Same range-bucket decomposition as [[runningSums]] (exact for
+    * any boundary quality: within-bucket windows are exact, and the
+    * cross-bucket term `Σ_bkt a_tot(bkt) · Σ_{b'<bkt} b_tot(b')`
+    * comes from a buckets²-row windowless self-join), but the dot
+    * products collapse into per-bucket aggregates, so there is no
+    * per-row rank column, no offsets broadcast-join back onto the
+    * histogram, and no second full pass over it — two fewer stages
+    * for a one-row answer. `df` must have one row per (group, value).
+    */
+  def prefixDotSums(df: DataFrame, group: Seq[String], value: String,
+      dots: Seq[(String, Column, Column)], totals: Seq[(String, Column)],
+      buckets: Int = 32): DataFrame = {
+    require(dots.nonEmpty)
+    val weighted0 = dots.foldLeft(df) { case (d, (n, a, b)) =>
+      d.withColumn(s"_a_$n", a).withColumn(s"_b_$n", b)
+    }
+    val weighted = totals.foldLeft(weighted0) { case (d, (n, w)) =>
+      d.withColumn(s"_t_$n", w)
+    }
+    // one lazy materialization feeds the window arm and the bounds
+    // aggregate (same duplicated-subtree reasoning as runningSums)
+    val bucketed = withRangeBucket(weighted, group, value, buckets)
+      .localCheckpoint(false)
+    val bucketKey = group :+ "_bucket"
+
+    // within-bucket: exclusive prefix of b in value order (one row
+    // per value ⇒ a ROWS frame is exact), folded straight into the
+    // per-(group,bucket) aggregate — the histogram is scanned once.
+    val wPrev = Window.partitionBy(bucketKey.map(col): _*)
+      .orderBy(col(value)).rowsBetween(Window.unboundedPreceding, -1)
+    val local = dots.foldLeft(bucketed) { case (d, (n, _, _)) =>
+      d.withColumn(s"_p_$n",
+        coalesce(sum(col(s"_b_$n")).over(wPrev), lit(0.0)))
+    }
+    val perBucketAggs =
+      dots.flatMap { case (n, _, _) => Seq(
+        sum(col(s"_a_$n") * col(s"_p_$n")).as(s"_in_$n"),
+        sum(col(s"_a_$n")).as(s"_atot_$n"),
+        sum(col(s"_b_$n")).as(s"_btot_$n"))
+      } ++ totals.map { case (n, _) => sum(col(s"_t_$n")).as(s"_ttot_$n") }
+    val perBucket = local.groupBy(bucketKey.map(col): _*)
+      .agg(perBucketAggs.head, perBucketAggs.tail: _*)
+
+    // cross-bucket term over the groups×buckets-row aggregate — the
+    // windowless self-join again, so no single-partition sort node
+    val rhs = perBucket.select(
+      (group.map(c => col(c).as(s"_r_$c")) :+ col("_bucket").as("_r_bucket")) ++
+        dots.map { case (n, _, _) => col(s"_btot_$n").as(s"_rbtot_$n") }: _*)
+    val paired =
+      if (group.isEmpty) perBucket.crossJoin(rhs)
+      else perBucket.join(rhs,
+        group.map(c => col(c) === col(s"_r_$c")).reduce(_ && _))
+    val pairAggs =
+      dots.flatMap { case (n, _, _) => Seq(
+        first(col(s"_in_$n")).as(s"_in_$n"),
+        first(col(s"_atot_$n")).as(s"_atot_$n"),
+        sum(when(col("_r_bucket") < col("_bucket"), col(s"_rbtot_$n"))
+          .otherwise(lit(0.0))).as(s"_below_$n"))
+      } ++ totals.map { case (n, _) => first(col(s"_ttot_$n")).as(s"_ttot_$n") }
+    val offs = paired.groupBy(bucketKey.map(col): _*)
+      .agg(pairAggs.head, pairAggs.tail: _*)
+
+    val finalAggs =
+      dots.map { case (n, _, _) =>
+        sum(col(s"_in_$n") + col(s"_atot_$n") * col(s"_below_$n")).as(n)
+      } ++ totals.map { case (n, _) => sum(col(s"_ttot_$n")).as(n) }
+    if (group.isEmpty) offs.agg(finalAggs.head, finalAggs.tail: _*)
+    else offs.groupBy(group.map(col): _*).agg(finalAggs.head, finalAggs.tail: _*)
+  }
+
   /** Adds `_bucket`: an order-consistent range-bucket id in
     * [0, buckets). Boundaries are per-group approximate quantiles of
     * `value`; rows with equal values always share a bucket. */
