@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's one-line JSON summary from the LAST line
+// of stdout; sbt's "[success] Total time ..." banner after the run
+// has shadowed it for four rounds ("parsed": null in BENCH_r05-r08).
+// Suppressing the banner makes the JSON line the true tail.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -23,14 +23,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as int64 nanos and integer-divide to
-    * micros — identical truncation to DuckDB's CAST(ts AS TIMESTAMP),
-    * so oracle comparisons agree. */
+  /** The corpus has shipped `events.ts` under two physical parquet
+    * encodings so far — TIMESTAMP(NANOS) (readable only as int64 via
+    * the legacy flag) and plain TIMESTAMP(MICROS) (read as
+    * TIMESTAMP_NTZ under Spark 4's NTZ inference). Mirror the
+    * reference's pandas ingestion, which reads either transparently:
+    * branch on the ACTUAL loaded type and canonicalize to one
+    * session-TZ TimestampType (sessions run UTC, so NTZ wall-clocks
+    * map to identical instants — same values DuckDB's
+    * CAST(ts AS TIMESTAMP) yields on both encodings). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(t(s, d, "events"))
+  }
+
+  /** Canonicalize a timestamp-ish column to TimestampType whatever the
+    * file gave us: int64 nanos → truncate to micros; NTZ → reinterpret
+    * in the (UTC) session zone; already-TIMESTAMP → untouched. */
+  def normalizeTs(df: DataFrame, name: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    df.schema(name).dataType match {
+      case LongType =>
+        df.withColumn(name, expr(s"timestamp_micros($name div 1000)"))
+      case TimestampNTZType => df.withColumn(name, col(name).cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"unsupported physical type for '$name': $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -183,11 +183,19 @@ object FeatureQueries3 extends QueryModule {
         .groupBy($"decile", $"n", $"conv")
         .agg(sum($"n2").as("tn"), sum($"c2").as("tc"),
           sum(when($"d2" <= $"decile", $"c2").otherwise(0L)).as("cumc"))
+        // Integer BASIS POINTS, not rounded doubles: the 4dp doubles
+        // were bit-identical to the oracle locally yet still
+        // hash-diverged on the driver (environment-side double
+        // canonicalization). round(10000x) cast to BIGINT cannot
+        // diverge between engines.
         .select($"decile", $"n", $"conv",
-          r4($"conv" / $"n".cast("double")).as("rate"),
-          r4(($"conv" / $"n".cast("double")) /
-            ($"tc" / $"tn".cast("double"))).as("lift"),
-          r4($"cumc" / $"tc".cast("double")).as("cum_capture"))
+          round($"conv" / $"n".cast("double") * 10000).cast("long")
+            .as("rate_bp"),
+          round(($"conv" / $"n".cast("double")) /
+            ($"tc" / $"tn".cast("double")) * 10000).cast("long")
+            .as("lift_bp"),
+          round($"cumc" / $"tc".cast("double") * 10000).cast("long")
+            .as("cum_capture_bp"))
         .orderBy($"decile")
     })
   )
@@ -297,11 +305,11 @@ object FeatureQueries3 extends QueryModule {
         |  FROM dec GROUP BY 1),
         |tot AS (SELECT sum(conv) AS tc, sum(n) AS tn FROM agg)
         |SELECT decile, n, conv,
-        |  round(conv / CAST(n AS DOUBLE), 4) AS rate,
-        |  round((conv / CAST(n AS DOUBLE)) / (tc / CAST(tn AS DOUBLE)), 4)
-        |    AS lift,
-        |  round(sum(conv) OVER (ORDER BY decile) / CAST(tc AS DOUBLE), 4)
-        |    AS cum_capture
+        |  CAST(round(conv / CAST(n AS DOUBLE) * 10000) AS BIGINT) AS rate_bp,
+        |  CAST(round((conv / CAST(n AS DOUBLE)) / (tc / CAST(tn AS DOUBLE))
+        |    * 10000) AS BIGINT) AS lift_bp,
+        |  CAST(round(sum(conv) OVER (ORDER BY decile) / CAST(tc AS DOUBLE)
+        |    * 10000) AS BIGINT) AS cum_capture_bp
         |FROM agg, tot ORDER BY decile""".stripMargin
   )
 }

@@ -16,23 +16,25 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** events schema with ts as int64 nanos (see Tables.events). */
-  val rawEventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
+  /** The file-stream source requires an explicit schema — but pinning
+    * a hand-written one breaks silently when the corpus's physical
+    * encoding drifts (round 8: the ts column moved from int64-nanos to
+    * TIMESTAMP and the stale long-typed schema read nulls, not an
+    * error). Derive the schema from a one-off BATCH read of the same
+    * glob, so the stream always sees what the files actually contain,
+    * then canonicalize ts exactly as the batch loader does
+    * ([[graft.Tables.normalizeTs]]). */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file stream source wants a directory: stream the sf dir,
     // globbed down to the events table
-    spark.readStream.schema(rawEventSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val glob = "events.parquet"
+    val fileSchema = spark.read.option("pathGlobFilter", glob)
+      .parquet(dir).schema
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(fileSchema)
+        .option("pathGlobFilter", glob)
+        .parquet(dir))
   }
 
   /** Streaming tumbling-hour counts, watermarked so late state ages out. */

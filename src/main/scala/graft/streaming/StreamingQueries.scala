@@ -28,9 +28,20 @@ object StreamingQueries extends QueryModule {
       try q.processAllAvailable() finally q.stop()
       // counts only: the double value-sum's accumulation order is
       // micro-batch-dependent, counts are exact under ANY batching
-      s.table("stream_tumbling_gate")
+      val out = s.table("stream_tumbling_gate")
         .select($"bucket", $"event_type", $"n")
         .orderBy($"bucket", $"event_type")
+      // Fail LOUDLY on schema/format drift: the round-8 corpus change
+      // made the stale stream schema read garbage (10 rows vs 3385)
+      // with no error. Complete-mode tumbling counts must equal the
+      // batch group count exactly.
+      val expected = graft.Tables.events(s, d)
+        .select(org.apache.spark.sql.functions.date_trunc("hour", $"ts"),
+          $"event_type").distinct().count()
+      val got = out.count()
+      require(got == expected,
+        s"stream_tumbling drift: streamed $got groups, batch has $expected")
+      out
     })
   )
 

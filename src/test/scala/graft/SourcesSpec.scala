@@ -135,6 +135,34 @@ class SourcesSpec extends AnyFunSuite {
       .values.map(_.length.toLong).toSeq.sorted)
   }
 
+  test("Tables.events reads every ts encoding the corpus has shipped") {
+    // Round 8 broke the loader when events.ts moved from int64-nanos
+    // to TIMESTAMP: pin all three physical encodings through the one
+    // type-branching loader so the next format drift fails HERE, not
+    // in 27 driver queries.
+    import spark.implicits._
+    val micros = Seq(1705321496789000L, 1705321499000001L, 1705407896000000L)
+    val rows = micros.zipWithIndex.map { case (us, i) => (i.toLong, us) }
+
+    def loadVariant(writeTs: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Seq[Long] = {
+      val dir = tmp("graft-events-enc")
+      val base = rows.toDF("event_id", "us")
+      writeTs(base).select($"event_id", $"ts")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      Tables.events(spark, dir)
+        .select(unix_micros($"ts")).collect().map(_.getLong(0)).sorted.toSeq
+    }
+
+    val asLongNanos = loadVariant(_.withColumn("ts", $"us" * 1000L))
+    val asNtz = loadVariant(_.withColumn("ts",
+      timestamp_micros($"us").cast("timestamp_ntz")))
+    val asLtz = loadVariant(_.withColumn("ts", timestamp_micros($"us")))
+
+    assert(asLongNanos == micros.sorted)
+    assert(asNtz == micros.sorted)
+    assert(asLtz == micros.sorted)
+  }
+
   test("filters and projections push down to the parquet scan") {
     val df = Tables.lineitem(spark, TestSpark.sf)
       .filter(col("l_orderkey") < 100)
