@@ -21,12 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object ModelArtifacts {
 
-  /** Persist one run's model/metrics frame under `path`. */
-  def write(artifact: DataFrame, path: String, runId: String): Unit =
+  /** Persist one run's model/metrics frame under `path`, partitioned
+    * by run_id plus the caller's unit-of-reload columns (per-vendor
+    * models, per-dataset validation reports, ...). */
+  def write(artifact: DataFrame, path: String, runId: String,
+      partCols: Seq[String] = Seq("vendor")): Unit =
     artifact.withColumn("run_id", lit(runId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("run_id", "vendor")
+      .partitionBy(("run_id" +: partCols): _*)
       .parquet(path)
 
   /** Reload one run's artifact (partition-pruned on run_id). */

@@ -45,6 +45,21 @@ object DataQualityQueries extends QueryModule {
     ExpectBetween("l_quantity", 1, 45),
     ExpectBetween("l_discount", 0, 0.08)))
 
+  /** The full checkpoint: several tables, one report — what the
+    * reference's GX validation task emits per dataset. Suites on the
+    * same table are merged so each table is scanned ONCE. */
+  private def suiteReport(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val ordersAll = ExpectationSuite("orders", ordersSuite.expectations ++
+      statusSuite.expectations ++ uniqueSuite.expectations)
+    val lineitemAll = ExpectationSuite("lineitem",
+      lineitemBetween.expectations ++ statsSuite.expectations)
+    ordersAll.run(T.orders(s, d))
+      .unionAll(lineitemAll.run(T.lineitem(s, d)))
+      .unionAll(ExpectationSuite("customer",
+        Seq(ExpectLengthsBetween("c_name", 5, 40))).run(T.customer(s, d)))
+  }
+
   val queries: Map[String, Q] = Map(
     "dq_not_null" -> ((s, d) =>
       ordersSuite.run(T.orders(s, d))
@@ -83,18 +98,28 @@ object DataQualityQueries extends QueryModule {
         .run(T.orders(s, d))
         .orderBy("table_name", "exp_name", "col_name")),
 
-    "dq_suite" -> ((s, d) => {
-      // the full checkpoint: several tables, one report — what the
-      // reference's GX validation task emits per dataset. Suites on
-      // the same table are merged so each table is scanned ONCE.
-      val ordersAll = ExpectationSuite("orders", ordersSuite.expectations ++
-        statusSuite.expectations ++ uniqueSuite.expectations)
-      val lineitemAll = ExpectationSuite("lineitem",
-        lineitemBetween.expectations ++ statsSuite.expectations)
-      ordersAll.run(T.orders(s, d))
-        .unionAll(lineitemAll.run(T.lineitem(s, d)))
-        .unionAll(ExpectationSuite("customer",
-          Seq(ExpectLengthsBetween("c_name", 5, 40))).run(T.customer(s, d)))
+    "dq_suite" -> ((s, d) =>
+      suiteReport(s, d).orderBy("table_name", "exp_name", "col_name")),
+
+    // The reference's checkpoint→data-docs loop: its GX checkpoint
+    // persists a per-dataset validation REPORT artifact (the Lambda
+    // ships the gx config for exactly this), not just an in-memory
+    // result. Same sink discipline as pipe_vendor_artifact — the
+    // report is written partitioned by (run_id, dataset), and the
+    // RETURNED plan reads only the reloaded artifact, so a later
+    // audit job needs no access to the validated tables. Writing the
+    // sink is eager by nature (documented, cf. pipe_vendor_artifact);
+    // doubles round-trip parquet bit-exactly, so the reloaded report
+    // hashes identically to the in-memory one.
+    "dq_report_artifact" -> ((s, d) => {
+      import s.implicits._
+      val dir = sys.props("java.io.tmpdir") + "/graft_dq_reports"
+      graft.pipeline.ModelArtifacts.write(
+        suiteReport(s, d).withColumnRenamed("table_name", "dataset"),
+        dir, "run_0001", partCols = Seq("dataset"))
+      graft.pipeline.ModelArtifacts.load(s, dir, "run_0001")
+        .select($"dataset".as("table_name"), $"exp_name", $"col_name",
+          $"success", $"observed")
         .orderBy("table_name", "exp_name", "col_name")
     }),
 
@@ -212,6 +237,9 @@ object DataQualityQueries extends QueryModule {
       regexRow("orders", "o_orderpriority", "^[1-5]-"),
       regexRow("orders", "o_orderstatus", "^[FOP]$"))),
     "dq_suite" -> u(ordersNotNullRows ++ statusRows ++ uniqueRows ++
+      lineitemBetweenRows ++ statsRows ++ lengthsRows),
+    // artifact round-trip is value-preserving → same oracle as dq_suite
+    "dq_report_artifact" -> u(ordersNotNullRows ++ statusRows ++ uniqueRows ++
       lineitemBetweenRows ++ statsRows ++ lengthsRows),
     "dq_quarantine" ->
       """SELECT route, count(*) AS n, round(sum(l_extendedprice),4) AS total
