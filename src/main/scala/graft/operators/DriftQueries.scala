@@ -117,37 +117,56 @@ object DriftQueries extends QueryModule {
     // textbook rank()-window formulation.
     "q_spearman" -> ((s, d) => {
       import s.implicits._
-      // The 3-column projection is checkpointed ONCE; marginal value
-      // counts and both rank passes derive from it. Midranks come
+      // The 3-column projection is checkpointed ONCE. Midranks come
       // from the MARGINAL histograms, so rows need no joint (x, y)
-      // dedup — prices are near-unique and a joint histogram shuffle
-      // would move ~every row to save nothing (measured: it was pure
-      // overhead at sf0.1). x = l_quantity has a bounded domain
-      // (≤50 distinct values per group at ANY scale), so its rank
-      // pass skips the range-bucket machinery (buckets=1 ⇒ a ≤50-row
-      // window per group, forever) and broadcast-joins back; y =
-      // price is unbounded and gets the full distributed rank. corr
-      // is the co-moment form over midranks — raw double sums carry
-      // ~1e-11 relative error here, far inside the 4dp compare.
+      // dedup. x = l_quantity has a bounded domain (≤50 distinct
+      // values per group at ANY scale), so its rank pass skips the
+      // range-bucket machinery (buckets=1 ⇒ a ≤50-row window per
+      // group, forever) and its rank frame broadcasts.
+      //
+      // Round-9 fold: rows collapse to the (f, y) GRID exactly once,
+      // carrying the x-rank partial moments (Σrx, Σrx²) — the grid's
+      // count IS the y-marginal histogram, so the y rank pass AND
+      // every final moment (Σrx·ry = Σ_y ry·Σ_{rows@y}rx) derive from
+      // the grid. The old plan's row-level shuffle join against the
+      // y-rank frame (the dominant cost: every row moved a second
+      // time) no longer exists. corr is the co-moment form over
+      // midranks — double sums carry ~1e-11 relative error here, far
+      // inside the 4dp compare.
+      // no checkpoint: both consumers re-scan a pruned, vectorized
+      // 3-column parquet scan — cheaper than materializing 600k rows
+      // into the block store (measured)
       val rows = T.lineitem(s, d).select($"l_returnflag".as("f"),
           $"l_quantity".cast("double").as("x"),
           $"l_extendedprice".cast("double").as("y"))
-        .localCheckpoint(false)
-      def ranks(c: String, as: String, buckets: Int) = {
-        val vals = rows.groupBy($"f", col(c)).agg(count(lit(1)).as("c"))
-        Rank.runningSums(vals, Seq("f"), c, Nil, Seq("hi" -> col("c")),
-            buckets)
-          .select($"f", col(c), ($"hi" - ($"c" - 1) / 2.0).as(as))
-      }
-      rows.join(broadcast(ranks("x", "rx", 1)), Seq("f", "x"))
-        .join(ranks("y", "ry", 32), Seq("f", "y"))
-        .groupBy($"f")
-        .agg(
-          count(lit(1)).cast("double").as("n"),
-          sum($"rx" * $"ry").as("sxy"),
-          sum($"rx").as("sx"), sum($"ry").as("sy"),
-          sum($"rx" * $"rx").as("sxx"),
-          sum($"ry" * $"ry").as("syy"))
+      val xVals = rows.groupBy($"f", $"x").agg(count(lit(1)).as("c"))
+      // plain window is safe here and skips the rank machinery's
+      // checkpoint job: the partition is the ≤50-distinct-value
+      // x-histogram, bounded at ANY scale
+      val wx = org.apache.spark.sql.expressions.Window
+        .partitionBy($"f").orderBy($"x")
+      val xRanks = xVals.withColumn("hi", sum($"c").over(wx))
+        .select($"f", $"x", ($"hi" - ($"c" - 1) / 2.0).as("rx"))
+      val grid = rows.join(broadcast(xRanks), Seq("f", "x"))
+        .groupBy($"f", $"y").agg(count(lit(1)).as("c"),
+          sum($"rx").as("sx_y"), sum($"rx" * $"rx").as("sxx_y"))
+        .withColumn("cd", $"c".cast("double"))
+      // Midrank identities close the y side WITHOUT a per-row rank
+      // column: with ry = below(y) + (c+1)/2,
+      //   Σ c·ry  = n(n+1)/2                       (ties don't move it),
+      //   Σ c·ry² = n(n+1)(2n+1)/6 − Σ(c³−c)/12    (tie correction),
+      // so only Σ sx_y·ry needs the prefix term — ONE aggregate-only
+      // prefixDotSums pass over the grid (no per-row ranks, no
+      // offsets join-back), everything else is a plain total.
+      Rank.prefixDotSums(grid, Seq("f"), "y",
+          dots = Seq(("sxb", $"sx_y", $"cd")),
+          totals = Seq(("n", $"cd"), ("sx", $"sx_y"), ("sxx", $"sxx_y"),
+            ("sxh", $"sx_y" * ($"cd" + 1) / 2.0),
+            ("tcy", $"cd" * $"cd" * $"cd" - $"cd")))
+        .withColumn("sxy", $"sxb" + $"sxh")
+        .withColumn("sy", $"n" * ($"n" + 1) / 2.0)
+        .withColumn("syy",
+          $"n" * ($"n" + 1) * ($"n" * 2 + 1) / 6.0 - $"tcy" / 12.0)
         .select($"f".as("l_returnflag"),
           r4(($"n" * $"sxy" - $"sx" * $"sy") /
             sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
