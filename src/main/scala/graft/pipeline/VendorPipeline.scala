@@ -347,23 +347,34 @@ object VendorPipeline extends QueryModule {
     // wide-to-long: top-5 pickup locations per vendor by trip count.
     // One-hot INVERSION instead of a 384-way unpivot: the unpivot
     // multiplies every row 384× and drops 383/384 of them on `v = 1`;
-    // a 384-pair horizontal aggregate avoids the fanout but pays
-    // ~1000 aggregate expressions of Catalyst analysis per run. Since
-    // the pickup dummies are one-hot (audited by pipe_vendor_onehot;
-    // this data has zero multi-flag rows, and flagless rows drop in
-    // both forms), the location is just the position of the single 1:
-    // ONE array_position per row recovers the categorical, then a
-    // plain narrow grouped aggregation — no row fanout at any scale.
-    // The ranking window input is schema-bounded (≤384 rows/vendor).
+    // since the pickup dummies are one-hot (audited by
+    // pipe_vendor_onehot), ONE array_position per row recovers the
+    // categorical, then a plain narrow grouped aggregation — no row
+    // fanout at any scale. Round-9 plan surgery: ONE multi-file scan
+    // with an EXPLICIT 385-field schema (vendor recovered from the
+    // path) replaces the old per-vendor unionByName of six 722-column
+    // relations — Catalyst no longer analyzes wide children, the six
+    // files are listed once, and no schema inference runs. (A
+    // column-group vertical-sum variant — 4 vectorized scans +
+    // per-vendor Σdummy / Σ td·dummy — measured the same ~2 s: this
+    // query's floor is stage scheduling, not decode, so the fewest-
+    // stage plan wins.) The ranking window input is schema-bounded
+    // (≤384 rows/vendor).
     "pipe_vendor_top_pickup" -> ((s, _) => {
       import s.implicits._
-      val wide = allWide(s)
-      val pickupCols = wide.columns.filter(_.startsWith("pickup_")).toSeq
+      val sch = s.read.parquet(s"$root/alitran/train.parquet").schema
+      val pickupCols = sch.fieldNames.filter(_.startsWith("pickup_")).toSeq
+      val allPaths = vendors.flatMap(v =>
+        Seq("train", "test").map(sp => s"$root/$v/$sp.parquet"))
+      val gsch = org.apache.spark.sql.types.StructType(
+        (pickupCols :+ "trip_duration").map(sch(_)))
       val names = typedLit(pickupCols.map(_.stripPrefix("pickup_")))
       val pos = array_position(
         array(pickupCols.map(col(_).cast("int")): _*), 1)
       val w = Window.partitionBy($"vendor").orderBy($"trips".desc, $"loc".asc)
-      wide
+      s.read.schema(gsch).parquet(allPaths: _*)
+        .withColumn("vendor",
+          regexp_extract(input_file_name(), "datasets/([^/]+)/", 1))
         .select($"vendor", $"trip_duration", pos.as("p"))
         .filter($"p" > 0)
         .select($"vendor", element_at(names, $"p".cast("int")).as("loc"),
