@@ -58,12 +58,34 @@ object VendorPipeline extends QueryModule {
     vendors.flatMap(v => Seq(vendorSplit(s, v, "train"), vendorSplit(s, v, "test")))
       .reduce(_.unionByName(_))
 
-  /** The regression columns only — 722 → 6 pruned at the scan. */
-  private def allNarrow(s: SparkSession): DataFrame =
-    vendors.flatMap(v => Seq(vendorSplit(s, v, "train"), vendorSplit(s, v, "test")))
-      .map(_.select(col("vendor"), col("split"), col("trip_duration"),
-        col("passenger_count"), col("hour"), col("distance")))
-      .reduce(_.unionByName(_))
+  /** The regression columns only — 722 → 4 pruned at the scan.
+    *
+    * Round-9 plan surgery (same as pipe_vendor_top_pickup): ONE
+    * multi-file scan with a STATIC explicit schema — no per-file
+    * schema inference (the old per-vendor unionByName paid 6 footer
+    * inferences of the 722-column schema per call, and pipe_vendor
+    * calls this three times), no wide children in Catalyst analysis,
+    * one file listing. vendor/split are recovered from the path,
+    * exactly as the reference's per-dataset DAG derives them from its
+    * S3 prefixes. */
+  private val narrowSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("trip_duration",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("passenger_count",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("hour",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("distance",
+      org.apache.spark.sql.types.DoubleType)))
+  private def allNarrow(s: SparkSession): DataFrame = {
+    val allPaths = vendors.flatMap(v =>
+      Seq("train", "test").map(sp => s"$root/$v/$sp.parquet"))
+    s.read.schema(narrowSchema).parquet(allPaths: _*)
+      .withColumn("vendor",
+        regexp_extract(input_file_name(), "datasets/([^/]+)/", 1))
+      .withColumn("split",
+        regexp_extract(input_file_name(), "/(train|test)\\.parquet", 1))
+  }
 
   /** Per-vendor 3-feature fit over the train split: one grouped
     * aggregate of 14 partial-aggregable moments, then the z-scored
