@@ -107,6 +107,36 @@ object DedupQueries extends QueryModule {
       Dedup.connectedComponents(pairs, "a_id", "b_id")
         .select($"node", $"component")
         .orderBy($"node")
+    }),
+
+    // Incremental crawl dedup — the day-N ingest (doc_id % 5 == 4,
+    // ~20%) against the standing corpus: a batch doc survives only if
+    // its normalized fingerprint is absent from the corpus (left_anti
+    // on the hash — only fingerprints ever shuffle, never text) AND it
+    // is the first copy within the batch. At 100 TB the corpus side is
+    // the pre-computed fingerprint table every real pipeline already
+    // maintains; the per-increment cost is one hash-keyed anti-join
+    // sized by the DAY's data, not the corpus rescan dedup_exact pays.
+    "dedup_incremental" -> ((s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d).select($"doc_id", $"source",
+        md5(lower(regexp_replace(trim($"text"), "\\s+", " "))).as("h"))
+      val corpus = docs.filter($"doc_id" % 5 =!= 4)
+      val batch = docs.filter($"doc_id" % 5 === 4)
+      val fresh = batch.join(corpus.select($"h").distinct(), Seq("h"),
+        "left_anti")
+      val keepIds = fresh.groupBy($"h").agg(min($"doc_id").as("keep_id"))
+      batch.groupBy($"source").agg(count(lit(1)).as("n_batch"))
+        .join(fresh.groupBy($"source")
+          .agg(count(lit(1)).as("n_not_in_corpus")), Seq("source"), "left")
+        .join(fresh.join(keepIds, Seq("h"))
+          .filter($"doc_id" === $"keep_id")
+          .groupBy($"source").agg(count(lit(1)).as("n_new_unique")),
+          Seq("source"), "left")
+        .select($"source", $"n_batch",
+          coalesce($"n_not_in_corpus", lit(0L)).as("n_not_in_corpus"),
+          coalesce($"n_new_unique", lit(0L)).as("n_new_unique"))
+        .orderBy($"source")
     })
   )
 
@@ -207,6 +237,27 @@ object DedupQueries extends QueryModule {
          |  UNION
          |  SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src)
          |SELECT n AS node, min(m) AS component FROM reach
-         |GROUP BY n ORDER BY node""".stripMargin
+         |GROUP BY n ORDER BY node""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH docs AS (SELECT doc_id, source,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
+        |  FROM documents),
+        |corpus AS (SELECT DISTINCT h FROM docs WHERE doc_id % 5 <> 4),
+        |batch AS (SELECT * FROM docs WHERE doc_id % 5 = 4),
+        |fresh AS (SELECT b.* FROM batch b
+        |  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)),
+        |keep AS (SELECT h, min(doc_id) AS keep_id FROM fresh GROUP BY h),
+        |nb AS (SELECT source, count(*) AS n_batch FROM batch GROUP BY 1),
+        |nf AS (SELECT source, count(*) AS n_not_in_corpus
+        |  FROM fresh GROUP BY 1),
+        |nu AS (SELECT f.source, count(*) AS n_new_unique
+        |  FROM fresh f JOIN keep k ON f.h = k.h AND f.doc_id = k.keep_id
+        |  GROUP BY 1)
+        |SELECT nb.source, n_batch,
+        |  coalesce(n_not_in_corpus, 0) AS n_not_in_corpus,
+        |  coalesce(n_new_unique, 0) AS n_new_unique
+        |FROM nb LEFT JOIN nf USING (source) LEFT JOIN nu USING (source)
+        |ORDER BY source""".stripMargin
   )
 }

@@ -136,6 +136,32 @@ object TextQueries4 extends QueryModule {
         .groupBy($"source", $"bin")
         .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("bin_tokens"))
         .orderBy($"source", $"bin")
+    }),
+
+    // Quality-ranked data selection under a per-source token budget:
+    // keep each source's most lexically diverse docs (distinct-token
+    // ratio, doc_id tie-break) until 20% of its tokens are spent —
+    // the "select the best X% of the crawl" stage of a pretraining
+    // mix. Ordering + running totals via the distributed rank
+    // primitive: no per-source single-task sort at any corpus size,
+    // and the budget cut is a filter on the running sum, not a limit.
+    "text_token_budget" -> ((s, d) => {
+      import s.implicits._
+      val toks = graft.Util.tokens($"text")
+      val docs = T.documents(s, d).select($"doc_id", $"source",
+          size(toks).cast("long").as("n_tok"),
+          (size(array_distinct(toks)).cast("double") / size(toks))
+            .as("score"))
+        .withColumn("negscore", -$"score")
+      graft.operators.Rank.runningSums(docs, Seq("source"), "negscore",
+          Seq("doc_id"), Seq("cum_tok" -> col("n_tok")))
+        .filter($"cum_tok" <= lit(0.2) * $"cum_tok_total")
+        .groupBy($"source").agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("kept_tokens"),
+          r4(sum($"n_tok") / max($"cum_tok_total").cast("double"))
+            .as("kept_share"))
+        .orderBy($"source")
     })
   )
 
@@ -213,6 +239,26 @@ object TextQueries4 extends QueryModule {
         |  FROM docs)
         |SELECT source, CAST(floor(cum / 1000.0) AS BIGINT) AS bin,
         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
-        |FROM cum GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
+        |FROM cum GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
+
+    // CAST(0.2 AS DOUBLE) is load-bearing: bare 0.2 is DECIMAL in
+    // DuckDB and a budget-boundary doc could flip between engines
+    "text_token_budget" ->
+      """WITH docs AS (SELECT doc_id, source,
+        |    CAST(len(t) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS score
+        |  FROM (SELECT doc_id, source,
+        |          string_split_regex(trim(text), '\s+') AS t
+        |        FROM documents)),
+        |r AS (SELECT source, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id) AS cum_tok,
+        |    sum(n_tok) OVER (PARTITION BY source) AS tot
+        |  FROM docs)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
+        |  round(CAST(sum(n_tok) AS DOUBLE) / max(tot), 4) AS kept_share
+        |FROM r WHERE cum_tok <= CAST(0.2 AS DOUBLE) * tot
+        |GROUP BY 1 ORDER BY source""".stripMargin
   )
 }

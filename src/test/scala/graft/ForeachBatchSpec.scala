@@ -30,4 +30,38 @@ class ForeachBatchSpec extends AnyFunSuite {
     assert(seen.size.toLong == total, s"delivered ${seen.size} of $total")
     assert(seen.distinct.size == seen.size, "duplicate delivery detected")
   }
+
+  test("streaming GX quarantine gate matches the batch split") {
+    // The reference's GX checkpoint as a STREAMING gate: each
+    // micro-batch routes through ExpectationSuite.quarantine inside
+    // foreachBatch (valid rows → sink, violations → quarantine sink,
+    // both with exactly-once delivery per batch). The streamed
+    // valid/bad totals must equal the batch-mode split of the same
+    // data — micro-batching cannot change a row-level predicate.
+    import graft.quality.{ExpectationSuite, ExpectBetween, ExpectNotNull}
+    val suite = ExpectationSuite("events", Seq(
+      ExpectNotNull("user_id"),
+      ExpectBetween("value", 0, 50)))
+
+    var okRows = 0L
+    var badRows = 0L
+    val q = StreamingOps.eventStream(spark, TestSpark.sf)
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val (ok, bad) = suite.quarantine(df)
+        // one pass per route, as a real dual-sink write would do
+        val (nOk, nBad) = (ok.count(), bad.count())
+        this.synchronized { okRows += nOk; badRows += nBad }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val events = Tables.events(spark, TestSpark.sf)
+    val (bOk, bBad) = suite.quarantine(events)
+    assert(okRows == bOk.count(), s"valid route: streamed $okRows")
+    assert(badRows == bBad.count(), s"quarantine route: streamed $badRows")
+    assert(okRows + badRows == events.count())
+    assert(badRows > 0, "gate exercised: the synthetic corpus has violations")
+  }
 }
