@@ -35,4 +35,44 @@ object Layout {
       out: String): Unit =
     spark.read.parquet(path).coalesce(targetFiles)
       .write.mode("overwrite").parquet(out)
+
+  /** Z-order (Morton-curve) layout over TWO numeric columns — the
+    * multi-dimensional generalization of [[writeRangeSorted]], the
+    * same technique lakehouse OPTIMIZE ZORDER runs: each column is
+    * rank-bucketed into 2^8 approximate-quantile buckets (ONE tiny
+    * stats pass, broadcast — quantile buckets, not value ranges, so
+    * skew cannot collapse the curve), the two 8-bit bucket ids are
+    * bit-interleaved into a 16-bit Morton code, and the frame is
+    * range-partitioned and sorted on that code before writing.
+    *
+    * Every output file then covers a small RECTANGLE of (a, b) space,
+    * so parquet footer min/max stats skip files for a narrow
+    * predicate on EITHER column — where a single-key sort serves only
+    * its own key. One range exchange at write time, like every other
+    * layout op here. */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String,
+      files: Int, path: String): Unit = {
+    val buckets = 1 << 8
+    val fracs = (1 until buckets).map(_.toDouble / buckets)
+    val bounds = df.agg(
+      percentile_approx(col(colA).cast("double"), typedLit(fracs), lit(256))
+        .as("_ba"),
+      percentile_approx(col(colB).cast("double"), typedLit(fracs), lit(256))
+        .as("_bb"))
+    def bucketOf(c: String, b: String) =
+      size(filter(col(b), x => x < col(c).cast("double")))
+    val morton = (0 until 8).map { i =>
+      shiftleft(shiftright(col("_za"), i).bitwiseAND(lit(1)), 2 * i + 1)
+        .bitwiseOR(
+          shiftleft(shiftright(col("_zb"), i).bitwiseAND(lit(1)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+    df.crossJoin(broadcast(bounds))
+      .withColumn("_za", bucketOf(colA, "_ba"))
+      .withColumn("_zb", bucketOf(colB, "_bb"))
+      .withColumn("_z", morton)
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_ba", "_bb", "_za", "_zb", "_z")
+      .write.mode("overwrite").parquet(path)
+  }
 }
