@@ -39,6 +39,27 @@ object EventQueries extends QueryModule {
         .orderBy($"user_id")
     }),
 
+    // The BUILT-IN session_window (merge-on-gap) in batch mode, under
+    // the DuckDB oracle — proving Spark's native session operator
+    // computes exactly the gaps-and-islands SQL every warehouse runs.
+    // Boundary semantics differ from q_sessionize's manual lag form:
+    // a session's window end is EXCLUSIVE (end = last event + gap), so
+    // an event at exactly `gap` after the last one starts a NEW
+    // session (diff >= gap splits; the lag form splits on diff > gap)
+    // — the oracle mirrors that with >=. Scale: state partitions on
+    // user_id like every per-user window here.
+    "q_session_window" -> ((s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy($"user_id", session_window($"ts", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id",
+          unix_micros($"session_window.start").as("sess_start_us"),
+          unix_micros($"session_window.end").as("sess_end_us"),
+          $"n_events")
+        .orderBy($"user_id", $"sess_start_us")
+    }),
+
     "q_latest_event" -> ((s, d) => {
       import s.implicits._
       val w = Window.partitionBy($"user_id")
@@ -141,6 +162,23 @@ object EventQueries extends QueryModule {
         |        PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
         |    FROM events))
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |m AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |i AS (SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM m)
+        |SELECT user_id, epoch_us(min(ts)) AS sess_start_us,
+        |  epoch_us(max(ts) + INTERVAL 30 MINUTE) AS sess_end_us,
+        |  count(*) AS n_events
+        |FROM i GROUP BY user_id, sess
+        |ORDER BY user_id, sess_start_us""".stripMargin,
 
     "q_latest_event" ->
       """SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM (
