@@ -80,6 +80,42 @@ class PlanSpec extends AnyFunSuite {
   // shingles(n=5) composes 4 zip_with calls; one evaluation site only
   private val TextAnalysis_shingleRefs = 4
 
+  test("vendor top-pickup is ONE multi-file scan, not per-vendor unions") {
+    // round-9 surgery: the per-vendor unionByName of six 722-column
+    // relations (18 schema inferences per construction) must not come
+    // back — one explicit-schema scan node reads all six files
+    val p = plan("pipe_vendor_top_pickup")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"top_pickup regressed to multiple scans:\n${p.take(4000)}")
+    assert(!p.contains("Union"), s"per-vendor union came back:\n${p.take(4000)}")
+  }
+
+  test("vendor narrow pipeline scans carry the pinned 4-field schema") {
+    val p = plan("pipe_vendor")
+    assert(p.contains("struct<trip_duration:double,passenger_count:bigint," +
+      "hour:double,distance:double>"),
+      s"allNarrow not reading the explicit narrow schema:\n${p.take(4000)}")
+    assert(!p.contains("Union"), s"per-vendor union came back:\n${p.take(4000)}")
+  }
+
+  test("spearman has no row-level shuffle join against a rank frame") {
+    // round-9 shape: rows broadcast-join the tiny x-rank frame and
+    // collapse straight to the (f, y) grid; the old plan's sort-merge
+    // join of all rows against the y-rank frame must not return.
+    // collect() first: AQE rightly plans prefixDotSums' groups×buckets
+    // offsets self-join as broadcast once sizes are known, so any
+    // surviving SMJ would be the row-level one.
+    val df = SparkEntry.queries("q_spearman")(spark, TestSpark.sf)
+    df.collect()
+    // AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan"
+    // (where the tiny offsets self-join legitimately starts as SMJ);
+    // only the Final Plan section is what actually ran
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("SortMergeJoin"),
+      s"row-level rank join came back:\n${p.take(4000)}")
+  }
+
   test("salted join matches plain join results and spreads the key") {
     val li = Tables.lineitem(spark, TestSpark.sf)
     val supp = Tables.supplier(spark, TestSpark.sf)
