@@ -31,6 +31,31 @@ object ExactPercentile {
     fromHistogram(vals, group, fracs)
   }
 
+  /** Discrete percentiles (ANSI percentile_disc / DuckDB
+    * quantile_disc): the ACTUAL value at rank ceil(p·n) — the
+    * smallest value whose cume_dist ≥ p, no interpolation — through
+    * the same histogram + range-bucketed rank machinery as
+    * [[perGroup]]. Callers should stick to binary-exact fractions
+    * (0.25, 0.5, 0.75, ...) when an external engine must agree on the
+    * rank: ceil(p·n) at a non-representable p can differ by one at
+    * exact-integer boundaries. */
+  def perGroupDisc(df: DataFrame, group: String, value: String,
+      fracs: Seq[(String, Double)]): DataFrame = {
+    require(fracs.nonEmpty)
+    val src = df.select(col(group), col(value).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val vals = src.groupBy(col(group), col("v")).agg(count(lit(1)).as("c"))
+    val ranked = Rank
+      .runningSums(vals, Seq(group), "v", Nil, Seq("hi" -> col("c")))
+      .withColumn("lo", col("hi") - col("c") + 1)
+      .withColumn("n", col("hi_total"))
+    val aggs = fracs.map { case (nm, p) =>
+      val r = greatest(ceil(lit(p) * col("n")), lit(1L)).cast("long")
+      max(when(col("lo") <= r && r <= col("hi"), col("v"))).as(nm)
+    }
+    ranked.groupBy(col(group)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** [[perGroup]] over a pre-built (group, value, weight) histogram,
     * for callers that already hold per-value counts — q_mad derives
     * its deviation histogram from the first round's value histogram

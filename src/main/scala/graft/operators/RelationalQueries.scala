@@ -263,6 +263,20 @@ object RelationalQueries extends QueryModule {
         .orderBy($"l_returnflag")
     }),
 
+    "q_percentile_disc" -> ((s, d) => {
+      import s.implicits._
+      // ANSI percentile_disc: the actual value at rank ceil(p·n) —
+      // the other standard percentile semantics, same scalable rank
+      // machinery, no interpolation (fractions are binary-exact so
+      // the rank can't flip vs the oracle's double arithmetic).
+      ExactPercentile.perGroupDisc(T.lineitem(s, d),
+          "l_returnflag", "l_extendedprice",
+          Seq("d25" -> 0.25, "d50" -> 0.5, "d75" -> 0.75))
+        .select($"l_returnflag", r4($"d25").as("d25"),
+          r4($"d50").as("d50"), r4($"d75").as("d75"))
+        .orderBy($"l_returnflag")
+    }),
+
     "q_approx_distinct" -> ((s, d) => {
       import s.implicits._
       // HLL sketch next to its exact counterpart in ONE pass; the
@@ -463,6 +477,13 @@ object RelationalQueries extends QueryModule {
         |  round(quantile_cont(l_extendedprice, 0.25),4) AS p25,
         |  round(quantile_cont(l_extendedprice, 0.5),4) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.75),4) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_percentile_disc" ->
+      """SELECT l_returnflag,
+        |  round(quantile_disc(l_extendedprice, 0.25),4) AS d25,
+        |  round(quantile_disc(l_extendedprice, 0.5),4) AS d50,
+        |  round(quantile_disc(l_extendedprice, 0.75),4) AS d75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_hash_sample" ->
