@@ -21,8 +21,19 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  /** The relational date columns carry the same corpus-regeneration
+    * drift risk that broke events at round 8 — guard them too, but
+    * canonicalize to TIMESTAMP_NTZ (their current physical encoding
+    * AND the dq_schema contract), so today's outputs are bit-for-bit
+    * unchanged. */
+  def orders(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTsNtz(t(s, d, "orders"), "o_orderdate")
+  }
+  def lineitem(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTsNtz(t(s, d, "lineitem"), "l_shipdate")
+  }
   /** The corpus has shipped `events.ts` under two physical parquet
     * encodings so far — TIMESTAMP(NANOS) (readable only as int64 via
     * the legacy flag) and plain TIMESTAMP(MICROS) (read as
@@ -52,6 +63,24 @@ object Tables {
         s"unsupported physical type for '$name': $other")
     }
   }
+  /** [[normalizeTs]] to TIMESTAMP_NTZ instead — for columns whose
+    * canonical type (and schema contract) is NTZ. Wall clocks are
+    * preserved in every branch (sessions run UTC). */
+  def normalizeTsNtz(df: DataFrame, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    df.schema(name).dataType match {
+      case LongType =>
+        df.withColumn(name,
+          expr(s"timestamp_micros($name div 1000)").cast(TimestampNTZType))
+      case TimestampType =>
+        df.withColumn(name, col(name).cast(TimestampNTZType))
+      case TimestampNTZType => df
+      case other => throw new IllegalStateException(
+        s"unsupported physical type for '$name': $other")
+    }
+  }
+
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -163,6 +163,33 @@ class SourcesSpec extends AnyFunSuite {
     assert(asLtz == micros.sorted)
   }
 
+  test("Tables.orders normalizes o_orderdate to NTZ from every encoding") {
+    import spark.implicits._
+    val micros = Seq(1705321496000000L, 1705407896000000L)
+    val rows = micros.zipWithIndex.map { case (us, i) => (i.toLong, us) }
+
+    def loadVariant(writeTs: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): (String, Seq[Long]) = {
+      val dir = tmp("graft-orders-enc")
+      writeTs(rows.toDF("o_orderkey", "us"))
+        .select($"o_orderkey", $"o_orderdate")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val back = Tables.orders(spark, dir)
+      (back.schema("o_orderdate").dataType.simpleString,
+        back.select(unix_micros($"o_orderdate".cast("timestamp")))
+          .collect().map(_.getLong(0)).sorted.toSeq)
+    }
+
+    val variants = Seq(
+      loadVariant(_.withColumn("o_orderdate", $"us" * 1000L)),
+      loadVariant(_.withColumn("o_orderdate",
+        timestamp_micros($"us").cast("timestamp_ntz"))),
+      loadVariant(_.withColumn("o_orderdate", timestamp_micros($"us"))))
+    for ((tpe, vals) <- variants) {
+      assert(tpe == "timestamp_ntz", s"canonical type drifted: $tpe")
+      assert(vals == micros.sorted)
+    }
+  }
+
   test("filters and projections push down to the parquet scan") {
     val df = Tables.lineitem(spark, TestSpark.sf)
       .filter(col("l_orderkey") < 100)
