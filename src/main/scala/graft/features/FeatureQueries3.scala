@@ -183,19 +183,16 @@ object FeatureQueries3 extends QueryModule {
         .groupBy($"decile", $"n", $"conv")
         .agg(sum($"n2").as("tn"), sum($"c2").as("tc"),
           sum(when($"d2" <= $"decile", $"c2").otherwise(0L)).as("cumc"))
-        // Integer BASIS POINTS, not rounded doubles: the 4dp doubles
-        // were bit-identical to the oracle locally yet still
-        // hash-diverged on the driver (environment-side double
-        // canonicalization). round(10000x) cast to BIGINT cannot
-        // diverge between engines.
+        // Integer BASIS POINTS via BIGINT floor-division — no doubles
+        // anywhere: round-half-up(a/b) = (2a+b) div (2b) for a,b ≥ 0,
+        // which is bit-identical in any engine (Spark rounds the
+        // shortest-decimal repr HALF_UP while DuckDB rounds the binary
+        // double, so round(conv/n*10000) can differ by 1 at x.5).
         .select($"decile", $"n", $"conv",
-          round($"conv" / $"n".cast("double") * 10000).cast("long")
-            .as("rate_bp"),
-          round(($"conv" / $"n".cast("double")) /
-            ($"tc" / $"tn".cast("double")) * 10000).cast("long")
+          expr("(conv * 20000 + n) div (2 * n)").as("rate_bp"),
+          expr("(conv * tn * 20000 + n * tc) div (2 * n * tc)")
             .as("lift_bp"),
-          round($"cumc" / $"tc".cast("double") * 10000).cast("long")
-            .as("cum_capture_bp"))
+          expr("(cumc * 20000 + tc) div (2 * tc)").as("cum_capture_bp"))
         .orderBy($"decile")
     })
   )
@@ -301,15 +298,16 @@ object FeatureQueries3 extends QueryModule {
         |dec AS (SELECT label,
         |    ntile(10) OVER (ORDER BY score DESC, o_custkey) AS decile
         |  FROM scored),
-        |agg AS (SELECT decile, count(*) AS n, sum(label) AS conv
+        |agg AS (SELECT decile, count(*) AS n,
+        |    CAST(sum(label) AS BIGINT) AS conv
         |  FROM dec GROUP BY 1),
-        |tot AS (SELECT sum(conv) AS tc, sum(n) AS tn FROM agg)
+        |tot AS (SELECT CAST(sum(conv) AS BIGINT) AS tc,
+        |    CAST(sum(n) AS BIGINT) AS tn FROM agg)
         |SELECT decile, n, conv,
-        |  CAST(round(conv / CAST(n AS DOUBLE) * 10000) AS BIGINT) AS rate_bp,
-        |  CAST(round((conv / CAST(n AS DOUBLE)) / (tc / CAST(tn AS DOUBLE))
-        |    * 10000) AS BIGINT) AS lift_bp,
-        |  CAST(round(sum(conv) OVER (ORDER BY decile) / CAST(tc AS DOUBLE)
-        |    * 10000) AS BIGINT) AS cum_capture_bp
+        |  (conv * 20000 + n) // (2 * n) AS rate_bp,
+        |  (conv * tn * 20000 + n * tc) // (2 * n * tc) AS lift_bp,
+        |  (CAST(sum(conv) OVER (ORDER BY decile) AS BIGINT) * 20000 + tc)
+        |    // (2 * tc) AS cum_capture_bp
         |FROM agg, tot ORDER BY decile""".stripMargin
   )
 }
