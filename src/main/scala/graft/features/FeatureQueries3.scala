@@ -112,7 +112,8 @@ object FeatureQueries3 extends QueryModule {
         .agg(count(lit(1)).as("c"))
         .localCheckpoint(false)
       val bounds = graft.operators.ExactPercentile.perGroupWeighted(
-          hist, "l_returnflag", "v", "c", Seq("lo" -> 0.05, "hi" -> 0.95))
+          hist, "l_returnflag", "v", "c", Seq("lo" -> 0.05, "hi" -> 0.95),
+          unique = true)
         .select($"l_returnflag", r4($"lo").as("lo"), r4($"hi").as("hi"))
       hist.join(broadcast(bounds), "l_returnflag")
         .groupBy($"l_returnflag").agg(

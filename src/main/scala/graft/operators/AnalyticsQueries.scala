@@ -184,7 +184,7 @@ object AnalyticsQueries extends QueryModule {
         .agg(count(lit(1)).as("c"))
         .localCheckpoint(false)
       val med = ExactPercentile.perGroupWeighted(hist,
-        "l_returnflag", "v", "c", Seq("med" -> 0.5))
+        "l_returnflag", "v", "c", Seq("med" -> 0.5), unique = true)
       val devHist = hist.join(broadcast(med), "l_returnflag")
         .select($"l_returnflag", abs($"v" - $"med").as("dev"), $"c")
       ExactPercentile.perGroupWeighted(devHist,

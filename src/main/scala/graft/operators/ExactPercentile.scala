@@ -1,22 +1,34 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact interpolated percentiles (percentile_cont / DuckDB
   * quantile_cont semantics) WITHOUT Spark's `percentile()` aggregate,
   * which buffers every value of a group in one reducer's hash map —
-  * an OOM with few groups at 100 TB. Instead:
+  * an OOM with few groups at 100 TB. Distributed SELECTION instead:
   *
   *   1. count per (group, value) — fully parallel, map-side
-  *      combinable shuffle;
-  *   2. global running count + group total over the DISTINCT values
-  *      of each group via [[Rank.runningSums]] — range-bucketed, so
-  *      the ordered pass parallelizes across `buckets` tasks per
-  *      group instead of ONE task per group (the grouping keys here
-  *      are 3-4-value flags; a plain `Window.partitionBy(group)`
-  *      would sort each group's whole value set on a single core);
-  *   3. rank interpolation, identical to percentile_cont.
+  *      combinable shuffle — then localCheckpoint the histogram so
+  *      every later arm reads blocks, not lineage;
+  *   2. range-bucket the distinct values (approximate per-group
+  *      quantile boundaries — quality only affects balance, never
+  *      the answer) and aggregate ONE count per (group, bucket);
+  *   3. from the `groups × buckets`-row cumulative bucket counts
+  *      (windowless self-join — no single-partition sort anywhere),
+  *      keep ONLY the buckets that contain a requested rank
+  *      (≤ 2·|fracs| buckets per group);
+  *   4. rank-window just those buckets' rows (each ~1/buckets of the
+  *      group's distinct values) and interpolate, identical to
+  *      percentile_cont.
+  *
+  * vs the previous full-histogram rank pass: the per-row running sum
+  * + offsets broadcast-join over EVERY distinct value is replaced by
+  * a bucket-count aggregate plus a window over the few needed
+  * buckets, so the ordered-pass work drops by ~buckets/(2·|fracs|)×.
+  * At 1000 executors, pass a larger `buckets` so each needed bucket's
+  * slice stays executor-sized.
   */
 object ExactPercentile {
 
@@ -34,10 +46,10 @@ object ExactPercentile {
   /** Discrete percentiles (ANSI percentile_disc / DuckDB
     * quantile_disc): the ACTUAL value at rank ceil(p·n) — the
     * smallest value whose cume_dist ≥ p, no interpolation — through
-    * the same histogram + range-bucketed rank machinery as
-    * [[perGroup]]. Callers should stick to binary-exact fractions
-    * (0.25, 0.5, 0.75, ...) when an external engine must agree on the
-    * rank: ceil(p·n) at a non-representable p can differ by one at
+    * the same histogram + bucket-selection machinery as [[perGroup]].
+    * Callers should stick to binary-exact fractions (0.25, 0.5,
+    * 0.75, ...) when an external engine must agree on the rank:
+    * ceil(p·n) at a non-representable p can differ by one at
     * exact-integer boundaries. */
   def perGroupDisc(df: DataFrame, group: String, value: String,
       fracs: Seq[(String, Double)]): DataFrame = {
@@ -45,13 +57,13 @@ object ExactPercentile {
     val src = df.select(col(group), col(value).cast("double").as("v"))
       .filter(col("v").isNotNull)
     val vals = src.groupBy(col(group), col("v")).agg(count(lit(1)).as("c"))
-    val ranked = Rank
-      .runningSums(vals, Seq(group), "v", Nil, Seq("hi" -> col("c")))
-      .withColumn("lo", col("hi") - col("c") + 1)
-      .withColumn("n", col("hi_total"))
+    val ranked = rankNeededBuckets(vals, group,
+      ranks = fracs.map { case (_, p) =>
+        greatest(ceil(lit(p) * col("_n")), lit(1L)).cast("long").cast("double")
+      })
     val aggs = fracs.map { case (nm, p) =>
-      val r = greatest(ceil(lit(p) * col("n")), lit(1L)).cast("long")
-      max(when(col("lo") <= r && r <= col("hi"), col("v"))).as(nm)
+      val r = greatest(ceil(lit(p) * col("_n")), lit(1L)).cast("long")
+      max(when(col("_lo") <= r && r <= col("_hi"), col("v"))).as(nm)
     }
     ranked.groupBy(col(group)).agg(aggs.head, aggs.tail: _*)
   }
@@ -61,38 +73,96 @@ object ExactPercentile {
     * its deviation histogram from the first round's value histogram
     * instead of rescanning and re-shuffling the raw table. Weights
     * are occurrence counts (each value row counts `weight` times).
-    * Rows are re-grouped on (group, value) first, so duplicate value
-    * rows (e.g. |v − med| collisions from symmetric deviations) are
-    * safe; null values are skipped as in [[perGroup]]. */
+    * With `unique = true` the caller guarantees one row per
+    * (group, value) and the defensive re-group shuffle is skipped
+    * (q_mad round 1 / q_outlier_iqr / feat_winsorize build the
+    * histogram with groupBy(group, v) themselves); duplicate value
+    * rows (e.g. |v − med| collisions from symmetric deviations) need
+    * the default re-group. Null values are skipped as in
+    * [[perGroup]]. */
   def perGroupWeighted(hist: DataFrame, group: String, value: String,
-      weight: String, fracs: Seq[(String, Double)]): DataFrame = {
-    val vals = hist
+      weight: String, fracs: Seq[(String, Double)],
+      unique: Boolean = false): DataFrame = {
+    val src = hist
       .select(col(group), col(value).cast("double").as("v"),
-        col(weight).cast("long").as("w"))
+        col(weight).cast("long").as("c"))
       .filter(col("v").isNotNull)
-      .groupBy(col(group), col("v")).agg(sum(col("w")).as("c"))
-    fromHistogram(vals, group, fracs)
+    val vals =
+      if (unique) src
+      else src.groupBy(col(group), col("v")).agg(sum(col("c")).as("c"))
+    // unique callers hand over an already-checkpointed histogram —
+    // a second materialization barrier would be pure overhead
+    fromHistogram(vals, group, fracs, materialized = unique)
   }
 
+  /** Core selection pass: `vals` is one row per (group, v) with
+    * occurrence count `c`. Returns one row per group with a column
+    * per fraction, percentile_cont interpolation. */
   private def fromHistogram(vals: DataFrame, group: String,
-      fracs: Seq[(String, Double)]): DataFrame = {
+      fracs: Seq[(String, Double)], materialized: Boolean = false): DataFrame = {
     require(fracs.nonEmpty)
-    val ranked = Rank
-      .runningSums(vals, Seq(group), "v", Nil, Seq("hi_rank" -> col("c")))
-      .withColumn("lo_rank", col("hi_rank") - col("c") + 1)
-      .withColumn("n", col("hi_rank_total"))
-
+    def pos(p: Double): Column =
+      lit(1.0) + lit(p) * (col("_n") - 1).cast("double")
+    val ranked = rankNeededBuckets(vals, group,
+      ranks = fracs.flatMap { case (_, p) =>
+        Seq(floor(pos(p)),
+          least(floor(pos(p)) + 1, col("_n").cast("double")))
+      }, materialized = materialized)
     def pct(p: Double): Column = {
-      val pos = lit(1.0) + lit(p) * (col("n") - 1).cast("double")
-      val lo = floor(pos)
-      val hi = least(lo + 1, col("n").cast("double"))
-      val vLo = max(when(col("lo_rank") <= lo && lo <= col("hi_rank"), col("v")))
-      val vHi = max(when(col("lo_rank") <= hi && hi <= col("hi_rank"), col("v")))
-      val frac = max(pos - lo)
+      val lo = floor(pos(p))
+      val hi = least(lo + 1, col("_n").cast("double"))
+      val vLo = max(when(col("_lo") <= lo && lo <= col("_hi"), col("v")))
+      val vHi = max(when(col("_lo") <= hi && hi <= col("_hi"), col("v")))
+      val frac = max(pos(p) - lo)
       vLo + frac * (vHi - vLo)
     }
-
     val aggs = fracs.map { case (nm, p) => pct(p).as(nm) }
     ranked.groupBy(col(group)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The shared bucket-selection pass. `ranks` are rank expressions
+    * (1-based, as doubles) that may reference `_n` (the group's total
+    * weight); only buckets containing at least one requested rank
+    * survive to the rank window. Returns the needed buckets' rows
+    * with `_lo`/`_hi` (the global rank span of each value) and `_n`.
+    * Exactness never depends on the approximate bucket boundaries:
+    * they only decide which few buckets hold the ranks. */
+  private def rankNeededBuckets(vals: DataFrame, group: String,
+      ranks: Seq[Column], materialized: Boolean = false): DataFrame = {
+    // one materialization of the histogram; the bounds aggregate,
+    // the bucket-count aggregate, and the needed-bucket join all read
+    // its blocks instead of recomputing the upstream shuffle (skipped
+    // when the caller already checkpointed the frame it hands over)
+    val hist = if (materialized) vals else vals.localCheckpoint(false)
+    val bucketed = Rank.withRangeBucket(hist, Seq(group), "v", buckets = 32)
+
+    // groups × buckets rows: per-bucket weight totals
+    val totals = bucketed.groupBy(col(group), col("_bucket"))
+      .agg(sum(col("c")).as("_bc"))
+    // exclusive prefix + grand total via a windowless self-join
+    // (≤ buckets² rows per group) — no single-partition sort node
+    val rhs = totals.select(col(group).as("_rg"),
+      col("_bucket").as("_rb"), col("_bc").as("_rbc"))
+    val cum = totals.join(rhs, col(group) === col("_rg"))
+      .groupBy(col(group), col("_bucket"), col("_bc"))
+      .agg(sum(when(col("_rb") < col("_bucket"), col("_rbc"))
+          .otherwise(lit(0L))).as("_off"),
+        sum(col("_rbc")).as("_n"))
+    // a bucket is needed iff it contains some requested rank r:
+    // _off < r ≤ _off + _bc
+    val needCond = ranks.map { r =>
+      col("_off").cast("double") < r &&
+        r <= (col("_off") + col("_bc")).cast("double")
+    }.reduce(_ || _)
+    val needed = cum.filter(needCond)
+      .select(col(group), col("_bucket"), col("_off"), col("_n"))
+
+    // rank-window ONLY the needed buckets' rows; the bucket offset
+    // lifts within-bucket running counts to global ranks
+    val sub = bucketed.join(broadcast(needed), Seq(group, "_bucket"))
+    val w = Window.partitionBy(col(group), col("_bucket"))
+      .orderBy(col("v"))
+    sub.withColumn("_hi", col("_off") + sum(col("c")).over(w))
+      .withColumn("_lo", col("_hi") - col("c") + 1)
   }
 }

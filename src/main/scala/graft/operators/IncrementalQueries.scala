@@ -106,7 +106,8 @@ object IncrementalQueries extends QueryModule {
         .agg(count(lit(1)).as("c"))
         .localCheckpoint(false)
       val bounds = ExactPercentile.perGroupWeighted(hist,
-          "l_returnflag", "v", "c", Seq("p25" -> 0.25, "p75" -> 0.75))
+          "l_returnflag", "v", "c", Seq("p25" -> 0.25, "p75" -> 0.75),
+          unique = true)
         .withColumn("lo", $"p25" - lit(1.5) * ($"p75" - $"p25"))
         .withColumn("hi", $"p75" + lit(1.5) * ($"p75" - $"p25"))
         .select($"l_returnflag", $"lo", $"hi")

@@ -189,7 +189,7 @@ object Rank {
   /** Adds `_bucket`: an order-consistent range-bucket id in
     * [0, buckets). Boundaries are per-group approximate quantiles of
     * `value`; rows with equal values always share a bucket. */
-  private def withRangeBucket(df: DataFrame, group: Seq[String],
+  private[operators] def withRangeBucket(df: DataFrame, group: Seq[String],
       value: String, buckets: Int): DataFrame = {
     if (buckets <= 1) return df.withColumn("_bucket", lit(0))
     val fracs = (1 until buckets).map(_.toDouble / buckets)
@@ -204,8 +204,10 @@ object Rank {
     val joined =
       if (group.isEmpty) df.crossJoin(broadcast(bounds))
       else df.join(broadcast(bounds), group)
+    // codegen'd binary search — the interpreted size(filter(...))
+    // lambda was the family's hottest expression (see LowerBound)
     joined
-      .withColumn("_bucket", size(filter(col("_bounds"), b => b < v)))
+      .withColumn("_bucket", graft.functions.LowerBound(col("_bounds"), v))
       .drop("_bounds")
   }
 
