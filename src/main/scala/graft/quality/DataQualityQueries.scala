@@ -133,6 +133,40 @@ object DataQualityQueries extends QueryModule {
         .orderBy($"route")
     }),
 
+    // The reference's GX-config-as-artifact pattern end-to-end: the
+    // suite is authored as a canonical GX JSON file (the shape the
+    // Lambda copies into the DAGs bucket, airflow-setup.py:323-340),
+    // loaded through SuiteConfig, and run through the same one-pass
+    // aggregate as the Scala-built suites — under the oracle gate, so
+    // a loader bug that altered any threshold or dropped a check
+    // would hash-mismatch, not just fail a unit spec.
+    "dq_suite_config" -> ((s, d) => {
+      val f = java.nio.file.Files.createTempFile("graft_suite", ".json")
+      java.nio.file.Files.writeString(f,
+        """{"expectation_suite_name": "orders", "expectations": [
+          |  {"expectation_type": "expect_column_values_to_not_be_null",
+          |   "kwargs": {"column": "o_orderkey"}},
+          |  {"expectation_type": "expect_column_values_to_not_be_null",
+          |   "kwargs": {"column": "o_custkey"}},
+          |  {"expectation_type": "expect_column_values_to_not_be_null",
+          |   "kwargs": {"column": "o_totalprice"}},
+          |  {"expectation_type": "expect_column_values_to_not_be_null",
+          |   "kwargs": {"column": "o_orderdate"}},
+          |  {"expectation_type": "expect_column_values_to_be_in_set",
+          |   "kwargs": {"column": "o_orderstatus", "value_set": ["F","O","P"]}},
+          |  {"expectation_type": "expect_column_values_to_be_in_set",
+          |   "kwargs": {"column": "o_orderpriority", "value_set":
+          |     ["1-URGENT","2-HIGH","3-MEDIUM","4-NOT SPECIFIED","5-LOW"]}},
+          |  {"expectation_type": "expect_column_values_to_be_unique",
+          |   "kwargs": {"column": "o_orderkey"}},
+          |  {"expectation_type": "expect_column_values_to_be_unique",
+          |   "kwargs": {"column": "o_custkey"}}
+          |]}""".stripMargin)
+      try SuiteConfig.load(s, f.toString).run(T.orders(s, d))
+        .orderBy("table_name", "exp_name", "col_name")
+      finally java.nio.file.Files.delete(f)
+    }),
+
     "dq_schema" -> ((s, d) => {
       import s.implicits._
       // rows-only: declared-vs-actual schema conformance
@@ -238,6 +272,9 @@ object DataQualityQueries extends QueryModule {
       regexRow("orders", "o_orderstatus", "^[FOP]$"))),
     "dq_suite" -> u(ordersNotNullRows ++ statusRows ++ uniqueRows ++
       lineitemBetweenRows ++ statsRows ++ lengthsRows),
+    // the JSON-authored suite is the orders subset of dq_suite — the
+    // loader must reproduce it check-for-check
+    "dq_suite_config" -> u(ordersNotNullRows ++ statusRows ++ uniqueRows),
     // artifact round-trip is value-preserving → same oracle as dq_suite
     "dq_report_artifact" -> u(ordersNotNullRows ++ statusRows ++ uniqueRows ++
       lineitemBetweenRows ++ statsRows ++ lengthsRows),
