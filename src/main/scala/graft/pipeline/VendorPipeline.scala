@@ -37,7 +37,31 @@ object VendorPipeline extends QueryModule {
   val root = "/root/reference/source_data/datasets"
   /** The merged all-vendor split (724 cols: + vendor_* dummies). */
   val mergedRoot = "/root/reference/source_data"
-  val vendors: Seq[String] = Seq("alitran", "easy_destiny", "to_my_place_ai")
+
+  /** Listing-driven dataset discovery — the reference's dynamic-DAG
+    * pattern: its Lambda copies whatever exists under the source-data
+    * prefix (airflow-setup.py:239-241) and the Airflow deployment
+    * generates one DAG per discovered dataset, so adding a vendor is
+    * a data drop, not a code change. Same here: every subdirectory of
+    * `root` that holds a train split is a vendor. Hadoop FS listing,
+    * so the same code discovers S3/HDFS prefixes on a real cluster;
+    * sorted for deterministic union order (the oracle gate hashes
+    * row-order-independently, but deterministic plans are easier to
+    * debug). Memoized: the listing is driver-side metadata; one RPC
+    * per JVM, not one per query. */
+  lazy val vendors: Seq[String] = discoverVendors()
+
+  private def discoverVendors(): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val found = fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(v => fs.exists(new org.apache.hadoop.fs.Path(s"$root/$v/train.parquet")))
+      .sorted
+    require(found.nonEmpty, s"no vendor datasets discovered under $root")
+    found
+  }
 
   /** One vendor split, tagged. Wide (722-column) frame; select early. */
   private def vendorSplit(s: SparkSession, v: String, split: String): DataFrame =

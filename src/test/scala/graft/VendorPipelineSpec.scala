@@ -105,6 +105,19 @@ class VendorPipelineSpec extends AnyFunSuite {
     assert(fe("alitran").getAs[Double]("r2") > 0.8)
   }
 
+  test("dataset discovery finds exactly the deployed vendor directories") {
+    // the reference's dynamic-DAG pattern: the vendor list comes from
+    // listing the datasets prefix, not from code — a new data drop
+    // appears without recompilation. Against the shipped reference
+    // tree the discovered set must equal the known deployment.
+    assert(VendorPipeline.vendors ==
+      Seq("alitran", "easy_destiny", "to_my_place_ai"))
+    // every discovered vendor must actually load through the pipeline
+    val r = SparkEntry.queries("pipe_vendor")(spark, TestSpark.sf).collect()
+    assert(r.map(_.getString(0)).distinct.sorted.toSeq ==
+      VendorPipeline.vendors)
+  }
+
   test("top pickup locations per vendor are exact and deterministic") {
     val rows = SparkEntry.queries("pipe_vendor_top_pickup")(spark, TestSpark.sf)
       .collect()
