@@ -68,9 +68,14 @@ object Dedup {
     * graphs are normally tiny relative to the corpus, and a
     * distributed iteration pays multi-second scheduling latency per
     * round); above it, iterative min-label propagation runs fully
-    * distributed (converges in O(diameter) join rounds). */
+    * distributed (converges in O(diameter) join rounds).
+    *
+    * `localThreshold` = 1M edges ≈ 16 MB of driver pair arrays plus
+    * the union-find maps — comfortable headroom under any sane driver
+    * heap. A 100 TB near-dup graph blows past it and takes the
+    * distributed path; DedupSpec exercises that path explicitly. */
   def connectedComponents(pairs: DataFrame, a: String, b: String,
-      maxIter: Int = 20, localThreshold: Long = 5000000L): DataFrame = {
+      maxIter: Int = 20, localThreshold: Long = 1000000L): DataFrame = {
     // localCheckpoint (not cache — see jaccardPairs): sized by
     // count(), then consumed again below
     val p = pairs.localCheckpoint()
@@ -89,15 +94,27 @@ object Dedup {
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
+      // hook: take the min of my own and my neighbors' labels
       val prop = edges
         .join(labels.withColumnRenamed("node", "dst")
           .withColumnRenamed("component", "dst_comp"), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("dst_comp")).as("nbr_comp"))
-      val next = labels.join(prop, Seq("node"), "left")
-        .withColumn("new_comp", least(col("component"), col("nbr_comp")))
+      val hooked = labels.join(prop, Seq("node"), "left")
         .select(col("node"),
-          coalesce(col("new_comp"), col("component")).as("component"))
+          least(col("component"),
+            coalesce(col("nbr_comp"), col("component"))).as("component"))
+      // jump: follow my label's label (pointer doubling). Labels are
+      // always node ids inside the same component, so the self-join
+      // stays component-local; each round halves label-chain lengths,
+      // making convergence O(log diameter) instead of O(diameter) —
+      // hook-only propagation silently hit maxIter on a 100-node
+      // chain and returned unmerged components.
+      val jumped = hooked.select(col("node").as("_jn"),
+        col("component").as("_jc"))
+      val next = hooked.join(jumped, col("component") === col("_jn"), "left")
+        .select(col("node"),
+          coalesce(col("_jc"), col("component")).as("component"))
         .localCheckpoint()
       changed = next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
@@ -105,6 +122,10 @@ object Dedup {
       labels = next
       it += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents: no convergence after $maxIter rounds — " +
+          "a silent partial merge would corrupt downstream dedup")
     labels
   }
 

@@ -40,6 +40,28 @@ class DedupSpec extends AnyFunSuite {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("distributed label propagation agrees with driver union-find") {
+    import spark.implicits._
+    // a graph that needs several propagation rounds: two long chains
+    // (diameter 49), a star, cross-links, and isolated-pair noise
+    val chainA = (0L until 50L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val chainB = (100L until 150L).sliding(2).map(s => (s(1), s(0))).toSeq
+    val star = (201L to 220L).map(n => (200L, n))
+    val cross = Seq((49L, 100L)) // joins chain A and chain B
+    val pairs = Seq((300L, 301L), (302L, 303L))
+    val edges = (chainA ++ chainB ++ star ++ cross ++ pairs).toDF("a", "b")
+    // localThreshold = 0 forces the distributed path the 100 TB graph
+    // takes; the driver union-find is the oracle
+    val dist = Dedup.connectedComponents(edges, "a", "b", localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == local)
+    // chains A+B merged through the cross edge → one component
+    assert(dist(149L) == 0L && dist(49L) == 0L)
+    assert(dist(220L) == 200L)
+  }
+
   test("exact dedup keeps one row per distinct content") {
     val total = docs.count()
     val kept = Dedup.exactGroups(docs, "doc_id", "text")
