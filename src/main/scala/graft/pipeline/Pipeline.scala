@@ -98,6 +98,49 @@ final case class GatedPipeline(pipeline: Pipeline,
     }
     (out, quarantined.result())
   }
+
+  /** Operator-facing alert records — the Airflow failure-notification
+    * analog (the reference DAG's default_args wire email_on_failure;
+    * here the "notification" is a durable record an operator or a
+    * downstream monitor consumes). One row per FAILING expectation at
+    * each gated stage:
+    *
+    *   (pipeline, stage, table_name, exp_name, col_name, policy,
+    *    observed)
+    *
+    * Lazy like everything else: each gated stage contributes its
+    * suite's one-pass aggregate filtered to failures, evaluated on
+    * the SAME frame the gate sees (post-upstream-transforms,
+    * pre-gate), so the alert states exactly what the gate acted on.
+    * Empty output = all gates green. Union the result into the
+    * dq report artifact sink to persist alerts with the run. */
+  def alerts(input: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val perGate = Seq.newBuilder[DataFrame]
+    pipeline.stages.foldLeft(input) { (df, s) =>
+      gates.get(s.name).foreach { case (suite, policy) =>
+        perGate += suite.run(df)
+          .filter(col("success") === 0L)
+          .select(
+            lit(pipeline.name).as("pipeline"), lit(s.name).as("stage"),
+            col("table_name"), col("exp_name"), col("col_name"),
+            lit(policy.toString).as("policy"), col("observed"))
+      }
+      val gated = gates.get(s.name) match {
+        case Some((suite, Pipeline.Quarantine)) => suite.quarantine(df)._1
+        case _ => df
+      }
+      s.transform(gated)
+    }
+    val frames = perGate.result()
+    if (frames.isEmpty)
+      input.sparkSession.emptyDataFrame
+        .select(lit("").as("pipeline"), lit("").as("stage"),
+          lit("").as("table_name"), lit("").as("exp_name"),
+          lit("").as("col_name"), lit("").as("policy"),
+          lit(0.0).as("observed")).limit(0)
+    else frames.reduce(_.unionAll(_))
+  }
 }
 
 /** Per-dataset pipeline instantiation — the DAG-generator analog. */

@@ -1,7 +1,7 @@
 package graft
 
 import graft.pipeline._
-import graft.quality.{ExpectBetween, ExpectationSuite}
+import graft.quality.{ExpectBetween, ExpectNotNull, ExpectationSuite}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -71,6 +71,42 @@ class PipelineSpec extends AnyFunSuite {
       Map("clean" -> (suite, Pipeline.FailFast)))
       .run(df.filter($"x" >= 0 && $"x" <= 100))
     assert(okF.count() == 2)
+  }
+
+  test("gate failure emits an operator-facing alert record") {
+    import spark.implicits._
+    val df = Seq((1L, 5.0), (2L, 99999.0), (3L, 50.0), (4L, -7.0))
+      .toDF("id", "x")
+    val suite = ExpectationSuite("t", Seq(
+      ExpectBetween("x", 0, 100),    // 2 violations → fails
+      ExpectNotNull("id")))          // passes → no alert
+    val pipe = Pipeline("p", Seq(
+      Stage("clean")(identity),
+      Stage("double")(_.withColumn("x2", $"x" * 2))))
+    val gated = GatedPipeline(pipe,
+      Map("clean" -> (suite, Pipeline.Quarantine)))
+
+    val alerts = gated.alerts(df).collect()
+    // exactly the failing expectation alerts, with routing context
+    assert(alerts.length == 1)
+    val a = alerts.head
+    assert(a.getAs[String]("pipeline") == "p")
+    assert(a.getAs[String]("stage") == "clean")
+    assert(a.getAs[String]("exp_name") == "expect_between")
+    assert(a.getAs[String]("col_name") == "x")
+    assert(a.getAs[String]("policy") == "Quarantine")
+    assert(a.getAs[Double]("observed") == 2.0) // both violations counted
+
+    // all-green input → empty alert frame, same schema
+    val clean = gated.alerts(df.filter($"x" >= 0 && $"x" <= 100))
+    assert(clean.count() == 0)
+    assert(clean.columns.toSeq == Seq("pipeline", "stage", "table_name",
+      "exp_name", "col_name", "policy", "observed"))
+
+    // ungated pipeline → empty alert frame with the same schema
+    val none = GatedPipeline(pipe, Map.empty).alerts(df)
+    assert(none.count() == 0)
+    assert(none.columns.toSeq == clean.columns.toSeq)
   }
 
   test("observed pipeline reports per-stage row counts with one action") {
