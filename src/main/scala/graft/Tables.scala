@@ -57,7 +57,15 @@ object Tables {
     df.schema(name).dataType match {
       case LongType =>
         df.withColumn(name, expr(s"timestamp_micros($name div 1000)"))
-      case TimestampNTZType => df.withColumn(name, col(name).cast(TimestampType))
+      case TimestampNTZType =>
+        // NTZ -> TimestampType is only value-preserving when the session
+        // zone is UTC; enforce it HERE (where the invariant is relied
+        // on) so a future entry point that forgets to set UTC fails
+        // loudly instead of silently shifting every instant.
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"normalizeTs requires spark.sql.session.timeZone=UTC (got $tz)")
+        df.withColumn(name, col(name).cast(TimestampType))
       case TimestampType    => df
       case other => throw new IllegalStateException(
         s"unsupported physical type for '$name': $other")

@@ -23,14 +23,27 @@ object ModelArtifacts {
 
   /** Persist one run's model/metrics frame under `path`, partitioned
     * by run_id plus the caller's unit-of-reload columns (per-vendor
-    * models, per-dataset validation reports, ...). */
+    * models, per-dataset validation reports, ...).
+    *
+    * The run's partition tree (`path/run_id=<runId>`) is deleted up
+    * front: dynamic partition overwrite alone only replaces partitions
+    * present in THIS write, so a sub-partition written by an earlier
+    * run of the same run_id (e.g. a dataset since removed from the
+    * suite) would otherwise survive and leak stale rows into the
+    * reload. Deleting only this run's subtree keeps other runs'
+    * partitions untouched, so re-running a run_id stays idempotent. */
   def write(artifact: DataFrame, path: String, runId: String,
-      partCols: Seq[String] = Seq("vendor")): Unit =
+      partCols: Seq[String] = Seq("vendor")): Unit = {
+    val spark = artifact.sparkSession
+    val runDir = new org.apache.hadoop.fs.Path(path, s"run_id=$runId")
+    val fs = runDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(runDir)) fs.delete(runDir, true)
     artifact.withColumn("run_id", lit(runId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(("run_id" +: partCols): _*)
       .parquet(path)
+  }
 
   /** Reload one run's artifact (partition-pruned on run_id). */
   def load(s: SparkSession, path: String, runId: String): DataFrame =

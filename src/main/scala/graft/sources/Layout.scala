@@ -49,30 +49,42 @@ object Layout {
     * so parquet footer min/max stats skip files for a narrow
     * predicate on EITHER column — where a single-key sort serves only
     * its own key. One range exchange at write time, like every other
-    * layout op here. */
+    * layout op here.
+    *
+    * NULLs in either column route to the TOP bucket (255), so null
+    * rows cluster together at the tail of the curve instead of
+    * silently sharing files with the lowest values (parquet stats
+    * track nullCount separately, so those files still skip cleanly
+    * for value predicates). Helper columns carry a `__graft_zo`
+    * prefix and collisions with input columns are rejected up front. */
   def writeZOrdered(df: DataFrame, colA: String, colB: String,
       files: Int, path: String): Unit = {
+    val Seq(ba, bb, za, zb, z) =
+      Seq("_ba", "_bb", "_za", "_zb", "_z").map("__graft_zo" + _)
+    require(!df.columns.exists(_.startsWith("__graft_zo")),
+      "writeZOrdered: input columns may not start with __graft_zo")
     val buckets = 1 << 8
     val fracs = (1 until buckets).map(_.toDouble / buckets)
     val bounds = df.agg(
       percentile_approx(col(colA).cast("double"), typedLit(fracs), lit(256))
-        .as("_ba"),
+        .as(ba),
       percentile_approx(col(colB).cast("double"), typedLit(fracs), lit(256))
-        .as("_bb"))
+        .as(bb))
     def bucketOf(c: String, b: String) =
-      size(filter(col(b), x => x < col(c).cast("double")))
+      when(col(c).isNull, lit(buckets - 1))
+        .otherwise(size(filter(col(b), x => x < col(c).cast("double"))))
     val morton = (0 until 8).map { i =>
-      shiftleft(shiftright(col("_za"), i).bitwiseAND(lit(1)), 2 * i + 1)
+      shiftleft(shiftright(col(za), i).bitwiseAND(lit(1)), 2 * i + 1)
         .bitwiseOR(
-          shiftleft(shiftright(col("_zb"), i).bitwiseAND(lit(1)), 2 * i))
+          shiftleft(shiftright(col(zb), i).bitwiseAND(lit(1)), 2 * i))
     }.reduce(_ bitwiseOR _)
     df.crossJoin(broadcast(bounds))
-      .withColumn("_za", bucketOf(colA, "_ba"))
-      .withColumn("_zb", bucketOf(colB, "_bb"))
-      .withColumn("_z", morton)
-      .repartitionByRange(files, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_ba", "_bb", "_za", "_zb", "_z")
+      .withColumn(za, bucketOf(colA, ba))
+      .withColumn(zb, bucketOf(colB, bb))
+      .withColumn(z, morton)
+      .repartitionByRange(files, col(z))
+      .sortWithinPartitions(col(z))
+      .drop(ba, bb, za, zb, z)
       .write.mode("overwrite").parquet(path)
   }
 }
