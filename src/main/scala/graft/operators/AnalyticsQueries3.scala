@@ -22,18 +22,18 @@ object AnalyticsQueries3 extends QueryModule {
     // ONE exchange of the distinct-value set.
     "q_weighted_percentile" -> ((s, d) => {
       import s.implicits._
+      // the smallest value whose cumulative quantity-weight reaches
+      // half the total = the weighted discrete median — found by the
+      // shared bucket-selection pass over the (flag, price, weight)
+      // histogram, never expanding the weights or ranking the full
+      // distinct-price set.
       val byVal = T.lineitem(s, d)
-        .groupBy($"l_returnflag", $"l_extendedprice")
-        .agg(sum($"l_quantity").as("w"))
-      // running + total weight in one distributed-rank pass: the
-      // 3-value l_returnflag partition spec would otherwise sort each
-      // flag's whole distinct-price set in a single task.
-      byVal
-        .transform(Rank.runningSums(_, Seq("l_returnflag"),
-          "l_extendedprice", Nil, Seq("cum_w" -> $"w")))
-        .filter($"cum_w" >= $"cum_w_total" * 0.5)
-        .groupBy($"l_returnflag")
-        .agg(r4(min($"l_extendedprice")).as("w_median"))
+        .groupBy($"l_returnflag", $"l_extendedprice".cast("double").as("v"))
+        .agg(sum($"l_quantity").cast("long").as("w"))
+        .localCheckpoint(false)
+      ExactPercentile.perGroupDiscWeighted(byVal, "l_returnflag", "v", "w",
+          Seq("w_median" -> 0.5), unique = true)
+        .select($"l_returnflag", r4($"w_median").as("w_median"))
         .orderBy($"l_returnflag")
     }),
 

@@ -53,14 +53,38 @@ object ExactPercentile {
     * exact-integer boundaries. */
   def perGroupDisc(df: DataFrame, group: String, value: String,
       fracs: Seq[(String, Double)]): DataFrame = {
-    require(fracs.nonEmpty)
     val src = df.select(col(group), col(value).cast("double").as("v"))
       .filter(col("v").isNotNull)
     val vals = src.groupBy(col(group), col("v")).agg(count(lit(1)).as("c"))
+    discFromHistogram(vals, group, fracs)
+  }
+
+  /** [[perGroupDisc]] over a pre-built (group, value, weight)
+    * histogram — the weighted-median family: the smallest value whose
+    * cumulative weight reaches ceil(p·W) is exactly the discrete
+    * percentile at rank ceil(p·W) of the weight-expanded multiset,
+    * found by the same bucket-selection pass without ever expanding
+    * the weights. `unique` as in [[perGroupWeighted]]. */
+  def perGroupDiscWeighted(hist: DataFrame, group: String, value: String,
+      weight: String, fracs: Seq[(String, Double)],
+      unique: Boolean = false): DataFrame = {
+    val src = hist
+      .select(col(group), col(value).cast("double").as("v"),
+        col(weight).cast("long").as("c"))
+      .filter(col("v").isNotNull)
+    val vals =
+      if (unique) src
+      else src.groupBy(col(group), col("v")).agg(sum(col("c")).as("c"))
+    discFromHistogram(vals, group, fracs, materialized = unique)
+  }
+
+  private def discFromHistogram(vals: DataFrame, group: String,
+      fracs: Seq[(String, Double)], materialized: Boolean = false): DataFrame = {
+    require(fracs.nonEmpty)
     val ranked = rankNeededBuckets(vals, group,
       ranks = fracs.map { case (_, p) =>
         greatest(ceil(lit(p) * col("_n")), lit(1L)).cast("long").cast("double")
-      })
+      }, materialized = materialized)
     val aggs = fracs.map { case (nm, p) =>
       val r = greatest(ceil(lit(p) * col("_n")), lit(1L)).cast("long")
       max(when(col("_lo") <= r && r <= col("_hi"), col("v"))).as(nm)
