@@ -11,6 +11,7 @@ object SparkEntry {
     operators.AnalyticsQueries2,
     operators.AnalyticsQueries3,
     operators.TpchQueries,
+    operators.TpchQueries2,
     operators.DriftQueries,
     operators.StatQueries,
     operators.PageRank,
