@@ -100,6 +100,40 @@ object DedupQueries extends QueryModule {
         .orderBy($"a_id", $"b_id")
     }),
 
+    // SemDeDup-style semantic dedup (Abbas et al. 2023): coarse
+    // k-means over the embeddings, then cosine pruning INSIDE each
+    // cluster only — the quadratic pair work is bounded per cell, and
+    // at 100 TB k grows with the corpus so cells stay executor-sized
+    // (the paper's trick; cross-cluster near-dups are out of scope by
+    // design). Removal policy: within a cluster a doc is removed iff
+    // some LOWER-id doc sits at cosine ≥ eps (deterministic greedy;
+    // the paper's keep-farthest-from-centroid is an arbitrary
+    // tiebreak we replace with ids the oracle can replay). The
+    // quantizer is the same deterministic Lloyd's as sim_topk_ivf, so
+    // the oracle replays training + assignment + pruning exactly.
+    "dedup_semdedup" -> ((s, d) => {
+      import s.implicits._
+      import graft.similarity.KMeans
+      import graft.Util.cosine
+      val emb = T.embeddings(s, d)
+      val cents = KMeans.fit(emb, "vec_id", "embedding", k = 16, iters = 3)
+      val assign = emb.select($"vec_id",
+          transform($"embedding", _.cast("double")).as("v"),
+          KMeans.cellExpr($"embedding", cents).cast("long").as("cell"))
+        .localCheckpoint(false)
+      val a = assign.select($"cell", $"vec_id".as("a_id"), $"v".as("a_v"))
+      val b = assign.select($"cell", $"vec_id".as("b_id"), $"v".as("b_v"))
+      val removed = a.join(b, Seq("cell"))
+        .filter($"a_id" < $"b_id" && cosine($"a_v", $"b_v") >= 0.45)
+        .select($"cell", $"b_id").distinct()
+      assign.groupBy($"cell").agg(count(lit(1)).as("n"))
+        .join(removed.groupBy($"cell").agg(count(lit(1)).as("n_removed")),
+          Seq("cell"), "left")
+        .select($"cell", $"n",
+          coalesce($"n_removed", lit(0L)).as("n_removed"))
+        .orderBy($"cell")
+    }),
+
     "dedup_clusters" -> ((s, d) => {
       import s.implicits._
       val pairs = Dedup.jaccardPairs(T.documents(s, d), "doc_id", "text",
@@ -193,6 +227,27 @@ object DedupQueries extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "dedup_semdedup" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${graft.similarity.VectorOracles.kmeansCtes(16, 3)},
+         |assign AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.cell) AS rn
+         |    FROM emb e CROSS JOIN c3 c) WHERE rn = 1),
+         |rem AS (
+         |  SELECT DISTINCT a.cell, b.vec_id AS b_id
+         |  FROM assign a JOIN assign b ON a.cell = b.cell
+         |    AND a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(a.v, b.v) >= 0.45),
+         |nn AS (SELECT cell, count(*) AS n FROM assign GROUP BY cell),
+         |rr AS (SELECT cell, count(*) AS n_removed FROM rem GROUP BY cell)
+         |SELECT nn.cell, nn.n, coalesce(rr.n_removed, 0) AS n_removed
+         |FROM nn LEFT JOIN rr ON nn.cell = rr.cell
+         |ORDER BY nn.cell""".stripMargin,
+
     "dedup_edit" ->
       """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev

@@ -67,4 +67,15 @@ class DedupSpec extends AnyFunSuite {
     val kept = Dedup.exactGroups(docs, "doc_id", "text")
     assert(kept.agg(sum("n_copies")).head.getLong(0) == total)
   }
+
+  test("semdedup partitions the corpus and only removes within-cell dups") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val total = emb.count()
+    val rep = dedup.DedupQueries.queries("dedup_semdedup")(spark, TestSpark.sf)
+      .collect()
+    // every vector lands in exactly one cell; removals never exceed
+    // cell population − 1 (at least one representative survives)
+    assert(rep.map(_.getLong(1)).sum == total)
+    assert(rep.forall(r => r.getLong(2) >= 0 && r.getLong(2) < r.getLong(1)))
+  }
 }
