@@ -25,6 +25,31 @@ object TextQueries4 extends QueryModule {
   private val Budget = 1000 // tokens per packed sequence
 
   val queries: Map[String, Q] = Map(
+    // Per-document novelty vs the whole corpus: the fraction of a
+    // doc's distinct word-trigram shingles that no other document
+    // contains. The df-join formulation — postings (doc, shingle),
+    // document frequency per shingle, join back, per-doc aggregate —
+    // is linear in total postings with two hash shuffles (by shingle,
+    // by doc); shingles travel as the codegen'd 64-bit ShingleHashes
+    // keys, never as strings. A low-novelty doc is boilerplate or a
+    // near-copy: the standard pretraining-corpus quality signal
+    // between exact dedup and MinHash.
+    "text_novelty" -> ((s, d) => {
+      import s.implicits._
+      val post = graft.dedup.Dedup.shinglePostings(
+          graft.Util.ensureParallelism(T.documents(s, d)),
+          "doc_id", "text", 3)
+        .localCheckpoint(false)
+      val docFreq = post.groupBy($"shingle").agg(count(lit(1)).as("sdf"))
+      post.join(docFreq, "shingle")
+        .groupBy($"__id".as("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when($"sdf" >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .withColumn("novelty",
+          r4(lit(1.0) - $"n_shared".cast("double") / $"n_shingles"))
+        .orderBy($"doc_id")
+    }),
+
     // Even doc_ids play the train corpus, odd the held-out eval set.
     // A shingle of an eval doc is "contaminated" if any train doc
     // contains it; report per-eval-doc contamination ratio.
@@ -166,6 +191,22 @@ object TextQueries4 extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_novelty" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    generate_series(1, len(t)-2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |        FROM documents)
+        |  WHERE len(t) >= 3),
+        |docfreq AS (SELECT shingle, count(*) AS sdf FROM sh GROUP BY shingle)
+        |SELECT s.doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN d.sdf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared,
+        |  round(1.0 - CAST(sum(CASE WHEN d.sdf >= 2 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*), 4) AS novelty
+        |FROM sh s JOIN docfreq d ON s.shingle = d.shingle
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "text_contamination" ->
       """WITH toks AS (SELECT doc_id,
         |    string_split_regex(trim(text), '\s+') AS t FROM documents),
