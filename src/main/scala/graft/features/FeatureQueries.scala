@@ -91,6 +91,53 @@ object FeatureQueries extends QueryModule {
           r4($"rmse_raw").as("rmse"))
     }),
 
+    // Hashing-trick categorical encoding — the vocabulary-FREE
+    // alternative to feat_onehot's bounded-vocab collect: bucket =
+    // hash(feature||value) mod 32, so unseen categories need no
+    // refit and driver state is zero at any cardinality (the
+    // standard encoder for web-scale categorical features). Hash is
+    // the engine-agnostic 60-bit md5 prefix (SimHash's trick), so
+    // the oracle replays buckets exactly; the report shows bucket
+    // populations plus distinct-value counts (collisions made
+    // visible rather than silent).
+    "feat_hashed" -> ((s, d) => {
+      import s.implicits._
+      val src = T.customer(s, d)
+        .select(lit("mktsegment").as("feature"),
+          $"c_mktsegment".as("value"))
+        .unionAll(T.orders(s, d)
+          .select(lit("orderpriority").as("feature"),
+            $"o_orderpriority".as("value")))
+      src.withColumn("bucket",
+          pmod(conv(substring(md5(concat($"feature", lit("|"), $"value")),
+            1, 15), 16, 10).cast("long"), lit(32)))
+        .groupBy($"feature", $"bucket")
+        .agg(count(lit(1)).as("n"), countDistinct($"value").as("n_values"))
+        .orderBy($"feature", $"bucket")
+    }),
+
+    // Ridge with per-sample λ on the covariance diagonal — the same
+    // ONE-aggregate distributed pass as ml_linreg_multi, only the
+    // driver-side d×d solve changes. With unscaled features the
+    // shrinkage is variance-relative: l_discount (var ≈ 1e-3) is
+    // crushed toward 0 while l_quantity (var ≈ 2e2) barely moves —
+    // the classic "standardize before ridge" caveat, demonstrated.
+    "ml_ridge" -> ((s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d)
+      val xs = Seq("l_quantity", "l_discount")
+      val model = LinearModel.fitRidge(li, xs, "l_extendedprice",
+        lambdaPerN = 0.05)
+      LinearModel.predictMulti(li, model, xs)
+        .agg(sqrt(avg(($"l_extendedprice" - $"prediction") *
+          ($"l_extendedprice" - $"prediction"))).as("rmse_raw"))
+        .select(
+          round(lit(model._1), 4).as("intercept"),
+          round(lit(model._2.head), 4).as("slope_qty"),
+          round(lit(model._2(1)), 4).as("slope_disc"),
+          r4($"rmse_raw").as("rmse"))
+    }),
+
     "ml_eval" -> ((s, d) => {
       import s.implicits._
       val li = T.lineitem(s, d)
@@ -161,6 +208,46 @@ object FeatureQueries extends QueryModule {
         |  SELECT covar_pop(l_quantity, l_quantity) AS s11,
         |         covar_pop(l_quantity, l_discount) AS s12,
         |         covar_pop(l_discount, l_discount) AS s22,
+        |         covar_pop(l_quantity, l_extendedprice) AS s1y,
+        |         covar_pop(l_discount, l_extendedprice) AS s2y,
+        |         avg(l_extendedprice) AS my, avg(l_quantity) AS m1,
+        |         avg(l_discount) AS m2
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT (s22*s1y - s12*s2y)/(s11*s22 - s12*s12) AS b1,
+        |         (s11*s2y - s12*s1y)/(s11*s22 - s12*s12) AS b2,
+        |         my, m1, m2
+        |  FROM s)
+        |SELECT round(m.my - m.b1*m.m1 - m.b2*m.m2, 4) AS intercept,
+        |  round(m.b1, 4) AS slope_qty,
+        |  round(m.b2, 4) AS slope_disc,
+        |  round(sqrt(avg(
+        |    (l_extendedprice - ((m.my - m.b1*m.m1 - m.b2*m.m2) + m.b1*l_quantity + m.b2*l_discount))
+        |   *(l_extendedprice - ((m.my - m.b1*m.m1 - m.b2*m.m2) + m.b1*l_quantity + m.b2*l_discount)))), 4) AS rmse
+        |FROM lineitem, m
+        |GROUP BY m.b1, m.b2, m.my, m.m1, m.m2""".stripMargin,
+
+    "feat_hashed" ->
+      """WITH src AS (
+        |  SELECT 'mktsegment' AS feature, c_mktsegment AS value
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'orderpriority', o_orderpriority FROM orders),
+        |b AS (
+        |  SELECT feature, value,
+        |    (('0x' || substr(md5(feature || '|' || value), 1, 15))::BIGINT)
+        |      % 32 AS bucket
+        |  FROM src)
+        |SELECT feature, bucket, count(*) AS n,
+        |  count(DISTINCT value) AS n_values
+        |FROM b GROUP BY feature, bucket
+        |ORDER BY feature, bucket""".stripMargin,
+
+    "ml_ridge" ->
+      """WITH s AS (
+        |  SELECT covar_pop(l_quantity, l_quantity) + 0.05 AS s11,
+        |         covar_pop(l_quantity, l_discount) AS s12,
+        |         covar_pop(l_discount, l_discount) + 0.05 AS s22,
         |         covar_pop(l_quantity, l_extendedprice) AS s1y,
         |         covar_pop(l_discount, l_extendedprice) AS s2y,
         |         avg(l_extendedprice) AS my, avg(l_quantity) AS m1,

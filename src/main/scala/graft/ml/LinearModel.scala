@@ -41,7 +41,17 @@ object LinearModel {
     * solved on the driver with partial-pivot Gaussian elimination,
     * and the intercept comes from the means. Driver state is O(d²) —
     * the data never leaves the cluster. Returns (intercept, slopes). */
-  def fitMulti(df: DataFrame, xs: Seq[String], y: String): (Double, Seq[Double]) = {
+  def fitMulti(df: DataFrame, xs: Seq[String], y: String): (Double, Seq[Double]) =
+    fitRidge(df, xs, y, lambdaPerN = 0.0)
+
+  /** Ridge regression = [[fitMulti]] with `lambdaPerN` added to the
+    * covariance diagonal: on centered data (X'X + λI)β = X'y divided
+    * by n is (C + (λ/n)I)β = c_y, so the regularizer is expressed
+    * per-sample and the distributed pass is IDENTICAL to OLS — one
+    * covariance aggregate, no extra scan. The intercept stays
+    * unpenalized (standard practice: it comes from the means). */
+  def fitRidge(df: DataFrame, xs: Seq[String], y: String,
+      lambdaPerN: Double): (Double, Seq[Double]) = {
     val d = xs.length
     val aggs =
       (for { i <- 0 until d; j <- i until d } yield
@@ -51,7 +61,8 @@ object LinearModel {
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     def g(n: String): Double = row.getAs[Double](n)
     val a = Array.tabulate(d, d)((i, j) =>
-      if (i <= j) g(s"c_${i}_$j") else g(s"c_${j}_$i"))
+      (if (i <= j) g(s"c_${i}_$j") else g(s"c_${j}_$i")) +
+        (if (i == j) lambdaPerN else 0.0))
     val b = Array.tabulate(d)(i => g(s"cy_$i"))
     // partial-pivot Gaussian elimination on the d×d covariance system
     for (k <- 0 until d) {
