@@ -69,8 +69,8 @@ object TpchQueries2 extends QueryModule {
         .join(T.supplier(s, d), $"l_suppkey" === $"s_suppkey")
         .join(n1, $"s_nationkey" === $"s_nk")
         .join(n2, $"c_nationkey" === $"c_nk")
-        .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
-          ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+        .filter(($"supp_nation" === "NATION_18" && $"cust_nation" === "NATION_19") ||
+          ($"supp_nation" === "NATION_19" && $"cust_nation" === "NATION_18"))
         .groupBy($"supp_nation", $"cust_nation",
           year($"l_shipdate").as("l_year"))
         .agg(r4(revenue).as("revenue"))
@@ -162,8 +162,8 @@ object TpchQueries2 extends QueryModule {
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
-        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
