@@ -116,6 +116,33 @@ class PlanSpec extends AnyFunSuite {
       s"row-level rank join came back:\n${p.take(4000)}")
   }
 
+  test("tpch q4 EXISTS plans as a left-semi join") {
+    val p = plan("q_tpch_q4")
+    assert(p.contains("LeftSemi"), s"EXISTS did not decorrelate:\n$p")
+  }
+
+  test("tpch q19 disjunction pushes per-side conjuncts into both scans") {
+    // executedPlan.toString elides long FileScan fields — use the
+    // formatted explain, which prints PushedFilters in full
+    val p = SparkEntry.queries("q_tpch_q19")(spark, TestSpark.sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // lineitem scan gets the quantity-range OR, part scan the
+    // brand/size OR — Catalyst extracts each side's common factor
+    // from the cross-table disjunction
+    assert(p.contains("PushedFilters") &&
+      p.contains("l_quantity,1.0") && p.contains("p_brand,Brand#12"),
+      s"disjunctive predicates not pushed to the scans:\n${p.take(6000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"part side not broadcast:\n${p.take(4000)}")
+  }
+
+  test("semdedup pair search joins on the cell key, never cross") {
+    val p = plan("dedup_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"within-cell pair search degenerated to all-pairs:\n${p.take(4000)}")
+  }
+
   test("salted join matches plain join results and spreads the key") {
     val li = Tables.lineitem(spark, TestSpark.sf)
     val supp = Tables.supplier(spark, TestSpark.sf)
