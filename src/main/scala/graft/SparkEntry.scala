@@ -12,6 +12,7 @@ object SparkEntry {
     operators.AnalyticsQueries3,
     operators.TpchQueries,
     operators.TpchQueries2,
+    operators.TpchQueries3,
     operators.DriftQueries,
     operators.StatQueries,
     operators.PageRank,
