@@ -13,6 +13,7 @@ object SparkEntry {
     operators.TpchQueries,
     operators.TpchQueries2,
     operators.TpchQueries3,
+    operators.GraphQueries,
     operators.DriftQueries,
     operators.StatQueries,
     operators.PageRank,

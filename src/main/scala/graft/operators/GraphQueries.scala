@@ -1,0 +1,218 @@
+package graft.operators
+
+import graft.{QueryModule, Tables => T}
+import graft.Util.r4
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over co-occurrence graphs derived from the fact
+  * tables — the patterns a recommendation / graph-feature stage of a
+  * training-data pipeline needs beyond PageRank:
+  *
+  *   - association-rule mining (market basket) with support /
+  *     confidence / lift over parts co-ordered in one order;
+  *   - triangle counting + global clustering coefficient, with the
+  *     degree-ordered orientation that bounds the wedge fanout by
+  *     O(sqrt(edges)) per node regardless of degree skew;
+  *   - multi-hop BFS shortest distances via iterative frontier
+  *     expansion — the Spark-native replacement for the recursive CTE
+  *     Spark SQL lacks (the oracle IS that recursive CTE in DuckDB).
+  *
+  * All three build edges by self-joining per-container item sets, so
+  * edge construction is linear in the fact table with fanout bounded
+  * by items-per-container (~4-7 here), never all-pairs. Reference
+  * behavior: derived-signal joins of the reference transform stage
+  * (aws_infrastructure/airflow-setup.py:172-241).
+  */
+object GraphQueries extends QueryModule {
+
+  /** Distinct co-order part pairs (p1 < p2) with their support count,
+    * kept at support >= 2 — the scale-stable sparsifier (singleton
+    * pairs are ~all possible pairs; >=2 keeps the graph linear-ish in
+    * orders at every SF). */
+  private def coOrderPairs(s: SparkSession, d: String): DataFrame = {
+    val items = T.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= 2)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Market-basket association rules: for each co-ordered part pair,
+    // support count, directional confidence P(p2|p1) in integer basis
+    // points (round-half-up(a/b) = (2a+b) div (2b), float-free), and
+    // lift vs independence. Item frequencies broadcast-join back onto
+    // the pair table (part-count-sized, always small relative to
+    // facts).
+    "q_basket_rules" -> ((s, d) => {
+      import s.implicits._
+      val items = T.lineitem(s, d)
+        .select($"l_orderkey", $"l_partkey").distinct()
+      val freq = items.groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
+      val nOrders = items.select($"l_orderkey").distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      coOrderPairs(s, d)
+        .join(broadcast(freq.select($"l_partkey".as("p1"), $"cnt".as("c1"))), "p1")
+        .join(broadcast(freq.select($"l_partkey".as("p2"), $"cnt".as("c2"))), "p2")
+        .crossJoin(broadcast(nOrders))
+        .select($"p1", $"p2", $"pair_cnt",
+          expr("(pair_cnt * 20000 + c1) div (2 * c1)").as("conf_bp"),
+          r4($"pair_cnt" * $"n_orders" / ($"c1" * $"c2")).as("lift"))
+    }),
+
+    // Triangle census of the co-order part graph. The Spark plan
+    // orients each edge from the (degree, id)-smaller endpoint to the
+    // larger, so every node's out-degree is O(sqrt(2m)) even under
+    // heavy degree skew — wedge generation (the only quadratic-risk
+    // step) stays bounded. The triangle TOTAL is orientation-
+    // invariant, which is exactly what lets the oracle count the same
+    // triangles with the simple id-ordered SQL join.
+    "q_triangles" -> ((s, d) => {
+      import s.implicits._
+      val e = coOrderPairs(s, d).select($"p1", $"p2").localCheckpoint(false)
+      val deg = e.select($"p1".as("v")).unionAll(e.select($"p2".as("v")))
+        .groupBy($"v").agg(count(lit(1)).as("deg"))
+      val withDeg = e
+        .join(deg.select($"v".as("p1"), $"deg".as("d1")), "p1")
+        .join(deg.select($"v".as("p2"), $"deg".as("d2")), "p2")
+      val oriented = withDeg.select(
+          when($"d1" < $"d2" || ($"d1" === $"d2" && $"p1" < $"p2"), $"p1")
+            .otherwise($"p2").as("u"),
+          when($"d1" < $"d2" || ($"d1" === $"d2" && $"p1" < $"p2"), $"p2")
+            .otherwise($"p1").as("w"))
+        .localCheckpoint(false)
+      // wedges centered at u: each unordered out-neighbor pair once
+      // (x < y by construction), closed against the id-sorted
+      // undirected edge list with a plain equi semi-join — no OR
+      // condition, so no nested-loop fallback
+      val o2 = oriented.select($"u".as("u2"), $"w".as("w2"))
+      val wedges = oriented.join(o2,
+          $"u" === $"u2" && $"w" < $"w2")
+        .select($"w".as("x"), $"w2".as("y"))
+      val tri = wedges.join(e,
+          $"x" === $"p1" && $"y" === $"p2", "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      val stats = deg.agg(count(lit(1)).as("n_nodes"),
+        (sum($"deg" * ($"deg" - 1)) / 2).cast("long").as("n_wedges"),
+        (sum($"deg") / 2).cast("long").as("n_edges"))
+      stats.crossJoin(tri)
+        .select($"n_nodes", $"n_edges", $"n_triangles",
+          r4(lit(3.0) * $"n_triangles" / $"n_wedges").as("clustering"))
+    }),
+
+    // Shortest hop distance from NATION_0 over the top-2-trade-partner
+    // nation graph (each nation keeps its 2 highest-volume partners —
+    // the sparsifier that makes distances non-trivial). Iterative
+    // frontier BFS: one equi-join + anti-join per level, distances
+    // stay distributed, the driver holds only the level counter and
+    // an emptiness flag.
+    "q_bfs_hops" -> ((s, d) => {
+      import s.implicits._
+      val trade = T.lineitem(s, d).select($"l_orderkey", $"l_suppkey")
+        .join(T.orders(s, d).select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(T.customer(s, d).select($"c_custkey", $"c_nationkey"),
+          $"o_custkey" === $"c_custkey")
+        .join(T.supplier(s, d).select($"s_suppkey", $"s_nationkey"),
+          $"l_suppkey" === $"s_suppkey")
+        .filter($"c_nationkey" =!= $"s_nationkey")
+        .groupBy($"c_nationkey".as("n1"), $"s_nationkey".as("n2"))
+        .agg(count(lit(1)).as("cnt"))
+      val top2 = trade
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"n1").orderBy($"cnt".desc, $"n2")))
+        .filter($"rn" <= 2).select($"n1", $"n2")
+      val edges = top2.select($"n1".as("src"), $"n2".as("dst"))
+        .union(top2.select($"n2".as("src"), $"n1".as("dst")))
+        .distinct().localCheckpoint(false)
+      var dist = s.range(1)
+        .select(lit(0).cast("int").as("node"), lit(0).as("dist"))
+        .localCheckpoint(false)
+      var frontier = dist
+      var level = 0
+      while (level < 8 && !frontier.isEmpty) {
+        level += 1
+        frontier = frontier.join(edges, $"node" === $"src")
+          .select($"dst".as("node")).distinct()
+          .join(dist.select($"node".as("seen")), $"node" === $"seen", "left_anti")
+          .withColumn("dist", lit(level))
+          .localCheckpoint(false)
+        dist = dist.unionByName(frontier).localCheckpoint(false)
+      }
+      dist.join(broadcast(T.nation(s, d)), $"node" === $"n_nationkey")
+        .select($"node", $"n_name", $"dist")
+        .orderBy($"dist", $"node")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_basket_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |freq AS (SELECT l_partkey, count(*) AS cnt FROM items GROUP BY 1),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS pair_cnt
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p1, p2, pair_cnt,
+        |  (pair_cnt * 20000 + f1.cnt) // (2 * f1.cnt) AS conf_bp,
+        |  round(pair_cnt * n_orders / (CAST(f1.cnt AS DOUBLE) * f2.cnt), 4)
+        |    AS lift
+        |FROM pairs
+        |JOIN freq f1 ON pairs.p1 = f1.l_partkey
+        |JOIN freq f2 ON pairs.p2 = f2.l_partkey
+        |CROSS JOIN n
+        |ORDER BY p1, p2""".stripMargin,
+
+    "q_triangles" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT v, count(*) AS deg FROM (
+        |  SELECT p1 AS v FROM e UNION ALL SELECT p2 FROM e) GROUP BY 1),
+        |tri AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
+        |  JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |  (SELECT count(*) FROM e) AS n_edges,
+        |  n_triangles,
+        |  round(3.0 * n_triangles /
+        |    (SELECT sum(deg * (deg - 1)) / 2 FROM deg), 4) AS clustering
+        |FROM tri""".stripMargin,
+
+    "q_bfs_hops" ->
+      """WITH RECURSIVE trade AS (
+        |  SELECT c.c_nationkey AS n1, s.s_nationkey AS n2, count(*) AS cnt
+        |  FROM lineitem l
+        |  JOIN orders o ON l_orderkey = o_orderkey
+        |  JOIN customer c ON o_custkey = c_custkey
+        |  JOIN supplier s ON l_suppkey = s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2),
+        |top2 AS (SELECT n1, n2 FROM (
+        |  SELECT n1, n2, row_number()
+        |    OVER (PARTITION BY n1 ORDER BY cnt DESC, n2) AS rn
+        |  FROM trade) WHERE rn <= 2),
+        |e AS (SELECT n1 AS src, n2 AS dst FROM top2
+        |  UNION SELECT n2, n1 FROM top2),
+        |bfs(node, dist) AS (
+        |  SELECT CAST(0 AS INT), 0
+        |  UNION
+        |  SELECT e.dst, bfs.dist + 1 FROM bfs
+        |  JOIN e ON e.src = bfs.node WHERE bfs.dist < 8)
+        |SELECT node, n_name, dist FROM (
+        |  SELECT node, min(dist) AS dist FROM bfs GROUP BY 1)
+        |JOIN nation ON node = n_nationkey
+        |ORDER BY dist, node""".stripMargin
+  )
+}
