@@ -167,6 +167,28 @@ object DataQualityQueries extends QueryModule {
       finally java.nio.file.Files.delete(f)
     }),
 
+    // The extended GX families: pair comparison, compound-key
+    // uniqueness, median/quantile statistics, distinct-set subset —
+    // one aggregation pass per table like every other suite. Three
+    // checks REALLY fail on this corpus (tax>discount holds on only
+    // ~44% of lines so mostly=0.5 misses; (orderkey, linenumber) has
+    // genuine duplicates; priorities exceed the 1-3 set), so the
+    // report carries both success values.
+    "dq_advanced" -> ((s, d) => {
+      val li = ExpectationSuite("lineitem", Seq(
+        ExpectPairGreater("l_extendedprice", "l_discount"),
+        ExpectPairGreater("l_tax", "l_discount", orEqual = false, mostly = 0.5),
+        ExpectCompoundUnique(Seq("l_orderkey", "l_linenumber")),
+        ExpectMedianBetween("l_quantity", 20, 30),
+        ExpectQuantileBetween("l_quantity", 0.9, 40, 50)))
+      val ord = ExpectationSuite("orders", Seq(
+        ExpectDistinctInSet("o_orderstatus", Seq("F", "O", "P")),
+        ExpectDistinctInSet("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM")))) // fails: 2 extra
+      li.run(T.lineitem(s, d)).unionAll(ord.run(T.orders(s, d)))
+        .orderBy("table_name", "exp_name", "col_name")
+    }),
+
     "dq_schema" -> ((s, d) => {
       import s.implicits._
       // rows-only: declared-vs-actual schema conformance
@@ -234,6 +256,35 @@ object DataQualityQueries extends QueryModule {
   private def rowCountRow(t: String, lo: Long, hi: Long) =
     obsRow(t, "expect_row_count_between", "*", "count(*)",
       s"CASE WHEN count(*) >= $lo AND count(*) <= $hi THEN 1 ELSE 0 END", t)
+  private def pairGreaterRow(t: String, a: String, b: String,
+      mostly: Double) = {
+    val viol = s"sum(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL " +
+      s"AND NOT ($a > $b) THEN 1 ELSE 0 END)"
+    val denom = s"sum(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL " +
+      "THEN 1 ELSE 0 END)"
+    obsRow(t, "expect_pair_greater", s"$a,$b", viol,
+      s"CASE WHEN $viol <= CAST(${1.0 - mostly} AS DOUBLE) * $denom " +
+        "THEN 1 ELSE 0 END", t)
+  }
+  private def compoundUniqueRow(t: String, cols: Seq[String]) = {
+    val tup = cols.mkString("(", ", ", ")")
+    violRow(t, "expect_compound_unique", cols.mkString(","),
+      s"count(*) - count(DISTINCT $tup)")
+  }
+  private def medianRow(t: String, c: String, lo: Double, hi: Double) =
+    obsRow(t, "expect_median_between", c, s"median($c)",
+      s"CASE WHEN median($c) >= $lo AND median($c) <= $hi THEN 1 ELSE 0 END", t)
+  private def quantileRow(t: String, c: String, q: Double, lo: Double,
+      hi: Double) =
+    obsRow(t, s"expect_quantile_${q}_between", c, s"quantile_cont($c, $q)",
+      s"CASE WHEN quantile_cont($c, $q) >= $lo AND " +
+        s"quantile_cont($c, $q) <= $hi THEN 1 ELSE 0 END", t)
+  private def distinctInSetRow(t: String, c: String, vs: Seq[String]) = {
+    val set = vs.map("'" + _ + "'").mkString(",")
+    val obs = s"count(DISTINCT CASE WHEN $c NOT IN ($set) THEN $c END)"
+    obsRow(t, "expect_distinct_in_set", c, obs,
+      s"CASE WHEN $obs = 0 THEN 1 ELSE 0 END", t)
+  }
 
   private val ordersNotNullRows = Seq(
     notNullRow("orders", "o_orderkey"), notNullRow("orders", "o_custkey"),
@@ -278,6 +329,16 @@ object DataQualityQueries extends QueryModule {
     // artifact round-trip is value-preserving → same oracle as dq_suite
     "dq_report_artifact" -> u(ordersNotNullRows ++ statusRows ++ uniqueRows ++
       lineitemBetweenRows ++ statsRows ++ lengthsRows),
+    "dq_advanced" -> u(Seq(
+      pairGreaterRow("lineitem", "l_extendedprice", "l_discount", 1.0),
+      pairGreaterRow("lineitem", "l_tax", "l_discount", 0.5),
+      compoundUniqueRow("lineitem", Seq("l_orderkey", "l_linenumber")),
+      medianRow("lineitem", "l_quantity", 20, 30),
+      quantileRow("lineitem", "l_quantity", 0.9, 40, 50),
+      distinctInSetRow("orders", "o_orderstatus", Seq("F", "O", "P")),
+      distinctInSetRow("orders", "o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM")))),
+
     "dq_quarantine" ->
       """SELECT route, count(*) AS n, round(sum(l_extendedprice),4) AS total
         |FROM (SELECT CASE WHEN (l_quantity IS NULL OR (l_quantity >= 1 AND l_quantity <= 45))

@@ -119,6 +119,71 @@ final case class ExpectMatchRegex(column: String, pattern: String,
       .otherwise(0L))
 }
 
+/** GX expect_column_pair_values_a_to_be_greater_than_b: rows where
+  * A is not greater than B (>= with `orEqual`) are violations; the
+  * `mostly` denominator counts rows where BOTH sides are non-null
+  * (GX pair expectations skip rows with a missing side). */
+final case class ExpectPairGreater(columnA: String, columnB: String,
+    orEqual: Boolean = false, mostly: Double = 1.0) extends ValueExpectation {
+  val name = "expect_pair_greater"
+  val column = s"$columnA,$columnB"
+  override def denomAgg: Column =
+    sum(when(col(columnA).isNotNull && col(columnB).isNotNull, 1L)
+      .otherwise(0L))
+  def observedAgg: Column = {
+    val ok = if (orEqual) col(columnA) >= col(columnB)
+             else col(columnA) > col(columnB)
+    sum(when(col(columnA).isNotNull && col(columnB).isNotNull && !ok, 1L)
+      .otherwise(0L))
+  }
+}
+
+/** GX expect_compound_columns_to_be_unique: duplicate (multi-column)
+  * key instances are violations — count minus distinct over the
+  * column tuple, one aggregate like everything else in the suite. */
+final case class ExpectCompoundUnique(columns: Seq[String],
+    mostly: Double = 1.0) extends ValueExpectation {
+  require(columns.size >= 2, "compound uniqueness needs >= 2 columns")
+  val name = "expect_compound_unique"
+  val column = columns.mkString(",")
+  override def denomAgg: Column = count(lit(1))
+  def observedAgg: Column =
+    count(lit(1)) - countDistinct(col(columns.head),
+      columns.tail.map(col): _*)
+}
+
+/** GX expect_column_median_to_be_between — exact interpolated median
+  * as the observed statistic. */
+final case class ExpectMedianBetween(column: String, lo: Double, hi: Double)
+    extends Expectation {
+  val name = "expect_median_between"
+  def observedAgg: Column = median(col(column))
+  def success(o: Column, total: Column): Column = o >= lo && o <= hi
+}
+
+/** GX expect_column_quantile_values_to_be_between, one quantile per
+  * expectation (compose several for a range table) — exact
+  * interpolated percentile, same definition as DuckDB quantile_cont. */
+final case class ExpectQuantileBetween(column: String, q: Double,
+    lo: Double, hi: Double) extends Expectation {
+  require(q > 0 && q < 1, s"quantile must be in (0,1): $q")
+  val name = s"expect_quantile_${q}_between"
+  def observedAgg: Column = percentile(col(column), lit(q))
+  def success(o: Column, total: Column): Column = o >= lo && o <= hi
+}
+
+/** GX expect_column_distinct_values_to_be_in_set: the DISTINCT value
+  * set must be a subset — observed counts the distinct values outside
+  * the set, success demands zero (no `mostly`: one stray distinct
+  * value fails regardless of its row frequency). */
+final case class ExpectDistinctInSet(column: String, values: Seq[String])
+    extends Expectation {
+  val name = "expect_distinct_in_set"
+  def observedAgg: Column =
+    countDistinct(when(!col(column).isin(values: _*), col(column)))
+  def success(o: Column, total: Column): Column = o === 0.0
+}
+
 /** A named suite over one table — the analog of a GX checkpoint. */
 final case class ExpectationSuite(table: String, expectations: Seq[Expectation]) {
 
@@ -168,6 +233,9 @@ final case class ExpectationSuite(table: String, expectations: Seq[Expectation])
       case ExpectLengthsBetween(c, lo, hi, _) =>
         col(c).isNull || (length(col(c)) >= lo && length(col(c)) <= hi)
       case ExpectMatchRegex(c, p, _)  => col(c).isNull || col(c).rlike(p)
+      case ExpectPairGreater(a, b, orEq, _) =>
+        col(a).isNull || col(b).isNull ||
+          (if (orEq) col(a) >= col(b) else col(a) > col(b))
     }.reduceOption(_ && _).getOrElse(lit(true))
 
   /** Split into (valid, quarantined) without evaluating twice. */

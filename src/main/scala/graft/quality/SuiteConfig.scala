@@ -88,6 +88,25 @@ object SuiteConfig {
           dbl("max_value").toInt, mostly)
       case "expect_column_values_to_match_regex" =>
         ExpectMatchRegex(column, req(kw, "regex").asText(), mostly)
+      case "expect_column_pair_values_a_to_be_greater_than_b" =>
+        ExpectPairGreater(req(kw, "column_A").asText(),
+          req(kw, "column_B").asText(),
+          Option(kw.get("or_equal")).exists(_.asBoolean()), mostly)
+      case "expect_compound_columns_to_be_unique" =>
+        val cols = req(kw, "column_list")
+        require(cols.isArray, s"$tpe: column_list must be an array")
+        ExpectCompoundUnique(
+          cols.elements().asScala.map(_.asText()).toSeq, mostly)
+      case "expect_column_median_to_be_between" =>
+        ExpectMedianBetween(column, dbl("min_value"), dbl("max_value"))
+      case "expect_column_quantile_to_be_between" =>
+        ExpectQuantileBetween(column, dbl("quantile"),
+          dbl("min_value"), dbl("max_value"))
+      case "expect_column_distinct_values_to_be_in_set" =>
+        val vs = req(kw, "value_set")
+        require(vs.isArray, s"$tpe: value_set must be an array")
+        ExpectDistinctInSet(column,
+          vs.elements().asScala.map(_.asText()).toSeq)
       case other =>
         throw new IllegalArgumentException(
           s"unsupported expectation_type: $other")

@@ -109,6 +109,58 @@ class SuiteConfigSpec extends AnyFunSuite {
     }
   }
 
+  test("extended GX families parse and reproduce the built report") {
+    val fromJson = SuiteConfig.fromJson(
+      """{"table": "lineitem", "expectations": [
+        |  {"expectation_type": "expect_column_pair_values_a_to_be_greater_than_b",
+        |   "kwargs": {"column_A": "l_extendedprice", "column_B": "l_discount"}},
+        |  {"expectation_type": "expect_column_pair_values_a_to_be_greater_than_b",
+        |   "kwargs": {"column_A": "l_tax", "column_B": "l_discount",
+        |     "or_equal": true, "mostly": 0.4}},
+        |  {"expectation_type": "expect_compound_columns_to_be_unique",
+        |   "kwargs": {"column_list": ["l_orderkey", "l_linenumber"]}},
+        |  {"expectation_type": "expect_column_median_to_be_between",
+        |   "kwargs": {"column": "l_quantity", "min_value": 20, "max_value": 30}},
+        |  {"expectation_type": "expect_column_quantile_to_be_between",
+        |   "kwargs": {"column": "l_quantity", "quantile": 0.9,
+        |     "min_value": 40, "max_value": 50}},
+        |  {"expectation_type": "expect_column_distinct_values_to_be_in_set",
+        |   "kwargs": {"column": "l_returnflag", "value_set": ["A", "R", "N"]}}
+        |]}""".stripMargin)
+    val built = ExpectationSuite("lineitem", Seq(
+      ExpectPairGreater("l_extendedprice", "l_discount"),
+      ExpectPairGreater("l_tax", "l_discount", orEqual = true, mostly = 0.4),
+      ExpectCompoundUnique(Seq("l_orderkey", "l_linenumber")),
+      ExpectMedianBetween("l_quantity", 20, 30),
+      ExpectQuantileBetween("l_quantity", 0.9, 40, 50),
+      ExpectDistinctInSet("l_returnflag", Seq("A", "R", "N"))))
+    assert(fromJson == built)
+    val li = Tables.lineitem(spark, TestSpark.sf)
+    val report = fromJson.run(li).collect()
+      .map(r => ((r.getAs[String]("exp_name"), r.getAs[String]("col_name")),
+        r.getAs[Long]("success"))).toMap
+    // the corpus REALLY contains duplicate (orderkey, linenumber)
+    // pairs — the compound check must report the failure, the rest
+    // must hold
+    assert(report == Map(
+      ("expect_pair_greater", "l_extendedprice,l_discount") -> 1L,
+      ("expect_pair_greater", "l_tax,l_discount") -> 1L,
+      ("expect_compound_unique", "l_orderkey,l_linenumber") -> 0L,
+      ("expect_median_between", "l_quantity") -> 1L,
+      ("expect_quantile_0.9_between", "l_quantity") -> 1L,
+      ("expect_distinct_in_set", "l_returnflag") -> 1L), report.toString)
+  }
+
+  test("pair-greater quarantine keeps only rows where A > B") {
+    val suite = ExpectationSuite("lineitem", Seq(
+      ExpectPairGreater("l_extendedprice", "l_quantity")))
+    val li = Tables.lineitem(spark, TestSpark.sf)
+    val (valid, bad) = suite.quarantine(li)
+    assert(valid.count() + bad.count() == li.count())
+    import org.apache.spark.sql.functions._
+    assert(valid.filter(col("l_extendedprice") <= col("l_quantity")).count() == 0)
+  }
+
   test("mostly defaults to 1.0 when absent and parses when present") {
     val s = SuiteConfig.fromJson(
       """{"table": "t", "expectations": [
