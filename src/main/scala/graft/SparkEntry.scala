@@ -14,6 +14,7 @@ object SparkEntry {
     operators.TpchQueries2,
     operators.TpchQueries3,
     operators.GraphQueries,
+    operators.ResampleQueries,
     operators.DriftQueries,
     operators.StatQueries,
     operators.PageRank,
@@ -32,6 +33,7 @@ object SparkEntry {
     text.TextQueries2,
     text.TextQueries3,
     text.TextQueries4,
+    text.TextQueries5,
     dedup.DedupQueries,
     similarity.SimilarityQueries,
     similarity.VectorQueries,
