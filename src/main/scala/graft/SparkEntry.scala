@@ -19,6 +19,7 @@ object SparkEntry {
     operators.StatQueries,
     operators.PageRank,
     operators.EventQueries,
+    operators.EventQueries2,
     operators.BehaviorQueries,
     operators.BehaviorQueries2,
     operators.IncrementalQueries,

@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.{QueryModule, Tables => T}
+import graft.Util.r4
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Second tranche of event/time-series operators — the monitoring /
+  * feature-extraction signals a metrics pipeline computes per entity:
+  * time-weighted averages, fixed-tap EWMA smoothing, rolling z-score
+  * anomaly detection.
+  *
+  * Same discipline as [[EventQueries]]: every window partitions by
+  * `user_id` (never a global sort), ties break on `event_id`, and
+  * timestamps enter arithmetic as epoch micros so engine encodings
+  * stay out of the compare.
+  */
+object EventQueries2 extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    // Time-weighted average value per (user, day): each observation
+    // holds until the next one the same day, so the weight is the gap
+    // to the successor (classic TWAP; the last observation of a day
+    // carries no weight). One window pass + one aggregation.
+    "q_twap" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"day")
+        .orderBy($"ts", $"event_id")
+      T.events(s, d)
+        .withColumn("day", unix_timestamp(date_trunc("day", $"ts")))
+        .withColumn("dur_us", lead(unix_micros($"ts"), 1).over(w) -
+          unix_micros($"ts"))
+        .filter($"dur_us".isNotNull)
+        .groupBy($"user_id", $"day")
+        .agg(count(lit(1)).as("n_obs"),
+          r4(sum($"value" * $"dur_us") / sum($"dur_us")).as("twap"))
+        .orderBy($"user_id", $"day")
+    }),
+
+    // 8-tap exponentially weighted moving average (alpha = 1/2):
+    // weights are exact powers of two and the 8-term sum evaluates in
+    // fixed expression order, so the smoothed value is bit-identical
+    // in any engine — no recursive state, one window pass. Reported
+    // at each user's final event (argmax by time, no cross-row float
+    // summation at all).
+    "q_ewma" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val taps = (0 to 7).map { k =>
+        val x = if (k == 0) $"value" else lag($"value", k).over(w)
+        (x, math.pow(0.5, k))
+      }
+      val num = taps.map { case (x, wt) =>
+        when(x.isNotNull, x * wt).otherwise(0.0) }.reduce(_ + _)
+      val den = taps.map { case (x, wt) =>
+        when(x.isNotNull, wt).otherwise(0.0) }.reduce(_ + _)
+      T.events(s, d)
+        .withColumn("ewma", num / den)
+        .withColumn("us", unix_micros($"ts"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          r4(max(struct($"us", $"event_id", $"ewma")).getField("ewma"))
+            .as("last_ewma"))
+        .orderBy($"user_id")
+    }),
+
+    // Rolling z-score anomaly counts: each event scores against the
+    // mean/stddev of its user's previous 8..20 events (current row
+    // excluded — no self-contamination); |z| > 3 flags an anomaly.
+    // Aggregated per event type.
+    "q_anomaly_zscore" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(-20, -1)
+      T.events(s, d)
+        .withColumn("n_prev", count($"value").over(w))
+        .withColumn("mu", avg($"value").over(w))
+        .withColumn("sd", stddev_samp($"value").over(w))
+        .filter($"n_prev" >= 8 && $"sd" > 0)
+        .withColumn("z", ($"value" - $"mu") / $"sd")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_scored"),
+          count_if(abs($"z") > 3).as("n_anomalies"),
+          r4(max(abs($"z"))).as("max_abs_z"))
+        .orderBy($"event_type")
+    })
+  )
+
+  private val ord = "ORDER BY CAST(ts AS TIMESTAMP), event_id"
+
+  val oracles: Map[String, String] = Map(
+    "q_twap" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(epoch(date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) AS day,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, value, event_id
+        |  FROM events),
+        |durs AS (
+        |  SELECT user_id, day, value,
+        |    lead(us, 1) OVER (PARTITION BY user_id, day
+        |      ORDER BY us, event_id) - us AS dur_us
+        |  FROM e)
+        |SELECT user_id, day, count(*) AS n_obs,
+        |  round(sum(value * dur_us) / sum(dur_us), 4) AS twap
+        |FROM durs WHERE dur_us IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
+
+    "q_ewma" -> {
+      val num = (0 to 7).map { k =>
+        val x = if (k == 0) "value" else s"lag(value, $k) OVER w"
+        s"CASE WHEN $x IS NOT NULL THEN $x * ${math.pow(0.5, k)} ELSE 0.0 END"
+      }.mkString(" + ")
+      val den = (0 to 7).map { k =>
+        val x = if (k == 0) "value" else s"lag(value, $k) OVER w"
+        s"CASE WHEN $x IS NOT NULL THEN ${math.pow(0.5, k)} ELSE 0.0 END"
+      }.mkString(" + ")
+      s"""WITH sm AS (
+         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |    ($num) / ($den) AS ewma
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id $ord)),
+         |last AS (
+         |  SELECT user_id, ewma,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY us DESC, event_id DESC) AS rn,
+         |    count(*) OVER (PARTITION BY user_id) AS n_events
+         |  FROM sm)
+         |SELECT user_id, n_events, round(ewma, 4) AS last_ewma
+         |FROM last WHERE rn = 1 ORDER BY user_id""".stripMargin
+    },
+
+    "q_anomaly_zscore" ->
+      """WITH scored AS (
+        |  SELECT event_type, value,
+        |    count(value) OVER w AS n_prev,
+        |    avg(value) OVER w AS mu,
+        |    stddev_samp(value) OVER w AS sd
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_type, (value - mu) / sd AS z
+        |  FROM scored WHERE n_prev >= 8 AND sd > 0)
+        |SELECT event_type, count(*) AS n_scored,
+        |  count(*) FILTER (abs(z) > 3) AS n_anomalies,
+        |  round(max(abs(z)), 4) AS max_abs_z
+        |FROM z GROUP BY 1 ORDER BY event_type""".stripMargin
+  )
+}

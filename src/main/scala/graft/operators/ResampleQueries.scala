@@ -44,8 +44,12 @@ object ResampleQueries extends QueryModule {
     "q_bootstrap_ci" -> ((s, d) => {
       import s.implicits._
       val b = 100
+      // repartition BEFORE the ×B explode: the orders scan is a few
+      // input splits, and without this the 100× blowup (and its md5
+      // per replicate) would run on those few cores instead of all
       val rows = T.orders(s, d).select($"o_orderkey",
           round($"o_totalprice" * 100).cast("long").as("price_c"))
+        .repartition(s.sparkContext.defaultParallelism)
         .select($"o_orderkey", $"price_c",
           explode(sequence(lit(0), lit(b - 1))).as("rep"))
         .withColumn("u",

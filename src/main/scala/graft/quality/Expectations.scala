@@ -188,14 +188,41 @@ final case class ExpectDistinctInSet(column: String, values: Seq[String])
 final case class ExpectationSuite(table: String, expectations: Seq[Expectation]) {
 
   /** Run all expectations in one aggregation pass; returns the report
-    * DataFrame (table_name, exp_name, col_name, success, observed). */
+    * DataFrame (table_name, exp_name, col_name, success, observed).
+    *
+    * One planner trap: when a DISTINCT-based expectation (unique /
+    * compound-unique) shares the aggregate with an object-buffer one
+    * (median / percentile), Spark's distinct rewrite re-keys the
+    * whole aggregate by the distinct columns — and the percentile
+    * buffers then ride a per-key exchange (one array buffer per
+    * distinct key, ~row count of them) instead of a keyless
+    * tree-merge. In that mix the suite splits into two keyless
+    * subplans (distinct aggs | everything else) cross-joined on their
+    * 1-row results: two pruned columnar scans are far cheaper than
+    * one scan whose shuffle carries a buffer per row. */
   def run(df: DataFrame): DataFrame = {
     require(expectations.nonEmpty, "empty suite")
-    val aggs = expectations.zipWithIndex.flatMap { case (e, i) =>
-      Seq(e.observedAgg.cast("double").as(s"obs_$i"),
-        e.denomAgg.cast("double").as(s"den_$i"))
+    def isDistinctStyle(e: Expectation): Boolean = e match {
+      case _: ExpectUnique | _: ExpectCompoundUnique => true
+      case _ => false
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    def isObjectAgg(e: Expectation): Boolean = e match {
+      case _: ExpectMedianBetween | _: ExpectQuantileBetween => true
+      case _ => false
+    }
+    def aggOf(part: Seq[(Expectation, Int)]): DataFrame = {
+      val aggs = part.flatMap { case (e, i) =>
+        Seq(e.observedAgg.cast("double").as(s"obs_$i"),
+          e.denomAgg.cast("double").as(s"den_$i"))
+      }
+      df.agg(aggs.head, aggs.tail: _*)
+    }
+    val indexed = expectations.zipWithIndex
+    val (dst, rest) = indexed.partition { case (e, _) => isDistinctStyle(e) }
+    val one =
+      if (dst.nonEmpty && rest.exists { case (e, _) => isObjectAgg(e) })
+        aggOf(rest).crossJoin(aggOf(dst))
+      else aggOf(indexed)
     val rows = expectations.zipWithIndex.map { case (e, i) =>
       struct(
         lit(table).as("table_name"),
