@@ -179,4 +179,43 @@ object StreamingOps {
         |purchase_ts <= click_ts + interval 1 hour""".stripMargin))
       .select(col("user_id"), col("click_id"), col("purchase_id"))
   }
+
+  /** LEFT OUTER stream-stream interval join: like
+    * [[clickPurchaseJoin]] but unconverted clicks ARE the product —
+    * they emit (purchase_id = null) once the watermark passes the
+    * join interval's upper bound, i.e. once a matching purchase has
+    * provably not arrived. Same bounded state as the inner form; the
+    * null rows are the abandoned-session feed. */
+  def clickPurchaseLeftJoin(clicks: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    c.join(p, expr(
+      """user_id = p_user_id AND
+        |purchase_ts >= click_ts AND
+        |purchase_ts <= click_ts + interval 1 hour""".stripMargin),
+      "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  /** Bounded backfill: run a streaming pipeline over everything
+    * currently in the source and STOP — `Trigger.AvailableNow` splits
+    * the catch-up into rate-limited micro-batches (unlike a plain
+    * batch read) while terminating like one. The operational pattern
+    * for replaying history through the same streaming graph that then
+    * tails live data. Returns when the backfill completes. */
+  def availableNowBackfill(stream: DataFrame, sinkTable: String): Unit = {
+    val q = stream.writeStream
+      .format("memory").queryName(sinkTable)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }
