@@ -29,6 +29,7 @@ object SparkEntry {
     features.FeatureQueries,
     features.FeatureQueries2,
     features.FeatureQueries3,
+    features.FeatureQueries4,
     ml.NaiveBayes,
     text.TextQueries,
     text.TextQueries2,
