@@ -30,14 +30,24 @@ object GraphQueries extends QueryModule {
   /** Distinct co-order part pairs (p1 < p2) with their support count,
     * kept at support >= 2 — the scale-stable sparsifier (singleton
     * pairs are ~all possible pairs; >=2 keeps the graph linear-ish in
-    * orders at every SF). */
+    * orders at every SF).
+    *
+    * Pairs generate from each order's sorted distinct item ARRAY
+    * (collect_set per order, then an index-pair comb inside the row)
+    * instead of a self-join: one shuffle on orderkey replaces two
+    * (join + distinct), and the quadratic step stays bounded by
+    * items-per-order exactly as before. */
   private def coOrderPairs(s: SparkSession, d: String): DataFrame = {
-    val items = T.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    items.as("a").join(items.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+    val perOrder = T.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+    perOrder
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"""
+          .stripMargin)).as("pr"))
+      .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("pair_cnt"))
       .filter(col("pair_cnt") >= 2)
   }
