@@ -10,6 +10,7 @@ object SparkEntry {
     operators.AnalyticsQueries,
     operators.AnalyticsQueries2,
     operators.AnalyticsQueries3,
+    operators.AnalyticsQueries4,
     operators.TpchQueries,
     operators.TpchQueries2,
     operators.TpchQueries3,

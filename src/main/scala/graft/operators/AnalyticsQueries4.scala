@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.{QueryModule, Tables => T}
+import graft.Util.r4
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fourth analytics tranche — model evaluation and profiling shapes
+  * built on exact-integer moment sums, so every statistic derives
+  * from order-independent aggregates and no per-row float residual
+  * ever needs summing:
+  *
+  *   - k-fold cross-validation of closed-form simple regression in
+  *     ONE scan: per-fold integer moment sums; each fold's held-out
+  *     fit uses (total − fold) complement algebra, and the test RMSE
+  *     expands algebraically from the same moments — 1 scan for k
+  *     folds instead of 2k;
+  *   - cohort lifetime-value curves (first-order-year cohorts ×
+  *     order-age, cumulative integer-cent revenue);
+  *   - higher-moment profiling (skewness/kurtosis) from raw power
+  *     sums over integral-valued columns.
+  */
+object AnalyticsQueries4 extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    // 5-fold CV of l_extendedprice ~ l_quantity. Folds assigned by
+    // l_orderkey % 5 (deterministic, engine-agnostic). All moment
+    // sums are exact BIGINTs (price in cents, quantity integral); the
+    // double algebra on top sees identical inputs in both engines.
+    "ml_kfold" -> ((s, d) => {
+      import s.implicits._
+      val m = T.lineitem(s, d).select(
+          ($"l_orderkey" % 5).cast("int").as("fold"),
+          $"l_quantity".cast("long").as("x"),
+          round($"l_extendedprice" * 100).cast("long").as("y"))
+        .groupBy($"fold")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"),
+          sum($"y" * $"y").as("syy"))
+      val tot = m.agg(sum($"n").as("tn"), sum($"sx").as("tsx"),
+        sum($"sy").as("tsy"), sum($"sxx").as("tsxx"),
+        sum($"sxy").as("tsxy"), sum($"syy").as("tsyy"))
+      m.crossJoin(broadcast(tot))
+        // train = complement of the fold; all in cents space
+        .withColumn("cn", ($"tn" - $"n").cast("double"))
+        .withColumn("cx", ($"tsx" - $"sx").cast("double"))
+        .withColumn("cy", ($"tsy" - $"sy").cast("double"))
+        .withColumn("cxx", ($"tsxx" - $"sxx").cast("double"))
+        .withColumn("cxy", ($"tsxy" - $"sxy").cast("double"))
+        .withColumn("b",
+          ($"cn" * $"cxy" - $"cx" * $"cy") / ($"cn" * $"cxx" - $"cx" * $"cx"))
+        .withColumn("a", ($"cy" - $"b" * $"cx") / $"cn")
+        // held-out SSE = Syy - 2a·Sy - 2b·Sxy + n·a² + 2ab·Sx + b²·Sxx
+        .withColumn("sse",
+          $"syy" - lit(2.0) * $"a" * $"sy" - lit(2.0) * $"b" * $"sxy" +
+            $"n" * $"a" * $"a" + lit(2.0) * $"a" * $"b" * $"sx" +
+            $"b" * $"b" * $"sxx")
+        .select($"fold", $"n".as("n_test"),
+          r4($"b").as("slope_c"), r4($"a" / 100.0).as("intercept"),
+          r4(sqrt($"sse" / $"n") / 100.0).as("rmse"))
+        .orderBy($"fold")
+    }),
+
+    // Cohort LTV: customers cohorted by first-order year; cumulative
+    // per-cohort revenue by order age in years. Integer cents keep
+    // the running sums exact through the cumulative window.
+    "q_ltv_cohort" -> ((s, d) => {
+      import s.implicits._
+      val first = T.orders(s, d).groupBy($"o_custkey".as("ck"))
+        .agg(min(year($"o_orderdate")).as("cohort"))
+      val aged = T.orders(s, d)
+        .join(first, $"o_custkey" === $"ck")
+        .groupBy($"cohort", (year($"o_orderdate") - $"cohort").as("age"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round($"o_totalprice" * 100).cast("long")).as("rev_c"))
+      val w = Window.partitionBy($"cohort").orderBy($"age")
+      aged
+        .withColumn("cum_rev_c", sum($"rev_c").over(w))
+        .select($"cohort", $"age", $"n_orders",
+          r4($"cum_rev_c" / 100.0).as("cum_revenue"))
+        .orderBy($"cohort", $"age")
+    }),
+
+    // Skewness / excess kurtosis from raw power sums over
+    // integral-valued columns (quantity; discount and tax scaled to
+    // integer percent) — the sums are exact, the moment algebra sees
+    // identical doubles everywhere.
+    "q_moments" -> ((s, d) => {
+      import s.implicits._
+      val cols = Seq(
+        ("l_quantity", $"l_quantity".cast("long")),
+        ("l_discount_pct", round($"l_discount" * 100).cast("long")),
+        ("l_tax_pct", round($"l_tax" * 100).cast("long")))
+      val aggs = cols.flatMap { case (nm, c) =>
+        Seq(sum(c).as(s"s1_$nm"), sum(c * c).as(s"s2_$nm"),
+          sum(c * c * c).as(s"s3_$nm"), sum(c * c * c * c).as(s"s4_$nm"))
+      }
+      val one = T.lineitem(s, d)
+        .agg(count(lit(1)).as("n"), aggs: _*)
+      val rows = cols.map { case (nm, _) =>
+        val (s1, s2, s3, s4) =
+          (col(s"s1_$nm").cast("double"), col(s"s2_$nm").cast("double"),
+            col(s"s3_$nm").cast("double"), col(s"s4_$nm").cast("double"))
+        val n = col("n").cast("double")
+        val mean = s1 / n
+        val m2 = s2 / n - mean * mean
+        val m3 = s3 / n - lit(3.0) * mean * (s2 / n) +
+          lit(2.0) * mean * mean * mean
+        val m4 = s4 / n - lit(4.0) * mean * (s3 / n) +
+          lit(6.0) * mean * mean * (s2 / n) -
+          lit(3.0) * mean * mean * mean * mean
+        struct(lit(nm).as("col_name"), r4(mean).as("mean"),
+          r4(sqrt(m2)).as("stddev"),
+          r4(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2))).as("skewness"),
+          r4(m4 / (m2 * m2) - lit(3.0)).as("kurtosis"))
+      }
+      one.select(explode(array(rows: _*)).as("r")).select("r.*")
+        .orderBy($"col_name")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ml_kfold" ->
+      """WITH m AS (
+        |  SELECT CAST(l_orderkey % 5 AS INT) AS fold, count(*) AS n,
+        |    sum(CAST(l_quantity AS BIGINT)) AS sx,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+        |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+        |    sum(CAST(l_quantity AS BIGINT) *
+        |        CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |        CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(n) AS tn, sum(sx) AS tsx, sum(sy) AS tsy,
+        |    sum(sxx) AS tsxx, sum(sxy) AS tsxy, sum(syy) AS tsyy FROM m),
+        |fit AS (
+        |  SELECT fold, n, sx, sy, sxx, sxy, syy,
+        |    CAST(tn - n AS DOUBLE) AS cn, CAST(tsx - sx AS DOUBLE) AS cx,
+        |    CAST(tsy - sy AS DOUBLE) AS cy, CAST(tsxx - sxx AS DOUBLE) AS cxx,
+        |    CAST(tsxy - sxy AS DOUBLE) AS cxy
+        |  FROM m, tot),
+        |ab AS (
+        |  SELECT *, (cn * cxy - cx * cy) / (cn * cxx - cx * cx) AS b
+        |  FROM fit),
+        |ab2 AS (SELECT *, (cy - b * cx) / cn AS a FROM ab)
+        |SELECT fold, n AS n_test, round(b, 4) AS slope_c,
+        |  round(a / 100.0, 4) AS intercept,
+        |  round(sqrt((syy - 2.0*a*sy - 2.0*b*sxy + n*a*a + 2.0*a*b*sx
+        |    + b*b*sxx) / n) / 100.0, 4) AS rmse
+        |FROM ab2 ORDER BY fold""".stripMargin,
+
+    "q_ltv_cohort" ->
+      """WITH first AS (
+        |  SELECT o_custkey AS ck, min(year(o_orderdate)) AS cohort
+        |  FROM orders GROUP BY 1),
+        |aged AS (
+        |  SELECT cohort, year(o_orderdate) - cohort AS age,
+        |    count(*) AS n_orders,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+        |  FROM orders JOIN first ON o_custkey = ck
+        |  GROUP BY 1, 2)
+        |SELECT cohort, age, n_orders,
+        |  round(sum(rev_c) OVER (PARTITION BY cohort ORDER BY age)
+        |    / 100.0, 4) AS cum_revenue
+        |FROM aged ORDER BY cohort, age""".stripMargin,
+
+    "q_moments" -> {
+      val cols = Seq(
+        ("l_quantity", "CAST(l_quantity AS BIGINT)"),
+        ("l_discount_pct", "CAST(round(l_discount * 100) AS BIGINT)"),
+        ("l_tax_pct", "CAST(round(l_tax * 100) AS BIGINT)"))
+      val rows = cols.map { case (nm, c) =>
+        s"""SELECT '$nm' AS col_name,
+           |  round(s1/n, 4) AS mean,
+           |  round(sqrt(s2/n - (s1/n)*(s1/n)), 4) AS stddev,
+           |  round((s3/n - 3.0*(s1/n)*(s2/n) + 2.0*(s1/n)*(s1/n)*(s1/n))
+           |    / (sqrt(s2/n - (s1/n)*(s1/n)) * sqrt(s2/n - (s1/n)*(s1/n))
+           |       * sqrt(s2/n - (s1/n)*(s1/n))), 4) AS skewness,
+           |  round((s4/n - 4.0*(s1/n)*(s3/n) + 6.0*(s1/n)*(s1/n)*(s2/n)
+           |    - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+           |    / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0,
+           |    4) AS kurtosis
+           |FROM (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |  CAST(sum($c) AS DOUBLE) AS s1,
+           |  CAST(sum($c * $c) AS DOUBLE) AS s2,
+           |  CAST(sum($c * $c * $c) AS DOUBLE) AS s3,
+           |  CAST(sum($c * $c * $c * $c) AS DOUBLE) AS s4 FROM lineitem)"""
+          .stripMargin
+      }
+      rows.mkString("SELECT * FROM (", " UNION ALL ", ")") +
+        " ORDER BY col_name"
+    }
+  )
+}
