@@ -35,8 +35,11 @@ object AnalyticsQueries4 extends QueryModule {
           round($"l_extendedprice" * 100).cast("long").as("y"))
         .groupBy($"fold")
         .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
-          sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"),
-          sum($"y" * $"y").as("syy"))
+          sum($"x" * $"x").as("sxx"),
+          // cents-squared (and x·cents at extreme SF) overflow Long:
+          // sum in decimal(38,0), the JVM analog of DuckDB's HUGEINT
+          sum(($"x" * $"y").cast("decimal(38,0)")).as("sxy"),
+          sum(($"y" * $"y").cast("decimal(38,0)")).as("syy"))
       val tot = m.agg(sum($"n").as("tn"), sum($"sx").as("tsx"),
         sum($"sy").as("tsy"), sum($"sxx").as("tsxx"),
         sum($"sxy").as("tsxy"), sum($"syy").as("tsyy"))

@@ -64,6 +64,21 @@ object EventQueries2 extends QueryModule {
         .orderBy($"user_id")
     }),
 
+    // Burst detection: each user's maximum event count inside any
+    // trailing 1-hour window — a RANGE frame over epoch micros, so
+    // the "window" is true event time, not row count.
+    "q_burst_max" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"us")
+        .rangeBetween(-3600L * 1000000, 0)
+      T.events(s, d)
+        .withColumn("us", unix_micros($"ts"))
+        .withColumn("in_hour", count(lit(1)).over(w))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"), max($"in_hour").as("max_burst"))
+        .orderBy($"user_id")
+    }),
+
     // Rolling z-score anomaly counts: each event scores against the
     // mean/stddev of its user's previous 8..20 events (current row
     // excluded — no self-contamination); |z| > 3 flags an anomaly.
@@ -128,6 +143,17 @@ object EventQueries2 extends QueryModule {
          |SELECT user_id, n_events, round(ewma, 4) AS last_ewma
          |FROM last WHERE rn = 1 ORDER BY user_id""".stripMargin
     },
+
+    "q_burst_max" ->
+      """WITH c AS (
+        |  SELECT user_id,
+        |    count(*) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |      AS in_hour
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events, max(in_hour) AS max_burst
+        |FROM c GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     "q_anomaly_zscore" ->
       """WITH scored AS (

@@ -40,6 +40,21 @@ class Analytics4Spec extends AnyFunSuite {
     }
   }
 
+  test("second boosting round strictly reduces training error") {
+    val r = run("ml_boost2").collect().head
+    val (r1, r2) = (r.getAs[Double]("rmse1"), r.getAs[Double]("rmse2"))
+    assert(r1 > 0 && r2 > 0 && r2 < r1,
+      s"round 2 did not improve: rmse1=$r1 rmse2=$r2")
+  }
+
+  test("burst maxima are bounded by event counts") {
+    val rows = run("q_burst_max").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val b = r.getAs[Long]("max_burst")
+      b >= 1 && b <= r.getAs[Long]("n_events") })
+  }
+
   test("moments match the uniform-quantity shape") {
     val rows = run("q_moments").collect()
       .map(r => r.getAs[String]("col_name") -> r).toMap
