@@ -40,9 +40,13 @@ import org.apache.spark.sql.functions._
 object TpchQueries3 extends QueryModule {
 
   /** Exact line revenue in "centi-basis-points of a cent": price in
-    * cents × discount remainder in percent — a BIGINT, order-proof. */
-  private def revC = sum(round(col("l_extendedprice") * 100).cast("long") *
+    * cents × discount remainder in percent. The per-row product fits
+    * a long, but the SUM crosses Long.Max around 6e9 rows — so it
+    * accumulates in decimal(38,0), the JVM analog of the HUGEINT
+    * DuckDB promotes to. Order-proof either way. */
+  private def revC = sum((round(col("l_extendedprice") * 100).cast("long") *
     (lit(100) - round(col("l_discount") * 100).cast("long")))
+    .cast("decimal(38,0)"))
 
   val queries: Map[String, Q] = Map(
     // Q11: parts whose revenue exceeds 1.5× the mean part revenue —
