@@ -75,9 +75,14 @@ object ResampleQueries extends QueryModule {
     // round.
     "ml_boost2" -> ((s, d) => {
       import s.implicits._
+      // repartition before the ×9 grid explode — the 2-column scan
+      // collapses to a couple of input splits and the broadcast cross
+      // join inherits them (same trap as q_bootstrap_ci)
       val base = T.lineitem(s, d).select(
         $"l_quantity".cast("long").as("x"),
         round($"l_extendedprice" * 100).cast("long").as("y"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .localCheckpoint(false) // both rounds reuse the shuffled base
       val grid = s.range(1, 10).select(($"id" * 5).as("thr")) // 5..45
       val cells = base.crossJoin(broadcast(grid))
         .groupBy($"thr")
