@@ -115,6 +115,22 @@ object GraphQueries extends QueryModule {
           r4(lit(3.0) * $"n_triangles" / $"n_wedges").as("clustering"))
     }),
 
+    // Degree distribution of the co-order part graph in power-of-two
+    // buckets — the graph-health profile (a heavy tail here warns
+    // that wedge-bounded algorithms need the degree orientation).
+    "q_degree_dist" -> ((s, d) => {
+      import s.implicits._
+      val e = coOrderPairs(s, d)
+      val deg = e.select($"p1".as("v")).unionAll(e.select($"p2".as("v")))
+        .groupBy($"v").agg(count(lit(1)).as("deg"))
+      // floor(log2) via binary-string length: integer-exact, immune
+      // to libm log2 rounding at power-of-two boundaries
+      deg.groupBy((length(bin($"deg")) - 1).cast("long").as("deg_bucket"))
+        .agg(count(lit(1)).as("n_nodes"), min($"deg").as("min_deg"),
+          max($"deg").as("max_deg"))
+        .orderBy($"deg_bucket")
+    }),
+
     // Shortest hop distance from NATION_0 over the top-2-trade-partner
     // nation graph (each nation keeps its 2 highest-volume partners —
     // the sparsifier that makes distances non-trivial). Iterative
@@ -199,6 +215,19 @@ object GraphQueries extends QueryModule {
         |  round(3.0 * n_triangles /
         |    (SELECT sum(deg * (deg - 1)) / 2 FROM deg), 4) AS clustering
         |FROM tri""".stripMargin,
+
+    "q_degree_dist" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT v, count(*) AS deg FROM (
+        |  SELECT p1 AS v FROM e UNION ALL SELECT p2 FROM e) GROUP BY 1)
+        |SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS deg_bucket,
+        |  count(*) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg
+        |FROM deg GROUP BY 1 ORDER BY deg_bucket""".stripMargin,
 
     "q_bfs_hops" ->
       """WITH RECURSIVE trade AS (

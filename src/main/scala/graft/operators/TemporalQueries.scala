@@ -34,6 +34,35 @@ object TemporalQueries extends QueryModule {
         .orderBy($"user_id", $"valid_from", $"valid_to", $"state")
     }),
 
+    // Interval union: merge each user's events into maximal activity
+    // intervals (gap > 30 min starts a new one) and report covered
+    // time — the coverage variant of sessionization (the output is
+    // the merged interval set's geometry, not session counts). Exact
+    // integer microseconds throughout.
+    "q_interval_merge" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      T.events(s, d)
+        .withColumn("us", unix_micros($"ts"))
+        .withColumn("prev", lag($"us", 1).over(w))
+        .withColumn("brk",
+          when($"prev".isNull || $"us" - $"prev" > 30L * 60 * 1000000, 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum($"brk").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"user_id", $"sess")
+        .agg(min($"us").as("lo"), max($"us").as("hi"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum($"hi" - $"lo").as("cov_us"), max($"hi" - $"lo").as("max_us"))
+        // integer division on BOTH engine sides — a double divide +
+        // cast would truncate in Spark but round in DuckDB
+        .select($"user_id", $"n_intervals",
+          expr("cov_us div 1000000").as("covered_sec"),
+          expr("max_us div 1000000").as("longest_sec"))
+        .orderBy($"user_id")
+    }),
+
     "q_streaks" -> ((s, d) => {
       import s.implicits._
       // Gaps-and-islands: longest run of consecutive active days per
@@ -54,6 +83,28 @@ object TemporalQueries extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_interval_merge" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (
+        |  SELECT user_id, us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM b),
+        |iv AS (
+        |  SELECT user_id, sess, min(us) AS lo, max(us) AS hi
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  sum(hi - lo) // 1000000 AS covered_sec,
+        |  max(hi - lo) // 1000000 AS longest_sec
+        |FROM iv GROUP BY 1 ORDER BY user_id""".stripMargin,
+
     "q_scd2" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
         |    event_type FROM events),

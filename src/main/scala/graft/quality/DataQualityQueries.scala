@@ -189,6 +189,43 @@ object DataQualityQueries extends QueryModule {
         .orderBy("table_name", "exp_name", "col_name")
     }),
 
+    // Freshness — the DQ dimension the expectation families don't
+    // cover: per event type, how far its newest record lags the
+    // newest record overall, flagged stale past 24h. The global max
+    // is a 1-row broadcast; integer microseconds end to end.
+    "dq_freshness" -> ((s, d) => {
+      import s.implicits._
+      val perType = T.events(s, d)
+        .groupBy($"event_type").agg(max(unix_micros($"ts")).as("max_us"))
+      val global = perType.agg(max($"max_us").as("g_us"))
+      perType.crossJoin(broadcast(global))
+        .select($"event_type",
+          expr("(g_us - max_us) div 1000000").as("lag_sec"),
+          ($"g_us" - $"max_us" <= 86400L * 1000000).cast("long").as("fresh"))
+        .orderBy($"event_type")
+    }),
+
+    // Volume anomaly — daily row counts vs the trailing 7-day mean
+    // (current day excluded); days under half the trailing mean are
+    // flagged. The integer cross-multiplication (2*7*n < sum) keeps
+    // the comparison float-free.
+    "dq_volume_anomaly" -> ((s, d) => {
+      import s.implicits._
+      val daily = T.events(s, d)
+        .groupBy(unix_timestamp(date_trunc("day", $"ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"day").rowsBetween(-7, -1)
+      daily
+        .withColumn("t_n", count($"n").over(w))
+        .withColumn("t_sum", sum($"n").over(w))
+        .filter($"t_n" === 7)
+        .select($"day", $"n",
+          expr("(t_sum * 2 + 7) div 14").as("trail_mean"),
+          ($"n" * 14 < $"t_sum").cast("long").as("anomaly"))
+        .orderBy($"day")
+    }),
+
     "dq_schema" -> ((s, d) => {
       import s.implicits._
       // rows-only: declared-vs-actual schema conformance
@@ -329,6 +366,30 @@ object DataQualityQueries extends QueryModule {
     // artifact round-trip is value-preserving → same oracle as dq_suite
     "dq_report_artifact" -> u(ordersNotNullRows ++ statusRows ++ uniqueRows ++
       lineitemBetweenRows ++ statsRows ++ lengthsRows),
+    "dq_freshness" ->
+      """WITH pt AS (
+        |  SELECT event_type,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT max(max_us) AS g_us FROM pt)
+        |SELECT event_type, (g_us - max_us) // 1000000 AS lag_sec,
+        |  CAST(g_us - max_us <= 86400000000 AS BIGINT) AS fresh
+        |FROM pt, g ORDER BY event_type""".stripMargin,
+
+    "dq_volume_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(epoch(date_trunc('day', CAST(ts AS TIMESTAMP)))
+        |    AS BIGINT) AS day, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT day, n,
+        |    count(n) OVER w AS t_n, sum(n) OVER w AS t_sum
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT day, n, (t_sum * 2 + 7) // 14 AS trail_mean,
+        |  CAST(n * 14 < t_sum AS BIGINT) AS anomaly
+        |FROM t WHERE t_n = 7 ORDER BY day""".stripMargin,
+
     "dq_advanced" -> u(Seq(
       pairGreaterRow("lineitem", "l_extendedprice", "l_discount", 1.0),
       pairGreaterRow("lineitem", "l_tax", "l_discount", 0.5),
