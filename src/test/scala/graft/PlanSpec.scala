@@ -116,6 +116,16 @@ class PlanSpec extends AnyFunSuite {
       s"row-level rank join came back:\n${p.take(4000)}")
   }
 
+  test("rank-filter top-k plans the WindowGroupLimit pushdown") {
+    // Spark's InferWindowGroupLimit must keep kicking in: partial
+    // per-partition top-k before the shuffle (the map-side bounded
+    // heap), then the final limit — without it every group's FULL
+    // sorted contents cross the exchange
+    val p = plan("q_topk_per_group")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"rank filter no longer pushes partial group limits:\n${p.take(2500)}")
+  }
+
   test("tpch q4 EXISTS plans as a left-semi join") {
     val p = plan("q_tpch_q4")
     assert(p.contains("LeftSemi"), s"EXISTS did not decorrelate:\n$p")
