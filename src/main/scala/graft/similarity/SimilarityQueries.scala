@@ -41,6 +41,26 @@ object SimilarityQueries extends QueryModule {
         .orderBy($"qid", $"rank")
     }),
 
+    // Recall@10 of the LSH index against exact brute force — the
+    // evaluation loop an ANN deployment runs before trusting the
+    // index. Both paths are the already-oracle-verified ones; the
+    // metric is their per-query overlap, so the oracle replays the
+    // identical composition.
+    "sim_recall_at_k" -> ((s, d) => {
+      import s.implicits._
+      val emb = T.embeddings(s, d)
+      val q = emb.filter($"vec_id" < 10)
+      val brute = Similarity.bruteTopK(emb, q, "vec_id", "embedding", k = 10)
+        .select($"qid", $"nid")
+      val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding",
+          k = 10, dim = EmbDim, nPlanes = 4, nTables = 8)
+        .select($"qid", $"nid", lit(1L).as("hit"))
+      brute.join(lsh, Seq("qid", "nid"), "left_outer")
+        .groupBy($"qid").agg(sum(coalesce($"hit", lit(0L))).as("hits"))
+        .agg(count(lit(1)).as("n_queries"),
+          r4(avg($"hits" / 10.0)).as("recall_at_10"))
+    }),
+
     "sim_topk_ivf" -> ((s, d) => {
       import s.implicits._
       // Deterministic Lloyd's quantizer (fixed init + iteration
@@ -80,6 +100,30 @@ object SimilarityQueries extends QueryModule {
 
     "sim_topk_lsh" -> VectorOracles.lshTopKSql(k = 10, dim = EmbDim,
       nPlanes = 4, nTables = 8, maxQid = 10),
+
+    "sim_recall_at_k" -> {
+      val brute =
+        """SELECT qid, nid FROM (
+          |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+          |    row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+          |                                      CAST(c.embedding AS DOUBLE[])) DESC,
+          |               c.vec_id ASC) AS rank
+          |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+          |  WHERE q.vec_id < 10)
+          |WHERE rank <= 10""".stripMargin
+      val lsh = VectorOracles.lshTopKSql(k = 10, dim = EmbDim,
+        nPlanes = 4, nTables = 8, maxQid = 10)
+      s"""WITH brute AS ($brute),
+         |lsh AS (SELECT qid, nid FROM ($lsh)),
+         |hits AS (
+         |  SELECT b.qid, count(l.nid) AS hits
+         |  FROM brute b LEFT JOIN lsh l ON b.qid = l.qid AND b.nid = l.nid
+         |  GROUP BY 1)
+         |SELECT count(*) AS n_queries,
+         |  round(avg(hits / 10.0), 4) AS recall_at_10
+         |FROM hits""".stripMargin
+    },
 
     "sim_topk_ivf" -> VectorOracles.ivfTopKSql(k = 10, nCells = 16,
       nprobe = 4, iters = 3, maxQid = 10)
