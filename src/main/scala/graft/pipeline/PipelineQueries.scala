@@ -51,6 +51,48 @@ object PipelineQueries extends QueryModule {
     // conditional counting — no per-stage scans or materialization,
     // so the 100 TB curation report costs one shuffle of (source,
     // partial counts).
+    // The corpus-curation pipeline END TO END, producing the curated
+    // set itself (pipe_text_corpus reports the funnel; this one runs
+    // it): quality gate -> language gate -> exact dedup (min doc_id
+    // per fingerprint survives) -> near-dedup (any doc whose shingle
+    // Jaccard >= 0.5 with a smaller exact-surviving doc is dropped —
+    // the greedy LSH rule, deterministic on both engines) -> final
+    // per-source corpus stats. Every stage reuses the independently
+    // oracle-verified machinery.
+    "pipe_corpus_curate" -> ((s, d) => {
+      import s.implicits._
+      import graft.text.TextAnalysis
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"fp").orderBy($"doc_id")
+      val feat = T.documents(s, d).select($"doc_id", $"source", $"text",
+        size(TextAnalysis.tokens($"text")).as("n_words"),
+        TextAnalysis.langPredict($"text").as("lang_pred"),
+        TextAnalysis.fingerprint($"text").as("fp"))
+      val gated = feat.filter($"n_words" >= 30 && $"lang_pred" === "en")
+      val exact = gated
+        .withColumn("rk", row_number().over(w)).filter($"rk" === 1).drop("rk")
+        .localCheckpoint(false)
+      val pairs = graft.dedup.Dedup.jaccardPairs(
+        exact.select($"doc_id", $"text"), "doc_id", "text", 3, 0.5)
+      val fin = exact.join(
+        pairs.select($"b_id".as("doc_id")).distinct(), Seq("doc_id"),
+        "left_anti")
+      val raw = feat.groupBy($"source").agg(count(lit(1)).as("n_raw"))
+      val g = gated.groupBy($"source").agg(count(lit(1)).as("n_gated"))
+      val e = exact.groupBy($"source").agg(count(lit(1)).as("n_exact"))
+      val f = fin.groupBy($"source").agg(count(lit(1)).as("n_final"),
+        sum($"n_words").as("tokens_final"))
+      raw.join(g, Seq("source"), "left_outer")
+        .join(e, Seq("source"), "left_outer")
+        .join(f, Seq("source"), "left_outer")
+        .select($"source", $"n_raw",
+          coalesce($"n_gated", lit(0L)).as("n_gated"),
+          coalesce($"n_exact", lit(0L)).as("n_exact"),
+          coalesce($"n_final", lit(0L)).as("n_final"),
+          coalesce($"tokens_final", lit(0L)).as("tokens_final"))
+        .orderBy($"source")
+    }),
+
     "pipe_text_corpus" -> ((s, d) => {
       import s.implicits._
       import graft.text.TextAnalysis
@@ -124,6 +166,64 @@ object PipelineQueries extends QueryModule {
         |    AS revenue
         |FROM orders WHERE o_totalprice > 0
         |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    "pipe_corpus_curate" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, source, text,
+         |    len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+         |    len(regexp_extract_all(lower(text), '${lp("en")}')) AS en_n,
+         |    len(regexp_extract_all(lower(text), '${lp("de")}')) AS de_n,
+         |    len(regexp_extract_all(lower(text), '${lp("es")}')) AS es_n,
+         |    len(regexp_extract_all(lower(text), '${lp("fr")}')) AS fr_n
+         |  FROM documents),
+         |feat AS (
+         |  SELECT doc_id, source, text, n_words, fp,
+         |    CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) >= 3 THEN 'zh'
+         |         WHEN de_n > en_n AND de_n >= es_n AND de_n >= fr_n THEN 'de'
+         |         WHEN es_n > en_n AND es_n >= fr_n THEN 'es'
+         |         WHEN fr_n > en_n THEN 'fr'
+         |         ELSE 'en' END AS lang_pred
+         |  FROM scored),
+         |gated AS (
+         |  SELECT * FROM feat WHERE n_words >= 30 AND lang_pred = 'en'),
+         |exact AS (
+         |  SELECT * FROM (SELECT *, row_number() OVER (
+         |      PARTITION BY fp ORDER BY doc_id) AS rk FROM gated)
+         |  WHERE rk = 1),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    generate_series(1, len(t)-2),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+         |        FROM exact)
+         |  WHERE len(t) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |dropped AS (
+         |  SELECT DISTINCT b_id AS doc_id FROM inter
+         |  JOIN sizes sa ON a_id = sa.doc_id
+         |  JOIN sizes sb ON b_id = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.5),
+         |fin AS (
+         |  SELECT * FROM exact
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+         |SELECT f.source, f.n_raw,
+         |  coalesce(g.n_gated, 0) AS n_gated,
+         |  coalesce(e.n_exact, 0) AS n_exact,
+         |  coalesce(n.n_final, 0) AS n_final,
+         |  coalesce(n.tokens_final, 0) AS tokens_final
+         |FROM (SELECT source, count(*) AS n_raw FROM feat GROUP BY 1) f
+         |LEFT JOIN (SELECT source, count(*) AS n_gated
+         |  FROM gated GROUP BY 1) g USING (source)
+         |LEFT JOIN (SELECT source, count(*) AS n_exact
+         |  FROM exact GROUP BY 1) e USING (source)
+         |LEFT JOIN (SELECT source, count(*) AS n_final,
+         |  sum(n_words) AS tokens_final FROM fin GROUP BY 1) n USING (source)
+         |ORDER BY source""".stripMargin,
 
     "pipe_text_corpus" ->
       s"""WITH scored AS (
