@@ -64,6 +64,48 @@ object AnalyticsQueries4 extends QueryModule {
         .orderBy($"fold")
     }),
 
+    // Learning curve in ONE scan: regression quality vs training-set
+    // size. Buckets 0..3 accumulate into growing training sets via a
+    // cumulative window over the 4 bucket-level moment rows (window
+    // input is bucket-count-sized, post-aggregation); bucket 4 is the
+    // fixed holdout, its RMSE expanded algebraically from exact sums.
+    "ml_learning_curve" -> ((s, d) => {
+      import s.implicits._
+      val m = T.lineitem(s, d).select(
+          ($"l_orderkey" % 5).cast("int").as("bucket"),
+          $"l_quantity".cast("long").as("x"),
+          round($"l_extendedprice" * 100).cast("long").as("y"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"),
+          sum(($"x" * $"y").cast("decimal(38,0)")).as("sxy"),
+          sum(($"y" * $"y").cast("decimal(38,0)")).as("syy"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"bucket")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val train = m.filter($"bucket" < 4)
+        .withColumn("cn", sum($"n").over(w).cast("double"))
+        .withColumn("cx", sum($"sx").over(w).cast("double"))
+        .withColumn("cy", sum($"sy").over(w).cast("double"))
+        .withColumn("cxx", sum($"sxx").over(w).cast("double"))
+        .withColumn("cxy", sum($"sxy").over(w).cast("double"))
+      val test = m.filter($"bucket" === 4).select(
+        $"n".as("hn"), $"sx".as("hsx"), $"sy".as("hsy"),
+        $"sxx".as("hsxx"), $"sxy".as("hsxy"), $"syy".as("hsyy"))
+      train.crossJoin(broadcast(test))
+        .withColumn("b",
+          ($"cn" * $"cxy" - $"cx" * $"cy") / ($"cn" * $"cxx" - $"cx" * $"cx"))
+        .withColumn("a", ($"cy" - $"b" * $"cx") / $"cn")
+        .withColumn("sse",
+          $"hsyy" - lit(2.0) * $"a" * $"hsy" - lit(2.0) * $"b" * $"hsxy" +
+            $"hn" * $"a" * $"a" + lit(2.0) * $"a" * $"b" * $"hsx" +
+            $"b" * $"b" * $"hsxx")
+        .select(($"bucket" + 1).as("n_train_buckets"),
+          $"cn".cast("long").as("train_n"),
+          r4($"b").as("slope_c"),
+          r4(sqrt($"sse" / $"hn") / 100.0).as("holdout_rmse"))
+        .orderBy($"n_train_buckets")
+    }),
+
     // Cohort LTV: customers cohorted by first-order year; cumulative
     // per-cohort revenue by order age in years. Integer cents keep
     // the running sums exact through the cumulative window.
@@ -151,6 +193,42 @@ object AnalyticsQueries4 extends QueryModule {
         |  round(sqrt((syy - 2.0*a*sy - 2.0*b*sxy + n*a*a + 2.0*a*b*sx
         |    + b*b*sxx) / n) / 100.0, 4) AS rmse
         |FROM ab2 ORDER BY fold""".stripMargin,
+
+    "ml_learning_curve" ->
+      """WITH m AS (
+        |  SELECT CAST(l_orderkey % 5 AS INT) AS bucket, count(*) AS n,
+        |    sum(CAST(l_quantity AS BIGINT)) AS sx,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+        |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+        |    sum(CAST(l_quantity AS BIGINT) *
+        |        CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |        CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy
+        |  FROM lineitem GROUP BY 1),
+        |train AS (
+        |  SELECT bucket,
+        |    CAST(sum(n) OVER w AS DOUBLE) AS cn,
+        |    CAST(sum(sx) OVER w AS DOUBLE) AS cx,
+        |    CAST(sum(sy) OVER w AS DOUBLE) AS cy,
+        |    CAST(sum(sxx) OVER w AS DOUBLE) AS cxx,
+        |    CAST(sum(sxy) OVER w AS DOUBLE) AS cxy
+        |  FROM m WHERE bucket < 4
+        |  WINDOW w AS (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |test AS (
+        |  SELECT n AS hn, sx AS hsx, sy AS hsy, sxx AS hsxx,
+        |    sxy AS hsxy, syy AS hsyy
+        |  FROM m WHERE bucket = 4),
+        |fit AS (
+        |  SELECT bucket, cn, hn, hsx, hsy, hsxx, hsxy, hsyy,
+        |    (cn * cxy - cx * cy) / (cn * cxx - cx * cx) AS b, cx, cy
+        |  FROM train, test),
+        |fit2 AS (SELECT *, (cy - b * cx) / cn AS a FROM fit)
+        |SELECT bucket + 1 AS n_train_buckets,
+        |  CAST(cn AS BIGINT) AS train_n, round(b, 4) AS slope_c,
+        |  round(sqrt((hsyy - 2.0*a*hsy - 2.0*b*hsxy + hn*a*a
+        |    + 2.0*a*b*hsx + b*b*hsxx) / hn) / 100.0, 4) AS holdout_rmse
+        |FROM fit2 ORDER BY n_train_buckets""".stripMargin,
 
     "q_ltv_cohort" ->
       """WITH first AS (

@@ -189,6 +189,55 @@ object DataQualityQueries extends QueryModule {
         .orderBy("table_name", "exp_name", "col_name")
     }),
 
+    // Referential integrity — orphan foreign keys per relationship,
+    // the cross-table DQ dimension single-table expectations can't
+    // see. Each check is one left-anti join against the parent's key
+    // set (broadcast when dimension-sized).
+    "dq_referential" -> ((s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d)
+      def orphans(name: String, fk: org.apache.spark.sql.DataFrame,
+          fkCol: String, pk: org.apache.spark.sql.DataFrame,
+          pkCol: String) = {
+        val o = fk.join(pk.select(col(pkCol)), col(fkCol) === col(pkCol),
+          "left_anti")
+        o.agg(count(lit(1)).as("n_orphans"))
+          .select(lit(name).as("relation"), $"n_orphans",
+            ($"n_orphans" === 0).cast("long").as("intact"))
+      }
+      orphans("lineitem.l_orderkey->orders", li.select($"l_orderkey"),
+          "l_orderkey", T.orders(s, d), "o_orderkey")
+        .unionAll(orphans("lineitem.l_partkey->part", li.select($"l_partkey"),
+          "l_partkey", T.part(s, d), "p_partkey"))
+        .unionAll(orphans("lineitem.l_suppkey->supplier",
+          li.select($"l_suppkey"), "l_suppkey", T.supplier(s, d), "s_suppkey"))
+        .unionAll(orphans("orders.o_custkey->customer",
+          T.orders(s, d).select($"o_custkey"), "o_custkey",
+          T.customer(s, d), "c_custkey"))
+        .orderBy($"relation")
+    }),
+
+    // Null-rate profile — every column of a table in one aggregation
+    // pass (count(col) skips nulls), exploded to a row per column:
+    // the table-wide completeness overview a profiler emits before
+    // anyone writes per-column expectations.
+    "dq_null_profile" -> ((s, d) => {
+      import s.implicits._
+      val o = T.orders(s, d)
+      val cols = o.schema.fieldNames.toSeq
+      val aggs = count(lit(1)).as("n_rows") +:
+        cols.map(c => count(col(c)).as(s"nn_$c"))
+      val one = o.agg(aggs.head, aggs.tail: _*)
+      val rows = cols.map { c =>
+        struct(lit(c).as("col_name"),
+          ($"n_rows" - col(s"nn_$c")).as("n_null"),
+          expr(s"((n_rows - nn_$c) * 20000 + n_rows) div (2 * n_rows)")
+            .as("null_bp"))
+      }
+      one.select(explode(array(rows: _*)).as("r")).select("r.*")
+        .orderBy($"col_name")
+    }),
+
     // Freshness — the DQ dimension the expectation families don't
     // cover: per event type, how far its newest record lags the
     // newest record overall, flagged stale past 24h. The global max
@@ -366,6 +415,54 @@ object DataQualityQueries extends QueryModule {
     // artifact round-trip is value-preserving → same oracle as dq_suite
     "dq_report_artifact" -> u(ordersNotNullRows ++ statusRows ++ uniqueRows ++
       lineitemBetweenRows ++ statsRows ++ lengthsRows),
+    "dq_referential" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem.l_orderkey->orders' AS relation,
+        |    count(*) FILTER (o_orderkey IS NULL) AS n_orphans,
+        |    CAST(count(*) FILTER (o_orderkey IS NULL) = 0 AS BIGINT) AS intact
+        |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part',
+        |    count(*) FILTER (p_partkey IS NULL),
+        |    CAST(count(*) FILTER (p_partkey IS NULL) = 0 AS BIGINT)
+        |  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey->supplier',
+        |    count(*) FILTER (s_suppkey IS NULL),
+        |    CAST(count(*) FILTER (s_suppkey IS NULL) = 0 AS BIGINT)
+        |  FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer',
+        |    count(*) FILTER (c_custkey IS NULL),
+        |    CAST(count(*) FILTER (c_custkey IS NULL) = 0 AS BIGINT)
+        |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey)
+        |ORDER BY relation""".stripMargin,
+
+    "dq_null_profile" ->
+      """WITH a AS (SELECT count(*) AS n_rows,
+        |    count(o_orderkey) AS nn_o_orderkey,
+        |    count(o_custkey) AS nn_o_custkey,
+        |    count(o_orderstatus) AS nn_o_orderstatus,
+        |    count(o_totalprice) AS nn_o_totalprice,
+        |    count(o_orderdate) AS nn_o_orderdate,
+        |    count(o_orderpriority) AS nn_o_orderpriority
+        |  FROM orders)
+        |SELECT col_name, n_null,
+        |  (n_null * 20000 + n_rows) // (2 * n_rows) AS null_bp
+        |FROM (
+        |  SELECT 'o_orderkey' AS col_name,
+        |    n_rows - nn_o_orderkey AS n_null, n_rows FROM a
+        |  UNION ALL SELECT 'o_custkey', n_rows - nn_o_custkey, n_rows FROM a
+        |  UNION ALL SELECT 'o_orderstatus', n_rows - nn_o_orderstatus,
+        |    n_rows FROM a
+        |  UNION ALL SELECT 'o_totalprice', n_rows - nn_o_totalprice,
+        |    n_rows FROM a
+        |  UNION ALL SELECT 'o_orderdate', n_rows - nn_o_orderdate,
+        |    n_rows FROM a
+        |  UNION ALL SELECT 'o_orderpriority', n_rows - nn_o_orderpriority,
+        |    n_rows FROM a)
+        |ORDER BY col_name""".stripMargin,
+
     "dq_freshness" ->
       """WITH pt AS (
         |  SELECT event_type,
