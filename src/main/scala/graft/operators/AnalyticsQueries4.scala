@@ -126,6 +126,61 @@ object AnalyticsQueries4 extends QueryModule {
         .orderBy($"cohort", $"age")
     }),
 
+    // Residual diagnostics for the global linear fit: mean residual
+    // per quantity value. A sloped or U-shaped profile exposes
+    // nonlinearity no holdout RMSE shows. Fit and per-bucket means
+    // both come from exact integer moment sums — the residual mean
+    // per bucket is algebra over (n, sy) with the broadcast (a, b),
+    // so nothing row-level ever materializes.
+    "ml_residual_profile" -> ((s, d) => {
+      import s.implicits._
+      val m = T.lineitem(s, d).select(
+          $"l_quantity".cast("long").as("x"),
+          round($"l_extendedprice" * 100).cast("long").as("y"))
+        .groupBy($"x")
+        .agg(count(lit(1)).as("n"), sum($"y").as("sy"))
+      val tot = m.agg(
+        sum($"n").cast("double").as("tn"),
+        sum($"x" * $"n").cast("double").as("tsx"),
+        sum($"sy").cast("double").as("tsy"),
+        sum($"x" * $"x" * $"n").cast("double").as("tsxx"),
+        sum(($"x" * $"sy").cast("decimal(38,0)")).cast("double").as("tsxy"))
+      m.crossJoin(broadcast(tot))
+        .withColumn("b",
+          ($"tn" * $"tsxy" - $"tsx" * $"tsy") /
+            ($"tn" * $"tsxx" - $"tsx" * $"tsx"))
+        .withColumn("a", ($"tsy" - $"b" * $"tsx") / $"tn")
+        .select($"x".as("quantity"), $"n",
+          r4(($"sy" / $"n" - ($"a" + $"b" * $"x")) / 100.0)
+            .as("mean_residual"))
+        .orderBy($"quantity")
+    }),
+
+    // ABC / Pareto classification: parts ranked by exact-cent
+    // revenue; cumulative share < 80% = A, < 95% = B, else C. The
+    // running revenue uses the distributed range-bucketed
+    // runningSums primitive — parts are SF-proportional in TPC-H, so
+    // a plain global window would funnel the whole part table
+    // through one sort partition. Class boundaries compare integer
+    // cross-products (cum*100 vs total*80): no float share decides.
+    "q_abc_analysis" -> ((s, d) => {
+      import s.implicits._
+      val per = T.lineitem(s, d).groupBy($"l_partkey")
+        .agg(sum(round($"l_extendedprice" * 100).cast("long")).as("rev_c"))
+        .withColumn("neg", -$"rev_c")
+      val ranked = graft.operators.Rank.runningSums(
+        per, Nil, "neg", Seq("l_partkey"), Seq("cum" -> $"rev_c"))
+      ranked
+        .withColumn("cls",
+          when($"cum" * 100 < $"cum_total" * 80, "A")
+            .when($"cum" * 100 < $"cum_total" * 95, "B")
+            .otherwise("C"))
+        .groupBy($"cls")
+        .agg(count(lit(1)).as("n_parts"),
+          r4(sum($"rev_c") / 100.0).as("revenue"))
+        .orderBy($"cls")
+    }),
+
     // Skewness / excess kurtosis from raw power sums over
     // integral-valued columns (quantity; discount and tax scaled to
     // integer percent) — the sums are exact, the moment algebra sees
@@ -229,6 +284,45 @@ object AnalyticsQueries4 extends QueryModule {
         |  round(sqrt((hsyy - 2.0*a*hsy - 2.0*b*hsxy + hn*a*a
         |    + 2.0*a*b*hsx + b*b*hsxx) / hn) / 100.0, 4) AS holdout_rmse
         |FROM fit2 ORDER BY n_train_buckets""".stripMargin,
+
+    "ml_residual_profile" ->
+      """WITH m AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x, count(*) AS n,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS DOUBLE) AS tn,
+        |    CAST(sum(x * n) AS DOUBLE) AS tsx,
+        |    CAST(sum(sy) AS DOUBLE) AS tsy,
+        |    CAST(sum(x * x * n) AS DOUBLE) AS tsxx,
+        |    CAST(sum(x * sy) AS DOUBLE) AS tsxy
+        |  FROM m),
+        |fit AS (
+        |  SELECT x, n, sy,
+        |    (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx) AS b,
+        |    tsx, tsy, tn
+        |  FROM m, tot),
+        |fit2 AS (SELECT *, (tsy - b * tsx) / tn AS a FROM fit)
+        |SELECT x AS quantity, n,
+        |  round((sy / n - (a + b * x)) / 100.0, 4) AS mean_residual
+        |FROM fit2 ORDER BY quantity""".stripMargin,
+
+    "q_abc_analysis" ->
+      """WITH per AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_c
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT l_partkey, rev_c,
+        |    sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    (SELECT sum(rev_c) FROM per) AS tot
+        |  FROM per)
+        |SELECT CASE WHEN cum * 100 < tot * 80 THEN 'A'
+        |            WHEN cum * 100 < tot * 95 THEN 'B'
+        |            ELSE 'C' END AS cls,
+        |  count(*) AS n_parts, round(sum(rev_c) / 100.0, 4) AS revenue
+        |FROM c GROUP BY 1 ORDER BY cls""".stripMargin,
 
     "q_ltv_cohort" ->
       """WITH first AS (
