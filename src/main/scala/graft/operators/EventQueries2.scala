@@ -64,6 +64,54 @@ object EventQueries2 extends QueryModule {
         .orderBy($"user_id")
     }),
 
+    // Inter-purchase cadence: exact quartiles of the gap (whole
+    // days) between a user's consecutive purchases — the
+    // repeat-purchase rhythm metric. Gaps are integer day counts, so
+    // the percentile interpolation sees identical values everywhere.
+    "q_purchase_gaps" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      T.events(s, d)
+        .filter($"event_type" === "purchase")
+        .withColumn("us", unix_micros($"ts"))
+        .withColumn("prev", lag($"us", 1).over(w))
+        .withColumn("gap_days", expr("(us - prev) div 86400000000"))
+        .filter($"gap_days".isNotNull)
+        .agg(count(lit(1)).as("n_gaps"),
+          r4(percentile($"gap_days", lit(0.25))).as("p25"),
+          r4(percentile($"gap_days", lit(0.5))).as("p50"),
+          r4(percentile($"gap_days", lit(0.75))).as("p75"))
+    }),
+
+    // Session abandonment: of sessions (30-min gap rule) that saw a
+    // click or view, the share that ended without a purchase — per
+    // ISO week, in integer basis points.
+    "q_abandon_rate" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      val sess = T.events(s, d)
+        .withColumn("us", unix_micros($"ts"))
+        .withColumn("prev", lag($"us", 1).over(w))
+        .withColumn("brk",
+          when($"prev".isNull || $"us" - $"prev" > 30L * 60 * 1000000, 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum($"brk").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"user_id", $"sess")
+        .agg(min($"us").as("start_us"),
+          count_if($"event_type".isin("click", "view")).as("n_browse"),
+          count_if($"event_type" === "purchase").as("n_buy"))
+        .filter($"n_browse" > 0)
+      sess
+        .groupBy(weekofyear(timestamp_micros($"start_us")).as("week"))
+        .agg(count(lit(1)).as("n_sessions"),
+          count_if($"n_buy" === 0).as("n_abandoned"))
+        .select($"week", $"n_sessions", $"n_abandoned",
+          expr("(n_abandoned * 20000 + n_sessions) div (2 * n_sessions)")
+            .as("abandon_bp"))
+        .orderBy($"week")
+    }),
+
     // Burst detection: each user's maximum event count inside any
     // trailing 1-hour window — a RANGE frame over epoch micros, so
     // the "window" is true event time, not row count.
@@ -143,6 +191,49 @@ object EventQueries2 extends QueryModule {
          |SELECT user_id, n_events, round(ewma, 4) AS last_ewma
          |FROM last WHERE rn = 1 ORDER BY user_id""".stripMargin
     },
+
+    "q_purchase_gaps" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (
+        |  SELECT (us - lag(us, 1) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id)) // 86400000000 AS gap_days
+        |  FROM p)
+        |SELECT count(*) AS n_gaps,
+        |  round(quantile_cont(gap_days, 0.25), 4) AS p25,
+        |  round(quantile_cont(gap_days, 0.5), 4) AS p50,
+        |  round(quantile_cont(gap_days, 0.75), 4) AS p75
+        |FROM g WHERE gap_days IS NOT NULL""".stripMargin,
+
+    "q_abandon_rate" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (
+        |  SELECT user_id, event_type, us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM b),
+        |sv AS (
+        |  SELECT user_id, sess, min(us) AS start_us,
+        |    count(*) FILTER (event_type IN ('click', 'view')) AS n_browse,
+        |    count(*) FILTER (event_type = 'purchase') AS n_buy
+        |  FROM s GROUP BY 1, 2
+        |  HAVING count(*) FILTER (event_type IN ('click', 'view')) > 0)
+        |SELECT weekofyear(make_timestamp(start_us)) AS week,
+        |  count(*) AS n_sessions,
+        |  count(*) FILTER (n_buy = 0) AS n_abandoned,
+        |  (count(*) FILTER (n_buy = 0) * 20000 + count(*))
+        |    // (2 * count(*)) AS abandon_bp
+        |FROM sv GROUP BY 1 ORDER BY week""".stripMargin,
 
     "q_burst_max" ->
       """WITH c AS (
