@@ -54,7 +54,10 @@ def main():
         if len(got) != len(exp):
             print(f'FAIL {name}: rows {len(got)} vs {len(exp)}'); n_fail += 1; continue
         try:
-            pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+            # check_dtype=True mirrors the driver: its hash is
+            # representation-sensitive, so int64 vs float64 (e.g. DuckDB
+            # HUGEINT promotion) must fail here too, not just on the driver.
+            pd.testing.assert_frame_equal(got, exp, check_dtype=True,
                                           check_exact=True)
             print(f'PASS {name} ({len(got)} rows)'); n_pass += 1
         except AssertionError as e:

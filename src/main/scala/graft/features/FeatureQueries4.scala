@@ -94,7 +94,8 @@ object FeatureQueries4 extends QueryModule {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         |    wd AS (PARTITION BY user_id ORDER BY us
         |      RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW))
-        |SELECT user_id, event_id, us, n_clicks_before,
+        |SELECT user_id, event_id, us,
+        |  CAST(n_clicks_before AS BIGINT) AS n_clicks_before,
         |  round(last_val, 4) AS last_val, n_7d, round(target, 4) AS target
         |FROM enriched WHERE is_label = 1
         |ORDER BY user_id, us, event_id""".stripMargin,

@@ -291,7 +291,8 @@ object ResampleQueries extends QueryModule {
         |        - (posr / CAST(nr AS DOUBLE)) * (posr / CAST(nr AS DOUBLE))
         |        - ((nr - posr) / CAST(nr AS DOUBLE)) * ((nr - posr) / CAST(nr AS DOUBLE))) END AS gini
         |  FROM sides)
-        |SELECT thr, round(gini, 4) AS gini, nl, nr, posl, posr
+        |SELECT thr, round(gini, 4) AS gini, nl, nr,
+        |  CAST(posl AS BIGINT) AS posl, CAST(posr AS BIGINT) AS posr
         |FROM gini ORDER BY gini, thr LIMIT 1""".stripMargin
   )
 }

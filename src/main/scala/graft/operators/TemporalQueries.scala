@@ -101,7 +101,7 @@ object TemporalQueries extends QueryModule {
         |  SELECT user_id, sess, min(us) AS lo, max(us) AS hi
         |  FROM s GROUP BY 1, 2)
         |SELECT user_id, count(*) AS n_intervals,
-        |  sum(hi - lo) // 1000000 AS covered_sec,
+        |  CAST(sum(hi - lo) // 1000000 AS BIGINT) AS covered_sec,
         |  max(hi - lo) // 1000000 AS longest_sec
         |FROM iv GROUP BY 1 ORDER BY user_id""".stripMargin,
 

@@ -215,7 +215,7 @@ object PipelineQueries extends QueryModule {
          |  coalesce(g.n_gated, 0) AS n_gated,
          |  coalesce(e.n_exact, 0) AS n_exact,
          |  coalesce(n.n_final, 0) AS n_final,
-         |  coalesce(n.tokens_final, 0) AS tokens_final
+         |  CAST(coalesce(n.tokens_final, 0) AS BIGINT) AS tokens_final
          |FROM (SELECT source, count(*) AS n_raw FROM feat GROUP BY 1) f
          |LEFT JOIN (SELECT source, count(*) AS n_gated
          |  FROM gated GROUP BY 1) g USING (source)

@@ -483,7 +483,7 @@ object DataQualityQueries extends QueryModule {
         |    count(n) OVER w AS t_n, sum(n) OVER w AS t_sum
         |  FROM daily
         |  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
-        |SELECT day, n, (t_sum * 2 + 7) // 14 AS trail_mean,
+        |SELECT day, n, CAST((t_sum * 2 + 7) // 14 AS BIGINT) AS trail_mean,
         |  CAST(n * 14 < t_sum AS BIGINT) AS anomaly
         |FROM t WHERE t_n = 7 ORDER BY day""".stripMargin,
 
