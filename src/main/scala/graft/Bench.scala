@@ -108,7 +108,10 @@ object Bench {
       // persisted per-query: the driver's log tail truncates long lines
       // (cost round 1 its numbers) and its timeout kills mid-run (cost
       // round 4 the whole signal) — the file always holds the latest state
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json)
+      // subset dev runs must not clobber the committed full-sweep file:
+      // a query-filtered invocation writes bench_subset.json instead
+      val out = if (only.nonEmpty) "bench_subset.json" else "bench.json"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     }
 
     // Warmup: untimed, not recorded (codegen/JIT absorption only).

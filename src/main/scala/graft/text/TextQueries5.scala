@@ -23,23 +23,38 @@ object TextQueries5 extends QueryModule {
   val queries: Map[String, Q] = Map(
     "text_dup_spans" -> ((s, d) => {
       import s.implicits._
-      val toks = T.documents(s, d)
-        .select($"doc_id", split(lower($"text"), " ").as("t"))
-        .withColumn("n", size($"t"))
-        .filter($"n" >= 8)
-      val chunks = toks.select($"doc_id",
-          explode(transform(sequence(lit(1), $"n" - 7),
-            i => conv(substring(md5(concat_ws(" ", slice($"t", i, lit(8)))), 1, 15),
-              16, 10).cast("long"))).as("h"))
-        .localCheckpoint(false)
-      val docFreq = chunks.select($"h", $"doc_id").distinct()
-        .groupBy($"h").agg(count(lit(1)).as("df"))
-      chunks.join(docFreq, "h")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_chunks"),
-          count_if($"df" >= 2).as("n_dup"))
-        .select($"doc_id", $"n_chunks", $"n_dup",
-          r4($"n_dup" / $"n_chunks".cast("double")).as("dup_frac"))
+      val docs = T.documents(s, d)
+      // n_chunks needs no chunk pass at all: a doc of n tokens has
+      // exactly n-7 size-8 windows
+      val docN = docs
+        .select($"doc_id",
+          (size(split(lower($"text"), " ")) - 7).cast("long").as("n_chunks"))
+        .filter($"n_chunks" >= 1)
+      // codegen'd one-pass extraction (empty array under 8 tokens, so
+      // explode drops short docs without a separate filter); the
+      // composable md5-over-slice lambda was ~60% of the sf1 runtime
+      val chunks = docs.select($"doc_id",
+        explode(graft.functions.ChunkMd5Hashes.of($"text", 8)).as("h"))
+      // ONE h-keyed shuffle carries the whole chunk volume: hash(h)
+      // partitioning satisfies both the (h, doc_id) grouping (h is a
+      // subset of the keys) and the h-partitioned window, so the
+      // within-doc collapse and the document-frequency count run on
+      // the same exchange. The previous shape shuffled the full chunk
+      // volume three times (distinct, groupBy h, join-back); window
+      // partitions are df-sized (the docs sharing one chunk), so
+      // parallelism stays chunk-cardinality wide.
+      val perDoc = chunks.repartition($"h")
+        .groupBy($"h", $"doc_id").agg(count(lit(1)).as("c"))
+      val dfWin = org.apache.spark.sql.expressions.Window.partitionBy($"h")
+      val dup = perDoc
+        .withColumn("df", count(lit(1)).over(dfWin))
+        .filter($"df" >= 2)
+        .groupBy($"doc_id").agg(sum($"c").as("n_dup"))
+      docN.join(dup, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_chunks",
+          coalesce($"n_dup", lit(0L)).as("n_dup"),
+          r4(coalesce($"n_dup", lit(0L)) / $"n_chunks".cast("double"))
+            .as("dup_frac"))
         .orderBy($"doc_id")
     })
   )

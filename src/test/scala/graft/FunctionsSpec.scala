@@ -72,6 +72,39 @@ class FunctionsSpec extends AnyFunSuite {
       .head.getInt(0) == 2)
   }
 
+  test("chunk_md5_hashes matches the composable md5-over-slice formulation") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.sf).limit(200)
+      // exercise the split edge cases the byte-scan must reproduce:
+      // consecutive/leading/trailing spaces (empty elements kept),
+      // short docs, single token
+      .select($"doc_id", $"text")
+      .unionAll(Seq(
+        (900001L, "A  b   c d e f g h i  "),
+        (900002L, " x y z"),
+        (900003L, "one"),
+        (900004L, "a b c d e f g h"))
+        .toDF("doc_id", "text"))
+    val composable = docs
+      .select($"doc_id", split(lower($"text"), " ").as("t"))
+      .withColumn("n", size($"t")).filter($"n" >= 8)
+      .select($"doc_id",
+        explode(transform(sequence(lit(1), $"n" - 7),
+          i => conv(substring(md5(concat_ws(" ", slice($"t", i, lit(8)))), 1, 15),
+            16, 10).cast("long"))).as("h"))
+      .groupBy($"doc_id").agg(collect_list($"h").as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaExpr = docs
+      .select($"doc_id",
+        explode(graft.functions.ChunkMd5Hashes.of($"text", 8)).as("h"))
+      .groupBy($"doc_id").agg(collect_list($"h").as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaExpr == composable)
+    assert(docs.limit(1)
+      .select(graft.functions.ChunkMd5Hashes.of(lit(null).cast("string"), 8))
+      .head.isNullAt(0))
+  }
+
   test("fitMulti recovers exact coefficients on synthetic linear data") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
