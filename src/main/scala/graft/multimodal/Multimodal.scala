@@ -7,11 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: opaque binary payloads + typed
   * metadata, with batched decode/feature-extract plumbing.
   *
-  * The container has no image/audio codecs, so [[StubCodec]] is a
-  * clearly-marked DETERMINISTIC FAKE (arithmetic on payload bytes).
-  * Everything around it — the binary column schema, the batched
-  * mapPartitions signature, partition sizing, frame explosion — is
-  * the real plumbing a codec would drop into.
+  * The image path is a REAL byte-level codec now: [[withPpmPayload]]
+  * renders each row a deterministic binary P6 PPM (ASCII header +
+  * packed RGB bytes) and [[decodePpm]] parses it back — header
+  * tokenizer, dimension fields, per-channel pixel statistics — in the
+  * same batched mapPartitions shape a JNI/FFI codec binding needs.
+  * The video frame-sampler remains plumbing-only ([[decodeFeatures]]
+  * keeps the clearly-marked deterministic stub arithmetic: the
+  * container has no video codec).
   */
 object Multimodal {
 
@@ -31,6 +34,59 @@ object Multimodal {
     df.select(col(id).as("media_id"),
       encode(col(text), "UTF-8").as("payload"),
       lit("image/fake").as("media_type"))
+
+  /** Deterministic P6 PPM payload: `width = id % 64 + 8`,
+    * `height = id % 48 + 6`, pixel byte j = `(id % 256 + j) % 256` —
+    * every field is closed-form in the id, so a SQL oracle replays the
+    * parsed statistics without touching the bytes. The bytes
+    * themselves are a REAL raster file (feeding one to any PPM viewer
+    * works); generation runs batched per partition like any encoder
+    * would. */
+  def withPpmPayload(df: DataFrame, id: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("media_type", StringType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = df.schema.fieldIndex(id)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val mid = r.getLong(idIdx)
+        Row(mid, PpmCodec.render(mid), "image/x-portable-pixmap")
+      }
+    }(enc)
+  }
+
+  /** REAL image decode: parse the P6 header (magic, dimensions,
+    * maxval) and fold per-channel pixel sums in one pass over the
+    * packed RGB bytes. Unparseable payloads yield null features
+    * instead of failing the batch — the quarantine-friendly contract.
+    * Batched mapPartitions (iterator-to-iterator) so a native codec
+    * binding could amortize per-batch setup. */
+  def decodePpm(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields.filterNot(_.name == "payload")
+      ++ Seq(
+        StructField("width", LongType),
+        StructField("height", LongType),
+        StructField("n_px", LongType),
+        StructField("sum_r", LongType),
+        StructField("sum_g", LongType),
+        StructField("sum_b", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val keep = r.toSeq.zipWithIndex
+          .collect { case (v, i) if i != payloadIdx => v }
+        val parsed = PpmCodec.parse(r.getAs[Array[Byte]](payloadIdx))
+        Row.fromSeq(keep ++ (parsed match {
+          case Some((w, h, sr, sg, sb)) =>
+            Seq(w.toLong, h.toLong, w.toLong * h, sr, sg, sb)
+          case None => Seq(null, null, null, null, null, null)
+        }))
+      }
+    }(enc)
+  }
 
   /** STUB decode — ??? in production; deterministic arithmetic here.
     * Runs as batched mapPartitions over the binary column: the shape

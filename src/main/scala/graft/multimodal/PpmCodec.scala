@@ -1,0 +1,80 @@
+package graft.multimodal
+
+/** Binary P6 PPM encode/decode — the trivial-but-real raster format
+  * (netpbm): ASCII `P6`, whitespace-separated width/height/maxval
+  * with `#` comment support, then `width*height*3` packed RGB bytes.
+  * Small on purpose: the point is that the decode path in
+  * [[Multimodal.decodePpm]] parses actual file bytes, not arithmetic
+  * on their length.
+  */
+object PpmCodec {
+
+  /** Deterministic P6 bytes for an id: dimensions and pixels are
+    * closed-form in the id (see [[Multimodal.withPpmPayload]]). */
+  def render(id: Long): Array[Byte] = {
+    val w = (math.floorMod(id, 64) + 8).toInt
+    val h = (math.floorMod(id, 48) + 6).toInt
+    val s = math.floorMod(id, 256).toInt
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var j = 0
+    val n = w * h * 3
+    while (j < n) {
+      out(header.length + j) = ((s + j) % 256).toByte
+      j += 1
+    }
+    out
+  }
+
+  /** Parse P6 bytes → (width, height, sumR, sumG, sumB), or None when
+    * the payload is null/truncated/not-P6/maxval>255. One pass over
+    * the pixel bytes; no allocation beyond the tuple. */
+  def parse(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+    if (bytes == null || bytes.length < 2 ||
+      bytes(0) != 'P' || bytes(1) != '6') return None
+    var i = 2
+
+    def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r'
+
+    // skip whitespace and '#'-to-end-of-line comments (legal in netpbm
+    // headers even though our own renderer never emits them)
+    def skipWs(): Unit = {
+      var going = true
+      while (going && i < bytes.length) {
+        if (isWs(bytes(i))) i += 1
+        else if (bytes(i) == '#') {
+          while (i < bytes.length && bytes(i) != '\n') i += 1
+        } else going = false
+      }
+    }
+
+    def readInt(): Int = {
+      skipWs()
+      var v = 0
+      var any = false
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); i += 1; any = true
+      }
+      if (any) v else -1
+    }
+
+    val w = readInt(); val h = readInt(); val maxval = readInt()
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+    // exactly ONE whitespace byte separates maxval from the raster
+    if (i >= bytes.length || !isWs(bytes(i))) return None
+    i += 1
+    val n = w * h * 3
+    if (bytes.length - i < n) return None
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var j = i
+    val end = i + n
+    while (j < end) {
+      sr += bytes(j) & 0xff
+      sg += bytes(j + 1) & 0xff
+      sb += bytes(j + 2) & 0xff
+      j += 3
+    }
+    Some((w, h, sr, sg, sb))
+  }
+}

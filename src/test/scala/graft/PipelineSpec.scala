@@ -140,4 +140,45 @@ class PipelineSpec extends AnyFunSuite {
     val expected = decoded.agg(sum("n_frames")).head.getLong(0)
     assert(frames.count() == expected)
   }
+
+  test("PpmCodec round-trips real P6 bytes and rejects malformed input") {
+    import graft.multimodal.PpmCodec
+    // render → parse recovers the closed-form dims and channel sums
+    val id = 12345L
+    val bytes = PpmCodec.render(id)
+    assert(new String(bytes.take(2), "US-ASCII") == "P6")
+    val Some((w, h, sr, sg, sb)) = PpmCodec.parse(bytes)
+    assert(w == (id % 64 + 8).toInt && h == (id % 48 + 6).toInt)
+    val s = (id % 256).toInt
+    def sum(c: Int) = (0 until w * h).map(k => (s + 3 * k + c) % 256).map(_.toLong).sum
+    assert((sr, sg, sb) == ((sum(0), sum(1), sum(2))))
+    // header comments are legal netpbm even though render never emits them
+    val commented = ("P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII")
+      ++ Array[Byte](10, 20, 30, 40, 50, 60))
+    assert(PpmCodec.parse(commented) == Some((2, 1, 50L, 70L, 90L)))
+    // malformed: wrong magic, truncated raster, maxval > 255, null
+    assert(PpmCodec.parse("P5\n2 1\n255\n??????".getBytes).isEmpty)
+    assert(PpmCodec.parse(bytes.dropRight(1)).isEmpty)
+    assert(PpmCodec.parse("P6\n1 1\n65535\nxxxxxx".getBytes).isEmpty)
+    assert(PpmCodec.parse(null).isEmpty)
+  }
+
+  test("decodePpm parses payload bytes distributed and nulls unparseable rows") {
+    import spark.implicits._
+    val media = graft.multimodal.Multimodal.withPpmPayload(
+      Tables.documents(spark, TestSpark.sf).limit(50), "doc_id")
+    val decoded = graft.multimodal.Multimodal.decodePpm(media)
+    val row = decoded.filter($"media_id" === 7L).head()
+    assert(row.getAs[Long]("width") == 7 % 64 + 8)
+    assert(row.getAs[Long]("height") == 7 % 48 + 6)
+    assert(row.getAs[Long]("n_px") ==
+      row.getAs[Long]("width") * row.getAs[Long]("height"))
+    // a corrupted payload flows through as null features, not a crash
+    val bad = media.withColumn("payload",
+      when($"media_id" === 7L, lit("not a ppm".getBytes))
+        .otherwise($"payload"))
+    val badRow = graft.multimodal.Multimodal.decodePpm(bad)
+      .filter($"media_id" === 7L).head()
+    assert(badRow.isNullAt(badRow.fieldIndex("width")))
+  }
 }
