@@ -1,0 +1,75 @@
+package graft.quality
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Operator-facing validation docs — the GX data-docs analog. The
+  * reference's checkpoint exists to produce human-readable docs from
+  * each validation run (the gx config the Lambda ships,
+  * aws_infrastructure/airflow-setup.py:321-340); here the same report
+  * DataFrame that the parquet sink persists is additionally rendered
+  * as one deterministic markdown page per (run_id, dataset), written
+  * inside that dataset's partition directory so the artifact tree is
+  * self-documenting.
+  *
+  * Scale note: a validation report is suite-sized (one row per
+  * expectation), bounded by authored config, never by data volume —
+  * the driver-side collect here is the same boundedness class as
+  * GX rendering its own validation-result object.
+  */
+object DataDocs {
+
+  /** Render one dataset's rows (already filtered) to markdown.
+    * Deterministic: rows are sorted by (exp_name, col_name). */
+  def renderMarkdown(dataset: String, runId: String,
+      rows: Seq[Row]): String = {
+    val sorted = rows.sortBy(r =>
+      (r.getAs[String]("exp_name"), r.getAs[String]("col_name")))
+    val nPass = sorted.count(_.getAs[Long]("success") == 1L)
+    val sb = new StringBuilder
+    sb ++= s"# Validation report: $dataset\n\n"
+    sb ++= s"run: `$runId`  \n"
+    sb ++= s"expectations: ${sorted.size}, passed: $nPass, " +
+      s"failed: ${sorted.size - nPass}\n\n"
+    sb ++= "| status | expectation | column | observed |\n"
+    sb ++= "|---|---|---|---|\n"
+    sorted.foreach { r =>
+      val ok = if (r.getAs[Long]("success") == 1L) "PASS" else "FAIL"
+      // %s of the double keeps full precision so the page parses back
+      // to the exact report values (round-trip spec)
+      sb ++= s"| $ok | ${r.getAs[String]("exp_name")} " +
+        s"| ${r.getAs[String]("col_name")} " +
+        s"| ${r.getAs[Double]("observed")} |\n"
+    }
+    sb.result()
+  }
+
+  /** Write `_index.md` into each (run_id, dataset) partition
+    * directory of an already-written report artifact — the leading
+    * underscore keeps Hadoop's hidden-file filter from feeding the
+    * page to the parquet reader on reload. `report` must have columns
+    * (dataset, exp_name, col_name, success, observed). */
+  def write(report: DataFrame, path: String, runId: String): Unit = {
+    val spark = report.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    report.collect().groupBy(_.getAs[String]("dataset")).foreach {
+      case (ds, rows) =>
+        val md = renderMarkdown(ds, runId, rows.toIndexedSeq)
+        val out = new org.apache.hadoop.fs.Path(
+          path, s"run_id=$runId/dataset=$ds/_index.md")
+        val os = fs.create(out, true)
+        try os.write(md.getBytes("UTF-8")) finally os.close()
+    }
+  }
+
+  /** Parse a rendered page back into (exp_name, col_name, success,
+    * observed) tuples — the round-trip contract the spec pins. */
+  def parseMarkdown(md: String): Seq[(String, String, Long, Double)] =
+    md.linesIterator
+      .filter(l => l.startsWith("| PASS") || l.startsWith("| FAIL"))
+      .map { l =>
+        val cells = l.split("\\|").map(_.trim).filter(_.nonEmpty)
+        (cells(1), cells(2),
+          if (cells(0) == "PASS") 1L else 0L, cells(3).toDouble)
+      }.toSeq
+}

@@ -114,9 +114,12 @@ object DataQualityQueries extends QueryModule {
     "dq_report_artifact" -> ((s, d) => {
       import s.implicits._
       val dir = sys.props("java.io.tmpdir") + "/graft_dq_reports"
+      val report = suiteReport(s, d).withColumnRenamed("table_name", "dataset")
       graft.pipeline.ModelArtifacts.write(
-        suiteReport(s, d).withColumnRenamed("table_name", "dataset"),
-        dir, "run_0001", partCols = Seq("dataset"))
+        report, dir, "run_0001", partCols = Seq("dataset"))
+      // the GX data-docs analog: a rendered page per dataset inside
+      // its partition dir (underscore-prefixed, so reload skips it)
+      DataDocs.write(report, dir, "run_0001")
       graft.pipeline.ModelArtifacts.load(s, dir, "run_0001")
         .select($"dataset".as("table_name"), $"exp_name", $"col_name",
           $"success", $"observed")

@@ -50,4 +50,30 @@ class ArtifactSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted
     assert(a.sameElements(b))
   }
+
+  test("data-docs pages round-trip the validation report rows") {
+    import spark.implicits._
+    // running the query writes parquet + docs through the same sink
+    val report = SparkEntry.queries("dq_report_artifact")(spark, TestSpark.sf)
+      .collect()
+    val reportDir = sys.props("java.io.tmpdir") + "/graft_dq_reports"
+    val datasets = report.map(_.getAs[String]("table_name")).distinct
+    assert(datasets.length >= 3)
+    datasets.foreach { ds =>
+      val page = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(
+          reportDir, s"run_id=run_0001", s"dataset=$ds", "_index.md")), "UTF-8")
+      assert(page.startsWith(s"# Validation report: $ds"))
+      val parsed = graft.quality.DataDocs.parseMarkdown(page)
+      val expected = report.filter(_.getAs[String]("table_name") == ds)
+        .map(r => (r.getAs[String]("exp_name"), r.getAs[String]("col_name"),
+          r.getAs[Long]("success"), r.getAs[Double]("observed")))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(parsed == expected, s"docs page for $ds lost report rows")
+    }
+    // and the underscore prefix keeps the parquet reload clean: the
+    // artifact still loads with only the report columns
+    val reloaded = spark.read.parquet(reportDir)
+    assert(reloaded.count() == report.length)
+  }
 }
