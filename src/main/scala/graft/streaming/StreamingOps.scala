@@ -210,10 +210,15 @@ object StreamingOps {
     * batch read) while terminating like one. The operational pattern
     * for replaying history through the same streaming graph that then
     * tails live data. Returns when the backfill completes. */
-  def availableNowBackfill(stream: DataFrame, sinkTable: String): Unit = {
+  def availableNowBackfill(stream: DataFrame, sinkTable: String,
+      outputMode: String = "append"): Unit = {
+    // outputMode must match the pipeline: full-aggregate streams need
+    // "complete"; non-aggregated ones (e.g. clickPurchaseLeftJoin)
+    // only run in the default "append" — the previous hardcoded
+    // "complete" made those throw AnalysisException
     val q = stream.writeStream
       .format("memory").queryName(sinkTable)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -13,7 +13,7 @@ class StreamingSpec3 extends AnyFunSuite {
     val agg = StreamingOps.tumblingCounts(
       StreamingOps.eventStream(spark, TestSpark.sf))
     // returns only when the bounded run finished — no processAllAvailable
-    StreamingOps.availableNowBackfill(agg, "backfill_out")
+    StreamingOps.availableNowBackfill(agg, "backfill_out", "complete")
     val got = spark.table("backfill_out")
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
     val exp = Tables.events(spark, TestSpark.sf)
