@@ -78,7 +78,7 @@ object Similarity {
     * oracle-replayed in DuckDB (same literal hyperplanes). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: String,
       vec: String, k: Int, dim: Int, nPlanes: Int = 4,
-      nTables: Int = 8): DataFrame = {
+      nTables: Int = 16): DataFrame = {
     val c = lshPostings(corpus.select(col(id).as("nid"),
       col(vec).as("__vec")), nPlanes, nTables, dim)
     val q = lshPostings(queries.select(col(id).as("qid"),

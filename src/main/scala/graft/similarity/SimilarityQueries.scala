@@ -36,7 +36,7 @@ object SimilarityQueries extends QueryModule {
       val emb = T.embeddings(s, d)
       Similarity.lshTopK(emb, emb.filter($"vec_id" < 10),
           "vec_id", "embedding", k = 10, dim = EmbDim,
-          nPlanes = 4, nTables = 8)
+          nPlanes = 4, nTables = 16)
         .select($"qid", $"nid", r4($"cos").as("cos"), $"rank".cast("long").as("rank"))
         .orderBy($"qid", $"rank")
     }),
@@ -53,7 +53,7 @@ object SimilarityQueries extends QueryModule {
       val brute = Similarity.bruteTopK(emb, q, "vec_id", "embedding", k = 10)
         .select($"qid", $"nid")
       val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding",
-          k = 10, dim = EmbDim, nPlanes = 4, nTables = 8)
+          k = 10, dim = EmbDim, nPlanes = 4, nTables = 16)
         .select($"qid", $"nid", lit(1L).as("hit"))
       brute.join(lsh, Seq("qid", "nid"), "left_outer")
         .groupBy($"qid").agg(sum(coalesce($"hit", lit(0L))).as("hits"))
@@ -99,7 +99,7 @@ object SimilarityQueries extends QueryModule {
         |ORDER BY a_id, b_id""".stripMargin,
 
     "sim_topk_lsh" -> VectorOracles.lshTopKSql(k = 10, dim = EmbDim,
-      nPlanes = 4, nTables = 8, maxQid = 10),
+      nPlanes = 4, nTables = 16, maxQid = 10),
 
     "sim_recall_at_k" -> {
       val brute =
@@ -113,7 +113,7 @@ object SimilarityQueries extends QueryModule {
           |  WHERE q.vec_id < 10)
           |WHERE rank <= 10""".stripMargin
       val lsh = VectorOracles.lshTopKSql(k = 10, dim = EmbDim,
-        nPlanes = 4, nTables = 8, maxQid = 10)
+        nPlanes = 4, nTables = 16, maxQid = 10)
       s"""WITH brute AS ($brute),
          |lsh AS (SELECT qid, nid FROM ($lsh)),
          |hits AS (

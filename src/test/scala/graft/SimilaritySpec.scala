@@ -40,10 +40,12 @@ class SimilaritySpec extends AnyFunSuite {
     val q = emb.filter($"vec_id" < 20)
     val brute = topkSet(Similarity.bruteTopK(emb, q, "vec_id", "embedding", 10))
     val lsh = topkSet(Similarity.lshTopK(emb, q, "vec_id", "embedding", 10,
-      dim = 64, nPlanes = 4, nTables = 8))
+      dim = 64, nPlanes = 4, nTables = 16))
     val recall = recallOf(brute, lsh)
-    info(f"LSH recall@10 (4 planes x 8 tables) = $recall%.3f")
-    assert(recall >= 0.5, f"LSH recall collapsed: $recall%.3f")
+    info(f"LSH recall@10 (4 planes x 16 tables) = $recall%.3f")
+    // production bar: 16 OR-amplifying tables measure 0.85-0.96 across
+    // the sf0.001-sf0.1 corpora (round-11 sweep); 0.8 leaves noise room
+    assert(recall >= 0.8, f"LSH recall collapsed: $recall%.3f")
   }
 
   test("IVF top-k recall vs brute force") {
