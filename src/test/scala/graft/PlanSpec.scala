@@ -153,6 +153,41 @@ class PlanSpec extends AnyFunSuite {
       s"within-cell pair search degenerated to all-pairs:\n${p.take(4000)}")
   }
 
+  test("unpartitioned windows only ever read day-grain aggregates") {
+    // The repo-wide invariant behind the WindowExec "No Partition
+    // Defined" warnings these queries emit: a single-partition window
+    // is acceptable ONLY over a bounded-cardinality input, and the
+    // bound here is the day grain (one row per calendar day, ~365/yr
+    // regardless of data volume). Pin it structurally so a refactor
+    // can't silently slide an unbounded (per-event, per-order) input
+    // under one of these windows.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    Seq("dq_volume_anomaly", "q_autocorr").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, TestSpark.sf)
+        .queryExecution.optimizedPlan
+      val unpart = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      assert(unpart.nonEmpty, s"$name: expected an unpartitioned window")
+      unpart.foreach { w =>
+        val aggs = w.child.collect { case a: Aggregate => a }
+        assert(aggs.nonEmpty,
+          s"$name: unpartitioned window over a NON-aggregated input — " +
+            s"unbounded at scale:\n${w.treeString.take(2000)}")
+        // the optimizer may hoist the grouping key into a projected
+        // _groupingexpression alias, so grep the aggregate SUBTREE for
+        // the day-grain derivation rather than the key list alone
+        val grain = aggs.head.treeString.toLowerCase
+        assert(grain.contains("date_trunc") || grain.contains("as date") ||
+            grain.contains("orderdate"),
+          s"$name: window input not day grain:\n${grain.take(2000)}")
+      }
+    }
+    // q_seasonality reaches the same day series with no window at all
+    val p = SparkEntry.queries("q_seasonality")(spark, TestSpark.sf)
+      .queryExecution.optimizedPlan
+    assert(p.collect { case w: LWindow => w }.isEmpty,
+      "q_seasonality grew a window node")
+  }
+
   test("salted join matches plain join results and spreads the key") {
     val li = Tables.lineitem(spark, TestSpark.sf)
     val supp = Tables.supplier(spark, TestSpark.sf)
