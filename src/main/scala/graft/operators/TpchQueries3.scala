@@ -142,10 +142,14 @@ object TpchQueries3 extends QueryModule {
       import s.implicits._
       val avgQ = T.lineitem(s, d).groupBy($"l_partkey".as("ap"))
         .agg((sum($"l_quantity") / count(lit(1))).as("avg_qty"))
+      // integer-cent discipline: summing raw double prices is
+      // accumulation-order-dependent; an exact long cent sum is not,
+      // so both engines divide the identical integer at the end
       T.lineitem(s, d)
         .join(avgQ, $"l_partkey" === $"ap")
         .filter($"l_quantity" < $"avg_qty" * 0.2)
-        .agg(r4(sum($"l_extendedprice") / 7.0).as("avg_yearly"))
+        .agg(r4(sum(round($"l_extendedprice" * 100).cast("long")) / 700.0)
+          .as("avg_yearly"))
     }),
 
     // Q21: suppliers whose line was the LAST shipped in a
@@ -250,7 +254,8 @@ object TpchQueries3 extends QueryModule {
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
 
     "q_tpch_q17" ->
-      """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+      """SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS DOUBLE) / 700.0, 4) AS avg_yearly
         |FROM lineitem l JOIN (
         |  SELECT l_partkey AS ap, sum(l_quantity) / count(*) AS avg_qty
         |  FROM lineitem GROUP BY 1) a ON l.l_partkey = a.ap

@@ -357,8 +357,12 @@ object DataQualityQueries extends QueryModule {
   }
   private def compoundUniqueRow(t: String, cols: Seq[String]) = {
     val tup = cols.mkString("(", ", ", ")")
+    // both terms filtered to the all-non-null population, mirroring
+    // the Spark side (DuckDB's DISTINCT counts NULL-bearing tuples,
+    // Spark's countDistinct excludes them)
+    val nn = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
     violRow(t, "expect_compound_unique", cols.mkString(","),
-      s"count(*) - count(DISTINCT $tup)")
+      s"count(*) FILTER ($nn) - count(DISTINCT $tup) FILTER ($nn)")
   }
   private def medianRow(t: String, c: String, lo: Double, hi: Double) =
     obsRow(t, "expect_median_between", c, s"median($c)",

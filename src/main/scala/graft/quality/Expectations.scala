@@ -140,15 +140,23 @@ final case class ExpectPairGreater(columnA: String, columnB: String,
 
 /** GX expect_compound_columns_to_be_unique: duplicate (multi-column)
   * key instances are violations — count minus distinct over the
-  * column tuple, one aggregate like everything else in the suite. */
+  * column tuple, one aggregate like everything else in the suite.
+  * NULL-bearing tuples are EXCLUDED from both terms explicitly:
+  * Spark's multi-column countDistinct skips them while SQL engines'
+  * count(DISTINCT (a,b)) counts row-values containing NULL, so
+  * pinning the non-null population keeps the observed count
+  * engine-independent (and matches GX's any_value_is_missing
+  * row-ignore default). */
 final case class ExpectCompoundUnique(columns: Seq[String],
     mostly: Double = 1.0) extends ValueExpectation {
   require(columns.size >= 2, "compound uniqueness needs >= 2 columns")
   val name = "expect_compound_unique"
   val column = columns.mkString(",")
+  private def allNonNull: Column =
+    columns.map(col(_).isNotNull).reduce(_ && _)
   override def denomAgg: Column = count(lit(1))
   def observedAgg: Column =
-    count(lit(1)) - countDistinct(col(columns.head),
+    count(when(allNonNull, lit(1))) - countDistinct(col(columns.head),
       columns.tail.map(col): _*)
 }
 

@@ -75,4 +75,20 @@ class ExpectationSpec extends AnyFunSuite {
     assert(metrics("obs_1").asInstanceOf[Double] == report("expect_between"))
     assert(metrics("obs_2").asInstanceOf[Double] == report("expect_in_set"))
   }
+
+  test("compound uniqueness excludes NULL-bearing tuples from both terms") {
+    import spark.implicits._
+    // (1,1) duplicated once; the two (2,NULL) rows are NOT duplicates
+    // (unknown keys can't violate uniqueness) and must not count
+    val df = Seq(
+      (Some(1L), Some(1L)), (Some(1L), Some(1L)),
+      (Some(2L), Option.empty[Long]), (Some(2L), Option.empty[Long]),
+      (Some(3L), Some(4L)))
+      .toDF("a", "b")
+    val rep = graft.quality.ExpectationSuite("t",
+      Seq(graft.quality.ExpectCompoundUnique(Seq("a", "b")))).run(df)
+      .collect().head
+    assert(rep.getAs[Double]("observed") == 1.0,
+      s"expected exactly the one real duplicate, got $rep")
+  }
 }
