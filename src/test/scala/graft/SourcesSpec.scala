@@ -201,4 +201,37 @@ class SourcesSpec extends AnyFunSuite {
     assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
       s"columns not pruned:\n$scan")
   }
+
+  test("jdbc round-trip with partitioned parallel read and filter pushdown") {
+    // embedded Derby (bundled with Spark for the Hive metastore) as
+    // the in-process database — the migrating-user JDBC path with no
+    // external service. Avro stays uncovered: the `avro` DataFrame
+    // source lives in the spark-avro connector jar, which this
+    // zero-egress container does not bundle.
+    val url = "jdbc:derby:" + sys.props("java.io.tmpdir") +
+      "/graft_jdbc_db;create=true"
+    val src = Tables.nation(spark, TestSpark.sf)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    src.write.mode("overwrite")
+      .format("jdbc").option("url", url).option("dbtable", "nation")
+      .save()
+    // partitioned read: 4 concurrent range-bounded queries
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "nation")
+      .option("partitionColumn", "n_nationkey")
+      .option("lowerBound", "0").option("upperBound", "25")
+      .option("numPartitions", "4")
+      .load()
+    assert(back.rdd.getNumPartitions == 4, "read not range-partitioned")
+    assert(back.count() == src.count())
+    assert(back.orderBy("n_nationkey").collect().map(_.toString).toSeq ==
+      src.orderBy("n_nationkey").collect().map(_.toString).toSeq)
+    // predicates reach the database, not the Spark filter operator
+    val filtered = back.filter(col("n_regionkey") === 1)
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("n_regionkey"),
+      s"filter not pushed to JDBC:\n$p")
+    assert(filtered.count() ==
+      src.filter(col("n_regionkey") === 1).count())
+  }
 }
