@@ -118,8 +118,13 @@ object DataQualityQueries extends QueryModule {
       graft.pipeline.ModelArtifacts.write(
         report, dir, "run_0001", partCols = Seq("dataset"))
       // the GX data-docs analog: a rendered page per dataset inside
-      // its partition dir (underscore-prefixed, so reload skips it)
-      DataDocs.write(report, dir, "run_0001")
+      // its partition dir (underscore-prefixed, so reload skips it).
+      // Rendered from the RELOADED artifact — a suite-sized parquet
+      // read — not from `report`, whose plan would re-run the whole
+      // validation aggregate a second time.
+      DataDocs.write(
+        graft.pipeline.ModelArtifacts.load(s, dir, "run_0001"),
+        dir, "run_0001")
       graft.pipeline.ModelArtifacts.load(s, dir, "run_0001")
         .select($"dataset".as("table_name"), $"exp_name", $"col_name",
           $"success", $"observed")
