@@ -31,6 +31,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the generated-code cache defaults to 100 entries; a 239-query
+      // sweep holds far more distinct codegen units, so every pass
+      // recompiled every plan — the heavy multi-stage queries measured
+      // 30-40% slower in-sweep than isolated purely from that thrash.
+      // Static conf: must be set before the session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
