@@ -149,6 +149,43 @@ object PipelineQueries extends QueryModule {
           count(lit(1)).as("n_months"),
           r4(sum($"cents") / 100.0).as("revenue"))
         .orderBy($"o_year")
+    }),
+
+    // ACID snapshot table (graft.sources.TxTable): overwrite → append
+    // → MERGE as three atomic commits, then TIME-TRAVEL reads of all
+    // three versions aggregated side by side. The oracle recomputes
+    // each version's logical content directly from the raw table, so
+    // a commit that leaked uncommitted files, lost rows across the
+    // copy-on-write merge, or resolved the wrong manifest diverges.
+    // Construction runs the three commit jobs eagerly (a sink is an
+    // action by nature — same documented shape as pipe_incremental);
+    // the returned plan unions the three snapshot reads.
+    "pipe_snapshot_read" -> ((s, d) => {
+      import s.implicits._
+      val dir = sys.props("java.io.tmpdir") +
+        "/graft_txtable_sink_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val cust = T.customer(s, d)
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+      // v1: initial load = even keys; v2: append odd keys;
+      // v3: MERGE a balance correction for keys divisible by 7
+      graft.sources.TxTable.overwrite(
+        cust.filter($"c_custkey" % 2 === 0), dir)
+      graft.sources.TxTable.append(
+        cust.filter($"c_custkey" % 2 === 1), dir)
+      graft.sources.TxTable.merge(s, dir,
+        cust.filter($"c_custkey" % 7 === 0)
+          .withColumn("c_acctbal", $"c_acctbal" * 2),
+        key = "c_custkey")
+      (1 to 3).map { v =>
+        graft.sources.TxTable.read(s, dir, asOf = Some(v.toLong))
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"), r4(sum($"c_acctbal")).as("bal"))
+          .withColumn("version", lit(v))
+      }.reduce(_ unionByName _)
+        .select($"version", $"c_mktsegment", $"n", $"bal")
+        .orderBy($"version", $"c_mktsegment")
     })
   )
 
@@ -166,6 +203,25 @@ object PipelineQueries extends QueryModule {
         |    AS revenue
         |FROM orders WHERE o_totalprice > 0
         |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    // each snapshot's logical content recomputed from the raw table:
+    // v1 = even keys, v2 = all keys, v3 = all keys with the %7
+    // balance correction applied (the MERGE upsert)
+    "pipe_snapshot_read" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer)
+        |SELECT 1 AS version, c_mktsegment, count(*) AS n,
+        |  round(sum(c_acctbal), 4) AS bal
+        |FROM c WHERE c_custkey % 2 = 0 GROUP BY 2
+        |UNION ALL
+        |SELECT 2, c_mktsegment, count(*), round(sum(c_acctbal), 4)
+        |FROM c GROUP BY 2
+        |UNION ALL
+        |SELECT 3, c_mktsegment, count(*), round(sum(CASE
+        |    WHEN c_custkey % 7 = 0 THEN c_acctbal * 2
+        |    ELSE c_acctbal END), 4)
+        |FROM c GROUP BY 2
+        |ORDER BY version, c_mktsegment""".stripMargin,
 
     "pipe_corpus_curate" ->
       s"""WITH scored AS (

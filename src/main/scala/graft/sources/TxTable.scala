@@ -13,12 +13,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * A commit file enumerates the COMPLETE set of live data files for
   * its version. Readers resolve the newest commit file and read only
   * the files it lists, so a concurrent writer's half-written data is
-  * invisible until its single commit-file creation lands — snapshot
+  * invisible until its single commit-file publication lands — snapshot
   * isolation from two filesystem primitives (immutable data files +
-  * create-exclusive commit). `create(overwrite = false)` is the
-  * atomic compare-and-swap: two writers racing to the same version
-  * collide on the identical log path and exactly one wins; the loser
-  * gets [[TxConflictException]] and must rebase (re-read, re-apply,
+  * atomic create-exclusive publish, see [[commit]] for the per-FS
+  * mechanism). Two writers racing to the same version collide on the
+  * identical log path and exactly one wins; the loser gets
+  * [[TxConflictException]] and must rebase (re-read, re-apply,
   * re-commit) — optimistic concurrency, same contract as Delta.
   *
   * Time travel is free: every older commit file still names its
@@ -94,11 +94,18 @@ object TxTable {
 
   /** Write `df`'s rows as new immutable files for `version`; returns
     * their table-relative paths. Files land under data/ BEFORE the
-    * commit exists, so readers never see them. */
+    * commit exists, so readers never see them. The staging dir and the
+    * data file names carry a writer-unique tag: two writers racing to
+    * the same version must not share ANY path — otherwise the commit
+    * loser's renames could clobber the winner's already-published data
+    * files. The loser's orphaned files stay in data/ unreferenced by
+    * any commit (vacuum of unreferenced files is the documented
+    * production-hardening gap). */
   private def writeFiles(df: DataFrame, table: String,
       version: Long): Seq[String] = {
     val spark = df.sparkSession
-    val tmp = new Path(table, s"_tmp_v$version")
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(table, s"_tmp_v$version-$tag")
     df.write.mode("overwrite").parquet(tmp.toString)
     val f = fs(spark, tmp)
     val dd = dataDir(table)
@@ -106,7 +113,7 @@ object TxTable {
     val moved = f.listStatus(tmp).toSeq
       .filter(_.getPath.getName.endsWith(".parquet"))
       .zipWithIndex.map { case (s, i) =>
-        val dst = new Path(dd, s"v$version-$i.parquet")
+        val dst = new Path(dd, s"v$version-$tag-$i.parquet")
         require(f.rename(s.getPath, dst), s"rename failed: ${s.getPath}")
         s"data/${dst.getName}"
       }
@@ -116,22 +123,57 @@ object TxTable {
 
   /** Atomic commit of `files` as `version`. Throws
     * [[TxConflictException]] when another writer claimed the version
-    * first — the caller re-reads and retries. */
-  private def commit(spark: SparkSession, table: String, version: Long,
-      files: Seq[String]): Unit = {
+    * first — the caller re-reads and retries. Any other IO fault
+    * (permissions, disk full, network) propagates as-is: misreporting
+    * it as a conflict would send the caller into a rebase loop.
+    *
+    * The body is staged in a writer-unique temp file and PUBLISHED in
+    * one filesystem primitive, so a concurrent reader either sees no
+    * commit or the complete one — never a partial body:
+    *   - local FS: link(2) via `Files.createLink` — an atomic
+    *     create-exclusive (POSIX guarantees EEXIST on a race); plain
+    *     `FileSystem.create(overwrite=false)` on RawLocalFileSystem is
+    *     check-then-create and two racers can both "win".
+    *   - HDFS (and any FS with atomic no-overwrite rename): rename of
+    *     the temp onto the log path — atomic on the NameNode, fails if
+    *     the destination exists.
+    *   - object stores with last-writer-wins rename (S3A) get NO CAS
+    *     from this path; they need an external coordinator (the Delta
+    *     LogStore pattern) — out of scope here, documented.
+    */
+  private[graft] def commit(spark: SparkSession, table: String,
+      version: Long, files: Seq[String]): Unit = {
     val ld = logDir(table)
     val f = fs(spark, ld)
     f.mkdirs(ld)
     val body = files.map("\"" + _ + "\"")
       .mkString(s"""{"version":$version,"files":[""", ",", "]}")
-    val p = new Path(ld, s"v$version.json")
-    val out =
-      try f.create(p, /* overwrite = */ false)
-      catch { case _: java.io.IOException =>
-        throw new TxConflictException(
-          s"version $version already committed at $table")
+    val target = new Path(ld, s"v$version.json")
+    val tmp = new Path(ld,
+      s".v$version-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = f.create(tmp, /* overwrite = */ false)
+    try { out.write(body.getBytes("UTF-8")); out.hflush() }
+    finally out.close()
+    def conflict() = new TxConflictException(
+      s"version $version already committed at $table")
+    try {
+      if (f.getScheme == "file") {
+        val dir = java.nio.file.Paths.get(ld.toUri.getPath)
+        try
+          java.nio.file.Files.createLink(
+            dir.resolve(target.getName), dir.resolve(tmp.getName))
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            throw conflict()
+        }
+      } else {
+        if (f.exists(target)) throw conflict()
+        // atomic no-overwrite rename (HDFS contract); `false` without
+        // an IOException means the destination appeared since the
+        // check — a lost race, not an IO fault
+        if (!f.rename(tmp, target)) throw conflict()
       }
-    try out.write(body.getBytes("UTF-8")) finally out.close()
+    } finally f.delete(tmp, false)
   }
 
   /** Overwrite: next version = exactly `df`. Returns the version. */

@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.CyclicBarrier
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TxTable
+import graft.sources.TxTable.TxConflictException
+
+/** Transactional-table contract: snapshot isolation, time travel,
+  * copy-on-write MERGE, and the optimistic-concurrency CAS — the
+  * Delta/Iceberg invariants reduced to immutable data files plus an
+  * atomic create-exclusive commit publish. The racing tests exercise
+  * the REAL local-FS primitive (link(2) via Files.createLink), not a
+  * mock: every round of the race must produce exactly one winner.
+  */
+class TxTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_txtable_").toString + "/t"
+
+  private def df(rows: (Int, String)*) =
+    rows.toDF("k", "v")
+
+  test("overwrite then read round-trips exactly") {
+    val t = freshTable()
+    val v = TxTable.overwrite(df(1 -> "a", 2 -> "b"), t)
+    assert(v === 1L)
+    val got = TxTable.read(spark, t).as[(Int, String)].collect().sorted
+    assert(got.toSeq === Seq(1 -> "a", 2 -> "b"))
+  }
+
+  test("append adds files without rewriting; old snapshot intact") {
+    val t = freshTable()
+    TxTable.overwrite(df(1 -> "a"), t)
+    val snap1 = TxTable.snapshot(spark, t).get
+    val v2 = TxTable.append(df(2 -> "b"), t)
+    assert(v2 === 2L)
+    // v2 = union; v1 unchanged and still readable (time travel)
+    assert(TxTable.read(spark, t).count() === 2)
+    assert(TxTable.read(spark, t, asOf = Some(1)).count() === 1)
+    // append never rewrites: v1's files are a subset of v2's
+    val snap2 = TxTable.snapshot(spark, t).get
+    assert(snap1.files.toSet.subsetOf(snap2.files.toSet))
+  }
+
+  test("merge upserts by key, copy-on-write, old versions untouched") {
+    val t = freshTable()
+    TxTable.overwrite(df(1 -> "a", 2 -> "b", 3 -> "c"), t)
+    val v = TxTable.merge(spark, t,
+      df(2 -> "B", 4 -> "d"), key = "k")
+    assert(v === 2L)
+    val got = TxTable.read(spark, t).as[(Int, String)].collect().sorted
+    assert(got.toSeq === Seq(1 -> "a", 2 -> "B", 3 -> "c", 4 -> "d"))
+    // the pre-merge snapshot still reproduces exactly
+    val old = TxTable.read(spark, t, asOf = Some(1))
+      .as[(Int, String)].collect().sorted
+    assert(old.toSeq === Seq(1 -> "a", 2 -> "b", 3 -> "c"))
+  }
+
+  test("time travel pins any historical version") {
+    val t = freshTable()
+    TxTable.overwrite(df(1 -> "v1"), t)
+    TxTable.overwrite(df(1 -> "v2"), t)
+    TxTable.overwrite(df(1 -> "v3"), t)
+    for (v <- 1 to 3)
+      assert(TxTable.read(spark, t, asOf = Some(v))
+        .select("v").as[String].head() === s"v$v")
+    // asOf beyond latest resolves to latest
+    assert(TxTable.read(spark, t, asOf = Some(99))
+      .select("v").as[String].head() === "v3")
+    intercept[IllegalArgumentException] {
+      TxTable.read(spark, t, asOf = Some(0))
+    }
+  }
+
+  test("a reader concurrent with an overwrite sees only the old complete snapshot") {
+    val t = freshTable()
+    TxTable.overwrite(df(1 -> "old", 2 -> "old"), t)
+    // reader resolves its snapshot FIRST (what a long query does at
+    // plan time), then the writer publishes a new version, then the
+    // reader executes — it must see version 1's rows, not a mixture
+    val pinned = TxTable.snapshot(spark, t).get
+    val plan = TxTable.read(spark, t, asOf = Some(pinned.version))
+    TxTable.overwrite(df(1 -> "new"), t)
+    val got = plan.as[(Int, String)].collect().sorted
+    assert(got.toSeq === Seq(1 -> "old", 2 -> "old"))
+    // and an un-pinned read AFTER the commit sees exactly the new set
+    assert(TxTable.read(spark, t).as[(Int, String)].collect().toSeq
+      === Seq(1 -> "new"))
+  }
+
+  test("commit CAS: racers to the SAME version get exactly one winner") {
+    // the primitive itself, deterministically: both threads target a
+    // fixed version, so the only way both succeed is a broken CAS.
+    // 20 rounds × 4 threads over the real link(2) publish path.
+    val t = freshTable()
+    TxTable.overwrite(df(0 -> "base"), t) // creates the log dir
+    for (round <- 2 to 21) {
+      val n = 4
+      val barrier = new CyclicBarrier(n)
+      val tasks = (1 to n).map { i =>
+        val ft = new java.util.concurrent.FutureTask(() => {
+          barrier.await()
+          try { TxTable.commit(spark, t, round.toLong,
+            Seq(s"data/w$i.parquet")); true }
+          catch { case _: TxConflictException => false }
+        })
+        new Thread(ft).start(); ft
+      }
+      val winners = tasks.map(_.get()).count(identity)
+      assert(winners === 1, s"version $round: $winners winners")
+    }
+    assert(TxTable.snapshot(spark, t).get.version === 21L)
+  }
+
+  test("racing appends: no lost updates, every success is visible exactly once") {
+    // end-to-end optimistic concurrency through the public API. A
+    // racer that loses the CAS gets TxConflictException and retries
+    // after a rebase; whatever returned success MUST be in the table.
+    val t = freshTable()
+    TxTable.overwrite(df(0 -> "base"), t)
+    val n = 4
+    val barrier = new CyclicBarrier(n)
+    val tasks = (1 to n).map { i =>
+      val ft = new java.util.concurrent.FutureTask(() => {
+        barrier.await()
+        var committed = false
+        var attempts = 0
+        while (!committed && attempts < 10) {
+          attempts += 1
+          try { TxTable.append(df(i -> s"writer$i"), t); committed = true }
+          catch { case _: TxConflictException => () } // rebase = re-read head
+        }
+        committed
+      })
+      new Thread(ft).start(); ft
+    }
+    assert(tasks.forall(_.get()), "every writer must eventually commit")
+    val vs = TxTable.read(spark, t).select("v").as[String].collect()
+    for (i <- 1 to n) {
+      val w = s"writer$i"
+      assert(vs.count(_ == w) === 1, s"$w landed ${vs.count(_ == w)} times")
+    }
+    assert(vs.count(_ == "base") === 1)
+    assert(TxTable.snapshot(spark, t).get.version === (1 + n).toLong)
+  }
+
+  test("snapshot on a never-written table is None; read throws") {
+    val t = freshTable()
+    assert(TxTable.snapshot(spark, t).isEmpty)
+    intercept[IllegalArgumentException] { TxTable.read(spark, t) }
+  }
+}
