@@ -54,14 +54,24 @@ object Util {
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
   /** Ensure minimum map-side parallelism for CPU-heavy per-row ops.
-    * A local single-row-group parquet scan arrives as ONE partition
-    * (so every downstream map runs single-threaded); on a real
-    * cluster inputs come pre-split and this is a no-op. The shuffled
-    * bytes are the raw rows — only use ahead of work that dwarfs one
-    * pass over the data. */
+    * A small parquet scan arrives under-split — files below
+    * `spark.sql.files.openCostInBytes` never split, so a local
+    * single-row-group file is ONE partition and every downstream map
+    * runs single-threaded; on a real cluster inputs dwarf the open
+    * cost, come pre-split, and this is a no-op. The decision reads
+    * the OPTIMIZED-plan size estimate (file-size sum for scans) — no
+    * physical planning, unlike `df.rdd.getNumPartitions`, which
+    * builds and discards a full physical plan just to count. The
+    * scan under-parallelizes exactly when total bytes can't fill
+    * `defaultParallelism` open-cost-sized splits, which is the
+    * repartition condition. The shuffled bytes are the raw rows —
+    * only use ahead of work that dwarfs one pass over the data. */
   def ensureParallelism(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val openCost = spark.sessionState.conf.filesOpenCostInBytes
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < BigInt(target) * openCost) df.repartition(target) else df
   }
 
   /** Salted equi-join for extreme key skew (beyond what AQE's skew

@@ -49,14 +49,17 @@ object PpmCodec {
       }
     }
 
-    def readInt(): Int = {
+    // accumulate in Long and clamp: "65536 65536" must reject as
+    // malformed, not wrap w*h*3 through Int to a bogus small raster
+    def readInt(): Long = {
       skipWs()
-      var v = 0
+      var v = 0L
       var any = false
       while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
         v = v * 10 + (bytes(i) - '0'); i += 1; any = true
+        if (v > Int.MaxValue) return Int.MaxValue.toLong + 1 // overflow
       }
-      if (any) v else -1
+      if (any) v else -1L
     }
 
     val w = readInt(); val h = readInt(); val maxval = readInt()
@@ -64,8 +67,9 @@ object PpmCodec {
     // exactly ONE whitespace byte separates maxval from the raster
     if (i >= bytes.length || !isWs(bytes(i))) return None
     i += 1
-    val n = w * h * 3
-    if (bytes.length - i < n) return None
+    val nL = w * h * 3L
+    if (nL > bytes.length - i) return None // covers overflow: n > len
+    val n = nL.toInt
     var (sr, sg, sb) = (0L, 0L, 0L)
     var j = i
     val end = i + n
@@ -75,6 +79,6 @@ object PpmCodec {
       sb += bytes(j + 2) & 0xff
       j += 3
     }
-    Some((w, h, sr, sg, sb))
+    Some((w.toInt, h.toInt, sr, sg, sb))
   }
 }

@@ -36,8 +36,8 @@ object DataDocs {
       val ok = if (r.getAs[Long]("success") == 1L) "PASS" else "FAIL"
       // %s of the double keeps full precision so the page parses back
       // to the exact report values (round-trip spec)
-      sb ++= s"| $ok | ${r.getAs[String]("exp_name")} " +
-        s"| ${r.getAs[String]("col_name")} " +
+      sb ++= s"| $ok | ${cell(r.getAs[String]("exp_name"))} " +
+        s"| ${cell(r.getAs[String]("col_name"))} " +
         s"| ${r.getAs[Double]("observed")} |\n"
     }
     sb.result()
@@ -62,14 +62,26 @@ object DataDocs {
     }
   }
 
+  /** A literal `|` in a field would shift every cell after it; the
+    * standard markdown-table escape (HTML entity) keeps the row shape
+    * and round-trips through [[parseMarkdown]]. */
+  private def cell(s: String): String =
+    if (s == null) "" else s.replace("|", "&#124;")
+
+  private def uncell(s: String): String = s.replace("&#124;", "|")
+
   /** Parse a rendered page back into (exp_name, col_name, success,
-    * observed) tuples — the round-trip contract the spec pins. */
+    * observed) tuples — the round-trip contract the spec pins. Cells
+    * are taken by FIXED index from the 4-column row (split keeps
+    * empties), so an empty col_name parses as "" instead of shifting
+    * the remaining cells. */
   def parseMarkdown(md: String): Seq[(String, String, Long, Double)] =
     md.linesIterator
       .filter(l => l.startsWith("| PASS") || l.startsWith("| FAIL"))
       .map { l =>
-        val cells = l.split("\\|").map(_.trim).filter(_.nonEmpty)
-        (cells(1), cells(2),
-          if (cells(0) == "PASS") 1L else 0L, cells(3).toDouble)
+        // "| PASS | exp | col | obs |" → ["", "PASS", "exp", "col", "obs", ""]
+        val cells = l.split("\\|", -1).map(_.trim)
+        (uncell(cells(2)), uncell(cells(3)),
+          if (cells(1) == "PASS") 1L else 0L, cells(4).toDouble)
       }.toSeq
 }

@@ -37,6 +37,17 @@ class StreamingSpec4 extends AnyFunSuite {
     p.toFile.deleteOnExit(); p.toString
   }
 
+  /** Bounded progress poll: a stalled or failed-to-start stream fails
+    * the test at the deadline instead of hanging the suite forever. */
+  private def pollUntil(deadlineMs: Long = 90000L)(done: => Boolean): Unit = {
+    val end = System.nanoTime() + deadlineMs * 1000000L
+    while (!done) {
+      if (System.nanoTime() > end)
+        fail(s"stream made no progress within ${deadlineMs}ms")
+      Thread.sleep(50)
+    }
+  }
+
   test("offsets resume exactly-once across a forced restart") {
     val ckpt = freshDir("kafka_ckpt")
     // idempotent-per-batchId sink: re-delivery of a batch after the
@@ -54,13 +65,13 @@ class StreamingSpec4 extends AnyFunSuite {
 
     val q1 = start()
     try {
-      while (byBatch.size < 4) Thread.sleep(50)
+      pollUntil()(byBatch.size >= 4)
     } finally q1.stop() // forced stop mid-stream, offsets committed in ckpt
     val batchesBefore = byBatch.size
 
     val q2 = start()
     try {
-      while (byBatch.size < batchesBefore + 2) Thread.sleep(50)
+      pollUntil()(byBatch.size >= batchesBefore + 2)
     } finally q2.stop()
 
     val all = byBatch.values.flatten.toSeq
@@ -111,16 +122,16 @@ class StreamingSpec4 extends AnyFunSuite {
     val q1 = start()
     try {
       // ≥5 batches × 64 offsets / 8 users = ≥40 events per user
-      while (byBatch.isEmpty || maxEvents.size < 8 ||
-        maxEvents.values.min < 40) Thread.sleep(50)
+      pollUntil()(byBatch.nonEmpty && maxEvents.size == 8 &&
+        maxEvents.values.min >= 40)
     } finally q1.stop()
     val before = maxEvents
     val batchesBefore = byBatch.size
 
     val q2 = start()
     try {
-      while (byBatch.size < batchesBefore + 1 ||
-        maxEvents.values.min <= before.values.max) Thread.sleep(50)
+      pollUntil()(byBatch.size >= batchesBefore + 1 &&
+        maxEvents.values.min > before.values.max)
     } finally q2.stop()
     val after = maxEvents
 
