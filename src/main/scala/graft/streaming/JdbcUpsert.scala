@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.DriverManager
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Exactly-once streaming → JDBC: the idempotent epoch-keyed upsert
+  * that turns foreachBatch's at-least-once re-delivery into
+  * exactly-once visible state — the production sink pattern the
+  * Kafka-shape ingestion contract (StreamingSpec4) exists to feed.
+  *
+  * Mechanism: each executor partition opens one connection and runs a
+  * single local transaction
+  *
+  *   DELETE FROM t WHERE epoch = ? AND part = ?;
+  *   INSERT (epoch, part, ...rows...);
+  *   COMMIT;
+  *
+  * A replayed micro-batch (restart before the checkpoint's commit
+  * landed) re-runs the identical delete+insert and the table ends
+  * byte-identical — double-writes are structurally impossible. The
+  * (epoch, part) delete key relies on replayed batches having
+  * deterministic partition contents, which Structured Streaming
+  * guarantees for replayable sources (same offsets → same rows →
+  * same partitioning); that determinism is a precondition of ANY
+  * epoch-idempotent sink, not something this one adds.
+  *
+  * At scale this is embarrassingly parallel: one connection and one
+  * transaction per partition, no coordination, no driver collect; the
+  * JDBC endpoint's write capacity is the only limit.
+  */
+object JdbcUpsert {
+
+  /** foreachBatch body writing `df`'s rows into `table` with columns
+    * (epoch BIGINT, part INT, <df columns>). `df` must be LONG-typed
+    * single column for this minimal variant (the offset/value shape
+    * of the ingestion contract); widening to generic rows is a
+    * statement-template away and changes nothing structural. */
+  def upsertBatch(url: String, table: String)(
+      df: DataFrame, epochId: Long): Unit = {
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      val part = TaskContext.getPartitionId()
+      val conn = DriverManager.getConnection(url)
+      try {
+        conn.setAutoCommit(false)
+        val del = conn.prepareStatement(
+          s"DELETE FROM $table WHERE epoch = ? AND part = ?")
+        del.setLong(1, epochId); del.setInt(2, part)
+        del.executeUpdate(); del.close()
+        val ins = conn.prepareStatement(
+          s"INSERT INTO $table (epoch, part, v) VALUES (?, ?, ?)")
+        rows.foreach { r =>
+          ins.setLong(1, epochId); ins.setInt(2, part)
+          ins.setLong(3, r.getLong(0))
+          ins.addBatch()
+        }
+        ins.executeBatch(); ins.close()
+        conn.commit()
+      } catch {
+        case t: Throwable => conn.rollback(); throw t
+      } finally conn.close()
+    }
+  }
+
+  /** One-time DDL for the sink table (Derby dialect). */
+  def createTable(url: String, table: String): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        s"CREATE TABLE $table (epoch BIGINT, part INT, v BIGINT)")
+      st.close()
+    } finally conn.close()
+  }
+
+  /** All v values currently in the sink (test/inspection helper). */
+  def readValues(url: String, table: String): Seq[Long] = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement()
+        .executeQuery(s"SELECT v FROM $table")
+      val buf = scala.collection.mutable.ArrayBuffer[Long]()
+      while (rs.next()) buf += rs.getLong(1)
+      buf.toSeq
+    } finally conn.close()
+  }
+}
