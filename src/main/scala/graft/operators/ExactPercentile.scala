@@ -163,15 +163,26 @@ object ExactPercentile {
     // groups × buckets rows: per-bucket weight totals
     val totals = bucketed.groupBy(col(group), col("_bucket"))
       .agg(sum(col("c")).as("_bc"))
-    // exclusive prefix + grand total via a windowless self-join
-    // (≤ buckets² rows per group) — no single-partition sort node
-    val rhs = totals.select(col(group).as("_rg"),
-      col("_bucket").as("_rb"), col("_bc").as("_rbc"))
-    val cum = totals.join(rhs, col(group) === col("_rg"))
-      .groupBy(col(group), col("_bucket"), col("_bc"))
-      .agg(sum(when(col("_rb") < col("_bucket"), col("_rbc"))
-          .otherwise(lit(0L))).as("_off"),
-        sum(col("_rbc")).as("_n"))
+    // exclusive prefix + grand total: pack each group's ≤`buckets`
+    // (bucket, count) pairs into ONE sorted array and compute the
+    // running offsets with codegen'd array HOFs — a single tiny
+    // group-keyed aggregate instead of the former self-join + re-agg
+    // chain (two fewer serial jobs per call; O(buckets²) fold work
+    // per group, trivial at any scale since buckets is a constant)
+    val cum = totals
+      .groupBy(col(group))
+      .agg(sort_array(collect_list(struct(col("_bucket"), col("_bc"))))
+        .as("_l"))
+      .withColumn("_n",
+        aggregate(col("_l"), lit(0L), (a, x) => a + x.getField("_bc")))
+      .select(col(group), col("_n"),
+        explode(transform(col("_l"), (x, i) => struct(
+          x.getField("_bucket").as("_bucket"),
+          x.getField("_bc").as("_bc"),
+          aggregate(slice(col("_l"), lit(1), i), lit(0L),
+            (a, y) => a + y.getField("_bc")).as("_off")))).as("_x"))
+      .select(col(group), col("_x._bucket").as("_bucket"),
+        col("_x._bc").as("_bc"), col("_x._off").as("_off"), col("_n"))
     // a bucket is needed iff it contains some requested rank r:
     // _off < r ≤ _off + _bc
     val needCond = ranks.map { r =>

@@ -188,26 +188,33 @@ object Rank {
 
   /** Adds `_bucket`: an order-consistent range-bucket id in
     * [0, buckets). Boundaries are per-group approximate quantiles of
-    * `value`; rows with equal values always share a bucket. */
+    * `value` over a 5% SAMPLE — boundary quality only balances
+    * buckets, never changes an answer, and the sketch insert was the
+    * boundary arm's whole cost (sampling cut q_mad 4.6 → 3.9 s at
+    * sf0.1). Rows with equal values always share a bucket. A small
+    * group can miss the sample entirely, so the join back is
+    * left_outer and a null boundary set means bucket 0 — that group
+    * runs single-bucket (it was tiny), it is never dropped. */
   private[operators] def withRangeBucket(df: DataFrame, group: Seq[String],
       value: String, buckets: Int): DataFrame = {
     if (buckets <= 1) return df.withColumn("_bucket", lit(0))
     val fracs = (1 until buckets).map(_.toDouble / buckets)
     val v = col(value).cast("double")
-    // low accuracy on purpose: boundaries only balance buckets (the
-    // rank math is exact regardless), and the sketch insert cost is
-    // per-row on the full input
+    // low accuracy on purpose, same reasoning as the sample
     val boundAgg = percentile_approx(v, typedLit(fracs), lit(128)).as("_bounds")
+    val boundSrc = df.sample(0.05, 42L)
     val bounds =
-      if (group.isEmpty) df.agg(boundAgg)
-      else df.groupBy(group.map(col): _*).agg(boundAgg)
+      if (group.isEmpty) boundSrc.agg(boundAgg)
+      else boundSrc.groupBy(group.map(col): _*).agg(boundAgg)
     val joined =
       if (group.isEmpty) df.crossJoin(broadcast(bounds))
-      else df.join(broadcast(bounds), group)
+      else df.join(broadcast(bounds), group, "left_outer")
     // codegen'd binary search — the interpreted size(filter(...))
     // lambda was the family's hottest expression (see LowerBound)
     joined
-      .withColumn("_bucket", graft.functions.LowerBound(col("_bounds"), v))
+      .withColumn("_bucket",
+        when(col("_bounds").isNull, lit(0))
+          .otherwise(graft.functions.LowerBound(col("_bounds"), v)))
       .drop("_bounds")
   }
 
