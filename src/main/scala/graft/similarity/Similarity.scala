@@ -56,22 +56,16 @@ object Similarity {
     }.reduce(_ + _)
 
   /** (table, bucket) posting rows — L tables OR-amplify recall:
-    * P(candidate) = 1−(1−p^planes)^tables. */
+    * P(candidate) = 1−(1−p^planes)^tables. All L bucket ids come from
+    * ONE codegen'd [[graft.functions.LshBuckets]] pass (the literal
+    * per-table struct formulation put 4096 literal doubles in the
+    * generator, broke the codegen unit, and ran the posting stage
+    * interpreted — see that expression's scaladoc); posexplode's
+    * position IS the table id, so the output schema is unchanged. */
   def lshPostings(df: DataFrame, nPlanes: Int, nTables: Int,
-      dim: Int): DataFrame = {
-    val buckets = (0 until nTables).map(t =>
-      struct(lit(t).as("__table"),
-        lshBucket(col("__vec"), nPlanes, t, dim).as("__bucket")))
-    // No forced repartition here (unlike bruteTopK/similarityJoin,
-    // whose per-row fanout is corpus-sized): posting generation is
-    // ~tables·planes codegen'd dot products per row, downstream
-    // collision scoring is bounded by bucket occupancy, and cluster
-    // inputs arrive pre-split anyway — on the local single-file scan
-    // the exchange cost more than the parallelism bought (measured:
-    // two repartitions + two plan→RDD conversions of pure overhead).
-    df.select(col("*"), explode(array(buckets: _*)).as("__tb"))
-      .select(df.columns.map(col) :+ col("__tb.__table") :+ col("__tb.__bucket"): _*)
-  }
+      dim: Int): DataFrame =
+    df.select(col("*"), posexplode(graft.functions.LshBuckets.of(
+        col("__vec"), nPlanes, nTables)).as(Seq("__table", "__bucket")))
 
   /** ANN top-k over the union of the query's buckets across L hash
     * tables. Recall < 1 by construction; spec-tested vs bruteTopK and
@@ -79,8 +73,9 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: String,
       vec: String, k: Int, dim: Int, nPlanes: Int = 4,
       nTables: Int = 16): DataFrame = {
-    val c = lshPostings(corpus.select(col(id).as("nid"),
-      col(vec).as("__vec")), nPlanes, nTables, dim)
+    val c = lshPostings(
+      corpus.select(col(id).as("nid"), col(vec).as("__vec")),
+      nPlanes, nTables, dim)
     val q = lshPostings(queries.select(col(id).as("qid"),
       col(vec).as("__vec")), nPlanes, nTables, dim)
       .withColumnRenamed("__vec", "__qv")

@@ -84,10 +84,11 @@ object SkewProbe {
       // scale the 256 MB production threshold to the probe volume
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m"))
-    timeIt("salted", revenue(graft.Util.saltedJoin(
-      li.withColumnRenamed("l_orderkey", "o_orderkey"), orders,
-      key = "o_orderkey", saltFrom = "l_extendedprice", salts = 32)), Map(
-      "spark.sql.adaptive.skewJoin.enabled" -> "false"))
+    for (salts <- Seq(8, 32))
+      timeIt(s"salt$salts", revenue(graft.Util.saltedJoin(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), orders,
+        key = "o_orderkey", saltFrom = "l_extendedprice", salts = salts)), Map(
+        "spark.sql.adaptive.skewJoin.enabled" -> "false"))
 
     spark.stop()
   }

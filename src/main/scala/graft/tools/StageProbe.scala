@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Dev-only probe: run one query and print per-stage wall times and
@@ -23,9 +23,15 @@ object StageProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long, Int)]()
+    val tasks = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
     @volatile var jobs = 0
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        tasks.computeIfAbsent(t.stageId,
+          _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+          .add(t.taskInfo.duration)
+      }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val ms = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(-1L)
@@ -38,7 +44,7 @@ object StageProbe {
       graft.SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      stages.clear(); jobs = 0
+      stages.clear(); tasks.clear(); jobs = 0
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -47,7 +53,10 @@ object StageProbe {
       val ss = stages.toArray(Array.empty[(Int, String, Long, Int)]).sortBy(_._1)
       println(f"== $name%s total=$sec%.2fs jobs=$jobs stages=${ss.length}")
       ss.foreach { case (id, nm, ms, nt) =>
-        println(f"   stage $id%3d $nm%-28s ${ms}%5d ms  $nt%3d tasks")
+        val ds = Option(tasks.get(id)).map(_.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted).getOrElse(Array.empty[Long])
+        val cpu = ds.sum
+        val mx = if (ds.nonEmpty) ds.max else 0L
+        println(f"   stage $id%3d $nm%-20s ${ms}%6d ms  $nt%3d tasks  taskSum=${cpu}%6d max=${mx}%6d")
       }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }

@@ -105,6 +105,28 @@ class FunctionsSpec extends AnyFunSuite {
       .head.isNullAt(0))
   }
 
+  test("lsh_buckets matches the composable per-table CASE/arraydot formulation") {
+    import spark.implicits._
+    import graft.similarity.Similarity
+    val emb = Tables.embeddings(spark, TestSpark.sf).limit(200)
+      .select($"vec_id", $"embedding".as("__vec"))
+    val dim = emb.select(size($"__vec")).head.getInt(0)
+    val (planes, tables) = (4, 16)
+    val composable = emb.select($"vec_id",
+        explode(array((0 until tables).map(t => struct(lit(t).as("t"),
+          Similarity.lshBucket($"__vec", planes, t, dim).as("b"))): _*)).as("tb"))
+      .select($"vec_id", $"tb.t", $"tb.b")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val viaExpr = emb.select($"vec_id",
+        posexplode(graft.functions.LshBuckets.of($"__vec", planes, tables))
+          .as(Seq("t", "b")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(viaExpr == composable)
+    // null embedding → null output
+    assert(emb.limit(1).select(graft.functions.LshBuckets.of(
+      lit(null).cast("array<float>"), planes, tables)).head.isNullAt(0))
+  }
+
   test("fitMulti recovers exact coefficients on synthetic linear data") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
