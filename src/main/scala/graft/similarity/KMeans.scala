@@ -19,21 +19,16 @@ object KMeans {
   /** Argmin-centroid cell id via array_min over (negCos, idx) structs
     * — struct ordering compares fields left-to-right, so ties break
     * on the lower cell index deterministically. */
-  def cellExpr(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct((-cosine(vec, typedlit(c))).as("negcos"), lit(i).as("cell"))
-    }
-    array_min(array(scored: _*)).getField("cell")
-  }
+  def cellExpr(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    graft.functions.NearestCells.of(vec, centroids, 1).getItem(0)
 
-  /** Per-query nearest `nprobe` cell ids, as an array column. */
-  def probeExpr(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct((-cosine(vec, typedlit(c))).as("negcos"), lit(i).as("cell"))
-    }
-    transform(slice(array_sort(array(scored: _*)), 1, nprobe),
-      s => s.getField("cell"))
-  }
+  /** Per-query nearest `nprobe` cell ids, as an array column. Both
+    * routing expressions go through the codegen'd
+    * [[graft.functions.NearestCells]] — the struct-min-over-literals
+    * formulation put k×dim literal doubles in the plan and dropped
+    * the assignment stage to interpreted eval (see that scaladoc). */
+  def probeExpr(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
+    graft.functions.NearestCells.of(vec, centroids, nprobe)
 
   /** The centroid vector for a cell-id column, as an array column
     * (literal k×dim lookup table — broadcast with the plan). */

@@ -139,7 +139,15 @@ object Similarity {
   }
 
   /** All pairs with cosine ≥ threshold (brute pairwise — correctness
-    * baseline; LSH/IVF bucket joins are the scale path). */
+    * baseline; LSH/IVF bucket joins are the scale path).
+    *
+    * The result is lazily checkpointed: the subtree is a broadcast
+    * nested-loop join with NO exchange boundary, so a caller's
+    * `orderBy` (range partitioning) would otherwise execute the
+    * whole O(n²) scoring TWICE — once for the range-boundary
+    * sampling pass, once for real (measured: the two equal 135
+    * CPU-s stages in dedup_embed's sf1 probe). The checkpointed
+    * frame is just the ≥-threshold survivors — tiny. */
   def similarityJoin(df: DataFrame, id: String, vec: String,
       threshold: Double): DataFrame = {
     val a = graft.Util.ensureParallelism(
@@ -149,5 +157,6 @@ object Similarity {
       .withColumn("cos", cosine(col("__va"), col("__vb")))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), col("cos"))
+      .localCheckpoint(false)
   }
 }
