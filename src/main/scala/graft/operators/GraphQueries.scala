@@ -42,10 +42,10 @@ object GraphQueries extends QueryModule {
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
     perOrder
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-          |  transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"""
-          .stripMargin)).as("pr"))
+      // codegen'd in-row pair comb — the nested transform/slice HOF
+      // formulation ran interpreted with per-element array copies
+      // (~150 µs/order at sf1; see graft.functions.ArrayPairs)
+      .select(explode(graft.functions.ArrayPairs.of(col("ps"))).as("pr"))
       .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
       .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("pair_cnt"))
