@@ -74,12 +74,19 @@ object Util {
     if (bytes < BigInt(target) * openCost) df.repartition(target) else df
   }
 
-  /** Salted equi-join for extreme key skew (beyond what AQE's skew
-    * join splits): the skewed side gets a deterministic salt from a
-    * row-identifying column, the other side is replicated `salts`
-    * ways, and the join key becomes (key, salt) — one hot key spreads
-    * over `salts` reducers. Replication cost is `salts`× the small
-    * side, so use for dimension-ish right sides only. */
+  /** Salted equi-join for key skew that AQE cannot reach: the skewed
+    * side gets a deterministic salt from a row-identifying column,
+    * the other side is replicated `salts` ways, and the join key
+    * becomes (key, salt) — one hot key spreads over `salts` reducers.
+    *
+    * Reach for AQE FIRST: the round-12 skew probe (BASELINE.md, one
+    * key owning 30% of a 6M-row fact) measured AQE's skew-join split
+    * at 0.98 s vs 1.57 s naive, while salting lost outright (1.97 s
+    * at 8 salts, 5.73 s at 32) because replication of a non-tiny
+    * right side dominates. This helper's remaining use cases are
+    * skewed AGGREGATION keys (pre-salt, partial-agg, de-salt) and
+    * joins where the right side is small enough that `salts`× copies
+    * are genuinely cheap. */
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
       saltFrom: String, salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0)

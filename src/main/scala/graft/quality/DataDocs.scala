@@ -54,12 +54,54 @@ object DataDocs {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     report.collect().groupBy(_.getAs[String]("dataset")).foreach {
       case (ds, rows) =>
-        val md = renderMarkdown(ds, runId, rows.toIndexedSeq)
-        val out = new org.apache.hadoop.fs.Path(
-          path, s"run_id=$runId/dataset=$ds/_index.md")
-        val os = fs.create(out, true)
-        try os.write(md.getBytes("UTF-8")) finally os.close()
+        for ((ext, page) <- Seq(
+            "md" -> renderMarkdown(ds, runId, rows.toIndexedSeq),
+            "html" -> renderHtml(ds, runId, rows.toIndexedSeq))) {
+          val out = new org.apache.hadoop.fs.Path(
+            path, s"run_id=$runId/dataset=$ds/_index.$ext")
+          val os = fs.create(out, true)
+          try os.write(page.getBytes("UTF-8")) finally os.close()
+        }
     }
+  }
+
+  /** Render one dataset's rows as a standalone HTML page — the
+    * operator-facing format GX itself ships (markdown stays the
+    * machine-round-trip format, [[parseMarkdown]]). Same ordering and
+    * content as the markdown page; fields are HTML-escaped. */
+  def renderHtml(dataset: String, runId: String, rows: Seq[Row]): String = {
+    def esc(s: String): String =
+      if (s == null) ""
+      else s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val sorted = rows.sortBy(r =>
+      (r.getAs[String]("exp_name"), r.getAs[String]("col_name")))
+    val nPass = sorted.count(_.getAs[Long]("success") == 1L)
+    val body = sorted.map { r =>
+      val ok = r.getAs[Long]("success") == 1L
+      val cls = if (ok) "pass" else "fail"
+      s"""<tr class="$cls"><td>${if (ok) "PASS" else "FAIL"}</td>""" +
+        s"<td>${esc(r.getAs[String]("exp_name"))}</td>" +
+        s"<td>${esc(r.getAs[String]("col_name"))}</td>" +
+        s"<td>${r.getAs[Double]("observed")}</td></tr>"
+    }.mkString("\n")
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8">
+       |<title>Validation report: ${esc(dataset)}</title>
+       |<style>
+       |table { border-collapse: collapse; font-family: sans-serif; }
+       |td, th { border: 1px solid #999; padding: 4px 10px; }
+       |tr.pass td:first-child { color: #0a0; font-weight: bold; }
+       |tr.fail td:first-child { color: #a00; font-weight: bold; }
+       |</style></head><body>
+       |<h1>Validation report: ${esc(dataset)}</h1>
+       |<p>run: <code>${esc(runId)}</code><br>
+       |expectations: ${sorted.size}, passed: $nPass,
+       |failed: ${sorted.size - nPass}</p>
+       |<table>
+       |<tr><th>status</th><th>expectation</th><th>column</th><th>observed</th></tr>
+       |$body
+       |</table></body></html>
+       |""".stripMargin
   }
 
   /** A literal `|` in a field would shift every cell after it; the

@@ -70,6 +70,19 @@ class ArtifactSpec extends AnyFunSuite {
           r.getAs[Long]("success"), r.getAs[Double]("observed")))
         .sortBy(t => (t._1, t._2)).toSeq
       assert(parsed == expected, s"docs page for $ds lost report rows")
+      // the HTML twin (GX's operator-facing format) carries the same
+      // rows: one <tr> per expectation plus the header row
+      val html = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(
+          reportDir, s"run_id=run_0001", s"dataset=$ds", "_index.html")), "UTF-8")
+      assert(html.contains(s"<h1>Validation report: $ds</h1>"))
+      assert(html.split("<tr").length - 1 == expected.size + 1,
+        s"html page for $ds row count mismatch")
+      expected.foreach { case (exp, colName, _, obs) =>
+        assert(html.contains(s"<td>$exp</td>") &&
+          html.contains(s"<td>$obs</td>"),
+          s"html page for $ds missing row for $exp/$colName")
+      }
     }
     // and the underscore prefix keeps the parquet reload clean: the
     // artifact still loads with only the report columns
