@@ -36,7 +36,17 @@ object TxTable {
 
   final class TxConflictException(msg: String) extends RuntimeException(msg)
 
-  case class Snapshot(version: Long, files: Seq[String])
+  /** One resolved manifest. `txns` carries the last applied epoch
+    * per streaming writer id (the Delta txn-action analog, the
+    * exactly-once key for [[appendEpoch]]); `statsCol`/`stats` carry
+    * optional per-file (min, max) of ONE indexed column, written by
+    * [[overwriteIndexed]] and consumed by [[readRange]]'s file
+    * pruning. Both are empty for manifests that never set them —
+    * old manifests parse unchanged. */
+  case class Snapshot(version: Long, files: Seq[String],
+      txns: Map[String, Long] = Map.empty,
+      statsCol: Option[String] = None,
+      stats: Map[String, (Double, Double)] = Map.empty)
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -64,10 +74,29 @@ object TxTable {
     val v = versions.max
     val body = new String(
       readFully(f, new Path(ld, s"v$v.json")), "UTF-8")
-    // commit body: {"version":N,"files":["data/...","data/..."]}
+    // commit body: {"version":N,"files":[...],"txns":{...},
+    //               "statscol":"c","stats":[{"path":..,"min":..,"max":..}]}
+    // The files list parses from ITS segment only — a path may also
+    // appear inside the stats objects.
+    val filesSeg = body.indexOf("\"files\":[") match {
+      case -1 => ""
+      case i => body.substring(i, body.indexOf(']', i) + 1)
+    }
     val files = "\"([^\"]+\\.parquet)\"".r
-      .findAllMatchIn(body).map(_.group(1)).toSeq
-    Some(Snapshot(v, files))
+      .findAllMatchIn(filesSeg).map(_.group(1)).toSeq
+    val txns = "\"txns\":\\{([^}]*)\\}".r.findFirstMatchIn(body)
+      .map(m => "\"([^\"]+)\":(-?\\d+)".r.findAllMatchIn(m.group(1))
+        .map(t => t.group(1) -> t.group(2).toLong).toMap)
+      .getOrElse(Map.empty[String, Long])
+    val statsCol = "\"statscol\":\"([^\"]+)\"".r
+      .findFirstMatchIn(body).map(_.group(1))
+    val num = "(-?[0-9][-0-9.eE+]*)"
+    val stats =
+      ("\\{\"path\":\"([^\"]+)\",\"min\":" + num + ",\"max\":" + num + "\\}").r
+        .findAllMatchIn(body)
+        .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
+        .toMap
+    Some(Snapshot(v, files, txns, statsCol, stats))
   }
 
   private def readFully(f: FileSystem, p: Path): Array[Byte] = {
@@ -142,12 +171,29 @@ object TxTable {
     *     LogStore pattern) — out of scope here, documented.
     */
   private[graft] def commit(spark: SparkSession, table: String,
-      version: Long, files: Seq[String]): Unit = {
+      version: Long, files: Seq[String],
+      txns: Map[String, Long] = Map.empty,
+      statsCol: Option[String] = None,
+      stats: Map[String, (Double, Double)] = Map.empty): Unit = {
     val ld = logDir(table)
     val f = fs(spark, ld)
     f.mkdirs(ld)
-    val body = files.map("\"" + _ + "\"")
-      .mkString(s"""{"version":$version,"files":[""", ",", "]}")
+    val filesJson = files.map("\"" + _ + "\"").mkString(",")
+    val txnsJson =
+      if (txns.isEmpty) ""
+      else txns.toSeq.sorted
+        .map { case (a, e) => "\"" + a + "\":" + e }
+        .mkString(",\"txns\":{", ",", "}")
+    val statsJson = statsCol match {
+      case Some(c) if stats.nonEmpty =>
+        ",\"statscol\":\"" + c + "\",\"stats\":[" +
+          stats.toSeq.sortBy(_._1).map { case (pth, (mn, mx)) =>
+            "{\"path\":\"" + pth + "\",\"min\":" + mn + ",\"max\":" + mx + "}"
+          }.mkString(",") + "]"
+      case _ => ""
+    }
+    val body =
+      s"""{"version":$version,"files":[$filesJson]$txnsJson$statsJson}"""
     val target = new Path(ld, s"v$version.json")
     val tmp = new Path(ld,
       s".v$version-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
@@ -176,12 +222,16 @@ object TxTable {
     } finally f.delete(tmp, false)
   }
 
-  /** Overwrite: next version = exactly `df`. Returns the version. */
+  /** Overwrite: next version = exactly `df`. Returns the version.
+    * Streaming txn markers carry forward (a replayed epoch must stay
+    * deduplicated across unrelated commits, Delta's txn semantics);
+    * file stats do not (the files they described are gone). */
   def overwrite(df: DataFrame, table: String): Long = {
     val spark = df.sparkSession
-    val next = snapshot(spark, table).map(_.version + 1).getOrElse(1L)
+    val cur = snapshot(spark, table)
+    val next = cur.map(_.version + 1).getOrElse(1L)
     val files = writeFiles(df, table, next)
-    commit(spark, table, next, files)
+    commit(spark, table, next, files, cur.map(_.txns).getOrElse(Map.empty))
     next
   }
 
@@ -193,7 +243,8 @@ object TxTable {
     val cur = snapshot(spark, table)
     val next = cur.map(_.version + 1).getOrElse(1L)
     val files = writeFiles(df, table, next)
-    commit(spark, table, next, cur.map(_.files).getOrElse(Nil) ++ files)
+    commit(spark, table, next, cur.map(_.files).getOrElse(Nil) ++ files,
+      cur.map(_.txns).getOrElse(Map.empty))
     next
   }
 
@@ -215,7 +266,139 @@ object TxTable {
           .unionByName(updates)
     }
     val files = writeFiles(merged, table, next)
-    commit(spark, table, next, files)
+    commit(spark, table, next, files, cur.map(_.txns).getOrElse(Map.empty))
     next
+  }
+
+  /** Exactly-once streaming append: apply `df` as `(appId, epochId)`
+    * unless that epoch (or a later one) is already committed for
+    * `appId` — the foreachBatch sink body that turns Structured
+    * Streaming's at-least-once re-delivery into exactly-once TABLE
+    * state, with the dedup key stored IN the manifest it commits
+    * (atomic with the data, unlike any external registry). Epochs
+    * per app must be monotonically increasing, which foreachBatch
+    * batchIds are. Returns true when applied, false when skipped as
+    * a duplicate. On a lost commit race the rebase re-reads the head
+    * — which may now contain this very epoch (the racer was a
+    * replayed twin), making retry-then-skip correct. */
+  def appendEpoch(df: DataFrame, table: String, appId: String,
+      epochId: Long, maxRetries: Int = 10): Boolean = {
+    val spark = df.sparkSession
+    var attempts = 0
+    while (true) {
+      val cur = snapshot(spark, table)
+      if (cur.exists(_.txns.get(appId).exists(_ >= epochId))) return false
+      val next = cur.map(_.version + 1).getOrElse(1L)
+      val files = writeFiles(df, table, next)
+      val txns = cur.map(_.txns).getOrElse(Map.empty) + (appId -> epochId)
+      try {
+        commit(spark, table, next,
+          cur.map(_.files).getOrElse(Nil) ++ files, txns)
+        return true
+      } catch {
+        case _: TxConflictException =>
+          attempts += 1
+          if (attempts >= maxRetries)
+            throw new TxConflictException(
+              s"appendEpoch lost $maxRetries races at $table")
+        // loser's freshly-written files stay orphaned (never
+        // referenced); vacuum reclaims them
+      }
+    }
+    false // unreachable
+  }
+
+  /** Overwrite with per-file (min, max) stats of `col` in the
+    * manifest: rows are range-partitioned on `col` first so files
+    * hold disjoint ranges, then one bounded pass over the fresh
+    * files records each file's span — manifest-level data skipping,
+    * the Delta/Iceberg scan-pruning mechanism. [[readRange]] uses
+    * the stats to open only overlapping files. */
+  def overwriteIndexed(df: DataFrame, table: String, col: String): Long = {
+    import org.apache.spark.sql.functions.{col => c, input_file_name, max => fmax, min => fmin}
+    val spark = df.sparkSession
+    val cur = snapshot(spark, table)
+    val next = cur.map(_.version + 1).getOrElse(1L)
+    // explicit partition count: an AQE-coalesced range exchange can
+    // collapse a small table to ONE file, which defeats the stats
+    val nParts = math.max(2,
+      spark.sessionState.conf.numShufflePartitions)
+    val files = writeFiles(df.repartitionByRange(nParts, c(col)), table, next)
+    val byName = files.map(f => f.split('/').last -> f).toMap
+    val stats = spark.read
+      .parquet(files.map(new Path(table, _).toString): _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(fmin(c(col)).as("__mn"), fmax(c(col)).as("__mx"))
+      .collect()
+      .flatMap { r =>
+        val name = r.getString(0).split('/').last
+        byName.get(name).map(f =>
+          f -> (r.get(1).toString.toDouble, r.get(2).toString.toDouble))
+      }.toMap
+    commit(spark, table, next, files,
+      cur.map(_.txns).getOrElse(Map.empty), Some(col), stats)
+    next
+  }
+
+  /** The files of `snap` that can contain `col` ∈ [lo, hi]: a file
+    * whose recorded span misses the range entirely is skipped; files
+    * without stats (or a different indexed column) are kept — pruning
+    * is an optimization, never a filter. */
+  def pruneFiles(snap: Snapshot, col: String, lo: Double,
+      hi: Double): Seq[String] =
+    if (!snap.statsCol.contains(col)) snap.files
+    else snap.files.filter(f => snap.stats.get(f) match {
+      case Some((mn, mx)) => mx >= lo && mn <= hi
+      case None => true
+    })
+
+  /** Range read through manifest stats: opens only files overlapping
+    * [lo, hi], then applies the exact filter (stats prune files, the
+    * predicate prunes rows). */
+  def readRange(spark: SparkSession, table: String, col: String,
+      lo: Double, hi: Double, asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    val snap = snapshot(spark, table, asOf).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $table"))
+    val keep = pruneFiles(snap, col, lo, hi)
+    if (keep.isEmpty)
+      return read(spark, table, asOf).filter(c(col) >= lo && c(col) <= hi)
+        .filter(org.apache.spark.sql.functions.lit(false))
+    spark.read.parquet(keep.map(new Path(table, _).toString): _*)
+      .filter(c(col) >= lo && c(col) <= hi)
+  }
+
+  /** Reclaim space: keep the newest `retainLast` manifests, delete
+    * older manifests and every data file no retained manifest
+    * references (commit-race losers' orphans included). Time travel
+    * to a vacuumed version stops working — that is the tradeoff
+    * vacuum IS. `graceMs` protects a concurrent writer's
+    * just-written, not-yet-committed files (production: set it above
+    * the longest write; tests use 0 with no concurrent writers).
+    * Returns (manifestsDeleted, dataFilesDeleted). */
+  def vacuum(spark: SparkSession, table: String, retainLast: Int,
+      graceMs: Long = 0L): (Int, Int) = {
+    require(retainLast >= 1)
+    val ld = logDir(table)
+    val f = fs(spark, ld)
+    if (!f.exists(ld)) return (0, 0)
+    val versions = f.listStatus(ld).toSeq
+      .flatMap(s => versionOf(s.getPath)).sorted
+    val dropVersions = versions.dropRight(retainLast)
+    val keepVersions = versions.takeRight(retainLast)
+    val referenced = keepVersions.flatMap(v =>
+      snapshot(spark, table, Some(v)).map(_.files).getOrElse(Nil)).toSet
+    var dataDeleted = 0
+    val dd = dataDir(table)
+    val now = System.currentTimeMillis()
+    if (f.exists(dd)) f.listStatus(dd).foreach { st =>
+      val rel = s"data/${st.getPath.getName}"
+      if (!referenced(rel) && st.getPath.getName.endsWith(".parquet") &&
+        now - st.getModificationTime >= graceMs) {
+        if (f.delete(st.getPath, false)) dataDeleted += 1
+      }
+    }
+    dropVersions.foreach(v => f.delete(new Path(ld, s"v$v.json"), false))
+    (dropVersions.size, dataDeleted)
   }
 }

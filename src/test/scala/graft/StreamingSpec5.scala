@@ -86,6 +86,49 @@ class StreamingSpec5 extends AnyFunSuite {
         s"dups=${vals.size - vals.distinct.size}")
   }
 
+  test("streaming into TxTable via appendEpoch is exactly-once across forced replay") {
+    import graft.sources.TxTable
+    val t = Files.createTempDirectory("graft_txstream_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_txstream_ckpt").toString
+
+    def rows(): Seq[Long] =
+      if (TxTable.snapshot(spark, t).isEmpty) Nil
+      else TxTable.read(spark, t).select("value")
+        .collect().map(_.getLong(0)).toSeq
+
+    def start() = rateSource()
+      .select(col("value"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        TxTable.appendEpoch(df, t, "stream1", epoch); ()
+      }.start()
+
+    val q1 = start()
+    try pollUntil()(rows().size >= 4 * 32)
+    finally q1.stop()
+
+    // forced replay: drop the newest stream commit marker — the table
+    // ALREADY holds that epoch (its manifest txn marker proves it),
+    // so the re-delivered batch must be skipped, not re-appended
+    val commits = Paths.get(ckpt, "commits")
+    val newest = Files.list(commits).toArray.map(_.toString)
+      .filter(_.matches(".*/\\d+$")).maxBy(p => p.split("/").last.toLong)
+    Files.delete(Paths.get(newest))
+    Files.deleteIfExists(commits.resolve(s".${newest.split("/").last}.crc"))
+    val before = rows().size
+
+    val q2 = start()
+    try pollUntil()(rows().size >= before + 2 * 32)
+    finally q2.stop()
+
+    val vals = rows().sorted
+    assert(vals == (0L until vals.length.toLong),
+      s"TxTable sink not exactly-once: ${vals.size} rows, " +
+        s"dups=${vals.size - vals.distinct.size}")
+    // and the dedup marker is in the table's own manifest
+    assert(TxTable.snapshot(spark, t).get.txns.contains("stream1"))
+  }
+
   test("upsertBatch is idempotent when invoked twice with the same epoch") {
     val table = "eo_unit"
     JdbcUpsert.createTable(url, table)

@@ -150,6 +150,75 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.snapshot(spark, t).get.version === (1 + n).toLong)
   }
 
+  test("appendEpoch applies once per (app, epoch) and skips replays") {
+    val t = freshTable()
+    assert(TxTable.appendEpoch(df(1 -> "e0"), t, "appA", 0L))
+    assert(!TxTable.appendEpoch(df(1 -> "e0dup"), t, "appA", 0L),
+      "replayed epoch must be skipped")
+    assert(TxTable.appendEpoch(df(2 -> "e1"), t, "appA", 1L))
+    // a second app's epochs are independent
+    assert(TxTable.appendEpoch(df(3 -> "b0"), t, "appB", 0L))
+    // markers survive unrelated commits (overwrite carries txns)
+    TxTable.append(df(4 -> "manual"), t)
+    assert(!TxTable.appendEpoch(df(9 -> "late-replay"), t, "appA", 1L))
+    val vs = TxTable.read(spark, t).as[(Int, String)].collect().map(_._2)
+    assert(vs.sorted.toSeq === Seq("b0", "e0", "e1", "manual"))
+    assert(TxTable.snapshot(spark, t).get.txns ===
+      Map("appA" -> 1L, "appB" -> 0L))
+  }
+
+  test("overwriteIndexed stats prune files in readRange, results exact") {
+    val t = freshTable()
+    val data = (1 to 1000).map(i => (i, s"r$i")).toDF("k", "v")
+      .repartition(8)
+    TxTable.overwriteIndexed(data, t, "k")
+    val snap = TxTable.snapshot(spark, t).get
+    assert(snap.statsCol.contains("k"))
+    assert(snap.stats.size === snap.files.size, "every file needs stats")
+    // a narrow range must open strictly fewer files than the table has
+    val kept = TxTable.pruneFiles(snap, "k", 10, 20)
+    assert(kept.nonEmpty && kept.size < snap.files.size,
+      s"pruning kept ${kept.size} of ${snap.files.size}")
+    // and the pruned read returns exactly the full-scan filter
+    val pruned = TxTable.readRange(spark, t, "k", 10, 20)
+      .as[(Int, String)].collect().sorted
+    val full = TxTable.read(spark, t).filter($"k" >= 10 && $"k" <= 20)
+      .as[(Int, String)].collect().sorted
+    assert(pruned.toSeq === full.toSeq)
+    assert(pruned.map(_._1).toSeq === (10 to 20))
+    // pruning on a non-indexed column is a no-op, never a filter
+    assert(TxTable.pruneFiles(snap, "other", 0, 1) === snap.files)
+  }
+
+  test("vacuum reclaims unreferenced files; retained versions stay exact") {
+    val t = freshTable()
+    TxTable.overwrite(df(1 -> "v1"), t)
+    TxTable.overwrite(df(2 -> "v2"), t)
+    TxTable.append(df(3 -> "v3"), t)
+    TxTable.overwrite(df(4 -> "v4"), t)
+    val dataDir = new java.io.File(t, "data")
+    val before = dataDir.listFiles().count(_.getName.endsWith(".parquet"))
+    val (manifests, files) = TxTable.vacuum(spark, t, retainLast = 2)
+    assert(manifests === 2) // v1, v2 manifests dropped
+    assert(files > 0, "v1's files are unreferenced by v3/v4 and must go")
+    val after = dataDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after === before - files)
+    // retained versions read exactly; vacuumed history is gone
+    assert(TxTable.read(spark, t).as[(Int, String)].collect().toSeq
+      === Seq(4 -> "v4"))
+    assert(TxTable.read(spark, t, asOf = Some(3)).as[(Int, String)]
+      .collect().sorted.toSeq === Seq(2 -> "v2", 3 -> "v3"))
+    intercept[IllegalArgumentException] {
+      TxTable.read(spark, t, asOf = Some(1))
+    }
+    // v3 (retained, shares v2's files... it must still be complete):
+    // every file v3 references must still exist
+    val snap3 = TxTable.snapshot(spark, t, Some(3)).get
+    snap3.files.foreach { f =>
+      assert(new java.io.File(t, f).exists(), s"retained file $f deleted")
+    }
+  }
+
   test("snapshot on a never-written table is None; read throws") {
     val t = freshTable()
     assert(TxTable.snapshot(spark, t).isEmpty)
