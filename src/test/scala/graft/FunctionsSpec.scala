@@ -127,6 +127,67 @@ class FunctionsSpec extends AnyFunSuite {
       lit(null).cast("array<float>"), planes, tables)).head.isNullAt(0))
   }
 
+  test("nearest_cells matches the composable struct-min/sort formulation bitwise") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSpark.sf).limit(200)
+      .select($"vec_id", $"embedding".as("__vec"))
+    val cents = graft.similarity.KMeans.fit(
+      Tables.embeddings(spark, TestSpark.sf), "vec_id", "embedding",
+      k = 8, iters = 2)
+    // the pre-round-12 formulation, rebuilt inline: -cosine against
+    // typedlit centroids, struct-min for the cell, array_sort+slice
+    // for the probes — the semantics NearestCells must reproduce
+    def cos(vec: org.apache.spark.sql.Column, c: Seq[Double]) = {
+      val dot = graft.functions.ArrayDot.dot _
+      dot(vec, typedLit(c)) / sqrt(dot(vec, vec) * dot(typedLit(c), typedLit(c)))
+    }
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      struct((-cos($"__vec", c)).as("negcos"), lit(i).as("cell"))
+    }
+    val composableCell = emb.select($"vec_id",
+        array_min(array(scored: _*)).getField("cell").as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaCell = emb.select($"vec_id",
+        graft.similarity.KMeans.cellExpr($"__vec", cents).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaCell == composableCell)
+    val composableProbe = emb.select($"vec_id",
+        transform(slice(array_sort(array(scored: _*)), 1, 3),
+          s => s.getField("cell")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val viaProbe = emb.select($"vec_id",
+        graft.similarity.KMeans.probeExpr($"__vec", cents, 3).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(viaProbe == composableProbe)
+  }
+
+  test("array_pairs: ordered comb, strict variant, edge cases") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1L, 2L, 3L)),
+      (2L, Seq(5L)),
+      (3L, Seq.empty[Long]),
+      (4L, Seq(7L, 7L, 9L))).toDF("id", "xs")
+    val got = df.select($"id",
+        graft.functions.ArrayPairs.of($"xs").as("ps"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getLong(0), p.getLong(1))))
+      .toMap
+    assert(got(1L) == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(got(2L) == Nil && got(3L) == Nil)
+    // multiplicity kept in the plain variant
+    assert(got(4L) == Seq((7L, 7L), (7L, 9L), (7L, 9L)))
+    // strict drops the duplicate-equal pair, keeps both distinct combs
+    val strict = df.filter($"id" === 4L).select(
+        graft.functions.ArrayPairs.of($"xs", strict = true).as("ps"))
+      .head.getSeq[org.apache.spark.sql.Row](0)
+      .map(p => (p.getLong(0), p.getLong(1)))
+    assert(strict == Seq((7L, 9L), (7L, 9L)))
+    // null array → null result
+    assert(df.limit(1).select(graft.functions.ArrayPairs.of(
+      lit(null).cast("array<bigint>"))).head.isNullAt(0))
+  }
+
   test("fitMulti recovers exact coefficients on synthetic linear data") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
