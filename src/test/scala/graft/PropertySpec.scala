@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based checks: every hand-rolled primitive against an
+  * obviously-correct reference on randomized inputs. The JVM-pure
+  * primitives (codegen helper objects, the PPM codec) get hundreds of
+  * cases; the Spark-driven ones get a handful of randomized frames —
+  * exact-math equivalences, so any failure is a real bug, not noise.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def cases[A](g: Gen[A], n: Int): Seq[A] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  test("LshUtil.buckets == per-plane sign-sum reference (300 random vectors)") {
+    val genVec = for {
+      n <- Gen.choose(1, 80)
+      xs <- Gen.listOfN(n, Gen.choose(-5.0, 5.0))
+    } yield xs.toArray
+    for (v <- cases(genVec, 300)) {
+      val got = graft.functions.LshUtil
+        .buckets(new GenericArrayData(v), isFloat = false, 4, 16)
+        .toLongArray()
+      val want = (0 until 16).map { t =>
+        (0 until 4).map { p =>
+          val signs = graft.similarity.Similarity.planeSigns(t, p, v.length)
+          val dot = v.indices.foldLeft(0.0)((a, i) => a + v(i) * signs(i))
+          if (dot > 0) 1L << p else 0L
+        }.sum
+      }.toArray
+      assert(got.toSeq == want.toSeq)
+    }
+  }
+
+  test("ArrayPairsUtil.pairs == for-comprehension reference (300 random arrays)") {
+    val genArr = for {
+      n <- Gen.choose(0, 12)
+      xs <- Gen.listOfN(n, Gen.choose(0L, 6L)) // small domain → many ties
+    } yield xs.sorted.toArray
+    for (a <- cases(genArr, 300); strict <- Seq(false, true)) {
+      val got = graft.functions.ArrayPairsUtil
+        .pairs(new GenericArrayData(a), isLong = true, strict)
+        .array.toSeq.map { r =>
+          val row = r.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+          (row.getLong(0), row.getLong(1))
+        }
+      val want = for {
+        i <- a.indices; j <- (i + 1) until a.length
+        if !strict || a(j) > a(i)
+      } yield (a(i), a(j))
+      assert(got == want, s"strict=$strict input=${a.toSeq}")
+    }
+  }
+
+  test("KMeansUtil.nearest == sort-by-(negcos,cell) reference (200 random vectors)") {
+    val k = 7
+    val dim = 16
+    val genVec = Gen.listOfN(dim, Gen.choose(-3.0, 3.0)).map(_.toArray)
+    val cents = cases(genVec, k).toArray
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d, na, nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    for (v <- cases(genVec, 200); nprobe <- Seq(1, 3, k)) {
+      val got = graft.functions.KMeansUtil
+        .nearest(new GenericArrayData(v), isFloat = false, cents, nprobe)
+        .toIntArray().toSeq
+      val want = cents.indices
+        .sortBy(c => (-cos(v, cents(c)), c)).take(nprobe)
+      assert(got == want, s"nprobe=$nprobe")
+    }
+  }
+
+  test("PpmCodec parse∘render recovers dims and channel sums for random ids") {
+    import graft.multimodal.PpmCodec
+    for (id <- cases(Gen.choose(0L, Long.MaxValue / 2), 100)) {
+      val Some((w, h, sr, sg, sb)) = PpmCodec.parse(PpmCodec.render(id))
+      assert(w == (id % 64 + 8).toInt && h == (id % 48 + 6).toInt)
+      val s0 = (id % 256).toInt
+      def ch(c: Int) =
+        (0 until w * h).map(p => ((s0 + 3 * p + c) % 256).toLong).sum
+      assert((sr, sg, sb) == ((ch(0), ch(1), ch(2))))
+    }
+  }
+
+  test("Rank.runningSums == naive window on randomized tied data (5 frames)") {
+    import spark.implicits._
+    val genRows = for {
+      n <- Gen.choose(1, 300)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b", "c")
+        v <- Gen.choose(0, 9) // few distinct values → RANGE-frame peers
+        w <- Gen.choose(1L, 5L)
+      } yield (g, v, w))
+    } yield rows
+    for ((rows, i) <- cases(genRows, 5).zipWithIndex) {
+      val df = rows.toDF("g", "v", "w")
+        .withColumn("id", monotonically_increasing_id())
+      val got = Rank12Helper.running(df)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"g").orderBy($"v") // RANGE frame: peers included
+      val want = df.withColumn("rs", sum($"w").over(w))
+        .withColumn("rs_total", sum($"w").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"g")))
+        .select($"id", $"rs", $"rs_total")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == want, s"frame $i (${rows.size} rows)")
+    }
+  }
+
+  test("ExactPercentile.perGroup == built-in percentile on random frames (5 frames)") {
+    import spark.implicits._
+    val genRows = for {
+      n <- Gen.choose(2, 400)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("x", "y")
+        v <- Gen.choose(-100.0, 100.0)
+      } yield (g, v))
+    } yield rows
+    for ((rows, i) <- cases(genRows, 5).zipWithIndex) {
+      // every group needs ≥1 row; the generator may omit one
+      val df = (rows ++ Seq(("x", 0.0), ("y", 0.0))).toDF("g", "v")
+      val got = graft.operators.ExactPercentile
+        .perGroup(df, "g", "v",
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      val want = df.groupBy($"g").agg(
+          expr("percentile(v, 0.25)"), expr("percentile(v, 0.5)"),
+          expr("percentile(v, 0.75)"))
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      for (g <- got.keys) {
+        val (a, b) = (got(g), want(g))
+        assert(math.abs(a._1 - b._1) < 1e-9 &&
+          math.abs(a._2 - b._2) < 1e-9 && math.abs(a._3 - b._3) < 1e-9,
+          s"frame $i group $g: $a vs $b")
+      }
+    }
+  }
+}
+
+/** Helper keeping the runningSums call noise out of the property. */
+private object Rank12Helper {
+  def running(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+    graft.operators.Rank
+      .runningSums(df, Seq("g"), "v", Nil,
+        Seq("rs" -> org.apache.spark.sql.functions.col("w")))
+      .select("id", "rs", "rs_total")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+}
