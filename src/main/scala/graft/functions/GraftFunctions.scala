@@ -13,7 +13,8 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "array_dot" -> (es => ArrayDot(es(0), es(1))),
     "shingle_hashes" -> (es => ShingleHashes(es(0),
-      es(1).eval().asInstanceOf[Number].intValue)))
+      es(1).eval().asInstanceOf[Number].intValue)),
+    "jaro_winkler" -> (es => JaroWinkler(es(0), es(1))))
 
   def registerAll(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

@@ -127,6 +127,49 @@ class FunctionsSpec extends AnyFunSuite {
       lit(null).cast("array<float>"), planes, tables)).head.isNullAt(0))
   }
 
+  test("jaro_winkler matches DuckDB's jaro_winkler_similarity byte-for-byte") {
+    import spark.implicits._
+    // expected values produced by DuckDB jaro_winkler_similarity /
+    // jaro_similarity on these exact strings (round-12 probe). The
+    // set covers transpositions, the 0.7 boost threshold (xy/xz has a
+    // common prefix but j <= 0.7 → NO boost), empty strings, and a
+    // multi-byte pair whose answer differs between byte and codepoint
+    // semantics (0.70996 is the BYTE answer DuckDB gives).
+    val vectors = Seq(
+      ("martha", "marhta", 0.9611111111),
+      ("dixon", "dicksonx", 0.8133333333),
+      ("jellyfish", "smellyfish", 0.8962962963),
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0),
+      ("a", "", 0.0),
+      ("DUANE", "DWAYNE", 0.84),
+      ("cat", "hat", 0.7777777778),
+      ("prefix_aaaa", "prefix_zzzz", 0.8545454545),
+      ("prefixAB", "prefiyXY", 0.85),
+      ("aaaaaa", "bbbbbb", 0.0),
+      ("ab", "ba", 0.0),
+      ("aabbcc", "ccbbaa", 0.5555555556),
+      ("xy", "xz", 0.6666666667),
+      ("longercommonstart_123", "longercommonstart_987", 0.9428571429),
+      ("Fußgänger", "Fussgaenger", 0.7679653680),
+      ("ACME corp", "ACME Corp.", 0.9377777778),
+      ("x", "x", 1.0))
+    val got = vectors.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(graft.functions.JaroWinkler.of($"a", $"b"))
+      .collect().map(_.getDouble(0))
+    vectors.map(_._3).zip(got).zipWithIndex.foreach { case ((want, g), i) =>
+      assert(math.abs(g - want) < 1e-9,
+        s"${vectors(i)._1} / ${vectors(i)._2}: got $g want $want")
+    }
+    // null propagation + SQL registration
+    assert(Seq(("a", "b")).toDF("a", "b")
+      .select(graft.functions.JaroWinkler.of(lit(null).cast("string"), $"b"))
+      .head.isNullAt(0))
+    graft.functions.GraftFunctions.registerAll(spark)
+    assert(spark.sql("SELECT jaro_winkler('martha', 'marhta') AS j")
+      .head.getDouble(0) > 0.96)
+  }
+
   test("nearest_cells matches the composable struct-min/sort formulation bitwise") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, TestSpark.sf).limit(200)
