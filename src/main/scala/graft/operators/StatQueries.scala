@@ -47,6 +47,64 @@ object StatQueries extends QueryModule {
     // of BUILDING vs MACHINERY customers, pooled-variance normal
     // statistic. ONE aggregation pass over the broadcast-joined scan
     // produces all four counts; the z arithmetic is a scalar select.
+    // Welch's unequal-variance two-sample t-test (BUILDING vs
+    // MACHINERY order totals): one grouped aggregate produces
+    // (n, mean, sample variance) per arm, the statistic and the
+    // Welch–Satterthwaite degrees of freedom are closed-form driver
+    // arithmetic over TWO rows. The p-value needs a t-CDF neither
+    // engine exposes in SQL, so the contract is (t, dof) — what a
+    // caller feeds any CDF. Scan is linear + map-side combinable.
+    "q_ttest" -> ((s, d) => {
+      import s.implicits._
+      val arms = T.orders(s, d)
+        .join(T.customer(s, d), $"o_custkey" === $"c_custkey")
+        .filter($"c_mktsegment".isin("BUILDING", "MACHINERY"))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).cast("double").as("n"),
+          avg($"o_totalprice").as("m"),
+          var_samp($"o_totalprice").as("v"))
+      val a = arms.filter($"c_mktsegment" === "BUILDING")
+        .select($"n".as("na"), $"m".as("ma"), $"v".as("va"))
+      val b = arms.filter($"c_mktsegment" === "MACHINERY")
+        .select($"n".as("nb"), $"m".as("mb"), $"v".as("vb"))
+      a.crossJoin(broadcast(b))
+        .select(
+          $"na".cast("long").as("n_a"), $"nb".cast("long").as("n_b"),
+          r4($"ma" - $"mb").as("mean_diff"),
+          r4(($"ma" - $"mb") /
+            sqrt($"va" / $"na" + $"vb" / $"nb")).as("t_stat"),
+          r4(pow($"va" / $"na" + $"vb" / $"nb", 2) /
+            (pow($"va" / $"na", 2) / ($"na" - 1) +
+              pow($"vb" / $"nb", 2) / ($"nb" - 1))).as("welch_dof"))
+    }),
+
+    // Brown–Forsythe (median-based Levene) variance-equality test
+    // across all 5 market segments' order totals: per-group medians
+    // from the scalable exact-percentile machinery, broadcast back
+    // onto the rows for |x − med|, then the F statistic from two
+    // grouped aggregates — no per-group buffering anywhere, linear
+    // at any scale.
+    "q_levene" -> ((s, d) => {
+      import s.implicits._
+      val rows = T.orders(s, d)
+        .join(T.customer(s, d), $"o_custkey" === $"c_custkey")
+        .select($"c_mktsegment".as("g"), $"o_totalprice".cast("double").as("x"))
+      val med = ExactPercentile.perGroup(rows, "g", "x", Seq("med" -> 0.5))
+      val z = rows.join(broadcast(med), "g").select($"g", abs($"x" - $"med").as("z"))
+      val per = z.groupBy($"g")
+        .agg(count(lit(1)).cast("double").as("n"), avg($"z").as("zb"),
+          // Σ (z − z̄_j)² via the moment identity, one pass
+          (sum($"z" * $"z") - count(lit(1)) * pow(avg($"z"), 2)).as("ssw"))
+      per.agg(
+          sum($"n").as("nn"), count(lit(1)).cast("double").as("k"),
+          sum($"n" * $"zb").as("szb"), sum($"ssw").as("ssw"),
+          sum($"n" * $"zb" * $"zb").as("szb2"))
+        .select(
+          $"nn".cast("long").as("n_rows"), $"k".cast("long").as("k_groups"),
+          r4((($"nn" - $"k") / ($"k" - 1)) *
+            (($"szb2" - $"szb" * $"szb" / $"nn") / $"ssw")).as("bf_stat"))
+    }),
+
     "q_prop_ztest" -> ((s, d) => {
       import s.implicits._
       val seg = T.orders(s, d)
@@ -172,6 +230,43 @@ object StatQueries extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_levene" ->
+      """WITH rows_ AS (
+        |  SELECT c_mktsegment AS g, o_totalprice::DOUBLE AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |med AS (SELECT g, quantile_cont(x, 0.5) AS m FROM rows_ GROUP BY 1),
+        |z AS (SELECT rows_.g, abs(x - m) AS z
+        |      FROM rows_ JOIN med ON rows_.g = med.g),
+        |per AS (SELECT g, count(*)::DOUBLE AS n, avg(z) AS zb,
+        |    sum(z*z) - count(*) * pow(avg(z), 2) AS ssw
+        |  FROM z GROUP BY 1),
+        |agg AS (SELECT sum(n) AS nn, count(*)::DOUBLE AS k,
+        |    sum(n*zb) AS szb, sum(ssw) AS ssw, sum(n*zb*zb) AS szb2
+        |  FROM per)
+        |SELECT CAST(nn AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS k_groups,
+        |  round(((nn - k) / (k - 1)) *
+        |    ((szb2 - szb*szb/nn) / ssw), 4) AS bf_stat
+        |FROM agg""".stripMargin,
+
+    "q_ttest" ->
+      """WITH arm AS (
+        |  SELECT c_mktsegment, count(*)::DOUBLE AS n,
+        |    avg(o_totalprice) AS m, var_samp(o_totalprice) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |  GROUP BY 1),
+        |a AS (SELECT n AS na, m AS ma, v AS va FROM arm
+        |      WHERE c_mktsegment = 'BUILDING'),
+        |b AS (SELECT n AS nb, m AS mb, v AS vb FROM arm
+        |      WHERE c_mktsegment = 'MACHINERY')
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(ma - mb, 4) AS mean_diff,
+        |  round((ma - mb) / sqrt(va/na + vb/nb), 4) AS t_stat,
+        |  round(pow(va/na + vb/nb, 2) /
+        |    (pow(va/na, 2)/(na - 1) + pow(vb/nb, 2)/(nb - 1)), 4)
+        |    AS welch_dof
+        |FROM a, b""".stripMargin,
+
     "q_theil" ->
       """WITH cust AS (SELECT o_custkey, sum(o_totalprice) AS x
         |  FROM orders GROUP BY 1),
