@@ -186,6 +186,34 @@ object PipelineQueries extends QueryModule {
       }.reduce(_ unionByName _)
         .select($"version", $"c_mktsegment", $"n", $"bal")
         .orderBy($"version", $"c_mktsegment")
+    }),
+
+    // Manifest data skipping end to end: overwriteIndexed range-
+    // partitions orders on o_totalprice and records per-file
+    // (min, max) in the manifest; readRange then opens ONLY the
+    // overlapping files. The construction asserts the pruning
+    // actually happened (kept < total files) — a silently-broken
+    // stats writer would fail the build, and wrong pruning (a file
+    // skipped that held matching rows) diverges from the oracle's
+    // full-scan filter.
+    "pipe_indexed_scan" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.TxTable
+      val dir = sys.props("java.io.tmpdir") +
+        "/graft_txtable_idx_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      TxTable.overwriteIndexed(T.orders(s, d)
+          .select($"o_orderkey", $"o_orderpriority", $"o_totalprice"),
+        dir, "o_totalprice")
+      val snap = TxTable.snapshot(s, dir).get
+      val kept = TxTable.pruneFiles(snap, "o_totalprice", 1000.0, 20000.0)
+      require(kept.nonEmpty && kept.size < snap.files.size,
+        s"manifest stats failed to prune: ${kept.size}/${snap.files.size}")
+      TxTable.readRange(s, dir, "o_totalprice", 1000.0, 20000.0)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), r4(sum($"o_totalprice")).as("total"))
+        .orderBy($"o_orderpriority")
     })
   )
 
@@ -222,6 +250,15 @@ object PipelineQueries extends QueryModule {
         |    ELSE c_acctbal END), 4)
         |FROM c GROUP BY 2
         |ORDER BY version, c_mktsegment""".stripMargin,
+
+    // full-scan filter — equals the pruned read only if no matching
+    // file was skipped and no extra rows leaked in
+    "pipe_indexed_scan" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 4) AS total
+        |FROM orders
+        |WHERE o_totalprice >= 1000.0 AND o_totalprice <= 20000.0
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     "pipe_corpus_curate" ->
       s"""WITH scored AS (
