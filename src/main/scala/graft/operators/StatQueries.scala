@@ -78,6 +78,28 @@ object StatQueries extends QueryModule {
               pow($"vb" / $"nb", 2) / ($"nb" - 1))).as("welch_dof"))
     }),
 
+    // Minimal detectable effect for a two-arm experiment per market
+    // segment: MDE = (z_{α/2} + z_β)·σ·sqrt(2/n_arm) at α = 0.05,
+    // power = 0.80 (the z quantiles are closed-form literals — no
+    // CDF needed in either engine), with n_arm = half the segment.
+    // The experiment-SIZING step the A/B family (q_prop_ztest,
+    // q_cuped, q_ttest) runs before any test: one grouped aggregate,
+    // linear and map-side combinable.
+    "q_mde" -> ((s, d) => {
+      import s.implicits._
+      val z = 1.9599639845400545 + 0.8416212335729143
+      T.orders(s, d)
+        .join(T.customer(s, d), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          stddev_samp($"o_totalprice").as("sd"))
+        .select($"c_mktsegment", $"n",
+          r4($"sd").as("sd"),
+          r4(lit(z) * $"sd" *
+            sqrt(lit(2.0) / floor($"n" / 2))).as("mde"))
+        .orderBy($"c_mktsegment")
+    }),
+
     // Brown–Forsythe (median-based Levene) variance-equality test
     // across all 5 market segments' order totals: per-group medians
     // from the scalable exact-percentile machinery, broadcast back
@@ -230,6 +252,15 @@ object StatQueries extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_mde" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(stddev_samp(o_totalprice), 4) AS sd,
+        |  round((1.9599639845400545 + 0.8416212335729143)
+        |    * stddev_samp(o_totalprice)
+        |    * sqrt(2.0 / floor(count(*) / 2)), 4) AS mde
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
     "q_levene" ->
       """WITH rows_ AS (
         |  SELECT c_mktsegment AS g, o_totalprice::DOUBLE AS x
