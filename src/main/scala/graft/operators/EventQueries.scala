@@ -88,6 +88,28 @@ object EventQueries extends QueryModule {
         .orderBy($"event_id")
     }),
 
+    // Same AS-OF semantics through the NATIVE whole-plan operator
+    // (graft.plans.AsOfJoinNative: custom LogicalPlan + Strategy +
+    // SparkPlan — one hash exchange + sort per side, then a
+    // zipPartitions merge with O(1) state). Same oracle formulation
+    // as q_asof_join, so the custom exec's correctness is
+    // driver-gated end to end, not just spec-compared.
+    "q_asof_native" -> ((s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val views = ev.filter($"event_type" === "view")
+        .select($"event_id", $"user_id", $"ts")
+      graft.plans.AsOfJoinNative(purchases, views, key = "user_id",
+          ts = "ts", tiebreak = "event_id")
+        .filter($"asof_ts".isNotNull)
+        .select($"event_id", $"user_id",
+          unix_micros($"ts").as("ts_us"),
+          unix_micros($"asof_ts").as("view_ts_us"))
+        .orderBy($"event_id")
+    }),
+
     "q_range_join" -> ((s, d) => {
       import s.implicits._
       T.orders(s, d)
@@ -189,6 +211,20 @@ object EventQueries extends QueryModule {
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q_asof_join" ->
+      """SELECT event_id, user_id, ts_us, view_ts_us FROM (
+        |  SELECT event_id, user_id, tag, epoch_us(ts) AS ts_us,
+        |    last_value(CASE WHEN tag = 0 THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |        ORDER BY ts, tag, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_ts_us
+        |  FROM (
+        |    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS tag
+        |    FROM events WHERE event_type IN ('view','purchase')))
+        |WHERE tag = 1 AND view_ts_us IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
+    "q_asof_native" ->
       """SELECT event_id, user_id, ts_us, view_ts_us FROM (
         |  SELECT event_id, user_id, tag, epoch_us(ts) AS ts_us,
         |    last_value(CASE WHEN tag = 0 THEN epoch_us(ts) END IGNORE NULLS)
