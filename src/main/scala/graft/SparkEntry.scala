@@ -18,6 +18,7 @@ object SparkEntry {
     operators.ResampleQueries,
     operators.DriftQueries,
     operators.StatQueries,
+    operators.StatQueries2,
     operators.PageRank,
     operators.EventQueries,
     operators.EventQueries2,
