@@ -186,6 +186,72 @@ object Rank {
     else offs.groupBy(group.map(col): _*).agg(finalAggs.head, finalAggs.tail: _*)
   }
 
+  /** [[prefixDotSums]] for the k-sample case: every dot product reads
+    * the SAME prefix column (one `b` exclusive running sum, k `a`
+    * vectors against it — the Kruskal-Wallis shape, where each group's
+    * rank sum dots its own counts with the one pooled-count prefix).
+    * [[prefixDotSums]] would build k identical window columns; this
+    * builds one. Same exactness argument, same two-stage shape. */
+  def prefixDotSumsShared(df: DataFrame, group: Seq[String], value: String,
+      b: Column, dots: Seq[(String, Column)], totals: Seq[(String, Column)],
+      buckets: Int = 32): DataFrame = {
+    require(dots.nonEmpty)
+    // checkpoint the NARROW bucketed histogram; the (row-wise, cheap)
+    // a/b/t derivations re-derive from its blocks instead of tripling
+    // the materialized width (checkpointing before the bucket join
+    // measured slower: the window arm then re-runs the bounds
+    // broadcast join per arm)
+    val bucketed = withRangeBucket(df, group, value, buckets)
+      .localCheckpoint(false)
+    val weighted0 = dots.foldLeft(bucketed.withColumn("_b", b)) {
+      case (d, (n, a)) => d.withColumn(s"_a_$n", a)
+    }
+    val weighted = totals.foldLeft(weighted0) { case (d, (n, w)) =>
+      d.withColumn(s"_t_$n", w)
+    }
+    val bucketKey = group :+ "_bucket"
+
+    // ONE exclusive prefix of b in value order, folded into the
+    // per-(group,bucket) aggregate — the histogram is scanned once.
+    val wPrev = Window.partitionBy(bucketKey.map(col): _*)
+      .orderBy(col(value)).rowsBetween(Window.unboundedPreceding, -1)
+    val local = weighted.withColumn("_p",
+      coalesce(sum(col("_b")).over(wPrev), lit(0.0)))
+    val perBucketAggs =
+      dots.flatMap { case (n, _) => Seq(
+        sum(col(s"_a_$n") * col("_p")).as(s"_in_$n"),
+        sum(col(s"_a_$n")).as(s"_atot_$n"))
+      } ++ Seq(sum(col("_b")).as("_btot")) ++
+        totals.map { case (n, _) => sum(col(s"_t_$n")).as(s"_ttot_$n") }
+    val perBucket = local.groupBy(bucketKey.map(col): _*)
+      .agg(perBucketAggs.head, perBucketAggs.tail: _*)
+
+    // one cross-bucket below-sum of b serves every dot
+    val rhs = perBucket.select(
+      (group.map(c => col(c).as(s"_r_$c")) :+ col("_bucket").as("_r_bucket")) :+
+        col("_btot").as("_rbtot"): _*)
+    val paired =
+      if (group.isEmpty) perBucket.crossJoin(rhs)
+      else perBucket.join(rhs,
+        group.map(c => col(c) === col(s"_r_$c")).reduce(_ && _))
+    val pairAggs =
+      dots.flatMap { case (n, _) => Seq(
+        first(col(s"_in_$n")).as(s"_in_$n"),
+        first(col(s"_atot_$n")).as(s"_atot_$n"))
+      } ++ Seq(sum(when(col("_r_bucket") < col("_bucket"), col("_rbtot"))
+        .otherwise(lit(0.0))).as("_below")) ++
+        totals.map { case (n, _) => first(col(s"_ttot_$n")).as(s"_ttot_$n") }
+    val offs = paired.groupBy(bucketKey.map(col): _*)
+      .agg(pairAggs.head, pairAggs.tail: _*)
+
+    val finalAggs =
+      dots.map { case (n, _) =>
+        sum(col(s"_in_$n") + col(s"_atot_$n") * col("_below")).as(n)
+      } ++ totals.map { case (n, _) => sum(col(s"_ttot_$n")).as(n) }
+    if (group.isEmpty) offs.agg(finalAggs.head, finalAggs.tail: _*)
+    else offs.groupBy(group.map(col): _*).agg(finalAggs.head, finalAggs.tail: _*)
+  }
+
   /** Adds `_bucket`: an order-consistent range-bucket id in
     * [0, buckets). Boundaries are per-group approximate quantiles of
     * `value` over a 5% SAMPLE — boundary quality only balances

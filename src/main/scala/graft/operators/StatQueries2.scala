@@ -68,14 +68,16 @@ object StatQueries2 extends QueryModule {
         .select($"c_mktsegment".as("g"), r4($"o_totalprice").as("v"))
       val perVal = seg.groupBy($"v").agg(count(lit(1)).as("c"),
         segments.map(x => count_if($"g" === x).as(s"c_$x")): _*)
-      val dots = segments.map(x =>
-        (s"bl_$x", col(s"c_$x").cast("double"), col("c").cast("double")))
+      val dots = segments.map(x => (s"bl_$x", col(s"c_$x").cast("double")))
       val totals = segments.flatMap(x => Seq(
           (s"half_$x", col(s"c_$x") * (col("c") + 1) / 2.0),
           (s"n_$x", col(s"c_$x").cast("double")))) ++
         Seq(("ties", col("c").cast("double") * col("c") * col("c") - col("c")),
           ("nn", col("c").cast("double")))
-      val agg = Rank.prefixDotSums(perVal, Nil, "v", dots, totals)
+      // every rank sum dots its own counts with the ONE pooled-count
+      // prefix — the shared-b variant builds that prefix column once
+      val agg = Rank.prefixDotSumsShared(perVal, Nil, "v",
+        col("c").cast("double"), dots, totals)
       // Σ R_g²/n_g written as one left-to-right chain so the 5-term
       // accumulation order is pinned (matches the oracle's chain)
       val sumR2n = segments.map(x =>
