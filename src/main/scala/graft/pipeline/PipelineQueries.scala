@@ -222,6 +222,27 @@ object PipelineQueries extends QueryModule {
         .groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("n"), r4(sum($"o_totalprice")).as("total"))
         .orderBy($"o_orderpriority")
+    }),
+
+    // Arrow IPC interchange end to end: orders → .arrow files through
+    // the DSv2 writer (task-staged dotfiles, publish-on-commit), read
+    // back through the DSv2 scan (one partition per file, vector-level
+    // column pruning), aggregated. The oracle recomputes the aggregate
+    // straight from parquet, so a type round-trip error, a lost batch,
+    // or a published partial file diverges.
+    "pipe_arrow_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val dir = sys.props("java.io.tmpdir") +
+        "/graft_arrow_rt_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      T.orders(s, d)
+        .select($"o_orderkey", $"o_orderpriority", $"o_orderstatus",
+          $"o_totalprice".cast("double").as("p"))
+        .write.format("graft.sources.ArrowSource")
+        .mode("overwrite").save(dir)
+      s.read.format("graft.sources.ArrowSource").load(dir)
+        .groupBy($"o_orderpriority", $"o_orderstatus")
+        .agg(count(lit(1)).as("n"), r4(sum($"p")).as("total"))
+        .orderBy($"o_orderpriority", $"o_orderstatus")
     })
   )
 
@@ -267,6 +288,14 @@ object PipelineQueries extends QueryModule {
         |FROM orders
         |WHERE o_totalprice >= 1000.0 AND o_totalprice <= 20000.0
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    // full-scan recompute — equals the arrow round-trip only if every
+    // row and type survived the IPC write/read cycle
+    "pipe_arrow_roundtrip" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  round(sum(CAST(o_totalprice AS DOUBLE)), 4) AS total
+        |FROM orders
+        |GROUP BY 1, 2 ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
 
     "pipe_corpus_curate" ->
       s"""WITH scored AS (
