@@ -87,6 +87,41 @@ object SketchQueries extends QueryModule {
         }
         .toDF("l_partkey", "n", "cms_ok")
         .orderBy($"n".desc, $"l_partkey")
+    }),
+
+    // Sketch ROLLUP — the pre-aggregation pattern a 100 TB metrics
+    // pipeline actually runs: build ONE HLL sketch per day from the
+    // raw scan, then answer every 7-day window by UNIONING the seven
+    // day-sketches. The windowed shuffle moves `days × 7` kilobyte
+    // sketch rows, where the exact path (q_rolling_active) re-shuffles
+    // `users × 7` rows — the sketch volume is constant in the user
+    // count. Contract (same shape as q_approx_distinct/heavy_hitters):
+    // the exact WAU rides along, and the hashed boolean pins the
+    // merged estimate within 5% of it (lgK=12 ⇒ rsd ≈ 1.6%, and these
+    // cardinalities sit in HLL's near-exact sparse regime).
+    "q_sketch_rollup" -> ((s, d) => {
+      import s.implicits._
+      val act = T.events(s, d)
+        .select($"user_id", $"ts".cast("date").as("day")).distinct()
+      val maxDay = act.agg(max($"day").as("max_day"))
+      val daySketch = act.groupBy($"day")
+        .agg(hll_sketch_agg($"user_id", lit(12)).as("sk"))
+      val rolled = daySketch
+        .select(explode(sequence($"day", date_add($"day", 6))).as("day"),
+          $"sk")
+        .crossJoin(broadcast(maxDay)).filter($"day" <= $"max_day")
+        .groupBy($"day")
+        .agg(hll_sketch_estimate(hll_union_agg($"sk", lit(true))).as("est"))
+      val exact = act
+        .select($"user_id",
+          explode(sequence($"day", date_add($"day", 6))).as("day"))
+        .distinct()
+        .crossJoin(broadcast(maxDay)).filter($"day" <= $"max_day")
+        .groupBy($"day").agg(count(lit(1)).as("wau"))
+      exact.join(rolled, "day")
+        .select($"day", $"wau",
+          (abs($"est" - $"wau") <= $"wau" * 0.05).as("within_tol"))
+        .orderBy($"day")
     })
   )
 
@@ -105,6 +140,20 @@ object SketchQueries extends QueryModule {
     "q_heavy_hitters" ->
       """SELECT l_partkey, count(*) AS n, TRUE AS cms_ok
         |FROM lineitem GROUP BY l_partkey
-        |ORDER BY n DESC, l_partkey LIMIT 10""".stripMargin
+        |ORDER BY n DESC, l_partkey LIMIT 10""".stripMargin,
+
+    // Exact windowed distinct recomputed in DuckDB; the merged-sketch
+    // 5% tolerance is the hashed boolean (≡ TRUE when healthy).
+    "q_sketch_rollup" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |maxd AS (SELECT max(day) AS max_day FROM act),
+        |expanded AS (SELECT DISTINCT user_id, CAST(w AS DATE) AS day
+        |  FROM (SELECT user_id,
+        |          unnest(generate_series(day, day + 6, INTERVAL 1 DAY)) AS w
+        |        FROM act))
+        |SELECT e.day, count(*) AS wau, TRUE AS within_tol
+        |FROM expanded e, maxd WHERE e.day <= maxd.max_day
+        |GROUP BY e.day ORDER BY e.day""".stripMargin
   )
 }

@@ -29,6 +29,35 @@ class SketchSpec extends AnyFunSuite {
         s"CMS est outside [n, n + eps·N] for part ${r.getLong(0)} (n=${r.getLong(1)})")
   }
 
+  test("HLL day-sketches survive a parquet round-trip and merge exactly") {
+    import spark.implicits._
+    // the sketch-store pattern: per-day sketches persisted as BINARY,
+    // reloaded by a later job, unioned — the rollup must equal the
+    // rollup over the in-memory sketches (serialization is lossless)
+    val act = Tables.events(spark, TestSpark.sf)
+      .select($"user_id", $"ts".cast("date").as("day")).distinct()
+    val daySketch = act.groupBy($"day")
+      .agg(hll_sketch_agg($"user_id", lit(12)).as("sk"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sketch_store").toString
+    daySketch.write.mode("overwrite").parquet(dir)
+    def total(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(hll_sketch_estimate(hll_union_agg($"sk", lit(true))))
+        .collect().head.getLong(0)
+    assert(total(spark.read.parquet(dir)) === total(daySketch))
+    // and the merged estimate tracks the exact all-days cardinality
+    val exact = act.select($"user_id").distinct().count()
+    val est = total(daySketch)
+    assert(math.abs(est - exact) <= math.max(1L, (exact * 0.05).toLong))
+  }
+
+  test("sketch rollup: every window's merged estimate is within tolerance") {
+    val rows = SparkEntry.queries("q_sketch_rollup")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(2),
+      s"window ${r.get(0)} estimate outside 5% of wau=${r.getLong(1)}"))
+  }
+
   test("transformWithState running totals equal the batch rollup") {
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
