@@ -96,4 +96,34 @@ object Util {
       explode(array((0 until salts).map(lit): _*)))
     l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Pure interval join (NO equi key) rewritten as an equi join on
+    * range bins — the classic range-join optimization. Spark plans a
+    * bare `p BETWEEN lo AND hi` join as a broadcast nested loop:
+    * every point compared against every interval, O(|P|·|I|), a
+    * scale killer the moment neither side is tiny. Binning restores
+    * hash partitioning: a point matches an interval only if they
+    * share a `binWidth`-sized bin, so each interval explodes into
+    * the bins it covers (O(length/binWidth + 1) rows), the join key
+    * becomes the BIN (equi, shuffled, AQE-planned), and the exact
+    * BETWEEN predicate filters within co-binned pairs. Pick
+    * `binWidth` near the typical interval length: intervals then
+    * explode into ~2 bins and each point meets only the intervals
+    * overlapping its neighborhood. The two inputs must not share any
+    * column name; `pointCol`/`loCol`/`hiCol` must be integral (cast
+    * dates via datediff first). */
+  def binnedIntervalJoin(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0)
+    val p = points.withColumn("__bin",
+      floor(col(pointCol).cast("long") / binWidth).cast("long"))
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(
+        floor(col(loCol).cast("long") / binWidth).cast("long"),
+        floor(col(hiCol).cast("long") / binWidth).cast("long"))))
+    p.join(iv, Seq("__bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bin")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryModule, Tables => T}
+import graft.{QueryModule, Util, Tables => T}
 import graft.Util.r4
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -121,6 +121,33 @@ object EventQueries extends QueryModule {
         .agg(count(lit(1)).as("n"),
           r4(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
         .orderBy($"o_orderpriority")
+    }),
+
+    // PURE interval join — no equi key anywhere: the ~0.2%
+    // highest-value orders each open an 8-day shipping window, and
+    // every line item shipped inside any window joins it regardless
+    // of which order it belongs to. q_range_join above hash-joins on
+    // its o_orderkey = l_orderkey key and merely filters the range;
+    // HERE there is no key, and Spark's native plan is a broadcast
+    // nested loop — every (item, window) pair compared, O(|L|·|I|).
+    // Util.binnedIntervalJoin rewrites it as an EQUI join on 7-day
+    // bins (each window explodes into ~2 bin rows), confining exact
+    // comparisons to co-binned pairs; PlanSpec asserts the nested
+    // loop is gone.
+    "q_interval_join" -> ((s, d) => {
+      import s.implicits._
+      val epoch = to_date(lit("1992-01-01"))
+      val windows = T.orders(s, d)
+        .filter($"o_totalprice" > 499000.0)
+        .select($"o_orderkey",
+          datediff($"o_orderdate", epoch).as("lo"))
+        .withColumn("hi", $"lo" + 7)
+      val items = T.lineitem(s, d)
+        .select(datediff($"l_shipdate", epoch).as("p"), $"l_extendedprice")
+      Util.binnedIntervalJoin(items, "p", windows, "lo", "hi", binWidth = 7)
+        .groupBy($"o_orderkey")
+        .agg(count(lit(1)).as("n"), r4(sum($"l_extendedprice")).as("total"))
+        .orderBy($"o_orderkey")
     }),
 
     // Conversion latency: first-view → first-purchase minutes per
@@ -246,6 +273,17 @@ object EventQueries extends QueryModule {
         |  AND l_shipdate >= o_orderdate
         |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // keyless BETWEEN join recomputed directly — equals the binned
+    // equi rewrite only if no co-bin was missed and no pair leaked
+    "q_interval_join" ->
+      """SELECT o_orderkey, count(*) AS n,
+        |  round(sum(l_extendedprice), 4) AS total
+        |FROM orders JOIN lineitem
+        |  ON l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 7 DAY
+        |WHERE o_totalprice > 499000.0
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
 
     "q_funnel_time" ->
       """WITH u AS (SELECT user_id,

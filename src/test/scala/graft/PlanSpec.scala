@@ -203,4 +203,31 @@ class PlanSpec extends AnyFunSuite {
       .agg(min("n")).head.getLong(0)
     assert(spread == 8, s"salt only hit $spread of 8 buckets")
   }
+
+  test("binned interval join replaces the nested loop with an equi join") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    // sparkPlan, not executedPlan: AQE's AdaptiveSparkPlanExec hides
+    // its children from collect until execution
+    def nestedLoops(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect {
+        case b: BroadcastNestedLoopJoinExec => b
+      }.size
+    val epoch = to_date(lit("1992-01-01"))
+    val windows = Tables.orders(spark, TestSpark.sf)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"), datediff(col("o_orderdate"), epoch).as("lo"))
+      .withColumn("hi", col("lo") + 7)
+    val items = Tables.lineitem(spark, TestSpark.sf)
+      .select(datediff(col("l_shipdate"), epoch).as("p"),
+        col("l_extendedprice"))
+    // keyless BETWEEN join: Spark has nothing to hash on
+    val naive = items.join(windows,
+      col("p") >= col("lo") && col("p") <= col("hi"))
+    assert(nestedLoops(naive) == 1, "expected the naive nested loop")
+    // the binned rewrite hash-joins on the bin and matches exactly
+    val binned = Util.binnedIntervalJoin(items, "p", windows,
+      "lo", "hi", binWidth = 7)
+    assert(nestedLoops(binned) == 0, "bin rewrite must not nested-loop")
+    assert(binned.count() == naive.count())
+  }
 }
