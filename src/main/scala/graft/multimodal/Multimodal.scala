@@ -88,6 +88,54 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic RIFF/WAVE PCM16 payload (see [[WavCodec.render]]):
+    * every parsed statistic is closed-form in the id, the bytes are a
+    * REAL playable WAV file. */
+  def withWavPayload(df: DataFrame, id: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("media_type", StringType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = df.schema.fieldIndex(id)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val mid = r.getLong(idIdx)
+        Row(mid, WavCodec.render(mid), "audio/wav")
+      }
+    }(enc)
+  }
+
+  /** REAL audio decode: RIFF chunk walk, PCM16 validation, one pass
+    * over the interleaved samples for per-channel sums and the global
+    * peak. Unparseable payloads yield null features — same
+    * quarantine-friendly contract and batched mapPartitions shape as
+    * [[decodePpm]]. */
+  def decodeWav(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields.filterNot(_.name == "payload")
+      ++ Seq(
+        StructField("n_ch", LongType),
+        StructField("sample_rate", LongType),
+        StructField("n_samples", LongType),
+        StructField("sum_l", LongType),
+        StructField("sum_r", LongType),
+        StructField("peak", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val keep = r.toSeq.zipWithIndex
+          .collect { case (v, i) if i != payloadIdx => v }
+        val parsed = WavCodec.parse(r.getAs[Array[Byte]](payloadIdx))
+        Row.fromSeq(keep ++ (parsed match {
+          case Some((nch, rate, frames, s0, s1, peak)) =>
+            Seq(nch.toLong, rate.toLong, frames, s0, s1, peak)
+          case None => Seq(null, null, null, null, null, null)
+        }))
+      }
+    }(enc)
+  }
+
   /** STUB decode — ??? in production; deterministic arithmetic here.
     * Runs as batched mapPartitions over the binary column: the shape
     * (iterator-to-iterator, no per-row JVM churn, partition-sized

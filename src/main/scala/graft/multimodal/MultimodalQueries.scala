@@ -30,6 +30,17 @@ object MultimodalQueries extends QueryModule {
           Multimodal.decodeFeatures(
             Multimodal.withFakePayload(T.documents(s, d), "doc_id", "text")))
         .orderBy($"media_id", $"frame_idx")
+    }),
+
+    "mm_audio" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.decodeWav(
+          Multimodal.withWavPayload(T.documents(s, d), "doc_id"))
+        .select($"media_id", $"n_ch", $"sample_rate", $"n_samples",
+          r4($"sum_l" / $"n_samples".cast("double")).as("mean_l"),
+          r4($"sum_r" / $"n_samples".cast("double")).as("mean_r"),
+          $"peak")
+        .orderBy($"media_id")
     })
   )
 
@@ -57,6 +68,31 @@ object MultimodalQueries extends QueryModule {
         |  round(sg / CAST(w*h AS DOUBLE), 4) AS mean_g,
         |  round(sb / CAST(w*h AS DOUBLE), 4) AS mean_b
         |FROM px ORDER BY media_id""".stripMargin,
+
+    // The WAV renderer's samples are closed-form in doc_id: channel c
+    // sample k is (id·7 + 13k + 5c) % 4096 − 2048 over
+    // n = id % 384 + 64 frames — the oracle re-derives the channel
+    // means and global peak the Spark side obtains by walking actual
+    // RIFF/PCM16 bytes.
+    "mm_audio" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 384 + 64 AS BIGINT) AS n
+        |  FROM documents),
+        |sm AS (
+        |  SELECT media_id, n,
+        |    sum((media_id*7 + 13*k) % 4096 - 2048) AS sl,
+        |    sum((media_id*7 + 13*k + 5) % 4096 - 2048) AS sr_,
+        |    max(greatest(abs((media_id*7 + 13*k) % 4096 - 2048),
+        |                 abs((media_id*7 + 13*k + 5) % 4096 - 2048))) AS peak
+        |  FROM m, LATERAL unnest(generate_series(0, n - 1)) AS t(k)
+        |  GROUP BY 1, 2)
+        |SELECT media_id, CAST(2 AS BIGINT) AS n_ch,
+        |  CAST(8000 AS BIGINT) AS sample_rate, n AS n_samples,
+        |  round(sl / CAST(n AS DOUBLE), 4) AS mean_l,
+        |  round(sr_ / CAST(n AS DOUBLE), 4) AS mean_r,
+        |  CAST(peak AS BIGINT) AS peak
+        |FROM sm ORDER BY media_id""".stripMargin,
 
     "mm_frames" ->
       """SELECT media_id, frame_idx,

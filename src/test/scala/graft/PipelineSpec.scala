@@ -163,6 +163,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(PpmCodec.parse(null).isEmpty)
   }
 
+  test("WavCodec round-trips real RIFF/PCM16 bytes and rejects malformed input") {
+    import graft.multimodal.WavCodec
+    val id = 98765L
+    val bytes = WavCodec.render(id)
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    val Some((nch, rate, frames, s0, s1, peak)) = WavCodec.parse(bytes)
+    val n = (id % 384 + 64).toInt
+    assert(nch == 2 && rate == 8000 && frames == n)
+    def ch(c: Int) = (0 until n).map(k =>
+      math.floorMod(id * 7 + 13L * k + 5L * c, 4096) - 2048)
+    assert(s0 == ch(0).sum && s1 == ch(1).sum)
+    assert(peak == (ch(0) ++ ch(1)).map(math.abs).max)
+    // an unknown chunk between fmt and data is skipped, not fatal
+    val withJunk = bytes.slice(0, 36) ++
+      "LIST".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "info".getBytes ++
+      bytes.drop(36)
+    // RIFF size field is stale after splice but parse never checks it
+    assert(WavCodec.parse(withJunk) == WavCodec.parse(bytes))
+    // malformed: wrong magic, truncated data, 24-bit, float PCM, null
+    assert(WavCodec.parse("RIFX1234WAVE".getBytes ++ bytes.drop(12)).isEmpty)
+    assert(WavCodec.parse(bytes.dropRight(1)).isEmpty)
+    val b24 = bytes.clone(); b24(34) = 24
+    assert(WavCodec.parse(b24).isEmpty)
+    val bf = bytes.clone(); bf(20) = 3 // IEEE float format tag
+    assert(WavCodec.parse(bf).isEmpty)
+    assert(WavCodec.parse(null).isEmpty)
+  }
+
   test("decodePpm parses payload bytes distributed and nulls unparseable rows") {
     import spark.implicits._
     val media = graft.multimodal.Multimodal.withPpmPayload(
