@@ -131,6 +131,28 @@ object EventQueries2 extends QueryModule {
     // mean/stddev of its user's previous 8..20 events (current row
     // excluded — no self-contamination); |z| > 3 flags an anomaly.
     // Aggregated per event type.
+    // Time-decayed engagement leaderboard: each event contributes
+    // value · 0.97^age_days (age against the corpus max day), summed
+    // per user; top 20 via TakeOrdered (sort+limit pushes to a
+    // per-partition top-k + driver merge of 20-row partials — no full
+    // sort shuffle). One linear aggregation pass; the decay power is
+    // an integer-day exponent, so both engines evaluate the identical
+    // pow() grid.
+    "q_decayed_score" -> ((s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+        .select($"user_id", $"value", $"ts".cast("date").as("day"))
+      val maxDay = ev.agg(max($"day").as("max_day"))
+      ev.crossJoin(broadcast(maxDay))
+        .select($"user_id",
+          ($"value" * pow(lit(0.97), datediff($"max_day", $"day")))
+            .as("w"))
+        .groupBy($"user_id").agg(sum($"w").as("score0"))
+        .select($"user_id", r4($"score0").as("score"))
+        .orderBy($"score".desc, $"user_id")
+        .limit(20)
+    }),
+
     "q_anomaly_zscore" -> ((s, d) => {
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
@@ -152,6 +174,17 @@ object EventQueries2 extends QueryModule {
   private val ord = "ORDER BY CAST(ts AS TIMESTAMP), event_id"
 
   val oracles: Map[String, String] = Map(
+    "q_decayed_score" ->
+      """WITH m AS (SELECT max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS max_day
+        |  FROM events),
+        |w AS (SELECT user_id,
+        |    value * pow(0.97, datediff('day',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE), max_day)) AS w
+        |  FROM events, m)
+        |SELECT user_id, round(sum(w), 4) AS score
+        |FROM w GROUP BY user_id
+        |ORDER BY score DESC, user_id LIMIT 20""".stripMargin,
+
     "q_twap" ->
       """WITH e AS (
         |  SELECT user_id,

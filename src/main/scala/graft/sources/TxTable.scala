@@ -368,6 +368,28 @@ object TxTable {
       .filter(c(col) >= lo && c(col) <= hi)
   }
 
+  /** OPTIMIZE (compaction): rewrite the CURRENT snapshot's content
+    * into `targetFiles` files as a new version — the small-file
+    * remedy for append-heavy tables, Delta's OPTIMIZE reduced to its
+    * invariant. Logical content is untouched (same rows, new layout),
+    * older snapshots still read their own files (time travel intact
+    * until [[vacuum]] reclaims them), txn markers carry forward, and
+    * the publish is the same atomic commit as any write — a reader
+    * mid-compaction sees the old layout or the new one, never a mix.
+    * A concurrent writer committing first wins the version and this
+    * throws [[TxConflictException]]; compaction is safe to just
+    * re-run. */
+  def compact(spark: SparkSession, table: String, targetFiles: Int): Long = {
+    require(targetFiles >= 1)
+    val cur = snapshot(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"nothing to compact at $table"))
+    val next = cur.version + 1
+    val files = writeFiles(
+      read(spark, table).repartition(targetFiles), table, next)
+    commit(spark, table, next, files, cur.txns)
+    next
+  }
+
   /** Reclaim space: keep the newest `retainLast` manifests, delete
     * older manifests and every data file no retained manifest
     * references (commit-race losers' orphans included). Time travel

@@ -219,6 +219,34 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("compact rewrites layout, preserves content, history, and txns") {
+    val t = freshTable()
+    // append-heavy table: 6 commits, ≥6 files
+    TxTable.overwrite(df(1 -> "a"), t)
+    (2 to 6).foreach(i => TxTable.append(df(i -> s"v$i"), t))
+    TxTable.appendEpoch(df(7 -> "e"), t, "appX", 3L)
+    val before = TxTable.snapshot(spark, t).get
+    assert(before.files.size >= 7)
+    val all = TxTable.read(spark, t).as[(Int, String)].collect().sorted
+
+    val v = TxTable.compact(spark, t, targetFiles = 2)
+    val after = TxTable.snapshot(spark, t).get
+    assert(after.version == v && v == before.version + 1)
+    assert(after.files.size <= 2, s"still ${after.files.size} files")
+    assert(TxTable.read(spark, t).as[(Int, String)].collect().sorted
+      .toSeq == all.toSeq, "compaction changed content")
+    // txn markers carried: the replayed epoch still skips
+    assert(!TxTable.appendEpoch(df(99 -> "dup"), t, "appX", 3L))
+    // time travel to the pre-compaction layout still works
+    assert(TxTable.read(spark, t, asOf = Some(before.version))
+      .as[(Int, String)].collect().sorted.toSeq == all.toSeq)
+    // vacuum to the compacted head reclaims the small files
+    val (manifests, data) = TxTable.vacuum(spark, t, retainLast = 1)
+    assert(manifests >= 6 && data >= 6)
+    assert(TxTable.read(spark, t).as[(Int, String)].collect().sorted
+      .toSeq == all.toSeq)
+  }
+
   test("snapshot on a never-written table is None; read throws") {
     val t = freshTable()
     assert(TxTable.snapshot(spark, t).isEmpty)
