@@ -89,6 +89,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("WavCodec parse∘render recovers samples stats for random ids") {
+    import graft.multimodal.WavCodec
+    for (id <- cases(Gen.choose(0L, Long.MaxValue / 8), 100)) {
+      val Some((nch, rate, frames, s0, s1, peak)) =
+        WavCodec.parse(WavCodec.render(id))
+      val n = (id % 384 + 64).toInt
+      assert(nch == 2 && rate == 8000 && frames == n)
+      def ch(c: Int) = (0 until n).map(k =>
+        math.floorMod(id * 7 + 13L * k + 5L * c, 4096) - 2048)
+      assert(s0 == ch(0).sum && s1 == ch(1).sum)
+      assert(peak == (ch(0) ++ ch(1)).map(math.abs).max)
+    }
+  }
+
+  test("binnedIntervalJoin == naive BETWEEN join on random intervals (5 frames)") {
+    import spark.implicits._
+    val genFrame = for {
+      nP <- Gen.choose(1, 200)
+      nI <- Gen.choose(1, 40)
+      bw <- Gen.choose(1L, 20L)
+      ps <- Gen.listOfN(nP, Gen.choose(-100L, 100L))
+      ivs <- Gen.listOfN(nI, for {
+        lo <- Gen.choose(-100L, 100L)
+        len <- Gen.choose(0L, 50L)
+      } yield (lo, lo + len))
+    } yield (ps, ivs, bw)
+    for (((ps, ivs, bw), fi) <- cases(genFrame, 5).zipWithIndex) {
+      val points = ps.zipWithIndex.toDF("p", "pid")
+      val intervals = ivs.zipWithIndex.map { case ((lo, hi), i) => (lo, hi, i) }
+        .toDF("lo", "hi", "iid")
+      val got = graft.Util.binnedIntervalJoin(points, "p", intervals,
+          "lo", "hi", bw)
+        .select("pid", "iid").as[(Int, Int)].collect().sorted.toSeq
+      val want = (for {
+        (p, pid) <- ps.zipWithIndex
+        ((lo, hi), iid) <- ivs.zipWithIndex
+        if p >= lo && p <= hi
+      } yield (pid, iid)).sorted
+      assert(got == want, s"frame $fi (binWidth=$bw) diverged")
+    }
+  }
+
   test("Rank.runningSums == naive window on randomized tied data (5 frames)") {
     import spark.implicits._
     val genRows = for {
