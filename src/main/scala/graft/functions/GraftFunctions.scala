@@ -21,12 +21,24 @@ object GraftFunctions {
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+
+  /** Session-local install of the keyless-range-join rewrite
+    * ([[graft.plans.RangeJoinRule]]) for sessions built without
+    * `spark.sql.extensions`. Idempotent. */
+  def installRangeJoin(spark: SparkSession): Unit = {
+    val rules = spark.experimental.extraOptimizations
+    if (!rules.contains(graft.plans.RangeJoinRule))
+      spark.experimental.extraOptimizations =
+        rules :+ graft.plans.RangeJoinRule
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[ArrayDot].getName, name), builder))
     }
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+  }
 }
