@@ -109,10 +109,93 @@ object FeatureQueries2 extends QueryModule {
         .groupBy($"cell")
         .agg(count(lit(1)).as("n"), r4(avg($"cos")).as("avg_cos"))
         .orderBy($"cell")
+    }),
+
+    // PCA top principal component of the four line-item numerics:
+    // the CORRELATION matrix comes from ONE distributed aggregation
+    // pass (six corr() cells; scale-free, so price's 1e5 range can't
+    // drown discount's 0.1), then a fixed 50-step power iteration on
+    // the 4×4 driver matrix — bounded driver state, same contract as
+    // ml_logreg's gradient rows. The iteration count (not a
+    // convergence test) IS the pinned spec: the oracle replays the
+    // identical 50 normalize steps as a recursive CTE, so both
+    // engines walk the same deterministic arithmetic and agree far
+    // beyond 4 decimals. Left-assoc sums throughout match SQL's.
+    "ml_pca" -> ((s, d) => {
+      import s.implicits._
+      val feats = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for { i <- 0 until 4; j <- i + 1 until 4 } yield (i, j)
+      val aggs = pairs.map { case (i, j) =>
+        corr(col(feats(i)).cast("double"), col(feats(j)).cast("double"))
+          .as(s"c$i$j")
+      }
+      val row = T.lineitem(s, d).agg(aggs.head, aggs.tail: _*).head()
+      val c = Array.tabulate(4, 4)((i, j) => if (i == j) 1.0 else 0.0)
+      pairs.zipWithIndex.foreach { case ((i, j), k) =>
+        val v = row.getDouble(k); c(i)(j) = v; c(j)(i) = v
+      }
+      def mul(v: Array[Double]): Array[Double] = Array.tabulate(4)(i =>
+        c(i)(0) * v(0) + c(i)(1) * v(1) + c(i)(2) * v(2) + c(i)(3) * v(3))
+      var v = Array(0.5, 0.5, 0.5, 0.5)
+      for (_ <- 1 to 50) {
+        val u = mul(v)
+        val n = math.sqrt(u(0) * u(0) + u(1) * u(1) + u(2) * u(2) + u(3) * u(3))
+        v = Array(u(0) / n, u(1) / n, u(2) / n, u(3) / n)
+      }
+      val u = mul(v)
+      val lambda = u(0) * v(0) + u(1) * v(1) + u(2) * v(2) + u(3) * v(3)
+      feats.zipWithIndex.map { case (f, i) => (f, v(i), lambda) }
+        .toDF("feature", "loading0", "eigenvalue0")
+        .select($"feature", r4($"loading0").as("loading"),
+          r4($"eigenvalue0").as("eigenvalue"))
+        .orderBy($"feature")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // identical 50-step power iteration replayed as a recursive CTE
+    // over the engine's own corr() matrix — every multiply/add in the
+    // same left-assoc order as the Scala loop
+    "ml_pca" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT corr(l_quantity, l_extendedprice) AS c12,
+        |         corr(l_quantity, l_discount) AS c13,
+        |         corr(l_quantity, l_tax) AS c14,
+        |         corr(l_extendedprice, l_discount) AS c23,
+        |         corr(l_extendedprice, l_tax) AS c24,
+        |         corr(l_discount, l_tax) AS c34
+        |  FROM lineitem),
+        |it(k, v1, v2, v3, v4) AS (
+        |  -- anchor types fix the recursion's column types: a bare 0.5
+        |  -- is DECIMAL(2,1) and every step would round back to it
+        |  SELECT 0, CAST(0.5 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |    CAST(0.5 AS DOUBLE), CAST(0.5 AS DOUBLE)
+        |  UNION ALL
+        |  SELECT k + 1, u1/n, u2/n, u3/n, u4/n
+        |  FROM (SELECT k, u1, u2, u3, u4,
+        |          sqrt(u1*u1 + u2*u2 + u3*u3 + u4*u4) AS n
+        |        FROM (SELECT k,
+        |                1.0*v1 + c12*v2 + c13*v3 + c14*v4 AS u1,
+        |                c12*v1 + 1.0*v2 + c23*v3 + c24*v4 AS u2,
+        |                c13*v1 + c23*v2 + 1.0*v3 + c34*v4 AS u3,
+        |                c14*v1 + c24*v2 + c34*v3 + 1.0*v4 AS u4
+        |              FROM it, c WHERE k < 50))),
+        |fin AS (SELECT * FROM it WHERE k = 50),
+        |lam AS (SELECT
+        |    (1.0*v1 + c12*v2 + c13*v3 + c14*v4) * v1 +
+        |    (c12*v1 + 1.0*v2 + c23*v3 + c24*v4) * v2 +
+        |    (c13*v1 + c23*v2 + 1.0*v3 + c34*v4) * v3 +
+        |    (c14*v1 + c24*v2 + c34*v3 + 1.0*v4) * v4 AS lambda
+        |  FROM fin, c)
+        |SELECT f.feature,
+        |  round(CASE f.i WHEN 1 THEN v1 WHEN 2 THEN v2
+        |                 WHEN 3 THEN v3 ELSE v4 END, 4) AS loading,
+        |  round(lambda, 4) AS eigenvalue
+        |FROM fin, lam,
+        |  (VALUES (1, 'l_quantity'), (2, 'l_extendedprice'),
+        |          (3, 'l_discount'), (4, 'l_tax')) AS f(i, feature)
+        |ORDER BY feature""".stripMargin,
+
     "feat_impute" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,

@@ -8,6 +8,34 @@ import org.scalatest.funsuite.AnyFunSuite
 class MlExtrasSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("PCA: unit-norm loadings, eigen residual small, deterministic") {
+    val sf = "/root/testdata/sf0.001"
+    def run() = SparkEntry.queries("ml_pca")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val rows = run()
+    assert(rows.length == 4)
+    val v = rows.map(_._2)
+    val lambda = rows.head._3
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-3, "loadings not unit")
+    // top eigenvalue of a correlation matrix is >= trace/4 = 1
+    assert(lambda >= 1.0 - 1e-6)
+    // eigen residual: recompute C from the same data, check Cv ≈ λv
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+    val names = rows.map(_._1) // sorted: discount, extendedprice, quantity, tax
+    val cors = (for { i <- 0 until 4; j <- 0 until 4 } yield (i, j)).map {
+      case (i, j) if i == j => 1.0
+      case (i, j) => li.agg(corr(col(names(i)), col(names(j)))).head.getDouble(0)
+    }
+    val resid = (0 until 4).map { i =>
+      val cv = (0 until 4).map(j => cors(i * 4 + j) * v(j)).sum
+      math.abs(cv - lambda * v(i))
+    }.max
+    assert(resid < 0.05, s"eigen residual $resid")
+    assert(run().toSeq == rows.toSeq, "not deterministic")
+  }
+
   test("logreg: loss decreases and fit is deterministic") {
     import spark.implicits._
     val li = Tables.lineitem(spark, TestSpark.sf)
