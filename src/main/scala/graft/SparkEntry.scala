@@ -14,6 +14,7 @@ object SparkEntry {
     operators.TpchQueries,
     operators.TpchQueries2,
     operators.TpchQueries3,
+    operators.TpchQueries4,
     operators.GraphQueries,
     operators.ResampleQueries,
     operators.DriftQueries,
