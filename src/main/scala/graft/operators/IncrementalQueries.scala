@@ -76,6 +76,27 @@ object IncrementalQueries extends QueryModule {
         .orderBy($"l_suppkey")
     }),
 
+    // Order-independent content digest per partition key — the
+    // cross-system reconciliation primitive: each row contributes an
+    // md5-derived integer of its CANONICAL string form, summed per
+    // group. Summation commutes, so two systems (or two copies at
+    // either end of a migration) can digest independently, in any
+    // partitioning/order, and compare `groups`-sized summaries
+    // instead of shuffling 100 TB of rows. The oracle computing the
+    // SAME digest in a different engine is the demo: only int/string/
+    // date columns enter the canonical form (float formatting is not
+    // portable across engines — docs say hash cents, not doubles).
+    "dq_table_digest" -> ((s, d) => {
+      import s.implicits._
+      val h = conv(substring(md5(concat_ws("|",
+        $"o_orderkey", $"o_custkey", $"o_orderstatus",
+        $"o_orderdate".cast("string"))), 1, 8), 16, 10).cast("long")
+      T.orders(s, d)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(h).as("digest"))
+        .orderBy($"o_orderpriority")
+    }),
+
     "q_markov" -> ((s, d) => {
       import s.implicits._
       // Event-transition matrix: lead() per user gives each event its
@@ -171,6 +192,15 @@ object IncrementalQueries extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    // the other engine digesting the same rows IS the reconciliation
+    "dq_table_digest" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(('0x' || substr(md5(
+        |    o_orderkey || '|' || o_custkey || '|' || o_orderstatus ||
+        |    '|' || CAST(o_orderdate AS VARCHAR)), 1, 8))::BIGINT)
+        |    AS BIGINT) AS digest
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
     "q_cdc_apply" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
