@@ -97,6 +97,36 @@ object FeatureQueries3 extends QueryModule {
         .orderBy($"c_mktsegment")
     }),
 
+    // Robust scaling — (x − median)/IQR, the outlier-insensitive
+    // sibling of z-scoring — on the same one-scan discipline as
+    // feat_winsorize: the (group, value, count) histogram feeds the
+    // three quartiles AND every reported weighted aggregate, so
+    // scaling costs no second pass over the fact table. Quartiles
+    // are r4-rounded before use in BOTH engines (the winsorize
+    // precedent), making the scaled values bit-identical.
+    "feat_robust_scale" -> ((s, d) => {
+      import s.implicits._
+      val hist = T.orders(s, d)
+        .groupBy($"o_orderpriority", $"o_totalprice".cast("double").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val q = graft.operators.ExactPercentile.perGroupWeighted(
+          hist, "o_orderpriority", "v", "c",
+          Seq("q1" -> 0.25, "med" -> 0.5, "q3" -> 0.75), unique = true)
+        .select($"o_orderpriority", r4($"q1").as("q1"), r4($"med").as("med"),
+          r4($"q3").as("q3"))
+      hist.join(broadcast(q), "o_orderpriority")
+        .withColumn("sc", ($"v" - $"med") / ($"q3" - $"q1"))
+        .groupBy($"o_orderpriority").agg(
+          sum($"c").as("n"),
+          r4(sum($"c" * $"sc") / sum($"c")).as("mean_scaled"),
+          r4(sqrt((sum($"c" * $"sc" * $"sc") -
+            sum($"c" * $"sc") * sum($"c" * $"sc") / sum($"c")) /
+            (sum($"c") - 1))).as("sd_scaled"),
+          r4(max(abs($"sc"))).as("max_abs_scaled"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // Winsorization: per-group p05/p95 via the distributed exact
     // percentile, 3-row bounds broadcast back over the fact scan,
     // tails clipped in one aggregate. Bounds are 4dp-rounded on BOTH
@@ -199,6 +229,20 @@ object FeatureQueries3 extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "feat_robust_scale" ->
+      """WITH b AS (SELECT o_orderpriority AS g,
+        |    round(quantile_cont(o_totalprice, 0.25), 4) AS q1,
+        |    round(quantile_cont(o_totalprice, 0.5), 4) AS med,
+        |    round(quantile_cont(o_totalprice, 0.75), 4) AS q3
+        |  FROM orders GROUP BY 1),
+        |sc AS (SELECT g, (o_totalprice - med)/(q3 - q1) AS s
+        |  FROM orders JOIN b ON o_orderpriority = g)
+        |SELECT g AS o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(s), 4) AS mean_scaled,
+        |  round(stddev_samp(s), 4) AS sd_scaled,
+        |  round(max(abs(s)), 4) AS max_abs_scaled
+        |FROM sc GROUP BY g ORDER BY g""".stripMargin,
+
     "feat_leakage" ->
       """WITH stats AS (SELECT
         |    corr(l_quantity, l_extendedprice) AS q,

@@ -93,6 +93,44 @@ class ArrowSourceSpec extends AnyFunSuite {
     assert(pruned.count() === 1000)
   }
 
+  test("empty partitions write valid (possibly empty) files; read survives") {
+    import spark.implicits._
+    val dir = tmp()
+    // 8 partitions over 3 rows: most tasks see zero rows
+    (1 to 3).toDF("id").select($"id".cast("long"))
+      .repartition(8).write.format(fmt).mode("append").save(dir)
+    val back = spark.read.format(fmt).load(dir)
+    assert(back.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("foreachBatch streaming into arrow files is readable per epoch") {
+    import spark.implicits._
+    val dir = tmp()
+    val q = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", 16L).option("numPartitions", 2L)
+      .option("startTimestamp", 0L).option("advanceMillisPerBatch", 1000L)
+      .load()
+      .select($"value")
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_arrow_ck").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.format(fmt).mode("append").save(dir); ()
+      }.start()
+    try {
+      val deadline = System.nanoTime() + 90L * 1000000000L
+      def count(): Long =
+        try spark.read.format(fmt).load(dir).count() catch {
+          case _: IllegalArgumentException => 0L // no files yet
+        }
+      while (count() < 48 && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(count() >= 48, "stream wrote fewer than 3 epochs")
+    } finally q.stop()
+    // offsets are gap-free from zero across all epochs written
+    val vals = spark.read.format(fmt).load(dir).as[Long].collect().sorted
+    assert(vals.toSeq == (0L until vals.length))
+  }
+
   test("aggregate over an arrow round-trip of a real table matches parquet") {
     val dir = tmp()
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")
