@@ -3,6 +3,7 @@ package graft.features
 import graft.{QueryModule, Tables => T}
 import graft.Util.{r4, r4z}
 import graft.ml.LinearModel
+import graft.operators.Rank
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -95,6 +96,40 @@ object FeatureQueries3 extends QueryModule {
           r4(expr("percentile(resid, 0.05D)")).as("resid_q05"),
           r4(expr("percentile(resid, 0.95D)")).as("resid_q95"))
         .orderBy($"c_mktsegment")
+    }),
+
+    // Quantile normalization — every group's distribution mapped onto
+    // the POOLED distribution (the batch-effect correction op): row at
+    // within-group rank rn of n_g takes the pooled order statistic at
+    // position ceil((rn−½)/n_g · N), computed with INTEGER-EXACT
+    // arithmetic (k = ((2rn−1)·N + 2n_g−1) div 2n_g) so no float
+    // boundary can flip a rank between engines. Both rank passes ride
+    // [[graft.operators.Rank.runningSums]] — range-bucketed, never a
+    // global sort — and the order-statistic lookup is a plain equi
+    // join on the rank, linear at any scale. After normalization all
+    // groups share the pooled shape, which the aggregate exhibits:
+    // per-group means/sds nearly equal.
+    "feat_quantile_norm" -> ((s, d) => {
+      import s.implicits._
+      val rows = T.orders(s, d).select($"o_orderpriority".as("g"),
+        $"o_totalprice".cast("double").as("v"), $"o_orderkey".as("id"))
+      val ranked = Rank.runningSums(rows, Seq("g"), "v", Seq("id"),
+        Seq("rn" -> lit(1L)))
+      val pooled = Rank.runningSums(
+          rows.select($"v".as("pv"), $"id".as("pid")),
+          Nil, "pv", Seq("pid"), Seq("pr" -> lit(1L)))
+        .select($"pv", $"pr")
+      val total = rows.agg(count(lit(1)).as("nn"))
+      ranked.crossJoin(broadcast(total))
+        .withColumn("k",
+          expr("((2 * rn - 1) * nn + 2 * rn_total - 1) div (2 * rn_total)"))
+        .join(pooled, $"k" === $"pr")
+        .groupBy($"g").agg(
+          count(lit(1)).as("n"),
+          r4(avg($"pv")).as("mean_norm"),
+          r4(stddev_samp($"pv")).as("sd_norm"))
+        .orderBy($"g")
+        .withColumnRenamed("g", "o_orderpriority")
     }),
 
     // Robust scaling — (x − median)/IQR, the outlier-insensitive
@@ -229,6 +264,25 @@ object FeatureQueries3 extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    // same integer-exact rank mapping over window ranks — k can never
+    // disagree across engines because no float enters it
+    "feat_quantile_norm" ->
+      """WITH r AS (SELECT o_orderpriority AS g, o_orderkey AS id,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS ng
+        |  FROM orders),
+        |p AS (SELECT o_totalprice AS pv,
+        |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS pr
+        |  FROM orders),
+        |n AS (SELECT count(*) AS nn FROM orders),
+        |k AS (SELECT g, ((2*rn - 1)*nn + 2*ng - 1) // (2*ng) AS kk
+        |  FROM r, n)
+        |SELECT g AS o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(pv), 4) AS mean_norm,
+        |  round(stddev_samp(pv), 4) AS sd_norm
+        |FROM k JOIN p ON kk = pr GROUP BY g ORDER BY g""".stripMargin,
+
     "feat_robust_scale" ->
       """WITH b AS (SELECT o_orderpriority AS g,
         |    round(quantile_cont(o_totalprice, 0.25), 4) AS q1,

@@ -36,6 +36,20 @@ class MlExtrasSpec extends AnyFunSuite {
     assert(run().toSeq == rows.toSeq, "not deterministic")
   }
 
+  test("quantile normalization equalizes group distributions") {
+    val rows = SparkEntry.queries("feat_quantile_norm")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 5)
+    // after mapping onto the pooled distribution, every group's mean
+    // and sd sit within a tight band of each other
+    val means = rows.map(_._3)
+    val sds = rows.map(_._4)
+    assert((means.max - means.min) / means.max < 0.05,
+      s"means diverge: ${means.toSeq}")
+    assert((sds.max - sds.min) / sds.max < 0.05, s"sds diverge: ${sds.toSeq}")
+  }
+
   test("logreg: loss decreases and fit is deterministic") {
     import spark.implicits._
     val li = Tables.lineitem(spark, TestSpark.sf)
