@@ -103,6 +103,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("codecs never throw on arbitrary bytes — reject or parse, only") {
+    import graft.multimodal.{PpmCodec, WavCodec}
+    val genBytes = for {
+      n <- Gen.choose(0, 4096)
+      bs <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield bs.toArray
+    for (bs <- cases(genBytes, 400)) {
+      PpmCodec.parse(bs) // must not throw
+      WavCodec.parse(bs)
+    }
+    // adversarial prefixes: valid magic, garbage after
+    for (bs <- cases(genBytes, 200)) {
+      PpmCodec.parse("P6\n".getBytes ++ bs)
+      WavCodec.parse("RIFF\u0000\u0000\u0000\u0000WAVE".getBytes ++ bs)
+    }
+    // truncations of VALID payloads at every boundary class
+    val wav = WavCodec.render(7L)
+    val ppm = PpmCodec.render(7L)
+    for (cut <- Seq(0, 3, 11, 12, 35, 43, 44, wav.length - 1)) {
+      WavCodec.parse(wav.take(cut)) // reject or parse, never throw
+    }
+    for (cut <- Seq(0, 1, 2, 5, 9, ppm.length - 1)) {
+      PpmCodec.parse(ppm.take(cut))
+    }
+  }
+
   test("binnedIntervalJoin == naive BETWEEN join on random intervals (5 frames)") {
     import spark.implicits._
     val genFrame = for {
