@@ -24,8 +24,12 @@ object GraftFunctions {
 
   /** Session-local install of the keyless-range-join rewrite
     * ([[graft.plans.RangeJoinRule]]) for sessions built without
-    * `spark.sql.extensions`. Idempotent. */
-  def installRangeJoin(spark: SparkSession): Unit = {
+    * `spark.sql.extensions`, setting the OPT-IN bin width the rule
+    * requires (pick it near the typical interval length — see the
+    * rule's scaladoc for why the rule never guesses). Idempotent. */
+  def installRangeJoin(spark: SparkSession, binWidth: Long = 16): Unit = {
+    require(binWidth > 0)
+    spark.conf.set("spark.graft.rangeJoin.binWidth", binWidth.toString)
     val rules = spark.experimental.extraOptimizations
     if (!rules.contains(graft.plans.RangeJoinRule))
       spark.experimental.extraOptimizations =

@@ -127,10 +127,6 @@ object EventQueries2 extends QueryModule {
         .orderBy($"user_id")
     }),
 
-    // Rolling z-score anomaly counts: each event scores against the
-    // mean/stddev of its user's previous 8..20 events (current row
-    // excluded — no self-contamination); |z| > 3 flags an anomaly.
-    // Aggregated per event type.
     // Time-decayed engagement leaderboard: each event contributes
     // value · 0.97^age_days (age against the corpus max day), summed
     // per user; top 20 via TakeOrdered (sort+limit pushes to a
@@ -153,6 +149,10 @@ object EventQueries2 extends QueryModule {
         .limit(20)
     }),
 
+    // Rolling z-score anomaly counts: each event scores against the
+    // mean/stddev of its user's previous 8..20 events (current row
+    // excluded — no self-contamination); |z| > 3 flags an anomaly.
+    // Aggregated per event type.
     "q_anomaly_zscore" -> ((s, d) => {
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")

@@ -101,8 +101,12 @@ object SketchQueries extends QueryModule {
     // cardinalities sit in HLL's near-exact sparse regime).
     "q_sketch_rollup" -> ((s, d) => {
       import s.implicits._
+      // one materialization of the distinct (user, day) frame — the
+      // max-day scalar, the sketch arm, and the exact arm all read
+      // its blocks instead of re-running the scan+distinct three times
       val act = T.events(s, d)
         .select($"user_id", $"ts".cast("date").as("day")).distinct()
+        .localCheckpoint(false)
       val maxDay = act.agg(max($"day").as("max_day"))
       val daySketch = act.groupBy($"day")
         .agg(hll_sketch_agg($"user_id", lit(12)).as("sk"))

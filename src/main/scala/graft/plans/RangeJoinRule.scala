@@ -29,11 +29,19 @@ import org.apache.spark.sql.types._
   * Fires only on INNER joins whose every cross-side conjunct is one
   * of the two range bounds, with integral-typed operands (dates:
   * `datediff` first). Self-inhibiting: the rewritten join contains a
-  * cross-side equality, which the guard rejects. Bin width comes
-  * from `spark.graft.rangeJoin.binWidth` (default 16; set it near
-  * the typical interval length — it tunes balance, never results).
-  * Install via `spark.sql.extensions=graft.functions.GraftExtensions`
-  * or `GraftFunctions.installRangeJoin(spark)`.
+  * cross-side equality, which the guard rejects.
+  *
+  * OPT-IN: the rule is inert until `spark.graft.rangeJoin.binWidth`
+  * is set (>0) — the caller must choose a width near the typical
+  * interval length, because a width far below it makes each interval
+  * explode into length/width bin rows (a one-day interval in
+  * epoch-millis at width 16 would be ~5.4M rows — the rewrite would
+  * turn a slow-but-correct nested loop into a blowup). Width tunes
+  * balance and explode volume, never results. A malformed value is
+  * treated as unset. Install via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (then set
+  * the conf) or `GraftFunctions.installRangeJoin(spark, binWidth)`,
+  * which does both.
   */
 object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -65,8 +73,10 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     Cast(Floor(Divide(Cast(e, DoubleType), Literal(w.toDouble))), LongType)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val w = conf.getConfString(WidthKey, "16").toLong
-    if (w <= 0) return plan
+    // unset or malformed → inert (never fail someone's session over a
+    // tuning knob)
+    val w = conf.getConfString(WidthKey, "")
+      .toLongOption.filter(_ > 0).getOrElse(return plan)
     plan transform {
       case j @ Join(left, right, Inner, Some(cond), hint) if j.resolved =>
         val conjuncts = splitConjunctivePredicates(cond)

@@ -52,8 +52,7 @@ import scala.jdk.CollectionConverters._
 class ArrowSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = ArrowSource.pathOf(options)
-    val conf = new Configuration()
-    val fs = dir.getFileSystem(conf)
+    val fs = dir.getFileSystem(HadoopConfSnapshot.driverConf)
     val first = ArrowSource.listDataFiles(fs, dir).headOption.getOrElse(
       throw new IllegalArgumentException(s"no .arrow files under $dir"))
     val alloc = new RootAllocator()
@@ -147,6 +146,30 @@ private class HadoopSeekableChannel(in: FSDataInputStream, len: Long)
   override def close(): Unit = { open = false; in.close() }
 }
 
+/** Snapshot of the driver's resolved Hadoop configuration,
+  * rebuildable on executors — DSv2 reader/writer factories are
+  * serialized, and a bare `new Configuration()` there would drop
+  * every `spark.hadoop.*` setting (S3A credentials, defaultFS
+  * overrides, custom FS impls). Captured on the driver at factory
+  * creation. */
+private case class HadoopConfSnapshot(entries: Array[(String, String)]) {
+  def toConf: Configuration = {
+    val c = new Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+}
+
+private object HadoopConfSnapshot {
+  /** Driver-side capture (SparkSession.active exists there). */
+  def capture(): HadoopConfSnapshot = HadoopConfSnapshot(
+    driverConf.iterator().asScala.map(e => e.getKey -> e.getValue).toArray)
+
+  def driverConf: Configuration =
+    org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+}
+
 private class ArrowIpcTable(path: String, schema0: StructType)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"arrow_ipc($path)"
@@ -175,24 +198,25 @@ private class ArrowScan(path: String, full: StructType, required: StructType)
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(HadoopConfSnapshot.driverConf)
     ArrowSource.listDataFiles(fs, dir)
       .map(p => ArrowFilePartition(p.toString).asInstanceOf[InputPartition])
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new ArrowReaderFactory(required.fields.map(_.name))
+    new ArrowReaderFactory(required.fields.map(_.name),
+      HadoopConfSnapshot.capture())
 }
 
 private case class ArrowFilePartition(file: String) extends InputPartition
 
-private class ArrowReaderFactory(projected: Array[String])
-    extends PartitionReaderFactory {
+private class ArrowReaderFactory(projected: Array[String],
+    hconf: HadoopConfSnapshot) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = new Path(p.asInstanceOf[ArrowFilePartition].file)
     new PartitionReader[InternalRow] {
       private val alloc = new RootAllocator()
-      private val fs = file.getFileSystem(new Configuration())
+      private val fs = file.getFileSystem(hconf.toConf)
       private val in = fs.open(file)
       private val reader = new ArrowFileReader(
         new HadoopSeekableChannel(in, fs.getFileStatus(file).getLen), alloc)
@@ -251,23 +275,22 @@ private class ArrowWriteBuilder(path: String, schema: StructType)
 private class ArrowBatchWrite(path: String, schema: StructType,
     truncate: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): DataWriterFactory = {
-    // overwrite clears previously published files up front (driver
-    // side, before any task runs); the job's own staged files are
-    // dotfiles and unaffected
-    if (truncate) {
-      val dir = new Path(path)
-      val fs = dir.getFileSystem(new Configuration())
-      ArrowSource.listDataFiles(fs, dir).foreach(fs.delete(_, false))
-    }
-    new ArrowWriterFactory(path, schema)
-  }
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new ArrowWriterFactory(path, schema, HadoopConfSnapshot.capture())
+
   /** Publish: every commit message names one staged dotfile; renaming
     * them `.part-x` → `part-x` after ALL tasks succeeded is the
-    * all-or-nothing step (readers list only `part-*`). */
+    * all-or-nothing step (readers list only `part-*`). An overwrite
+    * deletes the PREVIOUS files here too — not at job start — so a
+    * failed or aborted job leaves the old data fully readable; the
+    * residual non-atomic window is this commit body itself, the
+    * filesystem-rename limit TxTable's manifest protocol exists to
+    * close for tables that need true snapshot isolation. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(HadoopConfSnapshot.driverConf)
+    if (truncate)
+      ArrowSource.listDataFiles(fs, dir).foreach(fs.delete(_, false))
     messages.foreach { case ArrowCommit(staged) =>
       val p = new Path(staged)
       require(fs.rename(p, new Path(dir, p.getName.stripPrefix("."))),
@@ -275,7 +298,7 @@ private class ArrowBatchWrite(path: String, schema: StructType,
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(HadoopConfSnapshot.driverConf)
     messages.collect { case ArrowCommit(staged) =>
       fs.delete(new Path(staged), false)
     }
@@ -284,15 +307,16 @@ private class ArrowBatchWrite(path: String, schema: StructType,
 
 private case class ArrowCommit(staged: String) extends WriterCommitMessage
 
-private class ArrowWriterFactory(path: String, schema: StructType)
-    extends DataWriterFactory {
+private class ArrowWriterFactory(path: String, schema: StructType,
+    hconf: HadoopConfSnapshot) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new ArrowDataWriter(path, schema, partitionId, taskId)
+    new ArrowDataWriter(path, schema, partitionId, taskId, hconf)
 }
 
 private class ArrowDataWriter(path: String, schema: StructType,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long,
+    hconf: HadoopConfSnapshot) extends DataWriter[InternalRow] {
   // task-unique dotfile: invisible to the part-* listing until the
   // driver-side job commit renames it into place
   private val staged =
@@ -300,7 +324,7 @@ private class ArrowDataWriter(path: String, schema: StructType,
   private val alloc = new RootAllocator()
   private val root =
     VectorSchemaRoot.create(ArrowSource.toArrowSchema(schema), alloc)
-  private val fs = staged.getFileSystem(new Configuration())
+  private val fs = staged.getFileSystem(hconf.toConf)
   fs.mkdirs(new Path(path))
   private val out = fs.create(staged, true)
   private val writer =

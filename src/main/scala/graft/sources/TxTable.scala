@@ -376,17 +376,41 @@ object TxTable {
     * until [[vacuum]] reclaims them), txn markers carry forward, and
     * the publish is the same atomic commit as any write — a reader
     * mid-compaction sees the old layout or the new one, never a mix.
-    * A concurrent writer committing first wins the version and this
+    * An [[overwriteIndexed]] table keeps its index: the rewrite
+    * range-partitions on the indexed column and records fresh
+    * per-file stats (Delta's OPTIMIZE recomputes stats the same
+    * way), so [[readRange]] pruning survives compaction. A
+    * concurrent writer committing first wins the version and this
     * throws [[TxConflictException]]; compaction is safe to just
     * re-run. */
   def compact(spark: SparkSession, table: String, targetFiles: Int): Long = {
+    import org.apache.spark.sql.functions.{col => c, input_file_name, max => fmax, min => fmin}
     require(targetFiles >= 1)
     val cur = snapshot(spark, table).getOrElse(
       throw new IllegalArgumentException(s"nothing to compact at $table"))
     val next = cur.version + 1
-    val files = writeFiles(
-      read(spark, table).repartition(targetFiles), table, next)
-    commit(spark, table, next, files, cur.txns)
+    cur.statsCol match {
+      case None =>
+        val files = writeFiles(
+          read(spark, table).repartition(targetFiles), table, next)
+        commit(spark, table, next, files, cur.txns)
+      case Some(idxCol) =>
+        val files = writeFiles(
+          read(spark, table).repartitionByRange(targetFiles, c(idxCol)),
+          table, next)
+        val byName = files.map(f => f.split('/').last -> f).toMap
+        val stats = spark.read
+          .parquet(files.map(new Path(table, _).toString): _*)
+          .groupBy(input_file_name().as("__f"))
+          .agg(fmin(c(idxCol)).as("__mn"), fmax(c(idxCol)).as("__mx"))
+          .collect()
+          .flatMap { r =>
+            val name = r.getString(0).split('/').last
+            byName.get(name).map(f =>
+              f -> (r.get(1).toString.toDouble, r.get(2).toString.toDouble))
+          }.toMap
+        commit(spark, table, next, files, cur.txns, Some(idxCol), stats)
+    }
     next
   }
 

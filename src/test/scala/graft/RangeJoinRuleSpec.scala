@@ -58,6 +58,23 @@ class RangeJoinRuleSpec extends AnyFunSuite {
       "rewrite leaked its bin columns")
   }
 
+  test("rule is inert when the bin-width conf is unset or malformed") {
+    import spark.implicits._
+    val (points, intervals) = frames()
+    def fires: Boolean = points.join(intervals,
+        $"p" >= $"lo" && $"p" <= $"hi")
+      .queryExecution.optimizedPlan.collect { case g: Generate => g }.nonEmpty
+    val key = "spark.graft.rangeJoin.binWidth"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "not-a-number")
+      assert(!fires, "malformed width must disable, not throw")
+      spark.conf.unset(key)
+      assert(!fires, "the rewrite is opt-in: unset width means inert")
+    } finally spark.conf.set(key, saved)
+    assert(fires, "restored width re-enables")
+  }
+
   test("joins with an equi key are left alone") {
     import spark.implicits._
     val (points, intervals) = frames()

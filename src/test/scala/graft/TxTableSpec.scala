@@ -247,6 +247,26 @@ class TxTableSpec extends AnyFunSuite {
       .toSeq == all.toSeq)
   }
 
+  test("compact preserves an indexed table's file stats and pruning") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    val df = spark.range(0, 1000).select(
+      col("id").as("k"), (col("id") % 97).cast("double").as("x"))
+    TxTable.overwriteIndexed(df, t, "x")
+    val before = TxTable.readRange(spark, t, "x", 10.0, 20.0)
+      .collect().map(_.getLong(0)).sorted
+    TxTable.compact(spark, t, targetFiles = 2)
+    val snap = TxTable.snapshot(spark, t).get
+    assert(snap.statsCol.contains("x"), "compaction dropped the index")
+    assert(snap.files.size <= 2)
+    val kept = TxTable.pruneFiles(snap, "x", 10.0, 20.0)
+    assert(kept.size < snap.files.size,
+      "fresh stats must still prune the compacted layout")
+    val after = TxTable.readRange(spark, t, "x", 10.0, 20.0)
+      .collect().map(_.getLong(0)).sorted
+    assert(after.toSeq == before.toSeq, "pruned read changed content")
+  }
+
   test("snapshot on a never-written table is None; read throws") {
     val t = freshTable()
     assert(TxTable.snapshot(spark, t).isEmpty)
