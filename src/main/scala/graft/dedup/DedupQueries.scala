@@ -67,10 +67,15 @@ object DedupQueries extends QueryModule {
       import s.implicits._
       val p = T.part(s, d).select($"p_partkey", $"p_name",
         split($"p_name", " ").getItem(0).as("blk"),
-        // big-endian numeric 7-byte name prefix: order-consistent
-        // with the name for ASCII, always inside Long
-        conv(hex(substring($"p_name", 1, 7).cast("binary")), 16, 10)
-          .cast("long").as("nk"))
+        // big-endian numeric of the first 7 BYTES, zero-padded on the
+        // right: byte-wise substring (not character-wise) keeps the
+        // value ≤ 2^56 for any UTF-8 input, and the 0x00 pad makes
+        // short names order by content, not length — so nk is
+        // monotone in memcmp order for ANY name, matching both
+        // Spark's and DuckDB's binary string collation. Ties (equal
+        // 7-byte prefix) are broken by the full name in runningSums.
+        conv(hex(rpad(substring($"p_name".cast("binary"), 1, 7), 7,
+          Array[Byte](0))), 16, 10).cast("long").as("nk"))
       val rn = graft.operators.Rank
         .runningSums(p, Seq("blk"), "nk", Seq("p_name", "p_partkey"),
           Seq("rn" -> lit(1L)))

@@ -25,9 +25,13 @@ object GraftFunctions {
   /** Session-local install of the keyless-range-join rewrite
     * ([[graft.plans.RangeJoinRule]]) for sessions built without
     * `spark.sql.extensions`, setting the OPT-IN bin width the rule
-    * requires (pick it near the typical interval length — see the
-    * rule's scaladoc for why the rule never guesses). Idempotent. */
-  def installRangeJoin(spark: SparkSession, binWidth: Long = 16): Unit = {
+    * requires. `binWidth` is deliberately NOT defaulted: the rule
+    * rewrites every keyless BETWEEN join in the session, and a width
+    * far below the typical interval length explodes each interval
+    * into interval/width bin rows (a one-day epoch-millis interval at
+    * width 16 is ~5.4M rows). Pick it near the typical interval
+    * length in the column's own units. Idempotent. */
+  def installRangeJoin(spark: SparkSession, binWidth: Long): Unit = {
     require(binWidth > 0)
     spark.conf.set("spark.graft.rangeJoin.binWidth", binWidth.toString)
     val rules = spark.experimental.extraOptimizations

@@ -52,10 +52,17 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
-  /** (point, bound, pointIsMin): normalized `point >= bound` or
-    * `point <= bound` with the two operands on OPPOSITE sides. */
+  /** All (point, bound, pointIsMin) readings of a range comparison
+    * whose operands sit on OPPOSITE sides. A single `a >= b` yields
+    * BOTH readings — (a, b, min) and (b, a, max) — because which
+    * operand is "the point" is only decided later by grouping: the
+    * expression bounded from both below and above wins. This is what
+    * lets `lo <= p && hi >= p` (point on the right) fire the same as
+    * `p >= lo && p <= hi`. Safe regardless of which group wins: the
+    * rewrite keeps every original conjunct and only adds a bin
+    * equality, so any point/bound assignment is semantics-preserving. */
   private def crossBound(e: Expression, left: LogicalPlan,
-      right: LogicalPlan): Option[(Expression, Expression, Boolean)] = {
+      right: LogicalPlan): Seq[(Expression, Expression, Boolean)] = {
     def sides(a: Expression, b: Expression): Boolean =
       a.references.nonEmpty && b.references.nonEmpty &&
         ((a.references.subsetOf(left.outputSet) &&
@@ -63,9 +70,11 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           (a.references.subsetOf(right.outputSet) &&
             b.references.subsetOf(left.outputSet)))
     e match {
-      case GreaterThanOrEqual(a, b) if sides(a, b) => Some((a, b, true))
-      case LessThanOrEqual(a, b) if sides(a, b) => Some((a, b, false))
-      case _ => None
+      case GreaterThanOrEqual(a, b) if sides(a, b) =>
+        Seq((a, b, true), (b, a, false))
+      case LessThanOrEqual(a, b) if sides(a, b) =>
+        Seq((a, b, false), (b, a, true))
+      case _ => Nil
     }
   }
 

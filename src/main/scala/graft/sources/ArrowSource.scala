@@ -204,14 +204,14 @@ private class ArrowScan(path: String, full: StructType, required: StructType)
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new ArrowReaderFactory(required.fields.map(_.name),
-      HadoopConfSnapshot.capture())
+    new ArrowReaderFactory(required, HadoopConfSnapshot.capture())
 }
 
 private case class ArrowFilePartition(file: String) extends InputPartition
 
-private class ArrowReaderFactory(projected: Array[String],
+private class ArrowReaderFactory(required: StructType,
     hconf: HadoopConfSnapshot) extends PartitionReaderFactory {
+  private val projected = required.fields.map(_.name)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = new Path(p.asInstanceOf[ArrowFilePartition].file)
     new PartitionReader[InternalRow] {
@@ -221,6 +221,30 @@ private class ArrowReaderFactory(projected: Array[String],
       private val reader = new ArrowFileReader(
         new HadoopSeekableChannel(in, fs.getFileStatus(file).getLen), alloc)
       private val root = reader.getVectorSchemaRoot
+      // validate THIS file's schema on open: inferSchema only looked
+      // at the first file, so a directory holding appends with a
+      // drifted schema must fail with a named mismatch here, not an
+      // NPE deep in getVector (closing what we opened on the way out)
+      try {
+        val fileSchema = ArrowSource.fromArrowSchema(root.getSchema)
+        required.fields.foreach { f =>
+          fileSchema.fields.find(_.name == f.name) match {
+            case None => throw new IllegalArgumentException(
+              s"arrow file $file lacks column '${f.name}' " +
+                s"(file schema: ${fileSchema.simpleString})")
+            case Some(g) if g.dataType != f.dataType =>
+              throw new IllegalArgumentException(
+                s"arrow file $file column '${f.name}' is " +
+                  s"${g.dataType.simpleString}, expected " +
+                  f.dataType.simpleString)
+            case _ =>
+          }
+        }
+      } catch {
+        case t: Throwable =>
+          try reader.close() finally alloc.close()
+          throw t
+      }
       // only the projected vectors are materialized into rows — the
       // others are never touched (pruning at the vector→row boundary)
       private var vectors: Array[FieldVector] = Array.empty

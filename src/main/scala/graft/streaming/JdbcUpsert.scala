@@ -32,6 +32,20 @@ import org.apache.spark.sql.{DataFrame, Row}
   */
 object JdbcUpsert {
 
+  /** JDBC batch flush threshold: bounds driver-library buffering to a
+    * constant number of pending rows per partition regardless of
+    * partition size (the transaction still spans all flushes, so
+    * atomicity per (epoch, part) is unchanged — only memory is). */
+  private val BatchRows = 1000
+
+  /** Table names are interpolated into DDL/DML, so restrict them to
+    * plain (optionally schema-qualified) SQL identifiers — anything
+    * else (quotes, spaces, semicolons) is rejected up front rather
+    * than reaching the SQL string. */
+  private def checkIdent(table: String): Unit =
+    require(table.matches("[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)?"),
+      s"not a plain SQL identifier: '$table'")
+
   /** foreachBatch body writing `df`'s rows into `table` with columns
     * (epoch BIGINT, part INT, <df columns>). `df` must be LONG-typed
     * single column for this minimal variant (the offset/value shape
@@ -39,6 +53,7 @@ object JdbcUpsert {
     * statement-template away and changes nothing structural. */
   def upsertBatch(url: String, table: String)(
       df: DataFrame, epochId: Long): Unit = {
+    checkIdent(table)
     df.foreachPartition { (rows: Iterator[Row]) =>
       val part = TaskContext.getPartitionId()
       val conn = DriverManager.getConnection(url)
@@ -50,12 +65,16 @@ object JdbcUpsert {
         del.executeUpdate(); del.close()
         val ins = conn.prepareStatement(
           s"INSERT INTO $table (epoch, part, v) VALUES (?, ?, ?)")
+        var pending = 0
         rows.foreach { r =>
           ins.setLong(1, epochId); ins.setInt(2, part)
           ins.setLong(3, r.getLong(0))
           ins.addBatch()
+          pending += 1
+          if (pending >= BatchRows) { ins.executeBatch(); pending = 0 }
         }
-        ins.executeBatch(); ins.close()
+        if (pending > 0) ins.executeBatch()
+        ins.close()
         conn.commit()
       } catch {
         case t: Throwable => conn.rollback(); throw t
@@ -65,6 +84,7 @@ object JdbcUpsert {
 
   /** One-time DDL for the sink table (Derby dialect). */
   def createTable(url: String, table: String): Unit = {
+    checkIdent(table)
     val conn = DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()
@@ -76,6 +96,7 @@ object JdbcUpsert {
 
   /** All v values currently in the sink (test/inspection helper). */
   def readValues(url: String, table: String): Seq[Long] = {
+    checkIdent(table)
     val conn = DriverManager.getConnection(url)
     try {
       val rs = conn.createStatement()

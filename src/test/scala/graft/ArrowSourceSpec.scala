@@ -131,6 +131,23 @@ class ArrowSourceSpec extends AnyFunSuite {
     assert(vals.toSeq == (0L until vals.length))
   }
 
+  test("schema drift across files fails with a named mismatch, not an NPE") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .coalesce(1).write.format(fmt).mode("append").save(dir)
+    // an append whose schema drifted: column renamed and retyped
+    Seq((3, 1.5)).toDF("id2", "x")
+      .coalesce(1).write.format(fmt).mode("append").save(dir)
+    val err = intercept[org.apache.spark.SparkException] {
+      spark.read.format(fmt).load(dir).collect()
+    }
+    val msg = Iterator.iterate[Throwable](err)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msg.contains("lacks column") || msg.contains("expected"),
+      s"wanted a descriptive schema-mismatch error, got: $msg")
+  }
+
   test("aggregate over an arrow round-trip of a real table matches parquet") {
     val dir = tmp()
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")

@@ -62,6 +62,28 @@ class DedupSpec extends AnyFunSuite {
     assert(dist(220L) == 200L)
   }
 
+  test("jaro sort key (7-byte zero-padded prefix) is monotone in string order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // short names, prefix ties, and multi-byte UTF-8 — the cases the
+    // unpadded character-wise key got wrong (length-before-content
+    // ordering; Long overflow past 7 chars of multi-byte text)
+    val names = Seq("b", "ab", "abcdefgh", "abcdefg", "a", "ab cd",
+      "zz", "中文テキスト長い", "éclair", "abcdefg999")
+    val nk = conv(hex(rpad(substring($"name".cast("binary"), 1, 7), 7,
+      Array[Byte](0))), 16, 10).cast("long")
+    val got = names.toDF("name").select($"name", nk.as("nk"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // Spark string order = UTF8 byte order; nk must never invert it
+    val sorted = names.sorted
+    sorted.zip(sorted.tail).foreach { case (lo, hi) =>
+      assert(got(lo) <= got(hi),
+        s"nk inverts order: '$lo'(${got(lo)}) vs '$hi'(${got(hi)})")
+    }
+    // and no overflow/null for multi-byte input
+    assert(got.values.forall(_ >= 0L))
+  }
+
   test("exact dedup keeps one row per distinct content") {
     val total = docs.count()
     val kept = Dedup.exactGroups(docs, "doc_id", "text")

@@ -15,7 +15,7 @@ import graft.functions.GraftFunctions
 class RangeJoinRuleSpec extends AnyFunSuite {
   private lazy val spark = {
     val s = TestSpark.spark.newSession()
-    GraftFunctions.installRangeJoin(s)
+    GraftFunctions.installRangeJoin(s, binWidth = 16)
     s
   }
 
@@ -56,6 +56,25 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     assert(got == want)
     assert(joined.columns.toSeq == Seq("p", "pid", "lo", "hi", "iid"),
       "rewrite leaked its bin columns")
+  }
+
+  test("reversed bound orientation (lo <= p && hi >= p) fires too") {
+    import spark.implicits._
+    val (points, intervals) = frames()
+    val joined = points.join(intervals,
+      $"lo" <= $"p" && $"hi" >= $"p")
+    assert(joined.queryExecution.optimizedPlan.collect {
+      case g: Generate => g
+    }.nonEmpty, "rule missed the bound-on-the-left spelling")
+    assert(joined.queryExecution.sparkPlan.collect {
+      case b: BroadcastNestedLoopJoinExec => b
+    }.isEmpty, "nested loop survived the rewrite")
+    val got = joined.select("pid", "iid").as[(Int, Int)]
+      .collect().sorted.toSeq
+    val want = expected(
+      points.as[(Long, Int)].collect().toSeq,
+      intervals.as[(Long, Long, Int)].collect().toSeq)
+    assert(got == want)
   }
 
   test("rule is inert when the bin-width conf is unset or malformed") {
