@@ -156,19 +156,13 @@ object TxTable {
     * (permissions, disk full, network) propagates as-is: misreporting
     * it as a conflict would send the caller into a rebase loop.
     *
-    * The body is staged in a writer-unique temp file and PUBLISHED in
-    * one filesystem primitive, so a concurrent reader either sees no
-    * commit or the complete one — never a partial body:
-    *   - local FS: link(2) via `Files.createLink` — an atomic
-    *     create-exclusive (POSIX guarantees EEXIST on a race); plain
-    *     `FileSystem.create(overwrite=false)` on RawLocalFileSystem is
-    *     check-then-create and two racers can both "win".
-    *   - HDFS (and any FS with atomic no-overwrite rename): rename of
-    *     the temp onto the log path — atomic on the NameNode, fails if
-    *     the destination exists.
-    *   - object stores with last-writer-wins rename (S3A) get NO CAS
-    *     from this path; they need an external coordinator (the Delta
-    *     LogStore pattern) — out of scope here, documented.
+    * The single-winner publication is delegated to the table path's
+    * [[CommitProtocol]] — link(2) on local POSIX, no-overwrite rename
+    * on HDFS, the store's conditional put on object stores (which
+    * MUST be registered: known last-writer-wins schemes fail fast
+    * rather than silently losing a racer's commit). Each protocol
+    * guarantees a reader sees no commit or the complete winning body,
+    * never a partial or clobbered one.
     */
   private[graft] def commit(spark: SparkSession, table: String,
       version: Long, files: Seq[String],
@@ -195,31 +189,10 @@ object TxTable {
     val body =
       s"""{"version":$version,"files":[$filesJson]$txnsJson$statsJson}"""
     val target = new Path(ld, s"v$version.json")
-    val tmp = new Path(ld,
-      s".v$version-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = f.create(tmp, /* overwrite = */ false)
-    try { out.write(body.getBytes("UTF-8")); out.hflush() }
-    finally out.close()
-    def conflict() = new TxConflictException(
-      s"version $version already committed at $table")
-    try {
-      if (f.getScheme == "file") {
-        val dir = java.nio.file.Paths.get(ld.toUri.getPath)
-        try
-          java.nio.file.Files.createLink(
-            dir.resolve(target.getName), dir.resolve(tmp.getName))
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            throw conflict()
-        }
-      } else {
-        if (f.exists(target)) throw conflict()
-        // atomic no-overwrite rename (HDFS contract); `false` without
-        // an IOException means the destination appeared since the
-        // check — a lost race, not an IO fault
-        if (!f.rename(tmp, target)) throw conflict()
-      }
-    } finally f.delete(tmp, false)
+    val protocol = CommitProtocol.forScheme(f.getScheme)
+    if (!protocol.publish(f, target, body.getBytes("UTF-8")))
+      throw new TxConflictException(
+        s"version $version already committed at $table")
   }
 
   /** Overwrite: next version = exactly `df`. Returns the version.
