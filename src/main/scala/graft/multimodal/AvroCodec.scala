@@ -1,0 +1,522 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{Deflater, Inflater}
+
+/** Avro Object Container File codec, written from the published Avro
+  * 1.11 specification (container layout, binary encoding, deflate
+  * codec) — the connector jar is absent from this image, so the
+  * format is implemented at the byte level like the PPM and WAV
+  * codecs, against the spec alone.
+  *
+  * Supported value model: a FLAT record whose fields are
+  * null / boolean / int / long / float / double / string / bytes,
+  * each optionally nullable as the union `["null", T]` (branch index
+  * 0 = null, 1 = value — the layout every mainstream Avro writer
+  * emits for nullable columns). Codecs: `null` and `deflate` (raw
+  * RFC-1951, per the spec).
+  *
+  * Container layout (spec §Object Container Files):
+  *   magic "Obj\x01" · metadata map{avro.schema, avro.codec} ·
+  *   16-byte sync · blocks of [count, byteLen, payload, sync].
+  * Binary encoding (spec §Binary Encoding): zig-zag varint
+  * ints/longs, little-endian IEEE float/double, length-prefixed
+  * UTF-8 strings and bytes, one-byte booleans, empty nulls, unions
+  * as branch-index-then-value.
+  *
+  * Malformed input REJECTS with [[AvroCodec.AvroFormatException]] —
+  * never an obscure failure, OOM-scale allocation, or a hang — the
+  * same fuzz contract the other binary codecs carry.
+  */
+object AvroCodec {
+
+  final class AvroFormatException(msg: String)
+    extends RuntimeException(msg)
+
+  private def bad(msg: String): Nothing = throw new AvroFormatException(msg)
+
+  /** One record field: Avro primitive name + nullability + optional
+    * logical-type annotation (e.g. `timestamp-micros` on long — the
+    * spec's way to round-trip timestamps through the long encoding). */
+  case class AvroField(name: String, tpe: String, nullable: Boolean,
+      logical: Option[String] = None)
+
+  val Primitives: Set[String] =
+    Set("boolean", "int", "long", "float", "double", "string", "bytes")
+
+  private val Magic = Array[Byte]('O', 'b', 'j', 1)
+
+  // ---------------------------------------------------------------
+  // binary primitives
+  // ---------------------------------------------------------------
+
+  private[multimodal] def writeLong(out: ByteArrayOutputStream,
+      v: Long): Unit = {
+    var z = (v << 1) ^ (v >> 63) // zig-zag
+    while ((z & ~0x7fL) != 0) {
+      out.write(((z & 0x7f) | 0x80).toInt)
+      z >>>= 7
+    }
+    out.write(z.toInt)
+  }
+
+  private def writeBytes(out: ByteArrayOutputStream, b: Array[Byte]): Unit = {
+    writeLong(out, b.length.toLong); out.write(b)
+  }
+
+  private def writeString(out: ByteArrayOutputStream, s: String): Unit =
+    writeBytes(out, s.getBytes(UTF_8))
+
+  /** Bounded cursor over a byte array; every read checks remaining. */
+  private[multimodal] final class In(buf: Array[Byte], var pos: Int,
+      val end: Int) {
+    def this(buf: Array[Byte]) = this(buf, 0, buf.length)
+    def remaining: Int = end - pos
+    def u8(): Int = {
+      if (pos >= end) bad("truncated: varint runs past the end")
+      val b = buf(pos) & 0xff; pos += 1; b
+    }
+    def readLong(): Long = {
+      var shift = 0; var acc = 0L; var b = 0
+      do {
+        if (shift > 63) bad("varint longer than 10 bytes")
+        b = u8()
+        acc |= (b & 0x7fL) << shift
+        shift += 7
+      } while ((b & 0x80) != 0)
+      (acc >>> 1) ^ -(acc & 1) // un-zig-zag
+    }
+    def readN(n: Long): Array[Byte] = {
+      if (n < 0 || n > remaining)
+        bad(s"length $n exceeds remaining $remaining bytes")
+      val a = java.util.Arrays.copyOfRange(buf, pos, pos + n.toInt)
+      pos += n.toInt
+      a
+    }
+    def skipN(n: Long): Unit = {
+      if (n < 0 || n > remaining)
+        bad(s"length $n exceeds remaining $remaining bytes")
+      pos += n.toInt
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // schema JSON
+  // ---------------------------------------------------------------
+
+  /** The canonical writer-schema JSON for a flat record. */
+  def schemaJson(fields: Seq[AvroField], name: String = "row"): String =
+    fields.map { f =>
+      val base = f.logical match {
+        case Some(l) => s"""{"type":"${f.tpe}","logicalType":"$l"}"""
+        case None => s""""${f.tpe}""""
+      }
+      val t = if (f.nullable) s"""["null",$base]""" else base
+      s"""{"name":"${f.name}","type":$t}"""
+    }.mkString(
+      s"""{"type":"record","name":"$name","fields":[""", ",", "]}")
+
+  /** Parse a record schema back out of standard Avro JSON. Accepts
+    * any field order and whitespace (a real JSON walk, not a regex),
+    * `["null", T]` / `[T, "null"]` unions, and ignores attributes it
+    * doesn't model (doc, logicalType, aliases). Anything outside the
+    * flat-record model rejects. */
+  def parseSchema(json: String): Seq[AvroField] = {
+    val root = Json.parse(json) match {
+      case o: Map[_, _] => o.asInstanceOf[Map[String, Any]]
+      case _ => bad("schema is not a JSON object")
+    }
+    if (!root.get("type").contains("record")) bad("schema is not a record")
+    val fields = root.get("fields") match {
+      case Some(l: List[_]) => l
+      case _ => bad("record schema lacks a fields array")
+    }
+    // one type node → (primitive, logical); accepts the bare-string
+    // and the {"type":..,"logicalType":..} annotated forms
+    def one(t: Any, where: String): (String, Option[String]) = t match {
+      case s: String if Primitives(s) => (s, None)
+      case o: Map[_, _] =>
+        val m = o.asInstanceOf[Map[String, Any]]
+        m.get("type") match {
+          case Some(s: String) if Primitives(s) =>
+            (s, m.get("logicalType").collect { case l: String => l })
+          case other => bad(s"unsupported type object in $where: $other")
+        }
+      case other => bad(s"unsupported type in $where: $other")
+    }
+    fields.map {
+      case f: Map[_, _] =>
+        val m = f.asInstanceOf[Map[String, Any]]
+        val name = m.get("name") match {
+          case Some(s: String) => s
+          case _ => bad("field lacks a name")
+        }
+        m.get("type") match {
+          case Some(l: List[_]) =>
+            if (l.size != 2 || !l.contains("null"))
+              bad(s"unsupported union for '$name': ${l.mkString(",")}")
+            val (t, logical) = one(l.filter(_ != "null").head, s"'$name'")
+            AvroField(name, t, true, logical)
+          case Some(t) =>
+            val (p, logical) = one(t, s"'$name'")
+            AvroField(name, p, false, logical)
+          case None => bad(s"field '$name' lacks a type")
+        }
+      case other => bad(s"field entry is not an object: $other")
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // container write
+  // ---------------------------------------------------------------
+
+  /** Streaming container writer: rows are `Array[Any]` positionally
+    * matching `fields` (Boolean/Int/Long/Float/Double/String/
+    * Array[Byte]/null). Blocks flush every `blockRows`. Deterministic
+    * sync marker derived from the schema — byte-identical output for
+    * identical input, same policy as the other codecs. */
+  final class Writer(out: java.io.OutputStream, fields: Seq[AvroField],
+      codec: String = "null", blockRows: Int = 4096) {
+    require(codec == "null" || codec == "deflate", s"codec: $codec")
+    private val schema = schemaJson(fields)
+    private val sync = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(("graft-avro:" + schema + ":" + codec).getBytes(UTF_8))
+    }
+    locally { // header
+      val h = new ByteArrayOutputStream()
+      h.write(Magic)
+      writeLong(h, 2L) // metadata map: 2 entries
+      writeString(h, "avro.schema"); writeBytes(h, schema.getBytes(UTF_8))
+      writeString(h, "avro.codec"); writeBytes(h, codec.getBytes(UTF_8))
+      writeLong(h, 0L) // map terminator
+      h.write(sync)
+      out.write(h.toByteArray)
+    }
+    private var block = new ByteArrayOutputStream()
+    private var n = 0
+
+    def write(row: Array[Any]): Unit = {
+      require(row.length == fields.length,
+        s"row arity ${row.length} != schema arity ${fields.length}")
+      var i = 0
+      while (i < fields.length) {
+        val f = fields(i)
+        val v = row(i)
+        if (f.nullable) writeLong(block, if (v == null) 0L else 1L)
+        else if (v == null) throw new IllegalArgumentException(
+          s"null in non-nullable field '${f.name}'")
+        if (v != null) f.tpe match {
+          case "boolean" =>
+            block.write(if (v.asInstanceOf[Boolean]) 1 else 0)
+          case "int" => writeLong(block, v.asInstanceOf[Int].toLong)
+          case "long" => writeLong(block, v.asInstanceOf[Long])
+          case "float" => le32(block,
+            java.lang.Float.floatToIntBits(v.asInstanceOf[Float]))
+          case "double" => le64(block,
+            java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]))
+          case "string" => writeString(block, v.asInstanceOf[String])
+          case "bytes" => writeBytes(block, v.asInstanceOf[Array[Byte]])
+        }
+        i += 1
+      }
+      n += 1
+      if (n >= blockRows) flush()
+    }
+
+    private def flush(): Unit = if (n > 0) {
+      val payload =
+        if (codec == "deflate") deflate(block.toByteArray)
+        else block.toByteArray
+      val b = new ByteArrayOutputStream()
+      writeLong(b, n.toLong)
+      writeLong(b, payload.length.toLong)
+      out.write(b.toByteArray)
+      out.write(payload)
+      out.write(sync)
+      block = new ByteArrayOutputStream()
+      n = 0
+    }
+
+    def finish(): Unit = flush()
+  }
+
+  private def le32(out: ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+  }
+  private def le64(out: ByteArrayOutputStream, v: Long): Unit = {
+    le32(out, v.toInt); le32(out, (v >>> 32).toInt)
+  }
+
+  private def deflate(b: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION, /* nowrap = */ true)
+    d.setInput(b); d.finish()
+    val out = new ByteArrayOutputStream(math.max(64, b.length / 2))
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Inflate with an explicit output ceiling: a malicious block
+    * cannot claim a petabyte and make the reader allocate it. */
+  private def inflate(b: Array[Byte], maxOut: Int): Array[Byte] = {
+    val inf = new Inflater(/* nowrap = */ true)
+    inf.setInput(b)
+    val out = new ByteArrayOutputStream(math.min(maxOut, b.length * 4 + 64))
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput()) bad("truncated deflate stream")
+        out.write(buf, 0, n)
+        if (out.size() > maxOut) bad(s"deflate output exceeds $maxOut bytes")
+      }
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        bad(s"corrupt deflate stream: ${e.getMessage}")
+    } finally inf.end()
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------
+  // container read
+  // ---------------------------------------------------------------
+
+  case class Header(fields: Seq[AvroField], codec: String,
+      sync: Array[Byte], bodyOffset: Int)
+
+  /** Maximum decompressed block size accepted — far above any block
+    * this writer emits, far below an allocation attack. */
+  val MaxBlockBytes: Int = 256 << 20
+
+  def readHeader(bytes: Array[Byte]): Header = {
+    val in = new In(bytes)
+    if (in.remaining < 4 || !java.util.Arrays.equals(in.readN(4), Magic))
+      bad("not an Avro container: bad magic")
+    var schema: Option[String] = None
+    var codec = "null"
+    var count = in.readLong()
+    while (count != 0) {
+      if (count < 0) { // spec: negative count is followed by a byte size
+        in.readLong(); count = -count
+      }
+      var i = 0L
+      while (i < count) {
+        val key = new String(in.readN(in.readLong()), UTF_8)
+        val value = in.readN(in.readLong())
+        key match {
+          case "avro.schema" => schema = Some(new String(value, UTF_8))
+          case "avro.codec" => codec = new String(value, UTF_8)
+          case _ => // ignore unknown metadata, per spec
+        }
+        i += 1
+      }
+      count = in.readLong()
+    }
+    if (codec != "null" && codec != "deflate")
+      bad(s"unsupported codec '$codec'")
+    val fields = parseSchema(schema.getOrElse(bad("missing avro.schema")))
+    if (in.remaining < 16) bad("truncated: no sync marker after header")
+    Header(fields, codec, in.readN(16), in.pos)
+  }
+
+  /** Decode every record, materializing only the fields whose index
+    * is in `wanted` (others are parsed and skipped — Avro is
+    * row-oriented, so the bytes must be walked either way, but
+    * string/bytes skipping avoids the copy). Output arrays are in
+    * `wanted`'s order. */
+  def readRows(bytes: Array[Byte], wanted: Seq[Int]): Iterator[Array[Any]] = {
+    val h = readHeader(bytes)
+    val want = wanted.toArray
+    val top = new In(bytes, h.bodyOffset, bytes.length)
+    new Iterator[Array[Any]] {
+      private var block: In = _
+      private var left = 0L
+
+      private def nextBlock(): Boolean = {
+        if (top.remaining == 0) return false
+        val count = top.readLong()
+        val size = top.readLong()
+        if (count <= 0) bad(s"non-positive block count $count")
+        val payload = top.readN(size)
+        val raw =
+          if (h.codec == "deflate") inflate(payload, MaxBlockBytes)
+          else payload
+        if (top.remaining < 16 ||
+          !java.util.Arrays.equals(top.readN(16), h.sync))
+          bad("sync marker mismatch after block")
+        block = new In(raw)
+        left = count
+        true
+      }
+
+      override def hasNext: Boolean =
+        left > 0 || nextBlock()
+
+      override def next(): Array[Any] = {
+        if (!hasNext) throw new NoSuchElementException
+        val out = new Array[Any](want.length)
+        var i = 0
+        while (i < h.fields.length) {
+          val f = h.fields(i)
+          val slot = {
+            var s = -1; var j = 0
+            while (j < want.length) { if (want(j) == i) s = j; j += 1 }
+            s
+          }
+          val present = !f.nullable || {
+            block.readLong() match {
+              case 0L => false
+              case 1L => true
+              case b => bad(s"union branch $b out of range")
+            }
+          }
+          if (present) f.tpe match {
+            case "boolean" =>
+              val v = block.u8() != 0
+              if (slot >= 0) out(slot) = v
+            case "int" =>
+              val v = block.readLong()
+              if (v < Int.MinValue || v > Int.MaxValue)
+                bad(s"int field '${f.name}' out of range: $v")
+              if (slot >= 0) out(slot) = v.toInt
+            case "long" =>
+              val v = block.readLong()
+              if (slot >= 0) out(slot) = v
+            case "float" =>
+              val b = block.readN(4)
+              if (slot >= 0) out(slot) = java.lang.Float.intBitsToFloat(
+                (b(0) & 0xff) | ((b(1) & 0xff) << 8) |
+                  ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 24))
+            case "double" =>
+              val b = block.readN(8)
+              var bits = 0L; var k = 7
+              while (k >= 0) { bits = (bits << 8) | (b(k) & 0xffL); k -= 1 }
+              if (slot >= 0) out(slot) = java.lang.Double.longBitsToDouble(bits)
+            case "string" =>
+              val n = block.readLong()
+              if (slot >= 0) out(slot) = new String(block.readN(n), UTF_8)
+              else block.skipN(n)
+            case "bytes" =>
+              val n = block.readLong()
+              if (slot >= 0) out(slot) = block.readN(n)
+              else block.skipN(n)
+          }
+          i += 1
+        }
+        left -= 1
+        out
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // minimal JSON (schema metadata only — objects, arrays, strings
+  // with escapes, numbers, true/false/null)
+  // ---------------------------------------------------------------
+
+  private[multimodal] object Json {
+    def parse(s: String): Any = {
+      val p = new P(s)
+      val v = p.value()
+      p.ws()
+      if (p.i != s.length) bad(s"trailing JSON at ${p.i}")
+      v
+    }
+    private final class P(s: String) {
+      var i = 0
+      def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+      private def ch(): Char = {
+        if (i >= s.length) bad("unexpected end of JSON")
+        s.charAt(i)
+      }
+      def value(): Any = {
+        ws()
+        ch() match {
+          case '{' => obj()
+          case '[' => arr()
+          case '"' => str()
+          case 't' => lit("true", true)
+          case 'f' => lit("false", false)
+          case 'n' => lit("null", null)
+          case _ => num()
+        }
+      }
+      private def lit(word: String, v: Any): Any = {
+        if (!s.startsWith(word, i)) bad(s"bad JSON literal at $i")
+        i += word.length; v
+      }
+      private def obj(): Map[String, Any] = {
+        i += 1; ws()
+        val b = Map.newBuilder[String, Any]
+        if (ch() == '}') { i += 1; return b.result() }
+        var done = false
+        while (!done) {
+          ws()
+          val k = str(); ws()
+          if (ch() != ':') bad(s"expected ':' at $i")
+          i += 1
+          b += (k -> value()); ws()
+          ch() match {
+            case ',' => i += 1
+            case '}' => i += 1; done = true
+            case c => bad(s"expected ',' or '}' at $i, got '$c'")
+          }
+        }
+        b.result()
+      }
+      private def arr(): List[Any] = {
+        i += 1; ws()
+        val b = List.newBuilder[Any]
+        if (ch() == ']') { i += 1; return b.result() }
+        var done = false
+        while (!done) {
+          b += value(); ws()
+          ch() match {
+            case ',' => i += 1
+            case ']' => i += 1; done = true
+            case c => bad(s"expected ',' or ']' at $i, got '$c'")
+          }
+        }
+        b.result()
+      }
+      private def str(): String = {
+        if (ch() != '"') bad(s"expected string at $i")
+        i += 1
+        val sb = new StringBuilder
+        while (ch() != '"') {
+          val c = s.charAt(i)
+          if (c == '\\') {
+            i += 1
+            ch() match {
+              case '"' => sb += '"'; case '\\' => sb += '\\'
+              case '/' => sb += '/'; case 'b' => sb += '\b'
+              case 'f' => sb += '\f'; case 'n' => sb += '\n'
+              case 'r' => sb += '\r'; case 't' => sb += '\t'
+              case 'u' =>
+                if (i + 4 >= s.length) bad("truncated \\u escape")
+                sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
+                i += 4
+              case c2 => bad(s"bad escape '\\$c2'")
+            }
+            i += 1
+          } else { sb += c; i += 1 }
+        }
+        i += 1
+        sb.toString
+      }
+      private def num(): Any = {
+        val start = i
+        while (i < s.length && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0)
+          i += 1
+        if (i == start) bad(s"bad JSON value at $i")
+        val t = s.substring(start, i)
+        if (t.exists(c => c == '.' || c == 'e' || c == 'E')) t.toDouble
+        else t.toLong
+      }
+    }
+  }
+}

@@ -243,6 +243,29 @@ object PipelineQueries extends QueryModule {
         .groupBy($"o_orderpriority", $"o_orderstatus")
         .agg(count(lit(1)).as("n"), r4(sum($"p")).as("total"))
         .orderBy($"o_orderpriority", $"o_orderstatus")
+    }),
+
+    // Avro container interchange end to end, through the from-scratch
+    // byte-level codec (deflate blocks — the compressed path is the
+    // one a production pipeline runs): orders + a string key and a
+    // timestamp column → .avro files → read back → aggregated. The
+    // oracle recomputes from parquet, so any encode/decode error in
+    // the varint/union/deflate/timestamp paths diverges.
+    "pipe_avro_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val dir = sys.props("java.io.tmpdir") +
+        "/graft_avro_rt_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      T.orders(s, d)
+        .select($"o_orderkey", $"o_orderpriority", $"o_orderstatus",
+          $"o_orderdate".cast("timestamp").as("od"),
+          $"o_totalprice".cast("double").as("p"))
+        .write.format("graft.sources.AvroSource")
+        .option("codec", "deflate").mode("overwrite").save(dir)
+      s.read.format("graft.sources.AvroSource").load(dir)
+        .groupBy($"o_orderpriority", $"o_orderstatus")
+        .agg(count(lit(1)).as("n"), r4(sum($"p")).as("total"),
+          max($"od").cast("date").cast("string").as("last_day"))
+        .orderBy($"o_orderpriority", $"o_orderstatus")
     })
   )
 
@@ -294,6 +317,16 @@ object PipelineQueries extends QueryModule {
     "pipe_arrow_roundtrip" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
         |  round(sum(CAST(o_totalprice AS DOUBLE)), 4) AS total
+        |FROM orders
+        |GROUP BY 1, 2 ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+
+    // full-scan recompute — equals the avro round-trip only if every
+    // varint/union/deflate/timestamp byte survived the cycle
+    "pipe_avro_roundtrip" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  round(sum(CAST(o_totalprice AS DOUBLE)), 4) AS total,
+        |  CAST(CAST(max(CAST(o_orderdate AS TIMESTAMP)) AS DATE) AS VARCHAR)
+        |    AS last_day
         |FROM orders
         |GROUP BY 1, 2 ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
 
