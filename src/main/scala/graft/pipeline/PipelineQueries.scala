@@ -224,6 +224,49 @@ object PipelineQueries extends QueryModule {
         .orderBy($"o_orderpriority")
     }),
 
+    // Multi-column manifest pruning end to end: overwriteIndexedMulti
+    // clusters orders by (o_orderpriority, o_orderdate_days,
+    // o_totalprice) and records per-file (min, max) for BOTH numeric
+    // columns plus the bounded distinct-value set of the priority
+    // string. readWhere's conjunctive two-predicate prune must then
+    // open strictly fewer files than either single-column prune alone
+    // (asserted in the build — independent predicates compose), and
+    // the oracle's full-scan filter catches any wrongly-skipped file.
+    // Idempotent build keyed like pipe_indexed_scan.
+    "pipe_multicol_scan" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.TxTable
+      val src = T.orders(s, d)
+        .select($"o_orderkey", $"o_orderpriority",
+          datediff($"o_orderdate", lit("1992-01-01")).cast("double")
+            .as("o_days"),
+          $"o_totalprice")
+      val dir = sys.props("java.io.tmpdir") +
+        "/graft_txtable_midx_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + src.count()
+      if (TxTable.snapshot(s, dir).isEmpty)
+        TxTable.overwriteIndexedMulti(src, dir,
+          statCols = Seq("o_days", "o_totalprice"),
+          valueCols = Seq("o_orderpriority"))
+      val snap = TxTable.snapshot(s, dir).get
+      val ranges = Seq(("o_days", 1200.0, 1600.0),
+        ("o_totalprice", 1000.0, 60000.0))
+      val veq = Seq(("o_orderpriority", "1-URGENT"))
+      val both = TxTable.pruneFilesWhere(snap, ranges, veq)
+      val daysOnly = TxTable.pruneFilesWhere(snap, ranges.take(1))
+      val prioOnly = TxTable.pruneFilesWhere(snap, Nil, veq)
+      require(both.nonEmpty && both.size < snap.files.size &&
+        both.size < math.max(daysOnly.size, prioOnly.size),
+        s"two-column prune not stricter: both=${both.size} " +
+          s"days=${daysOnly.size} prio=${prioOnly.size} " +
+          s"total=${snap.files.size}")
+      TxTable.readWhere(s, dir, ranges, veq)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), r4(sum($"o_totalprice")).as("total"),
+          r4(avg($"o_days")).as("avg_days"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // Arrow IPC interchange end to end: orders → .arrow files through
     // the DSv2 writer (task-staged dotfiles, publish-on-commit), read
     // back through the DSv2 scan (one partition per file, vector-level
@@ -310,6 +353,21 @@ object PipelineQueries extends QueryModule {
         |  round(sum(o_totalprice), 4) AS total
         |FROM orders
         |WHERE o_totalprice >= 1000.0 AND o_totalprice <= 20000.0
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    // full-scan conjunctive filter — equals the pruned readWhere scan
+    // only if no matching file was wrongly skipped by the
+    // multi-column manifest metadata
+    "pipe_multicol_scan" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 4) AS total,
+        |  round(avg(CAST(datediff('day', DATE '1992-01-01',
+        |    o_orderdate) AS DOUBLE)), 4) AS avg_days
+        |FROM orders
+        |WHERE datediff('day', DATE '1992-01-01', o_orderdate)
+        |    BETWEEN 1200 AND 1600
+        |  AND o_totalprice >= 1000.0 AND o_totalprice <= 60000.0
+        |  AND o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     // full-scan recompute — equals the arrow round-trip only if every

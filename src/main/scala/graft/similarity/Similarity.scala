@@ -69,16 +69,28 @@ object Similarity {
 
   /** ANN top-k over the union of the query's buckets across L hash
     * tables. Recall < 1 by construction; spec-tested vs bruteTopK and
-    * oracle-replayed in DuckDB (same literal hyperplanes). */
+    * oracle-replayed in DuckDB (same literal hyperplanes).
+    *
+    * `broadcastQueries` picks the join regime for the posting join:
+    *   - true (default) — the interactive regime, Q ≪ corpus: the
+    *     query postings broadcast, the corpus never shuffles.
+    *   - false — the BATCH regime (score a huge query set against a
+    *     huge corpus, e.g. 100M queries × 1B items): both posting
+    *     sides hash-shuffle on (table, bucket), so neither has to fit
+    *     in an executor and cost stays linear in |Q| + |corpus| per
+    *     table. Identical results by construction — only the exchange
+    *     strategy changes (spec-asserted both ways).
+    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: String,
       vec: String, k: Int, dim: Int, nPlanes: Int = 4,
-      nTables: Int = 16): DataFrame = {
+      nTables: Int = 16, broadcastQueries: Boolean = true): DataFrame = {
     val c = lshPostings(
       corpus.select(col(id).as("nid"), col(vec).as("__vec")),
       nPlanes, nTables, dim)
-    val q = lshPostings(queries.select(col(id).as("qid"),
+    val q0 = lshPostings(queries.select(col(id).as("qid"),
       col(vec).as("__vec")), nPlanes, nTables, dim)
       .withColumnRenamed("__vec", "__qv")
+    val q = if (broadcastQueries) broadcast(q0) else q0
     // Score each bucket collision IMMEDIATELY (codegen'd dot over the
     // two row-local arrays, map-side) so only (qid, nid, cos) triples
     // ever shuffle — never the embeddings. A pair colliding in
@@ -91,7 +103,7 @@ object Similarity {
     // full embedding arrays plus a separate window exchange.
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid").asc)
-    c.join(broadcast(q), Seq("__table", "__bucket"))
+    c.join(q, Seq("__table", "__bucket"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", cosine(col("__qv"), col("__vec")))
       .select(col("qid"), col("nid"), col("cos"))
@@ -118,19 +130,26 @@ object Similarity {
     * each query searches only its nearest `nprobe` cells. The
     * centroid matrix (k×dim) is the only driver-side state; corpus
     * assignment and search stay fully distributed, turning O(N·Q)
-    * into O(N·Q·nprobe/k). */
+    * into O(N·Q·nprobe/k).
+    *
+    * `broadcastQueries` as in [[lshTopK]]: true = interactive regime
+    * (queries broadcast, corpus never shuffles); false = batch regime
+    * (both sides hash-shuffle on the cell id — required when the
+    * query set itself is corpus-scale). Identical results either
+    * way; only the exchange strategy changes. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String,
       vec: String, k: Int, nCells: Int = 16, nprobe: Int = 4,
-      kmeansIters: Int = 5): DataFrame = {
+      kmeansIters: Int = 5, broadcastQueries: Boolean = true): DataFrame = {
     val cents = KMeans.fit(corpus, id, vec, nCells, kmeansIters)
     val c = graft.Util.ensureParallelism(
       corpus.select(col(id).as("nid"), col(vec).as("__cv")))
       .withColumn("__cell", KMeans.cellExpr(col("__cv"), cents))
-    val q = queries.select(col(id).as("qid"), col(vec).as("__qv"),
+    val q0 = queries.select(col(id).as("qid"), col(vec).as("__qv"),
         explode(KMeans.probeExpr(col(vec), cents, nprobe)).as("__cell"))
+    val q = if (broadcastQueries) broadcast(q0) else q0
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid").asc)
-    c.join(broadcast(q), "__cell")
+    c.join(q, "__cell")
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", cosine(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(w))

@@ -41,12 +41,18 @@ object TxTable {
     * exactly-once key for [[appendEpoch]]); `statsCol`/`stats` carry
     * optional per-file (min, max) of ONE indexed column, written by
     * [[overwriteIndexed]] and consumed by [[readRange]]'s file
-    * pruning. Both are empty for manifests that never set them —
-    * old manifests parse unchanged. */
+    * pruning. `multiStats` generalizes to per-file (min, max) over k
+    * NUMERIC columns and `fileValues` to per-file bounded
+    * distinct-value sets of low-cardinality partition columns — the
+    * Iceberg-style manifest metadata [[overwriteIndexedMulti]] writes
+    * and [[readWhere]] prunes with. All empty for manifests that
+    * never set them — old manifests parse unchanged. */
   case class Snapshot(version: Long, files: Seq[String],
       txns: Map[String, Long] = Map.empty,
       statsCol: Option[String] = None,
-      stats: Map[String, (Double, Double)] = Map.empty)
+      stats: Map[String, (Double, Double)] = Map.empty,
+      multiStats: Map[String, Map[String, (Double, Double)]] = Map.empty,
+      fileValues: Map[String, Map[String, Set[String]]] = Map.empty)
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -75,28 +81,71 @@ object TxTable {
     val body = new String(
       readFully(f, new Path(ld, s"v$v.json")), "UTF-8")
     // commit body: {"version":N,"files":[...],"txns":{...},
-    //               "statscol":"c","stats":[{"path":..,"min":..,"max":..}]}
-    // The files list parses from ITS segment only — a path may also
-    // appear inside the stats objects.
-    val filesSeg = body.indexOf("\"files\":[") match {
-      case -1 => ""
-      case i => body.substring(i, body.indexOf(']', i) + 1)
+    //   "statscol":"c","stats":[{"path":..,"min":..,"max":..}],
+    //   "mstats":[{"path":..,"cols":{c:[mn,mx],..},"vals":{c:[..],..}}]}
+    // parsed with the strict JSON walk (graft.Json) — the manifest is
+    // machine-written by commit(), so a parse failure means a corrupt
+    // log, and the error should say so rather than regex-skip it.
+    val root = try graft.Json.parseObject(body) catch {
+      case e: graft.Json.JsonException => throw new IllegalStateException(
+        s"corrupt manifest v$v.json at $table: ${e.getMessage}")
     }
-    val files = "\"([^\"]+\\.parquet)\"".r
-      .findAllMatchIn(filesSeg).map(_.group(1)).toSeq
-    val txns = "\"txns\":\\{([^}]*)\\}".r.findFirstMatchIn(body)
-      .map(m => "\"([^\"]+)\":(-?\\d+)".r.findAllMatchIn(m.group(1))
-        .map(t => t.group(1) -> t.group(2).toLong).toMap)
-      .getOrElse(Map.empty[String, Long])
-    val statsCol = "\"statscol\":\"([^\"]+)\"".r
-      .findFirstMatchIn(body).map(_.group(1))
-    val num = "(-?[0-9][-0-9.eE+]*)"
-    val stats =
-      ("\\{\"path\":\"([^\"]+)\",\"min\":" + num + ",\"max\":" + num + "\\}").r
-        .findAllMatchIn(body)
-        .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
-        .toMap
-    Some(Snapshot(v, files, txns, statsCol, stats))
+    def asDouble(x: Any): Double = x match {
+      case l: Long => l.toDouble
+      case d: Double => d
+      case other => throw new IllegalStateException(
+        s"manifest v$v.json at $table: non-numeric stat $other")
+    }
+    val files = root.get("files") match {
+      case Some(l: List[_]) => l.collect { case s: String => s }
+      case _ => Nil
+    }
+    val txns = root.get("txns") match {
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+        .map { case (k, x) => k -> asDouble(x).toLong }
+      case _ => Map.empty[String, Long]
+    }
+    val statsCol = root.get("statscol").collect { case s: String => s }
+    val stats = root.get("stats") match {
+      case Some(l: List[_]) => l.collect { case m: Map[_, _] =>
+        val e = m.asInstanceOf[Map[String, Any]]
+        e("path").asInstanceOf[String] ->
+          (asDouble(e("min")), asDouble(e("max")))
+      }.toMap
+      case _ => Map.empty[String, (Double, Double)]
+    }
+    val (mstats, fvals) = root.get("mstats") match {
+      case Some(l: List[_]) =>
+        val entries = l.collect { case m: Map[_, _] =>
+          m.asInstanceOf[Map[String, Any]]
+        }
+        val ms = entries.map { e =>
+          val cols = e.get("cols") match {
+            case Some(c: Map[_, _]) => c.asInstanceOf[Map[String, Any]]
+              .map { case (k, x) =>
+                val List(mn, mx) = x.asInstanceOf[List[Any]]
+                k -> (asDouble(mn), asDouble(mx))
+              }
+            case _ => Map.empty[String, (Double, Double)]
+          }
+          e("path").asInstanceOf[String] -> cols
+        }.toMap
+        val fv = entries.map { e =>
+          val vals = e.get("vals") match {
+            case Some(c: Map[_, _]) => c.asInstanceOf[Map[String, Any]]
+              .map { case (k, x) =>
+                k -> x.asInstanceOf[List[Any]]
+                  .collect { case s: String => s }.toSet
+              }
+            case _ => Map.empty[String, Set[String]]
+          }
+          e("path").asInstanceOf[String] -> vals
+        }.toMap
+        (ms, fv)
+      case _ => (Map.empty[String, Map[String, (Double, Double)]],
+        Map.empty[String, Map[String, Set[String]]])
+    }
+    Some(Snapshot(v, files, txns, statsCol, stats, mstats, fvals))
   }
 
   private def readFully(f: FileSystem, p: Path): Array[Byte] = {
@@ -164,11 +213,22 @@ object TxTable {
     * guarantees a reader sees no commit or the complete winning body,
     * never a partial or clobbered one.
     */
+  /** JSON string escape for manifest bodies — partition VALUES are
+    * data-derived, so quotes/backslashes/control chars must encode. */
+  private def jq(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   private[graft] def commit(spark: SparkSession, table: String,
       version: Long, files: Seq[String],
       txns: Map[String, Long] = Map.empty,
       statsCol: Option[String] = None,
-      stats: Map[String, (Double, Double)] = Map.empty): Unit = {
+      stats: Map[String, (Double, Double)] = Map.empty,
+      multiStats: Map[String, Map[String, (Double, Double)]] = Map.empty,
+      fileValues: Map[String, Map[String, Set[String]]] = Map.empty): Unit = {
     val ld = logDir(table)
     val f = fs(spark, ld)
     f.mkdirs(ld)
@@ -186,8 +246,23 @@ object TxTable {
           }.mkString(",") + "]"
       case _ => ""
     }
+    val mstatsJson =
+      if (multiStats.isEmpty && fileValues.isEmpty) ""
+      else {
+        val paths = (multiStats.keySet ++ fileValues.keySet).toSeq.sorted
+        ",\"mstats\":[" + paths.map { pth =>
+          val cols = multiStats.getOrElse(pth, Map.empty).toSeq.sortBy(_._1)
+            .map { case (c, (mn, mx)) => jq(c) + s":[$mn,$mx]" }
+            .mkString("{", ",", "}")
+          val vals = fileValues.getOrElse(pth, Map.empty).toSeq.sortBy(_._1)
+            .map { case (c, vs) =>
+              jq(c) + ":[" + vs.toSeq.sorted.map(jq).mkString(",") + "]"
+            }.mkString("{", ",", "}")
+          s"""{"path":${jq(pth)},"cols":$cols,"vals":$vals}"""
+        }.mkString(",") + "]"
+      }
     val body =
-      s"""{"version":$version,"files":[$filesJson]$txnsJson$statsJson}"""
+      s"""{"version":$version,"files":[$filesJson]$txnsJson$statsJson$mstatsJson}"""
     val target = new Path(ld, s"v$version.json")
     val protocol = CommitProtocol.forScheme(f.getScheme)
     if (!protocol.publish(f, target, body.getBytes("UTF-8")))
@@ -339,6 +414,108 @@ object TxTable {
         .filter(org.apache.spark.sql.functions.lit(false))
     spark.read.parquet(keep.map(new Path(table, _).toString): _*)
       .filter(c(col) >= lo && c(col) <= hi)
+  }
+
+  /** Overwrite with per-file manifest metadata over MANY columns:
+    * (min, max) for each of `statCols` (numeric) and a bounded
+    * distinct-value set for each of `valueCols` (low-cardinality
+    * partition-style strings; files exceeding `maxValuesPerFile`
+    * distinct values record nothing and are never pruned on that
+    * column). Rows are clustered `valueCols` first, then range on
+    * `statCols`, so each file is tight in every recorded dimension —
+    * the Iceberg manifest-pruning layout. [[readWhere]] consumes it:
+    * a conjunctive predicate over k columns opens only files no
+    * single column can rule out, strictly fewer than any one-column
+    * index when the predicates are independent. */
+  def overwriteIndexedMulti(df: DataFrame, table: String,
+      statCols: Seq[String], valueCols: Seq[String] = Nil,
+      maxValuesPerFile: Int = 16): Long = {
+    import org.apache.spark.sql.functions.{col => c, collect_set, input_file_name, max => fmax, min => fmin}
+    require(statCols.nonEmpty || valueCols.nonEmpty)
+    val spark = df.sparkSession
+    val cur = snapshot(spark, table)
+    val next = cur.map(_.version + 1).getOrElse(1L)
+    val nParts = math.max(2,
+      spark.sessionState.conf.numShufflePartitions)
+    val cluster = (valueCols ++ statCols).map(c)
+    val files = writeFiles(
+      df.repartitionByRange(nParts, cluster: _*), table, next)
+    val byName = files.map(f => f.split('/').last -> f).toMap
+    val aggs =
+      statCols.flatMap(s => Seq(
+        fmin(c(s)).cast("double").as(s"__mn_$s"),
+        fmax(c(s)).cast("double").as(s"__mx_$s"))) ++
+      valueCols.map(v =>
+        collect_set(c(v).cast("string")).as(s"__vs_$v"))
+    val rows = spark.read
+      .parquet(files.map(new Path(table, _).toString): _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val mstats = rows.flatMap { r =>
+      val name = r.getString(0).split('/').last
+      byName.get(name).map { f =>
+        f -> statCols.map(s =>
+          s -> (r.getAs[Double](s"__mn_$s"), r.getAs[Double](s"__mx_$s"))).toMap
+      }
+    }.toMap
+    val fvals = rows.flatMap { r =>
+      val name = r.getString(0).split('/').last
+      byName.get(name).map { f =>
+        f -> valueCols.flatMap { v =>
+          val vs = r.getAs[scala.collection.Seq[String]](s"__vs_$v").toSet
+          if (vs.size <= maxValuesPerFile) Some(v -> vs) else None
+        }.toMap
+      }
+    }.toMap
+    commit(spark, table, next, files,
+      cur.map(_.txns).getOrElse(Map.empty),
+      multiStats = mstats, fileValues = fvals)
+    next
+  }
+
+  /** Conjunctive predicate push-down through the multi-column
+    * manifest: numeric range predicates `(col, lo, hi)` plus string
+    * equality predicates `(col, value)`. A file is skipped when ANY
+    * predicate's recorded metadata excludes it; files without
+    * metadata for a column are kept — pruning is an optimization,
+    * never a filter. */
+  def pruneFilesWhere(snap: Snapshot,
+      ranges: Seq[(String, Double, Double)],
+      valueEq: Seq[(String, String)] = Nil): Seq[String] =
+    snap.files.filter { f =>
+      val cols = snap.multiStats.getOrElse(f, Map.empty)
+      val vals = snap.fileValues.getOrElse(f, Map.empty)
+      ranges.forall { case (col, lo, hi) =>
+        cols.get(col).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      } && valueEq.forall { case (col, v) =>
+        vals.get(col).forall(_.contains(v))
+      }
+    }
+
+  /** Read through multi-column manifest pruning, then apply the exact
+    * predicates (metadata prunes files, the predicate prunes rows). */
+  def readWhere(spark: SparkSession, table: String,
+      ranges: Seq[(String, Double, Double)],
+      valueEq: Seq[(String, String)] = Nil,
+      asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val snap = snapshot(spark, table, asOf).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $table"))
+    val keep = pruneFilesWhere(snap, ranges, valueEq)
+    val exact = (df: DataFrame) => {
+      val p1 = ranges.foldLeft(lit(true)) { case (acc, (col, lo, hi)) =>
+        acc && c(col) >= lo && c(col) <= hi
+      }
+      val p2 = valueEq.foldLeft(p1) { case (acc, (col, v)) =>
+        acc && c(col) === v
+      }
+      df.filter(p2)
+    }
+    if (keep.isEmpty)
+      exact(read(spark, table, asOf)).filter(lit(false))
+    else
+      exact(spark.read.parquet(keep.map(new Path(table, _).toString): _*))
   }
 
   /** OPTIMIZE (compaction): rewrite the CURRENT snapshot's content

@@ -58,4 +58,64 @@ class SimilaritySpec extends AnyFunSuite {
     info(f"IVF recall@10 (nprobe=4/16) = $recall%.3f")
     assert(recall >= 0.3, f"IVF recall collapsed: $recall%.3f")
   }
+
+  /** The batch regime (broadcastQueries = false): a corpus-scale
+    * query set can't broadcast, so the posting/cell join must shuffle
+    * BOTH sides. Same results as the broadcast path — only the
+    * exchange strategy may differ — and the plan genuinely drops the
+    * explicit broadcast of the query postings. */
+  test("batch-regime LSH/IVF equals the broadcast path; no forced broadcast") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val q = emb.filter($"vec_id" < 20)
+
+    val lshB = Similarity.lshTopK(emb, q, "vec_id", "embedding", 10,
+      dim = 64, nPlanes = 4, nTables = 16)
+    val lshS = Similarity.lshTopK(emb, q, "vec_id", "embedding", 10,
+      dim = 64, nPlanes = 4, nTables = 16, broadcastQueries = false)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("nid"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sorted.toSeq
+    assert(rows(lshS) === rows(lshB),
+      "batch LSH path diverged from the broadcast path")
+
+    // IVF: the quantizer training is sample-order deterministic, so
+    // both paths see the same cells; results must match exactly
+    val ivfB = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+      10, nCells = 16, nprobe = 4)
+    val ivfS = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+      10, nCells = 16, nprobe = 4, broadcastQueries = false)
+    assert(rows(ivfS) === rows(ivfB),
+      "batch IVF path diverged from the broadcast path")
+
+    // plan check under autoBroadcastJoinThreshold=-1: with the size
+    // heuristic off, a broadcast can only appear if the plan FORCES
+    // it via hint — so the batch path must have zero and the
+    // interactive path keeps its hinted one. (With the threshold on,
+    // Catalyst is free to broadcast the tiny test corpus on its own —
+    // that is exactly the optimizer freedom the batch path restores.)
+    def forcedBroadcasts(mk: => org.apache.spark.sql.DataFrame): Int = {
+      val key = "spark.sql.autoBroadcastJoinThreshold"
+      val saved = spark.conf.get(key)
+      spark.conf.set(key, "-1")
+      try mk.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.size
+      finally spark.conf.set(key, saved)
+    }
+    assert(forcedBroadcasts(Similarity.lshTopK(emb, q, "vec_id", "embedding",
+      10, dim = 64, nPlanes = 4, nTables = 16,
+      broadcastQueries = false)) == 0,
+      "batch LSH plan still forces a broadcast of the posting join")
+    assert(forcedBroadcasts(Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+      10, nCells = 16, nprobe = 4, broadcastQueries = false)) == 0,
+      "batch IVF plan still forces a broadcast of the cell join")
+    assert(forcedBroadcasts(Similarity.lshTopK(emb, q, "vec_id", "embedding",
+      10, dim = 64, nPlanes = 4, nTables = 16)) >= 1,
+      "interactive LSH lost its hinted broadcast — regime flag inverted?")
+    assert(forcedBroadcasts(Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+      10, nCells = 16, nprobe = 4)) >= 1,
+      "interactive IVF lost its hinted broadcast — regime flag inverted?")
+  }
 }

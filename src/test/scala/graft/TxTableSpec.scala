@@ -190,6 +190,56 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.pruneFiles(snap, "other", 0, 1) === snap.files)
   }
 
+  test("multi-column manifest: stats + value sets round-trip and prune conjunctively") {
+    val t = freshTable()
+    // two independent numeric dimensions + a low-cardinality string:
+    // 2 categories over (shuffle.partitions = 4) files means each
+    // category splits across files ALONG `a`, so the value prune and
+    // the range prune each bite, and their conjunction bites harder
+    val data = (1 to 2000).map { i =>
+      (i, (i * 7919 % 1000).toDouble, s"cat${i % 2}",
+        s"weird \"quote\" \\ back") // manifest must JSON-escape
+    }.toDF("a", "b", "cat", "junk").repartition(8)
+    TxTable.overwriteIndexedMulti(data, t,
+      statCols = Seq("a", "b"), valueCols = Seq("cat", "junk"))
+    val snap = TxTable.snapshot(spark, t).get
+    assert(snap.multiStats.size === snap.files.size)
+    assert(snap.multiStats.values.forall(_.keySet === Set("a", "b")))
+    // cat has 4 distinct values ≤ the 16 cap → recorded; and the
+    // escaped junk value survived the manifest JSON round-trip
+    assert(snap.fileValues.values.forall(v =>
+      v.getOrElse("cat", Set.empty).nonEmpty))
+    assert(snap.fileValues.values.head("junk") ===
+      Set("weird \"quote\" \\ back"))
+
+    val ranges = Seq(("a", 100.0, 300.0), ("b", 0.0, 500.0))
+    val both = TxTable.pruneFilesWhere(snap, ranges)
+    val aOnly = TxTable.pruneFilesWhere(snap, ranges.take(1))
+    assert(both.nonEmpty && both.size <= aOnly.size)
+    assert(aOnly.size < snap.files.size,
+      s"a-prune kept ${aOnly.size}/${snap.files.size}")
+
+    // pruned conjunctive read ≡ full-scan filter (exactness)
+    val got = TxTable.readWhere(spark, t, ranges, Seq(("cat", "cat1")))
+      .select($"a").as[Int].collect().sorted.toSeq
+    val want = TxTable.read(spark, t)
+      .filter($"a" >= 100 && $"a" <= 300 &&
+        $"b" >= 0.0 && $"b" <= 500.0 && $"cat" === "cat1")
+      .select($"a").as[Int].collect().sorted.toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+
+    // unknown columns in predicates: never a filter, only a no-op
+    assert(TxTable.pruneFilesWhere(snap,
+      Seq(("zz", 0.0, 1.0)), Seq(("yy", "x"))) === snap.files)
+
+    // a value-equality miss prunes everything cheaply
+    assert(TxTable.pruneFilesWhere(snap, Nil,
+      Seq(("cat", "no-such"))).isEmpty)
+    assert(TxTable.readWhere(spark, t, Nil,
+      Seq(("cat", "no-such"))).count() === 0)
+  }
+
   test("vacuum reclaims unreferenced files; retained versions stay exact") {
     val t = freshTable()
     TxTable.overwrite(df(1 -> "v1"), t)
