@@ -63,10 +63,11 @@ object SparkEntry {
     * exact path with the sketch it validates, so a timing would
     * measure the exact path, not the operator (`q_approx_quantile`'s
     * sketch plan is timed as `q_approx_quantile_sketch`);
-    * `stream_tumbling` replays the table through the file-stream
-    * source + memory sink, so its wall time measures micro-batch
+    * the `stream_*` keys replay the table through the file-stream
+    * source + memory sink, so their wall time measures micro-batch
     * replay, not a query plan comparable to the batch oracle. */
-  def benchExclude: Set[String] = Set("q_approx_quantile", "stream_tumbling")
+  def benchExclude: Set[String] = Set("q_approx_quantile",
+    "stream_tumbling", "stream_session", "stream_sliding", "stream_join")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */

@@ -42,6 +42,66 @@ object StreamingQueries extends QueryModule {
       require(got == expected,
         s"stream_tumbling drift: streamed $got groups, batch has $expected")
       out
+    }),
+
+    // Gap sessionization through the REAL streaming session_window
+    // (merge-on-gap state), replayed from files. The file source
+    // reads every available file in ONE trigger; complete mode then
+    // re-emits the full merged session state each batch, so the
+    // memory sink's final table IS the final sessions — no
+    // append-mode tail (windows above the final watermark never
+    // emit). Session windows reject update mode outright. The DuckDB oracle replays the gap rule with a
+    // lag/running-sum session id: a new session starts when the gap
+    // to the previous event is >= 30 minutes (Spark merges strictly
+    // overlapping [ts, ts+gap) intervals, so touching = new session).
+    "stream_session" -> ((s, d) => {
+      import s.implicits._
+      val q = StreamingOps.sessionWindows(
+          StreamingOps.eventStream(s, d), "30 minutes")
+        .writeStream.format("memory")
+        .queryName("stream_session_gate").outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.table("stream_session_gate")
+        .select($"user_id", $"sess_start", $"n_events")
+        .orderBy($"user_id", $"sess_start")
+      // sanity: one row per (user, session)
+      val emitted = out.count()
+      val distinct = out.distinct().count()
+      require(emitted == distinct,
+        s"stream_session emitted duplicates: $emitted vs $distinct distinct")
+      out
+    }),
+
+    // Sliding-window counts (1 h window / 30 min slide — every event
+    // lands in exactly two windows), complete mode. The oracle
+    // materializes the two bucket memberships per event and
+    // re-aggregates.
+    "stream_sliding" -> ((s, d) => {
+      import s.implicits._
+      val q = StreamingOps.slidingCounts(StreamingOps.eventStream(s, d))
+        .writeStream.format("memory")
+        .queryName("stream_sliding_gate").outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("stream_sliding_gate")
+        .select($"bucket", $"event_type", $"n")
+        .orderBy($"bucket", $"event_type")
+    }),
+
+    // Stream-stream interval join (clicks × purchases within the
+    // following hour, both sides watermarked): inner-join matches
+    // emit as they pair, and the single-trigger replay sees both
+    // sides complete in batch 1, so the memory sink holds exactly
+    // the batch join. The oracle is that batch join in SQL.
+    "stream_join" -> ((s, d) => {
+      import s.implicits._
+      val ev = StreamingOps.eventStream(s, d)
+      val q = StreamingOps.clickPurchaseJoin(ev, ev)
+        .writeStream.format("memory")
+        .queryName("stream_join_gate").outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("stream_join_gate")
+        .select($"user_id", $"click_id", $"purchase_id")
+        .orderBy($"user_id", $"click_id", $"purchase_id")
     })
   )
 
@@ -50,6 +110,50 @@ object StreamingQueries extends QueryModule {
       """SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS bucket,
         |  event_type, count(*) AS n
         |FROM events GROUP BY bucket, event_type
-        |ORDER BY bucket, event_type""".stripMargin
+        |ORDER BY bucket, event_type""".stripMargin,
+
+    "stream_session" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |d AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start""".stripMargin,
+
+    "stream_sliding" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |b AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS w, event_type
+        |  FROM e
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts)
+        |    - INTERVAL '30 minutes' AS w, event_type
+        |  FROM e)
+        |SELECT CAST(epoch(w) AS BIGINT) AS bucket, event_type,
+        |  count(*) AS n
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_join" ->
+      """SELECT c.user_id AS user_id, c.event_id AS click_id,
+        |  p.event_id AS purchase_id
+        |FROM events c JOIN events p
+        |  ON p.user_id = c.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        | AND CAST(p.ts AS TIMESTAMP)
+        |     <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
   )
 }

@@ -42,9 +42,17 @@ object AnnProbe {
 
     for (q <- Seq(q0, q0 * 10)) {
       val queries = emb.filter(col("vec_id") < q)
-      timed(s"lsh_batch_q$q") {
+      // nPlanes=4 is the recall-oriented interactive config (16
+      // buckets/table → heavy candidate fan-out); the batch regime
+      // scales the bucket count with the corpus — nPlanes=8 is the
+      // honest batch operating point here (256 buckets/table)
+      timed(s"lsh_batch_p4_q$q") {
         Similarity.lshTopK(emb, queries, "vec_id", "embedding", 10,
           dim = 64, nPlanes = 4, nTables = 16, broadcastQueries = false)
+      }
+      timed(s"lsh_batch_p8_q$q") {
+        Similarity.lshTopK(emb, queries, "vec_id", "embedding", 10,
+          dim = 64, nPlanes = 8, nTables = 16, broadcastQueries = false)
       }
       timed(s"ivf_batch_q$q") {
         Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
