@@ -34,7 +34,11 @@ import org.apache.spark.sql.expressions.Window
   */
 object VendorPipeline extends QueryModule {
 
-  val root = "/root/reference/source_data/datasets"
+  /** Overridable for the wide-schema volume probe (VendorProbe sets
+    * the property to a replicated copy BEFORE first access — `root`
+    * and the memoized `vendors` are both resolved lazily). */
+  lazy val root: String = sys.props.getOrElse("graft.vendor.root",
+    "/root/reference/source_data/datasets")
   /** The merged all-vendor split (724 cols: + vendor_* dummies). */
   val mergedRoot = "/root/reference/source_data"
 

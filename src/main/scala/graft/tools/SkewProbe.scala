@@ -90,6 +90,44 @@ object SkewProbe {
         key = "o_orderkey", saltFrom = "l_extendedprice", salts = salts)), Map(
         "spark.sql.adaptive.skewJoin.enabled" -> "false"))
 
+    // ---- skewed AGGREGATION (the claimed remaining saltedJoin
+    // niche): same 30%-hot group key, algebraic agg (sum) and
+    // distinct agg (countDistinct), naive vs salted two-phase. AQE's
+    // skew split rebalances JOINS only, so if naive aggregation holds
+    // up here it's Spark's own map-side partial aggregation doing the
+    // work — and salting has no aggregation niche either.
+    def aggNaiveSum() = li.groupBy($"l_orderkey")
+      .agg(sum($"l_extendedprice").as("s"), count(lit(1)).as("n"))
+    def aggSaltSum(salts: Int) = li
+      .withColumn("__salt",
+        pmod(xxhash64($"l_extendedprice"), lit(salts)).cast("int"))
+      .groupBy($"l_orderkey", $"__salt")
+      .agg(sum($"l_extendedprice").as("ps"), count(lit(1)).as("pn"))
+      .groupBy($"l_orderkey")
+      .agg(sum($"ps").as("s"), sum($"pn").as("n"))
+    def aggNaiveDist() = li.groupBy($"l_orderkey")
+      .agg(countDistinct($"l_extendedprice").as("nd"))
+    // salt derived from the DISTINCT column: each distinct value maps
+    // to exactly one salt, so per-salt distinct counts sum exactly
+    def aggSaltDist(salts: Int) = li
+      .withColumn("__salt",
+        pmod(xxhash64($"l_extendedprice"), lit(salts)).cast("int"))
+      .groupBy($"l_orderkey", $"__salt")
+      .agg(countDistinct($"l_extendedprice").as("pnd"))
+      .groupBy($"l_orderkey")
+      .agg(sum($"pnd").as("nd"))
+    timeIt("aggsum_naive", aggNaiveSum(), Map.empty)
+    timeIt("aggsum_salt32", aggSaltSum(32), Map.empty)
+    timeIt("aggdist_naive", aggNaiveDist(), Map.empty)
+    timeIt("aggdist_salt32", aggSaltDist(32), Map.empty)
+    // correctness cross-check of the salted shapes (hot key included)
+    val n1 = aggNaiveSum().agg(sum($"n")).head.getLong(0)
+    val n2 = aggSaltSum(32).agg(sum($"n")).head.getLong(0)
+    val d1 = aggNaiveDist().agg(sum($"nd")).head.getLong(0)
+    val d2 = aggSaltDist(32).agg(sum($"nd")).head.getLong(0)
+    println(s"SKEWCHECK sum rows $n1==$n2 dist $d1==$d2")
+    require(n1 == n2 && d1 == d2, "salted aggregation diverged")
+
     spark.stop()
   }
 }
