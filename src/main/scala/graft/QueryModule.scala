@@ -83,10 +83,17 @@ object Util {
     * key owning 30% of a 6M-row fact) measured AQE's skew-join split
     * at 0.98 s vs 1.57 s naive, while salting lost outright (1.97 s
     * at 8 salts, 5.73 s at 32) because replication of a non-tiny
-    * right side dominates. This helper's remaining use cases are
-    * skewed AGGREGATION keys (pre-salt, partial-agg, de-salt) and
-    * joins where the right side is small enough that `salts`× copies
-    * are genuinely cheap. */
+    * right side dominates. The round-13 probe closed the claimed
+    * AGGREGATION niche too: on the same 30%-hot group key, naive
+    * groupBy beat the salted two-phase shape for both an algebraic
+    * agg (sum: 0.50 s vs 1.07 s — map-side partial aggregation
+    * already collapses the hot key to one row per map task) and a
+    * distinct agg (countDistinct: 1.12 s vs 1.62 s — the
+    * distinct-expand rewrite already shuffles on (key, value), which
+    * is balanced). What remains for this helper: joins whose skew
+    * exceeds AQE's split thresholds AND whose right side is small
+    * enough that `salts`× replication is genuinely cheap, and
+    * engines/pipelines where AQE is off. Measure before reaching. */
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
       saltFrom: String, salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0)

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.QueryModule
+import org.apache.spark.sql.functions.unix_micros
 
 /** §2.2 — the first streaming row in the DRIVER correctness gate.
   *
@@ -72,6 +73,35 @@ object StreamingQueries extends QueryModule {
       out
     }),
 
+    // The MANUAL stateful sessionizer (flatMapGroupsWithState) under
+    // the same driver gate: per-user (n_sessions, n_events) with a
+    // 30-minute gap, update mode. The single-trigger file replay
+    // means one batch → events sorted within it → the state machine
+    // sees in-order input and emits one final row per user (the
+    // require below proves it stayed single-batch). Gap rule here is
+    // STRICTLY-greater (t - last > gap), unlike session_window's
+    // interval-overlap merge — the oracle replays exactly that rule.
+    "stream_sessionize" -> ((s, d) => {
+      import s.implicits._
+      val ev = StreamingOps.eventStream(s, d)
+        .select($"user_id",
+          unix_micros($"ts").as("ts_us"))
+        .as[StreamingOps.UserEvent]
+      val q = StreamingOps.sessionCounts(ev, gapUs = 30L * 60 * 1000000)
+        .writeStream.format("memory")
+        .queryName("stream_sessionize_gate").outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.table("stream_sessionize_gate")
+        .select($"user_id", $"n_sessions", $"n_events", $"n_dropped")
+        .orderBy($"user_id")
+      val emitted = out.count()
+      val users = out.select($"user_id").distinct().count()
+      require(emitted == users,
+        s"stream_sessionize replay was multi-batch: $emitted rows " +
+          s"for $users users — update-mode rows would double-count")
+      out
+    }),
+
     // Sliding-window counts (1 h window / 30 min slide — every event
     // lands in exactly two windows), complete mode. The oracle
     // materializes the two bucket memberships per event and
@@ -130,6 +160,19 @@ object StreamingQueries extends QueryModule {
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, sess_start""".stripMargin,
+
+    "stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |d AS (
+        |  SELECT user_id, t,
+        |    CASE WHEN lag(t) OVER w IS NULL
+        |           OR t - lag(t) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t))
+        |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events, CAST(0 AS BIGINT) AS n_dropped
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "stream_sliding" ->
       """WITH e AS (
