@@ -38,9 +38,12 @@ object AvroCodec {
 
   /** One record field: Avro primitive name + nullability + optional
     * logical-type annotation (e.g. `timestamp-micros` on long — the
-    * spec's way to round-trip timestamps through the long encoding). */
+    * spec's way to round-trip timestamps through the long encoding).
+    * `items` = Some(elementPrimitive) makes the field an ARRAY of
+    * that primitive (spec §Arrays: blocked encoding, zero-count
+    * terminator) — the embedding-column type. */
   case class AvroField(name: String, tpe: String, nullable: Boolean,
-      logical: Option[String] = None)
+      logical: Option[String] = None, items: Option[String] = None)
 
   val Primitives: Set[String] =
     Set("boolean", "int", "long", "float", "double", "string", "bytes")
@@ -108,9 +111,10 @@ object AvroCodec {
   /** The canonical writer-schema JSON for a flat record. */
   def schemaJson(fields: Seq[AvroField], name: String = "row"): String =
     fields.map { f =>
-      val base = f.logical match {
-        case Some(l) => s"""{"type":"${f.tpe}","logicalType":"$l"}"""
-        case None => s""""${f.tpe}""""
+      val base = (f.items, f.logical) match {
+        case (Some(it), _) => s"""{"type":"array","items":"$it"}"""
+        case (None, Some(l)) => s"""{"type":"${f.tpe}","logicalType":"$l"}"""
+        case (None, None) => s""""${f.tpe}""""
       }
       val t = if (f.nullable) s"""["null",$base]""" else base
       s"""{"name":"${f.name}","type":$t}"""
@@ -136,15 +140,19 @@ object AvroCodec {
       case Some(l: List[_]) => l
       case _ => bad("record schema lacks a fields array")
     }
-    // one type node → (primitive, logical); accepts the bare-string
-    // and the {"type":..,"logicalType":..} annotated forms
-    def one(t: Any, where: String): (String, Option[String]) = t match {
-      case s: String if Primitives(s) => (s, None)
+    // one type node → (primitive, logical, items): accepts the
+    // bare-string, the {"type":..,"logicalType":..} annotated, and
+    // the {"type":"array","items":primitive} forms
+    def one(t: Any, where: String)
+        : (String, Option[String], Option[String]) = t match {
+      case s: String if Primitives(s) => (s, None, None)
       case o: Map[_, _] =>
         val m = o.asInstanceOf[Map[String, Any]]
-        m.get("type") match {
-          case Some(s: String) if Primitives(s) =>
-            (s, m.get("logicalType").collect { case l: String => l })
+        (m.get("type"), m.get("items")) match {
+          case (Some("array"), Some(it: String)) if Primitives(it) =>
+            ("array", None, Some(it))
+          case (Some(s: String), _) if Primitives(s) =>
+            (s, m.get("logicalType").collect { case l: String => l }, None)
           case other => bad(s"unsupported type object in $where: $other")
         }
       case other => bad(s"unsupported type in $where: $other")
@@ -160,11 +168,11 @@ object AvroCodec {
           case Some(l: List[_]) =>
             if (l.size != 2 || !l.contains("null"))
               bad(s"unsupported union for '$name': ${l.mkString(",")}")
-            val (t, logical) = one(l.filter(_ != "null").head, s"'$name'")
-            AvroField(name, t, true, logical)
+            val (t, logical, items) = one(l.filter(_ != "null").head, s"'$name'")
+            AvroField(name, t, true, logical, items)
           case Some(t) =>
-            val (p, logical) = one(t, s"'$name'")
-            AvroField(name, p, false, logical)
+            val (p, logical, items) = one(t, s"'$name'")
+            AvroField(name, p, false, logical, items)
           case None => bad(s"field '$name' lacks a type")
         }
       case other => bad(s"field entry is not an object: $other")
@@ -211,17 +219,21 @@ object AvroCodec {
         if (f.nullable) writeLong(block, if (v == null) 0L else 1L)
         else if (v == null) throw new IllegalArgumentException(
           s"null in non-nullable field '${f.name}'")
-        if (v != null) f.tpe match {
-          case "boolean" =>
-            block.write(if (v.asInstanceOf[Boolean]) 1 else 0)
-          case "int" => writeLong(block, v.asInstanceOf[Int].toLong)
-          case "long" => writeLong(block, v.asInstanceOf[Long])
-          case "float" => le32(block,
-            java.lang.Float.floatToIntBits(v.asInstanceOf[Float]))
-          case "double" => le64(block,
-            java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]))
-          case "string" => writeString(block, v.asInstanceOf[String])
-          case "bytes" => writeBytes(block, v.asInstanceOf[Array[Byte]])
+        if (v != null) f.items match {
+          case Some(it) =>
+            // array: one positive-count block of items, 0 terminator
+            val elems = v match {
+              case a: Array[_] => a.toSeq
+              case s: scala.collection.Seq[_] => s.toSeq
+              case other => throw new IllegalArgumentException(
+                s"array field '${f.name}' got ${other.getClass.getName}")
+            }
+            if (elems.nonEmpty) {
+              writeLong(block, elems.size.toLong)
+              elems.foreach(e => writePrimitive(block, it, e, f.name))
+            }
+            writeLong(block, 0L)
+          case None => writePrimitive(block, f.tpe, v, f.name)
         }
         i += 1
       }
@@ -244,6 +256,21 @@ object AvroCodec {
     }
 
     def finish(): Unit = flush()
+  }
+
+  private def writePrimitive(block: ByteArrayOutputStream, tpe: String,
+      v: Any, field: String): Unit = tpe match {
+    case "boolean" => block.write(if (v.asInstanceOf[Boolean]) 1 else 0)
+    case "int" => writeLong(block, v.asInstanceOf[Int].toLong)
+    case "long" => writeLong(block, v.asInstanceOf[Long])
+    case "float" =>
+      le32(block, java.lang.Float.floatToIntBits(v.asInstanceOf[Float]))
+    case "double" =>
+      le64(block, java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]))
+    case "string" => writeString(block, v.asInstanceOf[String])
+    case "bytes" => writeBytes(block, v.asInstanceOf[Array[Byte]])
+    case other => throw new IllegalArgumentException(
+      s"field '$field': unsupported primitive $other")
   }
 
   private def le32(out: ByteArrayOutputStream, v: Int): Unit = {
@@ -283,6 +310,39 @@ object AvroCodec {
         bad(s"corrupt deflate stream: ${e.getMessage}")
     } finally inf.end()
     out.toByteArray
+  }
+
+  private def readPrimitive(block: In, tpe: String, field: String): Any =
+    tpe match {
+      case "boolean" => block.u8() != 0
+      case "int" =>
+        val v = block.readLong()
+        if (v < Int.MinValue || v > Int.MaxValue)
+          bad(s"int field '$field' out of range: $v")
+        v.toInt
+      case "long" => block.readLong()
+      case "float" =>
+        val b = block.readN(4)
+        java.lang.Float.intBitsToFloat(
+          (b(0) & 0xff) | ((b(1) & 0xff) << 8) |
+            ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 24))
+      case "double" =>
+        val b = block.readN(8)
+        var bits = 0L; var k = 7
+        while (k >= 0) { bits = (bits << 8) | (b(k) & 0xffL); k -= 1 }
+        java.lang.Double.longBitsToDouble(bits)
+      case "string" => new String(block.readN(block.readLong()), UTF_8)
+      case "bytes" => block.readN(block.readLong())
+      case other => bad(s"field '$field': unsupported primitive $other")
+    }
+
+  private def skipPrimitive(block: In, tpe: String): Unit = tpe match {
+    case "boolean" => block.u8()
+    case "int" | "long" => block.readLong()
+    case "float" => block.skipN(4)
+    case "double" => block.skipN(8)
+    case "string" | "bytes" => block.skipN(block.readLong())
+    case other => bad(s"unsupported primitive $other")
   }
 
   // ---------------------------------------------------------------
@@ -378,36 +438,33 @@ object AvroCodec {
               case b => bad(s"union branch $b out of range")
             }
           }
-          if (present) f.tpe match {
-            case "boolean" =>
-              val v = block.u8() != 0
-              if (slot >= 0) out(slot) = v
-            case "int" =>
-              val v = block.readLong()
-              if (v < Int.MinValue || v > Int.MaxValue)
-                bad(s"int field '${f.name}' out of range: $v")
-              if (slot >= 0) out(slot) = v.toInt
-            case "long" =>
-              val v = block.readLong()
-              if (slot >= 0) out(slot) = v
-            case "float" =>
-              val b = block.readN(4)
-              if (slot >= 0) out(slot) = java.lang.Float.intBitsToFloat(
-                (b(0) & 0xff) | ((b(1) & 0xff) << 8) |
-                  ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 24))
-            case "double" =>
-              val b = block.readN(8)
-              var bits = 0L; var k = 7
-              while (k >= 0) { bits = (bits << 8) | (b(k) & 0xffL); k -= 1 }
-              if (slot >= 0) out(slot) = java.lang.Double.longBitsToDouble(bits)
-            case "string" =>
-              val n = block.readLong()
-              if (slot >= 0) out(slot) = new String(block.readN(n), UTF_8)
-              else block.skipN(n)
-            case "bytes" =>
-              val n = block.readLong()
-              if (slot >= 0) out(slot) = block.readN(n)
-              else block.skipN(n)
+          if (present) f.items match {
+            case Some(it) =>
+              // array: positive- or negative-count item blocks until a
+              // zero count. A negative count is followed by the byte
+              // size (spec) — used for skipping, or just consumed.
+              val buf =
+                if (slot >= 0) scala.collection.mutable.ArrayBuffer[Any]()
+                else null
+              var count = block.readLong()
+              while (count != 0) {
+                val (n, byteSize) =
+                  if (count < 0) (-count, block.readLong()) else (count, -1L)
+                if (slot < 0 && byteSize >= 0) block.skipN(byteSize)
+                else {
+                  var k = 0L
+                  while (k < n) {
+                    val v = readPrimitive(block, it, f.name)
+                    if (slot >= 0) buf += v
+                    k += 1
+                  }
+                }
+                count = block.readLong()
+              }
+              if (slot >= 0) out(slot) = buf.toSeq
+            case None =>
+              if (slot >= 0) out(slot) = readPrimitive(block, f.tpe, f.name)
+              else skipPrimitive(block, f.tpe)
           }
           i += 1
         }

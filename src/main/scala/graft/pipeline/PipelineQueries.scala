@@ -267,6 +267,29 @@ object PipelineQueries extends QueryModule {
         .orderBy($"o_orderpriority")
     }),
 
+    // Avro ARRAY columns end to end: the embeddings table
+    // (Array[Float]) through the codec's blocked array encoding with
+    // deflate, read back, aggregated per vec_id bucket. First
+    // elements are scaled to integers BEFORE summing (float→double
+    // promotion is IEEE-exact in both engines; integer sums are
+    // accumulation-order-free), so any array encode/decode error —
+    // lost element, wrong order, wrong bit pattern — diverges.
+    "pipe_avro_vectors" -> ((s, d) => {
+      import s.implicits._
+      val dir = sys.props("java.io.tmpdir") +
+        "/graft_avro_vec_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      T.embeddings(s, d).select($"vec_id", $"embedding")
+        .write.format("graft.sources.AvroSource")
+        .option("codec", "deflate").mode("overwrite").save(dir)
+      s.read.format("graft.sources.AvroSource").load(dir)
+        .groupBy(pmod($"vec_id", lit(8)).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(round($"embedding".getItem(0).cast("double") * 10000)
+            .cast("long")).as("s0"),
+          sum(size($"embedding").cast("long")).as("total_len"))
+        .orderBy($"bucket")
+    }),
+
     // Arrow IPC interchange end to end: orders → .arrow files through
     // the DSv2 writer (task-staged dotfiles, publish-on-commit), read
     // back through the DSv2 scan (one partition per file, vector-level
@@ -377,6 +400,15 @@ object PipelineQueries extends QueryModule {
         |  round(sum(CAST(o_totalprice AS DOUBLE)), 4) AS total
         |FROM orders
         |GROUP BY 1, 2 ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+
+    // recompute from parquet — equals the avro array round-trip only
+    // if every element survived bit-exactly in order
+    "pipe_avro_vectors" ->
+      """SELECT vec_id % 8 AS bucket, count(*) AS n,
+        |  CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 10000)
+        |    AS BIGINT)) AS BIGINT) AS s0,
+        |  CAST(sum(len(embedding)) AS BIGINT) AS total_len
+        |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // full-scan recompute — equals the avro round-trip only if every
     // varint/union/deflate/timestamp byte survived the cycle

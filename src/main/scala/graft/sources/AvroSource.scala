@@ -39,7 +39,9 @@ import graft.multimodal.AvroCodec.AvroField
   * the query schema on open, so appends with a drifted schema fail
   * with a named mismatch. Supported Spark types: BIGINT, INT, DOUBLE,
   * FLOAT, BOOLEAN, STRING, BINARY, TIMESTAMP (micros via the spec's
-  * `timestamp-micros` logical type) — nullable throughout as the
+  * `timestamp-micros` logical type), and ARRAY of
+  * float/double/long/int (the embedding-column type, via the spec's
+  * blocked array encoding) — nullable throughout as the
   * `["null", T]` union. Writes go through the standard DSv2 commit:
   * task-unique dotfiles, renamed into the `part-*` namespace only
   * after every task succeeded.
@@ -92,22 +94,42 @@ object AvroSource {
     case BinaryType => AvroField(f.name, "bytes", f.nullable)
     case TimestampType =>
       AvroField(f.name, "long", f.nullable, Some("timestamp-micros"))
+    case ArrayType(et, _) =>
+      val item = et match {
+        case FloatType => "float"
+        case DoubleType => "double"
+        case LongType => "long"
+        case IntegerType => "int"
+        case other => throw new IllegalArgumentException(
+          s"unsupported avro array element: ${other.sql} (column ${f.name})")
+      }
+      AvroField(f.name, "array", f.nullable, items = Some(item))
     case other => throw new IllegalArgumentException(
       s"unsupported type for avro: ${other.sql} (column ${f.name})")
   }
 
   private[sources] def toStructType(fields: Seq[AvroField]): StructType =
     StructType(fields.map { f =>
-      val dt = (f.tpe, f.logical) match {
-        case ("long", Some("timestamp-micros")) => TimestampType
-        case ("long", _) => LongType
-        case ("int", _) => IntegerType
-        case ("double", _) => DoubleType
-        case ("float", _) => FloatType
-        case ("boolean", _) => BooleanType
-        case ("string", _) => StringType
-        case ("bytes", _) => BinaryType
-        case (other, _) => throw new IllegalArgumentException(
+      val dt = (f.tpe, f.logical, f.items) match {
+        case ("array", _, Some(it)) =>
+          val et = it match {
+            case "float" => FloatType
+            case "double" => DoubleType
+            case "long" => LongType
+            case "int" => IntegerType
+            case other => throw new IllegalArgumentException(
+              s"unsupported avro array element: $other")
+          }
+          ArrayType(et, containsNull = false)
+        case ("long", Some("timestamp-micros"), _) => TimestampType
+        case ("long", _, _) => LongType
+        case ("int", _, _) => IntegerType
+        case ("double", _, _) => DoubleType
+        case ("float", _, _) => FloatType
+        case ("boolean", _, _) => BooleanType
+        case ("string", _, _) => StringType
+        case ("bytes", _, _) => BinaryType
+        case (other, _, _) => throw new IllegalArgumentException(
           s"unsupported avro type: $other")
       }
       StructField(f.name, dt, f.nullable)
@@ -192,6 +214,9 @@ private class AvroReaderFactory(required: StructType,
           case (f, j) => (cur(j), f.dataType) match {
             case (null, _) => null
             case (v, StringType) => UTF8String.fromString(v.asInstanceOf[String])
+            case (v, ArrayType(_, _)) =>
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                v.asInstanceOf[Seq[Any]].toArray)
             case (v, _) => v // long/int/double/float/boolean/bytes/ts-micros
           }
         })
@@ -270,6 +295,15 @@ private class AvroDataWriter(path: String, schema: StructType,
           case BooleanType => row.getBoolean(j)
           case StringType => row.getUTF8String(j).toString
           case BinaryType => row.getBinary(j)
+          case ArrayType(et, _) =>
+            val a = row.getArray(j)
+            et match {
+              case FloatType => a.toFloatArray()
+              case DoubleType => a.toDoubleArray()
+              case LongType => a.toLongArray()
+              case IntegerType => a.toIntArray()
+              case other => throw new IllegalStateException(other.sql)
+            }
           case other => throw new IllegalStateException(other.sql)
         }
       j += 1

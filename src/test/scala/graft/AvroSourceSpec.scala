@@ -131,6 +131,34 @@ class AvroSourceSpec extends AnyFunSuite {
     assert(rows.length === 1 && rows.head.getLong(0) === 9L)
   }
 
+  test("array columns (embeddings) round-trip, empty and null included") {
+    import spark.implicits._
+    val dir = tmp()
+    // the real embeddings table (Array[Float]) plus edge rows
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select($"vec_id", $"embedding")
+    val edge = Seq(
+      (-1L, Some(Array.empty[Float])),
+      (-2L, None)).toDF("vec_id", "embedding")
+    emb.unionByName(edge).write.format(fmt)
+      .option("codec", "deflate").mode("append").save(dir)
+    val back = spark.read.format(fmt).load(dir)
+    assert(back.schema("embedding").dataType ===
+      ArrayType(FloatType, containsNull = false))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        val a = if (r.isNullAt(1)) "null"
+          else r.getSeq[Float](1).mkString(",")
+        s"${r.getLong(0)}|$a"
+      }.sorted.toSeq
+    assert(key(back) === key(emb.unionByName(edge)))
+    // and the arrays are usable by the HOF similarity machinery
+    val dots = back.filter($"vec_id" >= 0)
+      .select(graft.functions.ArrayDot.dot($"embedding", $"embedding").as("d"))
+      .agg(org.apache.spark.sql.functions.sum($"d")).head.getDouble(0)
+    assert(dots > 0.0)
+  }
+
   test("schema drift across files fails with a named mismatch") {
     import spark.implicits._
     val dir = tmp()
