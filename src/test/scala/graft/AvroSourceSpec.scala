@@ -176,20 +176,24 @@ class AvroSourceSpec extends AnyFunSuite {
   }
 
   test("fuzz: arbitrary and truncated bytes reject, never throw obscurely") {
-    // a valid container to truncate/corrupt
+    // a valid container to truncate/corrupt — includes an array
+    // field so the blocked-array decode loop is inside the fuzz net
     val fields = Seq(AvroField("id", "long", false),
-      AvroField("s", "string", true))
+      AvroField("s", "string", true),
+      AvroField("v", "array", true, items = Some("float")))
     val buf = new java.io.ByteArrayOutputStream()
     val w = new AvroCodec.Writer(buf, fields, "deflate", blockRows = 16)
     (0 until 100).foreach(i =>
-      w.write(Array[Any](i.toLong, if (i % 3 == 0) null else s"v$i")))
+      w.write(Array[Any](i.toLong,
+        if (i % 3 == 0) null else s"v$i",
+        if (i % 5 == 0) null else Array.tabulate(i % 7)(_.toFloat))))
     w.finish()
     val valid = buf.toByteArray
-    assert(AvroCodec.readRows(valid, Seq(0, 1)).size === 100)
+    assert(AvroCodec.readRows(valid, Seq(0, 1, 2)).size === 100)
 
     val rnd = new scala.util.Random(1234)
     def attempt(bytes: Array[Byte]): Unit =
-      try AvroCodec.readRows(bytes, Seq(0, 1)).foreach(_ => ())
+      try AvroCodec.readRows(bytes, Seq(0, 1, 2)).foreach(_ => ())
       catch {
         case _: AvroFormatException => // the contract
         case t: Throwable => fail(
