@@ -67,17 +67,72 @@ object TxTable {
     else None
   }
 
+  private def hintPath(table: String) = new Path(logDir(table), "_hint")
+
+  /** Best-effort head hint, written AFTER a successful commit. Never
+    * load-bearing: last-writer-wins overwrites can regress it (a
+    * delayed v4 hint landing after v5's) and a crash can leave it
+    * stale or garbage — all of which only cost probe steps or a
+    * listing fallback, never correctness, because the hint is used
+    * strictly as a LOWER BOUND on the committed head. */
+  private def writeHint(f: FileSystem, table: String, v: Long): Unit =
+    try {
+      val out = f.create(hintPath(table), /* overwrite = */ true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    } catch { case _: Exception => () }
+
+  private def readHint(f: FileSystem, table: String): Option[Long] =
+    try {
+      val p = hintPath(table)
+      if (!f.exists(p)) None
+      else new String(readFully(f, p), "UTF-8").trim.toLongOption
+    } catch { case _: Exception => None }
+
+  private def manifestPath(table: String, v: Long) =
+    new Path(logDir(table), s"v$v.json")
+
+  /** The committed head version in O(commit-lag-since-hint) exists
+    * probes instead of an O(#commits) directory listing — the listing
+    * is the one per-read metadata cost that grows with table age on
+    * an object store. A valid hint h (v{h}.json exists) is probed
+    * FORWARD until the first missing version; anything else falls
+    * back to the full listing. Versions are contiguous upward from
+    * the vacuum floor, so the first gap above a committed version IS
+    * the head. */
+  private def resolveHead(f: FileSystem, table: String): Option[Long] = {
+    val fromHint = readHint(f, table)
+      .filter(h => h > 0 && f.exists(manifestPath(table, h)))
+    fromHint match {
+      case Some(h) =>
+        var v = h
+        while (f.exists(manifestPath(table, v + 1))) v += 1
+        Some(v)
+      case None =>
+        val ld = logDir(table)
+        val versions = f.listStatus(ld).toSeq.flatMap(s => versionOf(s.getPath))
+        if (versions.isEmpty) None else Some(versions.max)
+    }
+  }
+
   /** Newest snapshot ≤ `asOf` (or the latest). None = never written. */
   def snapshot(spark: SparkSession, table: String,
       asOf: Option[Long] = None): Option[Snapshot] = {
     val ld = logDir(table)
     val f = fs(spark, ld)
     if (!f.exists(ld)) return None
-    val versions = f.listStatus(ld).toSeq
-      .flatMap(s => versionOf(s.getPath))
-      .filter(v => asOf.forall(v <= _))
-    if (versions.isEmpty) return None
-    val v = versions.max
+    val head = resolveHead(f, table).getOrElse(return None)
+    val v = asOf match {
+      case None => head
+      case Some(a) if a >= head => head
+      // contiguity: if v{a} exists it IS the newest version ≤ a
+      case Some(a) if a > 0 && f.exists(manifestPath(table, a)) => a
+      // vacuumed-away or never-reached target: authoritative listing
+      case Some(a) =>
+        val versions = f.listStatus(ld).toSeq
+          .flatMap(s => versionOf(s.getPath)).filter(_ <= a)
+        if (versions.isEmpty) return None
+        versions.max
+    }
     val body = new String(
       readFully(f, new Path(ld, s"v$v.json")), "UTF-8")
     // commit body: {"version":N,"files":[...],"txns":{...},
@@ -268,6 +323,7 @@ object TxTable {
     if (!protocol.publish(f, target, body.getBytes("UTF-8")))
       throw new TxConflictException(
         s"version $version already committed at $table")
+    writeHint(f, table, version) // best-effort, after the real commit
   }
 
   /** Overwrite: next version = exactly `df`. Returns the version.

@@ -240,6 +240,48 @@ class TxTableSpec extends AnyFunSuite {
       Seq(("cat", "no-such"))).count() === 0)
   }
 
+  test("head hint: stale, regressed, corrupt, or missing hints never change results") {
+    import org.apache.hadoop.fs.Path
+    val t = freshTable()
+    for (v <- 1 to 5) TxTable.overwrite(df(v -> s"v$v"), t)
+    val fs = new Path(t).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(t, "_graft_log/_hint")
+    def headV: Long = TxTable.snapshot(spark, t).get.version
+    def put(s: String): Unit = {
+      val o = fs.create(hint, true); o.write(s.getBytes("UTF-8")); o.close()
+    }
+    assert(headV === 5L)
+    def hintText: String = {
+      val in = fs.open(hint)
+      try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+    }
+    assert(hintText === "5", "commit must refresh the hint")
+    // regressed hint (a delayed older writer's LWW overwrite): the
+    // forward probe must still find the true head
+    put("2"); assert(headV === 5L)
+    // garbage hint → listing fallback
+    put("not-a-number"); assert(headV === 5L)
+    // hint beyond any committed version → listing fallback
+    put("999"); assert(headV === 5L)
+    // missing hint → listing fallback
+    fs.delete(hint, false); assert(headV === 5L)
+    // asOf paths are hint-independent too
+    put("2")
+    assert(TxTable.snapshot(spark, t, Some(3L)).get.version === 3L)
+    assert(TxTable.snapshot(spark, t, Some(99L)).get.version === 5L)
+    assert(TxTable.read(spark, t, Some(4L))
+      .as[(Int, String)].head() === (4 -> "v4"))
+    // and a fresh commit repairs the hint
+    TxTable.append(df(6 -> "v6"), t)
+    assert(hintText === "6")
+    // vacuum: asOf below the retained floor stays None, head unchanged
+    TxTable.vacuum(spark, t, retainLast = 2)
+    assert(TxTable.snapshot(spark, t, Some(1L)).isEmpty)
+    assert(headV === 6L)
+  }
+
   test("vacuum reclaims unreferenced files; retained versions stay exact") {
     val t = freshTable()
     TxTable.overwrite(df(1 -> "v1"), t)
