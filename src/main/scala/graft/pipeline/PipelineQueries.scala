@@ -224,6 +224,38 @@ object PipelineQueries extends QueryModule {
         .orderBy($"o_orderpriority")
     }),
 
+    // Atomic CDC apply into the snapshot table: a consolidated batch
+    // of deletes (key%7=0), updates (key%7=1, price doubled), and
+    // inserts (key%7=2, shifted key) lands as ONE copy-on-write
+    // commit; the result is read back from the table and aggregated.
+    // Revenue flows as integer cents so re-aggregation is
+    // accumulation-order-free. The oracle replays the same set
+    // algebra straight over orders — a leaked delete, double-applied
+    // update, or lost insert diverges.
+    "pipe_snapshot_cdc" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.TxTable
+      val base = T.orders(s, d).select(
+        $"o_orderkey".as("k"), $"o_orderpriority".as("p"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_tx_cdc").toString + "/t"
+      TxTable.overwrite(base, dir)
+      val changes =
+        base.filter($"k" % 7 === 1)
+          .select($"k", $"p", ($"cents" * 2).as("cents"), lit("u").as("op"))
+        .unionByName(base.filter($"k" % 7 === 0)
+          .select($"k", $"p", $"cents", lit("d").as("op")))
+        .unionByName(base.filter($"k" % 7 === 2)
+          .select(($"k" + 1000000000L).as("k"), $"p",
+            ($"cents" + 7).as("cents"), lit("i").as("op")))
+      TxTable.applyCdc(s, dir, changes, key = "k", opCol = "op")
+      TxTable.read(s, dir)
+        .groupBy($"p".as("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // Multi-column manifest pruning end to end: overwriteIndexedMulti
     // clusters orders by (o_orderpriority, o_orderdate_days,
     // o_totalprice) and records per-file (min, max) for BOTH numeric
@@ -400,6 +432,29 @@ object PipelineQueries extends QueryModule {
         |  round(sum(CAST(o_totalprice AS DOUBLE)), 4) AS total
         |FROM orders
         |GROUP BY 1, 2 ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+
+    // set-algebra replay of the CDC batch over orders — equals the
+    // table state only if the one-commit apply was exact
+    "pipe_snapshot_cdc" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS p,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |changes AS (
+        |  SELECT k, p, cents * 2 AS cents, 'u' AS op FROM base WHERE k % 7 = 1
+        |  UNION ALL
+        |  SELECT k, p, cents, 'd' AS op FROM base WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT k + 1000000000, p, cents + 7, 'i' AS op
+        |  FROM base WHERE k % 7 = 2),
+        |final AS (
+        |  SELECT k, p, cents FROM base
+        |  WHERE k NOT IN (SELECT k FROM changes)
+        |  UNION ALL
+        |  SELECT k, p, cents FROM changes WHERE op <> 'd')
+        |SELECT p AS o_orderpriority, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM final GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     // recompute from parquet — equals the avro array round-trip only
     // if every element survived bit-exactly in order

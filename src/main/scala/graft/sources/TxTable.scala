@@ -374,6 +374,40 @@ object TxTable {
     next
   }
 
+  /** Apply one CDC batch ATOMICALLY: rows whose `opCol` is "d"
+    * delete their key, every other row upserts — one copy-on-write
+    * commit, so a reader sees the table before the whole batch or
+    * after it, never mid-batch (the ACID-table form of the
+    * relational `q_cdc_apply`; Delta's MERGE WHEN MATCHED
+    * UPDATE/DELETE). The batch must be consolidated — at most one
+    * change row per key — because "apply order within a batch" is
+    * undefined for a set; multiple ops per key fail fast (the same
+    * contract Delta's MERGE enforces via its multiple-match error).
+    * Returns the committed version. */
+  def applyCdc(spark: SparkSession, table: String, changes: DataFrame,
+      key: String, opCol: String): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dupKeys = changes.groupBy(col(key))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+    require(dupKeys == 0,
+      s"unconsolidated CDC batch: $dupKeys keys appear more than once")
+    val cur = snapshot(spark, table)
+    val next = cur.map(_.version + 1).getOrElse(1L)
+    val upserts = changes.filter(col(opCol) =!= "d").drop(opCol)
+    val merged = cur match {
+      case None => upserts
+      case Some(_) =>
+        // every changed key (deleted OR updated) leaves the current
+        // image; updates then re-enter from the batch
+        read(spark, table)
+          .join(changes.select(col(key)).distinct(), Seq(key), "left_anti")
+          .unionByName(upserts)
+    }
+    val files = writeFiles(merged, table, next)
+    commit(spark, table, next, files, cur.map(_.txns).getOrElse(Map.empty))
+    next
+  }
+
   /** Exactly-once streaming append: apply `df` as `(appId, epochId)`
     * unless that epoch (or a later one) is already committed for
     * `appId` — the foreachBatch sink body that turns Structured

@@ -240,6 +240,32 @@ class TxTableSpec extends AnyFunSuite {
       Seq(("cat", "no-such"))).count() === 0)
   }
 
+  test("applyCdc: one atomic commit of deletes + updates + inserts") {
+    val t = freshTable()
+    TxTable.overwrite(df(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d"), t)
+    val changes = Seq(
+      (2, "B", "u"),   // update
+      (3, "", "d"),    // delete
+      (9, "i", "i"))   // insert
+      .toDF("k", "v", "op")
+    val v = TxTable.applyCdc(spark, t, changes, key = "k", opCol = "op")
+    assert(v === 2L)
+    assert(TxTable.read(spark, t).as[(Int, String)].collect().sorted.toSeq
+      === Seq(1 -> "a", 2 -> "B", 4 -> "d", 9 -> "i"))
+    // pre-batch snapshot intact (the batch was one atomic commit)
+    assert(TxTable.read(spark, t, asOf = Some(1))
+      .as[(Int, String)].collect().sorted.toSeq
+      === Seq(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d"))
+    // unconsolidated batches (two ops for one key) fail fast
+    val bad = Seq((5, "x", "u"), (5, "", "d")).toDF("k", "v", "op")
+    val err = intercept[IllegalArgumentException] {
+      TxTable.applyCdc(spark, t, bad, "k", "op")
+    }
+    assert(err.getMessage.contains("unconsolidated"))
+    // and the failed batch left no commit behind
+    assert(TxTable.snapshot(spark, t).get.version === 2L)
+  }
+
   test("head hint: stale, regressed, corrupt, or missing hints never change results") {
     import org.apache.hadoop.fs.Path
     val t = freshTable()
