@@ -214,15 +214,23 @@ object TxTable {
     } finally in.close()
   }
 
-  /** Read the table at the newest — or a pinned — version. */
+  /** Read the table at the newest — or a pinned — version.
+    * `mergeSchema = true` resolves the UNION schema across the
+    * snapshot's files (schema evolution: an append that added a
+    * column leaves older files without it; merged reads surface the
+    * new column as null for old rows, exactly parquet's mergeSchema
+    * contract). Off by default — the footer-union pass costs one
+    * extra metadata read per file, and evolved tables are the
+    * exception, not the rule. */
   def read(spark: SparkSession, table: String,
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None, mergeSchema: Boolean = false): DataFrame = {
     val snap = snapshot(spark, table, asOf).getOrElse(
       throw new IllegalArgumentException(
         s"no committed version${asOf.fold("")(v => s" <= $v")} at $table"))
     if (snap.files.isEmpty)
       throw new IllegalArgumentException(s"version ${snap.version} is empty")
-    spark.read.parquet(snap.files.map(new Path(table, _).toString): _*)
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(snap.files.map(new Path(table, _).toString): _*)
   }
 
   /** Write `df`'s rows as new immutable files for `version`; returns

@@ -240,6 +240,22 @@ class TxTableSpec extends AnyFunSuite {
       Seq(("cat", "no-such"))).count() === 0)
   }
 
+  test("schema evolution: appended column surfaces via mergeSchema read") {
+    val t = freshTable()
+    TxTable.overwrite(df(1 -> "a", 2 -> "b"), t)
+    // an append whose schema grew a column
+    TxTable.append(Seq((3, "c", 30L)).toDF("k", "v", "extra"), t)
+    val merged = TxTable.read(spark, t, mergeSchema = true)
+    assert(merged.columns.sorted.toSeq === Seq("extra", "k", "v"))
+    val rows = merged.select($"k", $"v", $"extra")
+      .as[(Int, String, Option[Long])].collect().sortBy(_._1)
+    assert(rows.toSeq === Seq((1, "a", None), (2, "b", None),
+      (3, "c", Some(30L))))
+    // time travel to the pre-evolution version has the narrow schema
+    assert(TxTable.read(spark, t, asOf = Some(1), mergeSchema = true)
+      .columns.sorted.toSeq === Seq("k", "v"))
+  }
+
   test("applyCdc: one atomic commit of deletes + updates + inserts") {
     val t = freshTable()
     TxTable.overwrite(df(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d"), t)
