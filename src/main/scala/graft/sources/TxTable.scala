@@ -382,6 +382,42 @@ object TxTable {
     next
   }
 
+  /** Incremental consumption: the rows ADDED after `sinceVersion`,
+    * as (frame, headVersion) — the manifest set-difference between
+    * the head snapshot and the consumed one, which is exact for
+    * append-only producers ([[append]]/[[appendEpoch]]: old files are
+    * never rewritten, so new files ≡ new rows). A consumer loop is
+    * `var v = 0L; loop { val (df, h) = changesSince(t, v); process(df);
+    * v = h }` — persist `v` with the processing output for
+    * exactly-once pickup, the same marker discipline as appendEpoch.
+    * Rewriting commits (overwrite / merge / applyCdc / compact)
+    * break the files≡rows equivalence; they fail fast here rather
+    * than silently double-delivering rewritten rows (Delta's
+    * streaming source draws the same line with ignoreChanges).
+    * Returns an empty frame when nothing is new. */
+  def changesSince(spark: SparkSession, table: String,
+      sinceVersion: Long): (DataFrame, Long) = {
+    val head = snapshot(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $table"))
+    if (head.version <= sinceVersion)
+      return (spark.emptyDataFrame, head.version)
+    val baseFiles: Set[String] =
+      if (sinceVersion <= 0) Set.empty
+      else snapshot(spark, table, Some(sinceVersion)).map(_.files.toSet)
+        .getOrElse(throw new IllegalArgumentException(
+          s"version $sinceVersion is vacuumed at $table — the consumer " +
+            "lost its place; reprocess from a full snapshot"))
+    val removed = baseFiles -- head.files.toSet
+    if (removed.nonEmpty) throw new IllegalArgumentException(
+      s"versions ($sinceVersion, ${head.version}] rewrote " +
+        s"${removed.size} file(s) at $table: changesSince is exact only " +
+        "for append-only commits — reprocess from a full snapshot")
+    val added = head.files.filterNot(baseFiles)
+    if (added.isEmpty) (spark.emptyDataFrame, head.version)
+    else (spark.read.parquet(added.map(new Path(table, _).toString): _*),
+      head.version)
+  }
+
   /** Apply one CDC batch ATOMICALLY: rows whose `opCol` is "d"
     * delete their key, every other row upserts — one copy-on-write
     * commit, so a reader sees the table before the whole batch or

@@ -240,6 +240,41 @@ class TxTableSpec extends AnyFunSuite {
       Seq(("cat", "no-such"))).count() === 0)
   }
 
+  test("changesSince: exactly the appended rows, no dups, rewrites fail fast") {
+    val t = freshTable()
+    TxTable.overwrite(df(1 -> "a"), t)
+    TxTable.append(df(2 -> "b"), t)
+    TxTable.append(df(3 -> "c", 4 -> "d"), t)
+    // full replay from zero
+    val (all, h1) = TxTable.changesSince(spark, t, 0L)
+    assert(h1 === 3L)
+    assert(all.as[(Int, String)].collect().sorted.toSeq ===
+      Seq(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d"))
+    // a consumer loop sees each appended row exactly once
+    val (d1, c1) = TxTable.changesSince(spark, t, 1L)
+    assert(c1 === 3L && d1.as[(Int, String)].collect().sorted.toSeq ===
+      Seq(2 -> "b", 3 -> "c", 4 -> "d"))
+    val (d2, c2) = TxTable.changesSince(spark, t, c1)
+    assert(c2 === 3L && d2.isEmpty)
+    TxTable.append(df(5 -> "e"), t)
+    val (d3, c3) = TxTable.changesSince(spark, t, c2)
+    assert(c3 === 4L &&
+      d3.as[(Int, String)].collect().toSeq === Seq(5 -> "e"))
+    // a rewriting commit breaks files≡rows — must fail fast
+    TxTable.merge(spark, t, df(1 -> "A"), key = "k")
+    val err = intercept[IllegalArgumentException] {
+      TxTable.changesSince(spark, t, c3)
+    }
+    assert(err.getMessage.contains("append-only"))
+    // and a vacuumed consumer position is a named error, not silence
+    TxTable.append(df(6 -> "f"), t)
+    TxTable.vacuum(spark, t, retainLast = 1)
+    val err2 = intercept[IllegalArgumentException] {
+      TxTable.changesSince(spark, t, 2L)
+    }
+    assert(err2.getMessage.contains("vacuumed"))
+  }
+
   test("schema evolution: appended column surfaces via mergeSchema read") {
     val t = freshTable()
     TxTable.overwrite(df(1 -> "a", 2 -> "b"), t)
