@@ -72,7 +72,8 @@ object SparkEntry {
     * in the timed set measured the oracle shape, not the engine. */
   def benchExclude: Set[String] = Set("q_approx_quantile",
     "stream_tumbling", "stream_session", "stream_sessionize",
-    "stream_sliding", "stream_join", "dedup_embed", "sim_join")
+    "stream_sliding", "stream_join", "stream_txtable",
+    "dedup_embed", "sim_join")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */

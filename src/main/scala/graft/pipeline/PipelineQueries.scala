@@ -299,6 +299,84 @@ object PipelineQueries extends QueryModule {
         .orderBy($"o_orderpriority")
     }),
 
+    // Z-ORDER layout end to end: orders clustered on the Morton curve
+    // over (order age in days, total price), then a two-dimensional
+    // box read through manifest pruning. The construction asserts the
+    // z-property itself — EACH single-column predicate alone prunes
+    // files (a lexicographic layout can only prune its leading key) —
+    // and the oracle's full-scan filter catches any wrongly skipped
+    // file. Idempotent build keyed by (sf dir, row count), like
+    // pipe_indexed_scan: the index is written once, scanned many times.
+    "pipe_zorder_scan" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.TxTable
+      val src = T.orders(s, d)
+        .select($"o_orderkey", $"o_orderpriority",
+          datediff($"o_orderdate", lit("1992-01-01")).cast("double")
+            .as("o_days"),
+          $"o_totalprice")
+      val dir = sys.props("java.io.tmpdir") +
+        "/graft_txtable_zo_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + src.count()
+      if (TxTable.snapshot(s, dir).isEmpty)
+        TxTable.overwriteZordered(src, dir, "o_days", "o_totalprice")
+      val snap = TxTable.snapshot(s, dir).get
+      val daysOnly = TxTable.pruneFilesWhere(snap,
+        Seq(("o_days", 1200.0, 1400.0)))
+      val priceOnly = TxTable.pruneFilesWhere(snap,
+        Seq(("o_totalprice", 1000.0, 30000.0)))
+      require(daysOnly.size < snap.files.size &&
+        priceOnly.size < snap.files.size,
+        s"z-order failed to prune both dims: days=${daysOnly.size} " +
+          s"price=${priceOnly.size} of ${snap.files.size}")
+      TxTable.readWhere(s, dir, Seq(("o_days", 1200.0, 1400.0),
+        ("o_totalprice", 1000.0, 30000.0)))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), r4(sum($"o_totalprice")).as("total"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // Copy-on-write DML on the snapshot table: DELETE old orders by
+    // date range, then UPDATE urgent orders' cents — each one atomic
+    // pruned-rewrite commit (the construction asserts the delete
+    // rewrote strictly fewer files than the table holds, i.e. the
+    // manifest metadata actually skipped untouched files — the
+    // property that makes a one-partition delete affordable at
+    // 100 TB). Cents are integers so re-aggregation is
+    // accumulation-order-free. The oracle replays the same DML as
+    // set algebra over orders — a lost row, leaked delete, or
+    // double-applied update diverges.
+    "pipe_snapshot_dml" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.TxTable
+      val dir = sys.props("java.io.tmpdir") +
+        "/graft_txtable_dml_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val base = T.orders(s, d).select(
+        $"o_orderkey".as("k"), $"o_orderpriority".as("p"),
+        datediff($"o_orderdate", lit("1992-01-01")).cast("double")
+          .as("days"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      TxTable.overwriteIndexedMulti(base, dir,
+        statCols = Seq("days"), valueCols = Seq("p"))
+      // delete one priority's old orders: files cluster on (p, days),
+      // so the value-set metadata excludes every other priority's
+      // files — prunable under ANY partition count
+      val (_, rewritten, total) = TxTable.deleteWhereCounted(
+        s, dir, Seq(("days", 0.0, 1199.0)),
+        valueEq = Seq(("p", "3-MEDIUM")))
+      require(rewritten > 0 && rewritten < total,
+        s"DML prune failed to skip files: $rewritten/$total")
+      TxTable.updateWhere(s, dir,
+        Seq(("days", 1200.0, 10000.0)), Seq(("p", "1-URGENT")),
+        set = Map("cents" -> ($"cents" + 100)))
+      TxTable.read(s, dir)
+        .groupBy($"p".as("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // Avro ARRAY columns end to end: the embeddings table
     // (Array[Float]) through the codec's blocked array encoding with
     // deflate, read back, aggregated per vec_id bucket. First
@@ -424,6 +502,37 @@ object PipelineQueries extends QueryModule {
         |  AND o_totalprice >= 1000.0 AND o_totalprice <= 60000.0
         |  AND o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    // full-scan 2-D box filter — equals the z-ordered pruned read
+    // only if no rectangle-file holding matching rows was skipped
+    "pipe_zorder_scan" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 4) AS total
+        |FROM orders
+        |WHERE datediff('day', DATE '1992-01-01', o_orderdate)
+        |    BETWEEN 1200 AND 1400
+        |  AND o_totalprice >= 1000.0 AND o_totalprice <= 30000.0
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    // set-algebra replay of the DELETE + UPDATE — equals the table
+    // state only if both pruned copy-on-write commits were exact
+    "pipe_snapshot_dml" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority AS p,
+        |    datediff('day', DATE '1992-01-01', o_orderdate) AS days,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |after_del AS (
+        |  SELECT * FROM base
+        |  WHERE NOT (days BETWEEN 0 AND 1199 AND p = '3-MEDIUM')),
+        |after_upd AS (
+        |  SELECT p, CASE WHEN p = '1-URGENT'
+        |      AND days BETWEEN 1200 AND 10000
+        |    THEN cents + 100 ELSE cents END AS cents
+        |  FROM after_del)
+        |SELECT p AS o_orderpriority, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM after_upd GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     // full-scan recompute — equals the arrow round-trip only if every
     // row and type survived the IPC write/read cycle

@@ -59,10 +59,23 @@ object Layout {
     * prefix and collisions with input columns are rejected up front. */
   def writeZOrdered(df: DataFrame, colA: String, colB: String,
       files: Int, path: String): Unit = {
+    val (zdf, helpers, z) = withMortonCode(df, colA, colB)
+    zdf.repartitionByRange(files, col(z))
+      .sortWithinPartitions(col(z))
+      .drop(helpers: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** The Morton-code construction [[writeZOrdered]] clusters on,
+    * exposed so [[TxTable.overwriteZordered]] can apply the identical
+    * curve to a transactional table. Returns (augmented frame, helper
+    * columns to drop after clustering, morton column name). */
+  private[sources] def withMortonCode(df: DataFrame, colA: String,
+      colB: String): (DataFrame, Seq[String], String) = {
     val Seq(ba, bb, za, zb, z) =
       Seq("_ba", "_bb", "_za", "_zb", "_z").map("__graft_zo" + _)
     require(!df.columns.exists(_.startsWith("__graft_zo")),
-      "writeZOrdered: input columns may not start with __graft_zo")
+      "z-order: input columns may not start with __graft_zo")
     val buckets = 1 << 8
     val fracs = (1 until buckets).map(_.toDouble / buckets)
     val bounds = df.agg(
@@ -78,13 +91,10 @@ object Layout {
         .bitwiseOR(
           shiftleft(shiftright(col(zb), i).bitwiseAND(lit(1)), 2 * i))
     }.reduce(_ bitwiseOR _)
-    df.crossJoin(broadcast(bounds))
+    val zdf = df.crossJoin(broadcast(bounds))
       .withColumn(za, bucketOf(colA, ba))
       .withColumn(zb, bucketOf(colB, bb))
       .withColumn(z, morton)
-      .repartitionByRange(files, col(z))
-      .sortWithinPartitions(col(z))
-      .drop(ba, bb, za, zb, z)
-      .write.mode("overwrite").parquet(path)
+    (zdf, Seq(ba, bb, za, zb, z), z)
   }
 }

@@ -401,21 +401,32 @@ object TxTable {
       throw new IllegalArgumentException(s"no committed version at $table"))
     if (head.version <= sinceVersion)
       return (spark.emptyDataFrame, head.version)
-    val baseFiles: Set[String] =
-      if (sinceVersion <= 0) Set.empty
-      else snapshot(spark, table, Some(sinceVersion)).map(_.files.toSet)
-        .getOrElse(throw new IllegalArgumentException(
-          s"version $sinceVersion is vacuumed at $table — the consumer " +
-            "lost its place; reprocess from a full snapshot"))
-    val removed = baseFiles -- head.files.toSet
-    if (removed.nonEmpty) throw new IllegalArgumentException(
-      s"versions ($sinceVersion, ${head.version}] rewrote " +
-        s"${removed.size} file(s) at $table: changesSince is exact only " +
-        "for append-only commits — reprocess from a full snapshot")
-    val added = head.files.filterNot(baseFiles)
+    val added = addedBetween(spark, table, sinceVersion, head)
     if (added.isEmpty) (spark.emptyDataFrame, head.version)
     else (spark.read.parquet(added.map(new Path(table, _).toString): _*),
       head.version)
+  }
+
+  /** Table-relative data files added in versions (from, to.version] —
+    * the exact new-rows set for append-only producers, shared by
+    * [[changesSince]] and the streaming source ([[TxTableStreamSource]]).
+    * Fails fast when the range rewrote files (the files≡rows
+    * equivalence broke) or when `from` was vacuumed (the consumer
+    * lost its place). */
+  private[graft] def addedBetween(spark: SparkSession, table: String,
+      from: Long, to: Snapshot): Seq[String] = {
+    val baseFiles: Set[String] =
+      if (from <= 0) Set.empty
+      else snapshot(spark, table, Some(from)).map(_.files.toSet)
+        .getOrElse(throw new IllegalArgumentException(
+          s"version $from is vacuumed at $table — the consumer " +
+            "lost its place; reprocess from a full snapshot"))
+    val removed = baseFiles -- to.files.toSet
+    if (removed.nonEmpty) throw new IllegalArgumentException(
+      s"versions ($from, ${to.version}] rewrote " +
+        s"${removed.size} file(s) at $table: change consumption is exact " +
+        "only for append-only commits — reprocess from a full snapshot")
+    to.files.filterNot(baseFiles)
   }
 
   /** Apply one CDC batch ATOMICALLY: rows whose `opCol` is "d"
@@ -608,6 +619,34 @@ object TxTable {
     next
   }
 
+  /** Overwrite with a Z-ORDER (Morton-curve) layout over two numeric
+    * columns, per-file (min, max) for BOTH recorded in the manifest —
+    * lakehouse OPTIMIZE ZORDER as a TxTable commit. Where
+    * [[overwriteIndexedMulti]]'s lexicographic (a, b) clustering
+    * prunes well on `a` but barely on `b` (every a-slice spans all of
+    * b), the Morton curve gives each file a small RECTANGLE of (a, b)
+    * space, so [[readWhere]] prunes files for a narrow predicate on
+    * EITHER column — the property that makes one layout serve two
+    * query families at 100 TB. Same cost shape as every layout op:
+    * one range exchange at write time. */
+  def overwriteZordered(df: DataFrame, table: String,
+      colA: String, colB: String): Long = {
+    import org.apache.spark.sql.functions.{col => c}
+    val spark = df.sparkSession
+    val cur = snapshot(spark, table)
+    val next = cur.map(_.version + 1).getOrElse(1L)
+    val nParts = math.max(2, spark.sessionState.conf.numShufflePartitions)
+    val (zdf, helpers, z) = Layout.withMortonCode(df, colA, colB)
+    val files = writeFiles(
+      zdf.repartitionByRange(nParts, c(z))
+        .sortWithinPartitions(c(z))
+        .drop(helpers: _*), table, next)
+    val (ms, _) = recomputeMetadata(spark, table, files, Seq(colA, colB), Nil)
+    commit(spark, table, next, files,
+      cur.map(_.txns).getOrElse(Map.empty), multiStats = ms)
+    next
+  }
+
   /** Conjunctive predicate push-down through the multi-column
     * manifest: numeric range predicates `(col, lo, hi)` plus string
     * equality predicates `(col, value)`. A file is skipped when ANY
@@ -650,6 +689,169 @@ object TxTable {
       exact(read(spark, table, asOf)).filter(lit(false))
     else
       exact(spark.read.parquet(keep.map(new Path(table, _).toString): _*))
+  }
+
+  /** The conjunctive predicate (ranges AND equalities) as a Column —
+    * the same predicate language the manifest metadata can prune on,
+    * which is exactly why [[deleteWhere]]/[[updateWhere]] accept it
+    * instead of an arbitrary Column: a predicate the manifest can
+    * reason about is a predicate whose copy-on-write can SKIP files. */
+  private def predicateColumn(ranges: Seq[(String, Double, Double)],
+      valueEq: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    (ranges.map { case (col, lo, hi) => c(col) >= lo && c(col) <= hi } ++
+      valueEq.map { case (col, v) => c(col) === v })
+      .reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** Files of `snap` that MAY hold rows matching the conjunctive
+    * predicate, consulting BOTH metadata forms (the single
+    * [[overwriteIndexed]] column and the [[overwriteIndexedMulti]]
+    * per-file stats/value sets). Files without metadata are always
+    * candidates — pruning is an optimization, never a filter. */
+  private def candidateFiles(snap: Snapshot,
+      ranges: Seq[(String, Double, Double)],
+      valueEq: Seq[(String, String)]): Seq[String] = {
+    val viaMulti = pruneFilesWhere(snap, ranges, valueEq).toSet
+    val viaSingle = snap.statsCol match {
+      case Some(sc) => ranges.find(_._1 == sc) match {
+        case Some((c, lo, hi)) => pruneFiles(snap, c, lo, hi).toSet
+        case None => snap.files.toSet
+      }
+      case None => snap.files.toSet
+    }
+    snap.files.filter(f => viaMulti(f) && viaSingle(f))
+  }
+
+  /** Recompute per-file manifest metadata for freshly written files,
+    * over the same columns the previous snapshot tracked — so a
+    * delete/update rewrite keeps the table's data-skipping index
+    * alive (Delta's OPTIMIZE/DML recompute stats the same way).
+    * Value sets above `maxValuesPerFile` distinct values record
+    * nothing for that (file, column). */
+  private def recomputeMetadata(spark: SparkSession, table: String,
+      files: Seq[String], statCols: Seq[String], valueCols: Seq[String],
+      maxValuesPerFile: Int = 16):
+      (Map[String, Map[String, (Double, Double)]],
+        Map[String, Map[String, Set[String]]]) = {
+    import org.apache.spark.sql.functions.{col => c, collect_set, input_file_name, max => fmax, min => fmin}
+    if (files.isEmpty || (statCols.isEmpty && valueCols.isEmpty))
+      return (Map.empty, Map.empty)
+    val byName = files.map(f => f.split('/').last -> f).toMap
+    val aggs =
+      statCols.flatMap(s => Seq(
+        fmin(c(s)).cast("double").as(s"__mn_$s"),
+        fmax(c(s)).cast("double").as(s"__mx_$s"))) ++
+      valueCols.map(v => collect_set(c(v).cast("string")).as(s"__vs_$v"))
+    val rows = spark.read
+      .parquet(files.map(new Path(table, _).toString): _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val ms = rows.flatMap { r =>
+      byName.get(r.getString(0).split('/').last).map { f =>
+        f -> statCols.map(s =>
+          s -> (r.getAs[Double](s"__mn_$s"), r.getAs[Double](s"__mx_$s"))).toMap
+      }
+    }.toMap
+    val fv = rows.flatMap { r =>
+      byName.get(r.getString(0).split('/').last).map { f =>
+        f -> valueCols.flatMap { v =>
+          val vs = r.getAs[scala.collection.Seq[String]](s"__vs_$v").toSet
+          if (vs.size <= maxValuesPerFile) Some(v -> vs) else None
+        }.toMap
+      }
+    }.toMap
+    (ms, fv)
+  }
+
+  /** Shared copy-on-write DML core: files the manifest metadata can
+    * prove hold NO matching row carry over into the next version
+    * untouched (same bytes, same paths — at 100 TB a one-partition
+    * delete rewrites that partition's files, not the table); candidate
+    * files are re-read, transformed by `rewrite`, and written fresh.
+    * Per-file metadata survives: carried-over files keep their
+    * recorded entries, rewritten files get recomputed ones over the
+    * same columns. Returns (version, candidates, total). */
+  private def copyOnWrite(spark: SparkSession, table: String,
+      ranges: Seq[(String, Double, Double)],
+      valueEq: Seq[(String, String)],
+      rewrite: DataFrame => DataFrame): (Long, Int, Int) = {
+    val cur = snapshot(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $table"))
+    val next = cur.version + 1
+    val touched = candidateFiles(cur, ranges, valueEq)
+    val untouched = cur.files.filterNot(touched.toSet)
+    val rewritten: Seq[String] =
+      if (touched.isEmpty) Nil
+      else writeFiles(rewrite(
+        spark.read.parquet(touched.map(new Path(table, _).toString): _*)),
+        table, next)
+    val statCols = cur.multiStats.values.flatMap(_.keys).toSeq.distinct.sorted
+    val valueCols = cur.fileValues.values.flatMap(_.keys).toSeq.distinct.sorted
+    val (newMs, newFv) =
+      recomputeMetadata(spark, table, rewritten, statCols, valueCols)
+    val singleStats: Map[String, (Double, Double)] = cur.statsCol match {
+      case Some(sc) =>
+        val (ms, _) = recomputeMetadata(spark, table, rewritten, Seq(sc), Nil)
+        cur.stats.filter { case (f, _) => untouched.contains(f) } ++
+          ms.flatMap { case (f, m) => m.get(sc).map(f -> _) }
+      case None => Map.empty
+    }
+    commit(spark, table, next, untouched ++ rewritten, cur.txns,
+      cur.statsCol.filter(_ => singleStats.nonEmpty), singleStats,
+      cur.multiStats.filter { case (f, _) => untouched.contains(f) } ++ newMs,
+      cur.fileValues.filter { case (f, _) => untouched.contains(f) } ++ newFv)
+    (next, touched.size, cur.files.size)
+  }
+
+  /** DELETE rows matching the conjunctive predicate (every range AND
+    * equality must hold), copy-on-write with manifest file pruning:
+    * only files whose recorded metadata admits a match are rewritten
+    * (minus the matching rows); everything else carries over
+    * byte-untouched. Atomic like every commit — a reader sees the
+    * table before the whole delete or after it. Older snapshots still
+    * time-travel to the pre-delete rows until [[vacuum]]. Returns the
+    * committed version. */
+  def deleteWhere(spark: SparkSession, table: String,
+      ranges: Seq[(String, Double, Double)],
+      valueEq: Seq[(String, String)] = Nil): Long = {
+    require(ranges.nonEmpty || valueEq.nonEmpty,
+      "refusing an unconditional DELETE: pass overwrite(empty) instead")
+    deleteWhereCounted(spark, table, ranges, valueEq)._1
+  }
+
+  /** UPDATE rows matching the conjunctive predicate: each `(column ->
+    * expression)` in `set` is applied to matching rows, all other rows
+    * and all provably-unmatched FILES are untouched (same pruned
+    * copy-on-write as [[deleteWhere]]). Set expressions may reference
+    * any current column. Returns the committed version. */
+  def updateWhere(spark: SparkSession, table: String,
+      ranges: Seq[(String, Double, Double)],
+      valueEq: Seq[(String, String)],
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{col => c, when}
+    require(set.nonEmpty, "UPDATE with no SET columns")
+    require(ranges.nonEmpty || valueEq.nonEmpty,
+      "unconditional UPDATE: use overwrite with the transformed frame")
+    val pred = predicateColumn(ranges, valueEq)
+    copyOnWrite(spark, table, ranges, valueEq, df =>
+      set.foldLeft(df) { case (acc, (colName, expr)) =>
+        acc.withColumn(colName, when(pred, expr).otherwise(c(colName)))
+      })._1
+  }
+
+  /** [[deleteWhere]] exposing (version, rewrittenFiles, totalFiles) so
+    * callers (and specs) can assert the prune actually skipped files. */
+  private[graft] def deleteWhereCounted(spark: SparkSession, table: String,
+      ranges: Seq[(String, Double, Double)],
+      valueEq: Seq[(String, String)] = Nil): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    // keep = NOT(pred IS TRUE): a NULL predicate (null in a predicate
+    // column) must KEEP the row, exactly SQL DELETE's WHERE semantics
+    val pred = predicateColumn(ranges, valueEq)
+    copyOnWrite(spark, table, ranges, valueEq,
+      _.filter(not(coalesce(pred, lit(false)))))
   }
 
   /** OPTIMIZE (compaction): rewrite the CURRENT snapshot's content

@@ -1,0 +1,125 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.datasources.{DataSource, LogicalRelation}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** [[TxTable]] as a Structured Streaming SOURCE: each micro-batch is
+  * the set of data files the commit log added in a version range —
+  * offsets ARE table versions, so the engine's own offset log (the
+  * checkpoint) carries exactly-once consumption across restarts with
+  * no side registry. This is the Delta streaming-source shape reduced
+  * to its invariants:
+  *
+  *   - `getOffset` resolves the committed head version (O(1) with the
+  *     commit hint); no new version → no trigger work.
+  *   - `getBatch(start, end)` lists the files added in
+  *     (start, end] via the same manifest set-difference as
+  *     [[TxTable.changesSince]] — exact new-rows for append-only
+  *     producers, FAIL-FAST when a rewrite (overwrite / merge /
+  *     compact / DML) broke the files≡rows equivalence, rather than
+  *     silently re-delivering rewritten rows.
+  *   - The batch is the files read through the ordinary parquet
+  *     relation (planned, pruned, and parallelized like any batch
+  *     scan), wrapped `isStreaming = true` — the same construction
+  *     Spark's own FileStreamSource uses.
+  *
+  * Versions are monotone and the checkpointed offset is replayed on
+  * restart, so a crashed consumer resumes at the exact version
+  * boundary: no loss, no duplication (the engine re-runs at most the
+  * in-flight batch against the SAME version range, which yields the
+  * same files). At 100 TB the per-trigger driver cost is one head
+  * probe + one manifest read — independent of table size.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("graft.sources.TxTableStreamSource")
+  *     .option("path", table)          // required
+  *     .option("startingVersion", "0") // 0 = full snapshot first batch
+  *     .load()
+  * }}}
+  */
+class TxTableStreamSource extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "txtable-stream"
+
+  private def tableOf(params: Map[String, String]): String =
+    params.getOrElse("path", throw new IllegalArgumentException(
+      "txtable-stream requires .option(\"path\", <table dir>)"))
+
+  /** Schema = the head snapshot's parquet schema. The table must have
+    * at least one committed version when the stream is DEFINED —
+    * a schema can't be invented for an empty log, and silently
+    * guessing would poison the checkpoint. */
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, params: Map[String, String]): (String, StructType) = {
+    val spark = ctx.sparkSession
+    val table = tableOf(params)
+    val resolved = schema.getOrElse {
+      val snap = TxTable.snapshot(spark, table).getOrElse(
+        throw new IllegalArgumentException(
+          s"txtable-stream: no committed version at $table — commit v1 " +
+            "before defining the stream (the schema comes from the head)"))
+      spark.read.parquet(
+        snap.files.map(new Path(table, _).toString): _*).schema
+    }
+    (shortName(), resolved)
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      params: Map[String, String]): Source = {
+    val table = tableOf(params)
+    val start = params.get("startingVersion").map(_.toLong).getOrElse(0L)
+    val (_, s) = sourceSchema(ctx, schema, providerName, params)
+    new TxTableSource(ctx.sparkSession, table, start, s)
+  }
+}
+
+private[graft] class TxTableSource(spark: SparkSession, table: String,
+    startingVersion: Long, override val schema: StructType) extends Source {
+
+  // an Offset arriving from the checkpoint is a SerializedOffset, not
+  // a LongOffset — parse the json, never pattern-match the class
+  private def versionOf(o: Offset): Long = o.json.trim.toLong
+
+  /** Committed head as the next offset; None while nothing is newer
+    * than `startingVersion` (no trigger work). */
+  override def getOffset: Option[Offset] =
+    TxTable.snapshot(spark, table)
+      .map(_.version).filter(_ > startingVersion).map(LongOffset.apply)
+
+  /** The rows of versions (start, end] as ONE batch DataFrame. */
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(versionOf).getOrElse(startingVersion)
+    val to = versionOf(end)
+    val toSnap = TxTable.snapshot(spark, table, Some(to)).getOrElse(
+      throw new IllegalStateException(
+        s"txtable-stream: offset version $to is gone at $table (vacuumed " +
+          "past the checkpoint) — restart from a fresh checkpoint"))
+    val added = TxTable.addedBetween(spark, table, from, toSnap)
+    if (added.isEmpty)
+      return org.apache.spark.sql.GraftColumnBridge.dataFrame(spark,
+        LocalRelation(DataTypeUtils.toAttributes(schema), Nil,
+          isStreaming = true))
+    // the FileStreamSource construction: an ordinary parquet relation
+    // (planned/pruned/split like any batch scan over those files),
+    // marked isStreaming so the micro-batch planner accepts it
+    val relation = DataSource(
+      sparkSession = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      className = "parquet",
+      paths = added.map(f => new Path(table, f).toString),
+      userSpecifiedSchema = Some(schema)).resolveRelation(checkFilesExist = false)
+    org.apache.spark.sql.GraftColumnBridge.dataFrame(spark,
+      LogicalRelation(relation, isStreaming = true))
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"TxTableSource[$table]"
+}

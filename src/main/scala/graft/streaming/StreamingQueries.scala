@@ -117,6 +117,43 @@ object StreamingQueries extends QueryModule {
         .orderBy($"bucket", $"event_type")
     }),
 
+    // The TxTable STREAMING SOURCE under the driver gate: the events
+    // table lands in a snapshot table as three append-only commits,
+    // the whole table is then replayed through readStream (offsets =
+    // table versions, one micro-batch per available version range)
+    // into a memory sink, and the aggregate over the sink must equal
+    // the batch aggregate DuckDB computes straight from parquet.
+    // Value flows as integer cents so the sum is exact under ANY
+    // micro-batching. A lost version, re-delivered file, or
+    // wrong-offset resume diverges.
+    "stream_txtable" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.TxTable
+      val dir = sys.props("java.io.tmpdir") +
+        "/graft_txstream_gate_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = graft.Tables.events(s, d).select($"event_id", $"event_type",
+        org.apache.spark.sql.functions.round($"value" * 100)
+          .cast("long").as("cents"))
+      // three append-only commits split by event_id residue — the
+      // producer shape changesSince/the source are exact for
+      TxTable.overwrite(ev.filter($"event_id" % 3 === 0), dir)
+      TxTable.append(ev.filter($"event_id" % 3 === 1), dir)
+      TxTable.append(ev.filter($"event_id" % 3 === 2), dir)
+      val q = s.readStream.format("graft.sources.TxTableStreamSource")
+        .option("path", dir).load()
+        .writeStream.format("memory")
+        .queryName("stream_txtable_gate").outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("stream_txtable_gate")
+        .groupBy($"event_type")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum($"cents").as("cents"))
+        .orderBy($"event_type")
+    }),
+
     // Stream-stream interval join (clicks × purchases within the
     // following hour, both sides watermarked): inner-join matches
     // emit as they pair, and the single-trigger replay sees both
@@ -187,6 +224,11 @@ object StreamingQueries extends QueryModule {
         |SELECT CAST(epoch(w) AS BIGINT) AS bucket, event_type,
         |  count(*) AS n
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_txtable" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "stream_join" ->
       """SELECT c.user_id AS user_id, c.event_id AS click_id,

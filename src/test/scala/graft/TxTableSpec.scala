@@ -441,4 +441,132 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.snapshot(spark, t).isEmpty)
     intercept[IllegalArgumentException] { TxTable.read(spark, t) }
   }
+
+  // --- copy-on-write DML: deleteWhere / updateWhere ---
+
+  private def indexedTable(): (String, org.apache.spark.sql.DataFrame) = {
+    val t = freshTable()
+    val src = spark.range(0, 1000)
+      .select(col("id").as("k"), (col("id") % 4).cast("string").as("p"),
+        (col("id") * 10).cast("double").as("x"))
+    TxTable.overwriteIndexedMulti(src, t,
+      statCols = Seq("x"), valueCols = Seq("p"))
+    (t, src)
+  }
+
+  test("deleteWhere removes exactly the matching rows, atomically versioned") {
+    val (t, src) = indexedTable()
+    val v = TxTable.deleteWhere(spark, t, Seq(("x", 2000.0, 4990.0)))
+    assert(v === 2L)
+    val expect = src.filter(!(col("x") >= 2000.0 && col("x") <= 4990.0))
+      .select("k").as[Long].collect().sorted.toSeq
+    val got = TxTable.read(spark, t).select("k").as[Long]
+      .collect().sorted.toSeq
+    assert(got === expect)
+    // pre-delete snapshot still time-travels to the full content
+    assert(TxTable.read(spark, t, asOf = Some(1)).count() === 1000)
+  }
+
+  test("deleteWhere rewrites ONLY files the manifest cannot exclude") {
+    val (t, _) = indexedTable()
+    val before = TxTable.snapshot(spark, t).get
+    // files cluster on (p, x) with 4 p-values over 4 shuffle
+    // partitions → one file per p value; the p-equality prunes to it
+    val (_, rewritten, total) =
+      TxTable.deleteWhereCounted(spark, t, Seq(("x", 0.0, 800.0)),
+        valueEq = Seq(("p", "1")))
+    assert(total === before.files.size)
+    assert(rewritten > 0 && rewritten < total,
+      s"prune did not skip files: $rewritten/$total")
+    // untouched files carry over under their ORIGINAL paths (no copy)
+    val after = TxTable.snapshot(spark, t).get
+    val carried = before.files.toSet.intersect(after.files.toSet)
+    assert(carried.size === total - rewritten)
+    // carried files keep their manifest metadata
+    carried.foreach { f =>
+      assert(after.multiStats.get(f) === before.multiStats.get(f))
+      assert(after.fileValues.get(f) === before.fileValues.get(f))
+    }
+    // rewritten files got fresh metadata (index survives the delete)
+    val fresh = after.files.filterNot(before.files.toSet)
+    fresh.foreach { f =>
+      assert(after.multiStats.contains(f), s"no recomputed stats for $f")
+    }
+  }
+
+  test("deleteWhere pruning still answers later readWhere correctly") {
+    val (t, src) = indexedTable()
+    TxTable.deleteWhere(spark, t, Seq(("x", 3000.0, 6000.0)),
+      valueEq = Seq(("p", "1")))
+    // conjunctive semantics: only rows with BOTH x in range AND p=1 left
+    val expect = src.filter(
+      !(col("x") >= 3000.0 && col("x") <= 6000.0 && col("p") === "1"))
+      .filter(col("x") >= 2500.0 && col("x") <= 7000.0)
+      .count()
+    val got = TxTable.readWhere(spark, t, Seq(("x", 2500.0, 7000.0))).count()
+    assert(got === expect)
+  }
+
+  test("deleteWhere keeps rows whose predicate column is NULL") {
+    val t = freshTable()
+    val src = Seq((1L, Some(10.0)), (2L, None), (3L, Some(30.0)))
+      .toDF("k", "x")
+    TxTable.overwrite(src, t)
+    TxTable.deleteWhere(spark, t, Seq(("x", 0.0, 15.0)))
+    val got = TxTable.read(spark, t).select("k").as[Long]
+      .collect().sorted.toSeq
+    assert(got === Seq(2L, 3L), "NULL predicate must not delete")
+  }
+
+  test("updateWhere transforms matching rows only, others byte-identical") {
+    val (t, src) = indexedTable()
+    val v = TxTable.updateWhere(spark, t,
+      Seq(("x", 0.0, 1000.0)), Seq(("p", "2")),
+      set = Map("x" -> (col("x") * 100)))
+    assert(v === 2L)
+    val expect = src.select(col("k"),
+      when(col("x") >= 0.0 && col("x") <= 1000.0 && col("p") === "2",
+        col("x") * 100).otherwise(col("x")).as("x"))
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val got = TxTable.read(spark, t).select("k", "x")
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === expect)
+  }
+
+  test("overwriteZordered prunes on EITHER column; lexicographic cannot") {
+    // a 64×64 grid: every (a, b) combination appears once, so a
+    // lexicographic (a, b) clustering gives each file ALL b values
+    val grid = spark.range(0, 4096).select(
+      (col("id") % 64).cast("double").as("a"),
+      floor(col("id") / 64).cast("double").as("b"),
+      col("id").as("k"))
+    val tz = freshTable()
+    val tl = freshTable()
+    TxTable.overwriteZordered(grid, tz, "a", "b")
+    TxTable.overwriteIndexedMulti(grid, tl, statCols = Seq("a", "b"))
+    val sz = TxTable.snapshot(spark, tz).get
+    val sl = TxTable.snapshot(spark, tl).get
+    val bPred = Seq(("b", 10.0, 12.0))
+    val zKept = TxTable.pruneFilesWhere(sz, bPred).size
+    val lKept = TxTable.pruneFilesWhere(sl, bPred).size
+    assert(lKept === sl.files.size,
+      "premise: lexicographic layout cannot prune on the second key")
+    assert(zKept < sz.files.size && zKept < lKept,
+      s"z-order failed to prune on b: kept $zKept/${sz.files.size} " +
+        s"(lexicographic kept $lKept/${sl.files.size})")
+    // the FIRST column prunes on the z table too (rectangles, not slices)
+    val aKept = TxTable.pruneFilesWhere(sz, Seq(("a", 10.0, 12.0))).size
+    assert(aKept < sz.files.size)
+    // pruned reads stay exact on both columns
+    val got = TxTable.readWhere(spark, tz, bPred).count()
+    val expect = grid.filter(col("b") >= 10.0 && col("b") <= 12.0).count()
+    assert(got === expect)
+  }
+
+  test("deleteWhere refuses an unconditional delete") {
+    val (t, _) = indexedTable()
+    intercept[IllegalArgumentException] {
+      TxTable.deleteWhere(spark, t, Nil, Nil)
+    }
+  }
 }
