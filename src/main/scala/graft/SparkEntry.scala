@@ -28,6 +28,7 @@ object SparkEntry {
     operators.IncrementalQueries,
     operators.SketchQueries,
     operators.TemporalQueries,
+    operators.ForecastQueries,
     quality.DataQualityQueries,
     features.FeatureQueries,
     features.FeatureQueries2,

@@ -56,6 +56,41 @@ object FeatureQueries4 extends QueryModule {
     // Frequency (count) encoding of a categorical: each category maps
     // to its occurrence count — vocabulary-free, join back via a
     // category-sized broadcast.
+    // Calibration table + Brier score for a linear-probability model
+    // of "urgent order" on price — the standard reliability diagnostic
+    // (per score decile: mean predicted vs observed positive rate).
+    // The fit stays IN the plan (one scalar aggregate, broadcast); the
+    // decile assignment rides the distributed Rank primitive on the
+    // integer cents key (the ml_lift lesson: double scores make
+    // boundary rows engine-dependent, integer ranks never do — the
+    // score is monotone in price, so price-rank deciles ARE score
+    // deciles).
+    "ml_calibration" -> ((s, d) => {
+      import s.implicits._
+      val o = T.orders(s, d).select($"o_orderkey",
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        when($"o_orderpriority" === "1-URGENT", 1.0).otherwise(0.0)
+          .as("yl"))
+      val fit = o.agg(
+        (covar_pop($"yl", $"cents" / 100.0) / var_pop($"cents" / 100.0))
+          .as("b"),
+        avg($"yl").as("ybar"), avg($"cents" / 100.0).as("xbar"))
+      val ranked = graft.operators.Rank.runningSums(
+        o, Nil, "cents", Seq("o_orderkey"), Seq("rn" -> lit(1L)))
+      ranked
+        .withColumn("bin",
+          graft.operators.Rank.ntileOf($"rn", $"rn_total", 10))
+        .crossJoin(broadcast(fit))
+        .withColumn("score", ($"ybar" - $"b" * $"xbar") +
+          $"b" * ($"cents" / 100.0))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n"),
+          r4(avg($"score")).as("avg_score"),
+          r4(avg($"yl")).as("pos_rate"),
+          r4(avg(($"score" - $"yl") * ($"score" - $"yl"))).as("brier"))
+        .orderBy($"bin")
+    }),
+
     "feat_count_enc" -> ((s, d) => {
       import s.implicits._
       val freq = T.customer(s, d).groupBy($"c_mktsegment")
@@ -70,6 +105,27 @@ object FeatureQueries4 extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "ml_calibration" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderpriority = '1-URGENT'
+        |      THEN 1.0 ELSE 0.0 END AS yl
+        |  FROM orders),
+        |f AS (
+        |  SELECT covar_pop(yl, cents/100.0)/var_pop(cents/100.0) AS b,
+        |    avg(yl) AS ybar, avg(cents/100.0) AS xbar
+        |  FROM o),
+        |r AS (
+        |  SELECT o.*, ntile(10) OVER (ORDER BY cents, o_orderkey) AS bin
+        |  FROM o)
+        |SELECT bin, count(*) AS n,
+        |  round(avg((ybar - b*xbar) + b*(cents/100.0)), 4) AS avg_score,
+        |  round(avg(yl), 4) AS pos_rate,
+        |  round(avg(((ybar - b*xbar) + b*(cents/100.0) - yl)
+        |          * ((ybar - b*xbar) + b*(cents/100.0) - yl)), 4) AS brier
+        |FROM r, f GROUP BY bin ORDER BY bin""".stripMargin,
+
     "pipe_training_set" ->
       """WITH labels AS (
         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,

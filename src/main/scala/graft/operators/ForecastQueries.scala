@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.{QueryModule, Tables => T}
+import graft.Util.r4
+import org.apache.spark.sql.functions._
+
+/** Time-series forecasting and engagement-health operators.
+  *
+  * - q_forecast_linear: per-segment OLS trend over the monthly revenue
+  *   series plus the one-step-ahead forecast — the ubiquitous
+  *   "capacity/budget projection" query. Fitting happens on the
+  *   AGGREGATED series (months, not rows), so the regression state is
+  *   months-sized no matter how many raw orders feed it; the raw table
+  *   is touched exactly once, by the monthly rollup.
+  * - q_anomaly_mad: robust outlier counts per event type using the
+  *   median/MAD gate (|x − med| > 3.5·1.4826·MAD — the modified
+  *   z-score rule, immune to the outliers it hunts, unlike the mean ±
+  *   kσ gate of q_anomaly_zscore). Rides the same one-histogram
+  *   two-round exact-percentile discipline as q_mad: the raw table
+  *   shuffles ONCE into a (group, value, count) histogram, medians and
+  *   deviation medians come from distributed prefix sums, and the
+  *   outlier count is a histogram re-aggregation — no second table
+  *   scan, no per-group sort.
+  * - q_stickiness: DAU/WAU engagement ratio per week — the standard
+  *   product-health metric. Two partial-agg shuffles (per-day and
+  *   per-week distincts); integer counts make cross-engine parity
+  *   exact.
+  */
+object ForecastQueries extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    "q_forecast_linear" -> ((s, d) => {
+      import s.implicits._
+      // monthly revenue in integer cents first (order-free), then one
+      // closed-form OLS per priority over the ~80-point series
+      val monthly = T.orders(s, d)
+        .select($"o_orderpriority".as("p"),
+          (year($"o_orderdate") * 12 + month($"o_orderdate") - 23905)
+            .cast("double").as("x"),
+          round($"o_totalprice" * 100).cast("long").as("cents"))
+        .groupBy($"p", $"x")
+        .agg((sum($"cents") / 100.0).as("y"))
+      monthly.groupBy($"p")
+        .agg(count(lit(1)).as("n_months"),
+          (covar_pop($"y", $"x") / var_pop($"x")).as("b"),
+          avg($"y").as("ybar"), avg($"x").as("xbar"),
+          max($"x").as("xmax"))
+        .select($"p".as("o_orderpriority"), $"n_months",
+          r4($"b").as("slope"),
+          r4($"ybar" - $"b" * $"xbar").as("intercept"),
+          r4(($"ybar" - $"b" * $"xbar") + $"b" * ($"xmax" + 1))
+            .as("forecast_next"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    "q_anomaly_mad" -> ((s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d).select($"event_type", $"value")
+      val hist = ev
+        .groupBy($"event_type", $"value".cast("double").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val med = ExactPercentile.perGroupWeighted(hist,
+        "event_type", "v", "c", Seq("med" -> 0.5), unique = true)
+      val dev = hist.join(broadcast(med), "event_type")
+        .select($"event_type", abs($"v" - $"med").as("dv"), $"c")
+      val mad = ExactPercentile.perGroupWeighted(dev,
+        "event_type", "dv", "c", Seq("mad" -> 0.5))
+      hist.join(broadcast(med), "event_type")
+        .join(broadcast(mad), "event_type")
+        .groupBy($"event_type")
+        .agg(sum($"c").as("n"),
+          r4(first($"med")).as("med"), r4(first($"mad")).as("mad"),
+          sum(when(abs($"v" - $"med") > lit(3.5) * lit(1.4826) * $"mad",
+            $"c").otherwise(0L)).as("n_outliers"))
+        .orderBy($"event_type")
+    }),
+
+    "q_stickiness" -> ((s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d).select(
+        date_trunc("week", $"ts").cast("date").as("wk"),
+        to_date($"ts").as("day"), $"user_id")
+      val dau = ev.groupBy($"wk", $"day")
+        .agg(countDistinct($"user_id").as("dau"))
+        .groupBy($"wk")
+        .agg(count(lit(1)).as("n_days"), avg($"dau").as("avg_dau"))
+      val wau = ev.groupBy($"wk")
+        .agg(countDistinct($"user_id").as("wau"))
+      dau.join(wau, "wk")
+        .select($"wk".cast("string").as("wk"), $"n_days",
+          r4($"avg_dau").as("avg_dau"), $"wau",
+          r4($"avg_dau" / $"wau").as("stickiness"))
+        .orderBy($"wk")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_forecast_linear" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority AS p,
+        |    CAST(year(o_orderdate)*12 + month(o_orderdate) - 23905
+        |      AS DOUBLE) AS x,
+        |    sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS y
+        |  FROM orders GROUP BY 1, 2),
+        |f AS (
+        |  SELECT p, count(*) AS n_months,
+        |    covar_pop(y, x)/var_pop(x) AS b,
+        |    avg(y) AS ybar, avg(x) AS xbar, max(x) AS xmax
+        |  FROM m GROUP BY 1)
+        |SELECT p AS o_orderpriority, n_months,
+        |  round(b, 4) AS slope,
+        |  round(ybar - b*xbar, 4) AS intercept,
+        |  round((ybar - b*xbar) + b*(xmax + 1), 4) AS forecast_next
+        |FROM f ORDER BY o_orderpriority""".stripMargin,
+
+    "q_anomaly_mad" ->
+      """WITH st AS (
+        |  SELECT event_type, median(value) AS med, mad(value) AS mad
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type AS event_type, count(*) AS n,
+        |  round(any_value(med), 4) AS med, round(any_value(mad), 4) AS mad,
+        |  CAST(sum(CASE WHEN abs(value - med) > 3.5 * 1.4826 * mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN st ON e.event_type = st.event_type
+        |GROUP BY 1 ORDER BY e.event_type""".stripMargin,
+
+    "q_stickiness" ->
+      """WITH e AS (
+        |  SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+        |      AS wk,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+        |  FROM events),
+        |dau AS (
+        |  SELECT wk, count(*) AS n_days, avg(dau) AS avg_dau FROM (
+        |    SELECT wk, day, count(DISTINCT user_id) AS dau
+        |    FROM e GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |wau AS (SELECT wk, count(DISTINCT user_id) AS wau FROM e GROUP BY 1)
+        |SELECT CAST(d.wk AS VARCHAR) AS wk, d.n_days,
+        |  round(d.avg_dau, 4) AS avg_dau, w.wau,
+        |  round(d.avg_dau / w.wau, 4) AS stickiness
+        |FROM dau d JOIN wau w USING (wk) ORDER BY wk""".stripMargin
+  )
+}

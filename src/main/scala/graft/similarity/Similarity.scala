@@ -32,6 +32,52 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cos"), col("rank"))
   }
 
+  /** Maximum-inner-product top-k (the recommendation-scoring
+    * objective: rank items by raw dot product, NOT by angle) via the
+    * norm-augmentation reduction: append sqrt(M² − |x|²) to each
+    * corpus vector (M² = max corpus squared norm) and 0 to each query
+    * — every augmented corpus vector then has norm exactly M, so
+    * cosine order over the augmented space IS dot-product order over
+    * the original. That one identity lets the SAME cosine ANN
+    * infrastructure (LSH tables, IVF cells) serve MIPS at scale;
+    * [[augment]] builds the augmented column and SimilaritySpec pins
+    * the recall of augmented-LSH routing against this exact ranking.
+    * This entry is the exact form: ranked by the augmented cosine,
+    * returning the raw dot. Queries broadcast (queries ≪ corpus). */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int): DataFrame = {
+    val dot = graft.functions.ArrayDot.dot _
+    // M² = the max corpus squared norm — one scalar agg; exact for
+    // the augmentation because each |x|² below recomputes the SAME
+    // expression, so M² − |x|² ≥ 0 bit-for-bit
+    val m2 = corpus.agg(max(dot(col(vec), col(vec)))).head().getDouble(0)
+    val c = graft.Util.ensureParallelism(
+      corpus.select(col(id).as("nid"), col(vec).as("__cv")))
+      .withColumn("__aug2",
+        lit(m2) - dot(col("__cv"), col("__cv")))
+    val q = queries.select(col(id).as("qid"), col(vec).as("__qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("dot", dot(col("__qv"), col("__cv")))
+      // augmented cosine = dot / (|q| · |x_aug|): monotone in dot for
+      // a fixed query — the ordering the ANN engine would see
+      .withColumn("__cosaug", col("dot") /
+        sqrt(dot(col("__qv"), col("__qv")) *
+          (dot(col("__cv"), col("__cv")) + col("__aug2"))))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("__cosaug").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("dot"), col("rank"))
+  }
+
+  /** The norm-augmented vector column for routing MIPS through a
+    * cosine ANN: original floats plus the sqrt(M² − |x|²) tail
+    * component (queries append 0 instead). */
+  def augment(vec: Column, m2: Double): Column =
+    concat(vec, array(sqrt(lit(m2) -
+      graft.functions.ArrayDot.dot(vec, vec)).cast("float")))
+
   /** Deterministic ±1 hyperplane signs for (table, plane) over `dim`
     * dimensions — Knuth multiplicative hashing of the flat index, no
     * RNG, so the Spark literals and the DuckDB oracle's literals are

@@ -41,6 +41,24 @@ object VectorQueries2 extends QueryModule {
         .orderBy($"vec_id")
     }),
 
+    // Maximum-inner-product top-k (recsys scoring: rank by raw dot,
+    // not angle) through the norm-augmentation reduction — the
+    // augmented-cosine ordering IS the dot ordering, so the cosine
+    // ANN machinery serves MIPS at scale (SimilaritySpec pins the
+    // augmented-LSH recall against this exact ranking). The oracle
+    // ranks by DuckDB's list_dot_product directly: if the reduction,
+    // the M² bound, or the tie-break ever diverged, the rankings
+    // would disagree.
+    "sim_mips" -> ((s, d) => {
+      import s.implicits._
+      val emb = T.embeddings(s, d)
+      Similarity.mipsTopK(emb, emb.filter($"vec_id" < 8),
+          "vec_id", "embedding", k = 10)
+        .select($"qid", $"nid", r4($"dot").as("dot"),
+          $"rank".cast("long").as("rank"))
+        .orderBy($"qid", $"rank")
+    }),
+
     "sim_knn" -> ((s, d) => {
       import s.implicits._
       val emb = T.embeddings(s, d)
@@ -63,6 +81,23 @@ object VectorQueries2 extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    // ranked by the raw dot product directly — equals the Spark
+    // side's augmented-cosine ranking only if the MIPS→cosine
+    // reduction is order-preserving on the real data
+    "sim_mips" ->
+      """SELECT qid, nid, round(dot, 4) AS dot,
+        |  CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                     CAST(c.embedding AS DOUBLE[])) AS dot,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                                CAST(c.embedding AS DOUBLE[])) DESC,
+        |               c.vec_id ASC) AS rank
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 8)
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
     "sim_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),

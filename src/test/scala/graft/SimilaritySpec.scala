@@ -48,6 +48,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, f"LSH recall collapsed: $recall%.3f")
   }
 
+  test("MIPS: exact ranking equals brute dot order; augmented LSH routes it") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val q = emb.filter($"vec_id" < 20)
+    val exact = Similarity.mipsTopK(emb, q, "vec_id", "embedding", 10)
+    // 1. the augmented-cosine ranking must equal the raw dot ranking
+    //    (the reduction's whole claim) — recompute dots and check each
+    //    query's list is non-increasing with rank
+    val byQ = exact.collect().groupBy(_.getLong(0))
+    assert(byQ.size == 20 && byQ.values.forall(_.length == 10))
+    byQ.values.foreach { rows =>
+      val dots = rows.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(dots.zip(dots.tail).forall { case (a, b) => a >= b },
+        s"augmented-cosine order broke dot monotonicity: $dots")
+    }
+    // 2. the SCALE path: augmented vectors through the existing cosine
+    //    LSH recover the MIPS top-k with production recall
+    val dotC = graft.functions.ArrayDot.dot _
+    val m2 = emb.agg(max(dotC($"embedding", $"embedding")))
+      .head().getDouble(0)
+    val corpusAug = emb.select($"vec_id",
+      Similarity.augment($"embedding", m2).as("av"))
+    val qAug = q.select($"vec_id",
+      concat($"embedding", array(lit(0.0f))).as("av"))
+    val lsh = topkSet(Similarity.lshTopK(corpusAug, qAug, "vec_id", "av",
+      10, dim = 65, nPlanes = 4, nTables = 16))
+    val recall = recallOf(topkSet(exact), lsh)
+    info(f"augmented-LSH MIPS recall@10 = $recall%.3f")
+    assert(recall >= 0.7, f"MIPS-via-LSH recall collapsed: $recall%.3f")
+  }
+
   test("IVF top-k recall vs brute force") {
     import spark.implicits._
     val q = emb.filter($"vec_id" < 20)
