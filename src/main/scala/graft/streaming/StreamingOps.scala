@@ -122,6 +122,11 @@ object StreamingOps {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** [[deduped]] over a composite key. */
+  def dedupedBy(events: DataFrame, cols: Seq[String]): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(cols.toSeq)
+
   case class UserValue(user_id: Long, value: Double)
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 

@@ -117,6 +117,69 @@ object StreamingQueries extends QueryModule {
         .orderBy($"bucket", $"event_type")
     }),
 
+    // Watermarked streaming dedup under the driver gate: one surviving
+    // row per (user, event_type) key through the bounded-state
+    // dropDuplicatesWithinWatermark machine. WHICH row survives a
+    // single-batch replay is engine-internal, so the gated output is
+    // the surviving KEY SET (plus the exactly-one-per-key invariant
+    // asserted in construction) — the oracle is the batch DISTINCT.
+    "stream_dedup" -> ((s, d) => {
+      import s.implicits._
+      val q = StreamingOps.dedupedBy(
+          StreamingOps.eventStream(s, d)
+            .select($"ts", $"user_id", $"event_type"),
+          Seq("user_id", "event_type"))
+        .writeStream.format("memory")
+        .queryName("stream_dedup_gate").outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.table("stream_dedup_gate")
+        .select($"user_id", $"event_type")
+      val emitted = out.count()
+      val keys = out.distinct().count()
+      require(emitted == keys,
+        s"streaming dedup emitted duplicates: $emitted rows, $keys keys")
+      out.orderBy($"user_id", $"event_type")
+    }),
+
+    // transformWithState running totals (the Spark 4 arbitrary-state
+    // API on the RocksDB store) under the driver gate: per-user
+    // (count, value-sum) in update mode. The single-trigger replay
+    // emits one final row per user (asserted); cents make the sum
+    // exact under any in-batch iteration order.
+    "stream_totals" -> ((s, d) => {
+      import s.implicits._
+      val prev = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      try {
+        val ev = StreamingOps.eventStream(s, d)
+          .select($"user_id",
+            org.apache.spark.sql.functions.round($"value" * 100)
+              .as("value"))
+          .as[StreamingOps.UserValue]
+        val q = StreamingOps.runningTotals(ev).toDF()
+          .writeStream.format("memory")
+          .queryName("stream_totals_gate").outputMode("update").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally prev match {
+        case Some(v) => s.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+      val out = s.table("stream_totals_gate")
+        .select($"user_id", $"n_events",
+          ($"total_value".cast("long")).as("cents"))
+      val emitted = out.count()
+      val users = out.select($"user_id").distinct().count()
+      require(emitted == users,
+        s"stream_totals replay was multi-batch: $emitted rows " +
+          s"for $users users — update-mode rows would double-count")
+      out.orderBy($"user_id")
+    }),
+
     // The TxTable STREAMING SOURCE under the driver gate: the events
     // table lands in a snapshot table as three append-only commits,
     // the whole table is then replayed through readStream (offsets =
@@ -224,6 +287,15 @@ object StreamingQueries extends QueryModule {
         |SELECT CAST(epoch(w) AS BIGINT) AS bucket, event_type,
         |  count(*) AS n
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "stream_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(round(value * 100)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     "stream_txtable" ->
       """SELECT event_type, count(*) AS n,
