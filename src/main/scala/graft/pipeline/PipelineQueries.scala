@@ -299,6 +299,38 @@ object PipelineQueries extends QueryModule {
         .orderBy($"o_orderpriority")
     }),
 
+    // Bloom point-lookup index end to end: orders hash-clustered on
+    // o_orderkey with a per-file bloom in the manifest, then a batch
+    // of point reads (present keys + one absent) unioned and
+    // aggregated. The construction asserts each lookup opened FEWER
+    // files than the table holds — the property that makes entity
+    // retrieval O(1 file) instead of O(table) — and the oracle's
+    // plain IN-filter catches any wrongly pruned file. Idempotent
+    // build keyed by (sf dir, row count).
+    "pipe_bloom_scan" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.TxTable
+      val src = T.orders(s, d)
+        .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      val dir = sys.props("java.io.tmpdir") +
+        "/graft_txtable_bloom_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + src.count()
+      if (TxTable.snapshot(s, dir).isEmpty)
+        TxTable.overwriteIndexedBloom(src, dir, "o_orderkey")
+      val snap = TxTable.snapshot(s, dir).get
+      val keys = Seq(7L, 1284L, 2341L, 4711L, 999999999L)
+      keys.foreach { k =>
+        val kept = TxTable.pruneFilesPoint(snap, "o_orderkey", k.toString)
+        require(kept.size < snap.files.size,
+          s"bloom failed to prune key $k: ${kept.size}/${snap.files.size}")
+      }
+      keys.map(k => TxTable.readPoint(s, dir, "o_orderkey", k.toString))
+        .reduce(_ unionByName _)
+        .select($"o_orderkey", $"o_orderpriority",
+          r4($"o_totalprice").as("price"))
+        .orderBy($"o_orderkey")
+    }),
+
     // Z-ORDER layout end to end: orders clustered on the Morton curve
     // over (order age in days, total price), then a two-dimensional
     // box read through manifest pruning. The construction asserts the
@@ -502,6 +534,15 @@ object PipelineQueries extends QueryModule {
         |  AND o_totalprice >= 1000.0 AND o_totalprice <= 60000.0
         |  AND o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    // plain IN-filter — equals the bloom-pruned point reads only if
+    // no file holding a requested key was wrongly skipped
+    "pipe_bloom_scan" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  round(o_totalprice, 4) AS price
+        |FROM orders
+        |WHERE o_orderkey IN (7, 1284, 2341, 4711, 999999999)
+        |ORDER BY o_orderkey""".stripMargin,
 
     // full-scan 2-D box filter — equals the z-ordered pruned read
     // only if no rectangle-file holding matching rows was skipped

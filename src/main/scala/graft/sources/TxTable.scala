@@ -52,7 +52,9 @@ object TxTable {
       statsCol: Option[String] = None,
       stats: Map[String, (Double, Double)] = Map.empty,
       multiStats: Map[String, Map[String, (Double, Double)]] = Map.empty,
-      fileValues: Map[String, Map[String, Set[String]]] = Map.empty)
+      fileValues: Map[String, Map[String, Set[String]]] = Map.empty,
+      bloomCol: Option[String] = None,
+      blooms: Map[String, Array[Byte]] = Map.empty)
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -200,7 +202,24 @@ object TxTable {
       case _ => (Map.empty[String, Map[String, (Double, Double)]],
         Map.empty[String, Map[String, Set[String]]])
     }
-    Some(Snapshot(v, files, txns, statsCol, stats, mstats, fvals))
+    val (bloomCol, blooms) = root.get("blooms") match {
+      case Some(m: Map[_, _]) =>
+        val o = m.asInstanceOf[Map[String, Any]]
+        val bc = o.get("col").collect { case s: String => s }
+        val bs = o.get("files") match {
+          case Some(l: List[_]) => l.collect { case e: Map[_, _] =>
+            val em = e.asInstanceOf[Map[String, Any]]
+            em("path").asInstanceOf[String] ->
+              java.util.Base64.getDecoder.decode(
+                em("b64").asInstanceOf[String])
+          }.toMap
+          case _ => Map.empty[String, Array[Byte]]
+        }
+        (bc, bs)
+      case _ => (None, Map.empty[String, Array[Byte]])
+    }
+    Some(Snapshot(v, files, txns, statsCol, stats, mstats, fvals,
+      bloomCol, blooms))
   }
 
   private def readFully(f: FileSystem, p: Path): Array[Byte] = {
@@ -291,7 +310,9 @@ object TxTable {
       statsCol: Option[String] = None,
       stats: Map[String, (Double, Double)] = Map.empty,
       multiStats: Map[String, Map[String, (Double, Double)]] = Map.empty,
-      fileValues: Map[String, Map[String, Set[String]]] = Map.empty): Unit = {
+      fileValues: Map[String, Map[String, Set[String]]] = Map.empty,
+      bloomCol: Option[String] = None,
+      blooms: Map[String, Array[Byte]] = Map.empty): Unit = {
     val ld = logDir(table)
     val f = fs(spark, ld)
     f.mkdirs(ld)
@@ -324,8 +345,17 @@ object TxTable {
           s"""{"path":${jq(pth)},"cols":$cols,"vals":$vals}"""
         }.mkString(",") + "]"
       }
+    val bloomsJson = bloomCol match {
+      case Some(bc) if blooms.nonEmpty =>
+        ",\"blooms\":{\"col\":" + jq(bc) + ",\"files\":[" +
+          blooms.toSeq.sortBy(_._1).map { case (pth, bytes) =>
+            s"""{"path":${jq(pth)},"b64":"""" +
+              java.util.Base64.getEncoder.encodeToString(bytes) + "\"}"
+          }.mkString(",") + "]}"
+      case _ => ""
+    }
     val body =
-      s"""{"version":$version,"files":[$filesJson]$txnsJson$statsJson$mstatsJson}"""
+      s"""{"version":$version,"files":[$filesJson]$txnsJson$statsJson$mstatsJson$bloomsJson}"""
     val target = new Path(ld, s"v$version.json")
     val protocol = CommitProtocol.forScheme(f.getScheme)
     if (!protocol.publish(f, target, body.getBytes("UTF-8")))
@@ -619,6 +649,85 @@ object TxTable {
     next
   }
 
+  /** Overwrite with a PER-FILE BLOOM FILTER over a high-cardinality
+    * key in the manifest — the point-lookup complement of min/max
+    * stats (Delta's bloom filter index reduced to its invariant).
+    * Rows are HASH-clustered on the key so every key value lives in
+    * exactly ONE file; a point lookup then opens that file plus the
+    * fpp share of false-positive files, instead of every file a
+    * min/max range would admit. Keys are hashed in their canonical
+    * STRING form, so [[readPoint]] works for integral and string
+    * columns alike; NULL keys are never indexed (a point lookup never
+    * matches NULL). Bloom bytes ride the manifest: ~1.2 bytes/key at
+    * fpp 1%, bounded by rows — at 100 TB shard the key space over
+    * more files, each bloom stays row-bounded. */
+  def overwriteIndexedBloom(df: DataFrame, table: String, col: String,
+      fpp: Double = 0.01): Long = {
+    import org.apache.spark.sql.functions.{col => c, input_file_name}
+    val spark = df.sparkSession
+    val cur = snapshot(spark, table)
+    val next = cur.map(_.version + 1).getOrElse(1L)
+    val nParts = math.max(2, spark.sessionState.conf.numShufflePartitions)
+    val files = writeFiles(df.repartition(nParts, c(col)), table, next)
+    val total = math.max(1000L, df.count())
+    val perFile = math.max(1000L, 2L * total / files.size)
+    val built = spark.read
+      .parquet(files.map(new Path(table, _).toString): _*)
+      .select(input_file_name().as("__f"), c(col).cast("string").as("__k"))
+      .filter(c("__k").isNotNull)
+      .rdd.map(r => (r.getString(0), r.getString(1)))
+      .aggregateByKey(
+        org.apache.spark.util.sketch.BloomFilter.create(perFile, fpp))(
+        (f, k) => { f.putString(k); f },
+        (a, b) => { a.mergeInPlace(b); a })
+      .collect()
+    val byName = files.map(f => f.split('/').last -> f).toMap
+    val blooms = built.flatMap { case (path, bf) =>
+      byName.get(path.split('/').last).map { f =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        f -> bos.toByteArray
+      }
+    }.toMap
+    commit(spark, table, next, files,
+      cur.map(_.txns).getOrElse(Map.empty),
+      bloomCol = Some(col), blooms = blooms)
+    next
+  }
+
+  /** Files of `snap` that MAY hold `col = value` per the per-file
+    * bloom filters: a negative bloom is definitive (skip the file),
+    * a positive may be false (the exact predicate still applies).
+    * Files without a bloom — or a different indexed column — are
+    * kept: pruning is an optimization, never a filter. */
+  def pruneFilesPoint(snap: Snapshot, col: String,
+      value: String): Seq[String] =
+    if (!snap.bloomCol.contains(col)) snap.files
+    else snap.files.filter(f => snap.blooms.get(f) match {
+      case Some(bytes) =>
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bytes))
+          .mightContainString(value)
+      case None => true
+    })
+
+  /** Point lookup through the bloom index: opens only files whose
+    * bloom admits the key (typically ONE at fpp 1%), then applies the
+    * exact equality — the entity-retrieval read path. The value
+    * compares in canonical string form, matching the index. */
+  def readPoint(spark: SparkSession, table: String, col: String,
+      value: String, asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val snap = snapshot(spark, table, asOf).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $table"))
+    val keep = pruneFilesPoint(snap, col, value)
+    if (keep.isEmpty)
+      read(spark, table, asOf).filter(lit(false))
+    else
+      spark.read.parquet(keep.map(new Path(table, _).toString): _*)
+        .filter(c(col).cast("string") === value)
+  }
+
   /** Overwrite with a Z-ORDER (Morton-curve) layout over two numeric
     * columns, per-file (min, max) for BOTH recorded in the manifest —
     * lakehouse OPTIMIZE ZORDER as a TxTable commit. Where
@@ -798,10 +907,14 @@ object TxTable {
           ms.flatMap { case (f, m) => m.get(sc).map(f -> _) }
       case None => Map.empty
     }
+    // blooms carry over on untouched files; rewritten files lose
+    // theirs (absent bloom → never pruned → still correct)
+    val keptBlooms = cur.blooms.filter { case (f, _) => untouched.contains(f) }
     commit(spark, table, next, untouched ++ rewritten, cur.txns,
       cur.statsCol.filter(_ => singleStats.nonEmpty), singleStats,
       cur.multiStats.filter { case (f, _) => untouched.contains(f) } ++ newMs,
-      cur.fileValues.filter { case (f, _) => untouched.contains(f) } ++ newFv)
+      cur.fileValues.filter { case (f, _) => untouched.contains(f) } ++ newFv,
+      cur.bloomCol.filter(_ => keptBlooms.nonEmpty), keptBlooms)
     (next, touched.size, cur.files.size)
   }
 

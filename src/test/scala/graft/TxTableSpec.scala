@@ -563,6 +563,46 @@ class TxTableSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("bloom index: point lookups open few files, missing keys fewer, results exact") {
+    val t = freshTable()
+    val src = spark.range(0, 5000)
+      .select(col("id").as("k"), (col("id") * 3).as("v"))
+    TxTable.overwriteIndexedBloom(src, t, "k")
+    val snap = TxTable.snapshot(spark, t).get
+    assert(snap.files.size >= 4, "premise: multiple files")
+    assert(snap.blooms.size === snap.files.size, "every file indexed")
+    // present key: bloom admits at least the owning file, far from all
+    val kept = TxTable.pruneFilesPoint(snap, "k", "1234")
+    assert(kept.nonEmpty && kept.size < snap.files.size,
+      s"bloom failed to prune: ${kept.size}/${snap.files.size}")
+    val got = TxTable.readPoint(spark, t, "k", "1234")
+      .select("v").as[Long].collect().toSeq
+    assert(got === Seq(3702L))
+    // absent key: mostly everything prunes (fpp 1%), result is empty
+    val keptMiss = TxTable.pruneFilesPoint(snap, "k", "999999")
+    assert(keptMiss.size < snap.files.size / 2,
+      s"missing key kept ${keptMiss.size}/${snap.files.size} files")
+    assert(TxTable.readPoint(spark, t, "k", "999999").count() === 0)
+    // a column without a bloom never prunes
+    assert(TxTable.pruneFilesPoint(snap, "v", "3702") === snap.files)
+  }
+
+  test("DML on a bloom-indexed table fails open: blooms drop, lookups stay exact") {
+    val t = freshTable()
+    val src = spark.range(0, 5000)
+      .select(col("id").as("k"), (col("id") % 10).cast("double").as("x"))
+    TxTable.overwriteIndexedBloom(src, t, "k")
+    val before = TxTable.snapshot(spark, t).get
+    TxTable.deleteWhere(spark, t, Seq(("x", 7.0, 7.0)))
+    val after = TxTable.snapshot(spark, t).get
+    // no range metadata existed, so ALL files were candidates → all
+    // blooms dropped (absent = never pruned); lookups stay CORRECT
+    assert(before.blooms.nonEmpty && after.blooms.isEmpty)
+    assert(TxTable.readPoint(spark, t, "k", "123").count() === 1)
+    assert(TxTable.readPoint(spark, t, "k", "127").count() === 0,
+      "x=7 rows (k%10==7) must be deleted")
+  }
+
   test("deleteWhere refuses an unconditional delete") {
     val (t, _) = indexedTable()
     intercept[IllegalArgumentException] {
