@@ -126,10 +126,87 @@ object SketchQueries extends QueryModule {
         .select($"day", $"wau",
           (abs($"est" - $"wau") <= $"wau" * 0.05).as("within_tol"))
         .orderBy($"day")
+    }),
+
+    // Distinct-set INTERSECTION at sketch cost — the operation HLL
+    // cannot do (HLL unions only; intersections need Theta's
+    // KMV-style sample). One pass builds a theta sketch per event
+    // type as mergeable per-partition partials (the same
+    // mergeable-sketch boundary as the bloom/count-min treeAggregate;
+    // theta Unions are not java-Serializable, so the partials cross
+    // the shuffle as compact sketch BYTES and merge by key), then
+    // every type pair's audience overlap ("clicked AND purchased")
+    // is a driver-side set operation over kilobyte sketches — at
+    // 100 TB the raw alternative re-shuffles the full (user, type)
+    // frame once per pair. Contract (the established sketch-gate
+    // shape): the exact overlap rides along from the distinct frame,
+    // and the hashed boolean pins the sketch estimate within 5%.
+    "q_sketch_intersect" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.datasketches.theta.{SetOperation, Sketches, UpdateSketch}
+      import org.apache.datasketches.memory.Memory
+      val act = T.events(s, d)
+        .select($"event_type", $"user_id").distinct()
+        .localCheckpoint(false)
+      // per-partition partials → compact bytes → merge by type
+      val partials = act.select($"event_type", $"user_id")
+        .as[(String, Long)].rdd
+        .mapPartitions { it =>
+          val m = scala.collection.mutable.Map.empty[String, UpdateSketch]
+          it.foreach { case (t, u) =>
+            m.getOrElseUpdate(t, UpdateSketch.builder().build()).update(u)
+          }
+          m.iterator.map { case (t, sk) =>
+            (t, sk.compact().toByteArrayCompressed)
+          }
+        }
+        .reduceByKey { (a, b) =>
+          val u = SetOperation.builder().buildUnion()
+          u.union(Sketches.wrapCompactSketch(Memory.wrap(a)))
+          u.union(Sketches.wrapCompactSketch(Memory.wrap(b)))
+          u.getResult.toByteArrayCompressed
+        }
+        .collect().toMap
+      val est: Map[(String, String), Double] = {
+        val ts = partials.keys.toSeq.sorted
+        (for {
+          (a, i) <- ts.zipWithIndex; b <- ts.drop(i + 1)
+        } yield {
+          val ix = SetOperation.builder().buildIntersection()
+          ix.intersect(Sketches.wrapCompactSketch(Memory.wrap(partials(a))))
+          ix.intersect(Sketches.wrapCompactSketch(Memory.wrap(partials(b))))
+          (a, b) -> ix.getResult.getEstimate
+        }).toMap
+      }
+      val estDf = s.createDataFrame(est.toSeq.map { case ((a, b), e) =>
+        (a, b, e)
+      }).toDF("type_a", "type_b", "est")
+      val exact = act.as("x").join(act.as("y"),
+          $"x.user_id" === $"y.user_id" &&
+            $"x.event_type" < $"y.event_type")
+        .groupBy($"x.event_type".as("type_a"),
+          $"y.event_type".as("type_b"))
+        .agg(count(lit(1)).as("overlap"))
+      exact.join(broadcast(estDf), Seq("type_a", "type_b"))
+        .select($"type_a", $"type_b", $"overlap",
+          (abs($"est" - $"overlap") <= $"overlap" * 0.05).as("within_tol"))
+        .orderBy($"type_a", $"type_b")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // Exact pairwise audience overlaps recomputed in DuckDB; the
+    // theta-intersection 5% tolerance is the hashed boolean (≡ TRUE
+    // when healthy — these cardinalities sit in theta's exact
+    // sub-k regime).
+    "q_sketch_intersect" ->
+      """WITH act AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |  count(*) AS overlap, TRUE AS within_tol
+        |FROM act x JOIN act y
+        |  ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin,
+
     "q_bloom_prune" ->
       """SELECT s_suppkey, s_name, count(*) AS n_items,
         |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
