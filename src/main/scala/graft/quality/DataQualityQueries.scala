@@ -250,6 +250,37 @@ object DataQualityQueries extends QueryModule {
     // cover: per event type, how far its newest record lags the
     // newest record overall, flagged stale past 24h. The global max
     // is a 1-row broadcast; integer microseconds end to end.
+    // Join/shuffle-key skew audit — find the hot key BEFORE the
+    // shuffle does: per candidate key column, the distinct count and
+    // the heaviest value's share. One multi-distinct pass for the
+    // cardinalities; per-column top values shuffle only (value, count)
+    // partials. The 30%-hot-key probes (BASELINE.md) are exactly what
+    // this report exists to catch in production tables.
+    "dq_skew_profile" -> ((s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d)
+      val cols = Seq("l_returnflag", "l_suppkey", "l_orderkey")
+      val card = li.agg(count(lit(1)).as("total"),
+        countDistinct($"l_returnflag").as("d_l_returnflag"),
+        countDistinct($"l_suppkey").as("d_l_suppkey"),
+        countDistinct($"l_orderkey").as("d_l_orderkey"))
+      val tops = cols.map { c =>
+        li.groupBy(col(c).cast("string").as("top_value"))
+          .agg(count(lit(1)).as("top_n"))
+          .orderBy($"top_n".desc, $"top_value")
+          .limit(1)
+          .select(lit(c).as("col_name"), $"top_value", $"top_n")
+      }.reduce(_ unionByName _)
+      tops.crossJoin(broadcast(card))
+        .select($"col_name",
+          when($"col_name" === "l_returnflag", $"d_l_returnflag")
+            .when($"col_name" === "l_suppkey", $"d_l_suppkey")
+            .otherwise($"d_l_orderkey").as("n_distinct"),
+          $"top_value", $"top_n",
+          graft.Util.r4($"top_n" / $"total").as("top_share"))
+        .orderBy($"col_name")
+    }),
+
     "dq_freshness" -> ((s, d) => {
       import s.implicits._
       val perType = T.events(s, d)
@@ -474,6 +505,34 @@ object DataQualityQueries extends QueryModule {
         |  UNION ALL SELECT 'o_orderpriority', n_rows - nn_o_orderpriority,
         |    n_rows FROM a)
         |ORDER BY col_name""".stripMargin,
+
+    "dq_skew_profile" ->
+      """WITH card AS (
+        |  SELECT count(*) AS total,
+        |    count(DISTINCT l_returnflag) AS d_rf,
+        |    count(DISTINCT l_suppkey) AS d_sk,
+        |    count(DISTINCT l_orderkey) AS d_ok
+        |  FROM lineitem),
+        |tops AS (
+        |  SELECT 'l_returnflag' AS col_name, d_rf AS n_distinct,
+        |    top_value, top_n FROM card, (
+        |    SELECT CAST(l_returnflag AS VARCHAR) AS top_value,
+        |      count(*) AS top_n
+        |    FROM lineitem GROUP BY 1 ORDER BY top_n DESC, top_value LIMIT 1)
+        |  UNION ALL
+        |  SELECT 'l_suppkey', d_sk, top_value, top_n FROM card, (
+        |    SELECT CAST(l_suppkey AS VARCHAR), count(*)
+        |    FROM lineitem GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 1)
+        |      t(top_value, top_n)
+        |  UNION ALL
+        |  SELECT 'l_orderkey', d_ok, top_value, top_n FROM card, (
+        |    SELECT CAST(l_orderkey AS VARCHAR), count(*)
+        |    FROM lineitem GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 1)
+        |      t(top_value, top_n))
+        |SELECT col_name, n_distinct, top_value, top_n,
+        |  round(top_n / (SELECT CAST(total AS DOUBLE) FROM card), 4)
+        |    AS top_share
+        |FROM tops ORDER BY col_name""".stripMargin,
 
     "dq_freshness" ->
       """WITH pt AS (

@@ -117,6 +117,30 @@ object StreamingQueries extends QueryModule {
         .orderBy($"bucket", $"event_type")
     }),
 
+    // Stream-static broadcast enrichment under the driver gate: the
+    // event stream joins a STATIC dimension (customer segment) via
+    // broadcast — the planner never shuffles the stream side, the dim
+    // re-reads per micro-batch (the stream-static contract). The
+    // enriched rows land in the sink and are aggregated in batch; the
+    // oracle is the plain batch join.
+    "stream_enrich" -> ((s, d) => {
+      import s.implicits._
+      val dim = graft.Tables.customer(s, d)
+        .select(($"c_custkey" - 1).as("user_id"), $"c_mktsegment")
+      val q = StreamingOps.enrich(
+          StreamingOps.eventStream(s, d)
+            .select($"user_id", $"event_type"),
+          dim, "user_id")
+        .writeStream.format("memory")
+        .queryName("stream_enrich_gate").outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("stream_enrich_gate")
+        .groupBy($"c_mktsegment", $"event_type")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .orderBy($"c_mktsegment", $"event_type")
+    }),
+
     // Watermarked streaming dedup under the driver gate: one surviving
     // row per (user, event_type) key through the bounded-state
     // dropDuplicatesWithinWatermark machine. WHICH row survives a
@@ -287,6 +311,11 @@ object StreamingQueries extends QueryModule {
         |SELECT CAST(epoch(w) AS BIGINT) AS bucket, event_type,
         |  count(*) AS n
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_enrich" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n
+        |FROM events JOIN customer ON c_custkey = user_id + 1
+        |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin,
 
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
