@@ -60,6 +60,31 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Shingle-set CONTAINMENT pairs: |A∩B| / min(|A|, |B|) ≥ threshold
+    * — the asymmetric near-dup test Jaccard misses: a short document
+    * quoted whole inside a long one has tiny Jaccard (the union is
+    * dominated by the long doc) but containment ≈ 1. Same
+    * inverted-index join as [[jaccardPairs]] (linear in postings, no
+    * all-pairs arm); only the normalizer differs. Output:
+    * (a_id, b_id, containment). */
+  def containmentPairs(df: DataFrame, id: String, text: String,
+      n: Int, threshold: Double): DataFrame = {
+    val post = shinglePostings(df, id, text, n).localCheckpoint()
+    val sizes = post.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    val inter = post.as("a")
+      .join(post.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("a_id"), col("b.__id").as("b_id"))
+      .agg(count(lit(1)).as("__i"))
+    inter
+      .join(sizes.select(col("__id").as("a_id"), col("__n").as("__na")), "a_id")
+      .join(sizes.select(col("__id").as("b_id"), col("__n").as("__nb")), "b_id")
+      .withColumn("containment",
+        col("__i").cast("double") / least(col("__na"), col("__nb")))
+      .filter(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"), col("containment"))
+  }
+
   /** Connected components over undirected dup pairs. Output:
     * (node, component) where component = min reachable id.
     *

@@ -17,6 +17,7 @@ object DedupQueries extends QueryModule {
 
   private val ShingleN = 3
   private val JThreshold = 0.5
+  private val CThreshold = 0.7
 
   val queries: Map[String, Q] = Map(
     // Fuzzy dedup by edit distance with banded length blocking: each
@@ -126,6 +127,19 @@ object DedupQueries extends QueryModule {
       MinHash.nearDupPairs(T.documents(s, d), "doc_id", "text",
           ShingleN, JThreshold)
         .select($"a_id", $"b_id", r4($"jaccard").as("jaccard"))
+        .orderBy($"a_id", $"b_id")
+    }),
+
+    // Asymmetric CONTAINMENT near-dup (|A∩B| / min(|A|,|B|)): catches
+    // the quote-inclusion case Jaccard misses — a short doc embedded
+    // whole in a long one has Jaccard ≈ |A|/|B| (tiny) but
+    // containment ≈ 1. Same linear inverted-index join as
+    // dedup_jaccard; only the normalizer changes.
+    "dedup_containment" -> ((s, d) => {
+      import s.implicits._
+      Dedup.containmentPairs(T.documents(s, d), "doc_id", "text",
+          ShingleN, CThreshold)
+        .select($"a_id", $"b_id", r4($"containment").as("containment"))
         .orderBy($"a_id", $"b_id")
     }),
 
@@ -331,6 +345,27 @@ object DedupQueries extends QueryModule {
 
     "dedup_jaccard" -> pairsSql,
     "dedup_minhash" -> pairsSql,
+
+    "dedup_containment" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    generate_series(1, len(t)-${ShingleN - 1}),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+         |        FROM documents)
+         |  WHERE len(t) >= $ShingleN),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         |  round(CAST(i AS DOUBLE)/least(sa.n, sb.n), 4) AS containment
+         |FROM inter
+         |JOIN sizes sa ON a_id = sa.doc_id
+         |JOIN sizes sb ON b_id = sb.doc_id
+         |WHERE CAST(i AS DOUBLE)/least(sa.n, sb.n) >= $CThreshold
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "dedup_embed" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,

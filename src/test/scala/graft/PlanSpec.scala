@@ -230,4 +230,29 @@ class PlanSpec extends AnyFunSuite {
     assert(nestedLoops(binned) == 0, "bin rewrite must not nested-loop")
     assert(binned.count() == naive.count())
   }
+
+  test("MIPS broadcasts the query side; one corpus scan, no shuffle join") {
+    val p = plan("sim_mips")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"MIPS corpus scoring degenerated to a shuffled join:\n$p")
+  }
+
+  test("calibration deciles ride Rank, not a single-partition window sort") {
+    // the global ntile trap: Window.orderBy with no partition spec
+    // plans Sort over Exchange SinglePartition — ALL rows through one
+    // task. The scalar fit's one-ROW SinglePartition final aggregate
+    // is fine; what must not exist is a SORT fed by a single
+    // partition of row-scale data.
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.SortExec
+    val df = SparkEntry.queries("ml_calibration")(spark, TestSpark.sf)
+    val offenders = df.queryExecution.sparkPlan.collect {
+      case s: SortExec if s.child.outputPartitioning == SinglePartition => s
+    }
+    assert(offenders.isEmpty,
+      s"single-partition sort in the decile path:\n${offenders.mkString}")
+  }
 }
