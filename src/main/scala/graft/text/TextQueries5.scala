@@ -21,6 +21,45 @@ import org.apache.spark.sql.functions._
 object TextQueries5 extends QueryModule {
 
   val queries: Map[String, Q] = Map(
+    // The full Gopher quality-rule gate (Rae et al. 2021, adapted to
+    // deterministic cross-engine arithmetic): per source, how many
+    // documents pass EACH rule and how many pass ALL — the
+    // pretraining-corpus admission report. Every rule is a pure
+    // column expression over one documents scan (word count bounds,
+    // mean word length bounds, alphabetic-token fraction, stopword
+    // floor, symbol-to-word ceiling); the funnel is conditional
+    // counting, one shuffle of (source, partials).
+    "text_gopher_gate" -> ((s, d) => {
+      import s.implicits._
+      val t = $"text"
+      val toks = TextAnalysis.tokens(t)
+      val n = size(toks)
+      val meanLen = aggregate(transform(toks, x => length(x).cast("long")),
+        lit(0L), (a, e) => a + e).cast("double") / n
+      val alphaFrac = size(filter(toks,
+        x => lower(x).rlike("[a-z]"))).cast("double") / n
+      val stopN = TextAnalysis.stopwordCount(t)
+      val symFrac = regexp_count(t, lit("#|\\.\\.\\.|…")).cast("double") / n
+      T.documents(s, d).select($"source",
+          (n >= 50 && n <= 100000).as("w_ok"),
+          (meanLen >= 3.0 && meanLen <= 10.0).as("l_ok"),
+          (alphaFrac >= 0.7).as("a_ok"),
+          (stopN >= 2).as("s_ok"),
+          (symFrac < 0.1).as("y_ok"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          count_if($"w_ok").as("n_words_ok"),
+          count_if($"l_ok").as("n_wordlen_ok"),
+          count_if($"a_ok").as("n_alpha_ok"),
+          count_if($"s_ok").as("n_stopword_ok"),
+          count_if($"y_ok").as("n_symbol_ok"),
+          count_if($"w_ok" && $"l_ok" && $"a_ok" && $"s_ok" && $"y_ok")
+            .as("n_pass_all"),
+          r4(count_if($"w_ok" && $"l_ok" && $"a_ok" && $"s_ok" && $"y_ok")
+            .cast("double") / count(lit(1))).as("retention"))
+        .orderBy($"source")
+    }),
+
     "text_dup_spans" -> ((s, d) => {
       import s.implicits._
       val docs = T.documents(s, d)
@@ -60,6 +99,42 @@ object TextQueries5 extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_gopher_gate" ->
+      """WITH f AS (
+        |  SELECT source, text,
+        |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |m AS (
+        |  SELECT source,
+        |    len(t) AS n,
+        |    list_sum(list_transform(t, x -> len(x)))
+        |      / CAST(len(t) AS DOUBLE) AS mw,
+        |    len(list_filter(t, x -> regexp_matches(lower(x), '[a-z]')))
+        |      / CAST(len(t) AS DOUBLE) AS af,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(?:the|a|an|and|or|of|to|in|is|it)\b')) AS stop_n,
+        |    len(regexp_extract_all(text, '#|\.\.\.|…'))
+        |      / CAST(len(t) AS DOUBLE) AS yf
+        |  FROM f),
+        |r AS (
+        |  SELECT source,
+        |    (n BETWEEN 50 AND 100000) AS w_ok,
+        |    (mw >= 3.0 AND mw <= 10.0) AS l_ok,
+        |    (af >= 0.7) AS a_ok,
+        |    (stop_n >= 2) AS s_ok,
+        |    (yf < 0.1) AS y_ok
+        |  FROM m)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(count(*) FILTER (w_ok) AS BIGINT) AS n_words_ok,
+        |  CAST(count(*) FILTER (l_ok) AS BIGINT) AS n_wordlen_ok,
+        |  CAST(count(*) FILTER (a_ok) AS BIGINT) AS n_alpha_ok,
+        |  CAST(count(*) FILTER (s_ok) AS BIGINT) AS n_stopword_ok,
+        |  CAST(count(*) FILTER (y_ok) AS BIGINT) AS n_symbol_ok,
+        |  CAST(count(*) FILTER (w_ok AND l_ok AND a_ok AND s_ok AND y_ok)
+        |    AS BIGINT) AS n_pass_all,
+        |  round(count(*) FILTER (w_ok AND l_ok AND a_ok AND s_ok AND y_ok)
+        |    / CAST(count(*) AS DOUBLE), 4) AS retention
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
     "text_dup_spans" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS t
