@@ -1013,6 +1013,53 @@ object TxTable {
     next
   }
 
+  /** Commit history as a DataFrame — the DESCRIBE HISTORY analog:
+    * one row per retained manifest with its file count, carried
+    * streaming-txn count, and which index metadata it carries. A
+    * driver-side manifest walk (bounded by commits, not rows),
+    * surfaced as a DataFrame so it composes with the query API. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    val ld = logDir(table)
+    val f = fs(spark, ld)
+    val versions: Seq[Long] =
+      if (!f.exists(ld)) Nil
+      else f.listStatus(ld).toSeq.flatMap(s => versionOf(s.getPath)).sorted
+    val rows = versions.flatMap(v => snapshot(spark, table, Some(v)))
+      .map { s =>
+        (s.version, s.files.size.toLong, s.txns.size.toLong,
+          s.statsCol.orNull,
+          s.multiStats.values.flatMap(_.keys).toSeq.distinct.sorted
+            .mkString(","),
+          s.bloomCol.orNull)
+      }
+    import spark.implicits._
+    rows.toDF("version", "n_files", "n_txns",
+      "stats_col", "multi_stat_cols", "bloom_col")
+  }
+
+  /** RESTORE: make `version`'s content the new HEAD as a fresh commit
+    * (Delta's RESTORE): no data file moves — the new manifest simply
+    * references the old version's files, so the rollback is
+    * metadata-only and atomic, and the rolled-back-over versions stay
+    * time-travelable until [[vacuum]]. The restored version must not
+    * be vacuumed. Index metadata travels with the files it described.
+    * Returns the new head version. */
+  def restore(spark: SparkSession, table: String, version: Long): Long = {
+    val cur = snapshot(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $table"))
+    val target = snapshot(spark, table, Some(version))
+      .filter(_.version == version).getOrElse(
+        throw new IllegalArgumentException(
+          s"version $version does not exist at $table (vacuumed?)"))
+    val next = cur.version + 1
+    // txns carry FORWARD from the head, not the target: an epoch
+    // already applied must stay deduplicated even across a rollback
+    commit(spark, table, next, target.files, cur.txns,
+      target.statsCol, target.stats, target.multiStats,
+      target.fileValues, target.bloomCol, target.blooms)
+    next
+  }
+
   /** Reclaim space: keep the newest `retainLast` manifests, delete
     * older manifests and every data file no retained manifest
     * references (commit-race losers' orphans included). Time travel

@@ -603,6 +603,43 @@ class TxTableSpec extends AnyFunSuite {
       "x=7 rows (k%10==7) must be deleted")
   }
 
+  test("restore rolls the head back metadata-only; history records it all") {
+    val t = freshTable()
+    TxTable.overwrite(df(1 -> "a", 2 -> "b", 3 -> "c"), t)
+    TxTable.append(df(4 -> "d"), t)
+    val snap2 = TxTable.snapshot(spark, t).get
+    TxTable.merge(spark, t, df(1 -> "A"), key = "k")
+    assert(TxTable.read(spark, t).count() === 4)
+    // RESTORE v2: new head = v4 referencing v2's exact files
+    val v = TxTable.restore(spark, t, 2L)
+    assert(v === 4L)
+    val head = TxTable.snapshot(spark, t).get
+    assert(head.files.toSet === snap2.files.toSet,
+      "restore must reference the old files, not copy them")
+    val got = TxTable.read(spark, t).as[(Int, String)].collect().sorted
+    assert(got.toSeq === Seq(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d"))
+    // the rolled-back-over merge is still time-travelable
+    assert(TxTable.read(spark, t, asOf = Some(3))
+      .filter($"v" === "A").count() === 1)
+    // restoring a nonexistent version fails loudly
+    intercept[IllegalArgumentException] { TxTable.restore(spark, t, 99L) }
+    val h = TxTable.history(spark, t)
+      .orderBy($"version").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(h.last.getLong(1) === head.files.size.toLong)
+  }
+
+  test("restore carries txn markers FORWARD so replayed epochs still skip") {
+    val t = freshTable()
+    TxTable.appendEpoch(df(1 -> "a"), t, "app", 1L)
+    TxTable.appendEpoch(df(2 -> "b"), t, "app", 2L)
+    TxTable.restore(spark, t, 1L)
+    // epoch 2 was applied before the rollback: a replay must SKIP
+    assert(!TxTable.appendEpoch(df(2 -> "b"), t, "app", 2L),
+      "replayed epoch applied after restore — duplicate rows")
+    assert(TxTable.appendEpoch(df(3 -> "c"), t, "app", 3L))
+  }
+
   test("deleteWhere refuses an unconditional delete") {
     val (t, _) = indexedTable()
     intercept[IllegalArgumentException] {
