@@ -299,6 +299,35 @@ object PipelineQueries extends QueryModule {
         .orderBy($"o_orderpriority")
     }),
 
+    // RESTORE end to end: load → destructive DELETE → metadata-only
+    // rollback to v1 → read the head. The oracle recomputes v1's
+    // content straight from orders, so a restore that referenced the
+    // wrong files, copied instead of referencing (file-set equality
+    // is asserted in construction), or leaked the deleted state
+    // diverges.
+    "pipe_snapshot_restore" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.TxTable
+      val dir = sys.props("java.io.tmpdir") +
+        "/graft_txtable_restore_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val base = T.orders(s, d).select(
+        $"o_orderkey".as("k"), $"o_orderpriority".as("pr"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      TxTable.overwrite(base, dir)
+      val v1Files = TxTable.snapshot(s, dir).get.files.toSet
+      TxTable.deleteWhere(s, dir, Seq(("cents", 0.0, 1.0e7)))
+      TxTable.restore(s, dir, 1L)
+      val head = TxTable.snapshot(s, dir).get
+      require(head.version == 3L && head.files.toSet == v1Files,
+        s"restore must re-reference v1's files: v${head.version}")
+      TxTable.read(s, dir)
+        .groupBy($"pr".as("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // Bloom point-lookup index end to end: orders hash-clustered on
     // o_orderkey with a per-file bloom in the manifest, then a batch
     // of point reads (present keys + one absent) unioned and
@@ -534,6 +563,14 @@ object PipelineQueries extends QueryModule {
         |  AND o_totalprice >= 1000.0 AND o_totalprice <= 60000.0
         |  AND o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    // v1's content recomputed from orders — equals the restored head
+    // only if the rollback re-referenced exactly the original files
+    "pipe_snapshot_restore" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     // plain IN-filter — equals the bloom-pruned point reads only if
     // no file holding a requested key was wrongly skipped
