@@ -223,6 +223,32 @@ object FeatureQueries3 extends QueryModule {
             ($"n1".cast("double") * $"n0")).as("auc"))
     }),
 
+    // Decision-threshold tuning: the F1-optimal score cutoff for
+    // "predict urgent when price ≥ v", from ONE pass. Per distinct
+    // score value, TP/FP are inclusive running sums in descending
+    // score order on the distributed Rank primitive (no
+    // single-partition window anywhere); F1 = 2TP/(TP+FP+P) divides
+    // the same integers in both engines, so even the argmax ordering
+    // is bit-exact (ties broken by the threshold value).
+    "ml_best_threshold" -> ((s, d) => {
+      import s.implicits._
+      val per = T.orders(s, d)
+        .select($"o_totalprice".as("v"),
+          ($"o_orderpriority" === "1-URGENT").as("pos"))
+        .groupBy($"v")
+        .agg(count_if($"pos").as("np"), count_if(!$"pos").as("nn"))
+      val run = graft.operators.Rank.runningSums(
+        per.withColumn("neg", -$"v"), Nil, "neg", Seq("v"),
+        Seq("tp" -> $"np", "fp" -> $"nn"))
+      val f1 = lit(2.0) * $"tp" / ($"tp" + $"fp" + $"tp_total")
+      run.select($"v", $"tp", $"fp",
+          ($"tp_total" - $"tp").as("fn"), f1.as("f1"))
+        .orderBy($"f1".desc, $"v".asc)
+        .limit(1)
+        .select(r4($"v").as("threshold"), $"tp", $"fp", $"fn",
+          r4($"f1").as("f1"))
+    }),
+
     "ml_lift" -> ((s, d) => {
       import s.implicits._
       // Score = pre-1998 spend in integer CENTS: a double sum's value
@@ -384,6 +410,24 @@ object FeatureQueries3 extends QueryModule {
         |      - sum(np) * (sum(np) + 1) / 2.0)
         |    / (CAST(sum(np) AS DOUBLE) * sum(nn)), 4) AS auc
         |FROM rk""".stripMargin,
+
+    "ml_best_threshold" ->
+      """WITH per AS (
+        |  SELECT o_totalprice AS v,
+        |    count(*) FILTER (o_orderpriority = '1-URGENT') AS np,
+        |    count(*) FILTER (o_orderpriority <> '1-URGENT') AS nn
+        |  FROM orders GROUP BY 1),
+        |run AS (
+        |  SELECT v,
+        |    CAST(sum(np) OVER (ORDER BY v DESC) AS BIGINT) AS tp,
+        |    CAST(sum(nn) OVER (ORDER BY v DESC) AS BIGINT) AS fp,
+        |    CAST((SELECT sum(np) FROM per) AS BIGINT) AS p
+        |  FROM per)
+        |SELECT round(v, 4) AS threshold, tp, fp,
+        |  CAST(p - tp AS BIGINT) AS fn,
+        |  round(2.0 * tp / (tp + fp + p), 4) AS f1
+        |FROM run
+        |ORDER BY 2.0 * tp / (tp + fp + p) DESC, v ASC LIMIT 1""".stripMargin,
 
     "ml_lift" ->
       """WITH cust AS (SELECT o_custkey,

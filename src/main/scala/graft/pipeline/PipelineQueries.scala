@@ -353,8 +353,8 @@ object PipelineQueries extends QueryModule {
         require(kept.size < snap.files.size,
           s"bloom failed to prune key $k: ${kept.size}/${snap.files.size}")
       }
-      keys.map(k => TxTable.readPoint(s, dir, "o_orderkey", k.toString))
-        .reduce(_ unionByName _)
+      // batched form: ONE scan over the union of admitted files
+      TxTable.readPoints(s, dir, "o_orderkey", keys.map(_.toString))
         .select($"o_orderkey", $"o_orderpriority",
           r4($"o_totalprice").as("price"))
         .orderBy($"o_orderkey")

@@ -728,6 +728,22 @@ object TxTable {
         .filter(c(col).cast("string") === value)
   }
 
+  /** Batched point lookup: ONE scan over the union of files any
+    * requested key's bloom admits, with an IN filter — k keys cost
+    * one job and O(k) files, not k jobs ([[readPoint]] per key). */
+  def readPoints(spark: SparkSession, table: String, col: String,
+      values: Seq[String], asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    require(values.nonEmpty)
+    val snap = snapshot(spark, table, asOf).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $table"))
+    val keep = values.flatMap(v => pruneFilesPoint(snap, col, v)).distinct
+    val pred = c(col).cast("string").isin(values: _*)
+    if (keep.isEmpty) read(spark, table, asOf).filter(lit(false))
+    else spark.read.parquet(keep.map(new Path(table, _).toString): _*)
+      .filter(pred)
+  }
+
   /** Overwrite with a Z-ORDER (Morton-curve) layout over two numeric
     * columns, per-file (min, max) for BOTH recorded in the manifest —
     * lakehouse OPTIMIZE ZORDER as a TxTable commit. Where
