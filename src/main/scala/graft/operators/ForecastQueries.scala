@@ -76,6 +76,28 @@ object ForecastQueries extends QueryModule {
         .orderBy($"event_type")
     }),
 
+    // Hourly OHLC candles over the event value stream — the market-
+    // data rollup shape. Open/close are argmin/argmax over a
+    // fixed-width (micros, event_id) string key — numeric order as
+    // string order, deterministic under timestamp ties, and the one
+    // ordering-key encoding both engines' arg_min/min_by accept.
+    // One grouped aggregate, no window.
+    "q_ohlc" -> ((s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .select(date_trunc("hour", $"ts").cast("long").as("bucket"),
+          format_string("%020d%012d", unix_micros($"ts"), $"event_id")
+            .as("ord"),
+          $"value")
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"),
+          r4(min_by($"value", $"ord")).as("open"),
+          r4(max($"value")).as("high"),
+          r4(min($"value")).as("low"),
+          r4(max_by($"value", $"ord")).as("close"))
+        .orderBy($"bucket")
+    }),
+
     "q_stickiness" -> ((s, d) => {
       import s.implicits._
       val ev = T.events(s, d).select(
@@ -124,6 +146,21 @@ object ForecastQueries extends QueryModule {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM events e JOIN st ON e.event_type = st.event_type
         |GROUP BY 1 ORDER BY e.event_type""".stripMargin,
+
+    "q_ohlc" ->
+      """WITH e AS (
+        |  SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+        |      AS BIGINT) AS bucket,
+        |    printf('%020d%012d', epoch_us(CAST(ts AS TIMESTAMP)),
+        |      event_id) AS ord,
+        |    value
+        |  FROM events)
+        |SELECT bucket, count(*) AS n,
+        |  round(arg_min(value, ord), 4) AS open,
+        |  round(max(value), 4) AS high,
+        |  round(min(value), 4) AS low,
+        |  round(arg_max(value, ord), 4) AS close
+        |FROM e GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_stickiness" ->
       """WITH e AS (

@@ -76,28 +76,47 @@ class TxTableStreamSource extends StreamSourceProvider with DataSourceRegister {
       params: Map[String, String]): Source = {
     val table = tableOf(params)
     val start = params.get("startingVersion").map(_.toLong).getOrElse(0L)
+    val maxV = params.get("maxVersionsPerBatch").map(_.toLong)
+    require(maxV.forall(_ >= 1), "maxVersionsPerBatch must be >= 1")
     val (_, s) = sourceSchema(ctx, schema, providerName, params)
-    new TxTableSource(ctx.sparkSession, table, start, s)
+    new TxTableSource(ctx.sparkSession, table, start, s, maxV)
   }
 }
 
 private[graft] class TxTableSource(spark: SparkSession, table: String,
-    startingVersion: Long, override val schema: StructType) extends Source {
+    startingVersion: Long, override val schema: StructType,
+    maxVersionsPerBatch: Option[Long] = None) extends Source {
 
   // an Offset arriving from the checkpoint is a SerializedOffset, not
   // a LongOffset — parse the json, never pattern-match the class
   private def versionOf(o: Offset): Long = o.json.trim.toLong
 
-  /** Committed head as the next offset; None while nothing is newer
-    * than `startingVersion` (no trigger work). */
-  override def getOffset: Option[Offset] =
-    TxTable.snapshot(spark, table)
-      .map(_.version).filter(_ > startingVersion).map(LongOffset.apply)
+  /** High-water mark of versions already HANDED OUT, for rate
+    * limiting only — advanced by getBatch (fresh progress AND
+    * in-flight replay after a restart) and by commit (restart where
+    * the last batch was already durable). Never load-bearing for
+    * exactly-once: the engine's offset log decides every batch range;
+    * a stale mark only makes the next offered batch larger. */
+  @volatile private var handedOut: Long = startingVersion
+
+  /** Next offset: the committed head, capped `maxVersionsPerBatch`
+    * above the last handed-out version (Delta's maxFilesPerTrigger
+    * shape — bound the catch-up batch instead of replaying a month of
+    * commits in one trigger). None while nothing is newer. */
+  override def getOffset: Option[Offset] = {
+    val head = TxTable.snapshot(spark, table).map(_.version)
+    val capped = head.map { h =>
+      maxVersionsPerBatch.fold(h)(m => math.min(h, handedOut + m))
+    }
+    capped.filter(_ > math.max(startingVersion, handedOut))
+      .map(LongOffset.apply)
+  }
 
   /** The rows of versions (start, end] as ONE batch DataFrame. */
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(startingVersion)
     val to = versionOf(end)
+    if (to > handedOut) handedOut = to
     val toSnap = TxTable.snapshot(spark, table, Some(to)).getOrElse(
       throw new IllegalStateException(
         s"txtable-stream: offset version $to is gone at $table (vacuumed " +
@@ -119,7 +138,10 @@ private[graft] class TxTableSource(spark: SparkSession, table: String,
       LogicalRelation(relation, isStreaming = true))
   }
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = {
+    val v = versionOf(end)
+    if (v > handedOut) handedOut = v
+  }
   override def stop(): Unit = ()
   override def toString: String = s"TxTableSource[$table]"
 }

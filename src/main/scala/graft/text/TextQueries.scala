@@ -33,6 +33,18 @@ object TextQueries extends QueryModule {
         .orderBy($"doc_id")
     }),
 
+    // Multiclass confusion matrix for the language classifier against
+    // the corpus ground-truth labels — the eval loop every heuristic
+    // gate needs before it filters a corpus by language.
+    "text_langid_eval" -> ((s, d) => {
+      import s.implicits._
+      T.documents(s, d).select($"lang",
+          TextAnalysis.langPredict($"text").as("lang_pred"))
+        .groupBy($"lang", $"lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"lang_pred")
+    }),
+
     "text_fingerprint" -> ((s, d) => {
       import s.implicits._
       T.documents(s, d).select(
@@ -93,6 +105,23 @@ object TextQueries extends QueryModule {
          |      len(regexp_extract_all(lower(text), '$fr')) AS fr_n
          |    FROM documents))
          |ORDER BY doc_id""".stripMargin,
+
+    "text_langid_eval" ->
+      s"""SELECT lang, lang_pred, count(*) AS n FROM (
+         |  SELECT lang,
+         |    CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) >= 3 THEN 'zh'
+         |         WHEN de_n > en_n AND de_n >= es_n AND de_n >= fr_n THEN 'de'
+         |         WHEN es_n > en_n AND es_n >= fr_n THEN 'es'
+         |         WHEN fr_n > en_n THEN 'fr'
+         |         ELSE 'en' END AS lang_pred
+         |  FROM (
+         |    SELECT lang, text,
+         |      len(regexp_extract_all(lower(text), '$en')) AS en_n,
+         |      len(regexp_extract_all(lower(text), '$de')) AS de_n,
+         |      len(regexp_extract_all(lower(text), '$es')) AS es_n,
+         |      len(regexp_extract_all(lower(text), '$fr')) AS fr_n
+         |    FROM documents))
+         |GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,

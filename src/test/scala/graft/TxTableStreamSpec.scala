@@ -102,6 +102,56 @@ class TxTableStreamSpec extends AnyFunSuite {
     assert(got === (50L until 60L))
   }
 
+  test("maxVersionsPerBatch bounds the catch-up; rows still exactly once") {
+    val t = freshTable()
+    TxTable.overwrite(df(0 until 4, "v1"), t)
+    TxTable.append(df(4 until 8, "v2"), t)
+    TxTable.append(df(8 until 12, "v3"), t)
+    TxTable.append(df(12 until 16, "v4"), t)
+    val batchIds = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = readStreamOf(t, "maxVersionsPerBatch" -> "1")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        batchIds.add(id)
+        b.select($"k").as[Long].collect().foreach(rows.add)
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(rows.asScala.toSeq.sorted === (0L until 16L),
+      "rate-limited replay lost or duplicated rows")
+    assert(batchIds.size >= 4,
+      s"cap of 1 version/batch must take >= 4 batches, got ${batchIds.size}")
+  }
+
+  test("rate-limited restart resumes from the checkpoint, no stall, no replay") {
+    val t = freshTable()
+    val ckpt = Files.createTempDirectory("graft_txstream_rl_").toString
+    TxTable.overwrite(df(0 until 3, "v1"), t)
+    TxTable.append(df(3 until 6, "v2"), t)
+    def run(): Seq[Long] = {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = readStreamOf(t, "maxVersionsPerBatch" -> "1")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          b.select($"k").as[Long].collect().foreach(buf.add)
+        }
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq.sorted
+    }
+    assert(run() === (0L until 6L))
+    TxTable.append(df(6 until 9, "v3"), t)
+    TxTable.append(df(9 until 12, "v4"), t)
+    // the restarted rate-limited source must anchor on the restored
+    // offset (commit/getBatch replay), deliver ONLY v3..v4, and not
+    // stall behind a cap computed from startingVersion
+    assert(run() === (6L until 12L))
+  }
+
   test("a rewriting commit mid-stream fails fast, never double-delivers") {
     val t = freshTable()
     TxTable.overwrite(df(0 until 10, "v1"), t)
