@@ -79,6 +79,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.7, f"MIPS-via-LSH recall collapsed: $recall%.3f")
   }
 
+  test("PQ-ADC top-k: 32x compression, recall vs exact-L2 brute force") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.similarity.Pq
+    val cb = Pq.fit(emb, "vec_id", "embedding", m = 8, k = 16)
+    // compression claim: 64 float dims (256 B) → 8 codes of 4 bits
+    assert(cb.size == 8 && cb.forall(_.size == 16) &&
+      cb.forall(_.forall(_.size == 8)))
+    val q = emb.filter($"vec_id" < 20)
+    val pq = topkSet(Pq.topK(emb, q, "vec_id", "embedding", cb,
+      k = 10, shortlist = 50))
+    // exact-L2 ground truth (PQ quantizes L2, so the fair reference)
+    val sq = (a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) => (a - b) * (a - b)
+    val c = emb.select($"vec_id".as("nid"),
+      transform($"embedding", _.cast("double")).as("cv"))
+    val brute = topkSet(c.crossJoin(broadcast(
+        q.select($"vec_id".as("qid"),
+          transform($"embedding", _.cast("double")).as("qv"))))
+      .filter($"qid" =!= $"nid")
+      .withColumn("l2", aggregate(zip_with($"qv", $"cv", sq),
+        lit(0.0), (acc, e) => acc + e))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+          .orderBy($"l2".asc, $"nid".asc)))
+      .filter($"rank" <= 10))
+    val recall = recallOf(brute, pq)
+    info(f"PQ-ADC recall@10 (m=8, k=16, shortlist=50) = $recall%.3f")
+    assert(recall >= 0.5, f"PQ recall collapsed: $recall%.3f")
+    // every query returns exactly k ranked rows
+    assert(pq.size == 20 && pq.values.forall(_.size == 10))
+  }
+
   test("IVF top-k recall vs brute force") {
     import spark.implicits._
     val q = emb.filter($"vec_id" < 20)
