@@ -29,6 +29,58 @@ import org.apache.spark.sql.functions._
 object ForecastQueries extends QueryModule {
 
   val queries: Map[String, Q] = Map(
+    // Sample-ratio-mismatch guard (the first thing to check on any
+    // A/B readout): orders hash-split 50/50 by key; the chi-square
+    // stat against the expected equal split flags a broken
+    // randomizer. One scalar aggregate; integer counts make the stat
+    // a division of identical integers in both engines.
+    "q_srm_check" -> ((s, d) => {
+      import s.implicits._
+      val o = T.orders(s, d).select(
+        (conv(substring(md5($"o_orderkey".cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2 === 0).as("arm_a"))
+      o.agg(count_if($"arm_a").as("n_a"), count_if(!$"arm_a").as("n_b"))
+        .select($"n_a", $"n_b",
+          r4(pow($"n_a" - ($"n_a" + $"n_b") / 2.0, 2) /
+              (($"n_a" + $"n_b") / 2.0) +
+            pow($"n_b" - ($"n_a" + $"n_b") / 2.0, 2) /
+              (($"n_a" + $"n_b") / 2.0)).as("chisq"),
+          // χ²(1df) > 3.84 ⇒ p < 0.05 ⇒ the split is broken
+          (pow($"n_a" - ($"n_a" + $"n_b") / 2.0, 2) /
+              (($"n_a" + $"n_b") / 2.0) +
+            pow($"n_b" - ($"n_a" + $"n_b") / 2.0, 2) /
+              (($"n_a" + $"n_b") / 2.0) > 3.84).as("srm_flag"))
+    }),
+
+    // Trailing 30-day rolling correlation between the daily order
+    // count and daily revenue — computed over the DAY-GRAIN aggregate
+    // series (the raw table shuffles once into ~2500 day rows; every
+    // window after that is day-sized, the q_seasonal_decompose
+    // discipline). corr from windowed raw sums, n pinned at 30.
+    "q_rolling_corr" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"day").rowsBetween(-29, 0)
+      val daily = T.orders(s, d)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(count(lit(1)).cast("double").as("x"),
+          (sum(round($"o_totalprice" * 100).cast("long")) / 100.0)
+            .as("y"))
+      daily
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum($"x").over(w))
+        .withColumn("sy", sum($"y").over(w))
+        .withColumn("sxx", sum($"x" * $"x").over(w))
+        .withColumn("syy", sum($"y" * $"y").over(w))
+        .withColumn("sxy", sum($"x" * $"y").over(w))
+        .filter($"n" === 30)
+        .select($"day".cast("string").as("day"),
+          r4(($"n" * $"sxy" - $"sx" * $"sy") /
+            sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
+              ($"n" * $"syy" - $"sy" * $"sy"))).as("corr30"))
+        .orderBy($"day")
+    }),
+
     "q_forecast_linear" -> ((s, d) => {
       import s.implicits._
       // monthly revenue in integer cents first (order-free), then one
@@ -118,6 +170,44 @@ object ForecastQueries extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_srm_check" ->
+      """WITH o AS (
+        |  SELECT (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 2 = 0) AS arm_a
+        |  FROM orders),
+        |c AS (
+        |  SELECT CAST(count(*) FILTER (arm_a) AS BIGINT) AS n_a,
+        |    CAST(count(*) FILTER (NOT arm_a) AS BIGINT) AS n_b
+        |  FROM o)
+        |SELECT n_a, n_b,
+        |  round(pow(n_a - (n_a + n_b)/2.0, 2) / ((n_a + n_b)/2.0)
+        |      + pow(n_b - (n_a + n_b)/2.0, 2) / ((n_a + n_b)/2.0), 4)
+        |    AS chisq,
+        |  (pow(n_a - (n_a + n_b)/2.0, 2) / ((n_a + n_b)/2.0)
+        |      + pow(n_b - (n_a + n_b)/2.0, 2) / ((n_a + n_b)/2.0) > 3.84)
+        |    AS srm_flag
+        |FROM c""".stripMargin,
+
+    "q_rolling_corr" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(count(*) AS DOUBLE) AS x,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS y
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT day,
+        |    count(*) OVER win AS n,
+        |    sum(x) OVER win AS sx, sum(y) OVER win AS sy,
+        |    sum(x*x) OVER win AS sxx, sum(y*y) OVER win AS syy,
+        |    sum(x*y) OVER win AS sxy
+        |  FROM daily
+        |  WINDOW win AS (ORDER BY day ROWS BETWEEN 29 PRECEDING
+        |    AND CURRENT ROW))
+        |SELECT CAST(day AS VARCHAR) AS day,
+        |  round((n*sxy - sx*sy)
+        |    / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 4) AS corr30
+        |FROM w WHERE n = 30 ORDER BY day""".stripMargin,
+
     "q_forecast_linear" ->
       """WITH m AS (
         |  SELECT o_orderpriority AS p,
