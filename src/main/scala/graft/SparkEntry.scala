@@ -64,6 +64,8 @@ object SparkEntry {
     * exact path with the sketch it validates, so a timing would
     * measure the exact path, not the operator (`q_approx_quantile`'s
     * sketch plan is timed as `q_approx_quantile_sketch`);
+    * `sim_pq_recall` pairs the PQ path with its brute exact-L2
+    * verification arm (the timed twin is `sim_pq_topk`);
     * the `stream_*` keys replay the table through the file-stream
     * source + memory sink, so their wall time measures micro-batch
     * replay, not a query plan comparable to the batch oracle;
@@ -72,6 +74,7 @@ object SparkEntry {
     * LSH/IVF ANN keys, all timed) — keeping two known-quadratic rows
     * in the timed set measured the oracle shape, not the engine. */
   def benchExclude: Set[String] = Set("q_approx_quantile",
+    "sim_pq_recall",
     "stream_tumbling", "stream_session", "stream_sessionize",
     "stream_sliding", "stream_join", "stream_txtable",
     "stream_dedup", "stream_totals", "stream_enrich",

@@ -111,8 +111,11 @@ object Pq {
       vec: String, codebooks: Seq[Seq[Seq[Double]]], k: Int,
       shortlist: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // corpus encoding is the hot path: the codegen'd expression, not
+    // the HOF reference form (equivalence spec-pinned) — the HOF
+    // nest evaluated interpreted at ~1 ms/vector
     val coded = corpus.select(col(id).as("nid"),
-      codeExpr(col(vec), codebooks).as("__code"))
+      graft.functions.PqCodes.of(col(vec), codebooks).as("__code"))
     val q = queries.select(col(id).as("qid"), col(vec).as("__qv"),
       lutExpr(col(vec), codebooks).as("__lut"))
     val wA = Window.partitionBy(col("qid"))

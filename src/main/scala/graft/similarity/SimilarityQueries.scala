@@ -57,6 +57,22 @@ object SimilarityQueries extends QueryModule {
           lit(hits.toDouble / (nq * 10.0) >= 0.5))
     }),
 
+    // Bench-only timed twin of sim_pq_recall: the PQ path alone
+    // (encode → ADC shortlist → exact rerank), without the brute
+    // exact-L2 verification arm the gate key carries — the same
+    // timed/gated split as q_approx_quantile_sketch. No oracle
+    // (rows-only): quality is pinned by sim_pq_recall and the spec.
+    "sim_pq_topk" -> ((s, d) => {
+      import s.implicits._
+      val emb = T.embeddings(s, d)
+      val cb = Pq.fit(emb, "vec_id", "embedding", m = 8, k = 16)
+      Pq.topK(emb, emb.filter($"vec_id" < 16), "vec_id", "embedding",
+          cb, k = 10, shortlist = 50)
+        .select($"qid", $"nid", r4($"l2").as("l2"),
+          $"rank".cast("long").as("rank"))
+        .orderBy($"qid", $"rank")
+    }),
+
     "sim_join" -> ((s, d) => {
       import s.implicits._
       Similarity.similarityJoin(T.embeddings(s, d), "vec_id",

@@ -110,6 +110,12 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, f"PQ recall collapsed: $recall%.3f")
     // every query returns exactly k ranked rows
     assert(pq.size == 20 && pq.values.forall(_.size == 10))
+    // the codegen'd encoder is bit-identical to the HOF reference form
+    val both = emb.select(
+      graft.functions.PqCodes.of($"embedding", cb).as("fast"),
+      Pq.codeExpr($"embedding", cb).as("ref"))
+    assert(both.filter($"fast" =!= $"ref").count() === 0,
+      "PqCodes diverged from the HOF reference encoding")
   }
 
   test("IVF top-k recall vs brute force") {
