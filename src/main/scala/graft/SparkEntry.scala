@@ -78,7 +78,7 @@ object SparkEntry {
     "stream_tumbling", "stream_session", "stream_sessionize",
     "stream_sliding", "stream_join", "stream_txtable",
     "stream_dedup", "stream_totals", "stream_enrich",
-    "dedup_embed", "sim_join")
+    "stream_backfill", "dedup_embed", "sim_join")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */

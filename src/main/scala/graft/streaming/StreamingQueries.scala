@@ -117,6 +117,22 @@ object StreamingQueries extends QueryModule {
         .orderBy($"bucket", $"event_type")
     }),
 
+    // Trigger.AvailableNow backfill under the driver gate: the same
+    // watermarked tumbling aggregate, but through the BOUNDED catch-up
+    // trigger that rate-limits into micro-batches and then TERMINATES
+    // like batch — the operational pattern for replaying history
+    // through the graph that then tails live data. Counts only (exact
+    // under any batching); the oracle is the batch aggregate.
+    "stream_backfill" -> ((s, d) => {
+      import s.implicits._
+      StreamingOps.availableNowBackfill(
+        StreamingOps.tumblingCounts(StreamingOps.eventStream(s, d)),
+        "stream_backfill_gate", outputMode = "complete")
+      s.table("stream_backfill_gate")
+        .select($"bucket", $"event_type", $"n")
+        .orderBy($"bucket", $"event_type")
+    }),
+
     // Stream-static broadcast enrichment under the driver gate: the
     // event stream joins a STATIC dimension (customer segment) via
     // broadcast — the planner never shuffles the stream side, the dim
@@ -311,6 +327,13 @@ object StreamingQueries extends QueryModule {
         |SELECT CAST(epoch(w) AS BIGINT) AS bucket, event_type,
         |  count(*) AS n
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_backfill" ->
+      """SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+        |    AS BIGINT) AS bucket,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY bucket, event_type
+        |ORDER BY bucket, event_type""".stripMargin,
 
     "stream_enrich" ->
       """SELECT c_mktsegment, event_type, count(*) AS n
