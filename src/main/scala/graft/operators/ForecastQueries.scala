@@ -134,6 +134,48 @@ object ForecastQueries extends QueryModule {
     // string order, deterministic under timestamp ties, and the one
     // ordering-key encoding both engines' arg_min/min_by accept.
     // One grouped aggregate, no window.
+    // Volume-weighted average price per month per return flag — the
+    // VWAP rollup: one grouped aggregate; integer cents × integer
+    // quantity keep the numerator order-free until the final division.
+    "q_vwap" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .select($"l_returnflag",
+          trunc($"l_shipdate", "month").cast("string").as("month"),
+          round($"l_extendedprice" * 100).cast("long").as("cents"),
+          $"l_quantity".cast("long").as("qty"))
+        .groupBy($"l_returnflag", $"month")
+        .agg(sum($"qty").as("volume"),
+          r4(sum($"cents" * $"qty") / (sum($"qty") * 100.0)).as("vwap"))
+        .orderBy($"l_returnflag", $"month")
+    }),
+
+    // Order→ship fulfillment lag per priority: mean plus exact
+    // p50/p90 of the integer day-lag, through the distributed
+    // two-stage percentile (the histogram is (priority, lag) —
+    // day-granular, so it is tiny regardless of row count).
+    "q_fulfillment_lag" -> ((s, d) => {
+      import s.implicits._
+      val lags = T.lineitem(s, d)
+        .join(T.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .select($"o_orderpriority",
+          datediff($"l_shipdate", $"o_orderdate").cast("double").as("lag"))
+      val hist = lags
+        .groupBy($"o_orderpriority", $"lag")
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val pct = ExactPercentile.perGroupWeighted(hist,
+        "o_orderpriority", "lag", "c",
+        Seq("p50" -> 0.5, "p90" -> 0.9), unique = true)
+      val mean = hist.groupBy($"o_orderpriority")
+        .agg(sum($"c").as("n"),
+          r4(sum($"lag" * $"c") / sum($"c")).as("mean_lag"))
+      mean.join(pct, "o_orderpriority")
+        .select($"o_orderpriority", $"n", $"mean_lag",
+          r4($"p50").as("p50"), r4($"p90").as("p90"))
+        .orderBy($"o_orderpriority")
+    }),
+
     "q_ohlc" -> ((s, d) => {
       import s.implicits._
       T.events(s, d)
@@ -236,6 +278,29 @@ object ForecastQueries extends QueryModule {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM events e JOIN st ON e.event_type = st.event_type
         |GROUP BY 1 ORDER BY e.event_type""".stripMargin,
+
+    "q_vwap" ->
+      """SELECT l_returnflag,
+        |  CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS VARCHAR)
+        |    AS month,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS volume,
+        |  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |            * CAST(l_quantity AS BIGINT))
+        |    / (sum(CAST(l_quantity AS BIGINT)) * 100.0), 4) AS vwap
+        |FROM lineitem
+        |GROUP BY 1, 2 ORDER BY l_returnflag, month""".stripMargin,
+
+    "q_fulfillment_lag" ->
+      """WITH lags AS (
+        |  SELECT o_orderpriority,
+        |    CAST(datediff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) AS DOUBLE) AS lag
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  round(avg(lag), 4) AS mean_lag,
+        |  round(quantile_cont(lag, 0.5), 4) AS p50,
+        |  round(quantile_cont(lag, 0.9), 4) AS p90
+        |FROM lags GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     "q_ohlc" ->
       """WITH e AS (
