@@ -18,7 +18,10 @@ class SmokeSpec extends AnyFunSuite {
     // picks data values at approximate ranks DuckDB cannot reproduce;
     // its 1% closeness assertion lives in ApproxQuantileSpec and the
     // oracle-checked exact+sketch pairing is q_approx_quantile.
-    val expectedRowsOnly = Set("q_approx_quantile_sketch")
+    // sim_pq_topk: the PQ path's timed twin (ADC codes DuckDB cannot
+    // reproduce); quality is oracle-gated via sim_pq_recall and the
+    // equivalence/recall specs in SimilaritySpec.
+    val expectedRowsOnly = Set("q_approx_quantile_sketch", "sim_pq_topk")
     assert(rowsOnly == expectedRowsOnly,
       s"oracle coverage drifted: rows-only = $rowsOnly")
   }
