@@ -40,10 +40,17 @@ import org.apache.spark.sql.types.StructType
   * Usage:
   * {{{
   *   spark.readStream.format("graft.sources.TxTableStreamSource")
-  *     .option("path", table)          // required
-  *     .option("startingVersion", "0") // 0 = full snapshot first batch
+  *     .option("path", table)              // required
+  *     .option("startingVersion", "0")     // 0 = full snapshot first batch
+  *     .option("maxVersionsPerBatch", "8") // bound the catch-up batch
   *     .load()
   * }}}
+  *
+  * Schema is pinned at stream DEFINITION from the head snapshot (the
+  * streaming contract: a checkpointed query cannot change shape
+  * mid-run). Appends that evolve the schema mid-stream surface only
+  * the pinned columns — new columns appear after a stream restart,
+  * matching the mergeSchema batch read's opt-in semantics.
   */
 class TxTableStreamSource extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "txtable-stream"

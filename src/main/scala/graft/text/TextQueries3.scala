@@ -104,6 +104,42 @@ object TextQueries3 extends QueryModule {
         .limit(50)
     }),
 
+    // Perplexity-bucket data selection (the "train on the middle of
+    // the LM-score distribution" curation rule, CCNet/DSIR-style):
+    // per-doc unigram surprisal quintiles with per-bucket size and
+    // token mass. The bucket key is the MICRO-QUANTIZED surprisal
+    // (round×1e6 as BIGINT) so engines rank identical integers — the
+    // ml_lift lesson applied to a float score — and the quintile
+    // assignment rides the distributed Rank primitive (no
+    // single-partition sort; spec'd discipline).
+    "text_ppl_buckets" -> ((s, d) => {
+      import s.implicits._
+      val toks = T.documents(s, d)
+        .select($"doc_id", explode(Util.tokens($"text")).as("t"))
+        .filter($"t" =!= "")
+        .select($"doc_id", lower($"t").as("tok"))
+      val corpus = toks.groupBy($"tok").agg(count(lit(1)).as("cf"))
+      val tot = toks.agg(count(lit(1)).as("n"))
+      val perDoc = toks.groupBy($"doc_id", $"tok")
+        .agg(count(lit(1)).as("tf"))
+        .join(corpus, "tok").crossJoin(broadcast(tot))
+        .groupBy($"doc_id")
+        .agg(sum($"tf").as("n_tokens"),
+          round(-sum($"tf" * log($"cf".cast("double") / $"n")) /
+            sum($"tf") * 1e6).cast("long").as("qsurp"))
+      val ranked = graft.operators.Rank.runningSums(
+        perDoc, Nil, "qsurp", Seq("doc_id"), Seq("rn" -> lit(1L)))
+      ranked
+        .withColumn("bucket",
+          graft.operators.Rank.ntileOf($"rn", $"rn_total", 5))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("tokens"),
+          Util.r4(min($"qsurp") / 1e6).as("min_surprisal"),
+          Util.r4(max($"qsurp") / 1e6).as("max_surprisal"))
+        .orderBy($"bucket")
+    }),
+
     // Zipf-slope corpus health check: OLS fit of ln(freq) ~ ln(rank)
     // over the top-1000 terms (natural text sits near −1; a flat or
     // cliff-shaped slope flags synthetic/boilerplate corpora). Term
@@ -148,6 +184,29 @@ object TextQueries3 extends QueryModule {
         |    AS surprisal
         |FROM tf JOIN corpus USING (tok) CROSS JOIN tot
         |GROUP BY 1 ORDER BY surprisal DESC, doc_id LIMIT 50""".stripMargin,
+
+    "text_ppl_buckets" ->
+      """WITH toks AS (SELECT doc_id, lower(t) AS tok
+        |  FROM documents,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS u(t)
+        |  WHERE t <> ''),
+        |corpus AS (SELECT tok, count(*) AS cf FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM toks),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |perdoc AS (
+        |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |    CAST(round(-sum(tf.tf * ln(CAST(cf AS DOUBLE) / n))
+        |      / sum(tf.tf) * 1e6) AS BIGINT) AS qsurp
+        |  FROM tf JOIN corpus USING (tok) CROSS JOIN tot
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT *, ntile(5) OVER (ORDER BY qsurp, doc_id) AS bucket
+        |  FROM perdoc)
+        |SELECT bucket, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        |  round(min(qsurp) / 1e6, 4) AS min_surprisal,
+        |  round(max(qsurp) / 1e6, 4) AS max_surprisal
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "text_zipf" ->
       """WITH terms AS (SELECT lower(t) AS term, count(*) AS f
