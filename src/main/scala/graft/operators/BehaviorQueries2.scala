@@ -16,6 +16,28 @@ import org.apache.spark.sql.functions._
 object BehaviorQueries2 extends QueryModule {
 
   val queries: Map[String, Q] = Map(
+    // New-user activation: per first-seen weekly cohort, the share of
+    // users reaching ≥3 events within 7 days of their first event —
+    // the onboarding-health metric. One per-user min (partial agg) +
+    // one bounded self-enrichment; integer counts, exact everywhere.
+    "q_activation" -> ((s, d) => {
+      import s.implicits._
+      val firstSeen = T.events(s, d)
+        .groupBy($"user_id").agg(min($"ts").as("first_ts"))
+      val early = T.events(s, d).join(firstSeen, "user_id")
+        .filter($"ts" < $"first_ts" + expr("INTERVAL 7 DAYS"))
+        .groupBy($"user_id", $"first_ts")
+        .agg(count(lit(1)).as("n_early"))
+      early
+        .groupBy(date_trunc("week", $"first_ts").cast("date")
+          .cast("string").as("cohort"))
+        .agg(count(lit(1)).as("n_new"),
+          count_if($"n_early" >= 3).as("n_activated"),
+          r4(count_if($"n_early" >= 3).cast("double") / count(lit(1)))
+            .as("activation_rate"))
+        .orderBy($"cohort")
+    }),
+
     // Week-over-week churn: a user active in epoch-week m churns at m
     // if their next active week is not m+1. Final week is excluded
     // (right-censored — no m+1 observable).
@@ -55,6 +77,23 @@ object BehaviorQueries2 extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_activation" ->
+      """WITH fs AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_ts
+        |  FROM events GROUP BY 1),
+        |early AS (
+        |  SELECT e.user_id, fs.first_ts, count(*) AS n_early
+        |  FROM events e JOIN fs ON e.user_id = fs.user_id
+        |  WHERE CAST(e.ts AS TIMESTAMP) < fs.first_ts + INTERVAL 7 DAY
+        |  GROUP BY 1, 2)
+        |SELECT CAST(CAST(date_trunc('week', first_ts) AS DATE) AS VARCHAR)
+        |    AS cohort,
+        |  count(*) AS n_new,
+        |  CAST(count(*) FILTER (n_early >= 3) AS BIGINT) AS n_activated,
+        |  round(count(*) FILTER (n_early >= 3) / CAST(count(*) AS DOUBLE), 4)
+        |    AS activation_rate
+        |FROM early GROUP BY 1 ORDER BY cohort""".stripMargin,
+
     "q_churn" ->
       """WITH ua AS (SELECT DISTINCT user_id,
         |    CAST(floor(CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
