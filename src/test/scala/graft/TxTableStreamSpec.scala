@@ -169,6 +169,28 @@ class TxTableStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mid-stream schema evolution surfaces only the pinned columns") {
+    val t = freshTable()
+    TxTable.overwrite(df(0 until 5, "v1"), t)
+    val q = readStreamOf(t).writeStream.format("memory")
+      .queryName("txs_evolve").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // an append that GREW the schema lands mid-stream: the pinned
+      // (k, tag) projection must keep flowing — new rows arrive, the
+      // extra column simply isn't visible until a stream restart
+      // (the documented pinned-at-definition contract)
+      TxTable.append(
+        df(5 until 9, "v2").withColumn("extra", col("k") * 2), t)
+      q.processAllAvailable()
+      val out = spark.table("txs_evolve")
+      assert(out.columns.toSeq === Seq("k", "tag"),
+        s"schema drifted mid-stream: ${out.columns.toSeq}")
+      assert(out.select($"k").as[Long].collect().sorted.toSeq
+        === (0L until 9L))
+    } finally q.stop()
+  }
+
   test("defining a stream over a never-committed table fails loudly") {
     val t = freshTable()
     val e = intercept[Exception] { readStreamOf(t) }
