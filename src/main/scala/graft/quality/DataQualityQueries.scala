@@ -250,6 +250,28 @@ object DataQualityQueries extends QueryModule {
     // cover: per event type, how far its newest record lags the
     // newest record overall, flagged stale past 24h. The global max
     // is a 1-row broadcast; integer microseconds end to end.
+    // Primary/business-key duplication audit across relations: row
+    // count vs distinct-key count and the worst key's multiplicity —
+    // the "is this column actually a key" report (dq_unique asserts
+    // ONE declared key; this profiles several at once). One pass per
+    // relation, partial-agg counts only.
+    "dq_dup_profile" -> ((s, d) => {
+      import s.implicits._
+      def profile(df: org.apache.spark.sql.DataFrame, rel: String,
+          key: String) =
+        df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+          .agg(lit(rel).as("relation"), lit(key).as("key_col"),
+            sum($"c").as("n_rows"),
+            count(lit(1)).as("n_keys"),
+            max($"c").as("max_multiplicity"),
+            graft.Util.r4((sum($"c") - count(lit(1))).cast("double") /
+              sum($"c")).as("dup_rate"))
+      profile(T.orders(s, d), "orders", "o_orderkey")
+        .unionByName(profile(T.lineitem(s, d), "lineitem", "l_orderkey"))
+        .unionByName(profile(T.events(s, d), "events", "user_id"))
+        .orderBy($"relation")
+    }),
+
     // Join/shuffle-key skew audit — find the hot key BEFORE the
     // shuffle does: per candidate key column, the distinct count and
     // the heaviest value's share. One multi-distinct pass for the
@@ -505,6 +527,31 @@ object DataQualityQueries extends QueryModule {
         |  UNION ALL SELECT 'o_orderpriority', n_rows - nn_o_orderpriority,
         |    n_rows FROM a)
         |ORDER BY col_name""".stripMargin,
+
+    "dq_dup_profile" ->
+      """WITH p AS (
+        |  SELECT 'orders' AS relation, 'o_orderkey' AS key_col,
+        |    count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_keys,
+        |    max(c) AS max_multiplicity
+        |  FROM orders, (SELECT max(cnt) AS c FROM (
+        |    SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey))
+        |  GROUP BY c
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_orderkey', count(*),
+        |    count(DISTINCT l_orderkey), max(c)
+        |  FROM lineitem, (SELECT max(cnt) AS c FROM (
+        |    SELECT count(*) AS cnt FROM lineitem GROUP BY l_orderkey))
+        |  GROUP BY c
+        |  UNION ALL
+        |  SELECT 'events', 'user_id', count(*),
+        |    count(DISTINCT user_id), max(c)
+        |  FROM events, (SELECT max(cnt) AS c FROM (
+        |    SELECT count(*) AS cnt FROM events GROUP BY user_id))
+        |  GROUP BY c)
+        |SELECT relation, key_col, n_rows, n_keys,
+        |  CAST(max_multiplicity AS BIGINT) AS max_multiplicity,
+        |  round(CAST(n_rows - n_keys AS DOUBLE) / n_rows, 4) AS dup_rate
+        |FROM p ORDER BY relation""".stripMargin,
 
     "dq_skew_profile" ->
       """WITH card AS (
