@@ -167,6 +167,14 @@ object SketchQueries extends QueryModule {
           u.getResult.toByteArrayCompressed
         }
         .collect().toMap
+      // the driver pair loop is O(groups²) over kilobyte sketches —
+      // sound ONLY at bounded group cardinality (event types, not a
+      // user id). Refuse loudly rather than OOM the driver if this
+      // pattern is ever pointed at a high-cardinality column.
+      require(partials.size <= 64,
+        s"q_sketch_intersect: ${partials.size} groups — the driver-side " +
+          "pairwise intersection is bounded to 64 groups; a " +
+          "high-cardinality group column needs a distributed pair join")
       val est: Map[(String, String), Double] = {
         val ts = partials.keys.toSeq.sorted
         (for {

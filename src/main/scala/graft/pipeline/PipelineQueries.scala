@@ -360,6 +360,52 @@ object PipelineQueries extends QueryModule {
         .orderBy($"o_orderkey")
     }),
 
+    // The SQL surface end to end: the TxTable directory registered
+    // as a DSv2 catalog table and queried with plain spark.sql — the
+    // path a real user reaches for first. The scan IS Spark's
+    // vectorized parquet read restricted to the snapshot manifest,
+    // with the WHERE clause translated at plan time into the
+    // manifest's own pruning language (TxSqlSpec pins that the SQL
+    // plan's input files equal readWhere's prune, file for file); the
+    // construction asserts the prune is strict, and the DuckDB
+    // full-scan oracle catches any wrongly skipped file. Idempotent
+    // build keyed by (sf dir, row count); the catalog name carries
+    // the same key because catalog instances cache per name.
+    "pipe_txtable_sql" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.{TxSql, TxTable}
+      val src = T.orders(s, d)
+        .select($"o_orderkey", $"o_orderpriority",
+          datediff($"o_orderdate", lit("1992-01-01")).cast("double")
+            .as("o_days"),
+          $"o_totalprice")
+      val key = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + src.count()
+      val root = sys.props("java.io.tmpdir") + "/graft_txsql_cat_" + key
+      val dir = root + "/orders"
+      if (TxTable.snapshot(s, dir).isEmpty)
+        TxTable.overwriteIndexedMulti(src, dir,
+          statCols = Seq("o_days", "o_totalprice"),
+          valueCols = Seq("o_orderpriority"))
+      val snap = TxTable.snapshot(s, dir).get
+      val kept = TxTable.pruneFilesWhere(snap,
+        Seq(("o_days", 1200.0, 1600.0), ("o_totalprice", 1000.0, 60000.0)),
+        Seq(("o_orderpriority", "2-HIGH")))
+      require(kept.nonEmpty && kept.size < snap.files.size,
+        s"manifest prune not strict: ${kept.size}/${snap.files.size}")
+      val cat = "tx_" + key
+      TxSql.installCatalog(s, cat, root)
+      s.sql(
+        s"""SELECT o_orderpriority, count(*) AS n,
+           |  round(sum(o_totalprice), 4) AS total,
+           |  round(avg(o_days), 4) AS avg_days
+           |FROM $cat.orders
+           |WHERE o_days >= 1200.0 AND o_days <= 1600.0
+           |  AND o_totalprice >= 1000.0 AND o_totalprice <= 60000.0
+           |  AND o_orderpriority = '2-HIGH'
+           |GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // Z-ORDER layout end to end: orders clustered on the Morton curve
     // over (order age in days, total price), then a two-dimensional
     // box read through manifest pruning. The construction asserts the
@@ -552,6 +598,20 @@ object PipelineQueries extends QueryModule {
     // full-scan conjunctive filter — equals the pruned readWhere scan
     // only if no matching file was wrongly skipped by the
     // multi-column manifest metadata
+    // full-scan recomputation of the catalog-SQL result — any file
+    // the manifest prune wrongly skipped shows up as a hash mismatch
+    "pipe_txtable_sql" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 4) AS total,
+        |  round(avg(CAST(datediff('day', DATE '1992-01-01',
+        |    o_orderdate) AS DOUBLE)), 4) AS avg_days
+        |FROM orders
+        |WHERE datediff('day', DATE '1992-01-01', o_orderdate)
+        |    BETWEEN 1200 AND 1600
+        |  AND o_totalprice >= 1000.0 AND o_totalprice <= 60000.0
+        |  AND o_orderpriority = '2-HIGH'
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
     "pipe_multicol_scan" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  round(sum(o_totalprice), 4) AS total,

@@ -1,0 +1,306 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{NumericType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** SQL / DataFrame-reader surface over [[TxTable]] — the missing
+  * "first instinct" path: until now every TxTable capability (time
+  * travel, manifest-pruned scans, DML, history) was an API call; a
+  * real user reaches for `spark.read.format("txtable")` and
+  * `spark.sql("SELECT ... FROM tx.orders VERSION AS OF 3")` first.
+  *
+  * Architecture (Spark-first, the Delta connector's shape reduced to
+  * its invariants):
+  *
+  *   - [[TxFileIndex]] — a `PartitioningAwareFileIndex` whose
+  *     `listFiles` maps Catalyst data filters onto the manifest's own
+  *     pruning language (numeric ranges → per-file min/max stats,
+  *     string equality → per-file value sets + bloom probes) and
+  *     returns only candidate files. File skipping happens at PLAN
+  *     time on the driver, before a single executor task launches —
+  *     the property that makes a one-partition predicate over a
+  *     100 TB table open one partition's files.
+  *   - [[TxSparkTable]] — a DSv2 `Table` pinning ONE resolved
+  *     snapshot (analysis-time pinning: a cached DataFrame re-executes
+  *     against the version it analyzed, never a concurrently
+  *     committed head). `newScanBuilder` delegates to Spark's own
+  *     `ParquetScanBuilder` over the pruned index, so the read path
+  *     IS the built-in vectorized parquet scan — footer pushdown,
+  *     column pruning, whole-stage codegen — restricted to the
+  *     snapshot's files.
+  *   - [[TxDataSource]] — `spark.read.format("txtable")
+  *     .option("version", 3).load(dir)`.
+  *   - [[TxTableCatalog]] — `spark.sql.catalog.<name> = TxTableCatalog`
+  *     with `.root = <dir>`: every TxTable directory under root is a
+  *     SQL table; `VERSION AS OF n` routes through the catalog's
+  *     time-travel `loadTable`.
+  *
+  * Reads only: writes keep going through the [[TxTable]] verbs
+  * (append/overwrite/merge/deleteWhere/...), whose commit protocol is
+  * the transactional surface — a DSv2 write path that bypassed it
+  * would silently forfeit snapshot isolation.
+  */
+object TxSql {
+  /** Register a TxTable catalog at runtime:
+    * `spark.sql("SELECT * FROM <name>.<table>")` for every TxTable
+    * directory under `root`. */
+  def installCatalog(spark: SparkSession, name: String, root: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[TxTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+  }
+
+  /** Translate Catalyst data filters into the manifest pruning
+    * language: `(col, lo, hi)` numeric ranges and `(col, value)`
+    * string equalities. Conjuncts arrive pre-split; anything the
+    * manifest can't reason about is ignored — pruning stays an
+    * optimization, never a filter. Literal-op-attribute orientations
+    * are normalized; casts around attributes are looked through only
+    * for the attribute NAME (the range test against double-cast
+    * min/max stats is unaffected by a widening cast). */
+  private[sources] def toManifestPredicates(filters: Seq[Expression])
+      : (Seq[(String, Double, Double)], Seq[(String, String)]) = {
+    val ranges = Seq.newBuilder[(String, Double, Double)]
+    val valueEq = Seq.newBuilder[(String, String)]
+
+    def attrName(e: Expression): Option[String] = e match {
+      case a: Attribute => Some(a.name)
+      case Cast(a: Attribute, _, _, _) => Some(a.name)
+      case _ => None
+    }
+    def anyNum(v: Any): Option[Double] = v match {
+      case null => None
+      case b: Byte => Some(b.toDouble)
+      case s: Short => Some(s.toDouble)
+      case i: Int => Some(i.toDouble)
+      case l: Long => Some(l.toDouble)
+      case f: Float => Some(f.toDouble)
+      case d: Double => Some(d)
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case _ => None
+    }
+    def numLit(e: Expression): Option[Double] = e match {
+      case Literal(v, _: NumericType) => anyNum(v)
+      case Cast(Literal(v, _: NumericType), _, _, _) => anyNum(v)
+      case _ => None
+    }
+    def strLit(e: Expression): Option[String] = e match {
+      case Literal(v, StringType) if v != null => Some(v.toString)
+      case _ => None
+    }
+
+    def walk(f: Expression): Unit = f match {
+      case And(l, r) => walk(l); walk(r)
+      // strict bounds prune with the closed bound — a file whose
+      // max == v may still hold rows > nothing, so keeping it is the
+      // fail-open direction; the exact row filter handles strictness
+      case GreaterThanOrEqual(a, v) if attrName(a).isDefined && numLit(v).isDefined =>
+        ranges += ((attrName(a).get, numLit(v).get, Double.PositiveInfinity))
+      case GreaterThan(a, v) if attrName(a).isDefined && numLit(v).isDefined =>
+        ranges += ((attrName(a).get, numLit(v).get, Double.PositiveInfinity))
+      case LessThanOrEqual(a, v) if attrName(a).isDefined && numLit(v).isDefined =>
+        ranges += ((attrName(a).get, Double.NegativeInfinity, numLit(v).get))
+      case LessThan(a, v) if attrName(a).isDefined && numLit(v).isDefined =>
+        ranges += ((attrName(a).get, Double.NegativeInfinity, numLit(v).get))
+      // literal-first orientations
+      case GreaterThanOrEqual(v, a) if attrName(a).isDefined && numLit(v).isDefined =>
+        ranges += ((attrName(a).get, Double.NegativeInfinity, numLit(v).get))
+      case GreaterThan(v, a) if attrName(a).isDefined && numLit(v).isDefined =>
+        ranges += ((attrName(a).get, Double.NegativeInfinity, numLit(v).get))
+      case LessThanOrEqual(v, a) if attrName(a).isDefined && numLit(v).isDefined =>
+        ranges += ((attrName(a).get, numLit(v).get, Double.PositiveInfinity))
+      case LessThan(v, a) if attrName(a).isDefined && numLit(v).isDefined =>
+        ranges += ((attrName(a).get, numLit(v).get, Double.PositiveInfinity))
+      case EqualTo(a, v) if attrName(a).isDefined && numLit(v).isDefined =>
+        val d = numLit(v).get
+        ranges += ((attrName(a).get, d, d))
+      case EqualTo(v, a) if attrName(a).isDefined && numLit(v).isDefined =>
+        val d = numLit(v).get
+        ranges += ((attrName(a).get, d, d))
+      case EqualTo(a, v) if attrName(a).isDefined && strLit(v).isDefined =>
+        valueEq += ((attrName(a).get, strLit(v).get))
+      case EqualTo(v, a) if attrName(a).isDefined && strLit(v).isDefined =>
+        valueEq += ((attrName(a).get, strLit(v).get))
+      case _ => () // not expressible in manifest metadata: keep all
+    }
+    filters.foreach(walk)
+    (ranges.result(), valueEq.result())
+  }
+
+  /** The file names (data/<name> relative form) surviving every
+    * manifest prune for the given Catalyst filters — the single
+    * pruning decision [[TxFileIndex]] and the specs share. String
+    * equalities additionally probe the bloom index (the IN list of a
+    * single value), and numeric point-equalities probe it too via
+    * the canonical integral form when the bloom column matches. */
+  private[sources] def candidateNames(snap: TxTable.Snapshot,
+      filters: Seq[Expression]): Set[String] = {
+    val (ranges, valueEq) = toManifestPredicates(filters)
+    val viaStats = TxTable.pruneFilesWhere(snap, ranges, valueEq).toSet
+    val viaBloom = snap.bloomCol match {
+      case Some(bc) =>
+        val probes = valueEq.collect { case (c, v) if c == bc => v }
+        if (probes.isEmpty) snap.files.toSet
+        else TxTable.pruneFilesPoints(snap, bc, probes).toSet
+      case None => snap.files.toSet
+    }
+    (viaStats intersect viaBloom).map(f => f.split('/').last)
+  }
+}
+
+/** Manifest-pruning file index over one pinned snapshot: the listing
+  * is the snapshot's file set (no directory walk — the manifest IS
+  * the listing, the lakehouse O(1)-metadata property), and
+  * `listFiles` drops every file the manifest metadata can prove
+  * holds no matching row. */
+private[sources] class TxFileIndex(spark: SparkSession, table: String,
+    snap: TxTable.Snapshot)
+    extends InMemoryFileIndex(spark,
+      snap.files.map(f => new Path(table, f)),
+      Map.empty[String, String], None) {
+
+  /** Files surviving the last `listFiles` prune — observable so specs
+    * can assert the SQL path prunes exactly as `readWhere` does. */
+  @volatile private[sources] var lastCandidates: Option[Set[String]] = None
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val keep = TxSql.candidateNames(snap, dataFilters)
+    lastCandidates = Some(keep)
+    super.listFiles(partitionFilters, dataFilters).map { pd =>
+      PartitionDirectory(pd.values,
+        pd.files.filter(f => keep(f.getPath.getName)))
+    }
+  }
+}
+
+/** One pinned snapshot as a DSv2 read-only table. */
+private[sources] class TxSparkTable(spark: SparkSession, path: String,
+    snap: TxTable.Snapshot, tableName: String) extends Table with SupportsRead {
+  private val dataSchema: StructType =
+    spark.read.parquet(snap.files.map(f =>
+      new Path(path, f).toString): _*).schema
+
+  /** Exposed for specs: the index whose prune decisions back scans. */
+  private[sources] val index = new TxFileIndex(spark, path, snap)
+
+  override def name(): String = tableName
+  override def schema(): StructType = dataSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    ParquetScanBuilder(spark, index, dataSchema, dataSchema, options)
+}
+
+/** `spark.read.format("txtable").option("version", n).load(dir)`. */
+class TxDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "txtable"
+
+  private def resolve(options: CaseInsensitiveStringMap)
+      : (SparkSession, String, TxTable.Snapshot) = {
+    val spark = SparkSession.active
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("txtable: path required"))
+    val asOf = Option(options.get("version")).map(_.toLong)
+    val snap = TxTable.snapshot(spark, path, asOf).getOrElse(
+      throw new IllegalArgumentException(
+        s"txtable: no committed version${asOf.fold("")(v => s" <= $v")} at $path"))
+    (spark, path, snap)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (spark, path, snap) = resolve(options)
+    new TxSparkTable(spark, path, snap, s"txtable($path)").schema()
+  }
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val (spark, path, snap) =
+      resolve(new CaseInsensitiveStringMap(properties))
+    new TxSparkTable(spark, path, snap,
+      s"txtable($path@v${snap.version})")
+  }
+}
+
+/** DSv2 catalog: every TxTable directory under `root` is a table.
+  * `SELECT * FROM <cat>.<t>` reads the head; `VERSION AS OF n`
+  * time-travels through the standard catalog hook. Read-only by
+  * design — DDL/DML route through the TxTable verbs whose commit
+  * protocol carries the transactional guarantees. */
+class TxTableCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name: option 'root' (TxTable base dir) required"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark = SparkSession.active
+  private def dirOf(ident: Identifier): String =
+    new Path(root, (ident.namespace() :+ ident.name()).mkString("/")).toString
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val base = new Path(root, namespace.mkString("/"))
+    val f = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(base)) Array.empty
+    else f.listStatus(base).toSeq
+      .filter(s => s.isDirectory &&
+        f.exists(new Path(s.getPath, "_graft_log")))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .toArray
+  }
+
+  private def load(ident: Identifier, asOf: Option[Long]): Table = {
+    val dir = dirOf(ident)
+    val snap = TxTable.snapshot(spark, dir, asOf).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident))
+    new TxSparkTable(spark, dir, snap,
+      (catalogName +: ident.namespace() :+ ident.name()).mkString("."))
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** `VERSION AS OF <v>` — the SQL time-travel hook. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version.toLong))
+
+  override def tableExists(ident: Identifier): Boolean =
+    TxTable.snapshot(spark, dirOf(ident)).isDefined
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "txtable catalog is read-only: create tables with TxTable.overwrite")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "txtable catalog is read-only: schema evolves through TxTable writes")
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "txtable catalog is read-only: drop = delete the table directory")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "txtable catalog is read-only: rename = move the table directory")
+}

@@ -379,14 +379,23 @@ object TxTable {
 
   /** Append: next version = current files ++ new files. No data file
     * is ever rewritten, so concurrent readers of version N are
-    * untouched. */
+    * untouched. Existing per-file index metadata (stats / value sets
+    * / blooms) CARRIES FORWARD — the old files it describes are still
+    * live, so a point lookup after an append still prunes to them;
+    * the appended files simply have no entries yet (absent metadata →
+    * always a candidate → correct, just unpruned) until the next
+    * indexed rewrite records theirs. */
   def append(df: DataFrame, table: String): Long = {
     val spark = df.sparkSession
     val cur = snapshot(spark, table)
     val next = cur.map(_.version + 1).getOrElse(1L)
     val files = writeFiles(df, table, next)
     commit(spark, table, next, cur.map(_.files).getOrElse(Nil) ++ files,
-      cur.map(_.txns).getOrElse(Map.empty))
+      cur.map(_.txns).getOrElse(Map.empty),
+      cur.flatMap(_.statsCol), cur.map(_.stats).getOrElse(Map.empty),
+      cur.map(_.multiStats).getOrElse(Map.empty),
+      cur.map(_.fileValues).getOrElse(Map.empty),
+      cur.flatMap(_.bloomCol), cur.map(_.blooms).getOrElse(Map.empty))
     next
   }
 
@@ -515,8 +524,14 @@ object TxTable {
       val files = writeFiles(df, table, next)
       val txns = cur.map(_.txns).getOrElse(Map.empty) + (appId -> epochId)
       try {
+        // index metadata carries forward exactly as in append: the
+        // described files remain live, new files are simply unindexed
         commit(spark, table, next,
-          cur.map(_.files).getOrElse(Nil) ++ files, txns)
+          cur.map(_.files).getOrElse(Nil) ++ files, txns,
+          cur.flatMap(_.statsCol), cur.map(_.stats).getOrElse(Map.empty),
+          cur.map(_.multiStats).getOrElse(Map.empty),
+          cur.map(_.fileValues).getOrElse(Map.empty),
+          cur.flatMap(_.bloomCol), cur.map(_.blooms).getOrElse(Map.empty))
         return true
       } catch {
         case _: TxConflictException =>
@@ -669,10 +684,14 @@ object TxTable {
     val next = cur.map(_.version + 1).getOrElse(1L)
     val nParts = math.max(2, spark.sessionState.conf.numShufflePartitions)
     val files = writeFiles(df.repartition(nParts, c(col)), table, next)
-    val total = math.max(1000L, df.count())
-    val perFile = math.max(1000L, 2L * total / files.size)
-    val built = spark.read
+    // size the blooms from the WRITTEN files' parquet row counts
+    // (footer-metadata count, no data scan) — never by re-evaluating
+    // df, whose lineage could be nondeterministic between passes
+    val written = spark.read
       .parquet(files.map(new Path(table, _).toString): _*)
+    val total = math.max(1000L, written.count())
+    val perFile = math.max(1000L, 2L * total / files.size)
+    val built = written
       .select(input_file_name().as("__f"), c(col).cast("string").as("__k"))
       .filter(c("__k").isNotNull)
       .rdd.map(r => (r.getString(0), r.getString(1)))
@@ -701,13 +720,20 @@ object TxTable {
     * Files without a bloom — or a different indexed column — are
     * kept: pruning is an optimization, never a filter. */
   def pruneFilesPoint(snap: Snapshot, col: String,
-      value: String): Seq[String] =
+      value: String): Seq[String] = pruneFilesPoints(snap, col, Seq(value))
+
+  /** Batched form: files that MAY hold `col = v` for ANY of `values`.
+    * Each file's bloom deserializes ONCE and is probed with all k
+    * values — O(files) deserializations for a k-key batch, not
+    * O(k × files). */
+  def pruneFilesPoints(snap: Snapshot, col: String,
+      values: Seq[String]): Seq[String] =
     if (!snap.bloomCol.contains(col)) snap.files
     else snap.files.filter(f => snap.blooms.get(f) match {
       case Some(bytes) =>
-        org.apache.spark.util.sketch.BloomFilter.readFrom(
+        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
           new java.io.ByteArrayInputStream(bytes))
-          .mightContainString(value)
+        values.exists(bf.mightContainString)
       case None => true
     })
 
@@ -737,7 +763,7 @@ object TxTable {
     require(values.nonEmpty)
     val snap = snapshot(spark, table, asOf).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $table"))
-    val keep = values.flatMap(v => pruneFilesPoint(snap, col, v)).distinct
+    val keep = pruneFilesPoints(snap, col, values)
     val pred = c(col).cast("string").isin(values: _*)
     if (keep.isEmpty) read(spark, table, asOf).filter(lit(false))
     else spark.read.parquet(keep.map(new Path(table, _).toString): _*)
@@ -791,6 +817,43 @@ object TxTable {
       }
     }
 
+  /** Canonicalize valueEq probe values to the string form the
+    * manifest stores — `cast(col as string)` of the column's OWN type
+    * (schema read from one parquet footer). A probe "3" against a
+    * double column becomes "3.0", matching the recorded value sets,
+    * so the prune agrees with the type-coercing exact predicate
+    * instead of silently skipping files it shouldn't. Unparseable
+    * probes pass through raw: the stored sets can't contain them and
+    * the coerced exact predicate matches no row either, so pruning
+    * and predicate still agree. Any schema/cast fault falls back to
+    * the raw value (pruning is an optimization, never a filter —
+    * fail-open means keep MORE files, never fewer than correct). */
+  private def canonicalValueEq(spark: SparkSession, table: String,
+      snap: Snapshot,
+      valueEq: Seq[(String, String)]): Seq[(String, String)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+    import org.apache.spark.sql.types.StringType
+    if (valueEq.isEmpty || snap.fileValues.isEmpty || snap.files.isEmpty)
+      return valueEq
+    val schema =
+      try spark.read.parquet(new Path(table, snap.files.head).toString).schema
+      catch { case _: Exception => return valueEq }
+    valueEq.map { case (col, v) =>
+      schema.find(_.name == col) match {
+        case Some(f) if f.dataType != StringType =>
+          val canon =
+            try Cast(
+              Cast(Literal(
+                org.apache.spark.unsafe.types.UTF8String.fromString(v),
+                StringType), f.dataType, Some("UTC"), EvalMode.LEGACY),
+              StringType, Some("UTC"), EvalMode.LEGACY).eval()
+            catch { case _: Exception => null }
+          col -> (if (canon == null) v else canon.toString)
+        case _ => (col, v)
+      }
+    }
+  }
+
   /** Read through multi-column manifest pruning, then apply the exact
     * predicates (metadata prunes files, the predicate prunes rows). */
   def readWhere(spark: SparkSession, table: String,
@@ -800,7 +863,8 @@ object TxTable {
     import org.apache.spark.sql.functions.{col => c, lit}
     val snap = snapshot(spark, table, asOf).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $table"))
-    val keep = pruneFilesWhere(snap, ranges, valueEq)
+    val keep =
+      pruneFilesWhere(snap, ranges, canonicalValueEq(spark, table, snap, valueEq))
     val exact = (df: DataFrame) => {
       val p1 = ranges.foldLeft(lit(true)) { case (acc, (col, lo, hi)) =>
         acc && c(col) >= lo && c(col) <= hi
@@ -905,7 +969,10 @@ object TxTable {
     val cur = snapshot(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $table"))
     val next = cur.version + 1
-    val touched = candidateFiles(cur, ranges, valueEq)
+    // prune with CANONICAL probe values (see canonicalValueEq): a
+    // wrong prune here would silently skip rows the DML should touch
+    val touched =
+      candidateFiles(cur, ranges, canonicalValueEq(spark, table, cur, valueEq))
     val untouched = cur.files.filterNot(touched.toSet)
     val rewritten: Seq[String] =
       if (touched.isEmpty) Nil
@@ -954,7 +1021,12 @@ object TxTable {
     * expression)` in `set` is applied to matching rows, all other rows
     * and all provably-unmatched FILES are untouched (same pruned
     * copy-on-write as [[deleteWhere]]). Set expressions may reference
-    * any current column. Returns the committed version. */
+    * any current column and ALWAYS see the PRE-update row — every SET
+    * projection is evaluated in one select against the original
+    * columns, so `SET a = b, b = a` swaps (SQL UPDATE semantics)
+    * rather than depending on application order. SET columns must
+    * already exist (UPDATE changes rows, it never widens the schema).
+    * Returns the committed version. */
   def updateWhere(spark: SparkSession, table: String,
       ranges: Seq[(String, Double, Double)],
       valueEq: Seq[(String, String)],
@@ -964,10 +1036,18 @@ object TxTable {
     require(ranges.nonEmpty || valueEq.nonEmpty,
       "unconditional UPDATE: use overwrite with the transformed frame")
     val pred = predicateColumn(ranges, valueEq)
-    copyOnWrite(spark, table, ranges, valueEq, df =>
-      set.foldLeft(df) { case (acc, (colName, expr)) =>
-        acc.withColumn(colName, when(pred, expr).otherwise(c(colName)))
-      })._1
+    copyOnWrite(spark, table, ranges, valueEq, { df =>
+      val unknown = set.keySet -- df.columns.toSet
+      require(unknown.isEmpty,
+        s"UPDATE SET on nonexistent column(s): ${unknown.toSeq.sorted.mkString(", ")}")
+      // ONE projection: all RHS evaluate against the original row
+      df.select(df.columns.map { colName =>
+        set.get(colName) match {
+          case Some(expr) => when(pred, expr).otherwise(c(colName)).as(colName)
+          case None => c(colName)
+        }
+      }: _*)
+    })._1
   }
 
   /** [[deleteWhere]] exposing (version, rewrittenFiles, totalFiles) so

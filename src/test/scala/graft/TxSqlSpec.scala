@@ -1,0 +1,170 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{TxSql, TxTable}
+
+/** SQL/DataFrame-reader surface over TxTable: the DSv2 catalog and
+  * `spark.read.format("txtable")` must read exactly what the API
+  * reads, time-travel through `VERSION AS OF`, and — the load-bearing
+  * claim — prune files at PLAN time exactly as `readWhere`'s manifest
+  * pruning does (asserted against the physical scan's input files,
+  * not a unit of the translation). */
+class TxSqlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_txsql_").toString
+
+  /** Distinct data-file names the executed plan actually scanned. */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan // final AQE plan
+      case p => p
+    }
+    val scans = root.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty, "expected a DSv2 BatchScanExec in the plan")
+    scans.flatMap(_.inputPartitions).flatMap {
+      case fp: FilePartition =>
+        fp.files.map(f => f.urlEncodedPath.split('/').last)
+      case _ => Nil
+    }.toSet
+  }
+
+  private def seed(root: String): String = {
+    val dir = s"$root/orders"
+    val df = (1 to 4000).map { i =>
+      (i.toLong, i % 97 * 1.0, if (i % 5 == 0) "URGENT" else "LOW")
+    }.toDF("k", "amt", "prio")
+    TxTable.overwriteIndexedMulti(df, dir,
+      statCols = Seq("amt"), valueCols = Seq("prio"))
+    dir
+  }
+
+  test("spark.read.format(txtable) reads the head and time-travels") {
+    val root = freshRoot()
+    val dir = s"$root/t"
+    TxTable.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "v"), dir)
+    TxTable.append(Seq((3, "c")).toDF("k", "v"), dir)
+    val head = spark.read.format("txtable").load(dir)
+    assert(head.count() === 3)
+    val v1 = spark.read.format("txtable").option("version", 1).load(dir)
+    assert(v1.count() === 2)
+    assert(v1.select("v").as[String].collect().sorted.toSeq === Seq("a", "b"))
+  }
+
+  test("catalog: SELECT with predicates equals readWhere; VERSION AS OF works") {
+    val root = freshRoot()
+    val dir = seed(root)
+    TxSql.installCatalog(spark, "txspec", root)
+    val sql = spark.sql(
+      "SELECT prio, count(*) AS n, sum(amt) AS total " +
+        "FROM txspec.orders WHERE amt >= 20.0 AND amt <= 40.0 " +
+        "AND prio = 'URGENT' GROUP BY prio")
+    val api = TxTable.readWhere(spark, dir,
+        Seq(("amt", 20.0, 40.0)), Seq(("prio", "URGENT")))
+      .groupBy($"prio").agg(count(lit(1)).as("n"), sum($"amt").as("total"))
+    assert(sql.collect().toSeq === api.collect().toSeq)
+
+    // time travel: delete some rows, then read the pre-delete version
+    val v1 = TxTable.snapshot(spark, dir).get.version
+    TxTable.deleteWhere(spark, dir, Nil, Seq(("prio", "URGENT")))
+    val nowN = spark.sql("SELECT count(*) AS n FROM txspec.orders")
+      .as[Long].head()
+    val oldN = spark.sql(
+      s"SELECT count(*) AS n FROM txspec.orders VERSION AS OF $v1")
+      .as[Long].head()
+    assert(oldN === 4000L && nowN === 3200L)
+  }
+
+  test("SQL-path plan prunes files exactly as readWhere's manifest prune") {
+    val root = freshRoot()
+    val dir = seed(root)
+    val snap = TxTable.snapshot(spark, dir).get
+    val expected = TxTable.pruneFilesWhere(snap,
+        Seq(("amt", 10.0, 20.0)), Seq(("prio", "URGENT")))
+      .map(_.split('/').last).toSet
+    assert(expected.size < snap.files.size,
+      s"prune must skip files: ${expected.size} of ${snap.files.size}")
+    // shuffle-free shape: AQE hides staged scans inside leaf
+    // QueryStageExec nodes; the prune decision is identical either way
+    val q = spark.read.format("txtable").load(dir)
+      .filter($"amt" >= 10.0 && $"amt" <= 20.0 && $"prio" === "URGENT")
+    q.collect()
+    assert(scannedFiles(q) === expected)
+  }
+
+  test("unprunable predicates keep every file (fail-open translation)") {
+    val root = freshRoot()
+    val dir = seed(root)
+    val snap = TxTable.snapshot(spark, dir).get
+    val q = spark.read.format("txtable").load(dir)
+      .filter(length($"prio") === 3) // not in the manifest's language
+    q.collect()
+    assert(scannedFiles(q) ===
+      snap.files.map(_.split('/').last).toSet)
+  }
+
+  test("numeric-coerced string probe still prunes correctly via canonical form") {
+    val root = freshRoot()
+    val dir = s"$root/nums"
+    val df = (1 to 2000).map(i => (i.toLong, (i % 7).toDouble))
+      .toDF("k", "grp")
+    TxTable.overwriteIndexedMulti(df, dir,
+      statCols = Seq("k"), valueCols = Seq("grp"))
+    // probe "3" against a double column whose value sets store "3.0":
+    // canonicalization must keep the right files AND return the rows
+    val got = TxTable.readWhere(spark, dir, Nil, Seq(("grp", "3")))
+    assert(got.count() === df.filter($"grp" === 3.0).count())
+  }
+
+  test("catalog is read-only: DDL fails with a named error") {
+    val root = freshRoot()
+    seed(root)
+    TxSql.installCatalog(spark, "txspec2", root)
+    val e = intercept[Exception] {
+      spark.sql("DROP TABLE txspec2.orders")
+    }
+    assert(e.getMessage.toLowerCase.contains("read-only"))
+  }
+
+  test("updateWhere SET expressions all see the pre-update row") {
+    val dir = freshRoot() + "/swap"
+    TxTable.overwrite(Seq((1L, 10.0, 100.0), (2L, 20.0, 200.0))
+      .toDF("k", "a", "b"), dir)
+    // SET a = b, b = a on k = 1 must SWAP (SQL UPDATE semantics),
+    // not chain one assignment through the other
+    TxTable.updateWhere(spark, dir, Seq(("k", 1.0, 1.0)), Nil,
+      Map("a" -> col("b"), "b" -> col("a")))
+    val got = TxTable.read(spark, dir).as[(Long, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 100.0, 10.0), (2L, 20.0, 200.0)))
+  }
+
+  test("append carries the bloom index forward; point reads stay pruned") {
+    val dir = freshRoot() + "/bloomed"
+    val base = (1 to 3000).map(i => (i.toLong, s"u$i")).toDF("id", "u")
+    TxTable.overwriteIndexedBloom(base, dir, "id")
+    val before = TxTable.snapshot(spark, dir).get
+    assert(before.blooms.nonEmpty)
+    TxTable.append(Seq((9001L, "new")).toDF("id", "u"), dir)
+    val after = TxTable.snapshot(spark, dir).get
+    assert(after.blooms.keySet === before.blooms.keySet &&
+      after.blooms.forall { case (k, v) =>
+        java.util.Arrays.equals(v, before.blooms(k))
+      }, "append must carry existing blooms forward")
+    // a point read still prunes indexed files AND sees appended rows
+    val pruned = TxTable.pruneFilesPoints(after, "id", Seq("17"))
+    assert(pruned.size < after.files.size)
+    assert(TxTable.readPoint(spark, dir, "id", "9001").count() === 1)
+    assert(TxTable.readPoints(spark, dir, "id", Seq("17", "9001"))
+      .count() === 2)
+  }
+}
