@@ -7,14 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: opaque binary payloads + typed
   * metadata, with batched decode/feature-extract plumbing.
   *
-  * The image path is a REAL byte-level codec now: [[withPpmPayload]]
-  * renders each row a deterministic binary P6 PPM (ASCII header +
-  * packed RGB bytes) and [[decodePpm]] parses it back — header
-  * tokenizer, dimension fields, per-channel pixel statistics — in the
-  * same batched mapPartitions shape a JNI/FFI codec binding needs.
-  * The video frame-sampler remains plumbing-only ([[decodeFeatures]]
-  * keeps the clearly-marked deterministic stub arithmetic: the
-  * container has no video codec).
+  * Every media path is a REAL byte-level codec: [[withPpmPayload]]/
+  * [[decodePpm]] (P6 PPM raster), [[withWavPayload]]/[[decodeWav]]
+  * (RIFF/WAVE PCM16), and [[withAviPayload]]/[[decodeAvi]] (RIFF/AVI
+  * with uncompressed DIB frames) — each a render→parse pair whose
+  * parsed statistics are closed-form in the id (SQL-oracle
+  * replayable) while the bytes are genuine container files. All
+  * decodes run in the same batched mapPartitions shape a JNI/FFI
+  * codec binding needs.
   */
 object Multimodal {
 
@@ -136,36 +136,65 @@ object Multimodal {
     }(enc)
   }
 
-  /** STUB decode — ??? in production; deterministic arithmetic here.
-    * Runs as batched mapPartitions over the binary column: the shape
-    * (iterator-to-iterator, no per-row JVM churn, partition-sized
-    * batches) is exactly what a JNI/FFI codec binding needs. */
-  def decodeFeatures(df: DataFrame): DataFrame = {
-    val outSchema = StructType(df.schema.fields ++ Seq(
-      StructField("payload_len", LongType),
-      StructField("width", LongType),
-      StructField("height", LongType),
-      StructField("n_frames", LongType)))
+  /** Deterministic RIFF/AVI payload (see [[AviCodec.render]]): a real
+    * container — hdrl/avih/strh/strf headers plus a movi list of
+    * uncompressed DIB frames — whose every parsed statistic is
+    * closed-form in the id. */
+  def withAviPayload(df: DataFrame, id: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("media_type", StringType, nullable = true)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = df.schema.fieldIndex(id)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        val len = if (payload == null) 0L else payload.length.toLong
-        // STUB: real codec would parse headers; we derive dims from
-        // the byte length so the oracle can reproduce them.
-        Row.fromSeq(r.toSeq ++ Seq(len, len % 640 + 1, len % 480 + 1,
-          len % 10 + 1))
+        val mid = r.getLong(idIdx)
+        Row(mid, AviCodec.render(mid), "video/x-msvideo")
       }
     }(enc)
   }
 
-  /** Explode each media row into sampled "frames" (byte-range slices)
-    * — the frame-sampling plumbing for video, minus the codec. */
+  /** REAL video decode: RIFF/AVI chunk walk — avih dimensions, movi
+    * frame chunks, per-frame byte sums and ABSOLUTE byte offsets from
+    * the parser's own positions (nothing derived from payload
+    * length). Unparseable payloads yield null features but keep
+    * `payload_len` — same quarantine-friendly contract and batched
+    * mapPartitions shape as [[decodePpm]]/[[decodeWav]], which is
+    * exactly what a JNI/FFI codec binding needs. */
+  def decodeAvi(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields.filterNot(_.name == "payload")
+      ++ Seq(
+        StructField("payload_len", LongType),
+        StructField("width", LongType),
+        StructField("height", LongType),
+        StructField("n_frames", LongType),
+        StructField("frame_sums", ArrayType(LongType)),
+        StructField("frame_offsets", ArrayType(LongType))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val keep = r.toSeq.zipWithIndex
+          .collect { case (v, i) if i != payloadIdx => v }
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val len = if (payload == null) 0L else payload.length.toLong
+        Row.fromSeq(keep ++ (AviCodec.parse(payload) match {
+          case Some((w, h, n, sums, offs)) =>
+            Seq(len, w.toLong, h.toLong, n.toLong, sums.toSeq, offs.toSeq)
+          case None => Seq(len, null, null, null, null, null)
+        }))
+      }
+    }(enc)
+  }
+
+  /** Explode each decoded video into its frames at the PARSED byte
+    * offsets — real positions from the container walk, usable to
+    * slice the payload for a per-frame decode stage. */
   def sampleFrames(decoded: DataFrame): DataFrame =
     decoded
-      .withColumn("frame_idx",
-        explode(sequence(lit(0L), col("n_frames") - 1)))
-      .withColumn("frame_offset",
-        col("frame_idx") * (col("payload_len") / col("n_frames")).cast("long"))
-      .select(col("media_id"), col("frame_idx"), col("frame_offset"))
+      .select(col("media_id"),
+        posexplode(col("frame_offsets")).as(Seq("frame_idx", "frame_offset")))
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_offset"))
 }

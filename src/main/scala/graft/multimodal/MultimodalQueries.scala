@@ -4,12 +4,13 @@ import graft.{QueryModule, Tables => T}
 import graft.Util.r4
 import org.apache.spark.sql.functions._
 
-/** §2.8 — multimodal queries. `mm_decode` round-trips a REAL binary
-  * raster format: each document gets a deterministic P6 PPM payload
-  * whose parsed dimensions and channel means are closed-form in the
-  * id, so the oracle replays them with generate_series arithmetic
-  * while the Spark side genuinely parses file bytes. `mm_frames`
-  * stays on the stub codec (video plumbing only). */
+/** §2.8 — multimodal queries. Each key round-trips a REAL binary
+  * container format — `mm_decode` P6 PPM rasters, `mm_audio`
+  * RIFF/WAVE PCM16, `mm_decode_video`/`mm_frames` RIFF/AVI with
+  * uncompressed DIB frames — rendered deterministically per document
+  * so every parsed statistic is closed-form in the id: the oracle
+  * replays them with generate_series arithmetic while the Spark side
+  * genuinely walks file bytes. */
 object MultimodalQueries extends QueryModule {
 
   val queries: Map[String, Q] = Map(
@@ -24,11 +25,22 @@ object MultimodalQueries extends QueryModule {
         .orderBy($"media_id")
     }),
 
+    "mm_decode_video" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.decodeAvi(
+          Multimodal.withAviPayload(T.documents(s, d), "doc_id"))
+        .select($"media_id", $"width", $"height", $"n_frames",
+          posexplode($"frame_sums").as(Seq("frame_idx", "frame_sum")))
+        .select($"media_id", $"width", $"height", $"n_frames",
+          $"frame_idx".cast("long").as("frame_idx"), $"frame_sum")
+        .orderBy($"media_id", $"frame_idx")
+    }),
+
     "mm_frames" -> ((s, d) => {
       import s.implicits._
       Multimodal.sampleFrames(
-          Multimodal.decodeFeatures(
-            Multimodal.withFakePayload(T.documents(s, d), "doc_id", "text")))
+          Multimodal.decodeAvi(
+            Multimodal.withAviPayload(T.documents(s, d), "doc_id")))
         .orderBy($"media_id", $"frame_idx")
     }),
 
@@ -94,15 +106,40 @@ object MultimodalQueries extends QueryModule {
         |  CAST(peak AS BIGINT) AS peak
         |FROM sm ORDER BY media_id""".stripMargin,
 
+    // The AVI renderer's layout is fixed: headers end at byte 224,
+    // frame f's chunk is "00db"(8) + w·h·3 data — so the PARSED
+    // frame offsets the Spark side recovers from the chunk walk are
+    // closed-form 232 + f·(w·h·3 + 8), and pixel byte j of frame f
+    // is (id + 31f + j) mod 256 for the per-frame sums.
+    "mm_decode_video" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(4*(doc_id % 8 + 2) AS BIGINT) AS w,
+        |    CAST(doc_id % 8 + 3 AS BIGINT) AS h,
+        |    CAST(doc_id % 6 + 2 AS BIGINT) AS n
+        |  FROM documents),
+        |fr AS (
+        |  SELECT media_id, w, h, n, f
+        |  FROM m, LATERAL unnest(generate_series(0, n - 1)) AS t(f)),
+        |s AS (
+        |  SELECT media_id, w, h, n, f,
+        |    sum((media_id + 31*f + j) % 256) AS fsum
+        |  FROM fr, LATERAL unnest(generate_series(0, w*h*3 - 1)) AS t2(j)
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT media_id, w AS width, h AS height, n AS n_frames,
+        |  f AS frame_idx, CAST(fsum AS BIGINT) AS frame_sum
+        |FROM s ORDER BY media_id, frame_idx""".stripMargin,
+
     "mm_frames" ->
-      """SELECT media_id, frame_idx,
-        |  CAST(frame_idx * (payload_len // n_frames) AS BIGINT) AS frame_offset
+      """SELECT media_id, f AS frame_idx,
+        |  CAST(232 + f * (w*h*3 + 8) AS BIGINT) AS frame_offset
         |FROM (
         |  SELECT doc_id AS media_id,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
-        |    CAST(octet_length(encode(text)) % 10 + 1 AS BIGINT) AS n_frames,
-        |    unnest(generate_series(0, octet_length(encode(text)) % 10)) AS frame_idx
-        |  FROM documents)
+        |    CAST(4*(doc_id % 8 + 2) AS BIGINT) AS w,
+        |    CAST(doc_id % 8 + 3 AS BIGINT) AS h,
+        |    CAST(doc_id % 6 + 2 AS BIGINT) AS n
+        |  FROM documents),
+        |  LATERAL unnest(generate_series(0, n - 1)) AS t(f)
         |ORDER BY media_id, frame_idx""".stripMargin
   )
 }

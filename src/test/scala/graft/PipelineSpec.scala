@@ -125,20 +125,72 @@ class PipelineSpec extends AnyFunSuite {
     assert(expected > 0)
   }
 
-  test("multimodal decode emits deterministic stub features") {
+  test("multimodal video decode parses real AVI containers") {
     import spark.implicits._
-    val decoded = graft.multimodal.Multimodal.decodeFeatures(
-      graft.multimodal.Multimodal.withFakePayload(
-        Tables.documents(spark, TestSpark.sf), "doc_id", "text"))
-    val row = decoded.filter($"media_id" === 0L).head()
-    val len = row.getAs[Long]("payload_len")
-    assert(len > 0)
-    assert(row.getAs[Long]("width") == len % 640 + 1)
-    assert(row.getAs[Long]("n_frames") == len % 10 + 1)
+    val decoded = graft.multimodal.Multimodal.decodeAvi(
+      graft.multimodal.Multimodal.withAviPayload(
+        Tables.documents(spark, TestSpark.sf), "doc_id"))
+    val row = decoded.filter($"media_id" === 5L).head()
+    val (w, h, n) = graft.multimodal.AviCodec.dims(5L)
+    assert(row.getAs[Long]("width") == w)
+    assert(row.getAs[Long]("height") == h)
+    assert(row.getAs[Long]("n_frames") == n)
+    // parsed offsets are the writer's fixed layout: 232 + f·(w·h·3+8)
+    val offs = row.getAs[scala.collection.Seq[Long]]("frame_offsets")
+    assert(offs.toSeq ==
+      (0 until n).map(f => 232L + f.toLong * (w * h * 3 + 8)))
     // frames explode to exactly sum(n_frames)
     val frames = graft.multimodal.Multimodal.sampleFrames(decoded)
     val expected = decoded.agg(sum("n_frames")).head.getLong(0)
     assert(frames.count() == expected)
+    // unparseable payloads quarantine to null features, keep length
+    val junk = graft.multimodal.Multimodal.decodeAvi(
+      graft.multimodal.Multimodal.withFakePayload(
+        Tables.documents(spark, TestSpark.sf), "doc_id", "text"))
+    assert(junk.filter($"n_frames".isNull).count() == junk.count())
+    assert(junk.filter($"payload_len" > 0).count() == junk.count())
+  }
+
+  test("AviCodec round-trips real RIFF/AVI bytes and rejects malformed input") {
+    import graft.multimodal.AviCodec
+    val id = 9876L
+    val bytes = AviCodec.render(id)
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "AVI ")
+    val Some((w, h, n, sums, offs)) = AviCodec.parse(bytes)
+    val (ew, eh, en) = AviCodec.dims(id)
+    assert((w, h, n) == ((ew, eh, en)))
+    // per-frame sums match the closed form byte-for-byte
+    val fsz = w * h * 3
+    sums.zipWithIndex.foreach { case (s, f) =>
+      val expected = (0 until fsz).map(j =>
+        math.floorMod(id + 31L * f + j, 256)).sum
+      assert(s == expected, s"frame $f sum")
+    }
+    // offsets really address the frame bytes in the payload
+    offs.zipWithIndex.foreach { case (o, f) =>
+      assert((bytes(o.toInt) & 0xff) == math.floorMod(id + 31L * f, 256))
+    }
+    // rejects: null, truncation, bad magic, frame-size mismatch
+    assert(AviCodec.parse(null).isEmpty)
+    assert(AviCodec.parse(bytes.take(bytes.length - 3)).isEmpty)
+    assert(AviCodec.parse(Array[Byte](1, 2, 3)).isEmpty)
+    val badMagic = bytes.clone(); badMagic(9) = 'X'.toByte
+    assert(AviCodec.parse(badMagic).isEmpty)
+    // corrupt the avih width: header/frame cross-validation must fail
+    val badWidth = bytes.clone(); badWidth(24 + 8 + 32) = 1; badWidth(24 + 8 + 33) = 0
+    assert(AviCodec.parse(badWidth).isEmpty)
+    // fuzz: random byte flips never crash, only parse or reject
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val mut = bytes.clone()
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      AviCodec.parse(mut) // must not throw
+    }
+    (1 to 50).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(500))(rnd.nextInt(256).toByte)
+      AviCodec.parse(junk) // must not throw
+    }
   }
 
   test("PpmCodec round-trips real P6 bytes and rejects malformed input") {

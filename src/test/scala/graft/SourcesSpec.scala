@@ -129,7 +129,7 @@ class SourcesSpec extends AnyFunSuite {
       xxhash64(col("path")).as("media_id"),
       col("content").as("payload"),
       lit("image/fake").as("media_type"))
-    val decoded = multimodal.Multimodal.decodeFeatures(media)
+    val decoded = multimodal.Multimodal.decodeAvi(media)
       .select("payload_len").collect().map(_.getLong(0)).sorted
     assert(decoded.toSeq == payloads.filterKeys(_.endsWith(".img"))
       .values.map(_.length.toLong).toSeq.sorted)
