@@ -35,7 +35,18 @@ object Dedup {
         explode(array_distinct(col("__shingles"))).as("shingle"))
 
   /** Exact n-gram-shingle Jaccard pairs ≥ threshold, via the
-    * inverted-index join. Output: (a_id, b_id, jaccard). */
+    * inverted-index join. Output: (a_id, b_id, jaccard).
+    *
+    * Negative result (r14, measured at the sf1 probe): carrying the
+    * shingle-set size on every posting row (size is known at explode
+    * time) to replace the two post-aggregation sizes joins with
+    * first() under the pair key DOUBLED runtime (5.5 s → 10.1 s).
+    * The match stream out of the self-join — the plan's largest
+    * shuffle, one row per co-occurring shingle pair — widened by
+    * 16 bytes/row, while the joins it removed run on the
+    * POST-aggregation pairs relation, which is orders of magnitude
+    * smaller. Keep sizes as separate cheap joins; never widen the
+    * pre-aggregation stream. */
   def jaccardPairs(df: DataFrame, id: String, text: String,
       n: Int, threshold: Double): DataFrame = {
     // localCheckpoint, not cache(): the postings feed three plan arms

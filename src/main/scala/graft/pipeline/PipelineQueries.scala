@@ -62,34 +62,39 @@ object PipelineQueries extends QueryModule {
     "pipe_corpus_curate" -> ((s, d) => {
       import s.implicits._
       import graft.text.TextAnalysis
+      // Fused funnel: each stage is a BOOLEAN COLUMN on one lineage —
+      // gate is a pure expression, exact-dedup survivorship is a
+      // conditional running count over the fp window (first gated
+      // doc_id per fingerprint), near-dup drops arrive as one
+      // left-join marker — so the whole report is ONE fp-shuffle, the
+      // LSH pair join, and ONE conditional aggregation (previously
+      // four grouped scans joined back over three materializations).
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"fp").orderBy($"doc_id")
-      val feat = T.documents(s, d).select($"doc_id", $"source", $"text",
-        size(TextAnalysis.tokens($"text")).as("n_words"),
-        TextAnalysis.langPredict($"text").as("lang_pred"),
-        TextAnalysis.fingerprint($"text").as("fp"))
-      val gated = feat.filter($"n_words" >= 30 && $"lang_pred" === "en")
-      val exact = gated
-        .withColumn("rk", row_number().over(w)).filter($"rk" === 1).drop("rk")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val flagged = T.documents(s, d).select($"doc_id", $"source", $"text",
+          size(TextAnalysis.tokens($"text")).as("n_words"),
+          TextAnalysis.langPredict($"text").as("lang_pred"),
+          TextAnalysis.fingerprint($"text").as("fp"))
+        .withColumn("gated", $"n_words" >= 30 && $"lang_pred" === "en")
+        .withColumn("is_exact",
+          $"gated" && sum(when($"gated", 1L).otherwise(0L)).over(w) === 1L)
         .localCheckpoint(false)
       val pairs = graft.dedup.Dedup.jaccardPairs(
-        exact.select($"doc_id", $"text"), "doc_id", "text", 3, 0.5)
-      val fin = exact.join(
-        pairs.select($"b_id".as("doc_id")).distinct(), Seq("doc_id"),
-        "left_anti")
-      val raw = feat.groupBy($"source").agg(count(lit(1)).as("n_raw"))
-      val g = gated.groupBy($"source").agg(count(lit(1)).as("n_gated"))
-      val e = exact.groupBy($"source").agg(count(lit(1)).as("n_exact"))
-      val f = fin.groupBy($"source").agg(count(lit(1)).as("n_final"),
-        sum($"n_words").as("tokens_final"))
-      raw.join(g, Seq("source"), "left_outer")
-        .join(e, Seq("source"), "left_outer")
-        .join(f, Seq("source"), "left_outer")
-        .select($"source", $"n_raw",
-          coalesce($"n_gated", lit(0L)).as("n_gated"),
-          coalesce($"n_exact", lit(0L)).as("n_exact"),
-          coalesce($"n_final", lit(0L)).as("n_final"),
-          coalesce($"tokens_final", lit(0L)).as("tokens_final"))
+        flagged.filter($"is_exact").select($"doc_id", $"text"),
+        "doc_id", "text", 3, 0.5)
+      flagged.join(
+          pairs.select($"b_id".as("doc_id")).distinct()
+            .withColumn("near_dup", lit(true)),
+          Seq("doc_id"), "left_outer")
+        .withColumn("is_final", $"is_exact" && $"near_dup".isNull)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_raw"),
+          count_if($"gated").as("n_gated"),
+          count_if($"is_exact").as("n_exact"),
+          count_if($"is_final").as("n_final"),
+          coalesce(sum(when($"is_final", $"n_words")), lit(0L))
+            .as("tokens_final"))
         .orderBy($"source")
     }),
 
