@@ -197,6 +197,30 @@ object DataQualityQueries extends QueryModule {
         .orderBy("table_name", "exp_name", "col_name")
     }),
 
+    // GX long tail: min/max/sum statistic gates (one aggregate each,
+    // riding the same single-pass suite) and the order-dependent
+    // expect_column_values_to_be_increasing — the one GX check that
+    // needs a total order, evaluated through the distributed Rank
+    // primitive (see ExpectIncreasing), never a single-partition
+    // window sort. The orders check passes (o_orderkey is strictly
+    // increasing by itself); the lineitem check fails with a genuine
+    // pairwise-lag violation count — the report carries both.
+    // Statistics chosen exact (min/max pick values; l_quantity sums
+    // are integral) so the driver's hash compare is safe.
+    "dq_advanced2" -> ((s, d) => {
+      val li = ExpectationSuite("lineitem", Seq(
+        ExpectMinBetween("l_quantity", 1, 1),
+        ExpectMaxBetween("l_quantity", 50, 50),
+        ExpectSumBetween("l_quantity", 1, 1e9),
+        ExpectIncreasing("l_quantity", "l_orderkey")))
+      val ord = ExpectationSuite("orders", Seq(
+        ExpectMinBetween("o_totalprice", 0, 1000),
+        ExpectMaxBetween("o_totalprice", 0, 600000),
+        ExpectIncreasing("o_orderkey", "o_orderkey", strictly = true)))
+      li.run(T.lineitem(s, d)).unionAll(ord.run(T.orders(s, d)))
+        .orderBy("table_name", "exp_name", "col_name")
+    }),
+
     // Referential integrity — orphan foreign keys per relationship,
     // the cross-table DQ dimension single-table expectations can't
     // see. Each check is one left-anti join against the parent's key
@@ -430,6 +454,33 @@ object DataQualityQueries extends QueryModule {
     obsRow(t, s"expect_quantile_${q}_between", c, s"quantile_cont($c, $q)",
       s"CASE WHEN quantile_cont($c, $q) >= $lo AND " +
         s"quantile_cont($c, $q) <= $hi THEN 1 ELSE 0 END", t)
+  private def minRow(t: String, c: String, lo: Double, hi: Double) =
+    obsRow(t, "expect_min_between", c, s"min($c)",
+      s"CASE WHEN min($c) >= $lo AND min($c) <= $hi THEN 1 ELSE 0 END", t)
+  private def maxRow(t: String, c: String, lo: Double, hi: Double) =
+    obsRow(t, "expect_max_between", c, s"max($c)",
+      s"CASE WHEN max($c) >= $lo AND max($c) <= $hi THEN 1 ELSE 0 END", t)
+  private def sumRow(t: String, c: String, lo: Double, hi: Double) =
+    obsRow(t, "expect_sum_between", c, s"sum($c)",
+      s"CASE WHEN sum($c) >= $lo AND sum($c) <= $hi THEN 1 ELSE 0 END", t)
+  /** Pairwise-lag increasing check: the oracle IS the naive window
+    * form (ORDER BY order-col, value — the same tie order the Spark
+    * side's stable decomposition uses), so it pins the distributed
+    * rank+self-join evaluation to lag semantics exactly. */
+  private def increasingRow(t: String, c: String, o: String,
+      strictly: Boolean) = {
+    val name = if (strictly) "expect_increasing_strict" else "expect_increasing"
+    val cmp = if (strictly) "<=" else "<"
+    val viol = s"sum(CASE WHEN _v $cmp _prev THEN 1 ELSE 0 END)"
+    s"""SELECT '$t' AS table_name, '$name' AS exp_name, '$c' AS col_name,
+       |  CAST(CASE WHEN coalesce($viol, 0) = 0 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS success,
+       |  round(CAST(coalesce($viol, 0) AS DOUBLE), 4) AS observed
+       |FROM (SELECT CAST($c AS DOUBLE) AS _v,
+       |        lag(CAST($c AS DOUBLE)) OVER (ORDER BY $o, $c) AS _prev
+       |      FROM $t WHERE $c IS NOT NULL AND $o IS NOT NULL)""".stripMargin
+  }
+
   private def distinctInSetRow(t: String, c: String, vs: Seq[String]) = {
     val set = vs.map("'" + _ + "'").mkString(",")
     val obs = s"count(DISTINCT CASE WHEN $c NOT IN ($set) THEN $c END)"
@@ -614,6 +665,15 @@ object DataQualityQueries extends QueryModule {
       distinctInSetRow("orders", "o_orderstatus", Seq("F", "O", "P")),
       distinctInSetRow("orders", "o_orderpriority",
         Seq("1-URGENT", "2-HIGH", "3-MEDIUM")))),
+
+    "dq_advanced2" -> u(Seq(
+      minRow("lineitem", "l_quantity", 1, 1),
+      maxRow("lineitem", "l_quantity", 50, 50),
+      sumRow("lineitem", "l_quantity", 1, 1e9),
+      increasingRow("lineitem", "l_quantity", "l_orderkey", strictly = false),
+      minRow("orders", "o_totalprice", 0, 1000),
+      maxRow("orders", "o_totalprice", 0, 600000),
+      increasingRow("orders", "o_orderkey", "o_orderkey", strictly = true))),
 
     "dq_quarantine" ->
       """SELECT route, count(*) AS n, round(sum(l_extendedprice),4) AS total

@@ -192,6 +192,94 @@ final case class ExpectDistinctInSet(column: String, values: Seq[String])
   def success(o: Column, total: Column): Column = o === 0.0
 }
 
+/** GX expect_column_min_to_be_between. */
+final case class ExpectMinBetween(column: String, lo: Double, hi: Double)
+    extends Expectation {
+  val name = "expect_min_between"
+  def observedAgg: Column = min(col(column))
+  def success(o: Column, total: Column): Column = o >= lo && o <= hi
+}
+
+/** GX expect_column_max_to_be_between. */
+final case class ExpectMaxBetween(column: String, lo: Double, hi: Double)
+    extends Expectation {
+  val name = "expect_max_between"
+  def observedAgg: Column = max(col(column))
+  def success(o: Column, total: Column): Column = o >= lo && o <= hi
+}
+
+/** GX expect_column_sum_to_be_between. */
+final case class ExpectSumBetween(column: String, lo: Double, hi: Double)
+    extends Expectation {
+  val name = "expect_sum_between"
+  def observedAgg: Column = sum(col(column))
+  def success(o: Column, total: Column): Column = o >= lo && o <= hi
+}
+
+/** An expectation whose observed statistic needs relational machinery
+  * (a total order, adjacent-pair comparison), not a single aggregate
+  * expression. Contributes a ONE-ROW (_obs, _den) frame the suite
+  * cross-joins onto the single-pass aggregate result — the suite stays
+  * one scan for everything aggregable plus one sub-plan per
+  * relational check. */
+sealed trait RelationalExpectation extends Expectation {
+  /** One row, columns (_obs, _den). */
+  def evaluate(df: DataFrame): DataFrame
+  // never consulted: the suite routes relational expectations
+  // through evaluate
+  final def observedAgg: Column = throw new UnsupportedOperationException(
+    s"$name is evaluated relationally, not as an aggregate")
+}
+
+/** GX expect_column_values_to_be_increasing, over an EXPLICIT order
+  * column — a distributed table has no file order to inherit, so the
+  * check is "when sorted by `orderBy`, each non-null value is ≥ (> for
+  * `strictly`) the previous one"; violations are counted pairwise
+  * against the immediately preceding row, GX's lag semantics, with the
+  * `mostly` denominator the non-null (value, order) row count.
+  *
+  * Adjacent-pair comparison in a total order is the one GX check no
+  * single aggregate expresses. The naive form —
+  * `lag(v).over(Window.orderBy(o))` — plans a SINGLE-PARTITION sort
+  * (fatal at 100 TB), so the sequence is first collapsed to distinct
+  * (order, value) groups with multiplicities (equal pairs are
+  * adjacent after sorting: internally they violate `strictly` exactly
+  * (count − 1) times and non-strict never), ranked by the
+  * range-bucketed distributed [[graft.operators.Rank]] primitive, and
+  * boundary violations come from a rank↔rank+1 self-join. Exact and
+  * fully parallel; ties in `orderBy` are sub-ordered by the value
+  * (ascending — the stable-sort choice the oracle's ORDER BY o, v
+  * reproduces). */
+final case class ExpectIncreasing(column: String, orderBy: String,
+    strictly: Boolean = false, mostly: Double = 1.0)
+    extends RelationalExpectation {
+  require(mostly > 0.0 && mostly <= 1.0, s"mostly must be in (0,1]: $mostly")
+  val name: String =
+    if (strictly) "expect_increasing_strict" else "expect_increasing"
+  def success(o: Column, denom: Column): Column =
+    o <= lit(1.0 - mostly) * denom
+  def evaluate(df: DataFrame): DataFrame = {
+    val nn = df.filter(col(column).isNotNull && col(orderBy).isNotNull)
+      .select(col(orderBy).cast("double").as("_o"),
+        col(column).cast("double").as("_v"))
+    val grouped = nn.groupBy("_o", "_v").agg(count(lit(1)).as("_c"))
+    // one materialization: ranked feeds both the pair join's sides
+    val ranked = graft.operators.Rank.runningSums(grouped, Nil, "_o",
+      Seq("_v"), Seq(("_rn", lit(1L)))).localCheckpoint(false)
+    val prev = ranked.select((col("_rn") + 1).as("_rn"),
+      col("_v").as("_prev"))
+    val bad =
+      if (strictly) col("_v") <= col("_prev") else col("_v") < col("_prev")
+    val boundary = ranked.join(prev, Seq("_rn"))
+      .agg(coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L)).as("_bviol"))
+    val base = grouped.agg(coalesce(sum(col("_c")), lit(0L)).as("_n"),
+      count(lit(1)).as("_m"))
+    val obs =
+      if (strictly) col("_bviol") + (col("_n") - col("_m")) else col("_bviol")
+    base.crossJoin(boundary).select(obs.as("_obs"), col("_n").as("_den"))
+  }
+}
+
 /** A named suite over one table — the analog of a GX checkpoint. */
 final case class ExpectationSuite(table: String, expectations: Seq[Expectation]) {
 
@@ -226,11 +314,22 @@ final case class ExpectationSuite(table: String, expectations: Seq[Expectation])
       df.agg(aggs.head, aggs.tail: _*)
     }
     val indexed = expectations.zipWithIndex
-    val (dst, rest) = indexed.partition { case (e, _) => isDistinctStyle(e) }
-    val one =
-      if (dst.nonEmpty && rest.exists { case (e, _) => isObjectAgg(e) })
-        aggOf(rest).crossJoin(aggOf(dst))
-      else aggOf(indexed)
+    val (rel, aggable) = indexed.partition {
+      case (e, _) => e.isInstanceOf[RelationalExpectation]
+    }
+    val (dst, rest) = aggable.partition { case (e, _) => isDistinctStyle(e) }
+    val aggFrames =
+      if (aggable.isEmpty) Nil
+      else if (dst.nonEmpty && rest.exists { case (e, _) => isObjectAgg(e) })
+        Seq(aggOf(rest), aggOf(dst))
+      else Seq(aggOf(aggable))
+    val relFrames = rel.map { case (e, i) =>
+      e.asInstanceOf[RelationalExpectation].evaluate(df)
+        .select(col("_obs").cast("double").as(s"obs_$i"),
+          col("_den").cast("double").as(s"den_$i"))
+    }
+    // every frame is exactly one row, so the chain is scalar composition
+    val one = (aggFrames ++ relFrames).reduce(_ crossJoin _)
     val rows = expectations.zipWithIndex.map { case (e, i) =>
       struct(
         lit(table).as("table_name"),
@@ -250,6 +349,9 @@ final case class ExpectationSuite(table: String, expectations: Seq[Expectation])
     * key `obs_i` is expectation i's observed value. */
   def observe(df: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
     require(expectations.nonEmpty, "empty suite")
+    require(!expectations.exists(_.isInstanceOf[RelationalExpectation]),
+      "relational expectations (expect_increasing) need their own plan " +
+        "and cannot ride an observe() accumulator; run() them instead")
     val obs = org.apache.spark.sql.Observation(s"dq_$table")
     val aggs = expectations.zipWithIndex.map { case (e, i) =>
       e.observedAgg.cast("double").as(s"obs_$i")

@@ -102,6 +102,18 @@ object SuiteConfig {
       case "expect_column_quantile_to_be_between" =>
         ExpectQuantileBetween(column, dbl("quantile"),
           dbl("min_value"), dbl("max_value"))
+      case "expect_column_min_to_be_between" =>
+        ExpectMinBetween(column, dbl("min_value"), dbl("max_value"))
+      case "expect_column_max_to_be_between" =>
+        ExpectMaxBetween(column, dbl("min_value"), dbl("max_value"))
+      case "expect_column_sum_to_be_between" =>
+        ExpectSumBetween(column, dbl("min_value"), dbl("max_value"))
+      case "expect_column_values_to_be_increasing" =>
+        // a distributed table has no row order: the order column is a
+        // REQUIRED kwarg here (GX's pandas backend inherits file order,
+        // which does not exist under a shuffle)
+        ExpectIncreasing(column, req(kw, "order_by").asText(),
+          Option(kw.get("strictly")).exists(_.asBoolean()), mostly)
       case "expect_column_distinct_values_to_be_in_set" =>
         val vs = req(kw, "value_set")
         require(vs.isArray, s"$tpe: value_set must be an array")

@@ -91,4 +91,66 @@ class ExpectationSpec extends AnyFunSuite {
     assert(rep.getAs[Double]("observed") == 1.0,
       s"expected exactly the one real duplicate, got $rep")
   }
+
+  test("increasing: pairwise-lag violations with ties and duplicates") {
+    import spark.implicits._
+    // ordered by (o, v): v sequence = 5, 5, 5, 3, 7, 7
+    //   o=1 has values 5 and 5 (duplicate pair), o=2 has 5, o=3 has 3
+    //   (a drop), o=4 has 7 and 7 (duplicate pair)
+    val df = Seq((1, 5.0), (1, 5.0), (2, 5.0), (3, 3.0), (4, 7.0), (4, 7.0))
+      .toDF("o", "v")
+    def obs(strictly: Boolean): (Long, Double) = {
+      val r = ExpectationSuite("t",
+        Seq(ExpectIncreasing("v", "o", strictly))).run(df).collect().head
+      (r.getAs[Long]("success"), r.getAs[Double]("observed"))
+    }
+    // non-strict: only the 5 -> 3 drop violates
+    assert(obs(strictly = false) == ((0L, 1.0)))
+    // strict: the drop, plus every equal consecutive pair:
+    //   (5,5) within o=1, (5,5) across o=1->o=2, (7,7) within o=4
+    assert(obs(strictly = true) == ((0L, 4.0)))
+  }
+
+  test("increasing: sorted sequence passes, nulls excluded, mostly") {
+    import spark.implicits._
+    val sorted = Seq((1, Some(1.0)), (2, Some(2.0)), (3, None),
+      (4, Some(2.0)), (5, Some(9.0))).toDF("o", "v")
+    val ok = ExpectationSuite("t", Seq(ExpectIncreasing("v", "o")))
+      .run(sorted).collect().head
+    assert(ok.getAs[Long]("success") == 1L)
+    assert(ok.getAs[Double]("observed") == 0.0)
+    // one violation among 4 non-null values: mostly=0.75 tolerates it
+    val dip = Seq((1, 1.0), (2, 5.0), (3, 4.0), (4, 9.0)).toDF("o", "v")
+    val strict = ExpectationSuite("t", Seq(ExpectIncreasing("v", "o")))
+      .run(dip).collect().head
+    val tol = ExpectationSuite("t",
+      Seq(ExpectIncreasing("v", "o", mostly = 0.75))).run(dip).collect().head
+    assert(strict.getAs[Long]("success") == 0L)
+    assert(tol.getAs[Long]("success") == 1L)
+  }
+
+  test("increasing mixes with aggregate expectations in one suite") {
+    import spark.implicits._
+    val df = Seq((1, 1.0), (2, 3.0), (3, 2.0)).toDF("o", "v")
+    val rep = ExpectationSuite("t", Seq(
+      ExpectMinBetween("v", 1, 1), ExpectMaxBetween("v", 3, 3),
+      ExpectSumBetween("v", 6, 6), ExpectIncreasing("v", "o"),
+      ExpectUnique("v"), ExpectMedianBetween("v", 2, 2)))
+      .run(df).collect()
+      .map(r => r.getString(1) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(rep("expect_min_between") == ((1L, 1.0)))
+    assert(rep("expect_max_between") == ((1L, 3.0)))
+    assert(rep("expect_sum_between") == ((1L, 6.0)))
+    assert(rep("expect_increasing") == ((0L, 1.0)))
+    assert(rep("expect_unique") == ((1L, 0.0)))
+    assert(rep("expect_median_between") == ((1L, 2.0)))
+  }
+
+  test("observe refuses relational expectations with a named error") {
+    val e = intercept[IllegalArgumentException] {
+      ExpectationSuite("t", Seq(ExpectIncreasing("v", "o")))
+        .observe(df)
+    }
+    assert(e.getMessage.contains("relational"))
+  }
 }

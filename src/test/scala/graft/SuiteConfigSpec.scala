@@ -171,4 +171,36 @@ class SuiteConfigSpec extends AnyFunSuite {
     assert(s.expectations == Seq(
       ExpectNotNull("x", 1.0), ExpectNotNull("y", 0.95)))
   }
+
+  test("min/max/sum/increasing long-tail types parse into the ADT") {
+    val s = SuiteConfig.fromJson(
+      """{"table": "t", "expectations": [
+        |  {"expectation_type": "expect_column_min_to_be_between",
+        |   "kwargs": {"column": "x", "min_value": 0, "max_value": 1}},
+        |  {"expectation_type": "expect_column_max_to_be_between",
+        |   "kwargs": {"column": "x", "min_value": 9, "max_value": 10}},
+        |  {"expectation_type": "expect_column_sum_to_be_between",
+        |   "kwargs": {"column": "x", "min_value": 0, "max_value": 100}},
+        |  {"expectation_type": "expect_column_values_to_be_increasing",
+        |   "kwargs": {"column": "x", "order_by": "ts"}},
+        |  {"expectation_type": "expect_column_values_to_be_increasing",
+        |   "kwargs": {"column": "x", "order_by": "ts", "strictly": true,
+        |              "mostly": 0.9}}]}""".stripMargin)
+    assert(s.expectations == Seq(
+      ExpectMinBetween("x", 0, 1),
+      ExpectMaxBetween("x", 9, 10),
+      ExpectSumBetween("x", 0, 100),
+      ExpectIncreasing("x", "ts"),
+      ExpectIncreasing("x", "ts", strictly = true, mostly = 0.9)))
+  }
+
+  test("increasing without an order column fails the load") {
+    val e = intercept[IllegalArgumentException] {
+      SuiteConfig.fromJson(
+        """{"table": "t", "expectations": [
+          |  {"expectation_type": "expect_column_values_to_be_increasing",
+          |   "kwargs": {"column": "x"}}]}""".stripMargin)
+    }
+    assert(e.getMessage.contains("order_by"))
+  }
 }
