@@ -102,6 +102,59 @@ object Pq {
     aggregate(zip_with(code, lut, (c, l) => element_at(l, c + 1)),
       lit(0.0), (acc, e) => acc + e)
 
+  /** IVF-PQ top-k — the production ANN composition (FAISS `IVFx,PQy`
+    * without residual encoding): the IVF coarse quantizer routes each
+    * query to its `nprobe` nearest cells so only those cells' rows
+    * are ever SCANNED (the pruning lever: at 1B vectors and
+    * nprobe/nCells = 4/1024 the candidate stream is ~0.4% of the
+    * corpus), and the visited rows are scored by PQ-ADC over their
+    * m-nibble codes (the compression lever: 32× less memory traffic
+    * than reading the float vectors), with the ADC shortlist reranked
+    * by exact squared L2. Each corpus vector lives in exactly ONE
+    * cell, so the cell join never duplicates a (query, candidate)
+    * pair. Both trainings are deterministic (smallest-id samples),
+    * so recall is bit-stable run to run. Output: (qid, nid, l2, rank). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int, nCells: Int, nprobe: Int,
+      codebooks: Seq[Seq[Seq[Double]]], centroids: Seq[Seq[Double]],
+      shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coded = corpus.select(col(id).as("nid"),
+      KMeans.cellExpr(col(vec), centroids).as("__cell"),
+      graft.functions.PqCodes.of(col(vec), codebooks).as("__code"))
+    val q = queries.select(col(id).as("qid"), col(vec).as("__qv"),
+      lutExpr(col(vec), codebooks).as("__lut"),
+      explode(KMeans.probeExpr(col(vec), centroids, nprobe)).as("__cell"))
+    val wA = Window.partitionBy(col("qid"))
+      .orderBy(col("__ad").asc, col("nid").asc)
+    val short = coded.join(broadcast(q), "__cell")
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("__ad", adcExpr(col("__lut"), col("__code")))
+      .withColumn("__r", row_number().over(wA))
+      .filter(col("__r") <= shortlist)
+      .select(col("qid"), col("nid"), col("__qv"))
+    rerankExact(short, corpus, id, vec, k)
+  }
+
+  /** Exact-L2 rerank of a (qid, nid, __qv) shortlist against the
+    * original vectors — one semi-join back; only shortlist×queries
+    * vectors are ever touched exactly. */
+  private def rerankExact(short: DataFrame, corpus: DataFrame,
+      id: String, vec: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exact = short
+      .join(corpus.select(col(id).as("nid"), col(vec).as("__cv")), "nid")
+      .withColumn("l2",
+        aggregate(zip_with(col("__qv"), col("__cv"),
+          (a, b) => sq(a.cast("double") - b.cast("double"))),
+          lit(0.0), (acc, e) => acc + e))
+    val wE = Window.partitionBy(col("qid"))
+      .orderBy(col("l2").asc, col("nid").asc)
+    exact.withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("l2"), col("rank"))
+  }
+
   /** PQ-ADC top-k: encode the corpus once, shortlist `shortlist`
     * candidates per query by ADC, rerank the shortlist by EXACT
     * squared L2 against the original vectors (one semi-join back —
@@ -126,16 +179,6 @@ object Pq {
       .withColumn("__r", row_number().over(wA))
       .filter(col("__r") <= shortlist)
       .select(col("qid"), col("nid"), col("__qv"))
-    val exact = short
-      .join(corpus.select(col(id).as("nid"), col(vec).as("__cv")), "nid")
-      .withColumn("l2",
-        aggregate(zip_with(col("__qv"), col("__cv"),
-          (a, b) => sq(a.cast("double") - b.cast("double"))),
-          lit(0.0), (acc, e) => acc + e))
-    val wE = Window.partitionBy(col("qid"))
-      .orderBy(col("l2").asc, col("nid").asc)
-    exact.withColumn("rank", row_number().over(wE))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("l2"), col("rank"))
+    rerankExact(short, corpus, id, vec, k)
   }
 }

@@ -73,6 +73,63 @@ object SimilarityQueries extends QueryModule {
         .orderBy($"qid", $"rank")
     }),
 
+    // IVF-PQ composition under the same sketch-gate shape as
+    // sim_pq_recall: route with IVF cells (prune the scan), score the
+    // visited cells' PQ codes by ADC (32× compression), rerank
+    // exactly — the production 100 TB ANN plan, where neither pruning
+    // nor compression alone is enough. Both trainings deterministic,
+    // so the hashed recall boolean is bit-stable; the gate asserts
+    // mean recall@10 vs the exact-L2 brute force ≥ 0.5.
+    "sim_ivfpq_recall" -> ((s, d) => {
+      import s.implicits._
+      val emb = T.embeddings(s, d)
+      val cb = Pq.fit(emb, "vec_id", "embedding", m = 8, k = 16)
+      // 256 training vectors per centroid (FAISS's guidance): the
+      // training collect stays corpus-size-INDEPENDENT, so the twin's
+      // scaling slope measures the pruned scan, not driver Lloyd's
+      val cents = KMeans.fit(emb, "vec_id", "embedding", k = 16,
+        iters = 3, maxTrain = 4096)
+      val q = emb.filter($"vec_id" < 16)
+      val ann = Pq.ivfPqTopK(emb, q, "vec_id", "embedding", k = 10,
+        nCells = 16, nprobe = 4, codebooks = cb, centroids = cents,
+        shortlist = 50)
+      val c = emb.select($"vec_id".as("nid"),
+        transform($"embedding", _.cast("double")).as("cv"))
+      val brute = c.crossJoin(broadcast(q.select($"vec_id".as("qid"),
+          transform($"embedding", _.cast("double")).as("qv"))))
+        .filter($"qid" =!= $"nid")
+        .withColumn("l2", aggregate(zip_with($"qv", $"cv",
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, e) => acc + e))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+            .orderBy($"l2".asc, $"nid".asc)))
+        .filter($"rank" <= 10)
+        .select($"qid", $"nid")
+      val hits = ann.select($"qid", $"nid")
+        .join(brute, Seq("qid", "nid")).count()
+      val nq = q.count()
+      ann.groupBy()
+        .agg(countDistinct($"qid").as("n_queries"))
+        .withColumn("mean_recall_ok",
+          lit(hits.toDouble / (nq * 10.0) >= 0.5))
+    }),
+
+    // Bench-only timed twin of sim_ivfpq_recall (the IVF-PQ path
+    // alone, no brute verification arm). No oracle — rows-only.
+    "sim_ivfpq_topk" -> ((s, d) => {
+      import s.implicits._
+      val emb = T.embeddings(s, d)
+      val cb = Pq.fit(emb, "vec_id", "embedding", m = 8, k = 16)
+      val cents = KMeans.fit(emb, "vec_id", "embedding", k = 16,
+        iters = 3, maxTrain = 4096)
+      Pq.ivfPqTopK(emb, emb.filter($"vec_id" < 16), "vec_id",
+          "embedding", k = 10, nCells = 16, nprobe = 4,
+          codebooks = cb, centroids = cents, shortlist = 50)
+        .select($"qid", $"nid", r4($"l2").as("l2"),
+          $"rank".cast("long").as("rank"))
+        .orderBy($"qid", $"rank")
+    }),
+
     "sim_join" -> ((s, d) => {
       import s.implicits._
       Similarity.similarityJoin(T.embeddings(s, d), "vec_id",
@@ -134,6 +191,11 @@ object SimilarityQueries extends QueryModule {
     "sim_pq_recall" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |  CAST(count(*) * 10 AS BIGINT) AS n_results,
+        |  TRUE AS mean_recall_ok
+        |FROM embeddings WHERE vec_id < 16""".stripMargin,
+
+    "sim_ivfpq_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |  TRUE AS mean_recall_ok
         |FROM embeddings WHERE vec_id < 16""".stripMargin,
 

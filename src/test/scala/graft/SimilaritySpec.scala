@@ -118,6 +118,43 @@ class SimilaritySpec extends AnyFunSuite {
       "PqCodes diverged from the HOF reference encoding")
   }
 
+  test("IVF-PQ top-k: pruned scan + compressed scoring, recall holds") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.similarity.{KMeans, Pq}
+    val cb = Pq.fit(emb, "vec_id", "embedding", m = 8, k = 16)
+    val cents = KMeans.fit(emb, "vec_id", "embedding", k = 16, iters = 3)
+    val q = emb.filter($"vec_id" < 20)
+    val ann = Pq.ivfPqTopK(emb, q, "vec_id", "embedding", k = 10,
+      nCells = 16, nprobe = 4, codebooks = cb, centroids = cents,
+      shortlist = 50)
+    // one cell per corpus vector ⇒ no (qid, nid) pair can duplicate
+    val dups = ann.groupBy($"qid", $"nid").count()
+      .filter($"count" > 1).count()
+    assert(dups == 0, "cell join duplicated a candidate pair")
+    val got = topkSet(ann)
+    val sq = (a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) => (a - b) * (a - b)
+    val c = emb.select($"vec_id".as("nid"),
+      transform($"embedding", _.cast("double")).as("cv"))
+    val brute = topkSet(c.crossJoin(broadcast(
+        q.select($"vec_id".as("qid"),
+          transform($"embedding", _.cast("double")).as("qv"))))
+      .filter($"qid" =!= $"nid")
+      .withColumn("l2", aggregate(zip_with($"qv", $"cv", sq),
+        lit(0.0), (acc, e) => acc + e))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+          .orderBy($"l2".asc, $"nid".asc)))
+      .filter($"rank" <= 10))
+    val recall = recallOf(brute, got)
+    info(f"IVF-PQ recall@10 (nprobe=4/16, m=8, shortlist=50) = $recall%.3f")
+    // composition loses to each component alone (routing misses stack
+    // on quantization error) — the gate is the production bar, not
+    // the component bars
+    assert(recall >= 0.3, f"IVF-PQ recall collapsed: $recall%.3f")
+  }
+
   test("IVF top-k recall vs brute force") {
     import spark.implicits._
     val q = emb.filter($"vec_id" < 20)

@@ -18,10 +18,12 @@ class SmokeSpec extends AnyFunSuite {
     // picks data values at approximate ranks DuckDB cannot reproduce;
     // its 1% closeness assertion lives in ApproxQuantileSpec and the
     // oracle-checked exact+sketch pairing is q_approx_quantile.
-    // sim_pq_topk: the PQ path's timed twin (ADC codes DuckDB cannot
-    // reproduce); quality is oracle-gated via sim_pq_recall and the
+    // sim_pq_topk / sim_ivfpq_topk: the PQ and IVF-PQ paths' timed
+    // twins (ADC codes DuckDB cannot reproduce); quality is
+    // oracle-gated via sim_pq_recall / sim_ivfpq_recall and the
     // equivalence/recall specs in SimilaritySpec.
-    val expectedRowsOnly = Set("q_approx_quantile_sketch", "sim_pq_topk")
+    val expectedRowsOnly =
+      Set("q_approx_quantile_sketch", "sim_pq_topk", "sim_ivfpq_topk")
     assert(rowsOnly == expectedRowsOnly,
       s"oracle coverage drifted: rows-only = $rowsOnly")
   }
