@@ -74,9 +74,10 @@ object SparkEntry {
     * LSH/IVF ANN keys, all timed) — keeping two known-quadratic rows
     * in the timed set measured the oracle shape, not the engine. */
   def benchExclude: Set[String] = Set("q_approx_quantile",
-    "sim_pq_recall",
+    "sim_pq_recall", "sim_ivfpq_recall",
     "stream_tumbling", "stream_session", "stream_sessionize",
     "stream_sliding", "stream_join", "stream_txtable",
+    "stream_txtable_sink",
     "stream_dedup", "stream_totals", "stream_enrich",
     "stream_backfill", "dedup_embed", "sim_join")
 

@@ -257,6 +257,69 @@ object StreamingQueries extends QueryModule {
         .orderBy($"event_type")
     }),
 
+    // The TxTable streaming SINK under the driver gate: the strongest
+    // exactly-once claim in the tree, previously spec-only
+    // (StreamingSpec5). An end-to-end TxTable → TxTable pipe: the
+    // source's version-offsets deliver three micro-batches
+    // (maxVersionsPerBatch=1), each lands in the sink table via
+    // appendEpoch (the dedup marker lives IN the manifest it
+    // commits), and then the run FORCES a replay — the newest stream
+    // commit marker is deleted and the stream restarted, so
+    // Structured Streaming re-delivers the final batch. The manifest
+    // txn marker must skip it: any double-append diverges from the
+    // DuckDB batch aggregate (integer cents, exact under any
+    // batching), and an explicit duplicate-id require fails fast with
+    // the better message.
+    "stream_txtable_sink" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.TxTable
+      val slug = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tmp = sys.props("java.io.tmpdir")
+      val srcDir = tmp + "/graft_txsink_src_" + slug
+      val sinkDir = tmp + "/graft_txsink_dst_" + slug
+      val ckpt = tmp + "/graft_txsink_ckpt_" + slug
+      val hconf = s.sparkContext.hadoopConfiguration
+      Seq(srcDir, sinkDir, ckpt).foreach { p0 =>
+        val p = new org.apache.hadoop.fs.Path(p0)
+        p.getFileSystem(hconf).delete(p, true)
+      }
+      val ev = graft.Tables.events(s, d).select($"event_id", $"event_type",
+        org.apache.spark.sql.functions.round($"value" * 100)
+          .cast("long").as("cents"))
+      TxTable.overwrite(ev.filter($"event_id" % 3 === 0), srcDir)
+      TxTable.append(ev.filter($"event_id" % 3 === 1), srcDir)
+      TxTable.append(ev.filter($"event_id" % 3 === 2), srcDir)
+      def start() = s.readStream.format("graft.sources.TxTableStreamSource")
+        .option("path", srcDir).option("maxVersionsPerBatch", "1").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, epoch: Long) =>
+          TxTable.appendEpoch(df, sinkDir, "txsink_gate", epoch); ()
+        }.start()
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      // forced replay: drop the newest commit marker so the restart
+      // re-delivers an epoch the sink table already holds
+      val commits = java.nio.file.Paths.get(ckpt, "commits")
+      val newest = java.nio.file.Files.list(commits).toArray
+        .map(_.toString).filter(_.matches(".*/\\d+$"))
+        .maxBy(p => p.split("/").last.toLong)
+      java.nio.file.Files.delete(java.nio.file.Paths.get(newest))
+      java.nio.file.Files.deleteIfExists(
+        commits.resolve(s".${newest.split("/").last}.crc"))
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val sunk = TxTable.read(s, sinkDir)
+      val n = sunk.count()
+      val distinctIds = sunk.select($"event_id").distinct().count()
+      require(n == distinctIds,
+        s"TxTable sink not exactly-once: $n rows, ${n - distinctIds} dups")
+      sunk.groupBy($"event_type")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum($"cents").as("cents"))
+        .orderBy($"event_type")
+    }),
+
     // Stream-stream interval join (clicks × purchases within the
     // following hour, both sides watermarked): inner-join matches
     // emit as they pair, and the single-trigger replay sees both
@@ -350,6 +413,13 @@ object StreamingQueries extends QueryModule {
         |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     "stream_txtable" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // same batch aggregate: the sink pipe must be invisible — any
+    // replay double-append or lost batch diverges
+    "stream_txtable_sink" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
