@@ -93,18 +93,54 @@ object TxTable {
   private def manifestPath(table: String, v: Long) =
     new Path(logDir(table), s"v$v.json")
 
-  /** The committed head version in O(commit-lag-since-hint) exists
-    * probes instead of an O(#commits) directory listing — the listing
-    * is the one per-read metadata cost that grows with table age on
-    * an object store. A valid hint h (v{h}.json exists) is probed
-    * FORWARD until the first missing version; anything else falls
-    * back to the full listing. Versions are contiguous upward from
-    * the vacuum floor, so the first gap above a committed version IS
-    * the head. */
+  /** Durable resolution floor, the Delta `_last_checkpoint` analog —
+    * written every [[CheckpointInterval]] commits (the hint is written
+    * on EVERY commit, so it is the fresher floor when healthy, but its
+    * constant overwrite traffic is also why it can be torn, stale, or
+    * last-writer-regressed exactly when a cold reader needs it). The
+    * checkpoint changes rarely, so a cold reader that finds the hint
+    * unusable still resolves in ≤ interval + commit-lag exists-probes
+    * instead of the O(#commits) directory listing — the one metadata
+    * cost that grows with table age on an object store. Manifests are
+    * SELF-CONTAINED here (full file list per version, no action
+    * replay), so unlike Delta the checkpoint carries no state — just
+    * the version floor. Same trust model as the hint: strictly a
+    * LOWER-BOUND candidate, validated against the manifest it names
+    * (stale/corrupt/vacuumed-away → ignored, never wrong results). */
+  private[graft] val CheckpointInterval = 10L
+
+  private[graft] def checkpointPath(table: String) =
+    new Path(logDir(table), "_last_checkpoint")
+
+  private[graft] def writeCheckpoint(f: FileSystem, table: String,
+      v: Long): Unit =
+    try {
+      val out = f.create(checkpointPath(table), /* overwrite = */ true)
+      try out.write(s"""{"version":$v}""".getBytes("UTF-8"))
+      finally out.close()
+    } catch { case _: Exception => () }
+
+  private[graft] def readCheckpoint(f: FileSystem, table: String): Option[Long] =
+    try {
+      val p = checkpointPath(table)
+      if (!f.exists(p)) None
+      else graft.Json.parseObject(new String(readFully(f, p), "UTF-8"))
+        .get("version").collect { case l: Long => l }
+    } catch { case _: Exception => None }
+
+  /** The committed head version in O(commit-lag-since-floor) exists
+    * probes instead of an O(#commits) directory listing. The floor is
+    * the best VALIDATED lower bound available — the per-commit hint
+    * when healthy, else the periodic checkpoint (a floor f is valid
+    * iff v{f}.json exists) — probed FORWARD until the first missing
+    * version; no valid floor falls back to the full listing. Versions
+    * are contiguous upward from the vacuum floor, so the first gap
+    * above a committed version IS the head. */
   private def resolveHead(f: FileSystem, table: String): Option[Long] = {
-    val fromHint = readHint(f, table)
-      .filter(h => h > 0 && f.exists(manifestPath(table, h)))
-    fromHint match {
+    val candidates =
+      Seq(readHint(f, table), readCheckpoint(f, table)).flatten
+        .filter(h => h > 0 && f.exists(manifestPath(table, h)))
+    candidates.sorted.lastOption match {
       case Some(h) =>
         var v = h
         while (f.exists(manifestPath(table, v + 1))) v += 1
@@ -362,6 +398,8 @@ object TxTable {
       throw new TxConflictException(
         s"version $version already committed at $table")
     writeHint(f, table, version) // best-effort, after the real commit
+    if (version % CheckpointInterval == 0)
+      writeCheckpoint(f, table, version) // best-effort durable floor
   }
 
   /** Overwrite: next version = exactly `df`. Returns the version.

@@ -359,6 +359,50 @@ class TxTableSpec extends AnyFunSuite {
     assert(headV === 6L)
   }
 
+  test("log checkpoint: periodic durable floor, cold resolution without hint or listing surprises") {
+    import org.apache.hadoop.fs.Path
+    val t = freshTable()
+    // 12 commits → checkpoint written at v10 (interval 10)
+    for (v <- 1 to 12) TxTable.overwrite(df(v -> s"v$v"), t)
+    val fs = new Path(t).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val ckpt = new Path(t, "_graft_log/_last_checkpoint")
+    val hint = new Path(t, "_graft_log/_hint")
+    assert(fs.exists(ckpt), "commit 10 must write the checkpoint")
+    assert(TxTable.readCheckpoint(fs, t) === Some(10L))
+    def headV: Long = TxTable.snapshot(spark, t).get.version
+    def content: Seq[(Int, String)] =
+      TxTable.read(spark, t).as[(Int, String)].collect().toSeq
+    // a checkpointed table resolves identically with the hint gone:
+    // the floor is the checkpoint, probed forward 10 → 12
+    fs.delete(hint, false)
+    assert(headV === 12L)
+    assert(content === Seq(12 -> "v12"))
+    // stale checkpoint (an old floor) still resolves the true head
+    TxTable.writeCheckpoint(fs, t, 3L)
+    fs.delete(hint, false)
+    assert(headV === 12L)
+    // corrupt checkpoint → ignored, falls back to listing
+    val o = fs.create(ckpt, true); o.write("garbage{".getBytes); o.close()
+    fs.delete(hint, false)
+    assert(headV === 12L)
+    assert(TxTable.readCheckpoint(fs, t) === None)
+    // checkpoint naming a never-committed version → validation
+    // (manifest exists) rejects it → listing fallback
+    TxTable.writeCheckpoint(fs, t, 999L)
+    fs.delete(hint, false)
+    assert(headV === 12L)
+    // vacuum below the checkpointed version: the floor's manifest is
+    // gone, so the (restored) checkpoint is rejected and resolution
+    // still lands on the retained head
+    TxTable.writeCheckpoint(fs, t, 10L)
+    TxTable.vacuum(spark, t, retainLast = 1)
+    assert(fs.exists(ckpt), "vacuum must not delete the checkpoint")
+    fs.delete(hint, false)
+    assert(headV === 12L)
+    assert(content === Seq(12 -> "v12"))
+  }
+
   test("vacuum reclaims unreferenced files; retained versions stay exact") {
     val t = freshTable()
     TxTable.overwrite(df(1 -> "v1"), t)
