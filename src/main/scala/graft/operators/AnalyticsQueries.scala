@@ -183,12 +183,21 @@ object AnalyticsQueries extends QueryModule {
         .groupBy($"l_returnflag", $"l_extendedprice".cast("double").as("v"))
         .agg(count(lit(1)).as("c"))
         .localCheckpoint(false)
+      // med is CHECKPOINTED (groups-sized) because round 2's plan
+      // arms each execute broadcast(med) independently — uncheckpointed,
+      // every arm re-runs round 1's whole selection plan (broadcast
+      // reuse never spans separate plan executions)
       val med = ExactPercentile.perGroupWeighted(hist,
         "l_returnflag", "v", "c", Seq("med" -> 0.5), unique = true)
+        .localCheckpoint(false)
+      // deviation collisions (symmetric |v − med| pairs) stay exact
+      // without consolidation (ROWS-frame rank spans), and the frame
+      // is a map-side projection off round 1's checkpointed blocks —
+      // so round 2 adds NO shuffle and NO second checkpoint
       val devHist = hist.join(broadcast(med), "l_returnflag")
         .select($"l_returnflag", abs($"v" - $"med").as("dev"), $"c")
       ExactPercentile.perGroupWeighted(devHist,
-        "l_returnflag", "dev", "c", Seq("m" -> 0.5))
+        "l_returnflag", "dev", "c", Seq("m" -> 0.5), unique = true)
         .select($"l_returnflag", r4($"m").as("mad"))
         .orderBy($"l_returnflag")
     }),

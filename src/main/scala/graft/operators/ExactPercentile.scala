@@ -72,10 +72,7 @@ object ExactPercentile {
       .select(col(group), col(value).cast("double").as("v"),
         col(weight).cast("long").as("c"))
       .filter(col("v").isNotNull)
-    val vals =
-      if (unique) src
-      else src.groupBy(col(group), col("v")).agg(sum(col("c")).as("c"))
-    discFromHistogram(vals, group, fracs, materialized = unique)
+    discFromHistogram(src, group, fracs, materialized = unique)
   }
 
   private def discFromHistogram(vals: DataFrame, group: String,
@@ -97,13 +94,18 @@ object ExactPercentile {
     * its deviation histogram from the first round's value histogram
     * instead of rescanning and re-shuffling the raw table. Weights
     * are occurrence counts (each value row counts `weight` times).
-    * With `unique = true` the caller guarantees one row per
-    * (group, value) and the defensive re-group shuffle is skipped
-    * (q_mad round 1 / q_outlier_iqr / feat_winsorize build the
-    * histogram with groupBy(group, v) themselves); duplicate value
-    * rows (e.g. |v − med| collisions from symmetric deviations) need
-    * the default re-group. Null values are skipped as in
-    * [[perGroup]]. */
+    * Duplicate (group, value) rows (e.g. |v − med| collisions from
+    * symmetric deviations) are EXACT without consolidation — the
+    * selection pass's ROWS-frame rank spans stay disjoint and
+    * contiguous across duplicates (see rankNeededBuckets) — so no
+    * defensive re-group shuffle exists anywhere on this path.
+    * `unique = true` means the caller's frame is already materialized
+    * (checkpointed) or has shuffle-free lineage off one: the internal
+    * checkpoint barrier is skipped and the few consumer arms
+    * re-derive it from blocks (q_mad round 1 / q_outlier_iqr /
+    * feat_winsorize checkpoint the histogram themselves; q_mad round
+    * 2's deviation frame is a map-side projection off round 1's
+    * blocks). Null values are skipped as in [[perGroup]]. */
   def perGroupWeighted(hist: DataFrame, group: String, value: String,
       weight: String, fracs: Seq[(String, Double)],
       unique: Boolean = false): DataFrame = {
@@ -111,12 +113,7 @@ object ExactPercentile {
       .select(col(group), col(value).cast("double").as("v"),
         col(weight).cast("long").as("c"))
       .filter(col("v").isNotNull)
-    val vals =
-      if (unique) src
-      else src.groupBy(col(group), col("v")).agg(sum(col("c")).as("c"))
-    // unique callers hand over an already-checkpointed histogram —
-    // a second materialization barrier would be pure overhead
-    fromHistogram(vals, group, fracs, materialized = unique)
+    fromHistogram(src, group, fracs, materialized = unique)
   }
 
   /** Core selection pass: `vals` is one row per (group, v) with
@@ -153,12 +150,35 @@ object ExactPercentile {
     * they only decide which few buckets hold the ranks. */
   private def rankNeededBuckets(vals: DataFrame, group: String,
       ranks: Seq[Column], materialized: Boolean = false): DataFrame = {
-    // one materialization of the histogram; the bounds aggregate,
-    // the bucket-count aggregate, and the needed-bucket join all read
-    // its blocks instead of recomputing the upstream shuffle (skipped
-    // when the caller already checkpointed the frame it hands over)
+    // one materialization of the histogram; the bucket-count
+    // aggregate and the needed-bucket join read its blocks instead of
+    // recomputing the upstream shuffle (skipped when the caller
+    // already checkpointed the frame it hands over)
     val hist = if (materialized) vals else vals.localCheckpoint(false)
-    val bucketed = Rank.withRangeBucket(hist, Seq(group), "v", buckets = 32)
+    // GLOBAL bucket boundaries as plan literals: one tiny driver
+    // collect (31 doubles off a 5% sample of the histogram blocks)
+    // replaces the per-group bounds aggregate + broadcast join that
+    // every consumer arm of `bucketed` re-executed — measured two
+    // fewer jobs and one less join in both arms per percentile call.
+    // Global (not per-group) boundaries only affect BALANCE, never
+    // answers: a group occupying few buckets just rank-windows a
+    // larger slice. The per-group variant stays in Rank.runningSums,
+    // whose per-row window output is balance-critical; here only the
+    // needed buckets (≤ 2·|fracs| per group) are ever windowed.
+    val nBuckets = 32
+    val fracs31 = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val sampled = hist.sample(0.05, 42L)
+      .agg(percentile_approx(col("v").cast("double"),
+        typedlit(fracs31), lit(128)))
+      .head()
+    val bucketed =
+      if (sampled.isNullAt(0)) hist.withColumn("_bucket", lit(0))
+      else {
+        val bounds = sampled.getSeq[Double](0)
+        hist.withColumn("_bucket",
+          graft.functions.LowerBound(typedlit(bounds),
+            col("v").cast("double")))
+      }
 
     // groups × buckets rows: per-bucket weight totals
     val totals = bucketed.groupBy(col(group), col("_bucket"))
@@ -193,10 +213,23 @@ object ExactPercentile {
       .select(col(group), col("_bucket"), col("_off"), col("_n"))
 
     // rank-window ONLY the needed buckets' rows; the bucket offset
-    // lifts within-bucket running counts to global ranks
+    // lifts within-bucket running counts to global ranks. ROWS frame,
+    // not the default RANGE: with RANGE, two rows carrying the SAME
+    // (group, v) (a caller's unconsolidated histogram) are peers —
+    // both read the full through-peer cumulative sum, so their
+    // [_lo, _hi] spans overlap at the top and leave the bottom of the
+    // combined span UNCOVERED (a rank falling there matches no row →
+    // null percentile). Under ROWS each duplicate row gets a
+    // contiguous disjoint slice of the combined span, every slice
+    // labeled with the same v — any requested rank in the span finds
+    // v, so duplicate value rows are EXACT by construction and
+    // callers never need a defensive re-group shuffle. (Peer order
+    // within equal v is tie-broken arbitrarily; every assignment
+    // yields the same rank → value mapping.)
     val sub = bucketed.join(broadcast(needed), Seq(group, "_bucket"))
     val w = Window.partitionBy(col(group), col("_bucket"))
       .orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sub.withColumn("_hi", col("_off") + sum(col("c")).over(w))
       .withColumn("_lo", col("_hi") - col("c") + 1)
   }

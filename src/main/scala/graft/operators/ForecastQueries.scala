@@ -112,12 +112,17 @@ object ForecastQueries extends QueryModule {
         .groupBy($"event_type", $"value".cast("double").as("v"))
         .agg(count(lit(1)).as("c"))
         .localCheckpoint(false)
+      // checkpointed: three downstream arms execute broadcast(med)
+      // in separate plan executions (see q_mad)
       val med = ExactPercentile.perGroupWeighted(hist,
         "event_type", "v", "c", Seq("med" -> 0.5), unique = true)
+        .localCheckpoint(false)
+      // shuffle-free projection off the checkpointed histogram;
+      // deviation collisions are exact without consolidation
       val dev = hist.join(broadcast(med), "event_type")
         .select($"event_type", abs($"v" - $"med").as("dv"), $"c")
       val mad = ExactPercentile.perGroupWeighted(dev,
-        "event_type", "dv", "c", Seq("mad" -> 0.5))
+        "event_type", "dv", "c", Seq("mad" -> 0.5), unique = true)
       hist.join(broadcast(med), "event_type")
         .join(broadcast(mad), "event_type")
         .groupBy($"event_type")

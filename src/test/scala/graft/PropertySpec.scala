@@ -212,6 +212,40 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("perGroupWeighted is exact on UNCONSOLIDATED histograms (5 frames)") {
+    // duplicate (group, value) rows are the q_mad round-2 shape
+    // (symmetric |v − med| collisions land as separate rows): the
+    // ROWS-frame rank spans must keep them exact WITHOUT a defensive
+    // re-group — split each value's weight across 1-3 rows at random
+    // and demand equality with the consolidated form
+    import spark.implicits._
+    val genRows = for {
+      n <- Gen.choose(2, 120)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("x", "y")
+        v <- Gen.choose(-20, 20) // small domain → many duplicates
+        splits <- Gen.choose(1, 3)
+        w <- Gen.choose(1, 5)
+      } yield (g, v.toDouble, splits, w.toLong))
+    } yield rows
+    for ((rows, i) <- cases(genRows, 5).zipWithIndex) {
+      val expanded = (rows ++ Seq(("x", 0.0, 1, 1L), ("y", 0.0, 1, 1L)))
+        .flatMap { case (g, v, s, w) => Seq.fill(s)((g, v, w)) }
+      val dup = expanded.toDF("g", "v", "c")
+      val consolidated = dup.groupBy($"g", $"v")
+        .agg(org.apache.spark.sql.functions.sum($"c").as("c"))
+      def run(h: org.apache.spark.sql.DataFrame): Map[String, (Double, Double)] =
+        graft.operators.ExactPercentile
+          .perGroupWeighted(h, "g", "v", "c",
+            Seq("p30" -> 0.3, "p50" -> 0.5), unique = true)
+          .collect().map(r => r.getString(0) ->
+            (r.getDouble(1), r.getDouble(2))).toMap
+      val a = run(dup)
+      val b = run(consolidated)
+      assert(a == b, s"frame $i: duplicated-row histogram diverged: $a vs $b")
+    }
+  }
 }
 
 /** Helper keeping the runningSums call noise out of the property. */
