@@ -261,7 +261,7 @@ object Rank {
     * group can miss the sample entirely, so the join back is
     * left_outer and a null boundary set means bucket 0 — that group
     * runs single-bucket (it was tiny), it is never dropped. */
-  private[operators] def withRangeBucket(df: DataFrame, group: Seq[String],
+  private[graft] def withRangeBucket(df: DataFrame, group: Seq[String],
       value: String, buckets: Int): DataFrame = {
     if (buckets <= 1) return df.withColumn("_bucket", lit(0))
     val fracs = (1 until buckets).map(_.toDouble / buckets)

@@ -239,17 +239,20 @@ sealed trait RelationalExpectation extends Expectation {
   * `mostly` denominator the non-null (value, order) row count.
   *
   * Adjacent-pair comparison in a total order is the one GX check no
-  * single aggregate expresses. The naive form —
+  * single aggregate expresses, and the naive form —
   * `lag(v).over(Window.orderBy(o))` — plans a SINGLE-PARTITION sort
-  * (fatal at 100 TB), so the sequence is first collapsed to distinct
-  * (order, value) groups with multiplicities (equal pairs are
-  * adjacent after sorting: internally they violate `strictly` exactly
-  * (count − 1) times and non-strict never), ranked by the
-  * range-bucketed distributed [[graft.operators.Rank]] primitive, and
-  * boundary violations come from a rank↔rank+1 self-join. Exact and
-  * fully parallel; ties in `orderBy` are sub-ordered by the value
-  * (ascending — the stable-sort choice the oracle's ORDER BY o, v
-  * reproduces). */
+  * (fatal at 100 TB). Instead: range-bucket the rows on the order
+  * column (equal order values always share a bucket, and bucket ids
+  * are monotone in it), lag WITHIN buckets — a fully parallel window,
+  * every adjacent pair lands inside some bucket except the ≤ buckets−1
+  * bucket-edge pairs — and fold those edges from a buckets-sized
+  * aggregate of per-bucket first/last (order, value) structs with
+  * array HOFs (no window, no join, no rank machinery anywhere).
+  * Duplicate rows need no pre-consolidation: equal (order, value)
+  * rows sort adjacent inside their bucket, so strict mode counts each
+  * duplicate run's internal pairs via the same lag. Ties in `orderBy`
+  * are sub-ordered by the value (ascending — the stable-sort choice
+  * the oracle's ORDER BY o, v reproduces). */
 final case class ExpectIncreasing(column: String, orderBy: String,
     strictly: Boolean = false, mostly: Double = 1.0)
     extends RelationalExpectation {
@@ -259,24 +262,39 @@ final case class ExpectIncreasing(column: String, orderBy: String,
   def success(o: Column, denom: Column): Column =
     o <= lit(1.0 - mostly) * denom
   def evaluate(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val nn = df.filter(col(column).isNotNull && col(orderBy).isNotNull)
       .select(col(orderBy).cast("double").as("_o"),
         col(column).cast("double").as("_v"))
-    val grouped = nn.groupBy("_o", "_v").agg(count(lit(1)).as("_c"))
-    // one materialization: ranked feeds both the pair join's sides
-    val ranked = graft.operators.Rank.runningSums(grouped, Nil, "_o",
-      Seq("_v"), Seq(("_rn", lit(1L)))).localCheckpoint(false)
-    val prev = ranked.select((col("_rn") + 1).as("_rn"),
-      col("_v").as("_prev"))
-    val bad =
-      if (strictly) col("_v") <= col("_prev") else col("_v") < col("_prev")
-    val boundary = ranked.join(prev, Seq("_rn"))
-      .agg(coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L)).as("_bviol"))
-    val base = grouped.agg(coalesce(sum(col("_c")), lit(0L)).as("_n"),
-      count(lit(1)).as("_m"))
-    val obs =
-      if (strictly) col("_bviol") + (col("_n") - col("_m")) else col("_bviol")
-    base.crossJoin(boundary).select(obs.as("_obs"), col("_n").as("_den"))
+    val bucketed = graft.operators.Rank
+      .withRangeBucket(nn, Nil, "_o", buckets = 32)
+      .localCheckpoint(false)
+    def bad(prev: Column, cur: Column): Column =
+      if (strictly) cur <= prev else cur < prev
+    val wB = Window.partitionBy(col("_bucket"))
+      .orderBy(col("_o"), col("_v"))
+    val inBucket = bucketed
+      .withColumn("_p", lag(col("_v"), 1).over(wB))
+      .agg(coalesce(sum(when(bad(col("_p"), col("_v")), 1L)
+        .otherwise(0L)), lit(0L)).as("_wviol"),
+        count(lit(1)).as("_den"))
+    // bucket-edge pairs: last (o, v) of bucket b vs first of the next
+    // NON-EMPTY bucket — a ≤ buckets-row aggregate folded with HOFs
+    val edges = bucketed.groupBy(col("_bucket"))
+      .agg(min(struct(col("_o"), col("_v"))).as("_f"),
+        max(struct(col("_o"), col("_v"))).as("_l"))
+      .groupBy()
+      .agg(sort_array(collect_list(
+        struct(col("_bucket"), col("_f"), col("_l")))).as("_e"))
+      .select(when(size(col("_e")) < 2, lit(0L)).otherwise(
+        aggregate(zip_with(
+          slice(col("_e"), lit(1), size(col("_e")) - 1),
+          slice(col("_e"), lit(2), size(col("_e")) - 1),
+          (a, b) => when(bad(a.getField("_l").getField("_v"),
+            b.getField("_f").getField("_v")), 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x)).as("_bviol"))
+    inBucket.crossJoin(edges)
+      .select((col("_wviol") + col("_bviol")).as("_obs"), col("_den"))
   }
 }
 
