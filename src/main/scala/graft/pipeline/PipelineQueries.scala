@@ -80,7 +80,13 @@ object PipelineQueries extends QueryModule {
         .withColumn("is_exact",
           $"gated" && sum(when($"gated", 1L).otherwise(0L)).over(w) === 1L)
         .localCheckpoint(false)
-      val pairs = graft.dedup.Dedup.jaccardPairs(
+      // near-dup arm = the SCALE path (MinHash-LSH candidates, exact
+      // Jaccard verify inside buckets — never the postings self-join):
+      // at this corpus's parameters candidates∩verify equals the exact
+      // join (the dedup_minhash/dedup_jaccard shared-oracle argument:
+      // near-dup pairs sit ≥ 0.9 jaccard, banding miss ≈ 4e-8), so the
+      // DuckDB oracle still replays exact Jaccard
+      val pairs = graft.dedup.MinHash.nearDupPairs(
         flagged.filter($"is_exact").select($"doc_id", $"text"),
         "doc_id", "text", 3, 0.5)
       flagged.join(
