@@ -34,6 +34,17 @@ object TextQueries4 extends QueryModule {
     // keys, never as strings. A low-novelty doc is boilerplate or a
     // near-copy: the standard pretraining-corpus quality signal
     // between exact dedup and MinHash.
+    //
+    // Negative results (r14, each measured min-of-4 at sf0.1 against
+    // this form's 1.34 s): (a) df via a full-frame window over the
+    // shingle key — 1.55 s; the window SORTS the postings by a
+    // millions-of-distinct-values key where the hash aggregate never
+    // sorts anything. (b) n_shared = n_shingles − n_unique with
+    // map-side sizes and df-1 owners — 1.89 s when the two arms
+    // re-shingled the text, and still 1.90 s with the distinct-set
+    // ARRAYS checkpointed once (array-of-longs rows materialize the
+    // same postings volume in a worse shape than the exploded 8-byte
+    // pairs). The df-join stands.
     "text_novelty" -> ((s, d) => {
       import s.implicits._
       val post = graft.dedup.Dedup.shinglePostings(
