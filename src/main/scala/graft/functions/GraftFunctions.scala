@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "array_dot" -> (es => ArrayDot(es(0), es(1))),
+    "array_l1" -> (es => ArrayL1(es(0), es(1))),
     "shingle_hashes" -> (es => ShingleHashes(es(0),
       es(1).eval().asInstanceOf[Number].intValue)),
     "jaro_winkler" -> (es => JaroWinkler(es(0), es(1))))

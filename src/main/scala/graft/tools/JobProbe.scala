@@ -33,6 +33,8 @@ object JobProbe {
         println(f"[job ${je.jobId}%3d] ${ms}%5d ms")
       }
     })
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+      graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     for (p <- 1 to passes) {
       println(s"=== pass $p: $name ===")
       val t0 = System.nanoTime()

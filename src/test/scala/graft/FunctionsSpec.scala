@@ -32,6 +32,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.select(ArrayDot.dot(col("a"), col("b"))).head.isNullAt(0))
   }
 
+  test("ArrayL1 equals the HOF reference form and guards lengths") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1, 5, 0, 7), Seq(3, 2, 0, 7)),
+      (Seq(0, 0, 0, 0), Seq(9, 9, 9, 9)),
+      (Seq(-3, 4, 2, 1), Seq(3, -4, 2, 1))).toDF("a", "b")
+    val both = df.select(
+      graft.functions.ArrayL1.of(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => abs(x - y).cast("long")), lit(0L),
+        (acc, v) => acc + v).as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() == 0)
+    val bad = Seq((Seq(1, 2, 3), Seq(1, 2))).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(graft.functions.ArrayL1.of(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("length mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("length mismatch")))
+    val withNull = Seq((Option.empty[Seq[Int]], Seq(1))).toDF("a", "b")
+    assert(withNull.select(
+      graft.functions.ArrayL1.of(col("a"), col("b"))).head.isNullAt(0))
+  }
+
   test("array_dot is SQL-callable after registration") {
     GraftFunctions.registerAll(spark)
     val got = spark.sql(
