@@ -213,6 +213,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ExpectIncreasing == brute pairwise-lag reference (6 frames, both modes)") {
+    // reference: sort non-null rows by (o, v), count adjacent
+    // violations — exactly the oracle's lag-window definition. The
+    // distributed evaluation (range buckets + in-bucket lag + HOF
+    // edge fold) must agree on random frames with heavy duplicates.
+    import spark.implicits._
+    val genRows = for {
+      n <- Gen.choose(0, 150)
+      rows <- Gen.listOfN(n, for {
+        o <- Gen.choose(0, 12)          // few order values → many ties
+        v <- Gen.option(Gen.choose(0, 8)) // small domain → duplicate runs
+      } yield (o, v))
+    } yield rows
+    for ((rows, i) <- cases(genRows, 6).zipWithIndex;
+         strictly <- Seq(false, true)) {
+      val df = rows.map { case (o, v) => (o.toLong, v.map(_.toDouble)) }
+        .toDF("o", "v")
+      val nn = rows.collect { case (o, Some(v)) => (o, v) }
+        .sortBy(identity).map(_._2.toDouble)
+      val wantViol = nn.zip(nn.drop(1)).count { case (p, c) =>
+        if (strictly) c <= p else c < p
+      }
+      val rep = graft.quality.ExpectationSuite("t",
+        Seq(graft.quality.ExpectIncreasing("v", "o", strictly)))
+        .run(df).collect().head
+      assert(rep.getAs[Double]("observed") == wantViol.toDouble,
+        s"frame $i strictly=$strictly: got ${rep.getAs[Double]("observed")}" +
+          s" want $wantViol (n=${nn.length})")
+      val wantSuccess = if (wantViol == 0) 1L else 0L
+      assert(rep.getAs[Long]("success") == wantSuccess)
+    }
+  }
+
   test("perGroupWeighted is exact on UNCONSOLIDATED histograms (5 frames)") {
     // duplicate (group, value) rows are the q_mad round-2 shape
     // (symmetric |v − med| collisions land as separate rows): the
