@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{NumericType, StringType, StructType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, NumericType, ShortType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import scala.jdk.CollectionConverters._
@@ -68,9 +68,15 @@ object TxSql {
     * string equalities. Conjuncts arrive pre-split; anything the
     * manifest can't reason about is ignored — pruning stays an
     * optimization, never a filter. Literal-op-attribute orientations
-    * are normalized; casts around attributes are looked through only
-    * for the attribute NAME (the range test against double-cast
-    * min/max stats is unaffected by a widening cast). */
+    * are normalized. Casts around attributes are looked through ONLY
+    * when `Cast.canUpCast` holds (the coercions Catalyst itself
+    * inserts — widening, order-preserving): a user-written NARROWING
+    * cast like `CAST(dbl AS INT) >= -4` truncates toward zero, so
+    * dbl = −4.2 PASSES the predicate while the naive range [−4, ∞)
+    * would prune its file — a wrong-results bug, not a missed
+    * optimization. Value equalities accept bare attributes only
+    * (a cast-wrapped string equality can disagree with the canonical
+    * stored form — fail open instead). */
   private[sources] def toManifestPredicates(filters: Seq[Expression])
       : (Seq[(String, Double, Double)], Seq[(String, String)]) = {
     val ranges = Seq.newBuilder[(String, Double, Double)]
@@ -78,7 +84,12 @@ object TxSql {
 
     def attrName(e: Expression): Option[String] = e match {
       case a: Attribute => Some(a.name)
-      case Cast(a: Attribute, _, _, _) => Some(a.name)
+      case c @ Cast(a: Attribute, _, _, _)
+        if Cast.canUpCast(a.dataType, c.dataType) => Some(a.name)
+      case _ => None
+    }
+    def bareAttr(e: Expression): Option[String] = e match {
+      case a: Attribute => Some(a.name)
       case _ => None
     }
     def anyNum(v: Any): Option[Double] = v match {
@@ -130,10 +141,10 @@ object TxSql {
       case EqualTo(v, a) if attrName(a).isDefined && numLit(v).isDefined =>
         val d = numLit(v).get
         ranges += ((attrName(a).get, d, d))
-      case EqualTo(a, v) if attrName(a).isDefined && strLit(v).isDefined =>
-        valueEq += ((attrName(a).get, strLit(v).get))
-      case EqualTo(v, a) if attrName(a).isDefined && strLit(v).isDefined =>
-        valueEq += ((attrName(a).get, strLit(v).get))
+      case EqualTo(a, v) if bareAttr(a).isDefined && strLit(v).isDefined =>
+        valueEq += ((bareAttr(a).get, strLit(v).get))
+      case EqualTo(v, a) if bareAttr(a).isDefined && strLit(v).isDefined =>
+        valueEq += ((bareAttr(a).get, strLit(v).get))
       case _ => () // not expressible in manifest metadata: keep all
     }
     filters.foreach(walk)
@@ -143,16 +154,32 @@ object TxSql {
   /** The file names (data/<name> relative form) surviving every
     * manifest prune for the given Catalyst filters — the single
     * pruning decision [[TxFileIndex]] and the specs share. String
-    * equalities additionally probe the bloom index (the IN list of a
-    * single value), and numeric point-equalities probe it too via
-    * the canonical integral form when the bloom column matches. */
+    * equalities probe the bloom index directly (the stored canonical
+    * form of a string column IS the string). Numeric
+    * point-equalities (lo == hi ranges) probe it only when the bloom
+    * column's SCHEMA type is integral and the literal is whole —
+    * the one case where the probe's string form provably equals the
+    * index's `cast(col as string)` canonical key (float/double
+    * formatting can diverge from a literal's toString, and a wrong
+    * probe is a wrong-results prune, so those fail open). */
   private[sources] def candidateNames(snap: TxTable.Snapshot,
-      filters: Seq[Expression]): Set[String] = {
+      filters: Seq[Expression], schema: StructType): Set[String] = {
     val (ranges, valueEq) = toManifestPredicates(filters)
     val viaStats = TxTable.pruneFilesWhere(snap, ranges, valueEq).toSet
     val viaBloom = snap.bloomCol match {
       case Some(bc) =>
-        val probes = valueEq.collect { case (c, v) if c == bc => v }
+        val integral = schema.find(_.name == bc).exists(f =>
+          f.dataType == ByteType || f.dataType == ShortType ||
+            f.dataType == IntegerType || f.dataType == LongType)
+        val numProbes =
+          if (!integral) Nil
+          else ranges.collect {
+            case (c, lo, hi) if c == bc && lo == hi && lo.isWhole &&
+              lo >= Long.MinValue.toDouble && lo <= Long.MaxValue.toDouble =>
+              lo.toLong.toString
+          }
+        val probes =
+          valueEq.collect { case (c, v) if c == bc => v } ++ numProbes
         if (probes.isEmpty) snap.files.toSet
         else TxTable.pruneFilesPoints(snap, bc, probes).toSet
       case None => snap.files.toSet
@@ -167,7 +194,7 @@ object TxSql {
   * `listFiles` drops every file the manifest metadata can prove
   * holds no matching row. */
 private[sources] class TxFileIndex(spark: SparkSession, table: String,
-    snap: TxTable.Snapshot)
+    snap: TxTable.Snapshot, tableSchema: StructType)
     extends InMemoryFileIndex(spark,
       snap.files.map(f => new Path(table, f)),
       Map.empty[String, String], None) {
@@ -178,7 +205,7 @@ private[sources] class TxFileIndex(spark: SparkSession, table: String,
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val keep = TxSql.candidateNames(snap, dataFilters)
+    val keep = TxSql.candidateNames(snap, dataFilters, tableSchema)
     lastCandidates = Some(keep)
     super.listFiles(partitionFilters, dataFilters).map { pd =>
       PartitionDirectory(pd.values,
@@ -195,7 +222,7 @@ private[sources] class TxSparkTable(spark: SparkSession, path: String,
       new Path(path, f).toString): _*).schema
 
   /** Exposed for specs: the index whose prune decisions back scans. */
-  private[sources] val index = new TxFileIndex(spark, path, snap)
+  private[sources] val index = new TxFileIndex(spark, path, snap, dataSchema)
 
   override def name(): String = tableName
   override def schema(): StructType = dataSchema

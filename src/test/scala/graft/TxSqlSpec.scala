@@ -167,4 +167,39 @@ class TxSqlSpec extends AnyFunSuite {
     assert(TxTable.readPoints(spark, dir, "id", Seq("17", "9001"))
       .count() === 2)
   }
+
+  test("SQL integral point-equality probes the bloom index at plan time") {
+    val dir = freshRoot() + "/bloomsql"
+    val base = (1 to 3000).map(i => (i.toLong, s"u$i")).toDF("id", "u")
+    TxTable.overwriteIndexedBloom(base, dir, "id")
+    val snap = TxTable.snapshot(spark, dir).get
+    val df = spark.read.format("txtable").load(dir).filter($"id" === 17L)
+    assert(df.count() === 1)
+    val scanned = scannedFiles(df)
+    val expected = TxTable.pruneFilesPoints(snap, "id", Seq("17"))
+      .map(_.split('/').last).toSet
+    assert(scanned === expected,
+      s"SQL scan opened $scanned, bloom admits $expected")
+    assert(scanned.size < snap.files.size,
+      "the point equality must prune through the bloom index")
+  }
+
+  test("narrowing casts never prune (truncation breaks range soundness)") {
+    // CAST(amt AS INT) >= -4 is TRUE for amt = -4.2 (truncation toward
+    // zero) but the naive range [-4, inf) would prune its file — the
+    // translation must refuse to look through narrowing casts
+    val dir = freshRoot() + "/narrow"
+    val df = Seq((1L, -4.2), (2L, 10.0), (3L, -9.9)).toDF("k", "amt")
+    TxTable.overwriteIndexedMulti(df.repartition(3, $"k"), dir,
+      statCols = Seq("amt"), valueCols = Nil)
+    val got = spark.read.format("txtable").load(dir)
+      .filter(expr("CAST(amt AS INT) >= -4"))
+      .select($"k").as[Long].collect().sorted.toSeq
+    assert(got === Seq(1L, 2L),
+      "narrowing-cast predicate must keep the -4.2 row")
+    // and the safe widening coercion Catalyst inserts still prunes
+    val widened = spark.read.format("txtable").load(dir)
+      .filter($"amt" >= -4)
+    assert(widened.select($"k").as[Long].collect().sorted.toSeq === Seq(2L))
+  }
 }
