@@ -111,4 +111,22 @@ class SketchSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == exp && got.nonEmpty)
   }
+
+  test("sketch intersection refuses high-cardinality group columns") {
+    // the driver pairwise loop is O(groups²) over kilobyte sketches —
+    // sound for event types, an OOM if ever pointed at a user id.
+    // Misuse must fail fast with the named bound, not degrade.
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sketch_guard_").toString
+    (1 to 6500).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        (i % 100).toLong, s"type_${i % 65}", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.queries("q_sketch_intersect")(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("bounded to 64 groups"), e.getMessage)
+  }
 }
