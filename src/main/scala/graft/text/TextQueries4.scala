@@ -112,7 +112,12 @@ object TextQueries4 extends QueryModule {
           explode_outer($"__shingles").as("t"))
         .filter($"t".isNotNull)
         .select($"doc_id", lower($"t").as("term"))
+      // checkpointed: broadcast(dfreq) materializes in its OWN plan
+      // execution, which would re-run the whole shingle + tf pipeline
+      // a second time (broadcast reuse never spans plan executions —
+      // the q_mad lesson); blocks pin it at once
       val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false)
       val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       val n = docs.agg(countDistinct($"doc_id").as("n"))
       val wtd = tf.join(broadcast(dfreq), "term")
@@ -139,6 +144,12 @@ object TextQueries4 extends QueryModule {
     // tiny pair table — the cross-source dedup heatmap at 100 TB.
     "text_source_overlap" -> ((s, d) => {
       import s.implicits._
+      // NOT checkpointed (measured 0.71 → 1.16 s): materializing the
+      // distinct (source, shingle) set into the block store costs
+      // more than the broadcast arms' re-derivation saves — the
+      // postings-shaped lesson again; contrast text_sim_sparse, whose
+      // checkpointed tf frame is doc×term-sized, far smaller than its
+      // shingle pipeline
       val sh = graft.Util.ensureParallelism(T.documents(s, d))
         .select($"source", explode_outer(
           graft.functions.ShingleHashes.of($"text", N)).as("sh"))
