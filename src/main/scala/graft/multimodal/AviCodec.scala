@@ -56,7 +56,9 @@ object AviCodec {
     // hdrl list: avih + one video strl
     ascii("LIST"); u32(192); ascii("hdrl")
     ascii("avih"); u32(56)
-    u32(100000); u32(fsz * 10); u32(0); u32(0x10) // µs/frame, rate, pad, HASINDEX off
+    // dwFlags = 0: no idx1 chunk is written, so AVIF_HASINDEX (0x10)
+    // must stay off — strict players trust the flag for seeking.
+    u32(100000); u32(fsz * 10); u32(0); u32(0) // µs/frame, rate, pad, flags
     u32(n); u32(0); u32(1); u32(fsz) // totalFrames, initial, streams, bufSize
     u32(w); u32(h); u32(0); u32(0); u32(0); u32(0)
     ascii("LIST"); u32(116); ascii("strl") // body: "strl"+strh(64)+strf(48)

@@ -417,6 +417,60 @@ object PipelineQueries extends QueryModule {
            |ORDER BY o_orderpriority""".stripMargin)
     }),
 
+    // The SQL WRITE surface end to end: CTAS creates the table as an
+    // atomic commit, INSERT INTO appends one, INSERT OVERWRITE
+    // replaces the snapshot (history intact), a second INSERT lands on
+    // the new head — every statement routed through the SAME commit
+    // protocol as the API verbs (TxSqlSpec pins the race: barrier-
+    // aligned SQL inserts get one winner per head and the loser a
+    // TxConflictException, never a lost update). The result reads the
+    // final state AND time-travels to the mid-cycle version, so the
+    // oracle's recomputation from raw parquet catches a wrong commit
+    // in either direction (lost rows, doubled rows, broken history).
+    // Rebuilt from scratch every run — a write-cycle gate that cached
+    // its own output would test nothing. Exact-cents amounts: the
+    // write path must not perturb values bit-for-bit.
+    "pipe_txtable_sql_write" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.{TxSql, TxTable}
+      val key = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = sys.props("java.io.tmpdir") + "/graft_txsqlw_" + key
+      val rp = new org.apache.hadoop.fs.Path(root)
+      rp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(rp, true)
+      T.customer(s, d)
+        .select($"c_custkey", $"c_mktsegment",
+          round($"c_acctbal" * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("txw_customer_src")
+      val cat = "txw_" + key
+      TxSql.installCatalog(s, cat, root)
+      s.sql(
+        s"""CREATE TABLE $cat.seg AS
+           |SELECT c_custkey, c_mktsegment, cents FROM txw_customer_src
+           |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""".stripMargin)
+      s.sql(
+        s"""INSERT INTO $cat.seg
+           |SELECT c_custkey, c_mktsegment, cents FROM txw_customer_src
+           |WHERE c_mktsegment = 'AUTOMOBILE'""".stripMargin)
+      val vMid = TxTable.snapshot(s, s"$root/seg").get.version
+      s.sql(
+        s"""INSERT OVERWRITE $cat.seg
+           |SELECT c_custkey, c_mktsegment, cents FROM txw_customer_src
+           |WHERE c_mktsegment IN ('HOUSEHOLD', 'FURNITURE')
+           |  AND cents > 0""".stripMargin)
+      s.sql(
+        s"""INSERT INTO $cat.seg
+           |SELECT c_custkey, c_mktsegment, cents FROM txw_customer_src
+           |WHERE c_mktsegment = 'MACHINERY' AND cents <= 100000""".stripMargin)
+      s.sql(
+        s"""SELECT 'head' AS phase, c_mktsegment, count(*) AS n,
+           |  sum(cents) AS cents
+           |FROM $cat.seg GROUP BY c_mktsegment
+           |UNION ALL
+           |SELECT 'mid', c_mktsegment, count(*), sum(cents)
+           |FROM $cat.seg VERSION AS OF $vMid GROUP BY c_mktsegment
+           |ORDER BY phase, c_mktsegment""".stripMargin)
+    }),
+
     // Z-ORDER layout end to end: orders clustered on the Morton curve
     // over (order age in days, total price), then a two-dimensional
     // box read through manifest pruning. The construction asserts the
@@ -622,6 +676,28 @@ object PipelineQueries extends QueryModule {
         |  AND o_totalprice >= 1000.0 AND o_totalprice <= 60000.0
         |  AND o_orderpriority = '2-HIGH'
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    // both phases of the SQL write cycle recomputed from raw customer
+    // rows — equal only if CTAS/INSERT/OVERWRITE each committed
+    // exactly its statement's rows and time travel still resolves the
+    // pre-overwrite snapshot
+    "pipe_txtable_sql_write" ->
+      """WITH src AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer)
+        |SELECT 'head' AS phase, c_mktsegment, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM src
+        |WHERE (c_mktsegment IN ('HOUSEHOLD', 'FURNITURE') AND cents > 0)
+        |   OR (c_mktsegment = 'MACHINERY' AND cents <= 100000)
+        |GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT 'mid', c_mktsegment, count(*), CAST(sum(cents) AS BIGINT)
+        |FROM src
+        |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+        |GROUP BY c_mktsegment
+        |ORDER BY phase, c_mktsegment""".stripMargin,
 
     "pipe_multicol_scan" ->
       """SELECT o_orderpriority, count(*) AS n,

@@ -3,14 +3,15 @@ package graft.sources
 import java.util
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange, TableProvider}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, InsertableRelation}
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, NumericType, ShortType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -48,10 +49,14 @@ import scala.jdk.CollectionConverters._
   *     SQL table; `VERSION AS OF n` routes through the catalog's
   *     time-travel `loadTable`.
   *
-  * Reads only: writes keep going through the [[TxTable]] verbs
-  * (append/overwrite/merge/deleteWhere/...), whose commit protocol is
-  * the transactional surface — a DSv2 write path that bypassed it
-  * would silently forfeit snapshot isolation.
+  * Writes: `INSERT INTO` / `INSERT OVERWRITE` / `df.writeTo(...)` /
+  * CTAS land through a DSv2 `SupportsWrite` whose V1 fallback calls
+  * the SAME [[TxTable]] verbs (append/overwrite) — the commit
+  * protocol stays the single transactional surface, so SQL writers
+  * and API writers race on equal terms and the loser always gets a
+  * `TxConflictException`, never a lost update. Row-level DML
+  * (UPDATE/DELETE/MERGE) stays on the API verbs (deleteWhere/
+  * updateWhere/merge/applyCdc).
   */
 object TxSql {
   /** Register a TxTable catalog at runtime:
@@ -171,11 +176,20 @@ object TxSql {
         val integral = schema.find(_.name == bc).exists(f =>
           f.dataType == ByteType || f.dataType == ShortType ||
             f.dataType == IntegerType || f.dataType == LongType)
+        // Probe only when the Double round-trip is provably lossless:
+        // |lo| STRICTLY below 2^53. Ranges arrive Double-rounded from
+        // toManifestPredicates, so a long literal above 2^53 (xxhash64
+        // / snowflake ids) has ALREADY lost bits — its probe string
+        // would not equal the bloom's cast(col as string) key and the
+        // file holding the real row would be wrongly pruned. The bound
+        // is strict because 2^53 itself is ambiguous: both 2^53 and
+        // 2^53+1 round to the same Double. Fail open (no probe)
+        // instead; the min/max range prune still applies.
         val numProbes =
           if (!integral) Nil
           else ranges.collect {
             case (c, lo, hi) if c == bc && lo == hi && lo.isWhole &&
-              lo >= Long.MinValue.toDouble && lo <= Long.MaxValue.toDouble =>
+              math.abs(lo) < (1L << 53).toDouble =>
               lo.toLong.toString
           }
         val probes =
@@ -214,12 +228,28 @@ private[sources] class TxFileIndex(spark: SparkSession, table: String,
   }
 }
 
-/** One pinned snapshot as a DSv2 read-only table. */
+/** One pinned snapshot as a DSv2 table. READS are bound to the pinned
+  * snapshot (analysis-time pinning); WRITES deliberately are not —
+  * `INSERT` resolves the head inside [[TxTable.append]]/`overwrite`
+  * at execution time, exactly like the API verbs, so racing SQL
+  * writers contend on the commit protocol and the loser gets a
+  * [[TxTable.TxConflictException]], never a silent lost update. */
 private[sources] class TxSparkTable(spark: SparkSession, path: String,
-    snap: TxTable.Snapshot, tableName: String) extends Table with SupportsRead {
-  private val dataSchema: StructType =
-    spark.read.parquet(snap.files.map(f =>
-      new Path(path, f).toString): _*).schema
+    snap: TxTable.Snapshot, tableName: String)
+    extends Table with SupportsRead with SupportsWrite {
+  // Infer from ONE file, not the whole snapshot: footer reads are
+  // driver-side HEAD calls on an object store, and manifest commits
+  // guarantee a uniform schema per snapshot (schema evolution rewrites
+  // the manifest), so one footer is authoritative. A zero-file
+  // snapshot falls back to the schema CREATE TABLE declared (the
+  // created-but-not-yet-loaded window), then to an empty schema
+  // (everything deleted) — either beats an 'unable to infer' throw.
+  private val dataSchema: StructType = snap.files.headOption match {
+    case Some(f) =>
+      spark.read.parquet(new Path(path, f).toString).schema
+    case None =>
+      TxTable.declaredSchema(spark, path).getOrElse(new StructType())
+  }
 
   /** Exposed for specs: the index whose prune decisions back scans. */
   private[sources] val index = new TxFileIndex(spark, path, snap, dataSchema)
@@ -227,25 +257,64 @@ private[sources] class TxSparkTable(spark: SparkSession, path: String,
   override def name(): String = tableName
   override def schema(): StructType = dataSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     ParquetScanBuilder(spark, index, dataSchema, dataSchema, options)
+
+  /** `INSERT INTO` / `df.writeTo(t).append()` → [[TxTable.append]];
+    * `INSERT OVERWRITE` / `.truncateAndAppend()` → `overwrite`. The
+    * V1 fallback hands the fully-analyzed DataFrame (columns already
+    * resolved and cast against `schema()` by Spark's output
+    * resolution) to the SAME verbs the API uses: the data write is
+    * Spark's distributed parquet write into the staging dir, and the
+    * manifest publication is the table's [[CommitProtocol]] — a DSv2
+    * writer-factory path that bypassed it would forfeit atomicity. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              if (replace || overwrite) TxTable.overwrite(data, path)
+              else TxTable.append(data, path)
+              ()
+            }
+          }
+      }
+    }
 }
 
 /** `spark.read.format("txtable").option("version", n).load(dir)`. */
 class TxDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "txtable"
 
+  // Resolve ONCE per provider instance and reuse across inferSchema /
+  // getTable: Spark calls both during one analysis, and a commit
+  // landing between them must not rebind the table to a newer version
+  // than the one the schema came from (analysis-time pinning).
+  @volatile private var resolved
+      : Option[(String, Option[Long], (SparkSession, String, TxTable.Snapshot))] =
+    None
+
   private def resolve(options: CaseInsensitiveStringMap)
       : (SparkSession, String, TxTable.Snapshot) = {
-    val spark = SparkSession.active
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("txtable: path required"))
     val asOf = Option(options.get("version")).map(_.toLong)
-    val snap = TxTable.snapshot(spark, path, asOf).getOrElse(
-      throw new IllegalArgumentException(
-        s"txtable: no committed version${asOf.fold("")(v => s" <= $v")} at $path"))
-    (spark, path, snap)
+    resolved match {
+      case Some((p, v, r)) if p == path && v == asOf => r
+      case _ =>
+        val spark = SparkSession.active
+        val snap = TxTable.snapshot(spark, path, asOf).getOrElse(
+          throw new IllegalArgumentException(
+            s"txtable: no committed version${asOf.fold("")(v => s" <= $v")} at $path"))
+        val r = (spark, path, snap)
+        resolved = Some((path, asOf, r))
+        r
+    }
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -316,18 +385,49 @@ class TxTableCatalog extends TableCatalog {
   override def tableExists(ident: Identifier): Boolean =
     TxTable.snapshot(spark, dirOf(ident)).isDefined
 
+  /** `CREATE TABLE cat.t (cols)` / the create leg of CTAS: commit an
+    * empty version 1 through the protocol ([[TxTable.createEmpty]]) —
+    * two racing CREATEs get exactly one winner; the loser surfaces as
+    * table-already-exists. Partition transforms are refused rather
+    * than ignored: the manifest's pruning language is file stats, not
+    * hive-style directories, and silently accepting `PARTITIONED BY`
+    * would promise a layout the table doesn't have. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "txtable catalog is read-only: create tables with TxTable.overwrite")
+      properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        "txtable: PARTITIONED BY is not supported — file-stat pruning " +
+          "replaces directory partitioning (use overwriteIndexedMulti)")
+    val dir = dirOf(ident)
+    if (TxTable.snapshot(spark, dir).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (catalogName +: ident.namespace() :+ ident.name()).mkString("."))
+    try TxTable.createEmpty(spark, dir, schema)
+    catch {
+      case _: TxTable.TxConflictException =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(
+            (catalogName +: ident.namespace() :+ ident.name()).mkString("."))
+    }
+    load(ident, None)
+  }
+
+  /** `DROP TABLE cat.t` — also the cleanup hook Spark calls when the
+    * write leg of CTAS fails. Deleting the directory removes log and
+    * data together; there is no tombstone state. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = new Path(dirOf(ident))
+    val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.exists(new Path(dir, "_graft_log")) && f.delete(dir, true)
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
-      "txtable catalog is read-only: schema evolves through TxTable writes")
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "txtable catalog is read-only: drop = delete the table directory")
+      "txtable: ALTER is not supported — schema evolves through writes " +
+        "(parquet mergeSchema carries added columns)")
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
-      "txtable catalog is read-only: rename = move the table directory")
+      "txtable: RENAME is not supported — move the table directory")
 }

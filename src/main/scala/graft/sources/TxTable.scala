@@ -402,6 +402,36 @@ object TxTable {
       writeCheckpoint(f, table, version) // best-effort durable floor
   }
 
+  /** CREATE TABLE with a declared schema and no rows yet: commit an
+    * empty version 1 so the table EXISTS transactionally (two racing
+    * CREATEs get one winner through the commit protocol, the loser a
+    * [[TxConflictException]]), and record the schema DDL in a side
+    * file so SQL reads of the zero-file window resolve columns. Once
+    * data files exist their footers are authoritative — the side file
+    * only covers the created-but-not-yet-loaded state, which is why
+    * it is not part of the versioned manifest (schema EVOLUTION is
+    * carried by the files themselves, parquet mergeSchema). */
+  def createEmpty(spark: SparkSession, table: String,
+      schema: org.apache.spark.sql.types.StructType): Long = {
+    val ld = logDir(table)
+    val f = fs(spark, ld)
+    f.mkdirs(ld)
+    val out = f.create(new Path(ld, "_schema"), true)
+    try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
+    commit(spark, table, 1L, Nil)
+    1L
+  }
+
+  /** The schema recorded by [[createEmpty]], if any. */
+  def declaredSchema(spark: SparkSession,
+      table: String): Option[org.apache.spark.sql.types.StructType] = {
+    val p = new Path(logDir(table), "_schema")
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else Some(org.apache.spark.sql.types.StructType.fromDDL(
+      new String(readFully(f, p), "UTF-8")))
+  }
+
   /** Overwrite: next version = exactly `df`. Returns the version.
     * Streaming txn markers carry forward (a replayed epoch must stay
     * deduplicated across unrelated commits, Delta's txn semantics);

@@ -300,9 +300,15 @@ object StreamingQueries extends QueryModule {
       // forced replay: drop the newest commit marker so the restart
       // re-delivers an epoch the sink table already holds
       val commits = java.nio.file.Paths.get(ckpt, "commits")
-      val newest = java.nio.file.Files.list(commits).toArray
-        .map(_.toString).filter(_.matches(".*/\\d+$"))
-        .maxBy(p => p.split("/").last.toLong)
+      val commitPaths = {
+        val st = java.nio.file.Files.list(commits)
+        try st.toArray.map(_.toString).filter(_.matches(".*/\\d+$"))
+        finally st.close() // directory streams leak fds if unclosed
+      }
+      require(commitPaths.nonEmpty,
+        s"txtable sink gate: no commit markers under $commits — " +
+          "the first run made no progress")
+      val newest = commitPaths.maxBy(p => p.split("/").last.toLong)
       java.nio.file.Files.delete(java.nio.file.Paths.get(newest))
       java.nio.file.Files.deleteIfExists(
         commits.resolve(s".${newest.split("/").last}.crc"))

@@ -125,14 +125,18 @@ class TxSqlSpec extends AnyFunSuite {
     assert(got.count() === df.filter($"grp" === 3.0).count())
   }
 
-  test("catalog is read-only: DDL fails with a named error") {
+  test("unsupported DDL fails with a named error; drop of absent is false") {
     val root = freshRoot()
     seed(root)
     TxSql.installCatalog(spark, "txspec2", root)
     val e = intercept[Exception] {
-      spark.sql("DROP TABLE txspec2.orders")
+      spark.sql("ALTER TABLE txspec2.orders ADD COLUMN extra INT")
     }
-    assert(e.getMessage.toLowerCase.contains("read-only"))
+    assert(e.getMessage.toLowerCase.contains("not supported"))
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE txspec2.part (k INT) PARTITIONED BY (k)")
+    }
+    assert(e2.getMessage.toLowerCase.contains("partitioned by"))
   }
 
   test("updateWhere SET expressions all see the pre-update row") {
@@ -184,6 +188,33 @@ class TxSqlSpec extends AnyFunSuite {
       "the point equality must prune through the bloom index")
   }
 
+  test("integral equality above 2^53 fails open (no lossy bloom probe)") {
+    // 2^53 + 1 is the first long a Double cannot represent: the range
+    // translation rounds it to 2^53, so a bloom probe built from the
+    // rounded value would miss the stored key and wrongly prune the
+    // file holding the row. The translation must skip the probe.
+    val dir = freshRoot() + "/bigid"
+    val big = (1L << 53) + 1L // 9007199254740993
+    val ids = Seq(17L, 400L, big)
+    val df = ids.map(i => (i, s"u$i")).toDF("id", "u")
+    TxTable.overwriteIndexedBloom(df.repartition(3, $"id"), dir, "id")
+    val got = spark.read.format("txtable").load(dir)
+      .filter($"id" === big).select($"u").as[String].collect().toSeq
+    assert(got === Seq(s"u$big"),
+      "row with an id above 2^53 must survive SQL point-equality")
+    // the safe regime (|id| <= 2^53) still prunes through the bloom
+    val small = spark.read.format("txtable").load(dir).filter($"id" === 17L)
+    assert(small.count() === 1)
+  }
+
+  test("a zero-file snapshot is still readable via SQL (empty frame)") {
+    val dir = freshRoot() + "/emptied"
+    TxTable.overwrite(Seq((1L, "a")).toDF("k", "v"), dir)
+    TxTable.deleteWhere(spark, dir, Seq(("k", 1.0, 1.0)), Nil)
+    val df = spark.read.format("txtable").load(dir)
+    assert(df.count() === 0L)
+  }
+
   test("narrowing casts never prune (truncation breaks range soundness)") {
     // CAST(amt AS INT) >= -4 is TRUE for amt = -4.2 (truncation toward
     // zero) but the naive range [-4, inf) would prune its file — the
@@ -201,5 +232,97 @@ class TxSqlSpec extends AnyFunSuite {
     val widened = spark.read.format("txtable").load(dir)
       .filter($"amt" >= -4)
     assert(widened.select($"k").as[Long].collect().sorted.toSeq === Seq(2L))
+  }
+
+  test("INSERT INTO / INSERT OVERWRITE commit atomically through the catalog") {
+    val root = freshRoot()
+    val dir = s"$root/t"
+    TxTable.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    TxSql.installCatalog(spark, "txw1", root)
+    val v0 = TxTable.snapshot(spark, dir).get.version
+    spark.sql("INSERT INTO txw1.t VALUES (3, 'c'), (4, 'd')")
+    assert(TxTable.snapshot(spark, dir).get.version === v0 + 1,
+      "one INSERT must be exactly one commit")
+    // the API read sees what SQL wrote — one table, one log
+    assert(TxTable.read(spark, dir).count() === 4)
+    assert(spark.sql("SELECT v FROM txw1.t ORDER BY k")
+      .as[String].collect().toSeq === Seq("a", "b", "c", "d"))
+    spark.sql("INSERT OVERWRITE txw1.t VALUES (9, 'z')")
+    assert(spark.sql("SELECT k, v FROM txw1.t").as[(Long, String)]
+      .collect().toSeq === Seq((9L, "z")))
+    // overwrite preserved history: the pre-overwrite version still reads
+    assert(spark.sql(s"SELECT count(*) FROM txw1.t VERSION AS OF ${v0 + 1}")
+      .as[Long].head() === 4L)
+  }
+
+  test("CREATE TABLE declares a schema readable before any row lands") {
+    val root = freshRoot()
+    TxSql.installCatalog(spark, "txw2", root)
+    spark.sql("CREATE TABLE txw2.fresh (k BIGINT, label STRING)")
+    val empty = spark.sql("SELECT * FROM txw2.fresh")
+    assert(empty.columns.toSeq === Seq("k", "label"))
+    assert(empty.count() === 0L)
+    spark.sql("INSERT INTO txw2.fresh VALUES (1, 'x')")
+    assert(spark.sql("SELECT label FROM txw2.fresh").as[String]
+      .collect().toSeq === Seq("x"))
+    // a second CREATE of the same name fails as already-exists
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE txw2.fresh (k BIGINT)")
+    }
+    assert(e.getMessage.toUpperCase.contains("EXISTS"))
+  }
+
+  test("CTAS lands the query result as a committed snapshot") {
+    val root = freshRoot()
+    seed(root)
+    TxSql.installCatalog(spark, "txw3", root)
+    spark.sql(
+      "CREATE TABLE txw3.urgent AS " +
+        "SELECT k, amt FROM txw3.orders WHERE prio = 'URGENT'")
+    assert(spark.sql("SELECT count(*) FROM txw3.urgent").as[Long].head()
+      === 800L)
+    // the CTAS result is a full TxTable: versioned, API-readable
+    assert(TxTable.read(spark, s"$root/urgent").count() === 800L)
+    spark.sql("DROP TABLE txw3.urgent")
+    assert(!TxTable.snapshot(spark, s"$root/urgent").isDefined)
+  }
+
+  test("racing SQL INSERTs: one winner per head, no lost or doubled rows") {
+    val root = freshRoot()
+    val dir = s"$root/race"
+    TxTable.overwrite(Seq((0L, "base")).toDF("k", "v"), dir)
+    TxSql.installCatalog(spark, "txw4", root)
+    val n = 6
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val tasks = (1 to n).map { i =>
+      val ft = new java.util.concurrent.FutureTask(() => {
+        barrier.await()
+        // un-retried: the SQL path must surface the commit conflict,
+        // not absorb it into a silent lost update
+        try { spark.sql(s"INSERT INTO txw4.race VALUES ($i, 'w$i')"); true }
+        catch {
+          case e: Throwable =>
+            def isConflict(t: Throwable): Boolean = t != null &&
+              (t.isInstanceOf[TxTable.TxConflictException] ||
+                isConflict(t.getCause))
+            assert(isConflict(e), s"non-conflict failure: $e")
+            false
+        }
+      })
+      new Thread(ft).start(); ft
+    }
+    val results = tasks.map(_.get())
+    val wins = results.count(identity)
+    assert(wins >= 1, "someone must win the race")
+    assert(wins < n, "barrier-aligned racers must produce a conflict loser")
+    // exactly the winners' rows are visible, each exactly once
+    val vs = TxTable.read(spark, dir).select($"v").as[String].collect()
+    assert(vs.count(_ == "base") === 1)
+    for (i <- 1 to n) {
+      val expectedTimes = if (results(i - 1)) 1 else 0
+      assert(vs.count(_ == s"w$i") === expectedTimes,
+        s"writer $i: success=${results(i - 1)} but visible " +
+          s"${vs.count(_ == s"w$i")} times")
+    }
   }
 }
