@@ -40,6 +40,7 @@ object SparkEntry {
     text.TextQueries3,
     text.TextQueries4,
     text.TextQueries5,
+    text.TextQueries6,
     dedup.DedupQueries,
     similarity.SimilarityQueries,
     similarity.VectorQueries,
