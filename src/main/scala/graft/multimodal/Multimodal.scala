@@ -140,6 +140,25 @@ object Multimodal {
     * container — hdrl/avih/strh/strf headers plus a movi list of
     * uncompressed DIB frames — whose every parsed statistic is
     * closed-form in the id. */
+  /** Perceptual image hash: decode the P6 payload and compute the
+    * 56-bit dHash ([[PpmCodec.dhash56]]) — the image arm of the
+    * dedup family. Same batched mapPartitions shape and
+    * null-on-unparseable quarantine contract as [[decodePpm]]. */
+  def phashPpm(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields.filterNot(_.name == "payload")
+      :+ StructField("phash", LongType))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val keep = r.toSeq.zipWithIndex
+          .collect { case (v, i) if i != payloadIdx => v }
+        Row.fromSeq(keep :+
+          PpmCodec.dhash56(r.getAs[Array[Byte]](payloadIdx)).orNull)
+      }
+    }(enc)
+  }
+
   def withAviPayload(df: DataFrame, id: String): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),

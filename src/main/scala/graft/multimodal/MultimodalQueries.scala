@@ -44,6 +44,39 @@ object MultimodalQueries extends QueryModule {
         .orderBy($"media_id", $"frame_idx")
     }),
 
+    // Perceptual image hash per document: REAL decode (P6 byte walk)
+    // -> 8x8 nearest-neighbor grayscale grid -> 56-bit dHash. The
+    // oracle recomputes every bit closed-form from the renderer's
+    // pixel formula, so a single wrong comparison anywhere in the
+    // grid flips a hash and fails the gate.
+    "mm_phash" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.phashPpm(
+          Multimodal.withPpmPayload(T.documents(s, d), "doc_id"))
+        .select($"media_id", $"phash")
+        .orderBy($"media_id")
+    }),
+
+    // Image dedup, stage 1 of the image arm: group by perceptual hash
+    // (hamming-0 clusters), keep the smallest id per cluster — a
+    // linear hash-groupBy at any corpus size. The HAMMING-RADIUS
+    // stage is deliberately not keyed on this corpus: the synthetic
+    // rasters are one wrapping gradient, and 46% of ALL pairs sit
+    // within 6 bits (measured at sf0.01) — a radius join here would
+    // gate a quadratic degenerate case, not the operator. Radius
+    // banding is dedup_simhash's machinery verbatim (7-bit chunks of
+    // the same 56-bit key).
+    "dedup_image" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.phashPpm(
+          Multimodal.withPpmPayload(T.documents(s, d), "doc_id"))
+        .groupBy($"phash")
+        .agg(count(lit(1)).as("n_copies"), min($"media_id").as("keeper"))
+        .filter($"n_copies" >= 2)
+        .orderBy(desc("n_copies"), $"phash")
+        .limit(20)
+    }),
+
     "mm_audio" -> ((s, d) => {
       import s.implicits._
       Multimodal.decodeWav(
@@ -80,6 +113,60 @@ object MultimodalQueries extends QueryModule {
         |  round(sg / CAST(w*h AS DOUBLE), 4) AS mean_g,
         |  round(sb / CAST(w*h AS DOUBLE), 4) AS mean_b
         |FROM px ORDER BY media_id""".stripMargin,
+
+    // every dHash bit re-derived closed-form: grayscale g(x,y) is the
+    // channel sum of the nearest-neighbor sample (y*h/8 row, x*w/8
+    // col) of the (s+j)%256 gradient; bit (x,y) = g(x+1,y) > g(x,y)
+    // packed at y*7+x
+    "mm_phash" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 64 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 48 + 6 AS BIGINT) AS h,
+        |    doc_id % 256 AS s
+        |  FROM documents),
+        |grid AS (
+        |  SELECT media_id, x, y,
+        |    ((s + 3*((y*h//8)*w + (x*w//8))) % 256
+        |     + (s + 3*((y*h//8)*w + (x*w//8)) + 1) % 256
+        |     + (s + 3*((y*h//8)*w + (x*w//8)) + 2) % 256) AS g
+        |  FROM m, LATERAL unnest(generate_series(0, 7)) AS tx(x),
+        |       LATERAL unnest(generate_series(0, 7)) AS ty(y))
+        |SELECT a.media_id,
+        |  CAST(sum(CASE WHEN b.g > a.g
+        |    THEN 1::BIGINT << (a.y*7 + a.x) ELSE 0 END) AS BIGINT)
+        |    AS phash
+        |FROM grid a JOIN grid b
+        |  ON a.media_id = b.media_id AND a.y = b.y AND b.x = a.x + 1
+        |WHERE a.x < 7
+        |GROUP BY a.media_id ORDER BY a.media_id""".stripMargin,
+
+    "dedup_image" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 64 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 48 + 6 AS BIGINT) AS h,
+        |    doc_id % 256 AS s
+        |  FROM documents),
+        |grid AS (
+        |  SELECT media_id, x, y,
+        |    ((s + 3*((y*h//8)*w + (x*w//8))) % 256
+        |     + (s + 3*((y*h//8)*w + (x*w//8)) + 1) % 256
+        |     + (s + 3*((y*h//8)*w + (x*w//8)) + 2) % 256) AS g
+        |  FROM m, LATERAL unnest(generate_series(0, 7)) AS tx(x),
+        |       LATERAL unnest(generate_series(0, 7)) AS ty(y)),
+        |ph AS (
+        |  SELECT a.media_id,
+        |    CAST(sum(CASE WHEN b.g > a.g
+        |      THEN 1::BIGINT << (a.y*7 + a.x) ELSE 0 END) AS BIGINT)
+        |      AS phash
+        |  FROM grid a JOIN grid b
+        |    ON a.media_id = b.media_id AND a.y = b.y AND b.x = a.x + 1
+        |  WHERE a.x < 7
+        |  GROUP BY a.media_id)
+        |SELECT phash, count(*) AS n_copies, min(media_id) AS keeper
+        |FROM ph GROUP BY phash HAVING count(*) >= 2
+        |ORDER BY n_copies DESC, phash LIMIT 20""".stripMargin,
 
     // The WAV renderer's samples are closed-form in doc_id: channel c
     // sample k is (id·7 + 13k + 5c) % 4096 − 2048 over

@@ -30,7 +30,63 @@ object PpmCodec {
   /** Parse P6 bytes → (width, height, sumR, sumG, sumB), or None when
     * the payload is null/truncated/not-P6/maxval>255. One pass over
     * the pixel bytes; no allocation beyond the tuple. */
-  def parse(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+  def parse(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =
+    parseHeader(bytes).map { case (w, h, off) =>
+      val n = w * h * 3
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var j = off
+      val end = off + n
+      while (j < end) {
+        sr += bytes(j) & 0xff
+        sg += bytes(j + 1) & 0xff
+        sb += bytes(j + 2) & 0xff
+        j += 3
+      }
+      (w, h, sr, sg, sb)
+    }
+
+  /** 56-bit difference hash (dHash) over the decoded raster: sample
+    * an 8×8 grayscale grid by nearest neighbor (`sx = x·w / 8`,
+    * `sy = y·h / 8`, integer division — exactly replayable in SQL),
+    * where "gray" is the raw r+g+b channel sum (0..765 — the
+    * monotone map that matters for the > comparisons, no lossy /3),
+    * then bit (x, y) = gray(x+1, y) > gray(x, y) for x in 0..6,
+    * packed at position y·7+x. 7 comparisons × 8 rows = 56 bits —
+    * deliberately inside non-negative BIGINT territory (the
+    * dedup_simhash 60-bit precedent) so SQL arithmetic replays it
+    * without signed-overflow edge cases. */
+  def dhash56(bytes: Array[Byte]): Option[Long] =
+    parseHeader(bytes).map { case (w, h, off) =>
+      val g = new Array[Int](64)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val k = (y * h / 8) * w + (x * w / 8)
+          val p = off + 3 * k
+          g(y * 8 + x) = (bytes(p) & 0xff) + (bytes(p + 1) & 0xff) +
+            (bytes(p + 2) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 7) {
+          if (g(y * 8 + x + 1) > g(y * 8 + x))
+            hash |= 1L << (y * 7 + x)
+          x += 1
+        }
+        y += 1
+      }
+      hash
+    }
+
+  /** Header parse shared by [[parse]] and [[dhash56]]:
+    * (width, height, raster offset), or None on malformed input. */
+  private def parseHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     if (bytes == null || bytes.length < 2 ||
       bytes(0) != 'P' || bytes(1) != '6') return None
     var i = 2
@@ -69,16 +125,6 @@ object PpmCodec {
     i += 1
     val nL = w * h * 3L
     if (nL > bytes.length - i) return None // covers overflow: n > len
-    val n = nL.toInt
-    var (sr, sg, sb) = (0L, 0L, 0L)
-    var j = i
-    val end = i + n
-    while (j < end) {
-      sr += bytes(j) & 0xff
-      sg += bytes(j + 1) & 0xff
-      sb += bytes(j + 2) & 0xff
-      j += 3
-    }
-    Some((w.toInt, h.toInt, sr, sg, sb))
+    Some((w.toInt, h.toInt, i))
   }
 }

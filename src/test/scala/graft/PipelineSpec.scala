@@ -215,6 +215,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(PpmCodec.parse(null).isEmpty)
   }
 
+  test("dhash56 is a 56-bit hash from the parsed raster, null-safe on junk") {
+    import graft.multimodal.PpmCodec
+    val id = 54321L
+    val Some(h) = PpmCodec.dhash56(PpmCodec.render(id))
+    assert((h >>> 56) === 0L, "must fit in 56 bits (non-negative BIGINT)")
+    // independent recompute from the closed form the oracle uses
+    val w = (id % 64 + 8).toInt; val ht = (id % 48 + 6).toInt
+    val s = (id % 256).toInt
+    def g(x: Int, y: Int): Int = {
+      val k = (y * ht / 8) * w + (x * w / 8)
+      (s + 3 * k) % 256 + (s + 3 * k + 1) % 256 + (s + 3 * k + 2) % 256
+    }
+    var expect = 0L
+    for (y <- 0 until 8; x <- 0 until 7)
+      if (g(x + 1, y) > g(x, y)) expect |= 1L << (y * 7 + x)
+    assert(h === expect)
+    // a constant-color raster hashes to 0 (no positive differences)
+    val flat = ("P6\n8 8\n255\n".getBytes("US-ASCII")
+      ++ Array.fill[Byte](8 * 8 * 3)(77))
+    assert(PpmCodec.dhash56(flat) === Some(0L))
+    assert(PpmCodec.dhash56(null).isEmpty)
+    assert(PpmCodec.dhash56("P5\njunk".getBytes).isEmpty)
+  }
+
   test("WavCodec round-trips real RIFF/PCM16 bytes and rejects malformed input") {
     import graft.multimodal.WavCodec
     val id = 98765L
