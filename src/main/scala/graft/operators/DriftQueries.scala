@@ -137,17 +137,19 @@ object DriftQueries extends QueryModule {
       // sf1-slope adjudication (round 12, closing the round-11 "2.70×
       // unprofiled" flag): y = l_extendedprice is continuous, so the
       // (f, y) grid grows 1:1 WITH ROWS — there is no quadratic arm
-      // anywhere. The per-stage sf0.1→sf1 profile shows every arm
-      // growing 1.7–2.9× for 10× data (row scans ×2, grid shuffle,
-      // prefixDotSums' bucketed window + per-bucket aggs); the
-      // headline ~2.7–3.2× wall slope is exactly those linear arms
-      // amortizing the fixed multi-stage constant, not growth in any
-      // intermediate. The plan's passes over row-scale data (2 scans
-      // + 1 shuffle + 2 checkpoint reads) are the inherent cost of
-      // exact tie-corrected midranks on TWO marginals in one query.
-      // no checkpoint: both consumers re-scan a pruned, vectorized
-      // 3-column parquet scan — cheaper than materializing 600k rows
-      // into the block store (measured)
+      // anywhere.
+      //
+      // Round-15 fold: SINGLE-LINEAGE grid. prefixDotSumsLit takes
+      // bucket bounds as plan literals (sampled from the cheap pruned
+      // ROW scan, not the built grid) and computes cross-bucket
+      // offsets with the array-HOF fold instead of a self-join, so
+      // the grid has exactly one consumer — no checkpoint, no bounds
+      // re-run of the scan+join+shuffle upstream. Two rejected
+      // shapes, both measured at sf0.1: a joint (f, x, y) histogram
+      // feeding both marginals (2.83 s — y is continuous, the extra
+      // shuffle reduces nothing) and checkpoint-grid + bounds off the
+      // blocks (2.40 s — materializing a row-scale frame costs more
+      // than the recompute it saves). This plan: 1.97 → 1.17 s.
       val rows = T.lineitem(s, d).select($"l_returnflag".as("f"),
           $"l_quantity".cast("double").as("x"),
           $"l_extendedprice".cast("double").as("y"))
@@ -163,6 +165,13 @@ object DriftQueries extends QueryModule {
         .groupBy($"f", $"y").agg(count(lit(1)).as("c"),
           sum($"rx").as("sx_y"), sum($"rx" * $"rx").as("sxx_y"))
         .withColumn("cd", $"c".cast("double"))
+      // Constant literal bounds — no bounds job at all (the sampled
+      // variant still decodes the full column to filter 5%, ~0.3 s).
+      // extendedprice = qty(1..50) × partprice(≈900..2100): equal-
+      // width over its closed-form envelope is imbalanced but
+      // boundaries are balance-only; values outside land in the edge
+      // buckets and stay exact.
+      val yBounds = (1 until 32).map(i => 900.0 + i * (104100.0 / 32))
       // Midrank identities close the y side WITHOUT a per-row rank
       // column: with ry = below(y) + (c+1)/2,
       //   Σ c·ry  = n(n+1)/2                       (ties don't move it),
@@ -170,11 +179,12 @@ object DriftQueries extends QueryModule {
       // so only Σ sx_y·ry needs the prefix term — ONE aggregate-only
       // prefixDotSums pass over the grid (no per-row ranks, no
       // offsets join-back), everything else is a plain total.
-      Rank.prefixDotSums(grid, Seq("f"), "y",
+      Rank.prefixDotSumsLit(grid, Seq("f"), "y",
           dots = Seq(("sxb", $"sx_y", $"cd")),
           totals = Seq(("n", $"cd"), ("sx", $"sx_y"), ("sxx", $"sxx_y"),
             ("sxh", $"sx_y" * ($"cd" + 1) / 2.0),
-            ("tcy", $"cd" * $"cd" * $"cd" - $"cd")))
+            ("tcy", $"cd" * $"cd" * $"cd" - $"cd")),
+          bounds = yBounds)
         .withColumn("sxy", $"sxb" + $"sxh")
         .withColumn("sy", $"n" * ($"n" + 1) / 2.0)
         .withColumn("syy",

@@ -139,6 +139,86 @@ object Rank {
     // aggregate (same duplicated-subtree reasoning as runningSums)
     val bucketed = withRangeBucket(weighted, group, value, buckets)
       .localCheckpoint(false)
+    prefixDotSumsBody(bucketed, group, value, dots, totals)
+  }
+
+  /** [[prefixDotSums]] with LITERAL bucket bounds and a single-lineage
+    * plan — the ExactPercentile r14 treatment, for callers whose
+    * histogram would otherwise be scanned three times (bounds
+    * aggregate, checkpoint, window arm):
+    *
+    *   - `bounds` arrive as plan literals (the caller samples its RAW
+    *     source, which is usually a cheap pruned scan — global, not
+    *     per-group: boundaries only affect BALANCE, never answers);
+    *   - the cross-bucket offsets come from packing each group's
+    *     ≤`buckets` per-bucket partials into ONE sorted array and
+    *     folding with codegen'd HOFs (O(buckets²) per group, constant)
+    *     instead of the self-join + re-agg chain — so the histogram
+    *     has exactly ONE consumer and needs NO checkpoint.
+    *
+    * All dot/total columns must be DOUBLE-valued (the HOF
+    * accumulators are doubles). */
+  def prefixDotSumsLit(df: DataFrame, group: Seq[String], value: String,
+      dots: Seq[(String, Column, Column)], totals: Seq[(String, Column)],
+      bounds: Seq[Double]): DataFrame = {
+    require(dots.nonEmpty)
+    val weighted0 = dots.foldLeft(df) { case (d, (n, a, b)) =>
+      d.withColumn(s"_a_$n", a).withColumn(s"_b_$n", b)
+    }
+    val weighted = totals.foldLeft(weighted0) { case (d, (n, w)) =>
+      d.withColumn(s"_t_$n", w)
+    }
+    val bucketed =
+      if (bounds.isEmpty) weighted.withColumn("_bucket", lit(0))
+      else weighted.withColumn("_bucket",
+        graft.functions.LowerBound(typedlit(bounds),
+          col(value).cast("double")))
+    val bucketKey = group :+ "_bucket"
+    val wPrev = Window.partitionBy(bucketKey.map(col): _*)
+      .orderBy(col(value)).rowsBetween(Window.unboundedPreceding, -1)
+    val local = dots.foldLeft(bucketed) { case (d, (n, _, _)) =>
+      d.withColumn(s"_p_$n",
+        coalesce(sum(col(s"_b_$n")).over(wPrev), lit(0.0)))
+    }
+    val perBucketAggs =
+      dots.flatMap { case (n, _, _) => Seq(
+        sum(col(s"_a_$n") * col(s"_p_$n")).as(s"_in_$n"),
+        sum(col(s"_a_$n")).as(s"_atot_$n"),
+        sum(col(s"_b_$n")).as(s"_btot_$n"))
+      } ++ totals.map { case (n, _) => sum(col(s"_t_$n")).as(s"_ttot_$n") }
+    val perBucket = local.groupBy(bucketKey.map(col): _*)
+      .agg(perBucketAggs.head, perBucketAggs.tail: _*)
+    // pack the group's buckets into one _bucket-sorted array; the
+    // below-offset of bucket i is a slice-prefix fold — no self-join,
+    // no second consumer of anything row-scale
+    val fields = struct((col("_bucket") +:
+      (dots.flatMap { case (n, _, _) =>
+        Seq(col(s"_in_$n"), col(s"_atot_$n"), col(s"_btot_$n")) } ++
+        totals.map { case (n, _) => col(s"_ttot_$n") }).map(c => c)): _*)
+    val packedBase = perBucket.withColumn("_s", fields)
+    val packed =
+      if (group.isEmpty)
+        packedBase.agg(sort_array(collect_list(col("_s"))).as("_l"))
+      else packedBase.groupBy(group.map(col): _*)
+        .agg(sort_array(collect_list(col("_s"))).as("_l"))
+    val finalCols =
+      dots.map { case (n, _, _) =>
+        aggregate(
+          transform(col("_l"), (x, i) =>
+            x.getField(s"_in_$n") + x.getField(s"_atot_$n") *
+              aggregate(slice(col("_l"), lit(1), i), lit(0.0),
+                (a, y) => a + y.getField(s"_btot_$n"))),
+          lit(0.0), (a, v) => a + v).as(n)
+      } ++ totals.map { case (n, _) =>
+        aggregate(col("_l"), lit(0.0),
+          (a, x) => a + x.getField(s"_ttot_$n")).as(n)
+      }
+    packed.select(group.map(col) ++ finalCols: _*)
+  }
+
+  private def prefixDotSumsBody(bucketed: DataFrame, group: Seq[String],
+      value: String, dots: Seq[(String, Column, Column)],
+      totals: Seq[(String, Column)]): DataFrame = {
     val bucketKey = group :+ "_bucket"
 
     // within-bucket: exclusive prefix of b in value order (one row

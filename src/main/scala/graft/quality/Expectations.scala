@@ -268,33 +268,42 @@ final case class ExpectIncreasing(column: String, orderBy: String,
         col(column).cast("double").as("_v"))
     val bucketed = graft.operators.Rank
       .withRangeBucket(nn, Nil, "_o", buckets = 32)
-      .localCheckpoint(false)
     def bad(prev: Column, cur: Column): Column =
       if (strictly) cur <= prev else cur < prev
     val wB = Window.partitionBy(col("_bucket"))
       .orderBy(col("_o"), col("_v"))
-    val inBucket = bucketed
+    // ONE chain: window lag → per-bucket aggregate carrying the
+    // within-bucket violation count, row count, AND the bucket's
+    // first/last (o, v) structs → a ≤ buckets-row global fold that
+    // adds the bucket-edge pairs (last of b vs first of next
+    // non-empty b). The groupBy(_bucket) reuses the window's hash
+    // partitioning, so the whole check is one shuffle + one scan —
+    // the previous shape ran window and edge arms as separate
+    // consumers of a checkpointed frame (one more pass + a
+    // materialization; measured slower at every size tried).
+    val perBucket = bucketed
       .withColumn("_p", lag(col("_v"), 1).over(wB))
+      .groupBy(col("_bucket"))
       .agg(coalesce(sum(when(bad(col("_p"), col("_v")), 1L)
-        .otherwise(0L)), lit(0L)).as("_wviol"),
-        count(lit(1)).as("_den"))
-    // bucket-edge pairs: last (o, v) of bucket b vs first of the next
-    // NON-EMPTY bucket — a ≤ buckets-row aggregate folded with HOFs
-    val edges = bucketed.groupBy(col("_bucket"))
-      .agg(min(struct(col("_o"), col("_v"))).as("_f"),
+        .otherwise(0L)), lit(0L)).as("_wv"),
+        count(lit(1)).as("_cnt"),
+        min(struct(col("_o"), col("_v"))).as("_f"),
         max(struct(col("_o"), col("_v"))).as("_l"))
-      .groupBy()
-      .agg(sort_array(collect_list(
-        struct(col("_bucket"), col("_f"), col("_l")))).as("_e"))
-      .select(when(size(col("_e")) < 2, lit(0L)).otherwise(
-        aggregate(zip_with(
-          slice(col("_e"), lit(1), size(col("_e")) - 1),
-          slice(col("_e"), lit(2), size(col("_e")) - 1),
-          (a, b) => when(bad(a.getField("_l").getField("_v"),
-            b.getField("_f").getField("_v")), 1L).otherwise(0L)),
-          lit(0L), (acc, x) => acc + x)).as("_bviol"))
-    inBucket.crossJoin(edges)
-      .select((col("_wviol") + col("_bviol")).as("_obs"), col("_den"))
+    perBucket.groupBy()
+      .agg(sort_array(collect_list(struct(
+        col("_bucket"), col("_f"), col("_l"), col("_wv"), col("_cnt"))))
+        .as("_e"))
+      .select(
+        (aggregate(col("_e"), lit(0L), (a, x) => a + x.getField("_wv")) +
+          when(size(col("_e")) < 2, lit(0L)).otherwise(
+            aggregate(zip_with(
+              slice(col("_e"), lit(1), size(col("_e")) - 1),
+              slice(col("_e"), lit(2), size(col("_e")) - 1),
+              (a, b) => when(bad(a.getField("_l").getField("_v"),
+                b.getField("_f").getField("_v")), 1L).otherwise(0L)),
+              lit(0L), (acc, x) => acc + x))).as("_obs"),
+        aggregate(col("_e"), lit(0L), (a, x) => a + x.getField("_cnt"))
+          .as("_den"))
   }
 }
 

@@ -95,6 +95,32 @@ class RankSpec extends AnyFunSuite {
     assert(math.abs(rho("ydown") + 1.0) < 1e-9)
   }
 
+  test("prefixDotSumsLit equals prefixDotSums for any literal bounds") {
+    import graft.operators.Rank
+    // skewed values with heavy ties; bounds deliberately terrible
+    // (all mass in two buckets) — boundaries are balance-only
+    val hist = (1 to 500).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      (g, (i % 37).toDouble, (i % 7 + 1).toDouble, (i % 5 + 1).toDouble)
+    }.toDF("g", "v", "a", "b")
+      .groupBy($"g", $"v")
+      .agg(sum($"a").as("a"), sum($"b").as("b"))
+    val dots = Seq(("d1", col("a"), col("b")), ("d2", col("b"), col("a")))
+    val tots = Seq(("ta", col("a")), ("tb", col("b")))
+    val ref = Rank.prefixDotSums(hist, Seq("g"), "v", dots, tots)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    for (bounds <- Seq(Seq.empty[Double], Seq(5.0, 30.0),
+        (1 until 32).map(_.toDouble))) {
+      val got = Rank.prefixDotSumsLit(hist, Seq("g"), "v", dots, tots, bounds)
+        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+      assert(got.keySet === ref.keySet, s"bounds=$bounds")
+      for (g <- ref.keySet; (x, y) <- got(g).zip(ref(g)))
+        assert(math.abs(x.asInstanceOf[Double] - y.asInstanceOf[Double])
+          < 1e-9 * (1 + math.abs(y.asInstanceOf[Double])),
+          s"bounds=$bounds group=$g: $x vs $y")
+    }
+  }
+
   test("mann-whitney on the real tables is finite and tie-consistent") {
     val row = SparkEntry.queries("q_mannwhitney")(spark, TestSpark.sf)
       .collect().head
