@@ -417,6 +417,29 @@ object PipelineQueries extends QueryModule {
            |ORDER BY o_orderpriority""".stripMargin)
     }),
 
+    // The OBSERVED pipeline under the driver gate: per-stage row
+    // counts ride the pipeline's one action as df.observe
+    // accumulators — zero extra scans, the "validate while you write"
+    // contract — and the oracle recomputes each stage's cumulative
+    // filter count directly. Construction runs the action eagerly
+    // (observations only materialize through an action; documented
+    // sink-like eagerness, cf. pipe_vendor_artifact).
+    "pipe_observed" -> ((s, d) => {
+      import s.implicits._
+      val pipe = Pipeline("orders_observed", Seq(
+        Stage("s1_clean")(_.filter($"o_totalprice" > 0)),
+        Stage("s2_urgent")(_.filter($"o_orderpriority" === "1-URGENT")),
+        Stage("s3_recent")(_.filter(year($"o_orderdate") >= 1995))))
+      val (out, metrics) = pipe.runObserved(T.orders(s, d))
+      val finalN = out.count() // the one action; all observations fire
+      val rows = metrics.map { case (stage, obs) =>
+        (stage, obs.get("rows").asInstanceOf[Long])
+      }
+      require(rows.last._2 == finalN,
+        s"observe drift: last stage saw ${rows.last._2}, action counted $finalN")
+      rows.toDF("stage", "n_rows").orderBy($"stage")
+    }),
+
     // The SQL WRITE surface end to end: CTAS creates the table as an
     // atomic commit, INSERT INTO appends one, INSERT OVERWRITE
     // replaces the snapshot (history intact), a second INSERT lands on
@@ -676,6 +699,23 @@ object PipelineQueries extends QueryModule {
         |  AND o_totalprice >= 1000.0 AND o_totalprice <= 60000.0
         |  AND o_orderpriority = '2-HIGH'
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    // cumulative filter counts per stage — equal the observe()
+    // accumulators only if the metrics rode the single action without
+    // loss or double-count
+    "pipe_observed" ->
+      """SELECT 's1_clean' AS stage, count(*) AS n_rows
+        |FROM orders WHERE o_totalprice > 0
+        |UNION ALL
+        |SELECT 's2_urgent', count(*)
+        |FROM orders WHERE o_totalprice > 0
+        |  AND o_orderpriority = '1-URGENT'
+        |UNION ALL
+        |SELECT 's3_recent', count(*)
+        |FROM orders WHERE o_totalprice > 0
+        |  AND o_orderpriority = '1-URGENT'
+        |  AND year(o_orderdate) >= 1995
+        |ORDER BY stage""".stripMargin,
 
     // both phases of the SQL write cycle recomputed from raw customer
     // rows — equal only if CTAS/INSERT/OVERWRITE each committed

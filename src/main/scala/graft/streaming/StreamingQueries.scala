@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.QueryModule
-import org.apache.spark.sql.functions.unix_micros
+import org.apache.spark.sql.functions.{count, lit, sum, unix_micros}
 
 /** §2.2 — the first streaming row in the DRIVER correctness gate.
   *
@@ -326,6 +326,119 @@ object StreamingQueries extends QueryModule {
         .orderBy($"event_type")
     }),
 
+    // Streaming GX quarantine gate under the driver oracle: every
+    // micro-batch routes through ExpectationSuite.quarantine inside
+    // foreachBatch (valid rows forward, violations to the side
+    // output) and the per-route per-type counts accumulate across
+    // batches — counts are exact under ANY batching, and the DuckDB
+    // oracle is the same split computed over the batch table. The
+    // per-batch collect is bounded at one row per event type.
+    "stream_dq_quarantine" -> ((s, d) => {
+      import s.implicits._
+      import graft.quality.{ExpectBetween, ExpectInSet, ExpectationSuite}
+      val suite = ExpectationSuite("events", Seq(
+        ExpectBetween("value", 0.5, 1e9),
+        ExpectInSet("event_type", Seq("click", "view", "purchase", "signup"))))
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+        (String, Long, Long, Long)]()
+      val q = StreamingOps.eventStream(s, d)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val (ok, bad) = suite.quarantine(df)
+          ok.groupBy($"event_type")
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n"),
+              org.apache.spark.sql.functions.sum(
+                org.apache.spark.sql.functions.round($"value" * 100)
+                  .cast("long")).as("cents"))
+            .collect().foreach(r =>
+              buf.add((r.getString(0), r.getLong(1), 0L, r.getLong(2))))
+          bad.groupBy($"event_type")
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n"))
+            .collect().foreach(r =>
+              buf.add((r.getString(0), 0L, r.getLong(1), 0L)))
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq
+        .toDF("event_type", "nv", "nq", "cv")
+        .groupBy($"event_type")
+        .agg(sum($"nv").as("n_valid"), sum($"nq").as("n_quarantined"),
+          sum($"cv").as("cents_valid"))
+        .orderBy($"event_type")
+    }),
+
+    // Exactly-once streaming → JDBC (embedded Derby) UNDER the driver
+    // gate, with a FORCED mid-run replay: the TxTable stream source
+    // delivers three commits as three epochs, the newest checkpoint
+    // commit marker is deleted, and the restart re-delivers an epoch
+    // the sink already holds — JdbcUpsert's (epoch, part)-keyed
+    // delete+insert transaction makes the re-delivery byte-idempotent.
+    // The oracle recomputes the same per-bucket aggregate from the
+    // raw table: any dropped or doubled row diverges.
+    "stream_jdbc_sink" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.TxTable
+      val slug = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tmp = sys.props("java.io.tmpdir")
+      val srcDir = tmp + "/graft_jdbcsink_src_" + slug
+      val ckpt = tmp + "/graft_jdbcsink_ckpt_" + slug
+      val hconf = s.sparkContext.hadoopConfiguration
+      Seq(srcDir, ckpt).foreach { p0 =>
+        val p = new org.apache.hadoop.fs.Path(p0)
+        p.getFileSystem(hconf).delete(p, true)
+      }
+      val url = s"jdbc:derby:memory:graftsink_$slug;create=true"
+      val table = "sink_gate"
+      try JdbcUpsert.createTable(url, table)
+      catch { case _: java.sql.SQLException => // table from a prior run
+        val c = java.sql.DriverManager.getConnection(url)
+        try { val st = c.createStatement()
+          st.executeUpdate(s"DELETE FROM $table"); st.close()
+        } finally c.close()
+      }
+      val ev = graft.Tables.events(s, d).select($"event_id")
+      TxTable.overwrite(ev.filter($"event_id" % 3 === 0), srcDir)
+      TxTable.append(ev.filter($"event_id" % 3 === 1), srcDir)
+      TxTable.append(ev.filter($"event_id" % 3 === 2), srcDir)
+      def start() = s.readStream.format("graft.sources.TxTableStreamSource")
+        .option("path", srcDir).option("maxVersionsPerBatch", "1").load()
+        .select($"event_id".as("v"))
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(JdbcUpsert.upsertBatch(url, table) _)
+        .start()
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      // forced replay: drop the newest commit marker (same protocol
+      // as stream_txtable_sink) so the restart re-delivers an epoch
+      val commits = java.nio.file.Paths.get(ckpt, "commits")
+      val commitPaths = {
+        val st = java.nio.file.Files.list(commits)
+        try st.toArray.map(_.toString).filter(_.matches(".*/\\d+$"))
+        finally st.close()
+      }
+      require(commitPaths.nonEmpty,
+        s"jdbc sink gate: no commit markers under $commits")
+      val newest = commitPaths.maxBy(p => p.split("/").last.toLong)
+      java.nio.file.Files.delete(java.nio.file.Paths.get(newest))
+      java.nio.file.Files.deleteIfExists(
+        commits.resolve(s".${newest.split("/").last}.crc"))
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val sunk = s.read.format("jdbc")
+        .option("url", url).option("dbtable", table).load()
+        .select($"v")
+      val n = sunk.count()
+      val distinctIds = sunk.distinct().count()
+      require(n == distinctIds,
+        s"JDBC sink not exactly-once: $n rows, ${n - distinctIds} dups")
+      sunk.groupBy(($"v" % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum($"v").as("id_sum"))
+        .orderBy($"bucket")
+    }),
+
     // Stream-stream interval join (clicks × purchases within the
     // following hour, both sides watermarked): inner-join matches
     // emit as they pair, and the single-trigger replay sees both
@@ -345,6 +458,31 @@ object StreamingQueries extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same quarantine split over the batch table: a row is valid
+    // iff it passes EVERY value-level expectation (conjunction)
+    "stream_dq_quarantine" ->
+      """SELECT event_type,
+        |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        |  CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_quarantined,
+        |  CAST(sum(CASE WHEN ok THEN CAST(round(value * 100) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS cents_valid
+        |FROM (
+        |  SELECT event_type, value,
+        |    (value IS NULL OR (value >= 0.5 AND value <= 1e9))
+        |    AND (event_type IS NULL OR event_type IN
+        |      ('click', 'view', 'purchase', 'signup')) AS ok
+        |  FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // direct per-bucket aggregate over the raw ids — equals the JDBC
+    // read-back only if every event id landed exactly once through
+    // the replayed epochs
+    "stream_jdbc_sink" ->
+      """SELECT event_id % 10 AS bucket, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "stream_tumbling" ->
       """SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS bucket,
         |  event_type, count(*) AS n
