@@ -752,9 +752,23 @@ object TxTable {
     val next = cur.map(_.version + 1).getOrElse(1L)
     val nParts = math.max(2, spark.sessionState.conf.numShufflePartitions)
     val files = writeFiles(df.repartition(nParts, c(col)), table, next)
-    // size the blooms from the WRITTEN files' parquet row counts
-    // (footer-metadata count, no data scan) — never by re-evaluating
-    // df, whose lineage could be nondeterministic between passes
+    val blooms = buildBlooms(spark, table, files, col, fpp)
+    commit(spark, table, next, files,
+      cur.map(_.txns).getOrElse(Map.empty),
+      bloomCol = Some(col), blooms = blooms)
+    next
+  }
+
+  /** Per-file bloom filters over `col` for freshly written `files` —
+    * shared by [[overwriteIndexedBloom]] and [[compact]]'s index
+    * recompute. Blooms are sized from the WRITTEN files' parquet row
+    * counts (footer-metadata count, no data scan) — never by
+    * re-evaluating the source df, whose lineage could be
+    * nondeterministic between passes. */
+  private def buildBlooms(spark: SparkSession, table: String,
+      files: Seq[String], col: String,
+      fpp: Double = 0.01): Map[String, Array[Byte]] = {
+    import org.apache.spark.sql.functions.{col => c, input_file_name}
     val written = spark.read
       .parquet(files.map(new Path(table, _).toString): _*)
     val total = math.max(1000L, written.count())
@@ -769,17 +783,13 @@ object TxTable {
         (a, b) => { a.mergeInPlace(b); a })
       .collect()
     val byName = files.map(f => f.split('/').last -> f).toMap
-    val blooms = built.flatMap { case (path, bf) =>
+    built.flatMap { case (path, bf) =>
       byName.get(path.split('/').last).map { f =>
         val bos = new java.io.ByteArrayOutputStream()
         bf.writeTo(bos)
         f -> bos.toByteArray
       }
     }.toMap
-    commit(spark, table, next, files,
-      cur.map(_.txns).getOrElse(Map.empty),
-      bloomCol = Some(col), blooms = blooms)
-    next
   }
 
   /** Files of `snap` that MAY hold `col = value` per the per-file
@@ -1139,11 +1149,19 @@ object TxTable {
     * until [[vacuum]] reclaims them), txn markers carry forward, and
     * the publish is the same atomic commit as any write — a reader
     * mid-compaction sees the old layout or the new one, never a mix.
-    * An [[overwriteIndexed]] table keeps its index: the rewrite
-    * range-partitions on the indexed column and records fresh
-    * per-file stats (Delta's OPTIMIZE recomputes stats the same
-    * way), so [[readRange]] pruning survives compaction. A
-    * concurrent writer committing first wins the version and this
+    * EVERY index layout survives compaction (Delta's OPTIMIZE
+    * recomputes stats the same way), dispatched on what the snapshot
+    * carries:
+    *   - bloom-indexed → re-hash-cluster on the key, rebuild per-file
+    *     blooms ([[readPoint]] pruning survives);
+    *   - two stat columns, no value sets → re-Z-ORDER on the pair
+    *     (the layout a 2-column multiStats table exists for: either
+    *     column's predicate keeps pruning after compaction);
+    *   - other multi-column metadata → lexicographic (valueCols ++
+    *     statCols) range clustering, stats + value sets recomputed;
+    *   - single [[overwriteIndexed]] column → range-partition on it;
+    *   - no index → plain coalescing repartition.
+    * A concurrent writer committing first wins the version and this
     * throws [[TxConflictException]]; compaction is safe to just
     * re-run. */
   def compact(spark: SparkSession, table: String, targetFiles: Int): Long = {
@@ -1152,7 +1170,31 @@ object TxTable {
     val cur = snapshot(spark, table).getOrElse(
       throw new IllegalArgumentException(s"nothing to compact at $table"))
     val next = cur.version + 1
-    cur.statsCol match {
+    val statCols = cur.multiStats.values.flatMap(_.keys).toSeq.distinct.sorted
+    val valueCols = cur.fileValues.values.flatMap(_.keys).toSeq.distinct.sorted
+    if (cur.bloomCol.isDefined) {
+      val bc = cur.bloomCol.get
+      val files = writeFiles(
+        read(spark, table).repartition(targetFiles, c(bc)), table, next)
+      commit(spark, table, next, files, cur.txns,
+        bloomCol = Some(bc), blooms = buildBlooms(spark, table, files, bc))
+    } else if (valueCols.isEmpty && statCols.size == 2) {
+      val (zdf, helpers, z) =
+        Layout.withMortonCode(read(spark, table), statCols(0), statCols(1))
+      val files = writeFiles(
+        zdf.repartitionByRange(targetFiles, c(z))
+          .sortWithinPartitions(c(z)).drop(helpers: _*), table, next)
+      val (ms, _) = recomputeMetadata(spark, table, files, statCols, Nil)
+      commit(spark, table, next, files, cur.txns, multiStats = ms)
+    } else if (statCols.nonEmpty || valueCols.nonEmpty) {
+      val files = writeFiles(
+        read(spark, table)
+          .repartitionByRange(targetFiles, (valueCols ++ statCols).map(c): _*),
+        table, next)
+      val (ms, fv) = recomputeMetadata(spark, table, files, statCols, valueCols)
+      commit(spark, table, next, files, cur.txns,
+        multiStats = ms, fileValues = fv)
+    } else cur.statsCol match {
       case None =>
         val files = writeFiles(
           read(spark, table).repartition(targetFiles), table, next)

@@ -460,6 +460,77 @@ class TxTableSpec extends AnyFunSuite {
       .toSeq == all.toSeq)
   }
 
+  test("compact preserves a Z-ordered table: either column still prunes") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    val src = spark.range(0, 4000).select(
+      col("id").as("k"),
+      (col("id") % 101).cast("double").as("a"),
+      ((col("id") * 37) % 103).cast("double").as("b"))
+    TxTable.overwriteZordered(src, t, "a", "b")
+    // fragment the table so compaction has work to do
+    TxTable.append(src.limit(10), t)
+    val expectA = TxTable.readWhere(spark, t, Seq(("a", 10.0, 20.0)))
+      .count()
+    val expectB = TxTable.readWhere(spark, t, Seq(("b", 10.0, 20.0)))
+      .count()
+    TxTable.compact(spark, t, targetFiles = 8)
+    val snap = TxTable.snapshot(spark, t).get
+    assert(snap.files.size <= 8)
+    // the Z-property: EACH single-column predicate alone prunes files
+    for (col0 <- Seq("a", "b")) {
+      val kept = TxTable.pruneFilesWhere(snap, Seq((col0, 10.0, 20.0)))
+      assert(kept.nonEmpty && kept.size < snap.files.size,
+        s"post-compact $col0-predicate kept ${kept.size}/${snap.files.size}")
+    }
+    assert(TxTable.readWhere(spark, t, Seq(("a", 10.0, 20.0))).count()
+      === expectA)
+    assert(TxTable.readWhere(spark, t, Seq(("b", 10.0, 20.0))).count()
+      === expectB)
+  }
+
+  test("compact preserves a bloom-indexed table: point reads still prune") {
+    val t = freshTable()
+    val src = (1 to 3000).map(i => (i.toLong, s"u$i")).toDF("id", "u")
+    TxTable.overwriteIndexedBloom(src, t, "id")
+    TxTable.append(Seq((9001L, "new")).toDF("id", "u"), t)
+    TxTable.compact(spark, t, targetFiles = 6)
+    val snap = TxTable.snapshot(spark, t).get
+    assert(snap.bloomCol.contains("id"), "compaction dropped the bloom index")
+    assert(snap.files.size <= 6)
+    assert(snap.blooms.keySet === snap.files.toSet,
+      "every compacted file must carry a fresh bloom")
+    val kept = TxTable.pruneFilesPoints(snap, "id", Seq("17"))
+    assert(kept.size < snap.files.size,
+      "post-compact point lookup must still prune")
+    // the appended row survived compaction and is point-readable
+    assert(TxTable.readPoint(spark, t, "id", "9001").count() === 1)
+    assert(TxTable.readPoints(spark, t, "id", Seq("17", "9001")).count() === 2)
+  }
+
+  test("compact preserves multi-column stats + value sets") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    val src = spark.range(0, 4000).select(
+      col("id").as("k"), (col("id") % 53).cast("double").as("x"),
+      concat(lit("g"), (col("id") % 3).cast("string")).as("grp"))
+    TxTable.overwriteIndexedMulti(src, t, statCols = Seq("x"),
+      valueCols = Seq("grp"))
+    TxTable.append(src.limit(7), t)
+    val expected = TxTable.readWhere(spark, t,
+      Seq(("x", 5.0, 9.0)), Seq(("grp", "g1"))).count()
+    TxTable.compact(spark, t, targetFiles = 6)
+    val snap = TxTable.snapshot(spark, t).get
+    assert(snap.files.size <= 6)
+    assert(snap.multiStats.nonEmpty && snap.fileValues.nonEmpty,
+      "compaction dropped multi-column metadata")
+    val kept = TxTable.pruneFilesWhere(snap, Seq(("x", 5.0, 9.0)),
+      Seq(("grp", "g1")))
+    assert(kept.size < snap.files.size)
+    assert(TxTable.readWhere(spark, t, Seq(("x", 5.0, 9.0)),
+      Seq(("grp", "g1"))).count() === expected)
+  }
+
   test("compact preserves an indexed table's file stats and pruning") {
     import org.apache.spark.sql.functions.col
     val t = freshTable()
