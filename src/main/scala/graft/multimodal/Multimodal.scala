@@ -159,6 +159,25 @@ object Multimodal {
     }(enc)
   }
 
+  /** Audio fingerprint: decode the WAV payload and compute the 56-bit
+    * energy-delta fingerprint ([[WavCodec.afp56]]) — the audio arm of
+    * the dedup family, same batched shape and quarantine contract as
+    * [[phashPpm]]. */
+  def afpWav(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields.filterNot(_.name == "payload")
+      :+ StructField("afp", LongType))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val keep = r.toSeq.zipWithIndex
+          .collect { case (v, i) if i != payloadIdx => v }
+        Row.fromSeq(keep :+
+          WavCodec.afp56(r.getAs[Array[Byte]](payloadIdx)).orNull)
+      }
+    }(enc)
+  }
+
   def withAviPayload(df: DataFrame, id: String): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),

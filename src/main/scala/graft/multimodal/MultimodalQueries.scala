@@ -77,6 +77,33 @@ object MultimodalQueries extends QueryModule {
         .limit(20)
     }),
 
+    // Audio fingerprint per document: REAL decode (RIFF chunk walk)
+    // -> 57 equal time windows of left-channel energy -> 56-bit
+    // adjacent-window comparison fingerprint. Oracle re-derives every
+    // bit closed-form from the renderer's sample formula.
+    "mm_afp" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.afpWav(
+          Multimodal.withWavPayload(T.documents(s, d), "doc_id"))
+        .select($"media_id", $"afp")
+        .orderBy($"media_id")
+    }),
+
+    // Audio dedup, stage 1 of the audio arm: fingerprint-equality
+    // clusters (hash-groupBy, keep the smallest id) — the same linear
+    // shape and rationale as dedup_image; hamming-radius banding is
+    // dedup_simhash's machinery verbatim over the same 56-bit key.
+    "dedup_audio" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.afpWav(
+          Multimodal.withWavPayload(T.documents(s, d), "doc_id"))
+        .groupBy($"afp")
+        .agg(count(lit(1)).as("n_copies"), min($"media_id").as("keeper"))
+        .filter($"n_copies" >= 2)
+        .orderBy(desc("n_copies"), $"afp")
+        .limit(20)
+    }),
+
     "mm_audio" -> ((s, d) => {
       import s.implicits._
       Multimodal.decodeWav(
@@ -167,6 +194,53 @@ object MultimodalQueries extends QueryModule {
         |SELECT phash, count(*) AS n_copies, min(media_id) AS keeper
         |FROM ph GROUP BY phash HAVING count(*) >= 2
         |ORDER BY n_copies DESC, phash LIMIT 20""".stripMargin,
+
+    // every fingerprint bit re-derived closed-form: left-channel
+    // sample k is (id*7 + 13k) % 4096 - 2048 over n = id%384+64
+    // frames; window w = k*57/n, bit w = energy(w+1) > energy(w)
+    "mm_afp" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 384 + 64 AS BIGINT) AS n
+        |  FROM documents),
+        |en AS (
+        |  SELECT media_id, (k*57)//n AS w,
+        |    sum(((media_id*7 + 13*k) % 4096 - 2048)
+        |      * ((media_id*7 + 13*k) % 4096 - 2048)) AS e
+        |  FROM m, LATERAL unnest(generate_series(0, n - 1)) AS t(k)
+        |  GROUP BY 1, 2)
+        |SELECT a.media_id,
+        |  CAST(sum(CASE WHEN b.e > a.e
+        |    THEN 1::BIGINT << CAST(a.w AS INT) ELSE 0 END) AS BIGINT)
+        |    AS afp
+        |FROM en a JOIN en b
+        |  ON a.media_id = b.media_id AND b.w = a.w + 1
+        |WHERE a.w < 56
+        |GROUP BY a.media_id ORDER BY a.media_id""".stripMargin,
+
+    "dedup_audio" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 384 + 64 AS BIGINT) AS n
+        |  FROM documents),
+        |en AS (
+        |  SELECT media_id, (k*57)//n AS w,
+        |    sum(((media_id*7 + 13*k) % 4096 - 2048)
+        |      * ((media_id*7 + 13*k) % 4096 - 2048)) AS e
+        |  FROM m, LATERAL unnest(generate_series(0, n - 1)) AS t(k)
+        |  GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT a.media_id,
+        |    CAST(sum(CASE WHEN b.e > a.e
+        |      THEN 1::BIGINT << CAST(a.w AS INT) ELSE 0 END) AS BIGINT)
+        |      AS afp
+        |  FROM en a JOIN en b
+        |    ON a.media_id = b.media_id AND b.w = a.w + 1
+        |  WHERE a.w < 56
+        |  GROUP BY a.media_id)
+        |SELECT afp, count(*) AS n_copies, min(media_id) AS keeper
+        |FROM fp GROUP BY afp HAVING count(*) >= 2
+        |ORDER BY n_copies DESC, afp LIMIT 20""".stripMargin,
 
     // The WAV renderer's samples are closed-form in doc_id: channel c
     // sample k is (id·7 + 13k + 5c) % 4096 − 2048 over

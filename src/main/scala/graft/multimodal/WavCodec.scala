@@ -114,4 +114,64 @@ object WavCodec {
     }
     None
   }
+
+  /** 56-bit audio fingerprint from the PARSED samples — the
+    * energy-delta shape of production audio fingerprints (Haitsma–
+    * Kalker reduced to its invariant: a compact bit string of
+    * adjacent-band/adjacent-window energy comparisons), computed on
+    * the time axis so the SQL oracle replays it closed-form without
+    * an FFT: the LEFT channel's frames split into 57 equal windows
+    * (frame k of n → window k·57/n, integer division), per-window
+    * energy is Σ sample², and bit w = energy(w+1) > energy(w),
+    * packed at position w. 56 bits keeps SQL replay inside
+    * non-negative BIGINT (the dhash56/simhash precedent). Returns
+    * None for unparseable payloads OR fewer than 57 frames (a window
+    * would be empty). Energy fits a Long: 2048²·frames ≪ 2⁶³. */
+  def afp56(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.length < 44) return None
+    def ascii(off: Int, s: String): Boolean =
+      s.indices.forall(i => bytes(off + i) == s.charAt(i).toByte)
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def u16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    if (!ascii(0, "RIFF") || !ascii(8, "WAVE")) return None
+    var i = 12
+    var nch = 0
+    while (i + 8 <= bytes.length) {
+      val size = u32(i + 4)
+      if (size < 0 || size > bytes.length - i - 8) return None
+      val body = i + 8
+      if (ascii(i, "fmt ")) {
+        if (size < 16) return None
+        if (u16(body) != 1 || u16(body + 14) != 16) return None
+        nch = u16(body + 2)
+        if (nch < 1 || nch > 2) return None
+      } else if (ascii(i, "data")) {
+        if (nch == 0) return None
+        val blockAlign = nch * 2
+        if (size % blockAlign != 0) return None
+        val n = (size / blockAlign).toInt
+        if (n < 57) return None
+        val energy = new Array[Long](57)
+        var k = 0
+        while (k < n) {
+          val off = body + k * blockAlign // left channel sample
+          val v = ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort.toLong
+          energy((k * 57 / n).toInt) += v * v
+          k += 1
+        }
+        var fp = 0L
+        var w = 0
+        while (w < 56) {
+          if (energy(w + 1) > energy(w)) fp |= 1L << w
+          w += 1
+        }
+        return Some(fp)
+      }
+      i = body + size.toInt + (size.toInt & 1)
+    }
+    None
+  }
 }

@@ -239,6 +239,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(PpmCodec.dhash56("P5\njunk".getBytes).isEmpty)
   }
 
+  test("afp56 is a 56-bit fingerprint from parsed samples, null-safe on junk") {
+    import graft.multimodal.WavCodec
+    val id = 24680L
+    val Some(fp) = WavCodec.afp56(WavCodec.render(id))
+    assert((fp >>> 56) === 0L, "must fit in 56 bits")
+    // independent recompute from the closed form the oracle uses
+    val n = (id % 384 + 64).toInt
+    val energy = new Array[Long](57)
+    for (k <- 0 until n) {
+      val v = math.floorMod(id * 7 + 13L * k, 4096) - 2048
+      energy(k * 57 / n) += v * v
+    }
+    var expect = 0L
+    for (w <- 0 until 56) if (energy(w + 1) > energy(w)) expect |= 1L << w
+    assert(fp === expect)
+    // too few frames for 57 windows -> None, not a crash
+    val tiny = {
+      val b = WavCodec.render(0L) // n = 64 frames; truncate data to 40
+      val cut = java.util.Arrays.copyOf(b, 44 + 40 * 4)
+      // fix the RIFF and data sizes for the truncated body
+      def putU32(off: Int, v: Int): Unit = {
+        cut(off) = (v & 0xff).toByte; cut(off + 1) = ((v >>> 8) & 0xff).toByte
+        cut(off + 2) = ((v >>> 16) & 0xff).toByte
+        cut(off + 3) = ((v >>> 24) & 0xff).toByte
+      }
+      putU32(4, 36 + 40 * 4); putU32(40, 40 * 4)
+      cut
+    }
+    assert(WavCodec.afp56(tiny).isEmpty)
+    assert(WavCodec.afp56(null).isEmpty)
+    assert(WavCodec.afp56("RIFFjunk".getBytes).isEmpty)
+  }
+
   test("WavCodec round-trips real RIFF/PCM16 bytes and rejects malformed input") {
     import graft.multimodal.WavCodec
     val id = 98765L
