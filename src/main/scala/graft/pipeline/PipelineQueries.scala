@@ -484,6 +484,12 @@ object PipelineQueries extends QueryModule {
         s"""INSERT INTO $cat.seg
            |SELECT c_custkey, c_mktsegment, cents FROM txw_customer_src
            |WHERE c_mktsegment = 'MACHINERY' AND cents <= 100000""".stripMargin)
+      // SQL DELETE through SupportsDelete: strict bound + disjunction
+      // (beyond the conjunctive API verbs), pruned copy-on-write
+      s.sql(
+        s"""DELETE FROM $cat.seg
+           |WHERE cents > 900000 OR (c_mktsegment = 'FURNITURE'
+           |  AND cents < 50000)""".stripMargin)
       s.sql(
         s"""SELECT 'head' AS phase, c_mktsegment, count(*) AS n,
            |  sum(cents) AS cents
@@ -729,8 +735,10 @@ object PipelineQueries extends QueryModule {
         |SELECT 'head' AS phase, c_mktsegment, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents
         |FROM src
-        |WHERE (c_mktsegment IN ('HOUSEHOLD', 'FURNITURE') AND cents > 0)
-        |   OR (c_mktsegment = 'MACHINERY' AND cents <= 100000)
+        |WHERE ((c_mktsegment IN ('HOUSEHOLD', 'FURNITURE') AND cents > 0)
+        |   OR (c_mktsegment = 'MACHINERY' AND cents <= 100000))
+        |  AND NOT (cents > 900000 OR (c_mktsegment = 'FURNITURE'
+        |    AND cents < 50000))
         |GROUP BY c_mktsegment
         |UNION ALL
         |SELECT 'mid', c_mktsegment, count(*), CAST(sum(cents) AS BIGINT)

@@ -54,9 +54,13 @@ import scala.jdk.CollectionConverters._
   * the SAME [[TxTable]] verbs (append/overwrite) — the commit
   * protocol stays the single transactional surface, so SQL writers
   * and API writers race on equal terms and the loser always gets a
-  * `TxConflictException`, never a lost update. Row-level DML
-  * (UPDATE/DELETE/MERGE) stays on the API verbs (deleteWhere/
-  * updateWhere/merge/applyCdc).
+  * `TxConflictException`, never a lost update. `DELETE FROM t WHERE`
+  * lands through `SupportsDelete`: the exact predicate is the
+  * filters' Column translation, manifest-prune hints come from the
+  * top-level conjuncts, and the rewrite is [[TxTable.deleteWhereExpr]]'s
+  * pruned copy-on-write commit; inexpressible predicates refuse in
+  * `canDeleteWhere` (named error, never a wrong delete).
+  * UPDATE/MERGE stay on the API verbs (updateWhere/merge/applyCdc).
   */
 object TxSql {
   /** Register a TxTable catalog at runtime:
@@ -156,6 +160,85 @@ object TxSql {
     (ranges.result(), valueEq.result())
   }
 
+  /** DSv2 source Filter → exact row-predicate Column, for the SQL
+    * DELETE path. None = not expressible (canDeleteWhere then refuses
+    * and the statement fails with a named error instead of deleting
+    * the wrong rows). Unlike the manifest translation this handles
+    * strict bounds, IN lists, OR trees, and NOT — the result is the
+    * EXACT predicate, pruning is separate ([[filterPrunes]]). */
+  private[sources] def filterToColumn(
+      f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.{sources => sf}
+    import org.apache.spark.sql.functions.{col => c, lit => l}
+    f match {
+      case sf.EqualTo(a, v) => Some(c(a) === l(v))
+      case sf.EqualNullSafe(a, v) => Some(c(a) <=> l(v))
+      case sf.GreaterThan(a, v) => Some(c(a) > l(v))
+      case sf.GreaterThanOrEqual(a, v) => Some(c(a) >= l(v))
+      case sf.LessThan(a, v) => Some(c(a) < l(v))
+      case sf.LessThanOrEqual(a, v) => Some(c(a) <= l(v))
+      case sf.In(a, vs) => Some(c(a).isin(vs.toIndexedSeq: _*))
+      case sf.IsNull(a) => Some(c(a).isNull)
+      case sf.IsNotNull(a) => Some(c(a).isNotNull)
+      case sf.StringStartsWith(a, p) => Some(c(a).startsWith(p))
+      case sf.StringEndsWith(a, p) => Some(c(a).endsWith(p))
+      case sf.StringContains(a, p) => Some(c(a).contains(p))
+      case sf.And(lf, rf) =>
+        for (lc <- filterToColumn(lf); rc <- filterToColumn(rf))
+          yield lc && rc
+      case sf.Or(lf, rf) =>
+        for (lc <- filterToColumn(lf); rc <- filterToColumn(rf))
+          yield lc || rc
+      case sf.Not(inner) => filterToColumn(inner).map(!_)
+      // SQL `DELETE FROM t` (no WHERE) arrives as AlwaysTrue
+      case sf.AlwaysTrue() => Some(l(true))
+      case sf.AlwaysFalse() => Some(l(false))
+      case _ => None
+    }
+  }
+
+  /** Manifest-prune hints implied by a DELETE's filters: only
+    * top-level conjuncts translate (an OR branch could match rows a
+    * single range excludes), strict bounds widen to closed (fail-
+    * open), numeric equalities become point ranges, string equalities
+    * become value probes. A file these hints exclude provably holds
+    * no matching row; everything else rewrites. */
+  private[sources] def filterPrunes(
+      fs: Seq[org.apache.spark.sql.sources.Filter])
+      : (Seq[(String, Double, Double)], Seq[(String, String)]) = {
+    import org.apache.spark.sql.{sources => sf}
+    def num(v: Any): Option[Double] = v match {
+      case b: Byte => Some(b.toDouble)
+      case s: Short => Some(s.toDouble)
+      case i: Int => Some(i.toDouble)
+      case l: Long => Some(l.toDouble)
+      case f: Float => Some(f.toDouble)
+      case d: Double => Some(d)
+      case d: java.math.BigDecimal => Some(d.doubleValue)
+      case d: BigDecimal => Some(d.toDouble)
+      case _ => None
+    }
+    val ranges = Seq.newBuilder[(String, Double, Double)]
+    val valueEq = Seq.newBuilder[(String, String)]
+    def walk(f: org.apache.spark.sql.sources.Filter): Unit = f match {
+      case sf.And(l, r) => walk(l); walk(r)
+      case sf.EqualTo(a, v: String) => valueEq += ((a, v))
+      case sf.EqualTo(a, v) => num(v).foreach(d => ranges += ((a, d, d)))
+      case sf.GreaterThan(a, v) =>
+        num(v).foreach(d => ranges += ((a, d, Double.PositiveInfinity)))
+      case sf.GreaterThanOrEqual(a, v) =>
+        num(v).foreach(d => ranges += ((a, d, Double.PositiveInfinity)))
+      case sf.LessThan(a, v) =>
+        num(v).foreach(d => ranges += ((a, Double.NegativeInfinity, d)))
+      case sf.LessThanOrEqual(a, v) =>
+        num(v).foreach(d => ranges += ((a, Double.NegativeInfinity, d)))
+      case _ => () // not conjunctive-range-expressible: no hint
+    }
+    fs.foreach(walk)
+    (ranges.result(), valueEq.result())
+  }
+
   /** The file names (data/<name> relative form) surviving every
     * manifest prune for the given Catalyst filters — the single
     * pruning decision [[TxFileIndex]] and the specs share. String
@@ -236,7 +319,8 @@ private[sources] class TxFileIndex(spark: SparkSession, table: String,
   * [[TxTable.TxConflictException]], never a silent lost update. */
 private[sources] class TxSparkTable(spark: SparkSession, path: String,
     snap: TxTable.Snapshot, tableName: String)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   // Infer from ONE file, not the whole snapshot: footer reads are
   // driver-side HEAD calls on an object store, and manifest commits
   // guarantee a uniform schema per snapshot (schema evolution rewrites
@@ -261,6 +345,34 @@ private[sources] class TxSparkTable(spark: SparkSession, path: String,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     ParquetScanBuilder(spark, index, dataSchema, dataSchema, options)
+
+  /** `DELETE FROM t WHERE ...` → [[TxTable.deleteWhereExpr]]: the
+    * exact predicate is the filters' Column translation, the manifest
+    * prune hints come from the top-level conjuncts, and the rewrite
+    * is the same pruned copy-on-write commit as the API path.
+    * Anything not expressible refuses in `canDeleteWhere` — Spark
+    * surfaces a named error instead of this table deleting the wrong
+    * rows. Empty filters = SQL `DELETE FROM t` = an overwrite with
+    * the empty frame (an explicit statement, not the API's refused
+    * unconditional delete). */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => TxSql.filterToColumn(f).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    if (filters.isEmpty) {
+      TxTable.overwrite(
+        TxTable.read(spark, path)
+          .filter(org.apache.spark.sql.functions.lit(false)), path)
+    } else {
+      val cond = filters.flatMap(TxSql.filterToColumn)
+        .reduce(_ && _)
+      val (ranges, valueEq) = TxSql.filterPrunes(filters.toSeq)
+      TxTable.deleteWhereExpr(spark, path, cond, ranges, valueEq)
+    }
+    ()
+  }
 
   /** `INSERT INTO` / `df.writeTo(t).append()` → [[TxTable.append]];
     * `INSERT OVERWRITE` / `.truncateAndAppend()` → `overwrite`. The

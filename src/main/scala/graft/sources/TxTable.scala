@@ -1128,6 +1128,22 @@ object TxTable {
     })._1
   }
 
+  /** DELETE rows matching an ARBITRARY row predicate `cond` (the SQL
+    * DELETE path's entry point — strict bounds, IN lists, OR trees,
+    * anything a Column expresses), with `ranges`/`valueEq` as the
+    * OPTIONAL manifest-prune hints: they must be implied by `cond`
+    * (a file they exclude must hold no matching row) and only decide
+    * which files rewrite — correctness comes from `cond` alone. NULL
+    * predicate keeps the row, SQL DELETE's WHERE semantics. */
+  def deleteWhereExpr(spark: SparkSession, table: String,
+      cond: org.apache.spark.sql.Column,
+      ranges: Seq[(String, Double, Double)] = Nil,
+      valueEq: Seq[(String, String)] = Nil): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    copyOnWrite(spark, table, ranges, valueEq,
+      _.filter(not(coalesce(cond, lit(false)))))._1
+  }
+
   /** [[deleteWhere]] exposing (version, rewrittenFiles, totalFiles) so
     * callers (and specs) can assert the prune actually skipped files. */
   private[graft] def deleteWhereCounted(spark: SparkSession, table: String,

@@ -287,6 +287,52 @@ class TxSqlSpec extends AnyFunSuite {
     assert(!TxTable.snapshot(spark, s"$root/urgent").isDefined)
   }
 
+  test("SQL DELETE: exact semantics incl. strict bounds, OR, IN, and nulls") {
+    val root = freshRoot()
+    val dir = s"$root/t"
+    val src = Seq((1L, 5.0, "a"), (2L, 10.0, "b"), (3L, 15.0, "a"),
+      (4L, 20.0, "c"), (5L, 25.0, "b")).toDF("k", "amt", "tag")
+      .unionByName(Seq((6L, Option.empty[Double], "a"))
+        .toDF("k", "amt", "tag"))
+    TxTable.overwrite(src, dir)
+    TxSql.installCatalog(spark, "txd1", root)
+    // strict bound + OR tree — beyond the conjunctive API verbs; the
+    // NULL-amt row must be KEPT (SQL WHERE semantics)
+    spark.sql("DELETE FROM txd1.t WHERE amt > 10.0 OR tag = 'c'")
+    assert(spark.sql("SELECT k FROM txd1.t ORDER BY k").as[Long]
+      .collect().toSeq === Seq(1L, 2L, 6L))
+    spark.sql("DELETE FROM txd1.t WHERE k IN (2, 99)")
+    assert(spark.sql("SELECT k FROM txd1.t ORDER BY k").as[Long]
+      .collect().toSeq === Seq(1L, 6L))
+    // unconditional DELETE empties the table but keeps it readable
+    spark.sql("DELETE FROM txd1.t")
+    assert(spark.sql("SELECT count(*) FROM txd1.t").as[Long].head() === 0L)
+    // and history is intact: the full table still time-travels
+    assert(spark.sql("SELECT count(*) FROM txd1.t VERSION AS OF 1")
+      .as[Long].head() === 6L)
+  }
+
+  test("SQL DELETE prunes files through the manifest on conjunctive hints") {
+    val root = freshRoot()
+    val dir = seed(root) // 4000 rows, amt stats + prio value sets
+    TxSql.installCatalog(spark, "txd2", root)
+    val before = TxTable.snapshot(spark, dir).get
+    spark.sql(
+      "DELETE FROM txd2.orders WHERE amt >= 10.0 AND amt <= 20.0 " +
+        "AND prio = 'URGENT'")
+    val after = TxTable.snapshot(spark, dir).get
+    // untouched files carried over byte-identical (same names)
+    val carried = after.files.toSet intersect before.files.toSet
+    assert(carried.nonEmpty,
+      "the conjunctive hints must prune: some file should carry over")
+    val expect = 4000L - spark.sql(
+      "SELECT count(*) FROM txd2.orders VERSION AS OF 1 " +
+        "WHERE amt >= 10.0 AND amt <= 20.0 AND prio = 'URGENT'")
+      .as[Long].head()
+    assert(spark.sql("SELECT count(*) FROM txd2.orders").as[Long].head()
+      === expect)
+  }
+
   test("racing SQL INSERTs: one winner per head, no lost or doubled rows") {
     val root = freshRoot()
     val dir = s"$root/race"
