@@ -490,6 +490,23 @@ object PipelineQueries extends QueryModule {
         s"""DELETE FROM $cat.seg
            |WHERE cents > 900000 OR (c_mktsegment = 'FURNITURE'
            |  AND cents < 50000)""".stripMargin)
+      // SQL UPDATE through SupportsRowLevelOperations (group-based
+      // ReplaceData: whole-snapshot copy-on-write, one atomic commit)
+      s.sql(
+        s"""UPDATE $cat.seg SET cents = cents + 1000
+           |WHERE c_mktsegment = 'HOUSEHOLD' AND cents < 10000""".stripMargin)
+      // SQL MERGE INTO: matched rows double, a sentinel row inserts
+      s.sql(
+        s"""MERGE INTO $cat.seg AS t
+           |USING (SELECT c_custkey, c_mktsegment, cents
+           |       FROM txw_customer_src
+           |       WHERE c_mktsegment = 'MACHINERY' AND cents <= 50000
+           |       UNION ALL
+           |       SELECT -1, 'SENTINEL', 42) AS c
+           |ON t.c_custkey = c.c_custkey AND t.c_mktsegment = c.c_mktsegment
+           |WHEN MATCHED THEN UPDATE SET cents = t.cents * 2
+           |WHEN NOT MATCHED THEN INSERT (c_custkey, c_mktsegment, cents)
+           |  VALUES (c.c_custkey, c.c_mktsegment, c.cents)""".stripMargin)
       s.sql(
         s"""SELECT 'head' AS phase, c_mktsegment, count(*) AS n,
            |  sum(cents) AS cents
@@ -734,11 +751,20 @@ object PipelineQueries extends QueryModule {
         |  FROM customer)
         |SELECT 'head' AS phase, c_mktsegment, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents
-        |FROM src
-        |WHERE ((c_mktsegment IN ('HOUSEHOLD', 'FURNITURE') AND cents > 0)
-        |   OR (c_mktsegment = 'MACHINERY' AND cents <= 100000))
-        |  AND NOT (cents > 900000 OR (c_mktsegment = 'FURNITURE'
-        |    AND cents < 50000))
+        |FROM (
+        |  SELECT c_mktsegment,
+        |    CASE WHEN c_mktsegment = 'HOUSEHOLD' AND cents < 10000
+        |           THEN cents + 1000
+        |         WHEN c_mktsegment = 'MACHINERY' AND cents <= 50000
+        |           THEN cents * 2
+        |         ELSE cents END AS cents
+        |  FROM src
+        |  WHERE ((c_mktsegment IN ('HOUSEHOLD', 'FURNITURE')
+        |      AND cents > 0)
+        |     OR (c_mktsegment = 'MACHINERY' AND cents <= 100000))
+        |    AND NOT (cents > 900000 OR (c_mktsegment = 'FURNITURE'
+        |      AND cents < 50000))
+        |  UNION ALL SELECT 'SENTINEL', 42)
         |GROUP BY c_mktsegment
         |UNION ALL
         |SELECT 'mid', c_mktsegment, count(*), CAST(sum(cents) AS BIGINT)

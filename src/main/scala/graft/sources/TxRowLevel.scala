@@ -1,0 +1,259 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetOutputWriter, ParquetWriteSupport}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** SQL `UPDATE` / `MERGE INTO` for the snapshot table — DSv2
+  * group-based row-level operations (`SupportsRowLevelOperations`),
+  * copy-on-write at whole-snapshot granularity:
+  *
+  *   - Spark's `RewriteUpdateTable` / `RewriteMergeIntoTable` plan the
+  *     statement as ReplaceData over this operation's SCAN (the same
+  *     manifest-pinned vectorized parquet scan every read uses —
+  *     UPDATE's plan must see matching AND non-matching rows, so no
+  *     data filter is ever pushed into it) followed by this
+  *     operation's WRITE;
+  *   - the write is a real distributed DSv2 parquet writer: each task
+  *     streams `InternalRow`s through Spark's own
+  *     [[ParquetOutputWriter]] into a task-unique staged dotfile
+  *     under data/ (invisible: readers open only manifest-listed
+  *     files), and the driver-side job commit renames the staged
+  *     files into place and publishes ONE TxTable manifest commit
+  *     whose file list is exactly the replacement content;
+  *   - racing writers contend on the same commit protocol as every
+  *     other path: the loser gets a `TxConflictException` and the
+  *     statement fails without having changed anything visible
+  *     (its staged files stay unreferenced until vacuum).
+  *
+  * Scale note: whole-snapshot copy-on-write is the correct BASELINE
+  * semantics (exactly Delta/Iceberg before runtime group filtering);
+  * the pruned-rewrite fast path exists on the API verbs
+  * (`updateWhere`/`deleteWhere`), and SQL DELETE already routes
+  * through it via `SupportsDelete`. Index metadata does not carry
+  * (the files it described are replaced), matching `overwrite`.
+  */
+private[sources] class TxRowLevelOperationBuilder(spark: SparkSession,
+    path: String, snap: TxTable.Snapshot, schema: StructType,
+    info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new TxRowLevelOperation(spark, path, snap, schema, info.command())
+}
+
+private[sources] class TxRowLevelOperation(spark: SparkSession,
+    path: String, snap: TxTable.Snapshot, schema: StructType,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+  override def command(): RowLevelOperation.Command = cmd
+
+  /** The op scan DELIBERATELY exposes no filter-pushdown interface:
+    * group-based ReplaceData writes back exactly what the scan read,
+    * and a pushed predicate reaching the parquet reader filters at
+    * ROW granularity — every unmatched row inside an affected file
+    * would silently vanish from the replacement (observed as
+    * `DataFilters: [(tag = a)]` on the op scan before this wrapper).
+    * No pushdown → the scan reads the full snapshot → the write IS
+    * the full replacement content. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        ParquetScanBuilder(spark,
+          new TxFileIndex(spark, path, snap, schema),
+          schema, schema, options).build()
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new TxReplaceBatchWrite(path, info.schema())
+      }
+    }
+}
+
+/** Whole-snapshot replacement write: staged per-task parquet files →
+  * one atomic manifest commit. */
+private[sources] class TxReplaceBatchWrite(path: String, schema: StructType)
+    extends BatchWrite {
+  private val tag = java.util.UUID.randomUUID().toString.take(8)
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new TxParquetWriterFactory(path, schema, tag, TxConfCarrier.capture())
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = messages.toSeq.map { case TxParquetCommit(staged) =>
+      val p = new Path(staged)
+      val visible = new Path(p.getParent, p.getName.stripPrefix("."))
+      require(fs.rename(p, visible), s"publish rename failed: $staged")
+      s"data/${visible.getName}"
+    }
+    // head resolved AT COMMIT TIME, exactly like the API verbs — a
+    // concurrent commit since analysis loses or wins atomically here
+    val cur = TxTable.snapshot(spark, path)
+    val next = cur.map(_.version + 1).getOrElse(1L)
+    TxTable.commit(spark, path, next, files,
+      cur.map(_.txns).getOrElse(Map.empty))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.collect { case TxParquetCommit(staged) =>
+      fs.delete(new Path(staged), false)
+    }
+    ()
+  }
+}
+
+private case class TxParquetCommit(staged: String) extends WriterCommitMessage
+
+/** Serializable hadoop-conf + parquet write settings snapshot (the
+  * driver's SQLConf-derived parquet options must reach executor-side
+  * writers; a bare `new Configuration()` would silently use defaults
+  * that can differ from the session's). */
+private case class TxConfCarrier(entries: Array[(String, String)]) {
+  def toConf: Configuration = {
+    val c = new Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+}
+
+private object TxConfCarrier {
+  def capture(): TxConfCarrier = {
+    import org.apache.spark.sql.internal.SQLConf
+    val spark = SparkSession.active
+    val hconf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val sql = spark.sessionState.conf
+    // everything ParquetWriteSupport.init / SparkToParquetSchemaConverter
+    // read from the task-side Configuration (what ParquetUtils.
+    // prepareWrite provisions) — keys referenced through SQLConf so a
+    // rename breaks the compile, not the write
+    hconf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+      sql.writeLegacyParquetFormat.toString)
+    hconf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      sql.parquetOutputTimestampType.toString)
+    hconf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      sql.parquetFieldIdWriteEnabled.toString)
+    hconf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      sql.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    hconf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
+      sql.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString)
+    hconf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
+      sql.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
+    hconf.set(SQLConf.CASE_SENSITIVE.key, sql.caseSensitiveAnalysis.toString)
+    hconf.set("parquet.compression", sql.parquetCompressionCodec)
+    hconf.set("parquet.write.support.class",
+      classOf[ParquetWriteSupport].getName)
+    TxConfCarrier(
+      hconf.iterator().asScala.map(e => e.getKey -> e.getValue).toArray)
+  }
+}
+
+private class TxParquetWriterFactory(path: String, schema: StructType,
+    tag: String, conf: TxConfCarrier) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new TxParquetDataWriter(path, schema, tag, partitionId, taskId, conf)
+}
+
+private class TxParquetDataWriter(path: String, schema: StructType,
+    tag: String, partitionId: Int, taskId: Long,
+    conf: TxConfCarrier) extends DataWriter[InternalRow] {
+  private val staged =
+    new Path(path, f"data/.rl-$tag-$partitionId%05d-$taskId.parquet")
+  private val hconf = conf.toConf
+  ParquetWriteSupport.setSchema(schema, hconf)
+  staged.getFileSystem(hconf).mkdirs(staged.getParent)
+  private val ctx = new TaskAttemptContextImpl(hconf,
+    new TaskAttemptID(new TaskID(new JobID(tag, 0), TaskType.MAP,
+      partitionId), taskId.toInt))
+  private val writer = new ParquetOutputWriter(staged.toString, ctx)
+
+  // ReplaceData hands the writer the raw query row, which leads with
+  // the rewrite rules' __row_operation marker (RowDeltaUtils.
+  // OPERATION_COLUMN, always prepended FIRST by RewriteUpdateTable /
+  // RewriteMergeIntoTable) — Spark's projection machinery strips it
+  // only on the metadata-attribute path (DataAndMetadataWritingSpark-
+  // Task). The data columns follow in write-schema order, so a +1
+  // ordinal shift recovers exactly the declared row; any other arity
+  // is a contract drift and must fail loudly, not misalign columns.
+  private val arity = schema.length
+  override def write(row: InternalRow): Unit = {
+    if (row.numFields == arity) writer.write(row)
+    else if (row.numFields == arity + 1)
+      writer.write(new TxOffsetRow(row, 1, arity))
+    else throw new IllegalStateException(
+      s"row-level write row has ${row.numFields} fields, schema has $arity")
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    TxParquetCommit(staged.toString)
+  }
+
+  override def abort(): Unit = {
+    try writer.close() catch { case _: Throwable => () }
+    staged.getFileSystem(hconf).delete(staged, false)
+    ()
+  }
+
+  override def close(): Unit = ()
+}
+
+/** InternalRow view shifted by `off` ordinals, `n` fields wide — the
+  * cheap strip of the leading __row_operation marker (no copy). */
+private class TxOffsetRow(row: InternalRow, off: Int, n: Int)
+    extends InternalRow {
+  override def numFields: Int = n
+  override def isNullAt(i: Int): Boolean = row.isNullAt(i + off)
+  override def getBoolean(i: Int): Boolean = row.getBoolean(i + off)
+  override def getByte(i: Int): Byte = row.getByte(i + off)
+  override def getShort(i: Int): Short = row.getShort(i + off)
+  override def getInt(i: Int): Int = row.getInt(i + off)
+  override def getLong(i: Int): Long = row.getLong(i + off)
+  override def getFloat(i: Int): Float = row.getFloat(i + off)
+  override def getDouble(i: Int): Double = row.getDouble(i + off)
+  override def getDecimal(i: Int, p: Int, s: Int) =
+    row.getDecimal(i + off, p, s)
+  override def getUTF8String(i: Int) = row.getUTF8String(i + off)
+  override def getBinary(i: Int): Array[Byte] = row.getBinary(i + off)
+  override def getInterval(i: Int) = row.getInterval(i + off)
+  override def getStruct(i: Int, numFields: Int) =
+    row.getStruct(i + off, numFields)
+  override def getArray(i: Int) = row.getArray(i + off)
+  override def getMap(i: Int) = row.getMap(i + off)
+  override def getVariant(i: Int) = row.getVariant(i + off)
+  override def getGeography(i: Int) = row.getGeography(i + off)
+  override def getGeometry(i: Int) = row.getGeometry(i + off)
+  override def get(i: Int, dt: org.apache.spark.sql.types.DataType): AnyRef =
+    row.get(i + off, dt)
+  override def setNullAt(i: Int): Unit = row.setNullAt(i + off)
+  override def update(i: Int, v: Any): Unit = row.update(i + off, v)
+  override def copy(): InternalRow = {
+    val out = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(n)
+    var i = 0
+    while (i < n) {
+      if (row.isNullAt(i + off)) out.setNullAt(i)
+      else out.update(i, row.get(i + off, null))
+      i += 1
+    }
+    out
+  }
+}

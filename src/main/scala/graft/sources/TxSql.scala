@@ -320,7 +320,8 @@ private[sources] class TxFileIndex(spark: SparkSession, table: String,
 private[sources] class TxSparkTable(spark: SparkSession, path: String,
     snap: TxTable.Snapshot, tableName: String)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   // Infer from ONE file, not the whole snapshot: footer reads are
   // driver-side HEAD calls on an object store, and manifest commits
   // guarantee a uniform schema per snapshot (schema evolution rewrites
@@ -345,6 +346,15 @@ private[sources] class TxSparkTable(spark: SparkSession, path: String,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     ParquetScanBuilder(spark, index, dataSchema, dataSchema, options)
+
+  /** SQL `UPDATE` / `MERGE INTO` → group-based copy-on-write
+    * ReplaceData (see [[TxRowLevelOperation]]): the op scans through
+    * the SAME pinned manifest index and writes the replacement
+    * content as staged parquet + one atomic manifest commit. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new TxRowLevelOperationBuilder(spark, path, snap, dataSchema, info)
 
   /** `DELETE FROM t WHERE ...` → [[TxTable.deleteWhereExpr]]: the
     * exact predicate is the filters' Column translation, the manifest

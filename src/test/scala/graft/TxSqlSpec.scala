@@ -333,6 +333,45 @@ class TxSqlSpec extends AnyFunSuite {
       === expect)
   }
 
+  test("SQL UPDATE: matching rows change, others untouched, history intact") {
+    val root = freshRoot()
+    val dir = s"$root/t"
+    TxTable.overwrite(Seq((1L, 10.0, "a"), (2L, 20.0, "b"),
+      (3L, 30.0, "a")).toDF("k", "amt", "tag"), dir)
+    TxSql.installCatalog(spark, "txu1", root)
+    spark.sql("UPDATE txu1.t SET amt = amt * 2, tag = 'bumped' " +
+      "WHERE tag = 'a' AND amt > 15.0")
+    assert(spark.sql("SELECT k, amt, tag FROM txu1.t ORDER BY k")
+      .as[(Long, Double, String)].collect().toSeq ===
+      Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 60.0, "bumped")))
+    // one statement = one commit; the pre-update version still reads
+    assert(TxTable.snapshot(spark, dir).get.version === 2L)
+    assert(spark.sql("SELECT sum(amt) FROM txu1.t VERSION AS OF 1")
+      .as[Double].head() === 60.0)
+    // API read agrees with SQL (one table, one log)
+    assert(TxTable.read(spark, dir).count() === 3)
+  }
+
+  test("SQL MERGE INTO: matched update + not-matched insert in one commit") {
+    val root = freshRoot()
+    val dir = s"$root/t"
+    TxTable.overwrite(Seq((1L, 100L), (2L, 200L), (3L, 300L))
+      .toDF("k", "cents"), dir)
+    TxSql.installCatalog(spark, "txm1", root)
+    Seq((2L, 999L), (9L, 900L)).toDF("k", "cents")
+      .createOrReplaceTempView("txm1_changes")
+    spark.sql(
+      """MERGE INTO txm1.t AS t USING txm1_changes AS c ON t.k = c.k
+        |WHEN MATCHED THEN UPDATE SET cents = c.cents
+        |WHEN NOT MATCHED THEN INSERT (k, cents) VALUES (c.k, c.cents)
+        |""".stripMargin)
+    assert(spark.sql("SELECT k, cents FROM txm1.t ORDER BY k")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 100L), (2L, 999L), (3L, 300L), (9L, 900L)))
+    assert(TxTable.snapshot(spark, dir).get.version === 2L,
+      "MERGE must be exactly one atomic commit")
+  }
+
   test("racing SQL INSERTs: one winner per head, no lost or doubled rows") {
     val root = freshRoot()
     val dir = s"$root/race"
