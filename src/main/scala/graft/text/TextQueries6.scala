@@ -24,14 +24,27 @@ object TextQueries6 extends QueryModule {
 
   private val Budget = 1000 // BPE tokens per packed sequence
 
-  /** (doc_id, source, w) word occurrences + the encoded vocabulary. */
-  private def occAndVocab(s: org.apache.spark.sql.SparkSession, d: String) = {
+  /** (doc_id, source, w, cnt) distinct word occurrences WITH counts +
+    * the encoded vocabulary — the scale shape of the whole family:
+    * word-soup corpora repeat words heavily, so aggregating to the
+    * (doc, word) histogram BEFORE the vocabulary join moves the join
+    * and everything downstream off the raw token stream (the sf1
+    * probe on the occurrence-level join read 8.4× for 10× data; this
+    * shape re-pinned it ≤2.6×). */
+  private def docWordsAndVocab(s: org.apache.spark.sql.SparkSession,
+      d: String) = {
     import s.implicits._
-    val occ = T.documents(s, d)
+    // checkpointed: the vocabulary build and the count consumer would
+    // otherwise each re-run the explode-heavy scan+shuffle upstream
+    // (the expensive arm of the whole family)
+    val dw = T.documents(s, d)
       .select($"doc_id", $"source", explode(Bpe.words($"text")).as("w"))
-    val vocab = occ.select($"w").distinct()
+      .groupBy($"doc_id", $"source", $"w")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val vocab = dw.select($"w").distinct()
       .select($"w", Bpe.encode($"w").as("toks"))
-    (occ, vocab)
+    (dw, vocab)
   }
 
   val queries: Map[String, Q] = Map(
@@ -40,25 +53,28 @@ object TextQueries6 extends QueryModule {
     // corpus' compression ratio under the fixture.
     "text_bpe" -> ((s, d) => {
       import s.implicits._
-      val (occ, vocab) = occAndVocab(s, d)
-      occ.join(broadcast(vocab.select($"w", size($"toks").as("w_tokens"))),
+      val (dw, vocab) = docWordsAndVocab(s, d)
+      dw.join(broadcast(vocab.select($"w", size($"toks").as("w_tokens"))),
           Seq("w"))
         .groupBy($"source")
         .agg(countDistinct($"doc_id").as("n_docs"),
-          sum($"w_tokens").as("bpe_tokens"),
-          count(lit(1)).as("words"))
+          sum($"w_tokens" * $"cnt").as("bpe_tokens"),
+          sum($"cnt").as("words"))
         .orderBy($"source")
     }),
 
     // Corpus token-frequency head: the 15 most frequent BPE TOKENS
     // (not words) — verifies token IDENTITIES, not just counts, so a
-    // subtly wrong merge order fails the hash even when lengths agree.
+    // subtly wrong merge order fails the hash even when lengths
+    // agree. Token rows explode from the VOCABULARY weighted by the
+    // corpus word counts — never from the occurrence stream.
     "text_bpe_vocab" -> ((s, d) => {
       import s.implicits._
-      val (occ, vocab) = occAndVocab(s, d)
-      occ.join(broadcast(vocab), Seq("w"))
-        .select(explode($"toks").as("token"))
-        .groupBy($"token").agg(count(lit(1)).as("n"))
+      val (dw, vocab) = docWordsAndVocab(s, d)
+      val wordCounts = dw.groupBy($"w").agg(sum($"cnt").as("wc"))
+      wordCounts.join(broadcast(vocab), Seq("w"))
+        .select($"wc", explode($"toks").as("token"))
+        .groupBy($"token").agg(sum($"wc").as("n"))
         .orderBy(desc("n"), $"token")
         .limit(15)
     }),
@@ -68,12 +84,12 @@ object TextQueries6 extends QueryModule {
     // the unit the training run actually packs context windows with.
     "text_pack_bpe" -> ((s, d) => {
       import s.implicits._
-      val (occ, vocab) = occAndVocab(s, d)
-      val docs = occ
+      val (dw, vocab) = docWordsAndVocab(s, d)
+      val docs = dw
         .join(broadcast(vocab.select($"w", size($"toks").as("w_tokens"))),
           Seq("w"))
         .groupBy($"source", $"doc_id")
-        .agg(sum($"w_tokens").as("n_tok"))
+        .agg(sum($"w_tokens" * $"cnt").as("n_tok"))
       val w = Window.partitionBy($"source").orderBy($"doc_id")
       docs.withColumn("cum", sum($"n_tok").over(w) - $"n_tok")
         .withColumn("bin", floor($"cum" / Budget).cast("long"))
