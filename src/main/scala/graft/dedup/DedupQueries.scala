@@ -232,6 +232,41 @@ object DedupQueries extends QueryModule {
         .orderBy($"node")
     }),
 
+    // GROUP-AWARE train/test split: whole near-duplicate clusters
+    // assign to one side (split keyed on the component id, never the
+    // row), so no near-dup pair ever straddles the boundary — the
+    // contamination a row-hash split silently creates when the corpus
+    // holds near-copies (the reason eval decks dedup against training
+    // data at all). Unpaired docs are their own singleton group.
+    // Construction REQUIREs zero straddling pairs — the property
+    // itself, not just the counts — and the oracle recomputes the
+    // clusters independently (recursive CTE) so a wrong component
+    // breaks the gate.
+    "feat_group_split" -> ((s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d).select($"doc_id", $"text")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+          ShingleN, JThreshold)
+        .localCheckpoint(false) // feeds components AND the straddle check
+      val comps = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      val labeled = docs.join(comps, $"doc_id" === $"node", "left_outer")
+        .select($"doc_id",
+          coalesce($"component", $"doc_id").as("grp"))
+        .withColumn("split",
+          when($"grp" % 5 < 4, "train").otherwise("test"))
+        .localCheckpoint(false) // feeds the report AND the check
+      val straddle = pairs
+        .join(labeled.select($"doc_id".as("a_id"), $"split".as("sa")), "a_id")
+        .join(labeled.select($"doc_id".as("b_id"), $"split".as("sb")), "b_id")
+        .filter($"sa" =!= $"sb").count()
+      require(straddle == 0,
+        s"group split leaked: $straddle near-dup pairs straddle the boundary")
+      labeled.groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"grp").as("n_groups"))
+        .orderBy($"split")
+    }),
+
     // Incremental crawl dedup — the day-N ingest (doc_id % 5 == 4,
     // ~20%) against the standing corpus: a batch doc survives only if
     // its normalized fingerprint is absent from the corpus (left_anti
@@ -419,6 +454,29 @@ object DedupQueries extends QueryModule {
          |  SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src)
          |SELECT n AS node, min(m) AS component FROM reach
          |GROUP BY n ORDER BY node""".stripMargin,
+
+    "feat_group_split" ->
+      s"""WITH RECURSIVE $pairsCte,
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS n FROM edges),
+         |reach(n, m) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src),
+         |comps AS (SELECT n AS node, min(m) AS component FROM reach
+         |  GROUP BY n),
+         |labeled AS (
+         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS grp
+         |  FROM documents d LEFT JOIN comps c ON d.doc_id = c.node),
+         |sp AS (
+         |  SELECT doc_id, grp,
+         |    CASE WHEN grp % 5 < 4 THEN 'train' ELSE 'test' END AS split
+         |  FROM labeled)
+         |SELECT split, count(*) AS n_docs,
+         |  count(DISTINCT grp) AS n_groups
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
 
     "dedup_incremental" ->
       """WITH docs AS (SELECT doc_id, source,
