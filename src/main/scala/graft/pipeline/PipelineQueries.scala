@@ -517,6 +517,46 @@ object PipelineQueries extends QueryModule {
            |ORDER BY phase, c_mktsegment""".stripMargin)
     }),
 
+    // The SQL MAINTENANCE surface end to end: `CALL system.compact`
+    // rewrites the fragmented table (content-preserving, one commit),
+    // `CALL system.restore` rolls back to a prior version as a new
+    // commit, and the result reads the restored head, the
+    // pre-compaction version via time travel, AND the history row
+    // count — so a compaction that changed content, a restore that
+    // referenced the wrong files, or a maintenance verb that forgot
+    // to commit all fail the oracle's recomputation. Rebuilt from
+    // scratch every run (write-cycle gate), exact cents.
+    "pipe_txtable_sql_maint" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.{TxSql, TxTable}
+      val key = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = sys.props("java.io.tmpdir") + "/graft_txmaint_" + key
+      val rp = new org.apache.hadoop.fs.Path(root)
+      rp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(rp, true)
+      val src = T.orders(s, d).select($"o_orderkey", $"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      val dir = root + "/orders"
+      TxTable.overwrite(src.filter($"o_orderpriority" === "1-URGENT"), dir)
+      TxTable.append(src.filter($"o_orderpriority" === "2-HIGH"), dir)
+      TxTable.append(src.filter($"o_orderpriority" === "3-MEDIUM"), dir)
+      val cat = "txm_" + key
+      TxSql.installCatalog(s, cat, root)
+      s.sql(s"CALL $cat.system.compact('orders', 4)") // v4, same content
+      s.sql(s"CALL $cat.system.restore('orders', 2)") // v5 = v2 content
+      val nHist = s.sql(s"CALL $cat.system.history('orders')").count()
+      val headV = TxTable.snapshot(s, dir).get.version
+      s.sql(
+        s"""SELECT 'head' AS phase, o_orderpriority, count(*) AS n,
+           |  sum(cents) AS cents
+           |FROM $cat.orders GROUP BY o_orderpriority
+           |UNION ALL
+           |SELECT 'precompact', o_orderpriority, count(*), sum(cents)
+           |FROM $cat.orders VERSION AS OF 3 GROUP BY o_orderpriority
+           |UNION ALL
+           |SELECT 'zmeta', '-', $nHist, $headV
+           |ORDER BY phase, o_orderpriority""".stripMargin)
+    }),
+
     // Z-ORDER layout end to end: orders clustered on the Morton curve
     // over (order age in days, total price), then a two-dimensional
     // box read through manifest pruning. The construction asserts the
@@ -739,6 +779,30 @@ object PipelineQueries extends QueryModule {
         |  AND o_orderpriority = '1-URGENT'
         |  AND year(o_orderdate) >= 1995
         |ORDER BY stage""".stripMargin,
+
+    // the restored head (= versions 1+2's priorities), the
+    // pre-compaction full content, and the closed-form metadata row
+    // (5 retained manifests, head version 5) recomputed from raw
+    // orders — wrong content after compact/restore, or a missing
+    // commit, diverges
+    "pipe_txtable_sql_maint" ->
+      """WITH src AS (
+        |  SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT 'head' AS phase, o_orderpriority,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM src WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'precompact', o_orderpriority, count(*),
+        |  CAST(sum(cents) AS BIGINT)
+        |FROM src
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+        |GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'zmeta', '-', 5, 5
+        |ORDER BY phase, o_orderpriority""".stripMargin,
 
     // both phases of the SQL write cycle recomputed from raw customer
     // rows — equal only if CTAS/INSERT/OVERWRITE each committed

@@ -1,0 +1,118 @@
+package graft.sources
+
+import java.util.Collections
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Table-maintenance stored procedures for the TxTable catalog — the
+  * `CALL cat.system.<proc>(...)` surface (the Iceberg procedures
+  * shape on Spark 4's DSv2 `ProcedureCatalog`): OPTIMIZE, rollback,
+  * vacuum, and DESCRIBE HISTORY all become SQL statements, so the
+  * whole table lifecycle is drivable without touching the Scala API.
+  * Each procedure routes through the SAME TxTable verb as the API
+  * path (same commit protocol, same conflict semantics) and returns
+  * its outcome as rows via a driver-local scan — results are
+  * manifest-sized, never data-sized. */
+private[sources] object TxProcedures {
+
+  val names: Seq[String] =
+    Seq("compact", "restore", "vacuum", "history", "create_checkpoint")
+
+  def apply(name: String, root: String): UnboundProcedure = name match {
+    case "compact" => new TxProc(name, root,
+      params = Seq("table" -> StringType, "target_files" -> IntegerType),
+      out = StructType(Seq(StructField("version", LongType),
+        StructField("n_files", LongType))),
+      run = { (spark, dir, args) =>
+        val v = TxTable.compact(spark, dir, args(1).asInstanceOf[Int])
+        val n = TxTable.snapshot(spark, dir).get.files.size.toLong
+        Seq(new GenericInternalRow(Array[Any](v, n)))
+      })
+    case "restore" => new TxProc(name, root,
+      params = Seq("table" -> StringType, "version" -> LongType),
+      out = StructType(Seq(StructField("version", LongType))),
+      run = { (spark, dir, args) =>
+        val v = TxTable.restore(spark, dir, args(1).asInstanceOf[Long])
+        Seq(new GenericInternalRow(Array[Any](v)))
+      })
+    case "vacuum" => new TxProc(name, root,
+      params = Seq("table" -> StringType, "retain_last" -> IntegerType),
+      out = StructType(Seq(StructField("manifests_deleted", LongType),
+        StructField("data_files_deleted", LongType))),
+      run = { (spark, dir, args) =>
+        val (m, f) = TxTable.vacuum(spark, dir, args(1).asInstanceOf[Int])
+        Seq(new GenericInternalRow(Array[Any](m.toLong, f.toLong)))
+      })
+    case "history" => new TxProc(name, root,
+      params = Seq("table" -> StringType),
+      out = StructType(Seq(StructField("version", LongType),
+        StructField("n_files", LongType), StructField("n_txns", LongType),
+        StructField("stats_col", StringType),
+        StructField("multi_stat_cols", StringType),
+        StructField("bloom_col", StringType))),
+      run = { (spark, dir, _) =>
+        TxTable.history(spark, dir).collect().toSeq.map { r =>
+          new GenericInternalRow(Array[Any](
+            r.getLong(0), r.getLong(1), r.getLong(2),
+            Option(r.getString(3)).map(UTF8String.fromString).orNull,
+            Option(r.getString(4)).map(UTF8String.fromString).orNull,
+            Option(r.getString(5)).map(UTF8String.fromString).orNull))
+        }
+      })
+    case "create_checkpoint" => new TxProc(name, root,
+      params = Seq("table" -> StringType),
+      out = StructType(Seq(StructField("version", LongType))),
+      run = { (spark, dir, _) =>
+        val v = TxTable.snapshot(spark, dir).getOrElse(
+          throw new IllegalArgumentException(
+            s"no committed version at $dir")).version
+        TxTable.writeCheckpointAt(spark, dir, v)
+        Seq(new GenericInternalRow(Array[Any](v)))
+      })
+    case other => throw new UnsupportedOperationException(
+      s"txtable: unknown procedure system.$other " +
+        s"(available: ${names.mkString(", ")})")
+  }
+}
+
+/** One procedure: unbound == bound (fixed signature, the Iceberg
+  * pattern). `run(spark, tableDir, args)` returns the result rows. */
+private class TxProc(name0: String, root: String,
+    params: Seq[(String, DataType)], out: StructType,
+    run: (SparkSession, String, Seq[Any]) => Seq[InternalRow])
+    extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = name0
+  override def description(): String = s"txtable maintenance: $name0"
+  override def bind(inputType: StructType): BoundProcedure = this
+
+  override def parameters(): Array[ProcedureParameter] =
+    params.map { case (n, t) => ProcedureParameter.in(n, t).build() }.toArray
+
+  override def isDeterministic: Boolean = false // mutates table state
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val spark = SparkSession.active
+    val args = params.zipWithIndex.map { case ((_, t), i) =>
+      t match {
+        case StringType => input.getUTF8String(i).toString
+        case IntegerType => input.getInt(i)
+        case LongType => input.getLong(i)
+        case other => throw new IllegalStateException(other.sql)
+      }
+    }
+    val dir = new org.apache.hadoop.fs.Path(root,
+      args.head.asInstanceOf[String]).toString
+    val result = run(spark, dir, args).toArray
+    Collections.singletonList[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = result
+      override def readSchema(): StructType = out
+    }).iterator()
+  }
+}

@@ -460,7 +460,8 @@ class TxDataSource extends TableProvider with DataSourceRegister {
   * time-travels through the standard catalog hook. Read-only by
   * design — DDL/DML route through the TxTable verbs whose commit
   * protocol carries the transactional guarantees. */
-class TxTableCatalog extends TableCatalog {
+class TxTableCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -544,6 +545,24 @@ class TxTableCatalog extends TableCatalog {
     val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     f.exists(new Path(dir, "_graft_log")) && f.delete(dir, true)
   }
+
+  /** `CALL <cat>.system.<proc>(...)` — table maintenance as SQL
+    * statements (compact / restore / vacuum / history /
+    * create_checkpoint), each routing through the same TxTable verb
+    * as the API path. See [[TxProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace().sameElements(Array("system")))
+      throw new UnsupportedOperationException(
+        s"txtable: procedures live under $catalogName.system " +
+          s"(got ${ident.namespace().mkString(".")})")
+    TxProcedures(ident.name(), root)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      TxProcedures.names.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(

@@ -112,6 +112,13 @@ object TxTable {
   private[graft] def checkpointPath(table: String) =
     new Path(logDir(table), "_last_checkpoint")
 
+  /** Force a checkpoint at `version` (the `CALL system.create_checkpoint`
+    * hook) — same validated-lower-bound trust model as the automatic
+    * every-N-commits write. */
+  private[graft] def writeCheckpointAt(spark: SparkSession, table: String,
+      version: Long): Unit =
+    writeCheckpoint(fs(spark, logDir(table)), table, version)
+
   private[graft] def writeCheckpoint(f: FileSystem, table: String,
       v: Long): Unit =
     try {

@@ -372,6 +372,45 @@ class TxSqlSpec extends AnyFunSuite {
       "MERGE must be exactly one atomic commit")
   }
 
+  test("CALL procedures: compact, history, restore, vacuum, checkpoint") {
+    val root = freshRoot()
+    val dir = s"$root/t"
+    TxTable.overwrite(Seq((1L, "a")).toDF("k", "v"), dir)
+    (2 to 6).foreach(i => TxTable.append(Seq((i.toLong, s"v$i")).toDF("k", "v"), dir))
+    TxSql.installCatalog(spark, "txp1", root)
+    // compact: 6 commits' files into 2, as one new version
+    val c = spark.sql("CALL txp1.system.compact('t', 2)")
+      .as[(Long, Long)].head()
+    assert(c === ((7L, 2L)))
+    assert(TxTable.read(spark, dir).count() === 6)
+    // history surfaces one row per retained manifest
+    val hist = spark.sql("CALL txp1.system.history('t')")
+    assert(hist.columns.take(2).toSeq === Seq("version", "n_files"))
+    assert(hist.count() === 7)
+    // restore rolls back to the 3-row version as a NEW commit
+    spark.sql("CALL txp1.system.restore('t', 3)")
+    assert(TxTable.read(spark, dir).count() === 3)
+    assert(TxTable.snapshot(spark, dir).get.version === 8L)
+    // checkpoint pins the resolution floor at the current head
+    assert(spark.sql("CALL txp1.system.create_checkpoint('t')")
+      .as[Long].head() === 8L)
+    // vacuum reclaims everything but the head (the restored v3 files
+    // are referenced by the head, so they survive)
+    val (m, f) = spark.sql("CALL txp1.system.vacuum('t', 1)")
+      .as[(Long, Long)].head()
+    assert(m >= 6 && f >= 1, s"vacuum deleted ($m manifests, $f files)")
+    assert(TxTable.read(spark, dir).count() === 3)
+    // unknown procedure fails with a named error (Spark wraps ours in
+    // FAILED_TO_LOAD_ROUTINE; the cause lists the available names)
+    val e = intercept[Exception] {
+      spark.sql("CALL txp1.system.frobnicate('t')")
+    }
+    assert(e.getMessage.contains("frobnicate"))
+    def anyMentions(t: Throwable): Boolean = t != null &&
+      (t.getMessage.contains("compact") || anyMentions(t.getCause))
+    assert(anyMentions(e), "the cause chain must list available procedures")
+  }
+
   test("racing SQL INSERTs: one winner per head, no lost or doubled rows") {
     val root = freshRoot()
     val dir = s"$root/race"
