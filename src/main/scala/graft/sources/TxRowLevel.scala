@@ -56,34 +56,72 @@ private[sources] class TxRowLevelOperation(spark: SparkSession,
     cmd: RowLevelOperation.Command) extends RowLevelOperation {
   override def command(): RowLevelOperation.Command = cmd
 
-  /** The op scan DELIBERATELY exposes no filter-pushdown interface:
-    * group-based ReplaceData writes back exactly what the scan read,
-    * and a pushed predicate reaching the parquet reader filters at
-    * ROW granularity — every unmatched row inside an affected file
-    * would silently vanish from the replacement (observed as
-    * `DataFilters: [(tag = a)]` on the op scan before this wrapper).
-    * No pushdown → the scan reads the full snapshot → the write IS
-    * the full replacement content. */
+  /** Candidate files (table-relative `data/<name>`) the op scan will
+    * read — the GROUPS of the group-based contract. Defaults to the
+    * whole snapshot; narrowed when the pushed condition translates
+    * into manifest predicates. The write replaces exactly this set. */
+  @volatile private[sources] var candidates: Seq[String] = snap.files
+
+  /** The op scan accepts pushed filters at GROUP (file) granularity
+    * ONLY: the condition's top-level conjuncts translate into the
+    * manifest's pruning language and select which files the scan
+    * reads IN FULL; nothing is ever forwarded to the parquet reader.
+    * A pushed predicate reaching the reader filters at ROW
+    * granularity — every unmatched row inside an affected file would
+    * silently vanish from the replacement (observed as `DataFilters:
+    * [(tag = a)]` before this wrapper existed). `pushedFilters`
+    * reports nothing as handled, so Spark keeps the full condition
+    * wherever it needs it (the update projection re-tests per row).
+    * Group-based ReplaceData writes back exactly what the scan read;
+    * the commit carries every pruned file over untouched. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): org.apache.spark.sql.connector.read.Scan =
+    new ScanBuilder
+        with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+      private var cond = Array.empty[org.apache.spark.sql.sources.Filter]
+      override def pushFilters(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        cond = filters
+        filters // all residual: nothing is guaranteed row-level
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+        Array.empty
+      override def build(): org.apache.spark.sql.connector.read.Scan = {
+        val (ranges, valueEq) = TxSql.filterPrunes(cond.toSeq)
+        val keepNames =
+          TxSql.candidateNamesPruned(snap, ranges, valueEq, schema)
+        candidates = snap.files.filter(f => keepNames(f.split('/').last))
+        val restricted = TxTable.Snapshot(snap.version, candidates,
+          snap.txns, snap.statsCol, snap.stats, snap.multiStats,
+          snap.fileValues, snap.bloomCol, snap.blooms)
         ParquetScanBuilder(spark,
-          new TxFileIndex(spark, path, snap, schema),
+          new TxFileIndex(spark, path, restricted, schema),
           schema, schema, options).build()
+      }
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new TxReplaceBatchWrite(path, info.schema())
+          new TxReplaceBatchWrite(path, info.schema(), snap,
+            () => candidates)
       }
     }
 }
 
-/** Whole-snapshot replacement write: staged per-task parquet files →
-  * one atomic manifest commit. */
-private[sources] class TxReplaceBatchWrite(path: String, schema: StructType)
+/** Group-replacement write: staged per-task parquet files replace the
+  * op scan's candidate files; every pruned file — and its index
+  * metadata — carries over untouched in ONE atomic manifest commit.
+  * Optimistic concurrency is SNAPSHOT-level: the replacement content
+  * was computed against the pinned analysis snapshot, so a commit
+  * that landed since (append, another DML) makes that content stale
+  * — merging it would silently drop the concurrent commit's rows.
+  * The conflict check throws `TxConflictException` instead (rebase =
+  * re-run the statement); the staged files stay unreferenced, like
+  * every other commit loser. */
+private[sources] class TxReplaceBatchWrite(path: String, schema: StructType,
+    snap: TxTable.Snapshot, candidates: () => Seq[String])
     extends BatchWrite {
   private val tag = java.util.UUID.randomUUID().toString.take(8)
 
@@ -95,18 +133,32 @@ private[sources] class TxReplaceBatchWrite(path: String, schema: StructType)
     val spark = SparkSession.active
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = TxTable.snapshot(spark, path).map(_.version).getOrElse(0L)
+    if (head != snap.version)
+      throw new TxTable.TxConflictException(
+        s"table changed since analysis (v${snap.version} -> v$head) at " +
+          s"$path: re-run the statement against the new head")
     val files = messages.toSeq.map { case TxParquetCommit(staged) =>
       val p = new Path(staged)
       val visible = new Path(p.getParent, p.getName.stripPrefix("."))
       require(fs.rename(p, visible), s"publish rename failed: $staged")
       s"data/${visible.getName}"
     }
-    // head resolved AT COMMIT TIME, exactly like the API verbs — a
-    // concurrent commit since analysis loses or wins atomically here
-    val cur = TxTable.snapshot(spark, path)
-    val next = cur.map(_.version + 1).getOrElse(1L)
-    TxTable.commit(spark, path, next, files,
-      cur.map(_.txns).getOrElse(Map.empty))
+    val replaced = candidates().toSet
+    val untouched = snap.files.filterNot(replaced)
+    // untouched files keep their index metadata, exactly like the API
+    // verbs' pruned copy-on-write; rewritten files lose theirs
+    // (absent metadata -> always a candidate -> correct, unpruned)
+    TxTable.commit(spark, path, snap.version + 1, untouched ++ files,
+      snap.txns,
+      snap.statsCol.filter(_ =>
+        snap.stats.exists { case (f, _) => untouched.contains(f) }),
+      snap.stats.filter { case (f, _) => untouched.contains(f) },
+      snap.multiStats.filter { case (f, _) => untouched.contains(f) },
+      snap.fileValues.filter { case (f, _) => untouched.contains(f) },
+      snap.bloomCol.filter(_ =>
+        snap.blooms.exists { case (f, _) => untouched.contains(f) }),
+      snap.blooms.filter { case (f, _) => untouched.contains(f) })
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

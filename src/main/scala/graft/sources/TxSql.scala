@@ -253,6 +253,16 @@ object TxSql {
   private[sources] def candidateNames(snap: TxTable.Snapshot,
       filters: Seq[Expression], schema: StructType): Set[String] = {
     val (ranges, valueEq) = toManifestPredicates(filters)
+    candidateNamesPruned(snap, ranges, valueEq, schema)
+  }
+
+  /** [[candidateNames]] from already-translated manifest predicates —
+    * shared with the row-level-operation scan, whose predicates
+    * arrive as DSv2 source filters ([[filterPrunes]]) rather than
+    * Catalyst expressions. */
+  private[sources] def candidateNamesPruned(snap: TxTable.Snapshot,
+      ranges: Seq[(String, Double, Double)],
+      valueEq: Seq[(String, String)], schema: StructType): Set[String] = {
     val viaStats = TxTable.pruneFilesWhere(snap, ranges, valueEq).toSet
     val viaBloom = snap.bloomCol match {
       case Some(bc) =>

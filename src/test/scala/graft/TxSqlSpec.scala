@@ -372,6 +372,77 @@ class TxSqlSpec extends AnyFunSuite {
       "MERGE must be exactly one atomic commit")
   }
 
+  test("SQL UPDATE prunes: untouched files carry over with their metadata") {
+    val root = freshRoot()
+    val dir = seed(root) // amt stats + prio value sets, multiple files
+    TxSql.installCatalog(spark, "txu2", root)
+    val before = TxTable.snapshot(spark, dir).get
+    spark.sql("UPDATE txu2.orders SET amt = amt + 1000.0 " +
+      "WHERE amt >= 10.0 AND amt <= 20.0 AND prio = 'URGENT'")
+    val after = TxTable.snapshot(spark, dir).get
+    val carried = after.files.toSet intersect before.files.toSet
+    assert(carried.nonEmpty && carried.size < before.files.size,
+      s"update must prune: carried ${carried.size}/${before.files.size}")
+    // carried files keep their index metadata
+    assert(carried.forall(f => after.multiStats.contains(f)),
+      "untouched files must keep their stats")
+    // exact semantics over the whole table
+    val got = TxTable.read(spark, dir)
+      .agg(sum($"amt"), count(lit(1))).as[(Double, Long)].head()
+    val want = spark.sql(
+      s"""SELECT sum(CASE WHEN amt >= 10.0 AND amt <= 20.0
+         |  AND prio = 'URGENT' THEN amt + 1000.0 ELSE amt END), count(*)
+         |FROM txu2.orders VERSION AS OF ${before.version}""".stripMargin)
+      .as[(Double, Long)].head()
+    assert(got._2 === want._2 && math.abs(got._1 - want._1) < 1e-6)
+  }
+
+  test("SQL UPDATE racing a concurrent append conflicts, never loses it") {
+    val root = freshRoot()
+    val dir = s"$root/t"
+    TxTable.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "amt"), dir)
+    TxSql.installCatalog(spark, "txu3", root)
+    // analyze the UPDATE against v1, then land a concurrent append
+    // BEFORE executing it: the replacement content is stale, so the
+    // commit must conflict instead of silently dropping row 3
+    val upd = spark.sql("EXPLAIN COST UPDATE txu3.t SET amt = 0.0 WHERE k = 1")
+    // (EXPLAIN only analyzes; now build the real statement lazily is
+    // not possible for DML — spark.sql executes eagerly — so race at
+    // the catalog level instead: pin the table, append, then update
+    // through a DIFFERENT catalog name whose table was loaded first)
+    TxSql.installCatalog(spark, "txu3b", root)
+    val pinned = spark.sessionState.catalogManager
+      .catalog("txu3b")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array.empty, "t"))
+    TxTable.append(Seq((3L, 30.0)).toDF("k", "amt"), dir) // concurrent
+    // drive the pinned table's row-level op directly: scan content ×
+    // replace — the commit must see v1 != head v2 and throw
+    val op = pinned
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations]
+      .newRowLevelOperationBuilder(
+        new org.apache.spark.sql.connector.write.RowLevelOperationInfo {
+          override def command() = org.apache.spark.sql.connector.write
+            .RowLevelOperation.Command.UPDATE
+          override def options() = new org.apache.spark.sql.util
+            .CaseInsensitiveStringMap(java.util.Collections.emptyMap())
+        }).build()
+    val write = op.newWriteBuilder(
+      new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+        override def queryId(): String = "race"
+        override def schema() = pinned.schema()
+        override def options() = new org.apache.spark.sql.util
+          .CaseInsensitiveStringMap(java.util.Collections.emptyMap())
+      }).build().toBatch
+    val e = intercept[graft.sources.TxTable.TxConflictException] {
+      write.commit(Array.empty)
+    }
+    assert(e.getMessage.contains("changed since analysis"))
+    // nothing visible changed; the append survived
+    assert(TxTable.read(spark, dir).count() === 3)
+  }
+
   test("CALL procedures: compact, history, restore, vacuum, checkpoint") {
     val root = freshRoot()
     val dir = s"$root/t"
