@@ -635,6 +635,42 @@ object PipelineQueries extends QueryModule {
         .orderBy($"o_orderpriority")
     }),
 
+    // CHANGE DATA FEED end to end (Delta CDF analog): two appends,
+    // a ranged UPDATE, a ranged DELETE — all with the feed enabled —
+    // then ONE read of changeFeed(0) aggregated by (version, type).
+    // Appends contribute derived inserts (added files ≡ new rows, no
+    // recording cost); the DML versions serve their RECORDED
+    // pre/update/delete images. The oracle replays the whole cycle as
+    // pure SQL over orders, so a missed preimage, doubled postimage,
+    // wrong version attribution, or an insert leaking from a rewrite
+    // all diverge. Rebuilt from scratch every run (write-cycle gate);
+    // exact-cents arithmetic end to end.
+    "pipe_snapshot_cdf" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.TxTable
+      val dir = sys.props("java.io.tmpdir") +
+        "/graft_txtable_cdf_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      TxTable.enableChangeFeed(s, dir)
+      val base = T.orders(s, d).select(
+        $"o_orderkey".as("k"), $"o_orderpriority".as("pr"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      TxTable.append(base.filter($"pr" === "1-URGENT"), dir) // v1
+      TxTable.append(base.filter($"pr" === "2-HIGH"), dir) // v2
+      TxTable.updateWhere(s, dir, // v3: cheap orders get a 7¢ bump
+        Seq(("cents", 0.0, 1.0e7)), Nil,
+        set = Map("cents" -> ($"cents" + 7)))
+      TxTable.deleteWhere(s, dir, // v4: expensive orders leave
+        Seq(("cents", 3.0e7, 1.0e12)))
+      TxTable.changeFeed(s, dir, 0L)
+        .groupBy(col(TxTable.CommitVersionCol).as("v"),
+          col(TxTable.ChangeTypeCol).as("change_type"))
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+          sum($"cents").as("sum_cents"))
+        .orderBy($"v", $"change_type")
+    }),
+
     // Avro ARRAY columns end to end: the embeddings table
     // (Array[Float]) through the codec's blocked array encoding with
     // deflate, read back, aggregated per vec_id bucket. First
@@ -896,6 +932,32 @@ object PipelineQueries extends QueryModule {
         |SELECT p AS o_orderpriority, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents
         |FROM after_upd GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    // pure-SQL replay of the change-feed cycle: v1/v2 appends are
+    // inserts, v3's update pairs pre/post images over the SAME
+    // matched set, v4's delete sees v3's post-update values
+    "pipe_snapshot_cdf" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pr,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |v1 AS (SELECT k, cents FROM base WHERE pr = '1-URGENT'),
+        |v2 AS (SELECT k, cents FROM base WHERE pr = '2-HIGH'),
+        |tbl AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+        |upd AS (SELECT * FROM tbl WHERE cents BETWEEN 0 AND 10000000),
+        |tbl3 AS (SELECT k, CASE WHEN cents BETWEEN 0 AND 10000000
+        |    THEN cents + 7 ELSE cents END AS cents FROM tbl),
+        |del AS (SELECT * FROM tbl3 WHERE cents >= 30000000),
+        |feed AS (
+        |  SELECT 1 AS v, 'insert' AS change_type, k, cents FROM v1
+        |  UNION ALL SELECT 2, 'insert', k, cents FROM v2
+        |  UNION ALL SELECT 3, 'update_preimage', k, cents FROM upd
+        |  UNION ALL SELECT 3, 'update_postimage', k, cents + 7 FROM upd
+        |  UNION ALL SELECT 4, 'delete', k, cents FROM del)
+        |SELECT CAST(v AS BIGINT) AS v, change_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM feed GROUP BY 1, 2 ORDER BY v, change_type""".stripMargin,
 
     // full-scan recompute — equals the arrow round-trip only if every
     // row and type survived the IPC write/read cycle

@@ -22,7 +22,8 @@ import org.apache.spark.unsafe.types.UTF8String
 private[sources] object TxProcedures {
 
   val names: Seq[String] =
-    Seq("compact", "restore", "vacuum", "history", "create_checkpoint")
+    Seq("compact", "restore", "vacuum", "history", "create_checkpoint",
+      "enable_change_feed")
 
   def apply(name: String, root: String): UnboundProcedure = name match {
     case "compact" => new TxProc(name, root,
@@ -52,18 +53,29 @@ private[sources] object TxProcedures {
     case "history" => new TxProc(name, root,
       params = Seq("table" -> StringType),
       out = StructType(Seq(StructField("version", LongType),
+        StructField("op", StringType),
         StructField("n_files", LongType), StructField("n_txns", LongType),
         StructField("stats_col", StringType),
         StructField("multi_stat_cols", StringType),
-        StructField("bloom_col", StringType))),
+        StructField("bloom_col", StringType),
+        StructField("n_change_files", LongType))),
       run = { (spark, dir, _) =>
         TxTable.history(spark, dir).collect().toSeq.map { r =>
           new GenericInternalRow(Array[Any](
-            r.getLong(0), r.getLong(1), r.getLong(2),
-            Option(r.getString(3)).map(UTF8String.fromString).orNull,
+            r.getLong(0), UTF8String.fromString(r.getString(1)),
+            r.getLong(2), r.getLong(3),
             Option(r.getString(4)).map(UTF8String.fromString).orNull,
-            Option(r.getString(5)).map(UTF8String.fromString).orNull))
+            Option(r.getString(5)).map(UTF8String.fromString).orNull,
+            Option(r.getString(6)).map(UTF8String.fromString).orNull,
+            r.getLong(7)))
         }
+      })
+    case "enable_change_feed" => new TxProc(name, root,
+      params = Seq("table" -> StringType),
+      out = StructType(Seq(StructField("enabled", BooleanType))),
+      run = { (spark, dir, _) =>
+        TxTable.enableChangeFeed(spark, dir)
+        Seq(new GenericInternalRow(Array[Any](true)))
       })
     case "create_checkpoint" => new TxProc(name, root,
       params = Seq("table" -> StringType),

@@ -105,7 +105,13 @@ private[sources] class TxRowLevelOperation(spark: SparkSession,
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new TxReplaceBatchWrite(path, info.schema(), snap,
-            () => candidates)
+            () => candidates,
+            cmd match {
+              case RowLevelOperation.Command.UPDATE => "update"
+              case RowLevelOperation.Command.DELETE => "delete"
+              case RowLevelOperation.Command.MERGE => "merge"
+              case _ => "write"
+            })
       }
     }
 }
@@ -121,7 +127,8 @@ private[sources] class TxRowLevelOperation(spark: SparkSession,
   * re-run the statement); the staged files stay unreferenced, like
   * every other commit loser. */
 private[sources] class TxReplaceBatchWrite(path: String, schema: StructType,
-    snap: TxTable.Snapshot, candidates: () => Seq[String])
+    snap: TxTable.Snapshot, candidates: () => Seq[String],
+    op: String = "write")
     extends BatchWrite {
   private val tag = java.util.UUID.randomUUID().toString.take(8)
 
@@ -158,7 +165,12 @@ private[sources] class TxReplaceBatchWrite(path: String, schema: StructType,
       snap.fileValues.filter { case (f, _) => untouched.contains(f) },
       snap.bloomCol.filter(_ =>
         snap.blooms.exists { case (f, _) => untouched.contains(f) }),
-      snap.blooms.filter { case (f, _) => untouched.contains(f) })
+      snap.blooms.filter { case (f, _) => untouched.contains(f) },
+      // op recorded for provenance; the SQL row-level path does NOT
+      // record change files (the write side sees only replacement
+      // rows, never the pre-image) — a change-feed read across this
+      // version fails fast and points at the API verbs, which do
+      op = op)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

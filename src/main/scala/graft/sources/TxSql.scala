@@ -72,6 +72,20 @@ object TxSql {
     spark.conf.set(s"spark.sql.catalog.$name.root", root)
   }
 
+  /** SQL surface for the CHANGE DATA FEED: registers a temp view over
+    * [[TxTable.changeFeed]]'s distributed plan, so
+    * `SELECT ... FROM <viewName> WHERE _change_type = 'delete'` works
+    * like Databricks' `table_changes(...)` TVF. A view (not a
+    * procedure) because the feed is DATA-sized — the procedure
+    * surface's driver-local scan is right for manifest-sized results
+    * and wrong here. The view pins the feed at registration's head
+    * version (a temp view over a resolved plan), matching the
+    * consumer loop's read-then-advance discipline. */
+  def registerChangesView(spark: SparkSession, viewName: String,
+      table: String, from: Long, to: Option[Long] = None): Unit =
+    TxTable.changeFeed(spark, table, from, to)
+      .createOrReplaceTempView(viewName)
+
   /** Translate Catalyst data filters into the manifest pruning
     * language: `(col, lo, hi)` numeric ranges and `(col, value)`
     * string equalities. Conjuncts arrive pre-split; anything the

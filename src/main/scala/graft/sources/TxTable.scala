@@ -46,7 +46,15 @@ object TxTable {
     * distinct-value sets of low-cardinality partition columns — the
     * Iceberg-style manifest metadata [[overwriteIndexedMulti]] writes
     * and [[readWhere]] prunes with. All empty for manifests that
-    * never set them — old manifests parse unchanged. */
+    * never set them — old manifests parse unchanged. `op` names the
+    * commit's operation (append / overwrite / delete / update / merge
+    * / cdc / compact / restore / create; "write" for pre-label
+    * manifests) — the provenance row [[history]] surfaces and the
+    * dispatch key [[changeFeed]] reads versions by. `changes` lists
+    * the version's recorded CHANGE files (table-relative
+    * `_changes/...`), written by the DML verbs when the change feed
+    * is enabled: each holds the version's row-level delta with a
+    * `_change_type` column (Delta's CDF `_change_data` analog). */
   case class Snapshot(version: Long, files: Seq[String],
       txns: Map[String, Long] = Map.empty,
       statsCol: Option[String] = None,
@@ -54,7 +62,9 @@ object TxTable {
       multiStats: Map[String, Map[String, (Double, Double)]] = Map.empty,
       fileValues: Map[String, Map[String, Set[String]]] = Map.empty,
       bloomCol: Option[String] = None,
-      blooms: Map[String, Array[Byte]] = Map.empty)
+      blooms: Map[String, Array[Byte]] = Map.empty,
+      op: String = "write",
+      changes: Seq[String] = Nil)
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -261,8 +271,14 @@ object TxTable {
         (bc, bs)
       case _ => (None, Map.empty[String, Array[Byte]])
     }
+    val op = root.get("op").collect { case s: String => s }
+      .getOrElse("write")
+    val changes = root.get("cdc") match {
+      case Some(l: List[_]) => l.collect { case s: String => s }
+      case _ => Nil
+    }
     Some(Snapshot(v, files, txns, statsCol, stats, mstats, fvals,
-      bloomCol, blooms))
+      bloomCol, blooms, op, changes))
   }
 
   private def readFully(f: FileSystem, p: Path): Array[Byte] = {
@@ -324,6 +340,64 @@ object TxTable {
     moved
   }
 
+  /** The change-type metadata column carried inside recorded change
+    * files and surfaced by [[changeFeed]] — Delta CDF's name, values
+    * `insert` / `update_preimage` / `update_postimage` / `delete`. */
+  val ChangeTypeCol = "_change_type"
+
+  /** The per-row commit version [[changeFeed]] attaches at READ time
+    * (never stored: a change file's version is the manifest that
+    * references it, so storing it would only risk disagreement). */
+  val CommitVersionCol = "_commit_version"
+
+  private def changesDir(table: String) = new Path(table, "_changes")
+  private def cdfMarkerPath(table: String) = new Path(logDir(table), "_cdf")
+
+  /** Enable the change data feed: from the next DML commit on,
+    * delete/update/merge/cdc verbs record their row-level deltas as
+    * change files the manifest references ([[changeFeed]] serves
+    * them). Opt-in per table — recording pre/post images roughly
+    * doubles a DML's write volume, the same reason Delta gates CDF
+    * behind `delta.enableChangeDataFeed`. Appends never record change
+    * files: their added data files ARE the insert set, derived free
+    * at read time. Enabling is idempotent. */
+  def enableChangeFeed(spark: SparkSession, table: String): Unit = {
+    val ld = logDir(table)
+    val f = fs(spark, ld)
+    f.mkdirs(ld)
+    val out = f.create(cdfMarkerPath(table), /* overwrite = */ true)
+    try out.write("enabled".getBytes("UTF-8")) finally out.close()
+  }
+
+  def changeFeedEnabled(spark: SparkSession, table: String): Boolean =
+    fs(spark, logDir(table)).exists(cdfMarkerPath(table))
+
+  /** Write `df` (data columns + [[ChangeTypeCol]]) as `version`'s
+    * change files under `_changes/` — same staged-then-rename
+    * discipline as [[writeFiles]], writer-unique tag, so racing
+    * writers never share a path. Returns table-relative paths; the
+    * caller records them in the manifest it commits (change files an
+    * uncommitted loser staged stay unreferenced until vacuum). */
+  private def writeChangeFiles(df: DataFrame, table: String,
+      version: Long): Seq[String] = {
+    val spark = df.sparkSession
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(table, s"_tmp_c$version-$tag")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val f = fs(spark, tmp)
+    val cd = changesDir(table)
+    f.mkdirs(cd)
+    val moved = f.listStatus(tmp).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex.map { case (s, i) =>
+        val dst = new Path(cd, s"c$version-$tag-$i.parquet")
+        require(f.rename(s.getPath, dst), s"rename failed: ${s.getPath}")
+        s"_changes/${dst.getName}"
+      }
+    f.delete(tmp, true)
+    moved
+  }
+
   /** Atomic commit of `files` as `version`. Throws
     * [[TxConflictException]] when another writer claimed the version
     * first — the caller re-reads and retries. Any other IO fault
@@ -355,11 +429,17 @@ object TxTable {
       multiStats: Map[String, Map[String, (Double, Double)]] = Map.empty,
       fileValues: Map[String, Map[String, Set[String]]] = Map.empty,
       bloomCol: Option[String] = None,
-      blooms: Map[String, Array[Byte]] = Map.empty): Unit = {
+      blooms: Map[String, Array[Byte]] = Map.empty,
+      op: String = "write",
+      changes: Seq[String] = Nil): Unit = {
     val ld = logDir(table)
     val f = fs(spark, ld)
     f.mkdirs(ld)
     val filesJson = files.map("\"" + _ + "\"").mkString(",")
+    val opJson = if (op == "write") "" else ",\"op\":" + jq(op)
+    val changesJson =
+      if (changes.isEmpty) ""
+      else ",\"cdc\":[" + changes.map(jq).mkString(",") + "]"
     val txnsJson =
       if (txns.isEmpty) ""
       else txns.toSeq.sorted
@@ -398,7 +478,7 @@ object TxTable {
       case _ => ""
     }
     val body =
-      s"""{"version":$version,"files":[$filesJson]$txnsJson$statsJson$mstatsJson$bloomsJson}"""
+      s"""{"version":$version,"files":[$filesJson]$opJson$changesJson$txnsJson$statsJson$mstatsJson$bloomsJson}"""
     val target = new Path(ld, s"v$version.json")
     val protocol = CommitProtocol.forScheme(f.getScheme)
     if (!protocol.publish(f, target, body.getBytes("UTF-8")))
@@ -425,7 +505,7 @@ object TxTable {
     f.mkdirs(ld)
     val out = f.create(new Path(ld, "_schema"), true)
     try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
-    commit(spark, table, 1L, Nil)
+    commit(spark, table, 1L, Nil, op = "create")
     1L
   }
 
@@ -448,7 +528,8 @@ object TxTable {
     val cur = snapshot(spark, table)
     val next = cur.map(_.version + 1).getOrElse(1L)
     val files = writeFiles(df, table, next)
-    commit(spark, table, next, files, cur.map(_.txns).getOrElse(Map.empty))
+    commit(spark, table, next, files, cur.map(_.txns).getOrElse(Map.empty),
+      op = "overwrite")
     next
   }
 
@@ -470,7 +551,8 @@ object TxTable {
       cur.flatMap(_.statsCol), cur.map(_.stats).getOrElse(Map.empty),
       cur.map(_.multiStats).getOrElse(Map.empty),
       cur.map(_.fileValues).getOrElse(Map.empty),
-      cur.flatMap(_.bloomCol), cur.map(_.blooms).getOrElse(Map.empty))
+      cur.flatMap(_.bloomCol), cur.map(_.blooms).getOrElse(Map.empty),
+      op = "append")
     next
   }
 
@@ -482,6 +564,7 @@ object TxTable {
     * or N+1, never a mixture. */
   def merge(spark: SparkSession, table: String, updates: DataFrame,
       key: String): Long = {
+    import org.apache.spark.sql.functions.lit
     val cur = snapshot(spark, table)
     val next = cur.map(_.version + 1).getOrElse(1L)
     val merged = cur match {
@@ -491,8 +574,32 @@ object TxTable {
           .join(updates.select(key).distinct(), Seq(key), "left_anti")
           .unionByName(updates)
     }
+    // change feed (opt-in): keys present in both sides pair as
+    // update_preimage (current rows) / update_postimage (update
+    // rows); keys only in `updates` are inserts. Computed as three
+    // semi/anti joins against the update KEY SET — broadcastable
+    // exactly when the merge itself is, never wider than the delta.
+    val changeFiles: Seq[String] =
+      if (!changeFeedEnabled(spark, table)) Nil
+      else {
+        val keys = updates.select(key).distinct()
+        val delta = cur match {
+          case None => updates.withColumn(ChangeTypeCol, lit("insert"))
+          case Some(_) =>
+            val current = read(spark, table)
+            val curKeys = current.select(key).distinct()
+            current.join(keys, Seq(key), "left_semi")
+              .withColumn(ChangeTypeCol, lit("update_preimage"))
+              .unionByName(updates.join(curKeys, Seq(key), "left_semi")
+                .withColumn(ChangeTypeCol, lit("update_postimage")))
+              .unionByName(updates.join(curKeys, Seq(key), "left_anti")
+                .withColumn(ChangeTypeCol, lit("insert")))
+        }
+        writeChangeFiles(delta, table, next)
+      }
     val files = writeFiles(merged, table, next)
-    commit(spark, table, next, files, cur.map(_.txns).getOrElse(Map.empty))
+    commit(spark, table, next, files, cur.map(_.txns).getOrElse(Map.empty),
+      op = "merge", changes = changeFiles)
     next
   }
 
@@ -543,6 +650,88 @@ object TxTable {
     to.files.filterNot(baseFiles)
   }
 
+  /** The CHANGE DATA FEED over versions `(from, to]` (Delta CDF's
+    * `table_changes` analog): one row per row-level change, the
+    * table's columns plus [[ChangeTypeCol]] (`insert` /
+    * `update_preimage` / `update_postimage` / `delete`) and
+    * [[CommitVersionCol]]. Per version, the rows come from:
+    *
+    *   - the manifest's RECORDED change files when present (DML
+    *     committed with the feed enabled — exact, pre/post images);
+    *   - the version's ADDED data files as `insert`s when the commit
+    *     only added files (appends need no recording: added files ≡
+    *     inserted rows, the same equivalence [[changesSince]] uses);
+    *   - nothing for `create` (empty) and `compact` (layout-only:
+    *     identical rows, Delta's dataChange=false);
+    *   - FAIL FAST otherwise — a rewriting commit without recorded
+    *     changes (DML with the feed disabled, `overwrite`, `restore`)
+    *     has no derivable row-level delta, and guessing would
+    *     silently double- or under-deliver. Enable the feed before
+    *     writing, or reprocess from a full snapshot.
+    *
+    * The result is a distributed plan (a union of parquet scans with
+    * literal metadata columns) — data-sized feeds never touch the
+    * driver. `from` must be a retained version (0 = since creation);
+    * vacuumed history fails fast like every consumer here. */
+  def changeFeed(spark: SparkSession, table: String, from: Long,
+      to: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val head = snapshot(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $table"))
+    val toV = to.map(math.min(_, head.version)).getOrElse(head.version)
+    require(from >= 0 && from <= toV,
+      s"change feed range ($from, $toV] is empty or negative at $table")
+    def snapAt(v: Long): Snapshot =
+      snapshot(spark, table, Some(v)).filter(_.version == v).getOrElse(
+        throw new IllegalArgumentException(
+          s"version $v is vacuumed at $table — the change consumer " +
+            "lost its place; reprocess from a full snapshot"))
+    var prevFiles: Set[String] =
+      if (from == 0) Set.empty else snapAt(from).files.toSet
+    val frames = ((from + 1) to toV).flatMap { v =>
+      val snap = snapAt(v)
+      val out: Option[DataFrame] =
+        if (snap.changes.nonEmpty)
+          Some(spark.read.parquet(
+            snap.changes.map(new Path(table, _).toString): _*)
+            .withColumn(CommitVersionCol, lit(v)))
+        else snap.op match {
+          case "create" | "compact" => None // no row-level change
+          case "overwrite" | "restore" => throw new IllegalArgumentException(
+            s"version $v is a ${snap.op} at $table: wholesale snapshot " +
+              "replacement has no row-level change feed — reprocess " +
+              "from a full snapshot")
+          case opName =>
+            val removed = prevFiles -- snap.files.toSet
+            if (removed.nonEmpty) throw new IllegalArgumentException(
+              s"change feed not recorded for version $v (op=$opName) at " +
+                s"$table: the commit rewrote files with the feed " +
+                "disabled — enableChangeFeed before DML, or reprocess " +
+                "from a full snapshot")
+            val added = snap.files.filterNot(prevFiles)
+            if (added.isEmpty) None
+            else Some(spark.read.parquet(
+              added.map(new Path(table, _).toString): _*)
+              .withColumn(ChangeTypeCol, lit("insert"))
+              .withColumn(CommitVersionCol, lit(v)))
+        }
+      prevFiles = snap.files.toSet
+      out
+    }
+    if (frames.isEmpty) {
+      // empty feed in the table's shape (+ meta columns, zero rows)
+      val base =
+        if (head.files.nonEmpty) read(spark, table)
+        else declaredSchema(spark, table) match {
+          case Some(sch) => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+          case None => spark.emptyDataFrame
+        }
+      base.limit(0).withColumn(ChangeTypeCol, lit(""))
+        .withColumn(CommitVersionCol, lit(0L))
+    } else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Apply one CDC batch ATOMICALLY: rows whose `opCol` is "d"
     * delete their key, every other row upserts — one copy-on-write
     * commit, so a reader sees the table before the whole batch or
@@ -572,8 +761,36 @@ object TxTable {
           .join(changes.select(col(key)).distinct(), Seq(key), "left_anti")
           .unionByName(upserts)
     }
+    // change feed (opt-in): a "d" op on an EXISTING key emits that
+    // key's current rows as deletes (a "d" on an absent key changes
+    // nothing, so it records nothing); an upsert on an existing key
+    // pairs preimage/postimage; an upsert on a new key is an insert.
+    val changeFiles: Seq[String] =
+      if (!changeFeedEnabled(spark, table)) Nil
+      else {
+        import org.apache.spark.sql.functions.lit
+        val delta = cur match {
+          case None => upserts.withColumn(ChangeTypeCol, lit("insert"))
+          case Some(_) =>
+            val current = read(spark, table)
+            val curKeys = current.select(col(key)).distinct()
+            val delKeys = changes.filter(col(opCol) === "d")
+              .select(col(key)).distinct()
+            val upKeys = upserts.select(col(key)).distinct()
+            current.join(delKeys, Seq(key), "left_semi")
+              .withColumn(ChangeTypeCol, lit("delete"))
+              .unionByName(current.join(upKeys, Seq(key), "left_semi")
+                .withColumn(ChangeTypeCol, lit("update_preimage")))
+              .unionByName(upserts.join(curKeys, Seq(key), "left_semi")
+                .withColumn(ChangeTypeCol, lit("update_postimage")))
+              .unionByName(upserts.join(curKeys, Seq(key), "left_anti")
+                .withColumn(ChangeTypeCol, lit("insert")))
+        }
+        writeChangeFiles(delta, table, next)
+      }
     val files = writeFiles(merged, table, next)
-    commit(spark, table, next, files, cur.map(_.txns).getOrElse(Map.empty))
+    commit(spark, table, next, files, cur.map(_.txns).getOrElse(Map.empty),
+      op = "cdc", changes = changeFiles)
     next
   }
 
@@ -606,7 +823,8 @@ object TxTable {
           cur.flatMap(_.statsCol), cur.map(_.stats).getOrElse(Map.empty),
           cur.map(_.multiStats).getOrElse(Map.empty),
           cur.map(_.fileValues).getOrElse(Map.empty),
-          cur.flatMap(_.bloomCol), cur.map(_.blooms).getOrElse(Map.empty))
+          cur.flatMap(_.bloomCol), cur.map(_.blooms).getOrElse(Map.empty),
+          op = "append")
         return true
       } catch {
         case _: TxConflictException =>
@@ -649,7 +867,8 @@ object TxTable {
           f -> (r.get(1).toString.toDouble, r.get(2).toString.toDouble))
       }.toMap
     commit(spark, table, next, files,
-      cur.map(_.txns).getOrElse(Map.empty), Some(col), stats)
+      cur.map(_.txns).getOrElse(Map.empty), Some(col), stats,
+      op = "overwrite")
     next
   }
 
@@ -735,7 +954,7 @@ object TxTable {
     }.toMap
     commit(spark, table, next, files,
       cur.map(_.txns).getOrElse(Map.empty),
-      multiStats = mstats, fileValues = fvals)
+      multiStats = mstats, fileValues = fvals, op = "overwrite")
     next
   }
 
@@ -762,7 +981,7 @@ object TxTable {
     val blooms = buildBlooms(spark, table, files, col, fpp)
     commit(spark, table, next, files,
       cur.map(_.txns).getOrElse(Map.empty),
-      bloomCol = Some(col), blooms = blooms)
+      bloomCol = Some(col), blooms = blooms, op = "overwrite")
     next
   }
 
@@ -879,7 +1098,8 @@ object TxTable {
         .drop(helpers: _*), table, next)
     val (ms, _) = recomputeMetadata(spark, table, files, Seq(colA, colB), Nil)
     commit(spark, table, next, files,
-      cur.map(_.txns).getOrElse(Map.empty), multiStats = ms)
+      cur.map(_.txns).getOrElse(Map.empty), multiStats = ms,
+      op = "overwrite")
     next
   }
 
@@ -1050,7 +1270,9 @@ object TxTable {
   private def copyOnWrite(spark: SparkSession, table: String,
       ranges: Seq[(String, Double, Double)],
       valueEq: Seq[(String, String)],
-      rewrite: DataFrame => DataFrame): (Long, Int, Int) = {
+      rewrite: DataFrame => DataFrame,
+      op: String = "write",
+      changeRows: DataFrame => DataFrame = null): (Long, Int, Int) = {
     val cur = snapshot(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $table"))
     val next = cur.version + 1
@@ -1059,11 +1281,19 @@ object TxTable {
     val touched =
       candidateFiles(cur, ranges, canonicalValueEq(spark, table, cur, valueEq))
     val untouched = cur.files.filterNot(touched.toSet)
+    // change feed (opt-in): `changeRows` maps the TOUCHED-files frame
+    // to the version's row-level delta (+ _change_type) — the same
+    // prune bounds the change write, so a one-partition delete
+    // records one partition's changes, never the table's
+    val touchedDf = () =>
+      spark.read.parquet(touched.map(new Path(table, _).toString): _*)
+    val changeFiles: Seq[String] =
+      if (changeRows == null || touched.isEmpty ||
+        !changeFeedEnabled(spark, table)) Nil
+      else writeChangeFiles(changeRows(touchedDf()), table, next)
     val rewritten: Seq[String] =
       if (touched.isEmpty) Nil
-      else writeFiles(rewrite(
-        spark.read.parquet(touched.map(new Path(table, _).toString): _*)),
-        table, next)
+      else writeFiles(rewrite(touchedDf()), table, next)
     val statCols = cur.multiStats.values.flatMap(_.keys).toSeq.distinct.sorted
     val valueCols = cur.fileValues.values.flatMap(_.keys).toSeq.distinct.sorted
     val (newMs, newFv) =
@@ -1082,7 +1312,8 @@ object TxTable {
       cur.statsCol.filter(_ => singleStats.nonEmpty), singleStats,
       cur.multiStats.filter { case (f, _) => untouched.contains(f) } ++ newMs,
       cur.fileValues.filter { case (f, _) => untouched.contains(f) } ++ newFv,
-      cur.bloomCol.filter(_ => keptBlooms.nonEmpty), keptBlooms)
+      cur.bloomCol.filter(_ => keptBlooms.nonEmpty), keptBlooms,
+      op = op, changes = changeFiles)
     (next, touched.size, cur.files.size)
   }
 
@@ -1116,12 +1347,15 @@ object TxTable {
       ranges: Seq[(String, Double, Double)],
       valueEq: Seq[(String, String)],
       set: Map[String, org.apache.spark.sql.Column]): Long = {
-    import org.apache.spark.sql.functions.{col => c, when}
+    import org.apache.spark.sql.functions.{coalesce, col => c, lit, when}
     require(set.nonEmpty, "UPDATE with no SET columns")
     require(ranges.nonEmpty || valueEq.nonEmpty,
       "unconditional UPDATE: use overwrite with the transformed frame")
     val pred = predicateColumn(ranges, valueEq)
-    copyOnWrite(spark, table, ranges, valueEq, { df =>
+    // the one SET projection, reused by the rewrite (whole frame,
+    // predicate-gated per row) and the change feed's postimage
+    // (matched rows only — pred is true there, so the gate passes)
+    def applySet(df: DataFrame): DataFrame = {
       val unknown = set.keySet -- df.columns.toSet
       require(unknown.isEmpty,
         s"UPDATE SET on nonexistent column(s): ${unknown.toSeq.sorted.mkString(", ")}")
@@ -1132,7 +1366,14 @@ object TxTable {
           case None => c(colName)
         }
       }: _*)
-    })._1
+    }
+    copyOnWrite(spark, table, ranges, valueEq, applySet, op = "update",
+      changeRows = { df =>
+        val matched = df.filter(coalesce(pred, lit(false)))
+        matched.withColumn(ChangeTypeCol, lit("update_preimage"))
+          .unionByName(applySet(matched)
+            .withColumn(ChangeTypeCol, lit("update_postimage")))
+      })._1
   }
 
   /** DELETE rows matching an ARBITRARY row predicate `cond` (the SQL
@@ -1148,7 +1389,9 @@ object TxTable {
       valueEq: Seq[(String, String)] = Nil): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     copyOnWrite(spark, table, ranges, valueEq,
-      _.filter(not(coalesce(cond, lit(false)))))._1
+      _.filter(not(coalesce(cond, lit(false)))), op = "delete",
+      changeRows = _.filter(coalesce(cond, lit(false)))
+        .withColumn(ChangeTypeCol, lit("delete")))._1
   }
 
   /** [[deleteWhere]] exposing (version, rewrittenFiles, totalFiles) so
@@ -1161,7 +1404,9 @@ object TxTable {
     // column) must KEEP the row, exactly SQL DELETE's WHERE semantics
     val pred = predicateColumn(ranges, valueEq)
     copyOnWrite(spark, table, ranges, valueEq,
-      _.filter(not(coalesce(pred, lit(false)))))
+      _.filter(not(coalesce(pred, lit(false)))), op = "delete",
+      changeRows = _.filter(coalesce(pred, lit(false)))
+        .withColumn(ChangeTypeCol, lit("delete")))
   }
 
   /** OPTIMIZE (compaction): rewrite the CURRENT snapshot's content
@@ -1200,7 +1445,8 @@ object TxTable {
       val files = writeFiles(
         read(spark, table).repartition(targetFiles, c(bc)), table, next)
       commit(spark, table, next, files, cur.txns,
-        bloomCol = Some(bc), blooms = buildBlooms(spark, table, files, bc))
+        bloomCol = Some(bc), blooms = buildBlooms(spark, table, files, bc),
+        op = "compact")
     } else if (valueCols.isEmpty && statCols.size == 2) {
       val (zdf, helpers, z) =
         Layout.withMortonCode(read(spark, table), statCols(0), statCols(1))
@@ -1208,7 +1454,8 @@ object TxTable {
         zdf.repartitionByRange(targetFiles, c(z))
           .sortWithinPartitions(c(z)).drop(helpers: _*), table, next)
       val (ms, _) = recomputeMetadata(spark, table, files, statCols, Nil)
-      commit(spark, table, next, files, cur.txns, multiStats = ms)
+      commit(spark, table, next, files, cur.txns, multiStats = ms,
+        op = "compact")
     } else if (statCols.nonEmpty || valueCols.nonEmpty) {
       val files = writeFiles(
         read(spark, table)
@@ -1216,12 +1463,12 @@ object TxTable {
         table, next)
       val (ms, fv) = recomputeMetadata(spark, table, files, statCols, valueCols)
       commit(spark, table, next, files, cur.txns,
-        multiStats = ms, fileValues = fv)
+        multiStats = ms, fileValues = fv, op = "compact")
     } else cur.statsCol match {
       case None =>
         val files = writeFiles(
           read(spark, table).repartition(targetFiles), table, next)
-        commit(spark, table, next, files, cur.txns)
+        commit(spark, table, next, files, cur.txns, op = "compact")
       case Some(idxCol) =>
         val files = writeFiles(
           read(spark, table).repartitionByRange(targetFiles, c(idxCol)),
@@ -1237,7 +1484,8 @@ object TxTable {
             byName.get(name).map(f =>
               f -> (r.get(1).toString.toDouble, r.get(2).toString.toDouble))
           }.toMap
-        commit(spark, table, next, files, cur.txns, Some(idxCol), stats)
+        commit(spark, table, next, files, cur.txns, Some(idxCol), stats,
+          op = "compact")
     }
     next
   }
@@ -1255,15 +1503,15 @@ object TxTable {
       else f.listStatus(ld).toSeq.flatMap(s => versionOf(s.getPath)).sorted
     val rows = versions.flatMap(v => snapshot(spark, table, Some(v)))
       .map { s =>
-        (s.version, s.files.size.toLong, s.txns.size.toLong,
+        (s.version, s.op, s.files.size.toLong, s.txns.size.toLong,
           s.statsCol.orNull,
           s.multiStats.values.flatMap(_.keys).toSeq.distinct.sorted
             .mkString(","),
-          s.bloomCol.orNull)
+          s.bloomCol.orNull, s.changes.size.toLong)
       }
     import spark.implicits._
-    rows.toDF("version", "n_files", "n_txns",
-      "stats_col", "multi_stat_cols", "bloom_col")
+    rows.toDF("version", "op", "n_files", "n_txns",
+      "stats_col", "multi_stat_cols", "bloom_col", "n_change_files")
   }
 
   /** RESTORE: make `version`'s content the new HEAD as a fresh commit
@@ -1285,7 +1533,8 @@ object TxTable {
     // already applied must stay deduplicated even across a rollback
     commit(spark, table, next, target.files, cur.txns,
       target.statsCol, target.stats, target.multiStats,
-      target.fileValues, target.bloomCol, target.blooms)
+      target.fileValues, target.bloomCol, target.blooms,
+      op = "restore")
     next
   }
 
@@ -1307,14 +1556,25 @@ object TxTable {
       .flatMap(s => versionOf(s.getPath)).sorted
     val dropVersions = versions.dropRight(retainLast)
     val keepVersions = versions.takeRight(retainLast)
-    val referenced = keepVersions.flatMap(v =>
-      snapshot(spark, table, Some(v)).map(_.files).getOrElse(Nil)).toSet
+    val keepSnaps = keepVersions.flatMap(v => snapshot(spark, table, Some(v)))
+    val referenced = keepSnaps.flatMap(_.files).toSet
+    // change files live under the same reference discipline: a change
+    // file is reclaimable once no retained manifest's `cdc` lists it
+    val referencedChanges = keepSnaps.flatMap(_.changes).toSet
     var dataDeleted = 0
     val dd = dataDir(table)
     val now = System.currentTimeMillis()
     if (f.exists(dd)) f.listStatus(dd).foreach { st =>
       val rel = s"data/${st.getPath.getName}"
       if (!referenced(rel) && st.getPath.getName.endsWith(".parquet") &&
+        now - st.getModificationTime >= graceMs) {
+        if (f.delete(st.getPath, false)) dataDeleted += 1
+      }
+    }
+    val cd = changesDir(table)
+    if (f.exists(cd)) f.listStatus(cd).foreach { st =>
+      val rel = s"_changes/${st.getPath.getName}"
+      if (!referencedChanges(rel) && st.getPath.getName.endsWith(".parquet") &&
         now - st.getModificationTime >= graceMs) {
         if (f.delete(st.getPath, false)) dataDeleted += 1
       }

@@ -456,7 +456,7 @@ class TxSqlSpec extends AnyFunSuite {
     assert(TxTable.read(spark, dir).count() === 6)
     // history surfaces one row per retained manifest
     val hist = spark.sql("CALL txp1.system.history('t')")
-    assert(hist.columns.take(2).toSeq === Seq("version", "n_files"))
+    assert(hist.columns.take(3).toSeq === Seq("version", "op", "n_files"))
     assert(hist.count() === 7)
     // restore rolls back to the 3-row version as a NEW commit
     spark.sql("CALL txp1.system.restore('t', 3)")
@@ -519,5 +519,37 @@ class TxSqlSpec extends AnyFunSuite {
         s"writer $i: success=${results(i - 1)} but visible " +
           s"${vs.count(_ == s"w$i")} times")
     }
+  }
+
+  test("change feed via SQL: enable procedure, DML records, changes view reads") {
+    val root = freshRoot()
+    val dir = s"$root/cf"
+    TxSql.installCatalog(spark, "txcf", root)
+    spark.sql("CREATE TABLE txcf.cf (k BIGINT, v STRING)") // v1: create
+    assert(spark.sql("CALL txcf.system.enable_change_feed('cf')")
+      .as[Boolean].head())
+    spark.sql("INSERT INTO txcf.cf VALUES (1, 'a'), (2, 'b')") // v2: append
+    spark.sql("INSERT INTO txcf.cf VALUES (3, 'c')") // v3: append
+    spark.sql("DELETE FROM txcf.cf WHERE k = 2") // v4: recorded deletes
+    TxSql.registerChangesView(spark, "cf_changes", dir, from = 0L)
+    val got = spark.sql(
+      """SELECT _commit_version, _change_type, count(*) AS n
+        |FROM cf_changes GROUP BY 1, 2
+        |ORDER BY _commit_version, _change_type""".stripMargin)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq((2L, "insert", 2L), (3L, "insert", 1L),
+      (4L, "delete", 1L)))
+    // the SQL row-level UPDATE path records op but not change rows:
+    // a feed across it fails fast (the documented line — the API
+    // verb updateWhere is the recording path)
+    spark.sql("UPDATE txcf.cf SET v = 'X' WHERE k = 1") // v5: unrecorded
+    val e = intercept[IllegalArgumentException] {
+      TxTable.changeFeed(spark, dir, 0L).count()
+    }
+    assert(e.getMessage.contains("not recorded"))
+    // history names every operation for provenance
+    assert(spark.sql("CALL txcf.system.history('cf')")
+      .select($"op").as[String].collect().toSeq ===
+      Seq("create", "append", "append", "delete", "update"))
   }
 }

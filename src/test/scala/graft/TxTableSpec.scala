@@ -741,7 +741,10 @@ class TxTableSpec extends AnyFunSuite {
     val h = TxTable.history(spark, t)
       .orderBy($"version").collect()
     assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
-    assert(h.last.getLong(1) === head.files.size.toLong)
+    // provenance: history names each commit's operation
+    assert(h.map(_.getString(1)).toSeq ===
+      Seq("overwrite", "append", "merge", "restore"))
+    assert(h.last.getLong(2) === head.files.size.toLong)
   }
 
   test("restore carries txn markers FORWARD so replayed epochs still skip") {
@@ -760,5 +763,106 @@ class TxTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TxTable.deleteWhere(spark, t, Nil, Nil)
     }
+  }
+
+  // ---- change data feed (Delta CDF analog) ----
+
+  private def feedRows(t: String, from: Long): Seq[(Int, String, String, Long)] =
+    TxTable.changeFeed(spark, t, from)
+      .select($"k", $"v", col(TxTable.ChangeTypeCol),
+        col(TxTable.CommitVersionCol))
+      .as[(Int, String, String, Long)].collect().toSeq.sorted
+
+  test("change feed: appends derive inserts; update/delete record images") {
+    val t = freshTable()
+    TxTable.enableChangeFeed(spark, t)
+    TxTable.append(df(1 -> "a", 2 -> "b"), t) // v1
+    TxTable.append(df(3 -> "c"), t) // v2
+    TxTable.updateWhere(spark, t, Seq(("k", 2.0, 3.0)), Nil,
+      Map("v" -> upper($"v"))) // v3
+    TxTable.deleteWhere(spark, t, Seq(("k", 1.0, 1.0))) // v4
+    assert(feedRows(t, 0L) === Seq(
+      (1, "a", "delete", 4L),
+      (1, "a", "insert", 1L),
+      (2, "B", "update_postimage", 3L),
+      (2, "b", "insert", 1L),
+      (2, "b", "update_preimage", 3L),
+      (3, "C", "update_postimage", 3L),
+      (3, "c", "insert", 2L),
+      (3, "c", "update_preimage", 3L)))
+    // a consumer that already processed v2 sees only the DML delta
+    assert(feedRows(t, 2L).map(_._4).forall(v => v == 3L || v == 4L))
+    assert(feedRows(t, 2L).size === 5)
+    // the head table itself is untouched by the recording
+    assert(TxTable.read(spark, t).as[(Int, String)].collect().sorted
+      .toSeq === Seq(2 -> "B", 3 -> "C"))
+  }
+
+  test("change feed: merge and applyCdc pair pre/post and split inserts") {
+    val t = freshTable()
+    TxTable.enableChangeFeed(spark, t)
+    TxTable.append(df(1 -> "a", 2 -> "b"), t) // v1
+    TxTable.merge(spark, t, df(2 -> "B", 3 -> "c"), key = "k") // v2
+    assert(feedRows(t, 1L) === Seq(
+      (2, "B", "update_postimage", 2L),
+      (2, "b", "update_preimage", 2L),
+      (3, "c", "insert", 2L)))
+    val cdc = Seq((1, "x", "d"), (3, "C", "u"), (4, "d", "u"))
+      .toDF("k", "v", "op")
+    TxTable.applyCdc(spark, t, cdc, key = "k", opCol = "op") // v3
+    assert(feedRows(t, 2L) === Seq(
+      (1, "a", "delete", 3L),
+      (3, "C", "update_postimage", 3L),
+      (3, "c", "update_preimage", 3L),
+      (4, "d", "insert", 3L)))
+    assert(TxTable.read(spark, t).as[(Int, String)].collect().sorted
+      .toSeq === Seq(2 -> "B", 3 -> "C", 4 -> "d"))
+  }
+
+  test("change feed: compact is silent; unrecorded DML and overwrite fail fast") {
+    // compact changes no rows: the feed skips it and keeps working
+    val t = freshTable()
+    TxTable.enableChangeFeed(spark, t)
+    TxTable.append(df(1 -> "a"), t)
+    TxTable.append(df(2 -> "b"), t)
+    TxTable.compact(spark, t, targetFiles = 1) // v3
+    TxTable.append(df(3 -> "c"), t) // v4
+    assert(feedRows(t, 0L).map(r => (r._1, r._3, r._4)) === Seq(
+      (1, "insert", 1L), (2, "insert", 2L), (3, "insert", 4L)))
+    // DML with the feed DISABLED leaves no record: reading across it
+    // must fail loudly, never silently mis-deliver
+    val t2 = freshTable()
+    TxTable.append(df(1 -> "a", 2 -> "b"), t2)
+    TxTable.deleteWhere(spark, t2, Seq(("k", 1.0, 1.0)))
+    val e = intercept[IllegalArgumentException] { feedRows(t2, 0L) }
+    assert(e.getMessage.contains("not recorded"))
+    // overwrite is wholesale replacement: no row-level feed by design
+    val t3 = freshTable()
+    TxTable.enableChangeFeed(spark, t3)
+    TxTable.append(df(1 -> "a"), t3)
+    TxTable.overwrite(df(9 -> "z"), t3)
+    val e2 = intercept[IllegalArgumentException] { feedRows(t3, 0L) }
+    assert(e2.getMessage.contains("overwrite"))
+  }
+
+  test("change feed: vacuum reclaims unreferenced change files, feed fails fast") {
+    val t = freshTable()
+    TxTable.enableChangeFeed(spark, t)
+    TxTable.append(df(1 -> "a", 2 -> "b"), t) // v1
+    TxTable.deleteWhere(spark, t, Seq(("k", 1.0, 1.0))) // v2: records changes
+    TxTable.append(df(3 -> "c"), t) // v3
+    // before vacuum the full feed reads
+    assert(feedRows(t, 0L).size === 4)
+    val fs = new org.apache.hadoop.fs.Path(t, "_changes")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(t, "_changes"))
+      .exists(_.getPath.getName.endsWith(".parquet")))
+    TxTable.vacuum(spark, t, retainLast = 1)
+    // v2's change files are unreferenced by the retained head manifest
+    val left = fs.listStatus(new org.apache.hadoop.fs.Path(t, "_changes"))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(left === 0, s"$left change files survived vacuum")
+    // and a consumer that lost its place is told so
+    intercept[IllegalArgumentException] { feedRows(t, 0L) }
   }
 }
