@@ -154,4 +154,39 @@ object AviCodec {
     if (!sizes.forall(_ == fsz)) return None
     Some((width, height, totalFrames, frameSums, frameOffsets))
   }
+
+  /** 56-bit spatio-temporal video fingerprint — the video sibling of
+    * [[PpmCodec.dhash56]] (spatial gradient bits) and
+    * [[WavCodec.afp56]] (temporal energy bits): each of the first
+    * min(n, 8) frames contributes 7 bits comparing ADJACENT eighths
+    * of its own pixel data (window x = bytes j with ⌊j·8/fsz⌋ = x;
+    * bit f·7+x set iff window x+1's byte sum exceeds window x's). A
+    * re-encode that preserves content preserves the coarse intra-
+    * frame energy shape, so near-identical clips collide — the
+    * property a perceptual hash IS. Parses the real container
+    * (offsets from the chunk walk, never arithmetic); unparseable →
+    * None, the quarantine contract. */
+  def vhash56(bytes: Array[Byte]): Option[Long] =
+    parse(bytes).map { case (w, h, n, _, offs) =>
+      val fsz = w * h * 3
+      val nf = math.min(n, 8)
+      var hash = 0L
+      var f = 0
+      while (f < nf) {
+        val base = offs(f).toInt
+        val win = new Array[Long](8)
+        var j = 0
+        while (j < fsz) {
+          win(((j.toLong * 8) / fsz).toInt) += bytes(base + j) & 0xff
+          j += 1
+        }
+        var x = 0
+        while (x < 7) {
+          if (win(x + 1) > win(x)) hash |= 1L << (f * 7 + x)
+          x += 1
+        }
+        f += 1
+      }
+      hash
+    }
 }

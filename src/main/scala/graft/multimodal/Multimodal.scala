@@ -226,6 +226,25 @@ object Multimodal {
     }(enc)
   }
 
+  /** Video fingerprint: decode the AVI payload and compute the 56-bit
+    * spatio-temporal fingerprint ([[AviCodec.vhash56]]) — the video
+    * arm of the dedup family, same batched shape and quarantine
+    * contract as [[phashPpm]]/[[afpWav]]. */
+  def vhashAvi(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields.filterNot(_.name == "payload")
+      :+ StructField("vhash", LongType))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val keep = r.toSeq.zipWithIndex
+          .collect { case (v, i) if i != payloadIdx => v }
+        Row.fromSeq(keep :+
+          AviCodec.vhash56(r.getAs[Array[Byte]](payloadIdx)).orNull)
+      }
+    }(enc)
+  }
+
   /** Explode each decoded video into its frames at the PARSED byte
     * offsets — real positions from the container walk, usable to
     * slice the payload for a per-frame decode stage. */

@@ -104,6 +104,35 @@ object MultimodalQueries extends QueryModule {
         .limit(20)
     }),
 
+    // Video fingerprint per document: REAL decode (RIFF/AVI chunk
+    // walk) -> first ≤8 frames × 8 intra-frame energy windows ->
+    // 56-bit adjacent-window comparison fingerprint. Oracle
+    // re-derives every bit closed-form from the renderer's pixel
+    // formula — one wrong window boundary or comparison flips a bit.
+    "mm_vhash" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.vhashAvi(
+          Multimodal.withAviPayload(T.documents(s, d), "doc_id"))
+        .select($"media_id", $"vhash")
+        .orderBy($"media_id")
+    }),
+
+    // Video dedup, stage 1 of the video arm: fingerprint-equality
+    // clusters (hash-groupBy, keep the smallest id) — the same linear
+    // shape as dedup_image/dedup_audio, completing the multimodal
+    // dedup triple; hamming-radius banding is dedup_simhash's
+    // machinery verbatim over the same 56-bit key.
+    "dedup_video" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.vhashAvi(
+          Multimodal.withAviPayload(T.documents(s, d), "doc_id"))
+        .groupBy($"vhash")
+        .agg(count(lit(1)).as("n_copies"), min($"media_id").as("keeper"))
+        .filter($"n_copies" >= 2)
+        .orderBy(desc("n_copies"), $"vhash")
+        .limit(20)
+    }),
+
     "mm_audio" -> ((s, d) => {
       import s.implicits._
       Multimodal.decodeWav(
@@ -241,6 +270,63 @@ object MultimodalQueries extends QueryModule {
         |SELECT afp, count(*) AS n_copies, min(media_id) AS keeper
         |FROM fp GROUP BY afp HAVING count(*) >= 2
         |ORDER BY n_copies DESC, afp LIMIT 20""".stripMargin,
+
+    // every fingerprint bit re-derived closed-form: byte j of frame f
+    // is (id + 31f + j) % 256 over fsz = w·h·3 bytes; window
+    // x = (j·8)//fsz, bit f·7+x = winsum(f, x+1) > winsum(f, x).
+    // n = id%6+2 ≤ 7, so the codec's min(n, 8) frame cap never binds
+    // on these payloads and the replay uses n directly.
+    "mm_vhash" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(4*(doc_id % 8 + 2) AS BIGINT) AS w,
+        |    CAST(doc_id % 8 + 3 AS BIGINT) AS h,
+        |    CAST(doc_id % 6 + 2 AS BIGINT) AS n
+        |  FROM documents),
+        |fr AS (
+        |  SELECT media_id, w, h, f
+        |  FROM m, LATERAL unnest(generate_series(0, n - 1)) AS t(f)),
+        |win AS (
+        |  SELECT media_id, f, (j*8)//(w*h*3) AS x,
+        |    sum((media_id + 31*f + j) % 256) AS e
+        |  FROM fr, LATERAL unnest(generate_series(0, w*h*3 - 1)) AS t2(j)
+        |  GROUP BY 1, 2, 3)
+        |SELECT a.media_id,
+        |  CAST(sum(CASE WHEN b.e > a.e
+        |    THEN 1::BIGINT << CAST(a.f*7 + a.x AS INT) ELSE 0 END)
+        |    AS BIGINT) AS vhash
+        |FROM win a JOIN win b
+        |  ON a.media_id = b.media_id AND a.f = b.f AND b.x = a.x + 1
+        |WHERE a.x < 7
+        |GROUP BY a.media_id ORDER BY a.media_id""".stripMargin,
+
+    "dedup_video" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(4*(doc_id % 8 + 2) AS BIGINT) AS w,
+        |    CAST(doc_id % 8 + 3 AS BIGINT) AS h,
+        |    CAST(doc_id % 6 + 2 AS BIGINT) AS n
+        |  FROM documents),
+        |fr AS (
+        |  SELECT media_id, w, h, f
+        |  FROM m, LATERAL unnest(generate_series(0, n - 1)) AS t(f)),
+        |win AS (
+        |  SELECT media_id, f, (j*8)//(w*h*3) AS x,
+        |    sum((media_id + 31*f + j) % 256) AS e
+        |  FROM fr, LATERAL unnest(generate_series(0, w*h*3 - 1)) AS t2(j)
+        |  GROUP BY 1, 2, 3),
+        |vh AS (
+        |  SELECT a.media_id,
+        |    CAST(sum(CASE WHEN b.e > a.e
+        |      THEN 1::BIGINT << CAST(a.f*7 + a.x AS INT) ELSE 0 END)
+        |      AS BIGINT) AS vhash
+        |  FROM win a JOIN win b
+        |    ON a.media_id = b.media_id AND a.f = b.f AND b.x = a.x + 1
+        |  WHERE a.x < 7
+        |  GROUP BY a.media_id)
+        |SELECT vhash, count(*) AS n_copies, min(media_id) AS keeper
+        |FROM vh GROUP BY vhash HAVING count(*) >= 2
+        |ORDER BY n_copies DESC, vhash LIMIT 20""".stripMargin,
 
     // The WAV renderer's samples are closed-form in doc_id: channel c
     // sample k is (id·7 + 13k + 5c) % 4096 − 2048 over
