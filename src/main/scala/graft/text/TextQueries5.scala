@@ -95,6 +95,43 @@ object TextQueries5 extends QueryModule {
           r4(coalesce($"n_dup", lit(0L)) / $"n_chunks".cast("double"))
             .as("dup_frac"))
         .orderBy($"doc_id")
+    }),
+
+    // RAG-style sliding-window chunking: each document split into
+    // overlapping retrieval chunks of W=32 tokens at stride 24
+    // (overlap 8 — the boundary-context rule every retrieval pipeline
+    // applies so an answer spanning a cut survives in one piece).
+    // Chunk count is closed-form (1 if n ≤ W else ⌈(n−W)/stride⌉+1 —
+    // the last window covers the tail, no contained-in-predecessor
+    // stub chunks), each chunk is a 1-based slice, and the gate
+    // hashes the chunk TEXT (md5 of the space-joined tokens), so an
+    // off-by-one anywhere in the window math flips a hash. Scale
+    // shape: sequence+slice+md5 are all codegen'd array expressions
+    // inside one projection — ZERO shuffles until the output sort;
+    // chunking 100 TB is embarrassingly parallel and the explode
+    // multiplies rows by ~n/stride, the same fanout the downstream
+    // embedding step pays anyway.
+    "text_chunks" -> ((s, d) => {
+      import s.implicits._
+      val W = 32
+      val S = 24
+      val toks = Bpe.words($"text")
+      T.documents(s, d)
+        .select($"doc_id", toks.as("ts"))
+        .withColumn("n", size($"ts"))
+        .withColumn("n_chunks",
+          when($"n" <= W, lit(1L)).otherwise(
+            ceil(($"n" - W).cast("double") / S).cast("long") + 1L))
+        .select($"doc_id", $"ts", $"n",
+          explode(sequence(lit(0L), $"n_chunks" - 1L)).as("chunk_idx"))
+        .withColumn("chunk",
+          slice($"ts", ($"chunk_idx" * S + 1).cast("int"),
+            least(lit(W), greatest($"n" - $"chunk_idx".cast("int") * S,
+              lit(0))).cast("int")))
+        .select($"doc_id", $"chunk_idx",
+          size($"chunk").cast("long").as("n_tok"),
+          md5(concat_ws(" ", $"chunk")).as("chunk_hash"))
+        .orderBy($"doc_id", $"chunk_idx")
     })
   )
 
@@ -149,6 +186,29 @@ object TextQueries5 extends QueryModule {
         |  round(count(*) FILTER (df >= 2) / CAST(count(*) AS DOUBLE), 4)
         |    AS dup_frac
         |FROM chunks JOIN df USING (h)
-        |GROUP BY 1 ORDER BY doc_id""".stripMargin
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // the same window math replayed over DuckDB lists: 1-based
+    // inclusive list_slice end = min(start + W - 1, n) ≡ Spark's
+    // slice(start, length = min(W, n - start + 1))
+    "text_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts
+        |  FROM documents),
+        |dims AS (
+        |  SELECT doc_id, ts, len(ts) AS n,
+        |    CASE WHEN len(ts) <= 32 THEN 1
+        |      ELSE CAST(ceil((len(ts) - 32) / 24.0) AS BIGINT) + 1
+        |    END AS n_chunks
+        |  FROM toks),
+        |ch AS (
+        |  SELECT doc_id, i AS chunk_idx,
+        |    list_slice(ts, i*24 + 1, least(i*24 + 32, n)) AS chunk
+        |  FROM dims,
+        |    LATERAL unnest(generate_series(0, n_chunks - 1)) AS t(i))
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(len(chunk) AS BIGINT) AS n_tok,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }
