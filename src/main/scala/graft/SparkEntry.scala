@@ -78,6 +78,7 @@ object SparkEntry {
     "sim_pq_recall", "sim_ivfpq_recall",
     "stream_tumbling", "stream_session", "stream_sessionize",
     "stream_sliding", "stream_join", "stream_txtable",
+    "stream_txtable_cdf",
     "stream_txtable_sink", "stream_dq_quarantine", "stream_jdbc_sink",
     "stream_dedup", "stream_totals", "stream_enrich",
     "stream_backfill", "dedup_embed", "sim_join")

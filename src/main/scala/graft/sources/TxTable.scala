@@ -681,6 +681,37 @@ object TxTable {
     val toV = to.map(math.min(_, head.version)).getOrElse(head.version)
     require(from >= 0 && from <= toV,
       s"change feed range ($from, $toV] is empty or negative at $table")
+    val frames = changeSlices(spark, table, from, toV).map {
+      case (v, recorded, files) =>
+        val df = spark.read.parquet(files.map(new Path(table, _).toString): _*)
+        (if (recorded) df else df.withColumn(ChangeTypeCol, lit("insert")))
+          .withColumn(CommitVersionCol, lit(v))
+    }
+    if (frames.isEmpty) {
+      // empty feed in the table's shape (+ meta columns, zero rows)
+      val base =
+        if (head.files.nonEmpty) read(spark, table)
+        else declaredSchema(spark, table) match {
+          case Some(sch) => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+          case None => spark.emptyDataFrame
+        }
+      base.limit(0).withColumn(ChangeTypeCol, lit(""))
+        .withColumn(CommitVersionCol, lit(0L))
+    } else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** The change feed's per-version file slices over `(from, to]`:
+    * `(version, recorded, files)` where `recorded = true` means
+    * `files` are change files already carrying [[ChangeTypeCol]] and
+    * `false` means they are ADDED data files whose rows are inserts.
+    * Shared by the batch [[changeFeed]] and the streaming source's
+    * CDF mode — one walk, one fail-fast policy (vacuumed position,
+    * unrecorded rewrites, overwrite/restore). Versions with no
+    * row-level change (`create`, `compact`, empty appends) yield no
+    * slice. */
+  private[graft] def changeSlices(spark: SparkSession, table: String,
+      from: Long, to: Long): Seq[(Long, Boolean, Seq[String])] = {
     def snapAt(v: Long): Snapshot =
       snapshot(spark, table, Some(v)).filter(_.version == v).getOrElse(
         throw new IllegalArgumentException(
@@ -688,13 +719,10 @@ object TxTable {
             "lost its place; reprocess from a full snapshot"))
     var prevFiles: Set[String] =
       if (from == 0) Set.empty else snapAt(from).files.toSet
-    val frames = ((from + 1) to toV).flatMap { v =>
+    ((from + 1) to to).flatMap { v =>
       val snap = snapAt(v)
-      val out: Option[DataFrame] =
-        if (snap.changes.nonEmpty)
-          Some(spark.read.parquet(
-            snap.changes.map(new Path(table, _).toString): _*)
-            .withColumn(CommitVersionCol, lit(v)))
+      val out: Option[(Long, Boolean, Seq[String])] =
+        if (snap.changes.nonEmpty) Some((v, true, snap.changes))
         else snap.op match {
           case "create" | "compact" => None // no row-level change
           case "overwrite" | "restore" => throw new IllegalArgumentException(
@@ -709,27 +737,11 @@ object TxTable {
                 "disabled — enableChangeFeed before DML, or reprocess " +
                 "from a full snapshot")
             val added = snap.files.filterNot(prevFiles)
-            if (added.isEmpty) None
-            else Some(spark.read.parquet(
-              added.map(new Path(table, _).toString): _*)
-              .withColumn(ChangeTypeCol, lit("insert"))
-              .withColumn(CommitVersionCol, lit(v)))
+            if (added.isEmpty) None else Some((v, false, added))
         }
       prevFiles = snap.files.toSet
       out
     }
-    if (frames.isEmpty) {
-      // empty feed in the table's shape (+ meta columns, zero rows)
-      val base =
-        if (head.files.nonEmpty) read(spark, table)
-        else declaredSchema(spark, table) match {
-          case Some(sch) => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-          case None => spark.emptyDataFrame
-        }
-      base.limit(0).withColumn(ChangeTypeCol, lit(""))
-        .withColumn(CommitVersionCol, lit(0L))
-    } else frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Apply one CDC batch ATOMICALLY: rows whose `opCol` is "d"

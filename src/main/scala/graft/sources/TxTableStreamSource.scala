@@ -43,8 +43,9 @@ import org.apache.spark.sql.types.StructType
   *     .option("path", table)              // required
   *     .option("startingVersion", "0")     // 0 = full snapshot first batch
   *     .option("maxVersionsPerBatch", "8") // bound the catch-up batch
-  *     .load()
-  * }}}
+  *     .option("readChangeFeed", "true")   // CDF mode: serve row-level
+  *     .load()                             //   deltas instead of failing
+  * }}}                                     //   on DML commits
   *
   * Schema is pinned at stream DEFINITION from the head snapshot (the
   * streaming contract: a checkpointed query cannot change shape
@@ -59,10 +60,16 @@ class TxTableStreamSource extends StreamSourceProvider with DataSourceRegister {
     params.getOrElse("path", throw new IllegalArgumentException(
       "txtable-stream requires .option(\"path\", <table dir>)"))
 
+  private def cdfMode(params: Map[String, String]): Boolean =
+    params.get("readChangeFeed").exists(_.toBoolean)
+
   /** Schema = the head snapshot's parquet schema. The table must have
     * at least one committed version when the stream is DEFINED —
     * a schema can't be invented for an empty log, and silently
-    * guessing would poison the checkpoint. */
+    * guessing would poison the checkpoint. With
+    * `readChangeFeed = true` the CDF metadata columns
+    * ([[TxTable.ChangeTypeCol]], [[TxTable.CommitVersionCol]]) append
+    * to the data schema — pinned at definition like everything else. */
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String, params: Map[String, String]): (String, StructType) = {
     val spark = ctx.sparkSession
@@ -72,8 +79,14 @@ class TxTableStreamSource extends StreamSourceProvider with DataSourceRegister {
         throw new IllegalArgumentException(
           s"txtable-stream: no committed version at $table — commit v1 " +
             "before defining the stream (the schema comes from the head)"))
-      spark.read.parquet(
+      val data = spark.read.parquet(
         snap.files.map(new Path(table, _).toString): _*).schema
+      if (!cdfMode(params)) data
+      else StructType(data.fields
+        :+ org.apache.spark.sql.types.StructField(
+          TxTable.ChangeTypeCol, org.apache.spark.sql.types.StringType)
+        :+ org.apache.spark.sql.types.StructField(
+          TxTable.CommitVersionCol, org.apache.spark.sql.types.LongType))
     }
     (shortName(), resolved)
   }
@@ -86,13 +99,15 @@ class TxTableStreamSource extends StreamSourceProvider with DataSourceRegister {
     val maxV = params.get("maxVersionsPerBatch").map(_.toLong)
     require(maxV.forall(_ >= 1), "maxVersionsPerBatch must be >= 1")
     val (_, s) = sourceSchema(ctx, schema, providerName, params)
-    new TxTableSource(ctx.sparkSession, table, start, s, maxV)
+    new TxTableSource(ctx.sparkSession, table, start, s, maxV,
+      cdf = cdfMode(params))
   }
 }
 
 private[graft] class TxTableSource(spark: SparkSession, table: String,
     startingVersion: Long, override val schema: StructType,
-    maxVersionsPerBatch: Option[Long] = None) extends Source {
+    maxVersionsPerBatch: Option[Long] = None,
+    cdf: Boolean = false) extends Source {
 
   // an Offset arriving from the checkpoint is a SerializedOffset, not
   // a LongOffset — parse the json, never pattern-match the class
@@ -119,30 +134,69 @@ private[graft] class TxTableSource(spark: SparkSession, table: String,
       .map(LongOffset.apply)
   }
 
+  private def emptyBatch: DataFrame =
+    org.apache.spark.sql.GraftColumnBridge.dataFrame(spark,
+      LocalRelation(DataTypeUtils.toAttributes(schema), Nil,
+        isStreaming = true))
+
+  // the FileStreamSource construction: an ordinary parquet relation
+  // (planned/pruned/split like any batch scan over those files),
+  // marked isStreaming so the micro-batch planner accepts it
+  private def streamingParquet(files: Seq[String],
+      fileSchema: StructType): DataFrame = {
+    val relation = DataSource(
+      sparkSession = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      className = "parquet",
+      paths = files.map(f => new Path(table, f).toString),
+      userSpecifiedSchema = Some(fileSchema))
+      .resolveRelation(checkFilesExist = false)
+    org.apache.spark.sql.GraftColumnBridge.dataFrame(spark,
+      LogicalRelation(relation, isStreaming = true))
+  }
+
   /** The rows of versions (start, end] as ONE batch DataFrame. */
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(startingVersion)
     val to = versionOf(end)
     if (to > handedOut) handedOut = to
+    if (cdf) return getCdfBatch(from, to)
     val toSnap = TxTable.snapshot(spark, table, Some(to)).getOrElse(
       throw new IllegalStateException(
         s"txtable-stream: offset version $to is gone at $table (vacuumed " +
           "past the checkpoint) — restart from a fresh checkpoint"))
     val added = TxTable.addedBetween(spark, table, from, toSnap)
-    if (added.isEmpty)
-      return org.apache.spark.sql.GraftColumnBridge.dataFrame(spark,
-        LocalRelation(DataTypeUtils.toAttributes(schema), Nil,
-          isStreaming = true))
-    // the FileStreamSource construction: an ordinary parquet relation
-    // (planned/pruned/split like any batch scan over those files),
-    // marked isStreaming so the micro-batch planner accepts it
-    val relation = DataSource(
-      sparkSession = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      className = "parquet",
-      paths = added.map(f => new Path(table, f).toString),
-      userSpecifiedSchema = Some(schema)).resolveRelation(checkFilesExist = false)
-    org.apache.spark.sql.GraftColumnBridge.dataFrame(spark,
-      LogicalRelation(relation, isStreaming = true))
+    if (added.isEmpty) emptyBatch
+    else streamingParquet(added, schema)
+  }
+
+  /** CDF micro-batch: the change-feed slices of (from, to] — recorded
+    * change files serve their pre/post/delete images, append versions
+    * synthesize inserts from their added data files — each a
+    * streaming parquet relation with the metadata columns projected
+    * on top, unioned in version order. Same fail-fast policy as the
+    * batch [[TxTable.changeFeed]] (unrecorded rewrites, overwrite /
+    * restore, vacuumed positions), so a stream over a DML-ing table
+    * either delivers exact row-level deltas or stops loudly — never
+    * re-delivers rewritten rows (the failure mode the non-CDF mode
+    * fails fast on, now SERVED instead). */
+  private def getCdfBatch(from: Long, to: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val dataSchema = StructType(schema.fields.filterNot(f =>
+      f.name == TxTable.ChangeTypeCol || f.name == TxTable.CommitVersionCol))
+    val withCt = StructType(dataSchema.fields
+      :+ org.apache.spark.sql.types.StructField(
+        TxTable.ChangeTypeCol, org.apache.spark.sql.types.StringType))
+    val metaCols = schema.fieldNames.map(org.apache.spark.sql.functions.col)
+    val frames = TxTable.changeSlices(spark, table, from, to).map {
+      case (v, recorded, files) =>
+        val base =
+          if (recorded) streamingParquet(files, withCt)
+          else streamingParquet(files, dataSchema)
+            .withColumn(TxTable.ChangeTypeCol, lit("insert"))
+        base.withColumn(TxTable.CommitVersionCol, lit(v))
+          .select(metaCols.toSeq: _*) // pin the checkpointed column order
+    }
+    if (frames.isEmpty) emptyBatch else frames.reduce(_.unionByName(_))
   }
 
   override def commit(end: Offset): Unit = {

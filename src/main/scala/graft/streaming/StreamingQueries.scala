@@ -257,6 +257,52 @@ object StreamingQueries extends QueryModule {
         .orderBy($"event_type")
     }),
 
+    // The CHANGE DATA FEED as a STREAM under the driver gate: the
+    // same append/append/update/delete cycle as pipe_snapshot_cdf
+    // (feed enabled), replayed through readStream with
+    // readChangeFeed=true and maxVersionsPerBatch=1 — one micro-batch
+    // per version, so the offset walk crosses every slice boundary.
+    // The sink aggregate by (version, change type) must equal the
+    // oracle's pure-SQL replay of the whole cycle: a DML version
+    // that double-delivered its rewrite (the failure the non-CDF
+    // source FAILS on, now SERVED as recorded images), a lost
+    // preimage, or a wrong version attribution all diverge.
+    "stream_txtable_cdf" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.TxTable
+      val dir = sys.props("java.io.tmpdir") +
+        "/graft_txstream_cdf_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      TxTable.enableChangeFeed(s, dir)
+      val base = graft.Tables.orders(s, d).select(
+        $"o_orderkey".as("k"), $"o_orderpriority".as("pr"),
+        org.apache.spark.sql.functions.round($"o_totalprice" * 100)
+          .cast("long").as("cents"))
+      TxTable.append(base.filter($"pr" === "1-URGENT"), dir) // v1
+      TxTable.append(base.filter($"pr" === "2-HIGH"), dir) // v2
+      TxTable.updateWhere(s, dir, Seq(("cents", 0.0, 1.0e7)), Nil,
+        set = Map("cents" -> ($"cents" + 7))) // v3
+      TxTable.deleteWhere(s, dir, Seq(("cents", 3.0e7, 1.0e12))) // v4
+      val q = s.readStream.format("graft.sources.TxTableStreamSource")
+        .option("path", dir).option("readChangeFeed", "true")
+        .option("maxVersionsPerBatch", "1").load()
+        .writeStream.format("memory")
+        .queryName("stream_txtable_cdf_gate").outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("stream_txtable_cdf_gate")
+        .groupBy(
+          org.apache.spark.sql.functions.col(TxTable.CommitVersionCol)
+            .as("v"),
+          org.apache.spark.sql.functions.col(TxTable.ChangeTypeCol)
+            .as("change_type"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum($"k").as("sum_k"),
+          org.apache.spark.sql.functions.sum($"cents").as("sum_cents"))
+        .orderBy($"v", $"change_type")
+    }),
+
     // The TxTable streaming SINK under the driver gate: the strongest
     // exactly-once claim in the tree, previously spec-only
     // (StreamingSpec5). An end-to-end TxTable → TxTable pipe: the
@@ -560,6 +606,32 @@ object StreamingQueries extends QueryModule {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // pure-SQL replay of the streamed change-feed cycle — identical
+    // to pipe_snapshot_cdf's oracle: the streaming delivery must be
+    // invisible relative to the batch feed
+    "stream_txtable_cdf" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pr,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |v1 AS (SELECT k, cents FROM base WHERE pr = '1-URGENT'),
+        |v2 AS (SELECT k, cents FROM base WHERE pr = '2-HIGH'),
+        |tbl AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+        |upd AS (SELECT * FROM tbl WHERE cents BETWEEN 0 AND 10000000),
+        |tbl3 AS (SELECT k, CASE WHEN cents BETWEEN 0 AND 10000000
+        |    THEN cents + 7 ELSE cents END AS cents FROM tbl),
+        |del AS (SELECT * FROM tbl3 WHERE cents >= 30000000),
+        |feed AS (
+        |  SELECT 1 AS v, 'insert' AS change_type, k, cents FROM v1
+        |  UNION ALL SELECT 2, 'insert', k, cents FROM v2
+        |  UNION ALL SELECT 3, 'update_preimage', k, cents FROM upd
+        |  UNION ALL SELECT 3, 'update_postimage', k, cents + 7 FROM upd
+        |  UNION ALL SELECT 4, 'delete', k, cents FROM del)
+        |SELECT CAST(v AS BIGINT) AS v, change_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM feed GROUP BY 1, 2 ORDER BY v, change_type""".stripMargin,
 
     // same batch aggregate: the sink pipe must be invisible — any
     // replay double-append or lost batch diverges

@@ -196,4 +196,41 @@ class TxTableStreamSpec extends AnyFunSuite {
     val e = intercept[Exception] { readStreamOf(t) }
     assert(e.getMessage.contains("no committed version"))
   }
+
+  test("CDF mode streams recorded DML images; restart stays exactly-once") {
+    val t = freshTable()
+    val ckpt = Files.createTempDirectory("graft_txstream_cdfckpt_").toString
+    TxTable.enableChangeFeed(spark, t)
+    TxTable.append(df(0 until 4, "a"), t) // v1: inserts
+    TxTable.deleteWhere(spark, t, Seq(("k", 1.0, 2.0))) // v2: deletes
+    def run(): Seq[(Long, String, Long)] = {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Long, String, Long)]()
+      val q = spark.readStream.format("graft.sources.TxTableStreamSource")
+        .option("path", t).option("readChangeFeed", "true")
+        .option("maxVersionsPerBatch", "1").load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          b.select($"k", col(TxTable.ChangeTypeCol),
+              col(TxTable.CommitVersionCol))
+            .as[(Long, String, Long)].collect().foreach(buf.add)
+        }
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq.sorted
+    }
+    assert(run() === Seq(
+      (0L, "insert", 1L), (1L, "insert", 1L), (1L, "delete", 2L),
+      (2L, "insert", 1L), (2L, "delete", 2L), (3L, "insert", 1L)).sorted)
+    // DML lands while the stream is DOWN; the restart must deliver
+    // ONLY the new version's images — exactly-once across the restart
+    TxTable.updateWhere(spark, t, Seq(("k", 3.0, 3.0)), Nil,
+      Map("tag" -> lit("B"))) // v3
+    val got = run()
+    assert(got === Seq(
+      (3L, "update_preimage", 3L), (3L, "update_postimage", 3L)).sorted,
+      s"CDF restart re-delivered or lost images: $got")
+  }
 }
