@@ -671,6 +671,49 @@ object PipelineQueries extends QueryModule {
         .orderBy($"v", $"change_type")
     }),
 
+    // DYNAMIC PARTITION OVERWRITE end to end (the idempotent-backfill
+    // write shape): orders clustered by priority with per-file value
+    // sets, then ONE commit replaces exactly two partitions — the
+    // re-derived '1-URGENT' (every cent bumped 11) and a brand-new
+    // 'Z-BACKFILL' — while every other priority's files carry over
+    // byte-untouched (REQUIREd: each file whose value set excludes
+    // the incoming partitions keeps its original path). The oracle
+    // recomputes the final state as pure set algebra over orders, so
+    // a leaked old partition row, a lost untouched partition, or a
+    // double-applied replacement all diverge. Rebuilt every run.
+    "pipe_partition_overwrite" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.TxTable
+      val dir = sys.props("java.io.tmpdir") +
+        "/graft_txtable_dynpo_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val base = T.orders(s, d).select(
+        $"o_orderkey".as("k"), $"o_orderpriority".as("pr"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      TxTable.overwriteIndexedMulti(base, dir,
+        statCols = Nil, valueCols = Seq("pr"))
+      val snap1 = TxTable.snapshot(s, dir).get
+      val repl = base.filter($"pr" === "1-URGENT")
+        .withColumn("cents", $"cents" + 11)
+        .unionByName(base.filter($"pr" === "5-LOW")
+          .select(($"k" + 1000000L).as("k"),
+            lit("Z-BACKFILL").as("pr"), $"cents"))
+      TxTable.overwritePartitions(repl, dir, "pr")
+      val snap2 = TxTable.snapshot(s, dir).get
+      val carried = snap1.files.toSet intersect snap2.files.toSet
+      val expectUntouched = snap1.files.filter(f =>
+        snap1.fileValues.get(f).flatMap(_.get("pr"))
+          .exists(vs => !vs("1-URGENT") && !vs("Z-BACKFILL")))
+      require(expectUntouched.nonEmpty && expectUntouched.forall(carried),
+        s"dynamic overwrite rewrote provably-untouched partitions: " +
+          s"${expectUntouched.size} expected, ${carried.size} carried")
+      TxTable.read(s, dir)
+        .groupBy($"pr".as("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // Avro ARRAY columns end to end: the embeddings table
     // (Array[Float]) through the codec's blocked array encoding with
     // deflate, read back, aggregated per vec_id bucket. First
@@ -958,6 +1001,25 @@ object PipelineQueries extends QueryModule {
         |  CAST(sum(k) AS BIGINT) AS sum_k,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM feed GROUP BY 1, 2 ORDER BY v, change_type""".stripMargin,
+
+    // set-algebra replay of the dynamic partition overwrite: kept
+    // partitions straight from orders, '1-URGENT' re-derived with the
+    // bump, 'Z-BACKFILL' synthesized from '5-LOW'
+    "pipe_partition_overwrite" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pr,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |final AS (
+        |  SELECT k, pr, cents FROM base WHERE pr <> '1-URGENT'
+        |  UNION ALL
+        |  SELECT k, pr, cents + 11 FROM base WHERE pr = '1-URGENT'
+        |  UNION ALL
+        |  SELECT k + 1000000, 'Z-BACKFILL', cents FROM base
+        |  WHERE pr = '5-LOW')
+        |SELECT pr AS o_orderpriority, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM final GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     // full-scan recompute — equals the arrow round-trip only if every
     // row and type survived the IPC write/read cycle

@@ -970,6 +970,94 @@ object TxTable {
     next
   }
 
+  /** DYNAMIC PARTITION OVERWRITE: atomically replace exactly the
+    * partitions — distinct `partCol` values — present in `df`; every
+    * other partition's files carry over BYTE-UNTOUCHED (Spark's
+    * `partitionOverwriteMode=dynamic` / Iceberg's overwrite-by-filter
+    * as ONE TxTable commit: the idempotent-backfill write shape,
+    * where re-running a day's job replaces that day and nothing
+    * else). Files whose recorded `partCol` value set is disjoint from
+    * the incoming values are provably untouched; files that may hold
+    * an incoming partition (or carry no value metadata) are rewritten
+    * MINUS the replaced partitions' rows. Rows with a NULL `partCol`
+    * are never replaced (null is not a partition value — fail-open,
+    * like SQL's NULL semantics everywhere else here). New files
+    * cluster on `partCol` and record value sets, so the next dynamic
+    * overwrite prunes against them; existing stat/value columns are
+    * recomputed on rewritten files and carried on untouched ones.
+    * With the change feed enabled the commit records the replaced
+    * rows as `delete` and the incoming frame as `insert` (Delta's
+    * replaceWhere CDF shape), so the feed flows through. The incoming
+    * distinct-value set is collected to the driver — partitions are
+    * low-cardinality BY DEFINITION; `maxPartitions` guards the
+    * misuse (a high-cardinality column is the bloom index's job). */
+  def overwritePartitions(df: DataFrame, table: String, partCol: String,
+      maxPartitions: Int = 10000): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col => c, lit}
+    val spark = df.sparkSession
+    val cur = snapshot(spark, table)
+    val next = cur.map(_.version + 1).getOrElse(1L)
+    val incoming: Set[String] = df
+      .select(c(partCol).cast("string").as("__p")).distinct()
+      .collect().map { r =>
+        val v = r.getString(0)
+        require(v != null,
+          s"null $partCol in the replacement frame: null is not a " +
+            "partition value")
+        v
+      }.toSet
+    require(incoming.nonEmpty,
+      "empty replacement frame: no partitions to overwrite")
+    require(incoming.size <= maxPartitions,
+      s"${incoming.size} incoming partitions exceeds maxPartitions=" +
+        s"$maxPartitions — a value this wide is not a partition column")
+    val statCols = cur.map(_.multiStats.values.flatMap(_.keys).toSeq
+      .distinct.sorted).getOrElse(Nil)
+    val valueCols = (cur.map(_.fileValues.values.flatMap(_.keys).toSeq)
+      .getOrElse(Nil) :+ partCol).distinct.sorted
+    // files provably holding NONE of the incoming partitions carry
+    // over untouched; everything else rewrites minus replaced rows
+    val touched = cur.map(_.files.filter { f =>
+      cur.get.fileValues.get(f).flatMap(_.get(partCol)) match {
+        case Some(vs) => vs.exists(incoming)
+        case None => true
+      }
+    }).getOrElse(Nil)
+    val untouched = cur.map(_.files.filterNot(touched.toSet)).getOrElse(Nil)
+    val replacedIn = c(partCol).cast("string").isInCollection(incoming)
+    val touchedDf = () =>
+      spark.read.parquet(touched.map(new Path(table, _).toString): _*)
+    val changeFiles: Seq[String] =
+      if (!changeFeedEnabled(spark, table)) Nil
+      else {
+        val dels =
+          if (touched.isEmpty) df.limit(0)
+            .withColumn(ChangeTypeCol, lit("delete"))
+          else touchedDf().filter(coalesce(replacedIn, lit(false)))
+            .withColumn(ChangeTypeCol, lit("delete"))
+        writeChangeFiles(
+          dels.unionByName(df.withColumn(ChangeTypeCol, lit("insert"))),
+          table, next)
+      }
+    val remainder: Seq[String] =
+      if (touched.isEmpty) Nil
+      else writeFiles(
+        touchedDf().filter(!coalesce(replacedIn, lit(false))), table, next)
+    val nParts = math.max(2, spark.sessionState.conf.numShufflePartitions)
+    val fresh = writeFiles(
+      df.repartitionByRange(nParts, c(partCol)), table, next)
+    val (ms, fv) = recomputeMetadata(spark, table, remainder ++ fresh,
+      statCols, valueCols)
+    commit(spark, table, next, untouched ++ remainder ++ fresh,
+      cur.map(_.txns).getOrElse(Map.empty),
+      multiStats = cur.map(_.multiStats.filter {
+        case (f, _) => untouched.contains(f) }).getOrElse(Map.empty) ++ ms,
+      fileValues = cur.map(_.fileValues.filter {
+        case (f, _) => untouched.contains(f) }).getOrElse(Map.empty) ++ fv,
+      op = "overwrite_partitions", changes = changeFiles)
+    next
+  }
+
   /** Overwrite with a PER-FILE BLOOM FILTER over a high-cardinality
     * key in the manifest — the point-lookup complement of min/max
     * stats (Delta's bloom filter index reduced to its invariant).

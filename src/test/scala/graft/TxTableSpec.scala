@@ -765,6 +765,61 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("overwritePartitions replaces exactly the incoming partitions") {
+    val t = freshTable()
+    val base = Seq((1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "c"),
+      (6, "c")).toDF("k", "v")
+    TxTable.overwriteIndexedMulti(base, t, statCols = Nil,
+      valueCols = Seq("v"))
+    val snap1 = TxTable.snapshot(spark, t).get
+    // replace partition b with new content and add partition d
+    TxTable.overwritePartitions(
+      Seq((30, "b"), (40, "d")).toDF("k", "v"), t, "v")
+    val got = TxTable.read(spark, t).as[(Int, String)].collect().sorted
+    assert(got.toSeq === Seq(1 -> "a", 2 -> "a", 5 -> "c", 6 -> "c",
+      30 -> "b", 40 -> "d"))
+    // files provably outside {b, d} carried over byte-untouched
+    val snap2 = TxTable.snapshot(spark, t).get
+    val carried = snap1.files.toSet intersect snap2.files.toSet
+    val expectUntouched = snap1.files.filter(f =>
+      snap1.fileValues.get(f).flatMap(_.get("v"))
+        .exists(vs => !vs("b") && !vs("d")))
+    assert(expectUntouched.nonEmpty, "test setup: no prunable file")
+    assert(expectUntouched.forall(carried),
+      "a provably-untouched partition's file was rewritten")
+    // old version still time-travels to the pre-overwrite content
+    assert(TxTable.read(spark, t, asOf = Some(1)).count() === 6)
+    // the new files record value sets: a second dynamic overwrite of
+    // partition d prunes everything else
+    TxTable.overwritePartitions(Seq((41, "d")).toDF("k", "v"), t, "v")
+    assert(TxTable.read(spark, t).as[(Int, String)].collect().sorted
+      .toSeq === Seq(1 -> "a", 2 -> "a", 5 -> "c", 6 -> "c",
+      30 -> "b", 41 -> "d"))
+    // null partition values are never replaced (null ≠ a partition)
+    val t2 = freshTable()
+    TxTable.overwriteIndexedMulti(
+      Seq((1, "a"), (2, null)).toDF("k", "v"), t2,
+      statCols = Nil, valueCols = Seq("v"))
+    TxTable.overwritePartitions(Seq((10, "a")).toDF("k", "v"), t2, "v")
+    assert(TxTable.read(spark, t2).as[(Int, String)].collect()
+      .sortBy(_._1).toSeq === Seq(2 -> null, 10 -> "a"))
+    // a null in the REPLACEMENT frame is refused loudly
+    intercept[IllegalArgumentException] {
+      TxTable.overwritePartitions(
+        Seq((9, null)).toDF("k", "v"), t2, "v")
+    }
+  }
+
+  test("overwritePartitions records delete+insert images in the change feed") {
+    val t = freshTable()
+    TxTable.enableChangeFeed(spark, t)
+    TxTable.append(df(1 -> "a", 2 -> "b"), t) // v1 (v = partition col)
+    TxTable.overwritePartitions(df(20 -> "b"), t, "v") // v2
+    assert(feedRows(t, 1L) === Seq(
+      (2, "b", "delete", 2L),
+      (20, "b", "insert", 2L)))
+  }
+
   // ---- change data feed (Delta CDF analog) ----
 
   private def feedRows(t: String, from: Long): Seq[(Int, String, String, Long)] =
