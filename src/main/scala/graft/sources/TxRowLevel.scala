@@ -184,6 +184,48 @@ private[sources] class TxReplaceBatchWrite(path: String, schema: StructType,
   }
 }
 
+/** Dynamic-partition-overwrite batch write (`INSERT OVERWRITE` on a
+  * partitioned table under partitionOverwriteMode=dynamic, and
+  * `df.writeTo(t).overwritePartitions()`): tasks stage parquet
+  * dotfiles through the same distributed writer as the row-level
+  * path; the driver commit renames them visible and hands the file
+  * set to [[TxTable.dynamicOverwriteCommit]] — incoming partitions
+  * derived from the staged files, provably disjoint files carried
+  * untouched, ONE atomic manifest commit, racing writers lose with
+  * `TxConflictException` and their staged files stay unreferenced. */
+private[sources] class TxDynPartBatchWrite(path: String,
+    schema: StructType, partCol: String) extends BatchWrite {
+  private val tag = java.util.UUID.randomUUID().toString.take(8)
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new TxParquetWriterFactory(path, schema, tag, TxConfCarrier.capture())
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = messages.toSeq.map { case TxParquetCommit(staged) =>
+      val p = new Path(staged)
+      val visible = new Path(p.getParent, p.getName.stripPrefix("."))
+      require(fs.rename(p, visible), s"publish rename failed: $staged")
+      s"data/${visible.getName}"
+    }
+    TxTable.dynamicOverwriteCommit(spark, path, files, partCol)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.collect { case TxParquetCommit(staged) =>
+      fs.delete(new Path(staged), false)
+    }
+    ()
+  }
+}
+
 private case class TxParquetCommit(staged: String) extends WriterCommitMessage
 
 /** Serializable hadoop-conf + parquet write settings snapshot (the

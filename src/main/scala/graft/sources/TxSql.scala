@@ -346,6 +346,18 @@ private[sources] class TxSparkTable(spark: SparkSession, path: String,
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** Declared partition column (SQL `PARTITIONED BY` side file), read
+    * once per table instance. Surfacing it as an identity transform
+    * is what routes `INSERT OVERWRITE` (under
+    * partitionOverwriteMode=dynamic) to the dynamic-overwrite plan. */
+  private val partCol: Option[String] = TxTable.declaredPartition(spark, path)
+
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    partCol.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
   // Infer from ONE file, not the whole snapshot: footer reads are
   // driver-side HEAD calls on an object store, and manifest commits
   // guarantee a uniform schema per snapshot (schema evolution rewrites
@@ -365,9 +377,16 @@ private[sources] class TxSparkTable(spark: SparkSession, path: String,
 
   override def name(): String = tableName
   override def schema(): StructType = dataSchema
-  override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
+  override def capabilities(): util.Set[TableCapability] = {
+    val base = Set(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    // dynamic overwrite is a REAL V2 batch write (Spark has no V1
+    // fallback for OverwritePartitionsDynamic), offered only when a
+    // partition column is declared
+    (if (partCol.isDefined)
+      base + TableCapability.BATCH_WRITE + TableCapability.OVERWRITE_DYNAMIC
+    else base).asJava
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     ParquetScanBuilder(spark, index, dataSchema, dataSchema, options)
 
@@ -417,19 +436,41 @@ private[sources] class TxSparkTable(spark: SparkSession, path: String,
     * manifest publication is the table's [[CommitProtocol]] — a DSv2
     * writer-factory path that bypassed it would forfeit atomicity. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsTruncate
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
       private var replace = false
+      private var dynamic = false
       override def truncate(): WriteBuilder = { replace = true; this }
-      override def build(): Write = new V1Write {
-        override def toInsertableRelation: InsertableRelation =
-          new InsertableRelation {
-            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              if (replace || overwrite) TxTable.overwrite(data, path)
-              else TxTable.append(data, path)
-              ()
-            }
-          }
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        require(partCol.isDefined, // capability-gated; belt and braces
+          s"$tableName is not partitioned: dynamic overwrite needs " +
+            "PARTITIONED BY")
+        dynamic = true; this
       }
+      override def build(): Write =
+        if (dynamic) new Write {
+          // the REAL V2 path: per-task staged parquet (the row-level
+          // writer machinery), then ONE dynamic-overwrite commit that
+          // derives the incoming partitions from the staged files
+          override def toBatch
+              : org.apache.spark.sql.connector.write.BatchWrite =
+            new TxDynPartBatchWrite(path, info.schema(), partCol.get)
+        } else new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: DataFrame,
+                  overwrite: Boolean): Unit = {
+                if (replace || overwrite) TxTable.overwrite(data, path)
+                else partCol match {
+                  // partitioned INSERT INTO clusters on the declared
+                  // column and records value sets for the new files
+                  case Some(pc) => TxTable.appendPartitioned(data, path, pc)
+                  case None => TxTable.append(data, path)
+                }
+                ()
+              }
+            }
+        }
     }
 }
 
@@ -535,17 +576,33 @@ class TxTableCatalog extends TableCatalog
   /** `CREATE TABLE cat.t (cols)` / the create leg of CTAS: commit an
     * empty version 1 through the protocol ([[TxTable.createEmpty]]) —
     * two racing CREATEs get exactly one winner; the loser surfaces as
-    * table-already-exists. Partition transforms are refused rather
-    * than ignored: the manifest's pruning language is file stats, not
-    * hive-style directories, and silently accepting `PARTITIONED BY`
-    * would promise a layout the table doesn't have. */
+    * table-already-exists. `PARTITIONED BY (col)` — one identity
+    * transform on a declared column — records the partition column:
+    * inserts cluster on it with per-file value sets (manifest-stat
+    * pruning, not hive directories), and `INSERT OVERWRITE` under
+    * partitionOverwriteMode=dynamic replaces exactly the incoming
+    * partitions through [[TxTable.dynamicOverwriteCommit]]. Any other
+    * transform (bucket/days/multi-column) is refused rather than
+    * silently ignored — accepting it would promise a layout the
+    * table doesn't have. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    if (partitions.nonEmpty)
-      throw new UnsupportedOperationException(
-        "txtable: PARTITIONED BY is not supported — file-stat pruning " +
-          "replaces directory partitioning (use overwriteIndexedMulti)")
+    val partition: Option[String] = partitions match {
+      case Array() => None
+      // one identity transform on one top-level declared column
+      // (matched through the public Transform API — the case classes
+      // are private[sql])
+      case Array(t) if t.name == "identity" &&
+          t.references.length == 1 &&
+          t.references()(0).fieldNames().length == 1 &&
+          schema.fieldNames.contains(t.references()(0).fieldNames()(0)) =>
+        Some(t.references()(0).fieldNames()(0))
+      case other => throw new UnsupportedOperationException(
+        s"txtable: unsupported partitioning ${other.mkString(", ")} — " +
+          "only PARTITIONED BY (<one declared column>) is supported " +
+          "(manifest value-set pruning, not hive directories)")
+    }
     val dir = dirOf(ident)
     if (TxTable.snapshot(spark, dir).isDefined)
       throw new org.apache.spark.sql.catalyst.analysis
@@ -558,6 +615,7 @@ class TxTableCatalog extends TableCatalog
           .TableAlreadyExistsException(
             (catalogName +: ident.namespace() :+ ident.name()).mkString("."))
     }
+    partition.foreach(TxTable.declarePartition(spark, dir, _))
     load(ident, None)
   }
 

@@ -993,11 +993,37 @@ object TxTable {
     * misuse (a high-cardinality column is the bloom index's job). */
   def overwritePartitions(df: DataFrame, table: String, partCol: String,
       maxPartitions: Int = 10000): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col => c, lit}
+    import org.apache.spark.sql.functions.{col => c}
     val spark = df.sparkSession
+    require(!df.isStreaming, "overwritePartitions takes a batch frame")
+    val nParts = math.max(2, spark.sessionState.conf.numShufflePartitions)
+    // cluster on the partition column so each new file is tight in it
+    // (value sets recorded below make the NEXT dynamic overwrite prune)
+    val next0 = snapshot(spark, table).map(_.version + 1).getOrElse(1L)
+    val fresh = writeFiles(
+      df.repartitionByRange(nParts, c(partCol)), table, next0)
+    dynamicOverwriteCommit(spark, table, fresh, partCol, maxPartitions)
+  }
+
+  /** Commit an already-written replacement file set as a dynamic
+    * partition overwrite — the shared tail of [[overwritePartitions]]
+    * (API) and the SQL `INSERT OVERWRITE` V2 write path (whose tasks
+    * stage files before any snapshot math can run). Derives the
+    * incoming partition set FROM the new files, carries provably
+    * disjoint files untouched, rewrites the rest minus the replaced
+    * rows, records delete+insert change images when the feed is on,
+    * recomputes metadata, commits. The head resolves HERE, commit
+    * time — racing writers contend on the protocol and the loser's
+    * staged files stay unreferenced, like every other path. */
+  private[sources] def dynamicOverwriteCommit(spark: SparkSession,
+      table: String, fresh: Seq[String], partCol: String,
+      maxPartitions: Int = 10000): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col => c, lit}
     val cur = snapshot(spark, table)
     val next = cur.map(_.version + 1).getOrElse(1L)
-    val incoming: Set[String] = df
+    val freshDf = () =>
+      spark.read.parquet(fresh.map(new Path(table, _).toString): _*)
+    val incoming: Set[String] = freshDf()
       .select(c(partCol).cast("string").as("__p")).distinct()
       .collect().map { r =>
         val v = r.getString(0)
@@ -1031,21 +1057,19 @@ object TxTable {
       if (!changeFeedEnabled(spark, table)) Nil
       else {
         val dels =
-          if (touched.isEmpty) df.limit(0)
+          if (touched.isEmpty) freshDf().limit(0)
             .withColumn(ChangeTypeCol, lit("delete"))
           else touchedDf().filter(coalesce(replacedIn, lit(false)))
             .withColumn(ChangeTypeCol, lit("delete"))
         writeChangeFiles(
-          dels.unionByName(df.withColumn(ChangeTypeCol, lit("insert"))),
+          dels.unionByName(
+            freshDf().withColumn(ChangeTypeCol, lit("insert"))),
           table, next)
       }
     val remainder: Seq[String] =
       if (touched.isEmpty) Nil
       else writeFiles(
         touchedDf().filter(!coalesce(replacedIn, lit(false))), table, next)
-    val nParts = math.max(2, spark.sessionState.conf.numShufflePartitions)
-    val fresh = writeFiles(
-      df.repartitionByRange(nParts, c(partCol)), table, next)
     val (ms, fv) = recomputeMetadata(spark, table, remainder ++ fresh,
       statCols, valueCols)
     commit(spark, table, next, untouched ++ remainder ++ fresh,
@@ -1056,6 +1080,52 @@ object TxTable {
         case (f, _) => untouched.contains(f) }).getOrElse(Map.empty) ++ fv,
       op = "overwrite_partitions", changes = changeFiles)
     next
+  }
+
+  /** Append clustered on a declared partition column, recording
+    * per-file value sets for the NEW files (existing metadata carries
+    * forward like any append) — the insert path for SQL-partitioned
+    * tables, so appended files stay prunable by the next dynamic
+    * overwrite and by `readWhere` on the partition column. */
+  def appendPartitioned(df: DataFrame, table: String,
+      partCol: String): Long = {
+    import org.apache.spark.sql.functions.{col => c}
+    val spark = df.sparkSession
+    val cur = snapshot(spark, table)
+    val next = cur.map(_.version + 1).getOrElse(1L)
+    val nParts = math.max(2, spark.sessionState.conf.numShufflePartitions)
+    val files = writeFiles(
+      df.repartitionByRange(nParts, c(partCol)), table, next)
+    val (_, fv) = recomputeMetadata(spark, table, files, Nil, Seq(partCol))
+    commit(spark, table, next, cur.map(_.files).getOrElse(Nil) ++ files,
+      cur.map(_.txns).getOrElse(Map.empty),
+      cur.flatMap(_.statsCol), cur.map(_.stats).getOrElse(Map.empty),
+      cur.map(_.multiStats).getOrElse(Map.empty),
+      cur.map(_.fileValues).getOrElse(Map.empty) ++ fv,
+      cur.flatMap(_.bloomCol), cur.map(_.blooms).getOrElse(Map.empty),
+      op = "append")
+    next
+  }
+
+  /** Record `col` as the table's declared partition column (the SQL
+    * `PARTITIONED BY` side file, [[TxSparkTable]] surfaces it as an
+    * identity transform). Like `_schema`, not part of the versioned
+    * manifest: it names a write-layout contract, not data. */
+  def declarePartition(spark: SparkSession, table: String,
+      col: String): Unit = {
+    val ld = logDir(table)
+    val f = fs(spark, ld)
+    f.mkdirs(ld)
+    val out = f.create(new Path(ld, "_partition"), true)
+    try out.write(col.getBytes("UTF-8")) finally out.close()
+  }
+
+  def declaredPartition(spark: SparkSession,
+      table: String): Option[String] = {
+    val p = new Path(logDir(table), "_partition")
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else Some(new String(readFully(f, p), "UTF-8").trim)
   }
 
   /** Overwrite with a PER-FILE BLOOM FILTER over a high-cardinality

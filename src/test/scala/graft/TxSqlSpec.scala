@@ -133,10 +133,15 @@ class TxSqlSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE txspec2.orders ADD COLUMN extra INT")
     }
     assert(e.getMessage.toLowerCase.contains("not supported"))
+    // identity PARTITIONED BY is supported since the dynamic-overwrite
+    // work; non-identity transforms still refuse with a named error
     val e2 = intercept[Exception] {
-      spark.sql("CREATE TABLE txspec2.part (k INT) PARTITIONED BY (k)")
+      spark.sql(
+        "CREATE TABLE txspec2.part (k INT, d DATE) PARTITIONED BY (days(d))")
     }
-    assert(e2.getMessage.toLowerCase.contains("partitioned by"))
+    assert(e2.getMessage.toLowerCase.contains("unsupported partitioning") ||
+      Option(e2.getCause).exists(_.getMessage.toLowerCase
+        .contains("unsupported partitioning")))
   }
 
   test("updateWhere SET expressions all see the pre-update row") {
@@ -519,6 +524,61 @@ class TxSqlSpec extends AnyFunSuite {
         s"writer $i: success=${results(i - 1)} but visible " +
           s"${vs.count(_ == s"w$i")} times")
     }
+  }
+
+  test("PARTITIONED BY: dynamic INSERT OVERWRITE replaces only incoming partitions") {
+    val root = freshRoot()
+    val dir = s"$root/pt"
+    TxSql.installCatalog(spark, "txpt", root)
+    spark.sql("CREATE TABLE txpt.pt (k BIGINT, seg STRING) " +
+      "PARTITIONED BY (seg)")
+    // INSERT INTO a partitioned table records per-file value sets
+    spark.sql("INSERT INTO txpt.pt VALUES (1, 'a'), (2, 'a'), (3, 'b'), " +
+      "(4, 'c')")
+    val snap1 = graft.sources.TxTable.snapshot(spark, dir).get
+    assert(snap1.fileValues.nonEmpty,
+      "partitioned INSERT INTO must record value sets")
+    // dynamic overwrite: only partition b replaces; a and c carry
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql("INSERT OVERWRITE txpt.pt VALUES (30, 'b'), (31, 'b')")
+      val got = spark.sql("SELECT k, seg FROM txpt.pt ORDER BY k")
+        .as[(Long, String)].collect().toSeq
+      assert(got === Seq((1L, "a"), (2L, "a"), (4L, "c"), (30L, "b"),
+        (31L, "b")))
+      // files provably outside partition b carried over untouched
+      val snap2 = graft.sources.TxTable.snapshot(spark, dir).get
+      val expectUntouched = snap1.files.filter(f =>
+        snap1.fileValues.get(f).flatMap(_.get("seg"))
+          .exists(vs => !vs("b")))
+      assert(expectUntouched.nonEmpty &&
+        expectUntouched.forall(snap2.files.toSet),
+        "dynamic overwrite rewrote a provably-untouched partition")
+      // the DataFrame API route forces dynamic regardless of the conf
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      Seq((50L, "c")).toDF("k", "seg").writeTo("txpt.pt")
+        .overwritePartitions()
+      assert(spark.sql("SELECT k FROM txpt.pt ORDER BY k")
+        .as[Long].collect().toSeq === Seq(1L, 2L, 30L, 31L, 50L))
+      // static INSERT OVERWRITE still truncates (unchanged semantics)
+      spark.sql("INSERT OVERWRITE txpt.pt VALUES (99, 'z')")
+      assert(spark.sql("SELECT k, seg FROM txpt.pt").as[(Long, String)]
+        .collect().toSeq === Seq((99L, "z")))
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // unsupported transforms still refuse loudly
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE txpt.bad (k BIGINT, seg STRING) " +
+        "PARTITIONED BY (bucket(4, k))")
+    }
+    assert(e.getMessage.contains("unsupported partitioning") ||
+      Option(e.getCause).exists(_.getMessage
+        .contains("unsupported partitioning")))
   }
 
   test("change feed via SQL: enable procedure, DML records, changes view reads") {
