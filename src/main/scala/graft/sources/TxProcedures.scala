@@ -58,7 +58,8 @@ private[sources] object TxProcedures {
         StructField("stats_col", StringType),
         StructField("multi_stat_cols", StringType),
         StructField("bloom_col", StringType),
-        StructField("n_change_files", LongType))),
+        StructField("n_change_files", LongType),
+        StructField("commit_ts", LongType))),
       run = { (spark, dir, _) =>
         TxTable.history(spark, dir).collect().toSeq.map { r =>
           new GenericInternalRow(Array[Any](
@@ -67,7 +68,7 @@ private[sources] object TxProcedures {
             Option(r.getString(4)).map(UTF8String.fromString).orNull,
             Option(r.getString(5)).map(UTF8String.fromString).orNull,
             Option(r.getString(6)).map(UTF8String.fromString).orNull,
-            r.getLong(7)))
+            r.getLong(7), r.getLong(8)))
         }
       })
     case "enable_change_feed" => new TxProc(name, root,

@@ -570,6 +570,19 @@ class TxTableCatalog extends TableCatalog
   override def loadTable(ident: Identifier, version: String): Table =
     load(ident, Some(version.toLong))
 
+  /** `TIMESTAMP AS OF <ts>` — Spark hands MICROseconds since epoch;
+    * resolution is the newest retained version committed at or before
+    * it ([[TxTable.snapshotAsOfTimestamp]]'s manifest-recorded writer
+    * clock, not file mtimes). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirOf(ident)
+    val snap = TxTable.snapshotAsOfTimestamp(spark, dir, timestamp / 1000L)
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident))
+    new TxSparkTable(spark, dir, snap,
+      (catalogName +: ident.namespace() :+ ident.name()).mkString("."))
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     TxTable.snapshot(spark, dirOf(ident)).isDefined
 

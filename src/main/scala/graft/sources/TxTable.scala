@@ -54,7 +54,12 @@ object TxTable {
     * the version's recorded CHANGE files (table-relative
     * `_changes/...`), written by the DML verbs when the change feed
     * is enabled: each holds the version's row-level delta with a
-    * `_change_type` column (Delta's CDF `_change_data` analog). */
+    * `_change_type` column (Delta's CDF `_change_data` analog).
+    * `ts` is the committing writer's wall clock at publish (millis) —
+    * the `TIMESTAMP AS OF` resolution key; 0 for pre-label manifests.
+    * Best-effort like Delta's (which keys on log-file mtimes): clock
+    * skew across writers can make it non-monotone, and resolution
+    * takes the NEWEST version at-or-before the target. */
   case class Snapshot(version: Long, files: Seq[String],
       txns: Map[String, Long] = Map.empty,
       statsCol: Option[String] = None,
@@ -64,7 +69,8 @@ object TxTable {
       bloomCol: Option[String] = None,
       blooms: Map[String, Array[Byte]] = Map.empty,
       op: String = "write",
-      changes: Seq[String] = Nil)
+      changes: Seq[String] = Nil,
+      ts: Long = 0L)
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -277,8 +283,38 @@ object TxTable {
       case Some(l: List[_]) => l.collect { case s: String => s }
       case _ => Nil
     }
+    val ts = root.get("ts").collect { case l: Long => l }.getOrElse(0L)
     Some(Snapshot(v, files, txns, statsCol, stats, mstats, fvals,
-      bloomCol, blooms, op, changes))
+      bloomCol, blooms, op, changes, ts))
+  }
+
+  /** `TIMESTAMP AS OF` resolution: the NEWEST retained version whose
+    * commit timestamp is at or before `tsMillis` (Delta's contract,
+    * keyed on the manifest-recorded writer clock instead of log-file
+    * mtimes — survives copies and restores that would reset mtime).
+    * None when the table predates nothing (every retained commit is
+    * newer than the target, or no log exists). Walks newest-first and
+    * stops at the first hit, so the common "recent timestamp" query
+    * reads one manifest. */
+  def snapshotAsOfTimestamp(spark: SparkSession, table: String,
+      tsMillis: Long): Option[Snapshot] = {
+    val ld = logDir(table)
+    val f = fs(spark, ld)
+    if (!f.exists(ld)) return None
+    f.listStatus(ld).toSeq.flatMap(s => versionOf(s.getPath))
+      .sorted.reverse.iterator
+      .flatMap(v => snapshot(spark, table, Some(v)))
+      .find(_.ts <= tsMillis)
+  }
+
+  /** Time-travel read by wall-clock timestamp (millis). */
+  def readAsOfTimestamp(spark: SparkSession, table: String,
+      tsMillis: Long): DataFrame = {
+    val snap = snapshotAsOfTimestamp(spark, table, tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed version at or before timestamp $tsMillis at " +
+          s"$table (the earliest retained commit is newer)"))
+    read(spark, table, asOf = Some(snap.version))
   }
 
   private def readFully(f: FileSystem, p: Path): Array[Byte] = {
@@ -437,6 +473,10 @@ object TxTable {
     f.mkdirs(ld)
     val filesJson = files.map("\"" + _ + "\"").mkString(",")
     val opJson = if (op == "write") "" else ",\"op\":" + jq(op)
+    // committing writer's wall clock — the TIMESTAMP AS OF key.
+    // Best-effort like Delta's log mtimes: skewed writers make it
+    // non-monotone, which costs resolution precision, never reads.
+    val tsJson = ",\"ts\":" + System.currentTimeMillis()
     val changesJson =
       if (changes.isEmpty) ""
       else ",\"cdc\":[" + changes.map(jq).mkString(",") + "]"
@@ -478,7 +518,7 @@ object TxTable {
       case _ => ""
     }
     val body =
-      s"""{"version":$version,"files":[$filesJson]$opJson$changesJson$txnsJson$statsJson$mstatsJson$bloomsJson}"""
+      s"""{"version":$version,"files":[$filesJson]$opJson$tsJson$changesJson$txnsJson$statsJson$mstatsJson$bloomsJson}"""
     val target = new Path(ld, s"v$version.json")
     val protocol = CommitProtocol.forScheme(f.getScheme)
     if (!protocol.publish(f, target, body.getBytes("UTF-8")))
@@ -1677,11 +1717,12 @@ object TxTable {
           s.statsCol.orNull,
           s.multiStats.values.flatMap(_.keys).toSeq.distinct.sorted
             .mkString(","),
-          s.bloomCol.orNull, s.changes.size.toLong)
+          s.bloomCol.orNull, s.changes.size.toLong, s.ts)
       }
     import spark.implicits._
     rows.toDF("version", "op", "n_files", "n_txns",
-      "stats_col", "multi_stat_cols", "bloom_col", "n_change_files")
+      "stats_col", "multi_stat_cols", "bloom_col", "n_change_files",
+      "commit_ts")
   }
 
   /** RESTORE: make `version`'s content the new HEAD as a fresh commit

@@ -820,6 +820,42 @@ class TxTableSpec extends AnyFunSuite {
       (20, "b", "insert", 2L)))
   }
 
+  test("TIMESTAMP AS OF: newest version at or before the target clock") {
+    val t = freshTable()
+    TxTable.overwrite(df(1 -> "a"), t) // v1
+    val ts1 = TxTable.snapshot(spark, t).get.ts
+    assert(ts1 > 0L, "commit must stamp a wall clock")
+    Thread.sleep(15)
+    TxTable.append(df(2 -> "b"), t) // v2
+    val ts2 = TxTable.snapshot(spark, t).get.ts
+    assert(ts2 >= ts1)
+    Thread.sleep(15)
+    TxTable.append(df(3 -> "c"), t) // v3
+    // between v1 and v2 → v1; at v2's own stamp → v2; far future → head
+    assert(TxTable.readAsOfTimestamp(spark, t, ts1).count() === 1)
+    assert(TxTable.readAsOfTimestamp(spark, t, ts2).count() === 2)
+    assert(TxTable.readAsOfTimestamp(spark, t, ts2 - 1).count() === 1)
+    assert(TxTable
+      .readAsOfTimestamp(spark, t, System.currentTimeMillis() + 60000)
+      .count() === 3)
+    // before the first commit: a named refusal, not a wrong read
+    val e = intercept[IllegalArgumentException] {
+      TxTable.readAsOfTimestamp(spark, t, ts1 - 60000)
+    }
+    assert(e.getMessage.contains("no committed version"))
+    // SQL surface: TIMESTAMP AS OF through the catalog
+    val root = t.stripSuffix("/t")
+    graft.sources.TxSql.installCatalog(spark, "txts", root)
+    val iso = new java.sql.Timestamp(ts2).toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM txts.t TIMESTAMP AS OF '$iso'")
+      .as[Long].head() === 2L)
+    // history surfaces the commit clocks for the picker
+    val hts = TxTable.history(spark, t).select($"commit_ts").as[Long]
+      .collect().toSeq
+    assert(hts.size === 3 && hts.forall(_ > 0))
+  }
+
   // ---- change data feed (Delta CDF analog) ----
 
   private def feedRows(t: String, from: Long): Seq[(Int, String, String, Long)] =
