@@ -365,11 +365,21 @@ private[sources] class TxSparkTable(spark: SparkSession, path: String,
   // snapshot falls back to the schema CREATE TABLE declared (the
   // created-but-not-yet-loaded window), then to an empty schema
   // (everything deleted) — either beats an 'unable to infer' throw.
-  private val dataSchema: StructType = snap.files.headOption match {
-    case Some(f) =>
-      spark.read.parquet(new Path(path, f).toString).schema
-    case None =>
-      TxTable.declaredSchema(spark, path).getOrElse(new StructType())
+  // DECLARED columns missing from the footer append at the end:
+  // that's `ALTER TABLE ADD COLUMN` before any write populated it —
+  // parquet's name-based resolution fills null for files that
+  // predate the column.
+  private val dataSchema: StructType = {
+    val fromFiles = snap.files.headOption match {
+      case Some(f) =>
+        spark.read.parquet(new Path(path, f).toString).schema
+      case None =>
+        TxTable.declaredSchema(spark, path).getOrElse(new StructType())
+    }
+    val extra = TxTable.declaredSchema(spark, path)
+      .map(_.fields.filterNot(d => fromFiles.fieldNames.contains(d.name)))
+      .getOrElse(Array.empty)
+    StructType(fromFiles.fields ++ extra)
   }
 
   /** Exposed for specs: the index whose prune decisions back scans. */
@@ -659,10 +669,34 @@ class TxTableCatalog extends TableCatalog
       TxProcedures.names.map(Identifier.of(Array("system"), _)).toArray
     else Array.empty
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "txtable: ALTER is not supported — schema evolves through writes " +
-        "(parquet mergeSchema carries added columns)")
+  /** `ALTER TABLE ADD COLUMN(S)` — the one ALTER with clean name-based
+    * semantics here: the declared schema gains the columns (data files
+    * untouched; old rows read null, the next write may populate).
+    * Top-level, nullable columns only. Every other change (drop /
+    * rename / retype) refuses: name-based parquet resolution cannot
+    * express them without a column-mapping layer, and silently
+    * accepting would corrupt reads. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    val table = loadTable(ident) // existence check + current schema
+    val adds = changes.map {
+      case a: TableChange.AddColumn
+        if a.fieldNames().length == 1 && a.isNullable => a
+      case other => throw new UnsupportedOperationException(
+        s"txtable: unsupported ALTER $other — only ADD COLUMN of a " +
+          "top-level nullable column is supported (schema otherwise " +
+          "evolves through writes; parquet mergeSchema carries it)")
+    }
+    val cur = table.schema()
+    val dup = adds.map(_.fieldNames()(0)).filter(cur.fieldNames.contains)
+    if (dup.nonEmpty) throw new IllegalArgumentException(
+      s"txtable: column(s) already exist: ${dup.mkString(", ")}")
+    val evolved = org.apache.spark.sql.types.StructType(cur.fields ++
+      adds.map(a => org.apache.spark.sql.types.StructField(
+        a.fieldNames()(0), a.dataType(), nullable = true)))
+    TxTable.declareSchema(spark, dir, evolved)
+    loadTable(ident)
+  }
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "txtable: RENAME is not supported — move the table directory")

@@ -540,13 +540,23 @@ object TxTable {
     * carried by the files themselves, parquet mergeSchema). */
   def createEmpty(spark: SparkSession, table: String,
       schema: org.apache.spark.sql.types.StructType): Long = {
+    declareSchema(spark, table, schema)
+    commit(spark, table, 1L, Nil, op = "create")
+    1L
+  }
+
+  /** Replace the recorded declared schema — the `ALTER TABLE ADD
+    * COLUMN` hook: DDL maintains the declaration, data files stay
+    * untouched (the added column reads as null from files that
+    * predate it, exactly parquet's name-based resolution), and the
+    * next write may populate it. */
+  def declareSchema(spark: SparkSession, table: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
     val ld = logDir(table)
     val f = fs(spark, ld)
     f.mkdirs(ld)
     val out = f.create(new Path(ld, "_schema"), true)
     try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
-    commit(spark, table, 1L, Nil, op = "create")
-    1L
   }
 
   /** The schema recorded by [[createEmpty]], if any. */

@@ -129,10 +129,11 @@ class TxSqlSpec extends AnyFunSuite {
     val root = freshRoot()
     seed(root)
     TxSql.installCatalog(spark, "txspec2", root)
+    // ADD COLUMN is supported now; the refused ALTERs stay named
     val e = intercept[Exception] {
-      spark.sql("ALTER TABLE txspec2.orders ADD COLUMN extra INT")
+      spark.sql("ALTER TABLE txspec2.orders DROP COLUMN amt")
     }
-    assert(e.getMessage.toLowerCase.contains("not supported"))
+    assert(e.getMessage.toLowerCase.contains("unsupported alter"))
     // identity PARTITIONED BY is supported since the dynamic-overwrite
     // work; non-identity transforms still refuse with a named error
     val e2 = intercept[Exception] {
@@ -579,6 +580,35 @@ class TxSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported partitioning") ||
       Option(e.getCause).exists(_.getMessage
         .contains("unsupported partitioning")))
+  }
+
+  test("ALTER TABLE ADD COLUMN: old rows read null, next write populates") {
+    val root = freshRoot()
+    TxSql.installCatalog(spark, "txalt", root)
+    spark.sql("CREATE TABLE txalt.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO txalt.t VALUES (1, 'a')")
+    spark.sql("ALTER TABLE txalt.t ADD COLUMN extra BIGINT")
+    // the declared column surfaces immediately, null for old rows
+    assert(spark.sql("SELECT k, v, extra FROM txalt.t")
+      .as[(Long, String, Option[Long])].collect().toSeq ===
+      Seq((1L, "a", None)))
+    // the next write populates it; mixed files read consistently
+    spark.sql("INSERT INTO txalt.t VALUES (2, 'b', 20)")
+    assert(spark.sql("SELECT k, v, extra FROM txalt.t ORDER BY k")
+      .as[(Long, String, Option[Long])].collect().toSeq ===
+      Seq((1L, "a", None), (2L, "b", Some(20L))))
+    // duplicate add refuses; non-add ALTERs refuse with named errors
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE txalt.t ADD COLUMN extra BIGINT")
+    }
+    assert(e.getMessage.contains("already exist") ||
+      Option(e.getCause).exists(_.getMessage.contains("already exist")))
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE txalt.t RENAME COLUMN v TO w")
+    }
+    assert(e2.getMessage.toLowerCase.contains("unsupported alter") ||
+      Option(e2.getCause).exists(_.getMessage.toLowerCase
+        .contains("unsupported alter")))
   }
 
   test("change feed via SQL: enable procedure, DML records, changes view reads") {
