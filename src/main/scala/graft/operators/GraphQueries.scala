@@ -161,6 +161,58 @@ object GraphQueries extends QueryModule {
         .orderBy($"deg_bucket")
     }),
 
+    // 3-core peel of the co-order part graph: 8 rounds of "drop
+    // nodes with degree < 3, restrict edges to survivors" — the
+    // densest-subgraph gate a graph-feature stage uses to separate
+    // hub structure from noise. Each round is one degree aggregation
+    // + two semi-joins, edges localCheckpointed so lineage stays flat
+    // (the PageRank discipline); the driver holds only per-round
+    // counts (8 small scalars). The round count is part of the
+    // CONTRACT (the oracle runs the same 8 chained rounds) — on this
+    // graph the peel converges well before 8 (trailing rounds repeat
+    // counts), making the last row the true 3-core; an open-ended
+    // while loop would converge identically but be un-oracle-able in
+    // non-recursive SQL.
+    "q_kcore" -> ((s, d) => {
+      import s.implicits._
+      val k = 3
+      var e = coOrderPairs(s, d).select($"p1", $"p2").localCheckpoint(false)
+      // fixpoint short-circuit: e_{r} ⊆ e_{r-1}, so EQUAL edge counts
+      // mean the sets are identical and every later round repeats the
+      // same counts — replicate them instead of paying three shuffles
+      // per provably-no-op round (semantics unchanged; the oracle's
+      // unrolled rounds compute the same repeated rows)
+      var fixed: Option[(Long, Long)] = None
+      var prevM = -1L
+      val rows = (1 to 8).map { r =>
+        fixed match {
+          case Some((n, m)) => (r.toLong, n, m)
+          case None =>
+            val nodes = e.select($"p1".as("v"))
+              .unionAll(e.select($"p2".as("v")))
+              .groupBy($"v").agg(count(lit(1)).as("deg"))
+              .filter($"deg" >= k).select($"v")
+            val e2 = e
+              .join(nodes.select($"v".as("p1")), Seq("p1"), "left_semi")
+              .join(nodes.select($"v".as("p2")), Seq("p2"), "left_semi")
+              .select($"p1", $"p2")
+              .localCheckpoint(false)
+            // ONE action per round: active members (distinct endpoints
+            // of the restricted edges) and edge count from the same
+            // exploded frame — the lazy checkpoint materializes under it
+            val st = e2.select(explode(array($"p1", $"p2")).as("v"))
+              .agg(countDistinct($"v").as("n"),
+                (count(lit(1)) / 2).cast("long").as("m")).head()
+            val (n, m) = (st.getLong(0), st.getLong(1))
+            if (m == prevM) fixed = Some((n, m))
+            prevM = m
+            e = e2
+            (r.toLong, n, m)
+        }
+      }
+      rows.toDF("round", "n_nodes", "n_edges").orderBy($"round")
+    }),
+
     // Shortest hop distance from NATION_0 over the top-2-trade-partner
     // nation graph (each nation keeps its 2 highest-volume partners —
     // the sparsifier that makes distances non-trivial). Iterative
@@ -206,6 +258,38 @@ object GraphQueries extends QueryModule {
     })
   )
 
+  /** The 8 peeling rounds as CHAINED CTEs (non-recursive — standard
+    * SQL recursion can't aggregate over the recursive term, so the
+    * bounded unrolled form IS the portable oracle shape). */
+  private val kcoreOracle: String = {
+    val base =
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+    // MATERIALIZED: each CTE references its predecessor 3x — inlined,
+    // e0 would expand 3^8-fold (observed as a too-many-open-files
+    // parquet-scan storm before the hint)
+    val rounds = (1 to 8).map { r =>
+      s""",
+         |n$r AS MATERIALIZED (SELECT v FROM (
+         |  SELECT p1 AS v FROM e${r - 1} UNION ALL SELECT p2 FROM e${r - 1})
+         |  GROUP BY v HAVING count(*) >= 3),
+         |e$r AS MATERIALIZED (SELECT p1, p2 FROM e${r - 1}
+         |  WHERE p1 IN (SELECT v FROM n$r)
+         |    AND p2 IN (SELECT v FROM n$r))""".stripMargin
+    }.mkString
+    val selects = (1 to 8).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, " +
+        s"(SELECT count(DISTINCT v) FROM (SELECT p1 AS v FROM e$r " +
+        s"UNION ALL SELECT p2 FROM e$r)) AS n_nodes, " +
+        s"(SELECT count(*) FROM e$r) AS n_edges"
+    }.mkString("\n", "\nUNION ALL\n", "\nORDER BY round")
+    base + rounds + selects
+  }
+
   val oracles: Map[String, String] = Map(
     "q_basket_rules" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -225,6 +309,8 @@ object GraphQueries extends QueryModule {
         |JOIN freq f2 ON pairs.p2 = f2.l_partkey
         |CROSS JOIN n
         |ORDER BY p1, p2""".stripMargin,
+
+    "q_kcore" -> kcoreOracle,
 
     "q_triangles" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
