@@ -22,8 +22,8 @@ import org.apache.spark.unsafe.types.UTF8String
 private[sources] object TxProcedures {
 
   val names: Seq[String] =
-    Seq("compact", "restore", "vacuum", "history", "create_checkpoint",
-      "enable_change_feed")
+    Seq("compact", "restore", "vacuum", "vacuum_older_than", "history",
+      "create_checkpoint", "enable_change_feed")
 
   def apply(name: String, root: String): UnboundProcedure = name match {
     case "compact" => new TxProc(name, root,
@@ -48,6 +48,15 @@ private[sources] object TxProcedures {
         StructField("data_files_deleted", LongType))),
       run = { (spark, dir, args) =>
         val (m, f) = TxTable.vacuum(spark, dir, args(1).asInstanceOf[Int])
+        Seq(new GenericInternalRow(Array[Any](m.toLong, f.toLong)))
+      })
+    case "vacuum_older_than" => new TxProc(name, root,
+      params = Seq("table" -> StringType, "cutoff_ts" -> LongType),
+      out = StructType(Seq(StructField("manifests_deleted", LongType),
+        StructField("data_files_deleted", LongType))),
+      run = { (spark, dir, args) =>
+        val (m, f) = TxTable.vacuumOlderThan(spark, dir,
+          args(1).asInstanceOf[Long])
         Seq(new GenericInternalRow(Array[Any](m.toLong, f.toLong)))
       })
     case "history" => new TxProc(name, root,

@@ -153,6 +153,31 @@ private[sources] class TxReplaceBatchWrite(path: String, schema: StructType,
     }
     val replaced = candidates().toSet
     val untouched = snap.files.filterNot(replaced)
+    // change feed (opt-in): the write side holds both images — the
+    // replaced files (pre) and the replacement files (post) — so the
+    // NET row delta is the multiset difference: rows only in pre are
+    // deletes, rows only in post are inserts. Group-based rewrites
+    // carry unmatched rows byte-equal, so exceptAll cancels them;
+    // an UPDATE emits its old row as delete and new row as insert
+    // (no key exists at this layer to pair them as pre/post images —
+    // the API verbs record the richer pairing). Cost: one diff over
+    // the REWRITTEN groups only, and only when the feed is on.
+    val changes: Seq[String] =
+      if (!TxTable.changeFeedEnabled(spark, path)) Nil
+      else {
+        import org.apache.spark.sql.functions.lit
+        val post = spark.read.parquet(
+          files.map(f => new Path(path, f).toString): _*)
+        val pre =
+          if (replaced.isEmpty) post.limit(0)
+          else spark.read.parquet(
+            replaced.toSeq.map(f => new Path(path, f).toString): _*)
+        val delta = pre.exceptAll(post)
+          .withColumn(TxTable.ChangeTypeCol, lit("delete"))
+          .unionByName(post.exceptAll(pre)
+            .withColumn(TxTable.ChangeTypeCol, lit("insert")))
+        TxTable.writeChangeFiles(delta, path, snap.version + 1)
+      }
     // untouched files keep their index metadata, exactly like the API
     // verbs' pruned copy-on-write; rewritten files lose theirs
     // (absent metadata -> always a candidate -> correct, unpruned)
@@ -166,11 +191,7 @@ private[sources] class TxReplaceBatchWrite(path: String, schema: StructType,
       snap.bloomCol.filter(_ =>
         snap.blooms.exists { case (f, _) => untouched.contains(f) }),
       snap.blooms.filter { case (f, _) => untouched.contains(f) },
-      // op recorded for provenance; the SQL row-level path does NOT
-      // record change files (the write side sees only replacement
-      // rows, never the pre-image) — a change-feed read across this
-      // version fails fast and points at the API verbs, which do
-      op = op)
+      op = op, changes = changes)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -458,10 +458,27 @@ private[sources] class TxSparkTable(spark: SparkSession, path: String,
         dynamic = true; this
       }
       override def build(): Write =
-        if (dynamic) new Write {
+        if (dynamic) new Write
+            with org.apache.spark.sql.connector.write
+              .RequiresDistributionAndOrdering {
           // the REAL V2 path: per-task staged parquet (the row-level
           // writer machinery), then ONE dynamic-overwrite commit that
-          // derives the incoming partitions from the staged files
+          // derives the incoming partitions from the staged files.
+          // Spark pre-clusters the incoming rows on the partition
+          // column (one value never spans tasks), so each staged file
+          // stays tight in it and records a small value set — without
+          // the required distribution, a wide write mixes partitions
+          // per task and files exceed the value-set cap (unpruned
+          // forever after)
+          override def requiredDistribution()
+              : org.apache.spark.sql.connector.distributions.Distribution =
+            org.apache.spark.sql.connector.distributions.Distributions
+              .clustered(Array(
+                org.apache.spark.sql.connector.expressions.Expressions
+                  .identity(partCol.get)))
+          override def requiredOrdering()
+              : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            Array.empty
           override def toBatch
               : org.apache.spark.sql.connector.write.BatchWrite =
             new TxDynPartBatchWrite(path, info.schema(), partCol.get)

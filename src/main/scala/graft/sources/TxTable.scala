@@ -414,7 +414,7 @@ object TxTable {
     * writers never share a path. Returns table-relative paths; the
     * caller records them in the manifest it commits (change files an
     * uncommitted loser staged stay unreferenced until vacuum). */
-  private def writeChangeFiles(df: DataFrame, table: String,
+  private[sources] def writeChangeFiles(df: DataFrame, table: String,
       version: Long): Seq[String] = {
     val spark = df.sparkSession
     val tag = java.util.UUID.randomUUID().toString.take(8)
@@ -1802,5 +1802,29 @@ object TxTable {
     }
     dropVersions.foreach(v => f.delete(new Path(ld, s"v$v.json"), false))
     (dropVersions.size, dataDeleted)
+  }
+
+  /** Time-based retention (Delta's `VACUUM ... RETAIN n HOURS` shape,
+    * keyed on the manifest-recorded commit clocks): drop every
+    * manifest OLDER than the first version committed at or after
+    * `cutoffMillis` — a PREFIX drop, so the retained version sequence
+    * stays contiguous (the invariant every resolver here leans on).
+    * Non-monotone writer clocks only make retention conservative
+    * (an old-clocked commit after a new-clocked one retains both);
+    * the head always survives. Returns (manifestsDeleted,
+    * dataFilesDeleted) like [[vacuum]]. */
+  def vacuumOlderThan(spark: SparkSession, table: String,
+      cutoffMillis: Long, graceMs: Long = 0L): (Int, Int) = {
+    val ld = logDir(table)
+    val f = fs(spark, ld)
+    if (!f.exists(ld)) return (0, 0)
+    val versions = f.listStatus(ld).toSeq
+      .flatMap(s => versionOf(s.getPath)).sorted
+    if (versions.isEmpty) return (0, 0)
+    val firstKept = versions.indexWhere(v =>
+      snapshot(spark, table, Some(v)).exists(_.ts >= cutoffMillis))
+    val retain =
+      if (firstKept < 0) 1 else math.max(1, versions.size - firstKept)
+    vacuum(spark, table, retain, graceMs)
   }
 }

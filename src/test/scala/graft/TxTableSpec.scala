@@ -820,6 +820,34 @@ class TxTableSpec extends AnyFunSuite {
       (20, "b", "insert", 2L)))
   }
 
+  test("vacuumOlderThan drops exactly the pre-cutoff prefix; head survives") {
+    val t = freshTable()
+    TxTable.overwrite(df(1 -> "a"), t) // v1
+    TxTable.append(df(2 -> "b"), t) // v2
+    Thread.sleep(15)
+    val cutoff = System.currentTimeMillis()
+    Thread.sleep(15)
+    TxTable.append(df(3 -> "c"), t) // v3
+    TxTable.append(df(4 -> "d"), t) // v4
+    val (m, _) = TxTable.vacuumOlderThan(spark, t, cutoff)
+    assert(m === 2, s"expected v1+v2 dropped, got $m manifests")
+    // retained versions still read exactly; dropped ones are gone
+    assert(TxTable.read(spark, t).count() === 4) // head references all rows
+    assert(TxTable.snapshot(spark, t, Some(2L)).isEmpty,
+      "time travel to a vacuumed version must say so, not guess")
+    assert(TxTable.snapshot(spark, t, Some(3L)).get.version === 3L)
+    // cutoff before everything: only the mandatory head retention
+    val t2 = freshTable()
+    TxTable.overwrite(df(1 -> "a"), t2)
+    val (m2, _) = TxTable.vacuumOlderThan(spark, t2, 0L)
+    assert(m2 === 0 && TxTable.read(spark, t2).count() === 1)
+    // cutoff after everything: head still survives
+    TxTable.append(df(2 -> "b"), t2)
+    val (m3, _) = TxTable.vacuumOlderThan(spark, t2,
+      System.currentTimeMillis() + 60000)
+    assert(m3 === 1 && TxTable.read(spark, t2).count() === 2)
+  }
+
   test("TIMESTAMP AS OF: newest version at or before the target clock") {
     val t = freshTable()
     TxTable.overwrite(df(1 -> "a"), t) // v1
