@@ -247,6 +247,75 @@ private[sources] class TxDynPartBatchWrite(path: String,
   }
 }
 
+/** NATIVE Structured Streaming sink for the snapshot table
+  * (`df.writeStream.format("txtable").option("path", dir)` /
+  * `.toTable("cat.t")`): per-task staged parquet dotfiles (epoch-
+  * tagged so replayed epochs never collide), then ONE driver-side
+  * manifest commit per epoch whose (queryId, epochId) txn marker
+  * lands atomically WITH the file list — the exactly-once contract
+  * [[TxTable.appendEpoch]] pins, without the foreachBatch detour. A
+  * replayed epoch (restart re-delivering the in-flight batch) is
+  * detected against the durable marker and its staged twins are
+  * discarded; lost commit races rebase and re-check. Append output
+  * mode only. */
+private[sources] class TxStreamingWrite(path: String, schema: StructType,
+    queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  private val tag = java.util.UUID.randomUUID().toString.take(8)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory =
+    new TxStreamingWriterFactory(path, schema, tag, TxConfCarrier.capture())
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // duplicate epoch (restart replay): discard the staged twins
+    // BEFORE publishing anything visible
+    if (TxTable.snapshot(spark, path)
+      .exists(_.txns.get(queryId).exists(_ >= epochId))) {
+      messages.collect { case TxParquetCommit(staged) =>
+        fs.delete(new Path(staged), false)
+      }
+      return
+    }
+    val files = messages.toSeq.map { case TxParquetCommit(staged) =>
+      val p = new Path(staged)
+      val visible = new Path(p.getParent, p.getName.stripPrefix("."))
+      require(fs.rename(p, visible), s"publish rename failed: $staged")
+      s"data/${visible.getName}"
+    }
+    TxTable.appendEpochFiles(spark, path, files, queryId, epochId)
+    ()
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.collect { case TxParquetCommit(staged) =>
+      fs.delete(new Path(staged), false)
+    }
+    ()
+  }
+}
+
+private class TxStreamingWriterFactory(path: String, schema: StructType,
+    tag: String, conf: TxConfCarrier)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    // epoch-tagged staging: a replayed epoch's twin tasks stage under
+    // their own names and are discarded at commit, never clobbering
+    new TxParquetDataWriter(path, schema, s"$tag-e$epochId",
+      partitionId, taskId, conf)
+}
+
 private case class TxParquetCommit(staged: String) extends WriterCommitMessage
 
 /** Serializable hadoop-conf + parquet write settings snapshot (the

@@ -389,7 +389,8 @@ private[sources] class TxSparkTable(spark: SparkSession, path: String,
   override def schema(): StructType = dataSchema
   override def capabilities(): util.Set[TableCapability] = {
     val base = Set(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
     // dynamic overwrite is a REAL V2 batch write (Spark has no V1
     // fallback for OverwritePartitionsDynamic), offered only when a
     // partition column is declared
@@ -497,6 +498,15 @@ private[sources] class TxSparkTable(spark: SparkSession, path: String,
                 ()
               }
             }
+          /** `df.writeStream.format("txtable")` — the native
+            * exactly-once streaming sink (see [[TxStreamingWrite]]);
+            * complete mode would truncate per epoch, refuse it. */
+          override def toStreaming: org.apache.spark.sql.connector
+              .write.streaming.StreamingWrite = {
+            require(!replace,
+              "txtable streaming sink supports append output mode only")
+            new TxStreamingWrite(path, info.schema(), info.queryId())
+          }
         }
     }
 }

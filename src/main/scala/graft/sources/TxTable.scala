@@ -1157,6 +1157,40 @@ object TxTable {
     next
   }
 
+  /** [[appendEpoch]] over ALREADY-STAGED files — the DSv2 streaming
+    * sink's commit body (tasks wrote the parquet; the driver owns the
+    * manifest transition). Same exactly-once contract: the (appId,
+    * epochId) marker commits atomically WITH the file list, a
+    * replayed epoch returns false and the caller discards its staged
+    * twins, lost races rebase and re-check the marker first. */
+  private[sources] def appendEpochFiles(spark: SparkSession, table: String,
+      files: Seq[String], appId: String, epochId: Long,
+      maxRetries: Int = 10): Boolean = {
+    var attempts = 0
+    while (true) {
+      val cur = snapshot(spark, table)
+      if (cur.exists(_.txns.get(appId).exists(_ >= epochId))) return false
+      val next = cur.map(_.version + 1).getOrElse(1L)
+      val txns = cur.map(_.txns).getOrElse(Map.empty) + (appId -> epochId)
+      try {
+        commit(spark, table, next, cur.map(_.files).getOrElse(Nil) ++ files,
+          txns,
+          cur.flatMap(_.statsCol), cur.map(_.stats).getOrElse(Map.empty),
+          cur.map(_.multiStats).getOrElse(Map.empty),
+          cur.map(_.fileValues).getOrElse(Map.empty),
+          cur.flatMap(_.bloomCol), cur.map(_.blooms).getOrElse(Map.empty),
+          op = "append")
+        return true
+      } catch {
+        case _: TxConflictException =>
+          attempts += 1
+          if (attempts >= maxRetries) throw new TxConflictException(
+            s"appendEpochFiles lost $maxRetries races at $table")
+      }
+    }
+    false // unreachable
+  }
+
   /** Record `col` as the table's declared partition column (the SQL
     * `PARTITIONED BY` side file, [[TxSparkTable]] surfaces it as an
     * identity transform). Like `_schema`, not part of the versioned

@@ -129,6 +129,58 @@ class StreamingSpec5 extends AnyFunSuite {
     assert(TxTable.snapshot(spark, t).get.txns.contains("stream1"))
   }
 
+  test("NATIVE txtable streaming sink: exactly-once across forced replay") {
+    import graft.sources.TxTable
+    val t = Files.createTempDirectory("graft_txnative_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_txnative_ckpt").toString
+    // the native sink streams into an EXISTING table (create first —
+    // the documented contract; the provider pins schema from the log)
+    TxTable.createEmpty(spark, t,
+      org.apache.spark.sql.types.StructType.fromDDL("value BIGINT"))
+
+    def rows(): Seq[Long] =
+      TxTable.snapshot(spark, t) match {
+        case Some(s) if s.files.nonEmpty =>
+          TxTable.read(spark, t).select("value")
+            .collect().map(_.getLong(0)).toSeq
+        case _ => Nil
+      }
+
+    def start() = rateSource()
+      .select(col("value"))
+      .writeStream.format("txtable")
+      .option("path", t)
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    val q1 = start()
+    try pollUntil()(rows().size >= 4 * 32)
+    finally q1.stop()
+
+    // forced replay: the at-least-once window (offsets durable, sink
+    // commit marker lost) — the manifest txn marker must skip the twin
+    val commits = Paths.get(ckpt, "commits")
+    val newest = Files.list(commits).toArray.map(_.toString)
+      .filter(_.matches(".*/\\d+$")).maxBy(p => p.split("/").last.toLong)
+    Files.delete(Paths.get(newest))
+    Files.deleteIfExists(
+      commits.resolve(s".${newest.split("/").last}.crc"))
+    val before = rows().size
+
+    val q2 = start()
+    try pollUntil()(rows().size >= before + 2 * 32)
+    finally q2.stop()
+
+    val vals = rows().sorted
+    assert(vals == (0L until vals.length.toLong),
+      s"native sink not exactly-once: ${vals.size} rows, " +
+        s"dups=${vals.size - vals.distinct.size}")
+    // the dedup marker lives in the table's own manifest, keyed by the
+    // engine's queryId (stable across the restart via the checkpoint)
+    val snap = TxTable.snapshot(spark, t).get
+    assert(snap.txns.size === 1 && snap.op === "append")
+  }
+
   test("upsertBatch is idempotent when invoked twice with the same epoch") {
     val table = "eo_unit"
     JdbcUpsert.createTable(url, table)
