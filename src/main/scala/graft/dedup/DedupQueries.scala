@@ -232,6 +232,31 @@ object DedupQueries extends QueryModule {
         .orderBy($"node")
     }),
 
+    // BEST-of-cluster selection — what production dedup actually
+    // keeps: not the smallest id but the highest-QUALITY member of
+    // each near-dup cluster (longest document here; integer word
+    // count so the argmax is exact, ties break to the smaller id).
+    // One struct-max aggregation per cluster (the q_argmax shape —
+    // no window, no per-cluster sort), composed on the same
+    // LSH-candidate + exact-verify pairs and distributed components
+    // as dedup_clusters.
+    "dedup_select" -> ((s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        ShingleN, JThreshold)
+      val comps = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      val words = docs.select($"doc_id",
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_words"))
+      comps.join(words, $"node" === $"doc_id")
+        .groupBy($"component")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct($"n_words", (-$"doc_id").as("nid"))).as("best"))
+        .select($"component", $"n_members",
+          (-$"best.nid").as("keeper"), $"best.n_words".as("keeper_words"))
+        .orderBy($"component")
+    }),
+
     // GROUP-AWARE train/test split: whole near-duplicate clusters
     // assign to one side (split keyed on the component id, never the
     // row), so no near-dup pair ever straddles the boundary — the
@@ -454,6 +479,34 @@ object DedupQueries extends QueryModule {
          |  SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src)
          |SELECT n AS node, min(m) AS component FROM reach
          |GROUP BY n ORDER BY node""".stripMargin,
+
+    "dedup_select" ->
+      s"""WITH RECURSIVE $pairsCte,
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS n FROM edges),
+         |reach(n, m) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src),
+         |comps AS (SELECT n AS node, min(m) AS component FROM reach
+         |  GROUP BY n),
+         |w AS (SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         |      AS n_words
+         |  FROM documents),
+         |m AS (SELECT c.component, w.doc_id, w.n_words
+         |  FROM comps c JOIN w ON w.doc_id = c.node)
+         |SELECT component, n_members, doc_id AS keeper,
+         |  n_words AS keeper_words
+         |FROM (
+         |  SELECT component, doc_id, n_words,
+         |    count(*) OVER (PARTITION BY component) AS n_members,
+         |    row_number() OVER (PARTITION BY component
+         |      ORDER BY n_words DESC, doc_id) AS rk
+         |  FROM m)
+         |WHERE rk = 1 ORDER BY component""".stripMargin,
 
     "feat_group_split" ->
       s"""WITH RECURSIVE $pairsCte,
