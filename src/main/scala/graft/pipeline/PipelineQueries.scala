@@ -671,6 +671,44 @@ object PipelineQueries extends QueryModule {
         .orderBy($"v", $"change_type")
     }),
 
+    // INCREMENTAL VIEW MAINTENANCE end to end: a per-priority
+    // (count, sum) aggregate table maintained from the source's
+    // change feed — maintain after v1, then three more commits
+    // (append / ranged UPDATE / ranged DELETE), maintain again
+    // (signed delta fold), then a THIRD maintain that must be a
+    // no-op (the consumption marker in dst's own manifest proves
+    // idempotence). The oracle recomputes the aggregate from the
+    // final source state in pure SQL — a wrong sign, double-applied
+    // delta, missed preimage, or non-atomic marker all diverge.
+    "pipe_ivm" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.{IncrementalView, TxTable}
+      val key = d.replaceAll("[^A-Za-z0-9]", "_")
+      val src = sys.props("java.io.tmpdir") + "/graft_ivm_src_" + key
+      val dst = sys.props("java.io.tmpdir") + "/graft_ivm_dst_" + key
+      Seq(src, dst).foreach { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      TxTable.enableChangeFeed(s, src)
+      val base = T.orders(s, d).select(
+        $"o_orderkey".as("k"), $"o_orderpriority".as("pr"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      TxTable.append(base.filter($"pr" === "1-URGENT"), src) // v1
+      IncrementalView.maintain(s, src, dst, "pr", "cents")
+      TxTable.append(base.filter($"pr" === "2-HIGH"), src) // v2
+      TxTable.updateWhere(s, src, Seq(("cents", 0.0, 1.0e7)), Nil,
+        set = Map("cents" -> ($"cents" + 7))) // v3
+      TxTable.deleteWhere(s, src, Seq(("cents", 3.0e7, 1.0e12))) // v4
+      IncrementalView.maintain(s, src, dst, "pr", "cents")
+      val again = IncrementalView.maintain(s, src, dst, "pr", "cents")
+      require(again == 4L,
+        s"replayed maintain must be a no-op at the marker, got $again")
+      TxTable.read(s, dst)
+        .select($"pr".as("o_orderpriority"), $"n", $"s".as("cents"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // DYNAMIC PARTITION OVERWRITE end to end (the idempotent-backfill
     // write shape): orders clustered by priority with per-file value
     // sets, then ONE commit replaces exactly two partitions — the
@@ -1001,6 +1039,22 @@ object PipelineQueries extends QueryModule {
         |  CAST(sum(k) AS BIGINT) AS sum_k,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM feed GROUP BY 1, 2 ORDER BY v, change_type""".stripMargin,
+
+    // the maintained aggregate must equal the straight recompute of
+    // the FINAL source state (appends ∪, update applied, delete out)
+    "pipe_ivm" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pr,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |t0 AS (SELECT k, pr, cents FROM base
+        |  WHERE pr IN ('1-URGENT', '2-HIGH')),
+        |t1 AS (SELECT k, pr, CASE WHEN cents BETWEEN 0 AND 10000000
+        |    THEN cents + 7 ELSE cents END AS cents FROM t0),
+        |fin AS (SELECT * FROM t1 WHERE cents < 30000000)
+        |SELECT pr AS o_orderpriority, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM fin GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     // set-algebra replay of the dynamic partition overwrite: kept
     // partitions straight from orders, '1-URGENT' re-derived with the

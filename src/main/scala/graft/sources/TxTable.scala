@@ -583,6 +583,25 @@ object TxTable {
     next
   }
 
+  /** [[overwrite]] that additionally records `(appId -> marker)` in
+    * the manifest txns — the atomic state+consumption-marker commit
+    * incremental consumers need ([[IncrementalView.maintain]]): the
+    * marker and the state it justifies land in ONE publish, so no
+    * crash window separates them. Throws [[TxConflictException]] on a
+    * lost race (the caller re-reads the marker and retries — a
+    * completed twin then shows as already-consumed). */
+  private[sources] def overwriteWithTxn(df: DataFrame, table: String,
+      appId: String, marker: Long): Long = {
+    val spark = df.sparkSession
+    val cur = snapshot(spark, table)
+    val next = cur.map(_.version + 1).getOrElse(1L)
+    val files = writeFiles(df, table, next)
+    commit(spark, table, next, files,
+      cur.map(_.txns).getOrElse(Map.empty) + (appId -> marker),
+      op = "overwrite")
+    next
+  }
+
   /** Append: next version = current files ++ new files. No data file
     * is ever rewritten, so concurrent readers of version N are
     * untouched. Existing per-file index metadata (stats / value sets

@@ -884,6 +884,31 @@ class TxTableSpec extends AnyFunSuite {
     assert(hts.size === 3 && hts.forall(_ > 0))
   }
 
+  test("incremental view maintenance: signed deltas; emptied groups leave") {
+    import graft.sources.IncrementalView
+    val src = freshTable()
+    val dst = freshTable()
+    TxTable.enableChangeFeed(spark, src)
+    TxTable.append(Seq((1, "a", 10L), (2, "a", 20L), (3, "b", 5L))
+      .toDF("k", "g", "v"), src)
+    IncrementalView.maintain(spark, src, dst, "g", "v")
+    def view(): Seq[(String, Long, Long)] =
+      TxTable.read(spark, dst).as[(String, Long, Long)]
+        .collect().sorted.toSeq
+    assert(view() === Seq(("a", 2L, 30L), ("b", 1L, 5L)))
+    // delete empties group b entirely; update moves a's sum
+    TxTable.deleteWhere(spark, src, Seq(("k", 3.0, 3.0)))
+    TxTable.updateWhere(spark, src, Seq(("k", 1.0, 1.0)), Nil,
+      Map("v" -> ($"v" + 100L)))
+    val consumed = IncrementalView.maintain(spark, src, dst, "g", "v")
+    assert(consumed === 3L)
+    assert(view() === Seq(("a", 2L, 130L)),
+      "group b must LEAVE the view when its count reaches zero")
+    // replay is a no-op: the marker in dst's manifest already covers it
+    assert(IncrementalView.maintain(spark, src, dst, "g", "v") === 3L)
+    assert(view() === Seq(("a", 2L, 130L)))
+  }
+
   // ---- change data feed (Delta CDF analog) ----
 
   private def feedRows(t: String, from: Long): Seq[(Int, String, String, Long)] =
