@@ -23,7 +23,7 @@ private[sources] object TxProcedures {
 
   val names: Seq[String] =
     Seq("compact", "restore", "vacuum", "vacuum_older_than", "history",
-      "create_checkpoint", "enable_change_feed")
+      "create_checkpoint", "enable_change_feed", "detail")
 
   def apply(name: String, root: String): UnboundProcedure = name match {
     case "compact" => new TxProc(name, root,
@@ -79,6 +79,39 @@ private[sources] object TxProcedures {
             Option(r.getString(6)).map(UTF8String.fromString).orNull,
             r.getLong(7), r.getLong(8)))
         }
+      })
+    // DESCRIBE DETAIL analog: one row of table-level operational
+    // facts — the head version/op/clock, file count and total data
+    // bytes (manifest-listed files only, one driver listing), the
+    // declared partition column, and whether the change feed records
+    case "detail" => new TxProc(name, root,
+      params = Seq("table" -> StringType),
+      out = StructType(Seq(StructField("version", LongType),
+        StructField("op", StringType),
+        StructField("commit_ts", LongType),
+        StructField("n_files", LongType),
+        StructField("data_bytes", LongType),
+        StructField("partition_col", StringType),
+        StructField("change_feed", BooleanType),
+        StructField("n_change_files", LongType))),
+      run = { (spark, dir, _) =>
+        val snap = TxTable.snapshot(spark, dir).getOrElse(
+          throw new IllegalArgumentException(
+            s"no committed version at $dir"))
+        val root0 = new org.apache.hadoop.fs.Path(dir)
+        val fsys = root0.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val bytes = snap.files.map { f =>
+          val p = new org.apache.hadoop.fs.Path(dir, f)
+          if (fsys.exists(p)) fsys.getFileStatus(p).getLen else 0L
+        }.sum
+        Seq(new GenericInternalRow(Array[Any](
+          snap.version, UTF8String.fromString(snap.op), snap.ts,
+          snap.files.size.toLong, bytes,
+          TxTable.declaredPartition(spark, dir)
+            .map(UTF8String.fromString).orNull,
+          TxTable.changeFeedEnabled(spark, dir),
+          snap.changes.size.toLong)))
       })
     case "enable_change_feed" => new TxProc(name, root,
       params = Seq("table" -> StringType),

@@ -611,6 +611,26 @@ class TxSqlSpec extends AnyFunSuite {
         .contains("unsupported alter")))
   }
 
+  test("CALL system.detail: one row of table-level operational facts") {
+    val root = freshRoot()
+    val dir = s"$root/dt"
+    TxSql.installCatalog(spark, "txdt", root)
+    spark.sql("CREATE TABLE txdt.dt (k BIGINT, seg STRING) " +
+      "PARTITIONED BY (seg)")
+    spark.sql("CALL txdt.system.enable_change_feed('dt')")
+    spark.sql("INSERT INTO txdt.dt VALUES (1, 'a'), (2, 'b')")
+    val r = spark.sql("CALL txdt.system.detail('dt')").collect().head
+    assert(r.getLong(0) === 2L) // version (create + insert)
+    assert(r.getString(1) === "append")
+    assert(r.getLong(2) > 0L) // commit_ts stamped
+    assert(r.getLong(3) > 0L && r.getLong(4) > 0L) // files + bytes
+    assert(r.getString(5) === "seg")
+    assert(r.getBoolean(6)) // change feed on
+    TxTable.deleteWhere(spark, dir, Seq(("k", 1.0, 1.0)))
+    val r2 = spark.sql("CALL txdt.system.detail('dt')").collect().head
+    assert(r2.getString(1) === "delete" && r2.getLong(7) >= 1L)
+  }
+
   test("change feed via SQL: enable procedure, DML records, changes view reads") {
     val root = freshRoot()
     val dir = s"$root/cf"
