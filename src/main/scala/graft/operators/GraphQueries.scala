@@ -192,9 +192,16 @@ object GraphQueries extends QueryModule {
               .unionAll(e.select($"p2".as("v")))
               .groupBy($"v").agg(count(lit(1)).as("deg"))
               .filter($"deg" >= k).select($"v")
+              // node-count-sized (bounded by the part catalog):
+              // BROADCAST both survivor semi-joins instead of
+              // shuffling the edge list twice per round — the
+              // q_triangles degree-frame argument, applied per peel
+              .localCheckpoint(false)
             val e2 = e
-              .join(nodes.select($"v".as("p1")), Seq("p1"), "left_semi")
-              .join(nodes.select($"v".as("p2")), Seq("p2"), "left_semi")
+              .join(broadcast(nodes.select($"v".as("p1"))),
+                Seq("p1"), "left_semi")
+              .join(broadcast(nodes.select($"v".as("p2"))),
+                Seq("p2"), "left_semi")
               .select($"p1", $"p2")
               .localCheckpoint(false)
             // ONE action per round: active members (distinct endpoints
