@@ -215,7 +215,7 @@ private[sources] class TxReplaceBatchWrite(path: String, schema: StructType,
   * untouched, ONE atomic manifest commit, racing writers lose with
   * `TxConflictException` and their staged files stay unreferenced. */
 private[sources] class TxDynPartBatchWrite(path: String,
-    schema: StructType, partCol: String) extends BatchWrite {
+    schema: StructType, partCols: Seq[String]) extends BatchWrite {
   private val tag = java.util.UUID.randomUUID().toString.take(8)
 
   override def createBatchWriterFactory(
@@ -232,7 +232,7 @@ private[sources] class TxDynPartBatchWrite(path: String,
       require(fs.rename(p, visible), s"publish rename failed: $staged")
       s"data/${visible.getName}"
     }
-    TxTable.dynamicOverwriteCommit(spark, path, files, partCol)
+    TxTable.dynamicOverwriteCommit(spark, path, files, partCols)
     ()
   }
 

@@ -347,15 +347,15 @@ private[sources] class TxSparkTable(spark: SparkSession, path: String,
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
-  /** Declared partition column (SQL `PARTITIONED BY` side file), read
-    * once per table instance. Surfacing it as an identity transform
-    * is what routes `INSERT OVERWRITE` (under
+  /** Declared partition columns (SQL `PARTITIONED BY` side file),
+    * read once per table instance. Surfacing them as identity
+    * transforms is what routes `INSERT OVERWRITE` (under
     * partitionOverwriteMode=dynamic) to the dynamic-overwrite plan. */
-  private val partCol: Option[String] = TxTable.declaredPartition(spark, path)
+  private val partCols: Seq[String] = TxTable.declaredPartitions(spark, path)
 
   override def partitioning()
       : Array[org.apache.spark.sql.connector.expressions.Transform] =
-    partCol.map(c =>
+    partCols.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c))
       .toArray
   // Infer from ONE file, not the whole snapshot: footer reads are
@@ -394,7 +394,7 @@ private[sources] class TxSparkTable(spark: SparkSession, path: String,
     // dynamic overwrite is a REAL V2 batch write (Spark has no V1
     // fallback for OverwritePartitionsDynamic), offered only when a
     // partition column is declared
-    (if (partCol.isDefined)
+    (if (partCols.nonEmpty)
       base + TableCapability.BATCH_WRITE + TableCapability.OVERWRITE_DYNAMIC
     else base).asJava
   }
@@ -453,7 +453,7 @@ private[sources] class TxSparkTable(spark: SparkSession, path: String,
       private var dynamic = false
       override def truncate(): WriteBuilder = { replace = true; this }
       override def overwriteDynamicPartitions(): WriteBuilder = {
-        require(partCol.isDefined, // capability-gated; belt and braces
+        require(partCols.nonEmpty, // capability-gated; belt and braces
           s"$tableName is not partitioned: dynamic overwrite needs " +
             "PARTITIONED BY")
         dynamic = true; this
@@ -474,26 +474,27 @@ private[sources] class TxSparkTable(spark: SparkSession, path: String,
           override def requiredDistribution()
               : org.apache.spark.sql.connector.distributions.Distribution =
             org.apache.spark.sql.connector.distributions.Distributions
-              .clustered(Array(
+              .clustered(partCols.map(c =>
                 org.apache.spark.sql.connector.expressions.Expressions
-                  .identity(partCol.get)))
+                  .identity(c): org.apache.spark.sql.connector
+                  .expressions.Expression).toArray)
           override def requiredOrdering()
               : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
             Array.empty
           override def toBatch
               : org.apache.spark.sql.connector.write.BatchWrite =
-            new TxDynPartBatchWrite(path, info.schema(), partCol.get)
+            new TxDynPartBatchWrite(path, info.schema(), partCols)
         } else new V1Write {
           override def toInsertableRelation: InsertableRelation =
             new InsertableRelation {
               override def insert(data: DataFrame,
                   overwrite: Boolean): Unit = {
                 if (replace || overwrite) TxTable.overwrite(data, path)
-                else partCol match {
+                else partCols match {
                   // partitioned INSERT INTO clusters on the declared
-                  // column and records value sets for the new files
-                  case Some(pc) => TxTable.appendPartitioned(data, path, pc)
-                  case None => TxTable.append(data, path)
+                  // columns and records value sets for the new files
+                  case Seq() => TxTable.append(data, path)
+                  case pcs => TxTable.appendPartitionedMulti(data, path, pcs)
                 }
                 ()
               }
@@ -638,20 +639,25 @@ class TxTableCatalog extends TableCatalog
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val partition: Option[String] = partitions match {
-      case Array() => None
-      // one identity transform on one top-level declared column
+    val partition: Seq[String] = {
+      // identity transforms on distinct top-level declared columns
       // (matched through the public Transform API — the case classes
-      // are private[sql])
-      case Array(t) if t.name == "identity" &&
-          t.references.length == 1 &&
-          t.references()(0).fieldNames().length == 1 &&
-          schema.fieldNames.contains(t.references()(0).fieldNames()(0)) =>
-        Some(t.references()(0).fieldNames()(0))
-      case other => throw new UnsupportedOperationException(
-        s"txtable: unsupported partitioning ${other.mkString(", ")} — " +
-          "only PARTITIONED BY (<one declared column>) is supported " +
-          "(manifest value-set pruning, not hive directories)")
+      // are private[sql]); any other transform refuses loudly
+      val cols = partitions.toSeq.map {
+        case t if t.name == "identity" &&
+            t.references.length == 1 &&
+            t.references()(0).fieldNames().length == 1 &&
+            schema.fieldNames.contains(
+              t.references()(0).fieldNames()(0)) =>
+          t.references()(0).fieldNames()(0)
+        case other => throw new UnsupportedOperationException(
+          s"txtable: unsupported partitioning $other — only " +
+            "PARTITIONED BY (<declared columns>) is supported " +
+            "(manifest value-set pruning, not hive directories)")
+      }
+      require(cols.distinct == cols,
+        s"txtable: duplicate partition columns: ${cols.mkString(", ")}")
+      cols
     }
     val dir = dirOf(ident)
     if (TxTable.snapshot(spark, dir).isDefined)
@@ -665,7 +671,8 @@ class TxTableCatalog extends TableCatalog
           .TableAlreadyExistsException(
             (catalogName +: ident.namespace() :+ ident.name()).mkString("."))
     }
-    partition.foreach(TxTable.declarePartition(spark, dir, _))
+    if (partition.nonEmpty)
+      TxTable.declarePartitions(spark, dir, partition)
     load(ident, None)
   }
 

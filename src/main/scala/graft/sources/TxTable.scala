@@ -1061,17 +1061,31 @@ object TxTable {
     * low-cardinality BY DEFINITION; `maxPartitions` guards the
     * misuse (a high-cardinality column is the bloom index's job). */
   def overwritePartitions(df: DataFrame, table: String, partCol: String,
-      maxPartitions: Int = 10000): Long = {
+      maxPartitions: Int = 10000): Long =
+    overwritePartitionsMulti(df, table, Seq(partCol), maxPartitions)
+
+  /** [[overwritePartitions]] over a COMPOSITE partition key — the
+    * common production shape ((date, region), (source, shard)):
+    * exactly the (col₁..colₖ) TUPLES present in `df` replace. File
+    * pruning is per-column conjunctive over the manifest value sets
+    * (a file whose recorded set for ANY column misses a tuple's value
+    * cannot hold that tuple — conservative, never wrong); the row
+    * filter is tuple-exact via a broadcast join on the canonical
+    * string forms. */
+  def overwritePartitionsMulti(df: DataFrame, table: String,
+      partCols: Seq[String], maxPartitions: Int = 10000): Long = {
     import org.apache.spark.sql.functions.{col => c}
     val spark = df.sparkSession
     require(!df.isStreaming, "overwritePartitions takes a batch frame")
+    require(partCols.nonEmpty && partCols.distinct == partCols,
+      s"invalid partition columns: ${partCols.mkString(", ")}")
     val nParts = math.max(2, spark.sessionState.conf.numShufflePartitions)
-    // cluster on the partition column so each new file is tight in it
-    // (value sets recorded below make the NEXT dynamic overwrite prune)
+    // cluster on the partition columns so each new file is tight in
+    // them (value sets recorded below make the NEXT overwrite prune)
     val next0 = snapshot(spark, table).map(_.version + 1).getOrElse(1L)
     val fresh = writeFiles(
-      df.repartitionByRange(nParts, c(partCol)), table, next0)
-    dynamicOverwriteCommit(spark, table, fresh, partCol, maxPartitions)
+      df.repartitionByRange(nParts, partCols.map(c): _*), table, next0)
+    dynamicOverwriteCommit(spark, table, fresh, partCols, maxPartitions)
   }
 
   /** Commit an already-written replacement file set as a dynamic
@@ -1085,41 +1099,66 @@ object TxTable {
     * time — racing writers contend on the protocol and the loser's
     * staged files stay unreferenced, like every other path. */
   private[sources] def dynamicOverwriteCommit(spark: SparkSession,
-      table: String, fresh: Seq[String], partCol: String,
+      table: String, fresh: Seq[String], partCols: Seq[String],
       maxPartitions: Int = 10000): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col => c, lit}
+    import org.apache.spark.sql.functions.{broadcast, col => c, lit}
     val cur = snapshot(spark, table)
     val next = cur.map(_.version + 1).getOrElse(1L)
     val freshDf = () =>
       spark.read.parquet(fresh.map(new Path(table, _).toString): _*)
-    val incoming: Set[String] = freshDf()
-      .select(c(partCol).cast("string").as("__p")).distinct()
+    // canonical string form per column — the fileValues language
+    val keyCols = partCols.map(p => c(p).cast("string").as(s"__$p"))
+    val incoming: Seq[Seq[String]] = freshDf()
+      .select(keyCols: _*).distinct()
       .collect().map { r =>
-        val v = r.getString(0)
-        require(v != null,
-          s"null $partCol in the replacement frame: null is not a " +
-            "partition value")
-        v
-      }.toSet
+        partCols.indices.map { i =>
+          val v = r.getString(i)
+          require(v != null,
+            s"null ${partCols(i)} in the replacement frame: null is " +
+              "not a partition value")
+          v
+        }
+      }.toSeq
     require(incoming.nonEmpty,
       "empty replacement frame: no partitions to overwrite")
     require(incoming.size <= maxPartitions,
       s"${incoming.size} incoming partitions exceeds maxPartitions=" +
-        s"$maxPartitions — a value this wide is not a partition column")
+        s"$maxPartitions — a key this wide is not a partition key")
+    // per-column incoming value sets — the conjunctive prune language
+    val incomingByCol: Seq[Set[String]] =
+      partCols.indices.map(i => incoming.map(_(i)).toSet)
     val statCols = cur.map(_.multiStats.values.flatMap(_.keys).toSeq
       .distinct.sorted).getOrElse(Nil)
     val valueCols = (cur.map(_.fileValues.values.flatMap(_.keys).toSeq)
-      .getOrElse(Nil) :+ partCol).distinct.sorted
-    // files provably holding NONE of the incoming partitions carry
-    // over untouched; everything else rewrites minus replaced rows
+      .getOrElse(Nil) ++ partCols).distinct.sorted
+    // a file provably holds NO incoming tuple when SOME column's
+    // recorded value set misses EVERY tuple's value for that column;
+    // tuple-level precision would need per-file tuple sets — the
+    // per-column test is conservative (more rewrite, never wrong)
     val touched = cur.map(_.files.filter { f =>
-      cur.get.fileValues.get(f).flatMap(_.get(partCol)) match {
-        case Some(vs) => vs.exists(incoming)
-        case None => true
+      !partCols.indices.exists { i =>
+        cur.get.fileValues.get(f).flatMap(_.get(partCols(i))) match {
+          case Some(vs) => !vs.exists(incomingByCol(i))
+          case None => false // no metadata → cannot exclude
+        }
       }
     }).getOrElse(Nil)
     val untouched = cur.map(_.files.filterNot(touched.toSet)).getOrElse(Nil)
-    val replacedIn = c(partCol).cast("string").isInCollection(incoming)
+    // tuple-EXACT row routing via a broadcast join on the canonical
+    // strings (an OR-of-ANDs literal expression would grow with the
+    // tuple count; the join is uniform at any width). NULL partition
+    // values never match the join key, so null rows are never
+    // replaced — the documented semantics, now for free.
+    val tupleDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        incoming.map(t => org.apache.spark.sql.Row.fromSeq(t)), 1),
+      org.apache.spark.sql.types.StructType(partCols.map(p =>
+        org.apache.spark.sql.types.StructField(s"__$p",
+          org.apache.spark.sql.types.StringType)))))
+    val joinKeys = partCols.map(p => s"__$p")
+    def withKeys(df: DataFrame): DataFrame =
+      partCols.foldLeft(df)((acc, p) =>
+        acc.withColumn(s"__$p", c(p).cast("string")))
     val touchedDf = () =>
       spark.read.parquet(touched.map(new Path(table, _).toString): _*)
     val changeFiles: Seq[String] =
@@ -1128,7 +1167,9 @@ object TxTable {
         val dels =
           if (touched.isEmpty) freshDf().limit(0)
             .withColumn(ChangeTypeCol, lit("delete"))
-          else touchedDf().filter(coalesce(replacedIn, lit(false)))
+          else withKeys(touchedDf())
+            .join(tupleDf, joinKeys, "left_semi")
+            .drop(joinKeys: _*)
             .withColumn(ChangeTypeCol, lit("delete"))
         writeChangeFiles(
           dels.unionByName(
@@ -1138,7 +1179,9 @@ object TxTable {
     val remainder: Seq[String] =
       if (touched.isEmpty) Nil
       else writeFiles(
-        touchedDf().filter(!coalesce(replacedIn, lit(false))), table, next)
+        withKeys(touchedDf())
+          .join(tupleDf, joinKeys, "left_anti")
+          .drop(joinKeys: _*), table, next)
     val (ms, fv) = recomputeMetadata(spark, table, remainder ++ fresh,
       statCols, valueCols)
     commit(spark, table, next, untouched ++ remainder ++ fresh,
@@ -1157,15 +1200,19 @@ object TxTable {
     * tables, so appended files stay prunable by the next dynamic
     * overwrite and by `readWhere` on the partition column. */
   def appendPartitioned(df: DataFrame, table: String,
-      partCol: String): Long = {
+      partCol: String): Long =
+    appendPartitionedMulti(df, table, Seq(partCol))
+
+  def appendPartitionedMulti(df: DataFrame, table: String,
+      partCols: Seq[String]): Long = {
     import org.apache.spark.sql.functions.{col => c}
     val spark = df.sparkSession
     val cur = snapshot(spark, table)
     val next = cur.map(_.version + 1).getOrElse(1L)
     val nParts = math.max(2, spark.sessionState.conf.numShufflePartitions)
     val files = writeFiles(
-      df.repartitionByRange(nParts, c(partCol)), table, next)
-    val (_, fv) = recomputeMetadata(spark, table, files, Nil, Seq(partCol))
+      df.repartitionByRange(nParts, partCols.map(c): _*), table, next)
+    val (_, fv) = recomputeMetadata(spark, table, files, Nil, partCols)
     commit(spark, table, next, cur.map(_.files).getOrElse(Nil) ++ files,
       cur.map(_.txns).getOrElse(Map.empty),
       cur.flatMap(_.statsCol), cur.map(_.stats).getOrElse(Map.empty),
@@ -1215,20 +1262,37 @@ object TxTable {
     * identity transform). Like `_schema`, not part of the versioned
     * manifest: it names a write-layout contract, not data. */
   def declarePartition(spark: SparkSession, table: String,
-      col: String): Unit = {
+      col: String): Unit = declarePartitions(spark, table, Seq(col))
+
+  /** Composite form: the side file stores the comma-joined column
+    * list (column names here are identifier-shaped; the SQL layer
+    * validates them against the declared schema). */
+  def declarePartitions(spark: SparkSession, table: String,
+      cols: Seq[String]): Unit = {
+    require(cols.nonEmpty && cols.distinct == cols &&
+      cols.forall(!_.contains(",")),
+      s"invalid partition columns: ${cols.mkString(", ")}")
     val ld = logDir(table)
     val f = fs(spark, ld)
     f.mkdirs(ld)
     val out = f.create(new Path(ld, "_partition"), true)
-    try out.write(col.getBytes("UTF-8")) finally out.close()
+    try out.write(cols.mkString(",").getBytes("UTF-8")) finally out.close()
   }
 
   def declaredPartition(spark: SparkSession,
-      table: String): Option[String] = {
+      table: String): Option[String] =
+    declaredPartitions(spark, table) match {
+      case Seq() => None
+      case cols => Some(cols.mkString(","))
+    }
+
+  def declaredPartitions(spark: SparkSession,
+      table: String): Seq[String] = {
     val p = new Path(logDir(table), "_partition")
     val f = fs(spark, p)
-    if (!f.exists(p)) None
-    else Some(new String(readFully(f, p), "UTF-8").trim)
+    if (!f.exists(p)) Nil
+    else new String(readFully(f, p), "UTF-8").trim.split(',').toSeq
+      .map(_.trim).filter(_.nonEmpty)
   }
 
   /** Overwrite with a PER-FILE BLOOM FILTER over a high-cardinality

@@ -611,6 +611,38 @@ class TxSqlSpec extends AnyFunSuite {
         .contains("unsupported alter")))
   }
 
+  test("composite PARTITIONED BY (a, b): tuple-exact dynamic overwrite") {
+    val root = freshRoot()
+    val dir = s"$root/cp"
+    TxSql.installCatalog(spark, "txcp", root)
+    spark.sql("CREATE TABLE txcp.cp (k BIGINT, d STRING, r STRING) " +
+      "PARTITIONED BY (d, r)")
+    spark.sql("INSERT INTO txcp.cp VALUES " +
+      "(1, 'd1', 'eu'), (2, 'd1', 'us'), (3, 'd2', 'eu'), (4, 'd2', 'us')")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // replace ONLY (d1, eu): (d1, us) and (d2, eu) share one column
+      // value each with the incoming tuple and must SURVIVE — the
+      // tuple-exact row routing, not per-column deletion
+      spark.sql("INSERT OVERWRITE txcp.cp VALUES (10, 'd1', 'eu')")
+      val got = spark.sql("SELECT k FROM txcp.cp ORDER BY k")
+        .as[Long].collect().toSeq
+      assert(got === Seq(2L, 3L, 4L, 10L),
+        s"composite overwrite must replace only the (d1, eu) tuple: $got")
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // the API verb agrees on the composite key
+    graft.sources.TxTable.overwritePartitionsMulti(
+      Seq((20L, "d2", "us")).toDF("k", "d", "r"), dir, Seq("d", "r"))
+    assert(spark.sql("SELECT k FROM txcp.cp ORDER BY k")
+      .as[Long].collect().toSeq === Seq(2L, 3L, 10L, 20L))
+  }
+
   test("CALL system.detail: one row of table-level operational facts") {
     val root = freshRoot()
     val dir = s"$root/dt"
