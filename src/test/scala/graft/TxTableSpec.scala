@@ -989,6 +989,26 @@ class TxTableSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("overwrite"))
   }
 
+  test("change feed across schema evolution: old inserts surface null") {
+    val t = freshTable()
+    TxTable.enableChangeFeed(spark, t)
+    TxTable.append(df(1 -> "a"), t) // v1: narrow schema (k, v)
+    TxTable.append(Seq((2, "b", 99L)).toDF("k", "v", "extra"), t) // v2: wider
+    TxTable.deleteWhere(spark, t, Seq(("k", 1.0, 1.0))) // v3: narrow images
+    val feed = TxTable.changeFeed(spark, t, 0L)
+    assert(feed.columns.contains("extra"),
+      "the union feed must surface the evolved column")
+    val rows = feed.select($"k", $"extra",
+        col(TxTable.ChangeTypeCol), col(TxTable.CommitVersionCol))
+      .as[(Int, Option[Long], String, Long)].collect().toSeq
+      .sortBy(r => (r._4, r._1))
+    assert(rows === Seq(
+      (1, None, "insert", 1L),
+      (2, Some(99L), "insert", 2L),
+      (1, None, "delete", 3L)),
+      s"evolved feed mismatch: $rows")
+  }
+
   test("change feed: vacuum reclaims unreferenced change files, feed fails fast") {
     val t = freshTable()
     TxTable.enableChangeFeed(spark, t)
