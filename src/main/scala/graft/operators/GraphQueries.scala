@@ -161,6 +161,28 @@ object GraphQueries extends QueryModule {
         .orderBy($"deg_bucket")
     }),
 
+    // Degree assortativity of the co-order part graph (Newman's r):
+    // the Pearson correlation of endpoint degrees over the
+    // DIRECTED edge list (each undirected edge counted both ways —
+    // the standard symmetrization). Negative r = hubs attach to
+    // leaves (the usual co-occurrence shape); one pass over edges
+    // with the node-sized degree frame broadcast twice, then a
+    // single corr aggregate — no shuffle beyond the edge build.
+    "q_assortativity" -> ((s, d) => {
+      import s.implicits._
+      val e = coOrderPairs(s, d).select($"p1", $"p2").localCheckpoint(false)
+      val deg = e.select($"p1".as("v")).unionAll(e.select($"p2".as("v")))
+        .groupBy($"v").agg(count(lit(1)).as("deg"))
+      val both = e.select($"p1".as("u"), $"p2".as("w"))
+        .unionAll(e.select($"p2".as("u"), $"p1".as("w")))
+      both
+        .join(broadcast(deg.select($"v".as("u"), $"deg".as("du"))), "u")
+        .join(broadcast(deg.select($"v".as("w"), $"deg".as("dw"))), "w")
+        .agg((count(lit(1)) / 2).cast("long").as("n_edges"),
+          r4(corr($"du".cast("double"), $"dw".cast("double")))
+            .as("assortativity"))
+    }),
+
     // 3-core peel of the co-order part graph: 8 rounds of "drop
     // nodes with degree < 3, restrict edges to survivors" — the
     // densest-subgraph gate a graph-feature stage uses to separate
@@ -318,6 +340,25 @@ object GraphQueries extends QueryModule {
         |ORDER BY p1, p2""".stripMargin,
 
     "q_kcore" -> kcoreOracle,
+
+    "q_assortativity" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT v, count(*) AS deg FROM (
+        |  SELECT p1 AS v FROM e UNION ALL SELECT p2 FROM e) GROUP BY 1),
+        |dirs AS (
+        |  SELECT p1 AS u, p2 AS w FROM e
+        |  UNION ALL SELECT p2, p1 FROM e)
+        |SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+        |  round(corr(CAST(du.deg AS DOUBLE), CAST(dw.deg AS DOUBLE)), 4)
+        |    AS assortativity
+        |FROM dirs
+        |JOIN deg du ON du.v = dirs.u
+        |JOIN deg dw ON dw.v = dirs.w""".stripMargin,
 
     "q_triangles" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
