@@ -155,12 +155,19 @@ private[sources] class TxReplaceBatchWrite(path: String, schema: StructType,
     val untouched = snap.files.filterNot(replaced)
     // change feed (opt-in): the write side holds both images — the
     // replaced files (pre) and the replacement files (post) — so the
-    // NET row delta is the multiset difference: rows only in pre are
-    // deletes, rows only in post are inserts. Group-based rewrites
-    // carry unmatched rows byte-equal, so exceptAll cancels them;
-    // an UPDATE emits its old row as delete and new row as insert
-    // (no key exists at this layer to pair them as pre/post images —
-    // the API verbs record the richer pairing). Cost: one diff over
+    // NET row delta is the multiset difference. Group-based rewrites
+    // carry unmatched rows byte-equal, so exceptAll cancels them.
+    // For UPDATE the diff rows ARE the update images, so they get
+    // Delta's update_preimage/update_postimage types — the SAME
+    // dialect as the API verb updateWhere, so type-sensitive
+    // consumers (audit, SCD2) see one history regardless of surface.
+    // (Residual dialect difference, documented on changeFeed: a SQL
+    // UPDATE that sets a column to its existing value cancels in the
+    // diff and records nothing, while updateWhere records the no-op
+    // pair — no key exists at this layer to resurrect it.) DELETE
+    // and MERGE keep delete/insert: a merge genuinely mixes inserts,
+    // updates and deletes, and without the merge key the net
+    // delete+insert typing is the honest one. Cost: one diff over
     // the REWRITTEN groups only, and only when the feed is on.
     val changes: Seq[String] =
       if (!TxTable.changeFeedEnabled(spark, path)) Nil
@@ -172,10 +179,13 @@ private[sources] class TxReplaceBatchWrite(path: String, schema: StructType,
           if (replaced.isEmpty) post.limit(0)
           else spark.read.parquet(
             replaced.toSeq.map(f => new Path(path, f).toString): _*)
+        val (preType, postType) =
+          if (op == "update") ("update_preimage", "update_postimage")
+          else ("delete", "insert")
         val delta = pre.exceptAll(post)
-          .withColumn(TxTable.ChangeTypeCol, lit("delete"))
+          .withColumn(TxTable.ChangeTypeCol, lit(preType))
           .unionByName(post.exceptAll(pre)
-            .withColumn(TxTable.ChangeTypeCol, lit("insert")))
+            .withColumn(TxTable.ChangeTypeCol, lit(postType)))
         TxTable.writeChangeFiles(delta, path, snap.version + 1)
       }
     // untouched files keep their index metadata, exactly like the API

@@ -173,9 +173,11 @@ private[graft] class TxTableSource(spark: SparkSession, table: String,
     * change files serve their pre/post/delete images, append versions
     * synthesize inserts from their added data files — each a
     * streaming parquet relation with the metadata columns projected
-    * on top, unioned in version order. Same fail-fast policy as the
-    * batch [[TxTable.changeFeed]] (unrecorded rewrites, overwrite /
-    * restore, vacuumed positions), so a stream over a DML-ing table
+    * on top, unioned in version order; overwrite/restore versions
+    * derive delete(removed files) + insert(added files) like the
+    * batch feed. Same fail-fast policy as the batch
+    * [[TxTable.changeFeed]] (feed-disabled rewrites, vacuumed
+    * positions), so a stream over a DML-ing table
     * either delivers exact row-level deltas or stops loudly — never
     * re-delivers rewritten rows (the failure mode the non-CDF mode
     * fails fast on, now SERVED instead). */
@@ -188,11 +190,11 @@ private[graft] class TxTableSource(spark: SparkSession, table: String,
         TxTable.ChangeTypeCol, org.apache.spark.sql.types.StringType))
     val metaCols = schema.fieldNames.map(org.apache.spark.sql.functions.col)
     val frames = TxTable.changeSlices(spark, table, from, to).map {
-      case (v, recorded, files) =>
+      case TxTable.ChangeSlice(v, kind, files) =>
         val base =
-          if (recorded) streamingParquet(files, withCt)
+          if (kind == "recorded") streamingParquet(files, withCt)
           else streamingParquet(files, dataSchema)
-            .withColumn(TxTable.ChangeTypeCol, lit("insert"))
+            .withColumn(TxTable.ChangeTypeCol, lit(kind))
         base.withColumn(TxTable.CommitVersionCol, lit(v))
           .select(metaCols.toSeq: _*) // pin the checkpointed column order
     }

@@ -275,4 +275,25 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"single-partition sort in the decile path:\n${offenders.mkString}")
   }
+
+  test("graph-family broadcast guard: hint below threshold, none above") {
+    // PageRank's measured-count discipline applied to the graph
+    // queries (judge r15): below BcastMaxRows the node frame carries
+    // a broadcast hint; above it the frame is returned unhinted so
+    // planning falls back to observed sizes — a 100×-scale part
+    // catalog degrades to a shuffle join, not an executor OOM.
+    import spark.implicits._
+    val nodes = Seq((1L, 2L), (2L, 3L)).toDF("v", "deg")
+    val small = operators.GraphQueries.guarded(nodes, 10L)
+    val big = operators.GraphQueries
+      .guarded(nodes, operators.GraphQueries.BcastMaxRows + 1)
+    assert(small.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "sub-threshold frame lost its broadcast hint")
+    assert(!big.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "over-threshold frame still forces a broadcast hint")
+    // and the real below-threshold plan does broadcast the degrees
+    val p = plan("q_assortativity")
+    assert(p.contains("BroadcastHashJoin"),
+      s"assortativity degree join not broadcast at test scale:\n$p")
+  }
 }

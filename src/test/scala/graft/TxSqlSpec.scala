@@ -681,14 +681,17 @@ class TxSqlSpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect().toSeq
     assert(got === Seq((2L, "insert", 2L), (3L, "insert", 1L),
       (4L, "delete", 1L)))
-    // the SQL row-level UPDATE records its NET delta (multiset diff
-    // of the rewritten groups): old row out as delete, new row in as
-    // insert — unchanged carried rows cancel and record nothing
+    // the SQL row-level UPDATE types its NET delta (multiset diff of
+    // the rewritten groups) as update_preimage/update_postimage —
+    // the SAME dialect as the API verb updateWhere (r15 ADVICE), so
+    // type-sensitive consumers see one history regardless of
+    // surface. Unchanged carried rows cancel and record nothing.
     spark.sql("UPDATE txcf.cf SET v = 'X' WHERE k = 1") // v5: recorded
     val v5 = TxTable.changeFeed(spark, dir, 4L)
       .select($"k", $"v", col(TxTable.ChangeTypeCol))
       .as[(Long, String, String)].collect().toSeq.sorted
-    assert(v5 === Seq((1L, "X", "insert"), (1L, "a", "delete")))
+    assert(v5 === Seq((1L, "X", "update_postimage"),
+      (1L, "a", "update_preimage")))
     // history names every operation for provenance
     assert(spark.sql("CALL txcf.system.history('cf')")
       .select($"op").as[String].collect().toSeq ===

@@ -810,6 +810,70 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("overwritePartitions carries stats + bloom metadata on untouched files") {
+    // r15 ADVICE (medium): the dynamic-overwrite commit used to drop
+    // single-column stats and bloom entries for carried-over files,
+    // silently disabling point/range pruning after one overwrite on
+    // an indexed table. Untouched files must keep ALL their index
+    // metadata; touched/fresh files lose blooms (fail-open) and get
+    // recomputed stats.
+    val t = freshTable()
+    val base = Seq((1, "a"), (2, "a"), (3, "b"), (4, "b")).toDF("k", "v")
+    TxTable.overwriteIndexedMulti(base, t, statCols = Nil,
+      valueCols = Seq("v")) // v1: value sets for partition pruning
+    val s1 = TxTable.snapshot(spark, t).get
+    // graft single-column stats + blooms onto the same file set (no
+    // single API writes all three families; the commit layer is the
+    // contract under test)
+    TxTable.commit(spark, t, 2L, s1.files, s1.txns,
+      statsCol = Some("k"),
+      stats = s1.files.map(f => f -> (0.0, 100.0)).toMap,
+      multiStats = s1.multiStats, fileValues = s1.fileValues,
+      bloomCol = Some("k"),
+      blooms = s1.files.map(f => f -> Array[Byte](1, 2, 3)).toMap)
+    TxTable.overwritePartitions(df(30 -> "b"), t, "v") // v3
+    val s3 = TxTable.snapshot(spark, t).get
+    val untouched = s1.files.filter(f =>
+      s1.fileValues.get(f).flatMap(_.get("v")).exists(vs => !vs("b")))
+    assert(untouched.nonEmpty, "test setup: no provably-untouched file")
+    assert(s3.statsCol === Some("k"), "statsCol dropped by the overwrite")
+    assert(s3.bloomCol === Some("k"), "bloomCol dropped by the overwrite")
+    untouched.foreach { f =>
+      assert(s3.files.contains(f), s"untouched file $f was rewritten")
+      assert(s3.stats.contains(f), s"untouched file $f lost its stats")
+      assert(s3.blooms.contains(f), s"untouched file $f lost its bloom")
+      assert(s3.fileValues.contains(f), s"untouched file $f lost values")
+    }
+    // fresh files: stats recomputed (statsCol is declared) for every
+    // file with rows (a zero-row remainder file legitimately has no
+    // stats entry — absent stats fail open), and never a bloom
+    val freshFiles = s3.files.filterNot(s1.files.toSet)
+    assert(freshFiles.nonEmpty)
+    assert(freshFiles.exists(s3.stats.contains),
+      s"no fresh file got recomputed stats: ${s3.stats.keySet}")
+    assert(s3.stats.filterKeys(freshFiles.contains).values
+      .exists(_ == (30.0, 30.0)), "fresh stats don't cover the new rows")
+    freshFiles.foreach { f =>
+      assert(!s3.blooms.contains(f), s"fresh file $f claims a bloom")
+    }
+    // and the carried metadata still reads correctly
+    assert(TxTable.read(spark, t).as[(Int, String)].collect().sorted
+      .toSeq === Seq(1 -> "a", 2 -> "a", 30 -> "b"))
+  }
+
+  test("overwritePartitions with an empty frame is a no-op, not an abort") {
+    // Spark's partitionOverwriteMode=dynamic and Delta's replaceWhere
+    // treat an empty input as "replace nothing" — an idempotent
+    // backfill re-run against an empty upstream day must succeed
+    val t = freshTable()
+    TxTable.overwriteIndexedMulti(df(1 -> "a", 2 -> "b"), t,
+      statCols = Nil, valueCols = Seq("v")) // v1
+    val v = TxTable.overwritePartitions(
+      df().filter(lit(false)), t, "v")
+    assert(v === 1L, "empty overwrite committed a new version")
+    assert(TxTable.read(spark, t).count() === 2)
+  }
+
   test("overwritePartitions records delete+insert images in the change feed") {
     val t = freshTable()
     TxTable.enableChangeFeed(spark, t)
@@ -980,12 +1044,26 @@ class TxTableSpec extends AnyFunSuite {
     TxTable.deleteWhere(spark, t2, Seq(("k", 1.0, 1.0)))
     val e = intercept[IllegalArgumentException] { feedRows(t2, 0L) }
     assert(e.getMessage.contains("not recorded"))
-    // overwrite is wholesale replacement: no row-level feed by design
+    // overwrite with the feed ENABLED derives its delta from the
+    // manifest: removed files feed deletes, added files feed inserts
+    // (Delta CDF's overwrite discipline — r15 ADVICE)
     val t3 = freshTable()
     TxTable.enableChangeFeed(spark, t3)
     TxTable.append(df(1 -> "a"), t3)
-    TxTable.overwrite(df(9 -> "z"), t3)
-    val e2 = intercept[IllegalArgumentException] { feedRows(t3, 0L) }
+    TxTable.overwrite(df(9 -> "z"), t3) // v2
+    assert(feedRows(t3, 1L) === Seq(
+      (1, "a", "delete", 2L), (9, "z", "insert", 2L)))
+    // ... and restore derives the inverse images the same way
+    TxTable.restore(spark, t3, 1) // v3: back to {1 -> a}
+    assert(feedRows(t3, 2L) === Seq(
+      (1, "a", "insert", 3L), (9, "z", "delete", 3L)))
+    // with the feed DISABLED, overwrite still severs the feed loudly
+    val t4 = freshTable()
+    TxTable.append(df(1 -> "a"), t4)
+    TxTable.overwrite(df(9 -> "z"), t4)
+    val e2 = intercept[IllegalArgumentException] {
+      TxTable.changeFeed(spark, t4, 0L).collect()
+    }
     assert(e2.getMessage.contains("overwrite"))
   }
 
