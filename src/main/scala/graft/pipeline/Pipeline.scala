@@ -141,6 +141,36 @@ final case class GatedPipeline(pipeline: Pipeline,
           lit(0.0).as("observed")).limit(0)
     else frames.reduce(_.unionAll(_))
   }
+
+  /** [[run]] + the failure-notification hook at the PIPELINE level —
+    * the Airflow `email_on_failure` / GX checkpoint-action analog:
+    * `action` fires exactly once per failing expectation per gated
+    * stage (the [[alerts]] rows), after the pipeline output is
+    * built. The data path is untouched — the hook observes, never
+    * routes; routing stays the declared [[Pipeline.FailurePolicy]].
+    * An action that throws fails the run loudly. */
+  def runWithActions(input: DataFrame)(
+      action: GatedPipeline.Alert => Unit)
+      : (DataFrame, Seq[(String, DataFrame)]) = {
+    val out = run(input)
+    alerts(input).collect().foreach { r =>
+      action(GatedPipeline.Alert(
+        r.getAs[String]("pipeline"), r.getAs[String]("stage"),
+        r.getAs[String]("table_name"), r.getAs[String]("exp_name"),
+        r.getAs[String]("col_name"), r.getAs[String]("policy"),
+        Option(r.getAs[java.lang.Double]("observed"))
+          .fold(Double.NaN)(_.doubleValue)))
+    }
+    out
+  }
+}
+
+object GatedPipeline {
+  /** One failing expectation at one gated stage — the payload a
+    * pipeline-level failure action receives. */
+  final case class Alert(pipeline: String, stage: String,
+      tableName: String, expName: String, colName: String,
+      policy: String, observed: Double)
 }
 
 /** Per-dataset pipeline instantiation — the DAG-generator analog. */

@@ -752,6 +752,91 @@ object PipelineQueries extends QueryModule {
         .orderBy($"o_orderpriority")
     }),
 
+    // TIME-TRANSFORM PARTITIONING end to end (`days(ts)` — the most
+    // common real table layout): events append-partitioned by day
+    // (per-file value sets record the DERIVED day strings), then ONE
+    // dynamic overwrite replaces exactly two calendar days (the
+    // backfill shape: whatever the row-level timestamps, the DAY is
+    // the partition) while every provably-other-day file carries
+    // over byte-untouched (REQUIREd). Oracle = set algebra over
+    // events with the same day math.
+    "pipe_partition_overwrite_days" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.TxTable
+      val dir = sys.props("java.io.tmpdir") +
+        "/graft_txtable_days_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = T.events(s, d).select($"event_id", $"ts",
+        round($"value" * 100).cast("long").as("cents"))
+      TxTable.appendPartitionedMulti(ev, dir, Seq("days(ts)"))
+      val snap1 = TxTable.snapshot(s, dir).get
+      val days = Seq("2024-01-05", "2024-01-10")
+      val repl = ev.filter(to_date($"ts").cast("string").isin(days: _*))
+        .withColumn("cents", $"cents" + 5)
+      TxTable.overwritePartitions(repl, dir, "days(ts)")
+      val snap2 = TxTable.snapshot(s, dir).get
+      val carried = snap1.files.toSet intersect snap2.files.toSet
+      val expectUntouched = snap1.files.filter(f =>
+        snap1.fileValues.get(f).flatMap(_.get("days(ts)"))
+          .exists(vs => !days.exists(vs)))
+      require(expectUntouched.nonEmpty && expectUntouched.forall(carried),
+        s"days() overwrite rewrote provably-untouched days: " +
+          s"${expectUntouched.size} expected, ${carried.size} carried")
+      TxTable.read(s, dir)
+        .groupBy(to_date($"ts").cast("string").as("day"))
+        .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+        .orderBy($"day")
+    }),
+
+    // SCHEMA EVOLUTION end to end — add → rename → drop as
+    // METADATA-ONLY commits (column mapping: files keep their
+    // original physical names forever; renames rekey the manifest,
+    // never the data), with a read AT EVERY VERSION proving time
+    // travel serves each era's own names: v1 (k, pr, cents), v2 adds
+    // `bonus` (old rows null via mergeSchema), v3 renames cents →
+    // amount_cents, v4 drops pr. One row per step with that step's
+    // sorted column list + aggregates; the oracle replays the same
+    // algebra from orders with the column lists as literals, so a
+    // rename that rewrote/lost data, a drop that leaked its column,
+    // or time travel serving the wrong era's names all diverge.
+    "pipe_txtable_evolution" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.TxTable
+      val dir = sys.props("java.io.tmpdir") +
+        "/graft_txtable_evo_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val base = T.orders(s, d).select(
+        $"o_orderkey".as("k"), $"o_orderpriority".as("pr"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      TxTable.append(base.filter($"pr" === "1-URGENT"), dir) // v1
+      // ADD COLUMN bonus (the next write populates; old rows null)
+      TxTable.append(base.filter($"pr" === "2-HIGH")
+        .withColumn("bonus", $"cents" % 97), dir) // v2
+      TxTable.renameColumn(s, dir, "cents", "amount_cents") // v3
+      TxTable.dropColumn(s, dir, "pr") // v4
+      require(TxTable.snapshot(s, dir).get.files.size ==
+        TxTable.snapshot(s, dir, Some(2)).map(_.files.size).getOrElse(-1),
+        "rename/drop must be metadata-only (no data files rewritten)")
+      def summary(step: Long, asOf: Option[Long]) = {
+        val df = TxTable.read(s, dir, asOf = asOf, mergeSchema = true)
+        val cols = df.columns.sorted.mkString(",")
+        val v = if (df.columns.contains("amount_cents")) col("amount_cents")
+          else col("cents")
+        val b = if (df.columns.contains("bonus")) sum($"bonus")
+          else lit(null).cast("long")
+        df.agg(count(lit(1)).as("n"), sum(v).as("s"), b.as("b"))
+          .select(lit(step).as("step"), lit(cols).as("cols"),
+            $"n", $"s", $"b")
+      }
+      summary(1L, Some(1L))
+        .unionByName(summary(2L, Some(2L)))
+        .unionByName(summary(3L, Some(3L)))
+        .unionByName(summary(4L, None))
+        .orderBy($"step")
+    }),
+
     // Avro ARRAY columns end to end: the embeddings table
     // (Array[Float]) through the codec's blocked array encoding with
     // deflate, read back, aggregated per vec_id bucket. First
@@ -1074,6 +1159,55 @@ object PipelineQueries extends QueryModule {
         |SELECT pr AS o_orderpriority, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents
         |FROM final GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    // day-partition replay: kept days straight from events, the two
+    // replaced days re-derived with the bump — equal only if the
+    // days() dynamic overwrite replaced exactly those calendar days
+    "pipe_partition_overwrite_days" ->
+      """WITH base AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |marked AS (
+        |  SELECT ts, cents,
+        |    (CAST(ts AS DATE) = DATE '2024-01-05' OR
+        |     CAST(ts AS DATE) = DATE '2024-01-10') AS hit
+        |  FROM base),
+        |final AS (
+        |  SELECT ts, cents FROM marked WHERE NOT hit
+        |  UNION ALL
+        |  SELECT ts, cents + 5 FROM marked WHERE hit)
+        |SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM final GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // column-evolution replay: each step's column list is a literal
+    // (the names the TABLE must expose at that version) and the
+    // aggregates recompute from orders — equal only if add/rename/
+    // drop were metadata-only AND time travel serves each era's names
+    "pipe_txtable_evolution" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pr,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |urgent AS (SELECT k, pr, cents FROM base WHERE pr = '1-URGENT'),
+        |merged AS (
+        |  SELECT k, pr, cents, CAST(NULL AS BIGINT) AS bonus FROM urgent
+        |  UNION ALL
+        |  SELECT k, pr, cents, cents % 97 FROM base WHERE pr = '2-HIGH')
+        |SELECT CAST(1 AS BIGINT) AS step, 'cents,k,pr' AS cols,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS s,
+        |  CAST(NULL AS BIGINT) AS b FROM urgent
+        |UNION ALL
+        |SELECT 2, 'bonus,cents,k,pr', count(*),
+        |  CAST(sum(cents) AS BIGINT), CAST(sum(bonus) AS BIGINT) FROM merged
+        |UNION ALL
+        |SELECT 3, 'amount_cents,bonus,k,pr', count(*),
+        |  CAST(sum(cents) AS BIGINT), CAST(sum(bonus) AS BIGINT) FROM merged
+        |UNION ALL
+        |SELECT 4, 'amount_cents,bonus,k', count(*),
+        |  CAST(sum(cents) AS BIGINT), CAST(sum(bonus) AS BIGINT) FROM merged
+        |ORDER BY step""".stripMargin,
 
     // full-scan recompute — equals the arrow round-trip only if every
     // row and type survived the IPC write/read cycle

@@ -405,4 +405,35 @@ final case class ExpectationSuite(table: String, expectations: Seq[Expectation])
   /** Split into (valid, quarantined) without evaluating twice. */
   def quarantine(df: DataFrame): (DataFrame, DataFrame) =
     (df.filter(rowPredicate), df.filter(!rowPredicate))
+
+  /** [[run]] + the failure-notification hook — the GX checkpoint
+    * ACTION analog (notify_on_failure): `action` fires EXACTLY ONCE
+    * per failed expectation with that expectation's report values,
+    * after the one-pass aggregate has computed. Driver-side by
+    * design: the report is expectation-count-sized, never data-sized.
+    * The returned report is the already-computed rows as a LOCAL
+    * frame — identical content to [[run]]'s, no recompute, and the
+    * hook cannot perturb it. An action that throws fails the run
+    * loudly (a notification that cannot send must not be silent). */
+  def runWithActions(df: DataFrame)(
+      action: FailedExpectation => Unit): DataFrame = {
+    val spark = df.sparkSession
+    val report = run(df)
+    val rows = report.collect()
+    rows.filter(_.getAs[Long]("success") == 0L).foreach { r =>
+      action(FailedExpectation(
+        r.getAs[String]("table_name"), r.getAs[String]("exp_name"),
+        r.getAs[String]("col_name"),
+        Option(r.getAs[java.lang.Double]("observed"))
+          .fold(Double.NaN)(_.doubleValue)))
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), report.schema)
+  }
 }
+
+/** One failed expectation as a plain value — what a failure action
+  * receives (the GX checkpoint-action payload: which suite, which
+  * expectation, which column, what was observed). */
+final case class FailedExpectation(tableName: String, expName: String,
+    colName: String, observed: Double)

@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, StructType, TimestampNTZType, TimestampType}
+
+/** The `days` / `months` partition-transform FUNCTIONS Spark's V2
+  * write machinery resolves through the table catalog
+  * (`V2ExpressionUtils.toCatalyst` needs a `FunctionCatalog` to turn
+  * a transform in a required distribution into a catalyst clustering
+  * expression — Iceberg ships the same pair). Only the WRITE
+  * CLUSTERING flows through these (rows of one day hash to one task);
+  * the partition VALUES the manifest records come from
+  * [[TxTable.PartTransform]]'s own canonical-string derivation over
+  * the written files, so a session-timezone disagreement here can
+  * only loosen file tightness, never correctness. */
+private[sources] object TxPartitionFunctions {
+
+  private def daysOf(micros: Long): Int =
+    Math.floorDiv(micros, 86400000000L).toInt
+
+  private abstract class Bound(fname: String, dt: DataType)
+      extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(dt)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = fname
+    override def canonicalName(): String = s"txtable.$fname"
+  }
+
+  val Days: UnboundFunction = new UnboundFunction {
+    override def name(): String = "days"
+    override def description(): String =
+      "partition transform: days since epoch of a date/timestamp"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1,
+        s"days() takes one argument, got ${inputType.catalogString}")
+      inputType.fields(0).dataType match {
+        case dt @ (TimestampType | TimestampNTZType) =>
+          new Bound("days", dt) {
+            override def produceResult(input: InternalRow): Integer =
+              daysOf(input.getLong(0))
+          }
+        case DateType => new Bound("days", DateType) {
+          override def produceResult(input: InternalRow): Integer =
+            input.getInt(0)
+        }
+        case other => throw new UnsupportedOperationException(
+          s"days() needs a date/timestamp column, got $other")
+      }
+    }
+  }
+
+  val Months: UnboundFunction = new UnboundFunction {
+    override def name(): String = "months"
+    override def description(): String =
+      "partition transform: months since epoch of a date/timestamp"
+    private def monthsOfDay(epochDay: Long): Int = {
+      val d = java.time.LocalDate.ofEpochDay(epochDay)
+      (d.getYear - 1970) * 12 + (d.getMonthValue - 1)
+    }
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1,
+        s"months() takes one argument, got ${inputType.catalogString}")
+      inputType.fields(0).dataType match {
+        case dt @ (TimestampType | TimestampNTZType) =>
+          new Bound("months", dt) {
+            override def produceResult(input: InternalRow): Integer =
+              monthsOfDay(daysOf(input.getLong(0)).toLong)
+          }
+        case DateType => new Bound("months", DateType) {
+          override def produceResult(input: InternalRow): Integer =
+            monthsOfDay(input.getInt(0).toLong)
+        }
+        case other => throw new UnsupportedOperationException(
+          s"months() needs a date/timestamp column, got $other")
+      }
+    }
+  }
+
+  def lookup(name: String): Option[UnboundFunction] = name match {
+    case "days" => Some(Days)
+    case "months" => Some(Months)
+    case _ => None
+  }
+}

@@ -46,14 +46,17 @@ import scala.jdk.CollectionConverters._
   */
 private[sources] class TxRowLevelOperationBuilder(spark: SparkSession,
     path: String, snap: TxTable.Snapshot, schema: StructType,
-    info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
+    info: RowLevelOperationInfo,
+    refuseReason: Option[String] = None) extends RowLevelOperationBuilder {
   override def build(): RowLevelOperation =
-    new TxRowLevelOperation(spark, path, snap, schema, info.command())
+    new TxRowLevelOperation(spark, path, snap, schema, info.command(),
+      refuseReason)
 }
 
 private[sources] class TxRowLevelOperation(spark: SparkSession,
     path: String, snap: TxTable.Snapshot, schema: StructType,
-    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+    cmd: RowLevelOperation.Command,
+    refuseReason: Option[String] = None) extends RowLevelOperation {
   override def command(): RowLevelOperation.Command = cmd
 
   /** Candidate files (table-relative `data/<name>`) the op scan will
@@ -74,7 +77,11 @@ private[sources] class TxRowLevelOperation(spark: SparkSession,
     * wherever it needs it (the update projection re-tests per row).
     * Group-based ReplaceData writes back exactly what the scan read;
     * the commit carries every pruned file over untouched. */
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // column-mapped tables refuse HERE (not at builder construction):
+    // analysis builds this operation for every DELETE, and only plans
+    // that stay genuinely row-level reach the scan
+    refuseReason.foreach(r => throw new UnsupportedOperationException(r))
     new ScanBuilder
         with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
       private var cond = Array.empty[org.apache.spark.sql.sources.Filter]
@@ -99,6 +106,7 @@ private[sources] class TxRowLevelOperation(spark: SparkSession,
           schema, schema, options).build()
       }
     }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {

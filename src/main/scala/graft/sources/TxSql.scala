@@ -315,7 +315,9 @@ object TxSql {
   * `listFiles` drops every file the manifest metadata can prove
   * holds no matching row. */
 private[sources] class TxFileIndex(spark: SparkSession, table: String,
-    snap: TxTable.Snapshot, tableSchema: StructType)
+    snap: TxTable.Snapshot, tableSchema: StructType,
+    nameToLogical: String => String = identity,
+    logicalSchema: Option[StructType] = None)
     extends InMemoryFileIndex(spark,
       snap.files.map(f => new Path(table, f)),
       Map.empty[String, String], None) {
@@ -326,7 +328,15 @@ private[sources] class TxFileIndex(spark: SparkSession, table: String,
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val keep = TxSql.candidateNames(snap, dataFilters, tableSchema)
+    // on a column-mapped table the filters carry PHYSICAL names (the
+    // scan wrapper translated them for the parquet reader) while the
+    // manifest's stats/value sets/bloom column are keyed LOGICAL —
+    // map the predicate names back before consulting the manifest
+    val (ranges0, valueEq0) = TxSql.toManifestPredicates(dataFilters)
+    val keep = TxSql.candidateNamesPruned(snap,
+      ranges0.map { case (n, lo, hi) => (nameToLogical(n), lo, hi) },
+      valueEq0.map { case (n, v) => (nameToLogical(n), v) },
+      logicalSchema.getOrElse(tableSchema))
     lastCandidates = Some(keep)
     super.listFiles(partitionFilters, dataFilters).map { pd =>
       PartitionDirectory(pd.values,
@@ -354,10 +364,14 @@ private[sources] class TxSparkTable(spark: SparkSession, path: String,
   private val partCols: Seq[String] = TxTable.declaredPartitions(spark, path)
 
   override def partitioning()
-      : Array[org.apache.spark.sql.connector.expressions.Transform] =
-    partCols.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
-      .toArray
+      : Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    partCols.map(e => TxTable.PartTransform.parse(e) match {
+      case TxTable.PartIdentity(c) => Expressions.identity(c)
+      case TxTable.PartDays(c) => Expressions.days(c)
+      case TxTable.PartMonths(c) => Expressions.months(c)
+    }).toArray
+  }
   // Infer from ONE file, not the whole snapshot: footer reads are
   // driver-side HEAD calls on an object store, and manifest commits
   // guarantee a uniform schema per snapshot (schema evolution rewrites
@@ -369,21 +383,50 @@ private[sources] class TxSparkTable(spark: SparkSession, path: String,
   // that's `ALTER TABLE ADD COLUMN` before any write populated it —
   // parquet's name-based resolution fills null for files that
   // predate the column.
+  /** Column mapping at the pinned snapshot's version: Some = logical
+    * names differ from the files' physical names, and the scan /
+    * write paths translate at the boundary (see [[MappedScanBuilder]]
+    * and [[ColumnMapping]]). None for the overwhelming common case. */
+  private val mapping: Option[ColumnMapping.Mapping] =
+    TxTable.mappingAt(spark, path, Some(snap.version))
+
+  private val rawFooter: StructType = snap.files.headOption match {
+    case Some(f) => spark.read.parquet(new Path(path, f).toString).schema
+    case None => new StructType()
+  }
+
   private val dataSchema: StructType = {
-    val fromFiles = snap.files.headOption match {
-      case Some(f) =>
-        spark.read.parquet(new Path(path, f).toString).schema
-      case None =>
+    val fromFiles =
+      if (snap.files.isEmpty)
         TxTable.declaredSchema(spark, path).getOrElse(new StructType())
-    }
+      else mapping.fold(rawFooter)(_.logicalize(rawFooter)) // LOGICAL
+    // the declared-schema sidecar is unversioned (it tracks the HEAD's
+    // names), so on a TIME-TRAVELED snapshot a renamed column's new
+    // name must not masquerade as a declared-but-unwritten ADD — a
+    // declared name whose head-mapping physical is already in the
+    // footer is a rename view, not an extra
+    val headM = TxTable.mappingAt(spark, path)
     val extra = TxTable.declaredSchema(spark, path)
-      .map(_.fields.filterNot(d => fromFiles.fieldNames.contains(d.name)))
+      .map(_.fields.filterNot(d =>
+        fromFiles.fieldNames.contains(d.name) ||
+          headM.exists(_.physByLogical.get(d.name)
+            .exists(rawFooter.fieldNames.contains))))
       .getOrElse(Array.empty)
     StructType(fromFiles.fields ++ extra)
   }
 
-  /** Exposed for specs: the index whose prune decisions back scans. */
-  private[sources] val index = new TxFileIndex(spark, path, snap, dataSchema)
+  /** `dataSchema` under the files' PHYSICAL names — what the parquet
+    * reader must be handed on a mapped table. */
+  private val physSchema: StructType =
+    mapping.fold(dataSchema)(_.physicalize(dataSchema))
+
+  /** Exposed for specs: the index whose prune decisions back scans.
+    * Filters reach it in physical form on mapped tables; the
+    * manifest is keyed logical — hence the name translation. */
+  private[sources] val index = new TxFileIndex(spark, path, snap, physSchema,
+    nameToLogical =
+      n => mapping.flatMap(_.logicalOf(n)).getOrElse(n),
+    logicalSchema = Some(dataSchema))
 
   override def name(): String = tableName
   override def schema(): StructType = dataSchema
@@ -399,16 +442,38 @@ private[sources] class TxSparkTable(spark: SparkSession, path: String,
     else base).asJava
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    ParquetScanBuilder(spark, index, dataSchema, dataSchema, options)
+    mapping match {
+      case None =>
+        ParquetScanBuilder(spark, index, dataSchema, dataSchema, options)
+      case Some(m) => new MappedScanBuilder(
+        ParquetScanBuilder(spark, index, physSchema, physSchema, options),
+        m.physByLogical, m.logicalByPhys)
+    }
 
   /** SQL `UPDATE` / `MERGE INTO` → group-based copy-on-write
     * ReplaceData (see [[TxRowLevelOperation]]): the op scans through
     * the SAME pinned manifest index and writes the replacement
-    * content as staged parquet + one atomic manifest commit. */
+    * content as staged parquet + one atomic manifest commit.
+    * Refused on a column-mapped table: the row-level machinery scans
+    * and rewrites whole file groups under file-true names, and a
+    * silent logical/physical mix-up would corrupt the rewrite — the
+    * API verbs (updateWhere / merge) are mapping-aware. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    new TxRowLevelOperationBuilder(spark, path, snap, dataSchema, info)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    // The refusal must NOT fire here: Spark's RewriteDeleteFromTable
+    // builds the row-level plan for every DELETE at ANALYSIS time and
+    // only the optimizer swaps expressible ones back to the
+    // SupportsDelete metadata path (which is mapping-aware). The
+    // operation itself refuses at scan-build time — reached only when
+    // a row-level plan would actually EXECUTE against the files.
+    new TxRowLevelOperationBuilder(spark, path, snap, dataSchema, info,
+      refuseReason = mapping.map(_ =>
+        s"txtable: SQL UPDATE/MERGE/row-level DELETE on column-mapped " +
+          s"table $tableName is not supported yet (a column was renamed " +
+          "or dropped) — use TxTable.updateWhere / TxTable.merge / " +
+          "a WHERE clause expressible as a metadata delete"))
+  }
 
   /** `DELETE FROM t WHERE ...` → [[TxTable.deleteWhereExpr]]: the
     * exact predicate is the filters' Column translation, the manifest
@@ -474,16 +539,19 @@ private[sources] class TxSparkTable(spark: SparkSession, path: String,
           override def requiredDistribution()
               : org.apache.spark.sql.connector.distributions.Distribution =
             org.apache.spark.sql.connector.distributions.Distributions
-              .clustered(partCols.map(c =>
-                org.apache.spark.sql.connector.expressions.Expressions
-                  .identity(c): org.apache.spark.sql.connector
-                  .expressions.Expression).toArray)
+              .clustered(partitioning().map(t =>
+                t: org.apache.spark.sql.connector
+                  .expressions.Expression))
           override def requiredOrdering()
               : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
             Array.empty
           override def toBatch
               : org.apache.spark.sql.connector.write.BatchWrite =
-            new TxDynPartBatchWrite(path, info.schema(), partCols)
+            // the factory writes rows positionally; on a mapped table
+            // the field NAMES must be the files' physical ones
+            new TxDynPartBatchWrite(path,
+              mapping.fold(info.schema())(_.physicalize(info.schema())),
+              partCols)
         } else new V1Write {
           override def toInsertableRelation: InsertableRelation =
             new InsertableRelation {
@@ -506,7 +574,9 @@ private[sources] class TxSparkTable(spark: SparkSession, path: String,
               .write.streaming.StreamingWrite = {
             require(!replace,
               "txtable streaming sink supports append output mode only")
-            new TxStreamingWrite(path, info.schema(), info.queryId())
+            new TxStreamingWrite(path,
+              mapping.fold(info.schema())(_.physicalize(info.schema())),
+              info.queryId())
           }
         }
     }
@@ -564,9 +634,25 @@ class TxDataSource extends TableProvider with DataSourceRegister {
   * design — DDL/DML route through the TxTable verbs whose commit
   * protocol carries the transactional guarantees. */
 class TxTableCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = _
   private var root: String = _
+
+  /** The partition-transform functions (`days`, `months`) the V2
+    * write planner resolves when a table's required distribution
+    * clusters on a transform — see [[TxPartitionFunctions]]. */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    TxPartitionFunctions.lookup(ident.name()).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident))
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      Array(Identifier.of(Array.empty, "days"),
+        Identifier.of(Array.empty, "months"))
+    else Array.empty
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -640,20 +726,33 @@ class TxTableCatalog extends TableCatalog
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val partition: Seq[String] = {
-      // identity transforms on distinct top-level declared columns
-      // (matched through the public Transform API — the case classes
-      // are private[sql]); any other transform refuses loudly
-      val cols = partitions.toSeq.map {
-        case t if t.name == "identity" &&
-            t.references.length == 1 &&
-            t.references()(0).fieldNames().length == 1 &&
-            schema.fieldNames.contains(
-              t.references()(0).fieldNames()(0)) =>
-          t.references()(0).fieldNames()(0)
-        case other => throw new UnsupportedOperationException(
-          s"txtable: unsupported partitioning $other — only " +
-            "PARTITIONED BY (<declared columns>) is supported " +
-            "(manifest value-set pruning, not hive directories)")
+      // identity / days / months transforms on distinct top-level
+      // declared columns (matched through the public Transform API —
+      // the case classes are private[sql]); days/months require a
+      // DATE or TIMESTAMP column (the derivation is calendar math);
+      // any other transform refuses loudly
+      def refOf(t: Transform): Option[String] =
+        if (t.references.length == 1 &&
+          t.references()(0).fieldNames().length == 1 &&
+          schema.fieldNames.contains(t.references()(0).fieldNames()(0)))
+          Some(t.references()(0).fieldNames()(0))
+        else None
+      def temporal(c: String): Boolean =
+        schema.find(_.name == c).exists(f =>
+          f.dataType == org.apache.spark.sql.types.DateType ||
+            f.dataType == org.apache.spark.sql.types.TimestampType ||
+            f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+      val cols = partitions.toSeq.map { t =>
+        (t.name, refOf(t)) match {
+          case ("identity", Some(c)) => c
+          case ("days", Some(c)) if temporal(c) => s"days($c)"
+          case ("months", Some(c)) if temporal(c) => s"months($c)"
+          case _ => throw new UnsupportedOperationException(
+            s"txtable: unsupported partitioning $t — " +
+              "PARTITIONED BY (<declared columns>), days(<date/ts>) " +
+              "and months(<date/ts>) are supported (manifest " +
+              "value-set pruning, not hive directories)")
+        }
       }
       require(cols.distinct == cols,
         s"txtable: duplicate partition columns: ${cols.mkString(", ")}")
@@ -703,32 +802,57 @@ class TxTableCatalog extends TableCatalog
       TxProcedures.names.map(Identifier.of(Array("system"), _)).toArray
     else Array.empty
 
-  /** `ALTER TABLE ADD COLUMN(S)` — the one ALTER with clean name-based
-    * semantics here: the declared schema gains the columns (data files
-    * untouched; old rows read null, the next write may populate).
-    * Top-level, nullable columns only. Every other change (drop /
-    * rename / retype) refuses: name-based parquet resolution cannot
-    * express them without a column-mapping layer, and silently
-    * accepting would corrupt reads. */
+  /** `ALTER TABLE ADD / RENAME / DROP COLUMN` — all three are
+    * METADATA-ONLY at any table size:
+    *
+    *   - ADD: the declared schema gains the column (data files
+    *     untouched; old rows read null, the next write may populate).
+    *     Top-level, nullable only. If the name collides with a
+    *     physical name the column mapping has RESERVED (a dropped
+    *     column's, or a renamed column's original), the add first
+    *     remaps it to a fresh physical name so dropped data never
+    *     resurfaces.
+    *   - RENAME / DROP: one [[TxTable.renameColumn]] /
+    *     [[TxTable.dropColumn]] alter commit each — Delta-style
+    *     logical↔physical indirection; old files keep reading, index
+    *     metadata is rekeyed so pruning survives, and time travel
+    *     below the alter serves the old names.
+    *
+    * Retype still refuses (a type change under name-based parquet
+    * resolution silently corrupts reads). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
     val table = loadTable(ident) // existence check + current schema
-    val adds = changes.map {
+    var evolved = table.schema()
+    changes.foreach {
       case a: TableChange.AddColumn
-        if a.fieldNames().length == 1 && a.isNullable => a
+          if a.fieldNames().length == 1 && a.isNullable =>
+        val name = a.fieldNames()(0)
+        if (evolved.fieldNames.contains(name))
+          throw new IllegalArgumentException(
+            s"txtable: column already exists: $name")
+        if (TxTable.mappingAt(spark, dir).exists(_.reservedPhys(name)))
+          TxTable.remapNewColumn(spark, dir, name)
+        evolved = org.apache.spark.sql.types.StructType(evolved.fields :+
+          org.apache.spark.sql.types.StructField(
+            name, a.dataType(), nullable = true))
+        TxTable.declareSchema(spark, dir, evolved)
+      case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
+        val from = r.fieldNames()(0)
+        TxTable.renameColumn(spark, dir, from, r.newName())
+        evolved = org.apache.spark.sql.types.StructType(evolved.fields.map(
+          f => if (f.name == from) f.copy(name = r.newName()) else f))
+      case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
+        val name = d.fieldNames()(0)
+        TxTable.dropColumn(spark, dir, name)
+        evolved = org.apache.spark.sql.types.StructType(
+          evolved.fields.filterNot(_.name == name))
       case other => throw new UnsupportedOperationException(
-        s"txtable: unsupported ALTER $other — only ADD COLUMN of a " +
-          "top-level nullable column is supported (schema otherwise " +
-          "evolves through writes; parquet mergeSchema carries it)")
+        s"txtable: unsupported ALTER $other — ADD COLUMN (top-level " +
+          "nullable), RENAME COLUMN and DROP COLUMN are supported; " +
+          "retype is not (name-based parquet resolution cannot " +
+          "express it without corrupting reads)")
     }
-    val cur = table.schema()
-    val dup = adds.map(_.fieldNames()(0)).filter(cur.fieldNames.contains)
-    if (dup.nonEmpty) throw new IllegalArgumentException(
-      s"txtable: column(s) already exist: ${dup.mkString(", ")}")
-    val evolved = org.apache.spark.sql.types.StructType(cur.fields ++
-      adds.map(a => org.apache.spark.sql.types.StructField(
-        a.fieldNames()(0), a.dataType(), nullable = true)))
-    TxTable.declareSchema(spark, dir, evolved)
     loadTable(ident)
   }
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =

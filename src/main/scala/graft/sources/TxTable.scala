@@ -132,14 +132,31 @@ object TxTable {
     * hook) — same validated-lower-bound trust model as the automatic
     * every-N-commits write. */
   private[graft] def writeCheckpointAt(spark: SparkSession, table: String,
-      version: Long): Unit =
-    writeCheckpoint(fs(spark, logDir(table)), table, version)
+      version: Long): Unit = {
+    val f = fs(spark, logDir(table))
+    val state =
+      try {
+        val mp = manifestPath(table, version)
+        if (f.exists(mp)) Some(new String(readFully(f, mp), "UTF-8"))
+        else None
+      } catch { case _: Exception => None }
+    writeCheckpoint(f, table, version, state)
+  }
 
   private[graft] def writeCheckpoint(f: FileSystem, table: String,
-      v: Long): Unit =
+      v: Long, state: Option[String] = None): Unit =
     try {
       val out = f.create(checkpointPath(table), /* overwrite = */ true)
-      try out.write(s"""{"version":$v}""".getBytes("UTF-8"))
+      // `state` embeds the version's WHOLE manifest body (manifests
+      // are self-contained here, so this is Iceberg's snapshot-state
+      // checkpoint for free): a cold reader can serve the table with
+      // zero manifest reads, and even after the manifests themselves
+      // are gone (aggressive cleanup) the checkpoint still answers
+      val body = state match {
+        case Some(m) => s"""{"version":$v,"state":$m}"""
+        case None => s"""{"version":$v}"""
+      }
+      try out.write(body.getBytes("UTF-8"))
       finally out.close()
     } catch { case _: Exception => () }
 
@@ -149,6 +166,30 @@ object TxTable {
       if (!f.exists(p)) None
       else graft.Json.parseObject(new String(readFully(f, p), "UTF-8"))
         .get("version").collect { case l: Long => l }
+    } catch { case _: Exception => None }
+
+  /** The checkpoint's embedded snapshot state, if any — (version,
+    * manifest-body). Same trust model as every floor: parse failures
+    * read as absent, never as wrong results. */
+  private[graft] def readCheckpointState(f: FileSystem,
+      table: String): Option[(Long, String)] =
+    try {
+      val p = checkpointPath(table)
+      if (!f.exists(p)) None
+      else {
+        val root = graft.Json.parseObject(
+          new String(readFully(f, p), "UTF-8"))
+        for {
+          v <- root.get("version").collect { case l: Long => l }
+          st <- root.get("state").collect { case m: Map[_, _] => m }
+        } yield {
+          // re-render the nested object? No — keep the RAW substring:
+          // cheaper and bit-faithful. Re-extract from the raw text.
+          val raw = new String(readFully(f, p), "UTF-8")
+          val i = raw.indexOf("\"state\":")
+          (v, raw.substring(i + 8, raw.length - 1))
+        }
+      }
     } catch { case _: Exception => None }
 
   /** The committed head version in O(commit-lag-since-floor) exists
@@ -181,7 +222,21 @@ object TxTable {
     val ld = logDir(table)
     val f = fs(spark, ld)
     if (!f.exists(ld)) return None
-    val head = resolveHead(f, table).getOrElse(return None)
+    val head = resolveHead(f, table) match {
+      case Some(h) => h
+      case None =>
+        // no resolvable manifest anywhere: the checkpoint STATE (the
+        // Iceberg-style snapshot embedded in _last_checkpoint) is the
+        // last word — a cold reader after aggressive log cleanup
+        // serves it without any manifest walk. Torn/corrupt state
+        // parses to None (never wrong results, only a missing table).
+        return readCheckpointState(f, table) match {
+          case Some((v0, stateBody)) if asOf.forall(_ >= v0) =>
+            try Some(parseManifest(table, v0, stateBody))
+            catch { case _: Exception => None }
+          case _ => None
+        }
+    }
     val v = asOf match {
       case None => head
       case Some(a) if a >= head => head
@@ -196,6 +251,13 @@ object TxTable {
     }
     val body = new String(
       readFully(f, new Path(ld, s"v$v.json")), "UTF-8")
+    Some(parseManifest(table, v, body))
+  }
+
+  /** Parse one manifest body into a [[Snapshot]] — shared by the
+    * normal read path and the checkpoint-state fallback. */
+  private def parseManifest(table: String, v: Long,
+      body: String): Snapshot = {
     // commit body: {"version":N,"files":[...],"txns":{...},
     //   "statscol":"c","stats":[{"path":..,"min":..,"max":..}],
     //   "mstats":[{"path":..,"cols":{c:[mn,mx],..},"vals":{c:[..],..}}]}
@@ -284,8 +346,8 @@ object TxTable {
       case _ => Nil
     }
     val ts = root.get("ts").collect { case l: Long => l }.getOrElse(0L)
-    Some(Snapshot(v, files, txns, statsCol, stats, mstats, fvals,
-      bloomCol, blooms, op, changes, ts))
+    Snapshot(v, files, txns, statsCol, stats, mstats, fvals,
+      bloomCol, blooms, op, changes, ts)
   }
 
   /** Lightweight manifest peek for the WALK paths (timestamp
@@ -380,8 +442,12 @@ object TxTable {
         s"no committed version${asOf.fold("")(v => s" <= $v")} at $table"))
     if (snap.files.isEmpty)
       throw new IllegalArgumentException(s"version ${snap.version} is empty")
-    spark.read.option("mergeSchema", mergeSchema.toString)
-      .parquet(snap.files.map(new Path(table, _).toString): _*)
+    // files speak physical names; the MAPPING AT THE READ VERSION
+    // translates — so time travel below a rename serves the old names
+    toLogicalFrame(
+      spark.read.option("mergeSchema", mergeSchema.toString)
+        .parquet(snap.files.map(new Path(table, _).toString): _*),
+      mappingAt(spark, table, Some(snap.version)))
   }
 
   /** Write `df`'s rows as new immutable files for `version`; returns
@@ -393,12 +459,15 @@ object TxTable {
     * files. The loser's orphaned files stay in data/ unreferenced by
     * any commit (vacuum of unreferenced files is the documented
     * production-hardening gap). */
-  private def writeFiles(df: DataFrame, table: String,
+  private[graft] def writeFiles(df: DataFrame, table: String,
       version: Long): Seq[String] = {
     val spark = df.sparkSession
+    // the df→file boundary: every writer hands in a LOGICAL frame;
+    // files always store PHYSICAL names (ColumnMapping invariant)
+    val dfP = mappingAt(spark, table).fold(df)(_.toPhysical(df))
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(table, s"_tmp_v$version-$tag")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    dfP.write.mode("overwrite").parquet(tmp.toString)
     val f = fs(spark, tmp)
     val dd = dataDir(table)
     f.mkdirs(dd)
@@ -454,9 +523,13 @@ object TxTable {
   private[sources] def writeChangeFiles(df: DataFrame, table: String,
       version: Long): Seq[String] = {
     val spark = df.sparkSession
+    // change files store physical names like data files (the meta
+    // _change_type column passes through identity); changeFeed maps
+    // them back to logical at read time
+    val dfP = mappingAt(spark, table).fold(df)(_.toPhysical(df))
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(table, s"_tmp_c$version-$tag")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    dfP.write.mode("overwrite").parquet(tmp.toString)
     val f = fs(spark, tmp)
     val cd = changesDir(table)
     f.mkdirs(cd)
@@ -563,7 +636,7 @@ object TxTable {
         s"version $version already committed at $table")
     writeHint(f, table, version) // best-effort, after the real commit
     if (version % CheckpointInterval == 0)
-      writeCheckpoint(f, table, version) // best-effort durable floor
+      writeCheckpoint(f, table, version, Some(body)) // durable floor + state
   }
 
   /** CREATE TABLE with a declared schema and no rows yet: commit an
@@ -605,6 +678,179 @@ object TxTable {
     else Some(org.apache.spark.sql.types.StructType.fromDDL(
       new String(readFully(f, p), "UTF-8")))
   }
+
+  // ======== column mapping (see ColumnMapping.scala) ========
+
+  private def mappingMarkerPath(table: String) =
+    new Path(logDir(table), "_has_mapping")
+  private def mappingPath(table: String, v: Long) =
+    new Path(logDir(table), s"_mapping_v$v.json")
+  private val MappingName = "_mapping_v(\\d+)\\.json".r
+
+  /** A `_mapping_v{N}` sidecar is honored iff manifest N committed
+    * with op=alter_mapping (the sidecar lands BEFORE the commit, so a
+    * crashed alter leaves an inert orphan, not a live rename). Once N
+    * is vacuumed the sidecar is trusted — [[vacuum]] validates-or-
+    * deletes sidecars before dropping their manifests. */
+  private def mappingValid(spark: SparkSession, table: String,
+      v: Long): Boolean =
+    peekManifest(spark, table, v) match {
+      case Some(p) => p.op == "alter_mapping"
+      case None => true
+    }
+
+  /** The column mapping in force at version `asOf` (head when None):
+    * the newest valid sidecar at or below it. None = identity (the
+    * common case, short-circuited by one marker-existence check so
+    * unmapped tables pay no listing). */
+  private[graft] def mappingAt(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): Option[ColumnMapping.Mapping] = {
+    val ld = logDir(table)
+    val f = fs(spark, ld)
+    if (!f.exists(mappingMarkerPath(table))) return None
+    val target = asOf.getOrElse(Long.MaxValue)
+    f.listStatus(ld).toSeq.map(_.getPath.getName)
+      .collect { case MappingName(v) => v.toLong }
+      .filter(_ <= target).sorted.reverse.iterator
+      .filter(v => mappingValid(spark, table, v))
+      .map(v => ColumnMapping.fromJson(
+        new String(readFully(f, mappingPath(table, v)), "UTF-8")))
+      .nextOption().filter(_.entries.nonEmpty)
+  }
+
+  private def toLogicalFrame(df: DataFrame,
+      m: Option[ColumnMapping.Mapping]): DataFrame =
+    m.fold(df)(_.toLogical(df))
+
+  /** Current LOGICAL column names: one footer read mapped to logical,
+    * plus declared-but-unwritten columns. */
+  private def logicalColumns(spark: SparkSession, table: String,
+      cur: Snapshot, m: ColumnMapping.Mapping): Seq[String] = {
+    val fromFiles = cur.files.headOption.toSeq.flatMap(f =>
+      spark.read.parquet(new Path(table, f).toString)
+        .schema.fieldNames.toSeq.flatMap(m.logicalOf))
+    val declared = declaredSchema(spark, table)
+      .map(_.fieldNames.toSeq).getOrElse(Nil)
+    (fromFiles ++ declared.filterNot(fromFiles.contains)).distinct
+  }
+
+  /** Shared alter core: `build` returns the NEW mapping plus a rekey
+    * plan for the manifest's logical-keyed metadata (None = drop the
+    * key). The sidecar is staged first (inert until its manifest
+    * wins), the alter commits files-unchanged with REKEYED stats /
+    * value sets / index columns — so pruning SURVIVES a rename — and
+    * the declared schema / partition sidecars follow the rename. A
+    * lost commit race deletes the staged sidecar and rethrows. */
+  private def alterMapping(spark: SparkSession, table: String)(
+      build: (Snapshot, ColumnMapping.Mapping, Seq[String]) =>
+        (ColumnMapping.Mapping, Map[String, Option[String]])): Long = {
+    val cur = snapshot(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $table"))
+    val m0 = mappingAt(spark, table, Some(cur.version))
+      .getOrElse(ColumnMapping.Mapping(Nil))
+    val logicals = logicalColumns(spark, table, cur, m0)
+    val (m1, rekey) = build(cur, m0, logicals)
+    val next = cur.version + 1
+    val f = fs(spark, logDir(table))
+    f.create(mappingMarkerPath(table), true).close()
+    val out = f.create(mappingPath(table, next), true)
+    try out.write(ColumnMapping.toJson(m1).getBytes("UTF-8"))
+    finally out.close()
+    def rk(n: String): Option[String] = rekey.getOrElse(n, Some(n))
+    // value-set keys may be transform names ("days(ts)") — rekey the
+    // INNER column so a renamed partition column keeps pruning
+    def rkEntry(e: String): Option[String] = PartTransform.parse(e) match {
+      case PartIdentity(cn) => rk(cn)
+      case PartDays(cn) => rk(cn).map(n => s"days($n)")
+      case PartMonths(cn) => rk(cn).map(n => s"months($n)")
+    }
+    val ms2 = cur.multiStats.map { case (file, cols) =>
+      file -> cols.flatMap { case (k, v) => rk(k).map(_ -> v) } }
+    val fv2 = cur.fileValues.map { case (file, cols) =>
+      file -> cols.flatMap { case (k, v) => rkEntry(k).map(_ -> v) } }
+    val statsCol2 = cur.statsCol.flatMap(rk)
+    val bloomCol2 = cur.bloomCol.flatMap(rk)
+    try commit(spark, table, next, cur.files, cur.txns,
+      statsCol2, if (statsCol2.isDefined) cur.stats else Map.empty,
+      ms2, fv2,
+      bloomCol2, if (bloomCol2.isDefined) cur.blooms else Map.empty,
+      op = "alter_mapping")
+    catch { case e: Throwable =>
+      f.delete(mappingPath(table, next), false); throw e
+    }
+    declaredSchema(spark, table).foreach { sch =>
+      val fields = sch.fields.flatMap(fd => rk(fd.name).map(n =>
+        fd.copy(name = n)))
+      declareSchema(spark, table,
+        org.apache.spark.sql.types.StructType(fields))
+    }
+    val parts = declaredPartitions(spark, table)
+    if (parts.nonEmpty && parts.exists(p => !rkEntry(p).contains(p)))
+      declarePartitions(spark, table, parts.flatMap(rkEntry))
+    next
+  }
+
+  /** `ALTER TABLE RENAME COLUMN` — metadata-only: data files keep the
+    * original physical name at any size; the mapping, the manifest's
+    * logical-keyed index metadata, the declared schema and the
+    * partition declaration all move to the new name in one commit.
+    * Time travel below the alter version serves the OLD name. */
+  def renameColumn(spark: SparkSession, table: String, from: String,
+      to: String): Long =
+    alterMapping(spark, table) { (_, m0, logicals) =>
+      require(from != to, s"rename $from to itself")
+      require(logicals.contains(from),
+        s"no column '$from' at $table (columns: ${logicals.mkString(", ")})")
+      require(!logicals.contains(to),
+        s"column '$to' already exists at $table")
+      val p = m0.phys(from)
+      val kept = m0.entries.filterNot(e => !e.dropped && e.logical == from)
+      val entries =
+        if (p == to) kept // renamed back to its physical: identity again
+        else kept :+ ColumnMapping.Entry(to, p, dropped = false)
+      (ColumnMapping.Mapping(entries), Map(from -> Some(to)))
+    }
+
+  /** `ALTER TABLE DROP COLUMN` — metadata-only: the logical name
+    * disappears (reads project it away; old files keep the bytes
+    * until a rewrite), its index metadata drops, and the physical
+    * name stays RESERVED so a later ADD COLUMN of the same name maps
+    * to a fresh physical name instead of resurfacing dropped data.
+    * Partition columns refuse (the partition layout depends on the
+    * column). Time travel below the alter still serves it. */
+  def dropColumn(spark: SparkSession, table: String, name: String): Long =
+    alterMapping(spark, table) { (_, m0, logicals) =>
+      require(logicals.contains(name),
+        s"no column '$name' at $table (columns: ${logicals.mkString(", ")})")
+      require(logicals.size > 1,
+        s"refusing to drop the only column '$name' at $table")
+      require(!declaredPartitions(spark, table)
+          .map(PartTransform.parse(_).col).contains(name),
+        s"'$name' is a declared partition column at $table — " +
+          "repartition the table before dropping it")
+      val p = m0.phys(name)
+      val kept = m0.entries.filterNot(e => !e.dropped && e.logical == name)
+      (ColumnMapping.Mapping(
+        kept :+ ColumnMapping.Entry(name, p, dropped = true)),
+        Map(name -> None))
+    }
+
+  /** Reserve a fresh physical name for a NEW logical column whose
+    * name collides with a reserved physical (a dropped column's name,
+    * or a renamed column's original) — the ADD COLUMN companion:
+    * old files' bytes under that name stay invisible, the new
+    * column's data lives under `name__v{N}`. */
+  private[graft] def remapNewColumn(spark: SparkSession, table: String,
+      name: String): Long =
+    alterMapping(spark, table) { (cur, m0, logicals) =>
+      require(!logicals.contains(name),
+        s"column '$name' already exists at $table")
+      require(m0.reservedPhys(name),
+        s"'$name' is not reserved — plain ADD COLUMN suffices")
+      (ColumnMapping.Mapping(m0.entries :+ ColumnMapping.Entry(
+        name, s"${name}__v${cur.version + 1}", dropped = false)),
+        Map.empty)
+    }
 
   /** Overwrite: next version = exactly `df`. Returns the version.
     * Streaming txn markers carry forward (a replayed epoch must stay
@@ -659,8 +905,27 @@ object TxTable {
       cur.map(_.fileValues).getOrElse(Map.empty),
       cur.flatMap(_.bloomCol), cur.map(_.blooms).getOrElse(Map.empty),
       op = "append")
+    widenDeclared(spark, table, df)
     next
   }
+
+  /** Write-time schema evolution for DECLARED tables (Delta's
+    * `autoMerge` shape): a write whose frame carries columns the
+    * declared schema lacks widens the declaration as part of the
+    * operation, so the SQL surface serves the new column immediately
+    * (old rows null via parquet's name-based resolution — the same
+    * footer∪declared machinery as ALTER ADD COLUMN). Tables without
+    * a declaration are untouched: the files already carry the new
+    * column, surfaced by `mergeSchema` reads exactly as before. */
+  private def widenDeclared(spark: SparkSession, table: String,
+      df: DataFrame): Unit =
+    declaredSchema(spark, table).foreach { sch =>
+      val extra = df.schema.fields
+        .filterNot(f => sch.fieldNames.contains(f.name))
+      if (extra.nonEmpty) declareSchema(spark, table,
+        org.apache.spark.sql.types.StructType(
+          sch.fields ++ extra.map(_.copy(nullable = true))))
+    }
 
   /** MERGE (upsert) by key, copy-on-write: rows of `updates` replace
     * current rows with the same key, everything else carries over,
@@ -676,9 +941,13 @@ object TxTable {
     val merged = cur match {
       case None => updates
       case Some(_) =>
+        // allowMissingColumns: an updates frame carrying a NEW column
+        // widens the table in the same commit (autoMerge's MERGE
+        // shape) — carried rows read null for it; the declaration
+        // widens below so SQL serves it immediately
         read(spark, table)
           .join(updates.select(key).distinct(), Seq(key), "left_anti")
-          .unionByName(updates)
+          .unionByName(updates, allowMissingColumns = true)
     }
     // change feed (opt-in): keys present in both sides pair as
     // update_preimage (current rows) / update_postimage (update
@@ -697,15 +966,18 @@ object TxTable {
             current.join(keys, Seq(key), "left_semi")
               .withColumn(ChangeTypeCol, lit("update_preimage"))
               .unionByName(updates.join(curKeys, Seq(key), "left_semi")
-                .withColumn(ChangeTypeCol, lit("update_postimage")))
+                .withColumn(ChangeTypeCol, lit("update_postimage")),
+                allowMissingColumns = true)
               .unionByName(updates.join(curKeys, Seq(key), "left_anti")
-                .withColumn(ChangeTypeCol, lit("insert")))
+                .withColumn(ChangeTypeCol, lit("insert")),
+                allowMissingColumns = true)
         }
         writeChangeFiles(delta, table, next)
       }
     val files = writeFiles(merged, table, next)
     commit(spark, table, next, files, cur.map(_.txns).getOrElse(Map.empty),
       op = "merge", changes = changeFiles)
+    widenDeclared(spark, table, updates)
     next
   }
 
@@ -730,7 +1002,9 @@ object TxTable {
       return (spark.emptyDataFrame, head.version)
     val added = addedBetween(spark, table, sinceVersion, head)
     if (added.isEmpty) (spark.emptyDataFrame, head.version)
-    else (spark.read.parquet(added.map(new Path(table, _).toString): _*),
+    else (toLogicalFrame(
+      spark.read.parquet(added.map(new Path(table, _).toString): _*),
+      mappingAt(spark, table, Some(head.version))),
       head.version)
   }
 
@@ -790,9 +1064,14 @@ object TxTable {
     val toV = to.map(math.min(_, head.version)).getOrElse(head.version)
     require(from >= 0 && from <= toV,
       s"change feed range ($from, $toV] is empty or negative at $table")
+    // one mapping for the whole range (the consumer's view is the TO
+    // version's logical names — uniform across slices, so a feed
+    // spanning a rename unions cleanly under the new names)
+    val m = mappingAt(spark, table, Some(toV))
     val frames = changeSlices(spark, table, from, toV).map {
       case ChangeSlice(v, kind, files) =>
-        val df = spark.read.parquet(files.map(new Path(table, _).toString): _*)
+        val df = toLogicalFrame(
+          spark.read.parquet(files.map(new Path(table, _).toString): _*), m)
         (if (kind == "recorded") df
          else df.withColumn(ChangeTypeCol, lit(kind)))
           .withColumn(CommitVersionCol, lit(v))
@@ -1010,8 +1289,9 @@ object TxTable {
       spark.sessionState.conf.numShufflePartitions)
     val files = writeFiles(df.repartitionByRange(nParts, c(col)), table, next)
     val byName = files.map(f => f.split('/').last -> f).toMap
-    val stats = spark.read
-      .parquet(files.map(new Path(table, _).toString): _*)
+    val stats = toLogicalFrame(
+      spark.read.parquet(files.map(new Path(table, _).toString): _*),
+      mappingAt(spark, table))
       .groupBy(input_file_name().as("__f"))
       .agg(fmin(c(col)).as("__mn"), fmax(c(col)).as("__mx"))
       .collect()
@@ -1050,7 +1330,9 @@ object TxTable {
     if (keep.isEmpty)
       return read(spark, table, asOf).filter(c(col) >= lo && c(col) <= hi)
         .filter(org.apache.spark.sql.functions.lit(false))
-    spark.read.parquet(keep.map(new Path(table, _).toString): _*)
+    toLogicalFrame(
+      spark.read.parquet(keep.map(new Path(table, _).toString): _*),
+      mappingAt(spark, table, Some(snap.version)))
       .filter(c(col) >= lo && c(col) <= hi)
   }
 
@@ -1085,8 +1367,9 @@ object TxTable {
         fmax(c(s)).cast("double").as(s"__mx_$s"))) ++
       valueCols.map(v =>
         collect_set(c(v).cast("string")).as(s"__vs_$v"))
-    val rows = spark.read
-      .parquet(files.map(new Path(table, _).toString): _*)
+    val rows = toLogicalFrame(
+      spark.read.parquet(files.map(new Path(table, _).toString): _*),
+      mappingAt(spark, table))
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -1147,17 +1430,19 @@ object TxTable {
     * string forms. */
   def overwritePartitionsMulti(df: DataFrame, table: String,
       partCols: Seq[String], maxPartitions: Int = 10000): Long = {
-    import org.apache.spark.sql.functions.{col => c}
     val spark = df.sparkSession
+    val transforms = partCols.map(PartTransform.parse)
     require(!df.isStreaming, "overwritePartitions takes a batch frame")
     require(partCols.nonEmpty && partCols.distinct == partCols,
       s"invalid partition columns: ${partCols.mkString(", ")}")
     val nParts = math.max(2, spark.sessionState.conf.numShufflePartitions)
-    // cluster on the partition columns so each new file is tight in
-    // them (value sets recorded below make the NEXT overwrite prune)
+    // cluster on the partition transforms so each new file is tight
+    // in them (value sets recorded below make the NEXT overwrite
+    // prune) — a days(ts) table clusters whole days per file
     val next0 = snapshot(spark, table).map(_.version + 1).getOrElse(1L)
     val fresh = writeFiles(
-      df.repartitionByRange(nParts, partCols.map(c): _*), table, next0)
+      df.repartitionByRange(nParts, transforms.map(_.expr): _*),
+      table, next0)
     dynamicOverwriteCommit(spark, table, fresh, partCols, maxPartitions)
   }
 
@@ -1173,49 +1458,83 @@ object TxTable {
     * staged files stay unreferenced, like every other path. */
   private[sources] def dynamicOverwriteCommit(spark: SparkSession,
       table: String, fresh: Seq[String], partCols: Seq[String],
-      maxPartitions: Int = 10000): Long = {
-    import org.apache.spark.sql.functions.{broadcast, col => c, lit}
+      maxPartitions: Int = 10000,
+      extraTuples: Seq[Seq[String]] = Nil,
+      addTxns: Map[String, Long] = Map.empty,
+      requireTxn: Option[(String, Long)] = None): Long = {
+    import org.apache.spark.sql.functions.{broadcast, lit}
+    // entries may be transforms ("days(ts)"): the partition VALUE is
+    // the transform's derived canonical string, the manifest key is
+    // the transform's name — identity columns behave exactly as before
+    val transforms = partCols.map(PartTransform.parse)
     val cur = snapshot(spark, table)
     val next = cur.map(_.version + 1).getOrElse(1L)
+    // optimistic-marker guard (the partial-IVM discipline): the
+    // caller computed its replacement against a consumption marker;
+    // if another maintainer advanced it since, committing would
+    // double-apply — conflict out so the caller rebases
+    requireTxn.foreach { case (app, expected) =>
+      val got = cur.flatMap(_.txns.get(app)).getOrElse(0L)
+      if (got != expected) throw new TxConflictException(
+        s"marker $app moved ($expected -> $got) at $table: rebase")
+    }
     // empty replacement = replace NOTHING (Spark's dynamic
     // partitionOverwriteMode and Delta's replaceWhere both no-op) —
     // an idempotent backfill re-run against an empty upstream day
     // must succeed, not abort. The staged zero-row files (if any)
-    // stay unreferenced like any losing writer's.
-    if (fresh.isEmpty) return cur.map(_.version).getOrElse(0L)
-    val freshDf = () =>
-      spark.read.parquet(fresh.map(new Path(table, _).toString): _*)
-    // canonical string form per column — the fileValues language
-    val keyCols = partCols.map(p => c(p).cast("string").as(s"__$p"))
-    val incoming: Seq[Seq[String]] = freshDf()
-      .select(keyCols: _*).distinct()
-      .collect().map { r =>
-        partCols.indices.map { i =>
-          val v = r.getString(i)
-          require(v != null,
-            s"null ${partCols(i)} in the replacement frame: null is " +
-              "not a partition value")
-          v
-        }
-      }.toSeq
+    // stay unreferenced like any losing writer's. extraTuples
+    // (explicitly-named partitions to replace even with no incoming
+    // rows — the emptied-group delete of partial IVM) keep the
+    // commit alive without fresh files.
+    if (fresh.isEmpty && extraTuples.isEmpty)
+      return cur.map(_.version).getOrElse(0L)
+    // fresh files came through writeFiles / the physicalized V2
+    // factory, so they store physical names; partCols are logical —
+    // serve both frames logical
+    val dynMapping = mappingAt(spark, table)
+    val freshDf = () => toLogicalFrame(
+      spark.read.parquet(fresh.map(new Path(table, _).toString): _*),
+      dynMapping)
+    // canonical string form per transform — the fileValues language.
+    // Join/struct field names are index-keyed (__k0, __k1) so
+    // transform names with parentheses never meet the column parser.
+    val keyCols = transforms.zipWithIndex.map { case (t, i) =>
+      t.expr.as(s"__k$i") }
+    val derived: Seq[Seq[String]] =
+      if (fresh.isEmpty) Nil
+      else freshDf()
+        .select(keyCols: _*).distinct()
+        .collect().map { r =>
+          transforms.indices.map { i =>
+            val v = r.getString(i)
+            require(v != null,
+              s"null ${transforms(i).name} in the replacement frame: " +
+                "null is not a partition value")
+            v
+          }
+        }.toSeq
+    extraTuples.foreach(t => require(
+      t.length == transforms.length && t.forall(_ != null),
+      s"malformed extra partition tuple: $t"))
+    val incoming = (derived ++ extraTuples).distinct
     if (incoming.isEmpty) return cur.map(_.version).getOrElse(0L)
     require(incoming.size <= maxPartitions,
       s"${incoming.size} incoming partitions exceeds maxPartitions=" +
         s"$maxPartitions — a key this wide is not a partition key")
-    // per-column incoming value sets — the conjunctive prune language
+    // per-transform incoming value sets — the conjunctive prune language
     val incomingByCol: Seq[Set[String]] =
-      partCols.indices.map(i => incoming.map(_(i)).toSet)
+      transforms.indices.map(i => incoming.map(_(i)).toSet)
     val statCols = cur.map(_.multiStats.values.flatMap(_.keys).toSeq
       .distinct.sorted).getOrElse(Nil)
     val valueCols = (cur.map(_.fileValues.values.flatMap(_.keys).toSeq)
-      .getOrElse(Nil) ++ partCols).distinct.sorted
-    // a file provably holds NO incoming tuple when SOME column's
-    // recorded value set misses EVERY tuple's value for that column;
+      .getOrElse(Nil) ++ transforms.map(_.name)).distinct.sorted
+    // a file provably holds NO incoming tuple when SOME transform's
+    // recorded value set misses EVERY tuple's value for that key;
     // tuple-level precision would need per-file tuple sets — the
-    // per-column test is conservative (more rewrite, never wrong)
+    // per-key test is conservative (more rewrite, never wrong)
     val touched = cur.map(_.files.filter { f =>
-      !partCols.indices.exists { i =>
-        cur.get.fileValues.get(f).flatMap(_.get(partCols(i))) match {
+      !transforms.indices.exists { i =>
+        cur.get.fileValues.get(f).flatMap(_.get(transforms(i).name)) match {
           case Some(vs) => !vs.exists(incomingByCol(i))
           case None => false // no metadata → cannot exclude
         }
@@ -1230,17 +1549,19 @@ object TxTable {
     val tupleDf = broadcast(spark.createDataFrame(
       spark.sparkContext.parallelize(
         incoming.map(t => org.apache.spark.sql.Row.fromSeq(t)), 1),
-      org.apache.spark.sql.types.StructType(partCols.map(p =>
-        org.apache.spark.sql.types.StructField(s"__$p",
+      org.apache.spark.sql.types.StructType(transforms.indices.map(i =>
+        org.apache.spark.sql.types.StructField(s"__k$i",
           org.apache.spark.sql.types.StringType)))))
-    val joinKeys = partCols.map(p => s"__$p")
+    val joinKeys = transforms.indices.map(i => s"__k$i")
     def withKeys(df: DataFrame): DataFrame =
-      partCols.foldLeft(df)((acc, p) =>
-        acc.withColumn(s"__$p", c(p).cast("string")))
-    val touchedDf = () =>
-      spark.read.parquet(touched.map(new Path(table, _).toString): _*)
+      transforms.zipWithIndex.foldLeft(df) { case (acc, (t, i)) =>
+        acc.withColumn(s"__k$i", t.expr) }
+    val touchedDf = () => toLogicalFrame(
+      spark.read.parquet(touched.map(new Path(table, _).toString): _*),
+      dynMapping)
     val changeFiles: Seq[String] =
       if (!changeFeedEnabled(spark, table)) Nil
+      else if (fresh.isEmpty && touched.isEmpty) Nil
       else {
         val dels =
           if (touched.isEmpty) freshDf().limit(0)
@@ -1249,10 +1570,10 @@ object TxTable {
             .join(tupleDf, joinKeys, "left_semi")
             .drop(joinKeys: _*)
             .withColumn(ChangeTypeCol, lit("delete"))
-        writeChangeFiles(
-          dels.unionByName(
-            freshDf().withColumn(ChangeTypeCol, lit("insert"))),
-          table, next)
+        val ins =
+          if (fresh.isEmpty) dels.limit(0)
+          else freshDf().withColumn(ChangeTypeCol, lit("insert"))
+        writeChangeFiles(dels.unionByName(ins), table, next)
       }
     val remainder: Seq[String] =
       if (touched.isEmpty) Nil
@@ -1283,7 +1604,7 @@ object TxTable {
     val keptBlooms = cur.map(_.blooms.filter {
       case (f, _) => untouchedSet(f) }).getOrElse(Map.empty)
     commit(spark, table, next, untouched ++ remainder ++ fresh,
-      cur.map(_.txns).getOrElse(Map.empty),
+      cur.map(_.txns).getOrElse(Map.empty) ++ addTxns,
       cur.flatMap(_.statsCol).filter(_ => singleStats.nonEmpty),
       singleStats,
       multiStats = cur.map(_.multiStats.filter {
@@ -1307,14 +1628,16 @@ object TxTable {
 
   def appendPartitionedMulti(df: DataFrame, table: String,
       partCols: Seq[String]): Long = {
-    import org.apache.spark.sql.functions.{col => c}
     val spark = df.sparkSession
+    val transforms = partCols.map(PartTransform.parse)
     val cur = snapshot(spark, table)
     val next = cur.map(_.version + 1).getOrElse(1L)
     val nParts = math.max(2, spark.sessionState.conf.numShufflePartitions)
     val files = writeFiles(
-      df.repartitionByRange(nParts, partCols.map(c): _*), table, next)
-    val (_, fv) = recomputeMetadata(spark, table, files, Nil, partCols)
+      df.repartitionByRange(nParts, transforms.map(_.expr): _*),
+      table, next)
+    val (_, fv) = recomputeMetadata(spark, table, files, Nil,
+      transforms.map(_.name))
     commit(spark, table, next, cur.map(_.files).getOrElse(Nil) ++ files,
       cur.map(_.txns).getOrElse(Map.empty),
       cur.flatMap(_.statsCol), cur.map(_.stats).getOrElse(Map.empty),
@@ -1397,6 +1720,52 @@ object TxTable {
       .map(_.trim).filter(_.nonEmpty)
   }
 
+  /** A declared partition TRANSFORM (Iceberg's partition-spec shape
+    * reduced to the manifest value-set language): `name` keys the
+    * per-file value sets in the manifest, `col` is the source column,
+    * `expr` derives the canonical STRING partition value per row.
+    * Identity is the plain column; `days(ts)` / `months(ts)` derive
+    * calendar buckets from DATE/TIMESTAMP columns — the most common
+    * real table layout (a day's backfill replaces exactly that day's
+    * files, whatever the row-level timestamps). Values canonicalize
+    * through Spark's own casts (days → `yyyy-MM-dd`, months →
+    * truncated first-of-month date string), so pruning string-compares
+    * exactly what the writer recorded. */
+  sealed trait PartTransform {
+    def name: String
+    def col: String
+    def expr: org.apache.spark.sql.Column
+  }
+  final case class PartIdentity(col: String) extends PartTransform {
+    val name: String = col
+    def expr: org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.col(col).cast("string")
+  }
+  final case class PartDays(col: String) extends PartTransform {
+    val name: String = s"days($col)"
+    def expr: org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col(col)).cast("string")
+  }
+  final case class PartMonths(col: String) extends PartTransform {
+    val name: String = s"months($col)"
+    def expr: org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.date_trunc("month",
+        org.apache.spark.sql.functions.col(col))
+        .cast("date").cast("string")
+  }
+  object PartTransform {
+    private val Days = """days\(([^(),\s]+)\)""".r
+    private val Months = """months\(([^(),\s]+)\)""".r
+    /** Parse one `_partition` entry — `col`, `days(col)` or
+      * `months(col)`. */
+    def parse(entry: String): PartTransform = entry.trim match {
+      case Days(c) => PartDays(c)
+      case Months(c) => PartMonths(c)
+      case c => PartIdentity(c)
+    }
+  }
+
   /** Overwrite with a PER-FILE BLOOM FILTER over a high-cardinality
     * key in the manifest — the point-lookup complement of min/max
     * stats (Delta's bloom filter index reduced to its invariant).
@@ -1434,8 +1803,9 @@ object TxTable {
       files: Seq[String], col: String,
       fpp: Double = 0.01): Map[String, Array[Byte]] = {
     import org.apache.spark.sql.functions.{col => c, input_file_name}
-    val written = spark.read
-      .parquet(files.map(new Path(table, _).toString): _*)
+    val written = toLogicalFrame(
+      spark.read.parquet(files.map(new Path(table, _).toString): _*),
+      mappingAt(spark, table))
     val total = math.max(1000L, written.count())
     val perFile = math.max(1000L, 2L * total / files.size)
     val built = written
@@ -1493,7 +1863,9 @@ object TxTable {
     if (keep.isEmpty)
       read(spark, table, asOf).filter(lit(false))
     else
-      spark.read.parquet(keep.map(new Path(table, _).toString): _*)
+      toLogicalFrame(
+        spark.read.parquet(keep.map(new Path(table, _).toString): _*),
+        mappingAt(spark, table, Some(snap.version)))
         .filter(c(col).cast("string") === value)
   }
 
@@ -1509,7 +1881,9 @@ object TxTable {
     val keep = pruneFilesPoints(snap, col, values)
     val pred = c(col).cast("string").isin(values: _*)
     if (keep.isEmpty) read(spark, table, asOf).filter(lit(false))
-    else spark.read.parquet(keep.map(new Path(table, _).toString): _*)
+    else toLogicalFrame(
+      spark.read.parquet(keep.map(new Path(table, _).toString): _*),
+      mappingAt(spark, table, Some(snap.version)))
       .filter(pred)
   }
 
@@ -1579,9 +1953,12 @@ object TxTable {
     import org.apache.spark.sql.types.StringType
     if (valueEq.isEmpty || snap.fileValues.isEmpty || snap.files.isEmpty)
       return valueEq
-    val schema =
-      try spark.read.parquet(new Path(table, snap.files.head).toString).schema
-      catch { case _: Exception => return valueEq }
+    val schema = // footer names are physical; probes are logical
+      try {
+        val raw =
+          spark.read.parquet(new Path(table, snap.files.head).toString).schema
+        mappingAt(spark, table, Some(snap.version)).fold(raw)(_.logicalize(raw))
+      } catch { case _: Exception => return valueEq }
     valueEq.map { case (col, v) =>
       schema.find(_.name == col) match {
         case Some(f) if f.dataType != StringType =>
@@ -1621,7 +1998,9 @@ object TxTable {
     if (keep.isEmpty)
       exact(read(spark, table, asOf)).filter(lit(false))
     else
-      exact(spark.read.parquet(keep.map(new Path(table, _).toString): _*))
+      exact(toLogicalFrame(
+        spark.read.parquet(keep.map(new Path(table, _).toString): _*),
+        mappingAt(spark, table, Some(snap.version))))
   }
 
   /** The conjunctive predicate (ranges AND equalities) as a Column —
@@ -1675,9 +2054,14 @@ object TxTable {
       statCols.flatMap(s => Seq(
         fmin(c(s)).cast("double").as(s"__mn_$s"),
         fmax(c(s)).cast("double").as(s"__mx_$s"))) ++
-      valueCols.map(v => collect_set(c(v).cast("string")).as(s"__vs_$v"))
-    val rows = spark.read
-      .parquet(files.map(new Path(table, _).toString): _*)
+      // value entries may be transforms ("days(ts)"): the recorded
+      // set is the transform's derived canonical strings; plain
+      // column names parse to identity (= the previous cast)
+      valueCols.map(v =>
+        collect_set(PartTransform.parse(v).expr).as(s"__vs_$v"))
+    val rows = toLogicalFrame(
+      spark.read.parquet(files.map(new Path(table, _).toString): _*),
+      mappingAt(spark, table))
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -1723,9 +2107,13 @@ object TxTable {
     // change feed (opt-in): `changeRows` maps the TOUCHED-files frame
     // to the version's row-level delta (+ _change_type) — the same
     // prune bounds the change write, so a one-partition delete
-    // records one partition's changes, never the table's
-    val touchedDf = () =>
-      spark.read.parquet(touched.map(new Path(table, _).toString): _*)
+    // records one partition's changes, never the table's.
+    // touchedDf serves LOGICAL names: the rewrite/changeRows closures
+    // come from user predicates; writeFiles re-physicalizes.
+    val cowMapping = mappingAt(spark, table, Some(cur.version))
+    val touchedDf = () => toLogicalFrame(
+      spark.read.parquet(touched.map(new Path(table, _).toString): _*),
+      cowMapping)
     val changeFiles: Seq[String] =
       if (changeRows == null || touched.isEmpty ||
         !changeFeedEnabled(spark, table)) Nil
@@ -2018,6 +2406,14 @@ object TxTable {
         now - st.getModificationTime >= graceMs) {
         if (f.delete(st.getPath, false)) dataDeleted += 1
       }
+    }
+    // validate-or-delete mapping sidecars whose manifest is about to
+    // drop: once the manifest is gone a surviving sidecar is TRUSTED
+    // (mappingAt cannot check its op), so an orphan from a crashed
+    // alter must die here, while a valid one outlives its manifest
+    dropVersions.foreach { v =>
+      val mp = mappingPath(table, v)
+      if (f.exists(mp) && !mappingValid(spark, table, v)) f.delete(mp, false)
     }
     dropVersions.foreach(v => f.delete(new Path(ld, s"v$v.json"), false))
     (dropVersions.size, dataDeleted)

@@ -74,6 +74,16 @@ class TxTableStreamSource extends StreamSourceProvider with DataSourceRegister {
       providerName: String, params: Map[String, String]): (String, StructType) = {
     val spark = ctx.sparkSession
     val table = tableOf(params)
+    // v1 refusal: the pinned-at-definition schema and the per-batch
+    // parquet relations would need logical↔physical translation that
+    // must also survive renames LANDING MID-STREAM (Delta requires
+    // schema-tracking for exactly this). Fail at definition instead
+    // of mis-serving columns; batch reads + changeFeed are mapping-
+    // aware today.
+    require(TxTable.mappingAt(spark, table).isEmpty,
+      s"txtable-stream: $table has column mapping (a column was " +
+        "renamed or dropped) — streaming reads on mapped tables are " +
+        "not supported yet; consume TxTable.changeFeed in batches")
     val resolved = schema.getOrElse {
       val snap = TxTable.snapshot(spark, table).getOrElse(
         throw new IllegalArgumentException(

@@ -303,6 +303,62 @@ object StreamingQueries extends QueryModule {
         .orderBy($"v", $"change_type")
     }),
 
+    // STREAMING CDF → INCREMENTAL VIEW MAINTENANCE, composed under
+    // the driver gate: the change feed of a DML cycle (append /
+    // append / update / delete) drives a continuously-maintained
+    // aggregate view through the REAL streaming engine —
+    // readChangeFeed micro-batches (one per version) fold into the
+    // view inside foreachBatch via IncrementalView.applyFeedBatch,
+    // exactly-once per epoch (the marker commits atomically with the
+    // view state). After the stream drains, a RESTART re-runs the
+    // query over the same checkpoint — replays must be no-ops. The
+    // final VIEW hash-matches the oracle's pure-SQL recompute of the
+    // final source state: a double-folded epoch, a lost preimage, or
+    // a missed emptied-group all diverge.
+    "stream_ivm" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.{IncrementalView, TxTable}
+      val slug = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tmp = sys.props("java.io.tmpdir")
+      val srcDir = tmp + "/graft_stream_ivm_src_" + slug
+      val dstDir = tmp + "/graft_stream_ivm_dst_" + slug
+      val ckpt = tmp + "/graft_stream_ivm_ckpt_" + slug
+      val hconf = s.sparkContext.hadoopConfiguration
+      Seq(srcDir, dstDir, ckpt).foreach { p0 =>
+        val p = new org.apache.hadoop.fs.Path(p0)
+        p.getFileSystem(hconf).delete(p, true)
+      }
+      TxTable.enableChangeFeed(s, srcDir)
+      val base = graft.Tables.orders(s, d).select(
+        $"o_orderkey".as("k"), $"o_orderpriority".as("pr"),
+        org.apache.spark.sql.functions.round($"o_totalprice" * 100)
+          .cast("long").as("cents"))
+      TxTable.append(base.filter($"pr" === "1-URGENT"), srcDir) // v1
+      TxTable.append(base.filter($"pr" === "2-HIGH"), srcDir) // v2
+      TxTable.updateWhere(s, srcDir, Seq(("cents", 0.0, 1.0e7)), Nil,
+        set = Map("cents" -> ($"cents" + 7))) // v3
+      TxTable.deleteWhere(s, srcDir, Seq(("cents", 3.0e7, 1.0e12))) // v4
+      def start() = s.readStream
+        .format("graft.sources.TxTableStreamSource")
+        .option("path", srcDir).option("readChangeFeed", "true")
+        .option("maxVersionsPerBatch", "1").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, epoch: Long) =>
+          IncrementalView.applyFeedBatch(
+            df, dstDir, "pr", "cents", "stream_ivm_gate", epoch)
+          ()
+        }.start()
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      // restart over the same checkpoint: any re-delivered epoch must
+      // hit the manifest marker and fold NOTHING
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      TxTable.read(s, dstDir)
+        .select($"pr".as("o_orderpriority"), $"n", $"s".as("cents"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // The TxTable streaming SINK under the driver gate: the strongest
     // exactly-once claim in the tree, previously spec-only
     // (StreamingSpec5). An end-to-end TxTable → TxTable pipe: the
@@ -632,6 +688,23 @@ object StreamingQueries extends QueryModule {
         |  CAST(sum(k) AS BIGINT) AS sum_k,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM feed GROUP BY 1, 2 ORDER BY v, change_type""".stripMargin,
+
+    // the streamed-and-folded VIEW must equal the straight recompute
+    // of the FINAL source state (same algebra as pipe_ivm's oracle) —
+    // a double-folded epoch or a lost slice diverges
+    "stream_ivm" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pr,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |t0 AS (SELECT k, pr, cents FROM base
+        |  WHERE pr IN ('1-URGENT', '2-HIGH')),
+        |t1 AS (SELECT k, pr, CASE WHEN cents BETWEEN 0 AND 10000000
+        |    THEN cents + 7 ELSE cents END AS cents FROM t0),
+        |fin AS (SELECT * FROM t1 WHERE cents < 30000000)
+        |SELECT pr AS o_orderpriority, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM fin GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     // same batch aggregate: the sink pipe must be invisible — any
     // replay double-append or lost batch diverges

@@ -153,4 +153,51 @@ class ExpectationSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("relational"))
   }
+
+  test("runWithActions fires once per FAILED expectation, report unperturbed") {
+    val suite = ExpectationSuite("t", Seq(
+      ExpectNotNull("x"),                     // fails (1 null)
+      ExpectInSet("cat", Seq("A", "B", "C")), // fails (Z)
+      ExpectRowCountBetween(1, 100)))         // passes
+    val fired = scala.collection.mutable.ArrayBuffer.empty[FailedExpectation]
+    val report = suite.runWithActions(df)(fired += _)
+    // exactly the two failures, with the report row's own values
+    assert(fired.map(_.expName).sorted ===
+      Seq("expect_in_set", "expect_not_null"))
+    assert(fired.forall(_.tableName == "t"))
+    // the returned report is identical to a plain run (hook observes,
+    // never perturbs) — the dq oracle keys stay byte-stable
+    val plain = suite.run(df).collect().map(_.toString).sorted.toSeq
+    assert(report.collect().map(_.toString).sorted.toSeq === plain)
+    // all-green suite: zero action calls
+    var calls = 0
+    ExpectationSuite("t", Seq(ExpectRowCountBetween(1, 100)))
+      .runWithActions(df)(_ => calls += 1)
+    assert(calls === 0)
+    // a throwing action fails the run loudly
+    intercept[IllegalStateException] {
+      suite.runWithActions(df)(_ =>
+        throw new IllegalStateException("notify failed"))
+    }
+  }
+
+  test("GatedPipeline.runWithActions fires per failing expectation per gate") {
+    import org.apache.spark.sql.DataFrame
+    import graft.pipeline.{GatedPipeline, Pipeline, Stage}
+    val suite = ExpectationSuite("t", Seq(
+      ExpectBetween("x", 0, 100),             // fails (999)
+      ExpectNotNull("id")))                   // passes
+    val p = Pipeline("demo", Seq(Stage("clean")(identity[DataFrame])))
+    val gated = GatedPipeline(p,
+      Map("clean" -> (suite, Pipeline.Quarantine)))
+    val fired = scala.collection.mutable.ArrayBuffer.empty[GatedPipeline.Alert]
+    val (out, quarantined) = gated.runWithActions(df)(fired += _)
+    assert(fired.map(a => (a.pipeline, a.stage, a.expName)) ===
+      Seq(("demo", "clean", "expect_between")))
+    assert(fired.head.policy === "Quarantine")
+    // the data path is exactly run()'s
+    val (out2, q2) = gated.run(df)
+    assert(out.count() === out2.count())
+    assert(quarantined.head._2.count() === q2.head._2.count())
+  }
 }

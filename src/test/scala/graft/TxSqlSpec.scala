@@ -129,16 +129,18 @@ class TxSqlSpec extends AnyFunSuite {
     val root = freshRoot()
     seed(root)
     TxSql.installCatalog(spark, "txspec2", root)
-    // ADD COLUMN is supported now; the refused ALTERs stay named
+    // ADD/RENAME/DROP COLUMN are supported now; retype stays refused
     val e = intercept[Exception] {
-      spark.sql("ALTER TABLE txspec2.orders DROP COLUMN amt")
+      spark.sql("ALTER TABLE txspec2.orders ALTER COLUMN amt TYPE STRING")
     }
-    assert(e.getMessage.toLowerCase.contains("unsupported alter"))
-    // identity PARTITIONED BY is supported since the dynamic-overwrite
-    // work; non-identity transforms still refuse with a named error
+    // refused by Spark's analyzer (retype) or our catalog, either way named
+    assert(e.getMessage.toLowerCase.contains("not supported") ||
+      e.getMessage.toLowerCase.contains("unsupported alter"))
+    // identity/days/months PARTITIONED BY are supported; other
+    // transforms (bucket, hours, days-of-non-temporal) still refuse
     val e2 = intercept[Exception] {
       spark.sql(
-        "CREATE TABLE txspec2.part (k INT, d DATE) PARTITIONED BY (days(d))")
+        "CREATE TABLE txspec2.part (k INT, d DATE) PARTITIONED BY (days(k))")
     }
     assert(e2.getMessage.toLowerCase.contains("unsupported partitioning") ||
       Option(e2.getCause).exists(_.getMessage.toLowerCase
@@ -582,6 +584,60 @@ class TxSqlSpec extends AnyFunSuite {
         .contains("unsupported partitioning")))
   }
 
+  test("PARTITIONED BY days(ts): dynamic overwrite replaces exactly the incoming days") {
+    val root = freshRoot()
+    val dir = s"$root/td"
+    TxSql.installCatalog(spark, "txdays", root)
+    spark.sql("CREATE TABLE txdays.td (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql("INSERT INTO txdays.td VALUES " +
+      "(1, TIMESTAMP '2024-03-01 08:00:00'), " +
+      "(2, TIMESTAMP '2024-03-01 23:59:59'), " +
+      "(3, TIMESTAMP '2024-03-02 05:00:00'), " +
+      "(4, TIMESTAMP '2024-03-03 12:00:00')")
+    val snap1 = graft.sources.TxTable.snapshot(spark, dir).get
+    assert(snap1.fileValues.values.exists(_.contains("days(ts)")),
+      "partitioned INSERT must record days(ts) value sets")
+    // replace exactly day 2024-03-02 (row-level timestamps differ —
+    // the DAY is the partition) via the API route
+    graft.sources.TxTable.overwritePartitions(
+      Seq((30L, java.sql.Timestamp.valueOf("2024-03-02 18:30:00")))
+        .toDF("k", "ts"), dir, "days(ts)")
+    val got = spark.sql("SELECT k FROM txdays.td ORDER BY k")
+      .as[Long].collect().toSeq
+    assert(got === Seq(1L, 2L, 4L, 30L))
+    // files provably outside the incoming day carried over untouched
+    val snap2 = graft.sources.TxTable.snapshot(spark, dir).get
+    val expectUntouched = snap1.files.filter(f =>
+      snap1.fileValues.get(f).flatMap(_.get("days(ts)"))
+        .exists(vs => !vs("2024-03-02")))
+    assert(expectUntouched.nonEmpty &&
+      expectUntouched.forall(snap2.files.toSet),
+      "days() overwrite rewrote a provably-untouched day")
+    // SQL INSERT OVERWRITE under dynamic mode routes the same way
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql("INSERT OVERWRITE txdays.td VALUES " +
+        "(40, TIMESTAMP '2024-03-03 01:00:00')")
+      assert(spark.sql("SELECT k FROM txdays.td ORDER BY k")
+        .as[Long].collect().toSeq === Seq(1L, 2L, 30L, 40L))
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // months() parses and records month-truncated sets
+    spark.sql("CREATE TABLE txdays.tm (k BIGINT, d DATE) " +
+      "PARTITIONED BY (months(d))")
+    spark.sql("INSERT INTO txdays.tm VALUES (1, DATE '2024-03-05'), " +
+      "(2, DATE '2024-04-09')")
+    val sm = graft.sources.TxTable.snapshot(spark, s"$root/tm").get
+    assert(sm.fileValues.values.flatMap(_.get("months(d)")).flatten.toSet
+      === Set("2024-03-01", "2024-04-01"))
+  }
+
   test("ALTER TABLE ADD COLUMN: old rows read null, next write populates") {
     val root = freshRoot()
     TxSql.installCatalog(spark, "txalt", root)
@@ -597,18 +653,89 @@ class TxSqlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT k, v, extra FROM txalt.t ORDER BY k")
       .as[(Long, String, Option[Long])].collect().toSeq ===
       Seq((1L, "a", None), (2L, "b", Some(20L))))
-    // duplicate add refuses; non-add ALTERs refuse with named errors
+    // duplicate add refuses; retype refuses with a named error
     val e = intercept[Exception] {
       spark.sql("ALTER TABLE txalt.t ADD COLUMN extra BIGINT")
     }
     assert(e.getMessage.contains("already exist") ||
       Option(e.getCause).exists(_.getMessage.contains("already exist")))
     val e2 = intercept[Exception] {
-      spark.sql("ALTER TABLE txalt.t RENAME COLUMN v TO w")
+      spark.sql("ALTER TABLE txalt.t ALTER COLUMN v TYPE BIGINT")
     }
-    assert(e2.getMessage.toLowerCase.contains("unsupported alter") ||
-      Option(e2.getCause).exists(_.getMessage.toLowerCase
-        .contains("unsupported alter")))
+    // Spark's analyzer refuses the retype before our catalog sees it
+    assert(e2.getMessage.toLowerCase.contains("not supported") ||
+      e2.getMessage.toLowerCase.contains("unsupported alter"))
+  }
+
+  test("write-time schema evolution widens the declared schema in one step") {
+    // the autoMerge shape: a 2-column append lands on a 1-column
+    // DECLARED table; the declaration widens with the write, so SQL
+    // serves the new column immediately — old rows null
+    val root = freshRoot()
+    val dir = s"$root/w"
+    TxSql.installCatalog(spark, "txwiden", root)
+    spark.sql("CREATE TABLE txwiden.w (k BIGINT)") // v1: declared (k)
+    spark.sql("INSERT INTO txwiden.w VALUES (1), (2)") // v2
+    TxTable.append(Seq((3L, "c")).toDF("k", "v"), dir) // v3: widens
+    assert(spark.sql("SELECT k, v FROM txwiden.w ORDER BY k")
+      .as[(Long, Option[String])].collect().toSeq ===
+      Seq((1L, None), (2L, None), (3L, Some("c"))))
+    // and the widened declaration accepts SQL INSERT of both columns
+    spark.sql("INSERT INTO txwiden.w VALUES (4, 'd')") // v4
+    assert(spark.sql(
+      "SELECT count(*) FROM txwiden.w WHERE v IS NOT NULL")
+      .as[Long].head() === 2L)
+  }
+
+  test("ALTER RENAME/DROP COLUMN: metadata-only, SQL reads/writes follow") {
+    val root = freshRoot()
+    val dir = s"$root/ev"
+    TxSql.installCatalog(spark, "txev", root)
+    spark.sql("CREATE TABLE txev.ev (k BIGINT, v STRING, amt DOUBLE)") // v1
+    spark.sql("INSERT INTO txev.ev VALUES (1, 'a', 1.5), (2, 'b', 2.5)") // v2
+    val files2 = TxTable.snapshot(spark, dir).get.files
+    spark.sql("ALTER TABLE txev.ev RENAME COLUMN v TO label") // v3
+    // zero data bytes moved
+    assert(TxTable.snapshot(spark, dir).get.files === files2)
+    // SELECT under the new name, with predicates reaching the scan
+    assert(spark.sql(
+      "SELECT k, label FROM txev.ev WHERE label = 'a'")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a")))
+    // INSERT under the new name lands physically-consistent files
+    spark.sql("INSERT INTO txev.ev VALUES (3, 'c', 3.5)") // v4
+    assert(spark.sql("SELECT k, label, amt FROM txev.ev ORDER BY k")
+      .as[(Long, String, Double)].collect().toSeq ===
+      Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)))
+    // VERSION AS OF below the rename serves the OLD name
+    assert(spark.sql("SELECT * FROM txev.ev VERSION AS OF 2")
+      .columns.toSeq === Seq("k", "v", "amt"))
+    // SQL DELETE works through the mapping (all-logical path)
+    spark.sql("DELETE FROM txev.ev WHERE label = 'b'") // v5
+    assert(spark.sql("SELECT k FROM txev.ev ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 3L))
+    // SQL UPDATE/MERGE refuse loudly on a mapped table (v1 boundary)
+    val eu = intercept[Exception] {
+      spark.sql("UPDATE txev.ev SET amt = 0.0 WHERE k = 1") }
+    assert(eu.getMessage.contains("column-mapped") ||
+      Option(eu.getCause).exists(_.getMessage.contains("column-mapped")))
+    // DROP COLUMN hides the column; re-ADD maps to a fresh physical
+    spark.sql("ALTER TABLE txev.ev DROP COLUMN label") // v6
+    assert(spark.sql("SELECT * FROM txev.ev").columns.toSeq ===
+      Seq("k", "amt"))
+    spark.sql("ALTER TABLE txev.ev ADD COLUMN label STRING") // v7 remap
+    assert(spark.sql("SELECT k, label FROM txev.ev WHERE label IS NOT NULL")
+      .count() === 0L, "dropped data resurfaced after re-ADD")
+    spark.sql("INSERT INTO txev.ev VALUES (4, 9.0, 'fresh')") // v8
+    assert(spark.sql(
+      "SELECT k, label FROM txev.ev WHERE label IS NOT NULL")
+      .as[(Long, String)].collect().toSeq === Seq((4L, "fresh")))
+    // dropping a partition column refuses (different table)
+    spark.sql("CREATE TABLE txev.pt (k BIGINT, d STRING) " +
+      "PARTITIONED BY (d)")
+    val ep = intercept[Exception] {
+      spark.sql("ALTER TABLE txev.pt DROP COLUMN d") }
+    assert(ep.getMessage.contains("partition") ||
+      Option(ep.getCause).exists(_.getMessage.contains("partition")))
   }
 
   test("composite PARTITIONED BY (a, b): tuple-exact dynamic overwrite") {

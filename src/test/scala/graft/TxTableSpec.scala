@@ -403,6 +403,35 @@ class TxTableSpec extends AnyFunSuite {
     assert(content === Seq(12 -> "v12"))
   }
 
+  test("checkpoint STATE serves a cold read with hint and manifests gone") {
+    val t = freshTable()
+    // ten commits → the automatic checkpoint at v10 embeds the state
+    (1 to 10).foreach(i => TxTable.append(df(i -> s"r$i"), t))
+    val expect = TxTable.read(spark, t).as[(Int, String)]
+      .collect().sorted.toSeq
+    // simulate aggressive log cleanup: delete EVERY manifest and the
+    // hint; only _last_checkpoint (version + embedded state) remains
+    val ld = new org.apache.hadoop.fs.Path(t, "_graft_log")
+    val f = ld.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.listStatus(ld).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") && n.endsWith(".json")) f.delete(st.getPath, false)
+    }
+    f.delete(new org.apache.hadoop.fs.Path(ld, "_hint"), false)
+    // cold read resolves ENTIRELY from the checkpoint state
+    val snap = TxTable.snapshot(spark, t)
+    assert(snap.map(_.version) === Some(10L),
+      "checkpoint state did not serve the cold read")
+    assert(TxTable.read(spark, t).as[(Int, String)]
+      .collect().sorted.toSeq === expect)
+    // a corrupt checkpoint reads as ABSENT, never as wrong results
+    val cp = new org.apache.hadoop.fs.Path(ld, "_last_checkpoint")
+    val out = f.create(cp, true)
+    out.write("{\"version\":10,\"state\":{garbage".getBytes("UTF-8"))
+    out.close()
+    assert(TxTable.snapshot(spark, t).isEmpty)
+  }
+
   test("vacuum reclaims unreferenced files; retained versions stay exact") {
     val t = freshTable()
     TxTable.overwrite(df(1 -> "v1"), t)
@@ -884,6 +913,102 @@ class TxTableSpec extends AnyFunSuite {
       (20, "b", "insert", 2L)))
   }
 
+  test("renameColumn is metadata-only: files keep reading, history keeps old names") {
+    val t = freshTable()
+    TxTable.append(df(1 -> "a", 2 -> "b"), t) // v1
+    val dataFiles1 = TxTable.snapshot(spark, t).get.files
+    TxTable.renameColumn(spark, t, "v", "label") // v2: alter_mapping
+    // same files — the rename rewrote zero data bytes
+    assert(TxTable.snapshot(spark, t).get.files === dataFiles1)
+    assert(TxTable.read(spark, t).columns.toSeq === Seq("k", "label"))
+    assert(TxTable.read(spark, t).select("k", "label")
+      .as[(Int, String)].collect().sorted.toSeq === Seq(1 -> "a", 2 -> "b"))
+    // time travel BELOW the alter serves the old name
+    assert(TxTable.read(spark, t, asOf = Some(1)).columns.toSeq ===
+      Seq("k", "v"))
+    // writes after the rename use the logical name; old and new files
+    // agree on the stored physical name, so one scan reads both
+    TxTable.append(Seq((3, "c")).toDF("k", "label"), t) // v3
+    assert(TxTable.read(spark, t).as[(Int, String)].collect().sorted
+      .toSeq === Seq(1 -> "a", 2 -> "b", 3 -> "c"))
+    // renaming to an existing name, or a missing column, refuses
+    intercept[IllegalArgumentException] {
+      TxTable.renameColumn(spark, t, "k", "label") }
+    intercept[IllegalArgumentException] {
+      TxTable.renameColumn(spark, t, "gone", "x") }
+    // rename CHAIN collapses to the original physical name
+    TxTable.renameColumn(spark, t, "label", "tag") // v4
+    assert(TxTable.read(spark, t).columns.toSeq === Seq("k", "tag"))
+    assert(TxTable.read(spark, t, asOf = Some(3)).columns.toSeq ===
+      Seq("k", "label"))
+    // and renaming back to the physical name drops the mapping entry
+    TxTable.renameColumn(spark, t, "tag", "v") // v5
+    assert(TxTable.read(spark, t).columns.toSeq === Seq("k", "v"))
+  }
+
+  test("renameColumn rekeys index metadata: pruning survives the rename") {
+    val t = freshTable()
+    val grid = (1 to 40).map(i => (i.toLong, s"g${i % 4}"))
+      .toDF("x", "g")
+    // statCols only: files cluster on x, so the x-range prune can skip
+    TxTable.overwriteIndexedMulti(grid, t, statCols = Seq("x"))
+    val before = TxTable.snapshot(spark, t).get
+    assert(before.multiStats.values.exists(_.contains("x")))
+    TxTable.renameColumn(spark, t, "x", "xid")
+    val after = TxTable.snapshot(spark, t).get
+    // stats moved to the new logical key — pruning still works
+    assert(after.multiStats.values.forall(m =>
+      m.contains("xid") && !m.contains("x")))
+    val pruned = TxTable.readRange(spark, t, "xid", 1.0, 5.0)
+    assert(pruned.as[(Long, String)].collect().map(_._1).sorted.toSeq ===
+      (1L to 5L))
+    // prune actually skipped files (not just filtered rows)
+    assert(TxTable.pruneFilesWhere(after, Seq(("xid", 1.0, 5.0)), Nil)
+      .size < after.files.size)
+    // update through the mapping: the rewrite + change routing work
+    // on logical names end to end
+    TxTable.updateWhere(spark, t, Seq(("xid", 1.0, 1.0)), Nil,
+      Map("g" -> lit("patched")))
+    assert(TxTable.readRange(spark, t, "xid", 1.0, 1.0)
+      .select($"g").as[String].head() === "patched")
+  }
+
+  test("dropColumn hides the column; re-ADD never resurfaces dropped data") {
+    val t = freshTable()
+    TxTable.append(Seq((1, "secret", 10.0), (2, "hush", 20.0))
+      .toDF("k", "pii", "amt"), t) // v1
+    TxTable.dropColumn(spark, t, "pii") // v2
+    assert(TxTable.read(spark, t).columns.toSeq === Seq("k", "amt"))
+    // time travel below the drop still serves it (until vacuum)
+    assert(TxTable.read(spark, t, asOf = Some(1)).columns.toSeq ===
+      Seq("k", "pii", "amt"))
+    // writing the dropped name is refused (reserved physical)
+    val e = intercept[Exception] {
+      TxTable.append(Seq((3, "x", 1.0)).toDF("k", "pii", "amt"), t) }
+    assert(e.getMessage.contains("reserved"))
+    // remap + re-add via the SQL ALTER path gives a FRESH column:
+    // old files' bytes stay invisible
+    TxTable.remapNewColumn(spark, t, "pii") // v3
+    TxTable.append(Seq((3, "fresh", 1.0)).toDF("k", "pii", "amt"), t) // v4
+    val got = TxTable.read(spark, t, mergeSchema = true)
+      .select($"k", $"pii").as[(Int, String)].collect().toMap
+    assert(got === Map(1 -> null, 2 -> null, 3 -> "fresh"),
+      "dropped data resurfaced under the re-added name")
+  }
+
+  test("merge with a NEW column widens the table in one commit, old rows null") {
+    val t = freshTable()
+    TxTable.append(df(1 -> "a", 2 -> "b"), t) // v1: (k, v)
+    // autoMerge shape: updates carry `score`; carried row 1 reads null
+    TxTable.merge(spark, t,
+      Seq((2, "B", 20L), (3, "c", 30L)).toDF("k", "v", "score"), "k") // v2
+    val got = TxTable.read(spark, t)
+      .select($"k", $"v", $"score").as[(Int, String, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq((1, "a", None), (2, "B", Some(20L)),
+      (3, "c", Some(30L))))
+  }
+
   test("vacuumOlderThan drops exactly the pre-cutoff prefix; head survives") {
     val t = freshTable()
     TxTable.overwrite(df(1 -> "a"), t) // v1
@@ -971,6 +1096,70 @@ class TxTableSpec extends AnyFunSuite {
     // replay is a no-op: the marker in dst's manifest already covers it
     assert(IncrementalView.maintain(spark, src, dst, "g", "v") === 3L)
     assert(view() === Seq(("a", 2L, 130L)))
+  }
+
+  test("maintainPartitioned rewrites ONLY touched-key files; untouched carry") {
+    import graft.sources.IncrementalView
+    val src = freshTable()
+    val dst = freshTable()
+    TxTable.enableChangeFeed(spark, src)
+    TxTable.append(Seq((1, "a", 10L), (2, "a", 20L), (3, "b", 5L),
+      (4, "c", 7L), (5, "d", 9L)).toDF("k", "g", "v"), src) // v1
+    IncrementalView.maintainPartitioned(spark, src, dst, "g", "v")
+    def view(): Seq[(String, Long, Long)] =
+      TxTable.read(spark, dst).as[(String, Long, Long)]
+        .collect().sorted.toSeq
+    assert(view() === Seq(("a", 2L, 30L), ("b", 1L, 5L),
+      ("c", 1L, 7L), ("d", 1L, 9L)))
+    val snap1 = TxTable.snapshot(spark, dst).get
+    assert(snap1.fileValues.values.exists(_.contains("g")),
+      "partitioned view must record per-file key value sets")
+    // delta touches ONLY group a (update) and b (emptied by delete)
+    TxTable.deleteWhere(spark, src, Seq(("k", 3.0, 3.0))) // v2
+    TxTable.updateWhere(spark, src, Seq(("k", 1.0, 1.0)), Nil,
+      Map("v" -> ($"v" + 100L))) // v3
+    val consumed = IncrementalView.maintainPartitioned(
+      spark, src, dst, "g", "v")
+    assert(consumed === 3L)
+    assert(view() === Seq(("a", 2L, 130L), ("c", 1L, 7L), ("d", 1L, 9L)),
+      "b must leave; a must fold; c/d untouched")
+    // files provably holding ONLY untouched keys carried byte-identical
+    val snap2 = TxTable.snapshot(spark, dst).get
+    val untouchedFiles = snap1.files.filter(f =>
+      snap1.fileValues.get(f).flatMap(_.get("g"))
+        .exists(vs => !vs("a") && !vs("b")))
+    assert(untouchedFiles.nonEmpty, "test setup: no provably-untouched file")
+    untouchedFiles.foreach(f => assert(snap2.files.contains(f),
+      s"untouched-key file $f was rewritten by a 2-key delta"))
+    // marker landed atomically: replay is a no-op
+    assert(IncrementalView.maintainPartitioned(
+      spark, src, dst, "g", "v") === 3L)
+    assert(view() === Seq(("a", 2L, 130L), ("c", 1L, 7L), ("d", 1L, 9L)))
+    // and the partial path computes the SAME view as the full path
+    val dst2 = freshTable()
+    IncrementalView.maintain(spark, src, dst2, "g", "v")
+    assert(TxTable.read(spark, dst2).as[(String, Long, Long)]
+      .collect().sorted.toSeq === view())
+  }
+
+  test("applyFeedBatch: exactly-once fold of a CDF micro-batch by epoch") {
+    import graft.sources.IncrementalView
+    val src = freshTable()
+    val dst = freshTable()
+    TxTable.enableChangeFeed(spark, src)
+    TxTable.append(Seq((1, "a", 10L), (2, "b", 20L))
+      .toDF("k", "g", "v"), src) // v1
+    val batch1 = TxTable.changeFeed(spark, src, 0L, Some(1L))
+    assert(IncrementalView.applyFeedBatch(batch1, dst, "g", "v", "q", 1L))
+    // replayed epoch: returns false, view unchanged
+    assert(!IncrementalView.applyFeedBatch(batch1, dst, "g", "v", "q", 1L))
+    assert(TxTable.read(spark, dst).as[(String, Long, Long)]
+      .collect().sorted.toSeq === Seq(("a", 1L, 10L), ("b", 1L, 20L)))
+    TxTable.deleteWhere(spark, src, Seq(("k", 2.0, 2.0))) // v2
+    val batch2 = TxTable.changeFeed(spark, src, 1L, Some(2L))
+    assert(IncrementalView.applyFeedBatch(batch2, dst, "g", "v", "q", 2L))
+    assert(TxTable.read(spark, dst).as[(String, Long, Long)]
+      .collect().sorted.toSeq === Seq(("a", 1L, 10L)))
   }
 
   // ---- change data feed (Delta CDF analog) ----
