@@ -47,16 +47,17 @@ import scala.jdk.CollectionConverters._
 private[sources] class TxRowLevelOperationBuilder(spark: SparkSession,
     path: String, snap: TxTable.Snapshot, schema: StructType,
     info: RowLevelOperationInfo,
-    refuseReason: Option[String] = None) extends RowLevelOperationBuilder {
+    mapping: Option[ColumnMapping.Mapping] = None)
+    extends RowLevelOperationBuilder {
   override def build(): RowLevelOperation =
     new TxRowLevelOperation(spark, path, snap, schema, info.command(),
-      refuseReason)
+      mapping)
 }
 
 private[sources] class TxRowLevelOperation(spark: SparkSession,
     path: String, snap: TxTable.Snapshot, schema: StructType,
     cmd: RowLevelOperation.Command,
-    refuseReason: Option[String] = None) extends RowLevelOperation {
+    mapping: Option[ColumnMapping.Mapping] = None) extends RowLevelOperation {
   override def command(): RowLevelOperation.Command = cmd
 
   /** Candidate files (table-relative `data/<name>`) the op scan will
@@ -78,10 +79,6 @@ private[sources] class TxRowLevelOperation(spark: SparkSession,
     * Group-based ReplaceData writes back exactly what the scan read;
     * the commit carries every pruned file over untouched. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // column-mapped tables refuse HERE (not at builder construction):
-    // analysis builds this operation for every DELETE, and only plans
-    // that stay genuinely row-level reach the scan
-    refuseReason.foreach(r => throw new UnsupportedOperationException(r))
     new ScanBuilder
         with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
       private var cond = Array.empty[org.apache.spark.sql.sources.Filter]
@@ -94,6 +91,8 @@ private[sources] class TxRowLevelOperation(spark: SparkSession,
       override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
         Array.empty
       override def build(): org.apache.spark.sql.connector.read.Scan = {
+        // cond arrives with LOGICAL names (the plan schema), and the
+        // manifest's prune metadata is keyed logical — no translation
         val (ranges, valueEq) = TxSql.filterPrunes(cond.toSeq)
         val keepNames =
           TxSql.candidateNamesPruned(snap, ranges, valueEq, schema)
@@ -101,9 +100,17 @@ private[sources] class TxRowLevelOperation(spark: SparkSession,
         val restricted = TxTable.Snapshot(snap.version, candidates,
           snap.txns, snap.statsCol, snap.stats, snap.multiStats,
           snap.fileValues, snap.bloomCol, snap.blooms)
-        ParquetScanBuilder(spark,
-          new TxFileIndex(spark, path, restricted, schema),
-          schema, schema, options).build()
+        // on a column-mapped table the parquet reader gets the
+        // PHYSICAL schema; the scan's declared output maps back to
+        // logical (rows are positional — names never touch the data)
+        val physSchema = mapping.fold(schema)(_.physicalize(schema))
+        val delegate = ParquetScanBuilder(spark,
+          new TxFileIndex(spark, path, restricted, physSchema),
+          physSchema, physSchema, options).build()
+        mapping match {
+          case None => delegate
+          case Some(m) => new MappedScan(delegate, m.logicalByPhys)
+        }
       }
     }
   }
@@ -112,14 +119,19 @@ private[sources] class TxRowLevelOperation(spark: SparkSession,
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new TxReplaceBatchWrite(path, info.schema(), snap,
-            () => candidates,
+          // mapped tables: tasks write rows positionally — hand the
+          // factory the PHYSICAL field names so the staged files
+          // agree with every other file in the table
+          new TxReplaceBatchWrite(path,
+            mapping.fold(info.schema())(_.physicalize(info.schema())),
+            snap, () => candidates,
             cmd match {
               case RowLevelOperation.Command.UPDATE => "update"
               case RowLevelOperation.Command.DELETE => "delete"
               case RowLevelOperation.Command.MERGE => "merge"
               case _ => "write"
-            })
+            },
+            mapping)
       }
     }
 }
@@ -136,7 +148,8 @@ private[sources] class TxRowLevelOperation(spark: SparkSession,
   * every other commit loser. */
 private[sources] class TxReplaceBatchWrite(path: String, schema: StructType,
     snap: TxTable.Snapshot, candidates: () => Seq[String],
-    op: String = "write")
+    op: String = "write",
+    mapping: Option[ColumnMapping.Mapping] = None)
     extends BatchWrite {
   private val tag = java.util.UUID.randomUUID().toString.take(8)
 
@@ -181,12 +194,16 @@ private[sources] class TxReplaceBatchWrite(path: String, schema: StructType,
       if (!TxTable.changeFeedEnabled(spark, path)) Nil
       else {
         import org.apache.spark.sql.functions.lit
-        val post = spark.read.parquet(
-          files.map(f => new Path(path, f).toString): _*)
+        // raw file frames are PHYSICAL; writeChangeFiles expects the
+        // LOGICAL contract (it re-physicalizes) — translate first
+        def logical(df: org.apache.spark.sql.DataFrame) =
+          mapping.fold(df)(_.toLogical(df))
+        val post = logical(spark.read.parquet(
+          files.map(f => new Path(path, f).toString): _*))
         val pre =
           if (replaced.isEmpty) post.limit(0)
-          else spark.read.parquet(
-            replaced.toSeq.map(f => new Path(path, f).toString): _*)
+          else logical(spark.read.parquet(
+            replaced.toSeq.map(f => new Path(path, f).toString): _*))
         val (preType, postType) =
           if (op == "update") ("update_preimage", "update_postimage")
           else ("delete", "insert")

@@ -453,27 +453,16 @@ private[sources] class TxSparkTable(spark: SparkSession, path: String,
   /** SQL `UPDATE` / `MERGE INTO` → group-based copy-on-write
     * ReplaceData (see [[TxRowLevelOperation]]): the op scans through
     * the SAME pinned manifest index and writes the replacement
-    * content as staged parquet + one atomic manifest commit.
-    * Refused on a column-mapped table: the row-level machinery scans
-    * and rewrites whole file groups under file-true names, and a
-    * silent logical/physical mix-up would corrupt the rewrite — the
-    * API verbs (updateWhere / merge) are mapping-aware. */
+    * content as staged parquet + one atomic manifest commit. On a
+    * column-mapped table the op scan reads files under PHYSICAL
+    * names and declares LOGICAL output (MappedScan), and the replace
+    * write's factory gets the physicalized field names — the same
+    * two seams the plain read/write paths use. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
-    // The refusal must NOT fire here: Spark's RewriteDeleteFromTable
-    // builds the row-level plan for every DELETE at ANALYSIS time and
-    // only the optimizer swaps expressible ones back to the
-    // SupportsDelete metadata path (which is mapping-aware). The
-    // operation itself refuses at scan-build time — reached only when
-    // a row-level plan would actually EXECUTE against the files.
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     new TxRowLevelOperationBuilder(spark, path, snap, dataSchema, info,
-      refuseReason = mapping.map(_ =>
-        s"txtable: SQL UPDATE/MERGE/row-level DELETE on column-mapped " +
-          s"table $tableName is not supported yet (a column was renamed " +
-          "or dropped) — use TxTable.updateWhere / TxTable.merge / " +
-          "a WHERE clause expressible as a metadata delete"))
-  }
+      mapping)
 
   /** `DELETE FROM t WHERE ...` → [[TxTable.deleteWhereExpr]]: the
     * exact predicate is the filters' Column translation, the manifest

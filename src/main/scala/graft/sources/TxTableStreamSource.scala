@@ -74,23 +74,21 @@ class TxTableStreamSource extends StreamSourceProvider with DataSourceRegister {
       providerName: String, params: Map[String, String]): (String, StructType) = {
     val spark = ctx.sparkSession
     val table = tableOf(params)
-    // v1 refusal: the pinned-at-definition schema and the per-batch
-    // parquet relations would need logical↔physical translation that
-    // must also survive renames LANDING MID-STREAM (Delta requires
-    // schema-tracking for exactly this). Fail at definition instead
-    // of mis-serving columns; batch reads + changeFeed are mapping-
-    // aware today.
-    require(TxTable.mappingAt(spark, table).isEmpty,
-      s"txtable-stream: $table has column mapping (a column was " +
-        "renamed or dropped) — streaming reads on mapped tables are " +
-        "not supported yet; consume TxTable.changeFeed in batches")
     val resolved = schema.getOrElse {
       val snap = TxTable.snapshot(spark, table).getOrElse(
         throw new IllegalArgumentException(
           s"txtable-stream: no committed version at $table — commit v1 " +
             "before defining the stream (the schema comes from the head)"))
-      val data = spark.read.parquet(
+      val raw = spark.read.parquet(
         snap.files.map(new Path(table, _).toString): _*).schema
+      // column-mapped tables stream under their LOGICAL names, with
+      // the mapping PINNED at stream definition like the schema
+      // itself: physical file names never change, so the pinned
+      // translation stays correct for the stream's whole life —
+      // alters landing mid-stream (rename/drop/re-add) become
+      // visible only after a restart, exactly the schema-evolution
+      // contract the non-mapped source already documents.
+      val data = TxTable.mappingAt(spark, table).fold(raw)(_.logicalize(raw))
       if (!cdfMode(params)) data
       else StructType(data.fields
         :+ org.apache.spark.sql.types.StructField(
@@ -110,14 +108,28 @@ class TxTableStreamSource extends StreamSourceProvider with DataSourceRegister {
     require(maxV.forall(_ >= 1), "maxVersionsPerBatch must be >= 1")
     val (_, s) = sourceSchema(ctx, schema, providerName, params)
     new TxTableSource(ctx.sparkSession, table, start, s, maxV,
-      cdf = cdfMode(params))
+      cdf = cdfMode(params),
+      mapping = TxTable.mappingAt(ctx.sparkSession, table))
   }
 }
 
 private[graft] class TxTableSource(spark: SparkSession, table: String,
     startingVersion: Long, override val schema: StructType,
     maxVersionsPerBatch: Option[Long] = None,
-    cdf: Boolean = false) extends Source {
+    cdf: Boolean = false,
+    mapping: Option[ColumnMapping.Mapping] = None) extends Source {
+
+  /** Logical→physical rendering of a pinned (logical) schema slice,
+    * and the projection back — no-ops without a mapping. Metadata
+    * columns (absent from the mapping) pass through identity. */
+  private def phys(sch: StructType): StructType =
+    mapping.fold(sch)(_.physicalize(sch))
+  private def toPinnedLogical(df: DataFrame, logical: StructType): DataFrame =
+    mapping.fold(df) { _ =>
+      val physNames = phys(logical).fieldNames
+      df.select(physNames.zip(logical.fieldNames).map { case (pn, ln) =>
+        org.apache.spark.sql.functions.col(pn).as(ln) }.toSeq: _*)
+    }
 
   // an Offset arriving from the checkpoint is a SerializedOffset, not
   // a LongOffset — parse the json, never pattern-match the class
@@ -176,7 +188,7 @@ private[graft] class TxTableSource(spark: SparkSession, table: String,
           "past the checkpoint) — restart from a fresh checkpoint"))
     val added = TxTable.addedBetween(spark, table, from, toSnap)
     if (added.isEmpty) emptyBatch
-    else streamingParquet(added, schema)
+    else toPinnedLogical(streamingParquet(added, phys(schema)), schema)
   }
 
   /** CDF micro-batch: the change-feed slices of (from, to] — recorded
@@ -202,8 +214,10 @@ private[graft] class TxTableSource(spark: SparkSession, table: String,
     val frames = TxTable.changeSlices(spark, table, from, to).map {
       case TxTable.ChangeSlice(v, kind, files) =>
         val base =
-          if (kind == "recorded") streamingParquet(files, withCt)
-          else streamingParquet(files, dataSchema)
+          if (kind == "recorded")
+            toPinnedLogical(streamingParquet(files, phys(withCt)), withCt)
+          else toPinnedLogical(
+            streamingParquet(files, phys(dataSchema)), dataSchema)
             .withColumn(TxTable.ChangeTypeCol, lit(kind))
         base.withColumn(TxTable.CommitVersionCol, lit(v))
           .select(metaCols.toSeq: _*) // pin the checkpointed column order

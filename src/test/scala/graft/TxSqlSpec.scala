@@ -713,11 +713,22 @@ class TxSqlSpec extends AnyFunSuite {
     spark.sql("DELETE FROM txev.ev WHERE label = 'b'") // v5
     assert(spark.sql("SELECT k FROM txev.ev ORDER BY k")
       .as[Long].collect().toSeq === Seq(1L, 3L))
-    // SQL UPDATE/MERGE refuse loudly on a mapped table (v1 boundary)
-    val eu = intercept[Exception] {
-      spark.sql("UPDATE txev.ev SET amt = 0.0 WHERE k = 1") }
-    assert(eu.getMessage.contains("column-mapped") ||
-      Option(eu.getCause).exists(_.getMessage.contains("column-mapped")))
+    // SQL UPDATE works through the mapping: the row-level scan reads
+    // physical names, declares logical, and the replacement files
+    // store physical — every other file still reads
+    spark.sql("UPDATE txev.ev SET amt = amt + 0.5 WHERE label = 'a'")
+    assert(spark.sql("SELECT amt FROM txev.ev WHERE k = 1")
+      .as[Double].head() === 2.0)
+    // SQL MERGE too (matched update + not-matched insert)
+    Seq((3L, "C", 0.25), (9L, "i", 9.25)).toDF("k", "label", "amt")
+      .createOrReplaceTempView("ev_updates")
+    spark.sql(
+      """MERGE INTO txev.ev t USING ev_updates u ON t.k = u.k
+        |WHEN MATCHED THEN UPDATE SET label = u.label, amt = u.amt
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT k, label, amt FROM txev.ev ORDER BY k")
+      .as[(Long, String, Double)].collect().toSeq ===
+      Seq((1L, "a", 2.0), (3L, "C", 0.25), (9L, "i", 9.25)))
     // DROP COLUMN hides the column; re-ADD maps to a fresh physical
     spark.sql("ALTER TABLE txev.ev DROP COLUMN label") // v6
     assert(spark.sql("SELECT * FROM txev.ev").columns.toSeq ===

@@ -191,6 +191,54 @@ class TxTableStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming a column-mapped table serves LOGICAL names, pinned") {
+    val t = freshTable()
+    TxTable.overwrite(df(0 until 4, "v1"), t) // physical (k, tag)
+    TxTable.renameColumn(spark, t, "tag", "label") // metadata-only
+    val q = readStreamOf(t).writeStream.format("memory")
+      .queryName("txs_mapped").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("txs_mapped")
+      assert(out.columns.toSeq === Seq("k", "label"),
+        s"stream served physical names: ${out.columns.toSeq}")
+      assert(out.as[(Long, String)].collect().sorted.toSeq ===
+        (0L until 4L).map(_ -> "v1"))
+      // appends through the mapping keep flowing under logical names
+      TxTable.append(Seq((9L, "v2")).toDF("k", "label"), t)
+      q.processAllAvailable()
+      assert(spark.table("txs_mapped").count() === 5)
+      // an alter LANDING MID-STREAM stays invisible (the mapping is
+      // pinned at definition, like the schema): rows keep flowing
+      // under the pinned names until a restart
+      TxTable.renameColumn(spark, t, "label", "tag2")
+      TxTable.append(Seq((10L, "v3")).toDF("k", "tag2"), t)
+      q.processAllAvailable()
+      val out2 = spark.table("txs_mapped")
+      assert(out2.columns.toSeq === Seq("k", "label"))
+      assert(out2.count() === 6)
+    } finally q.stop()
+  }
+
+  test("CDF mode under column mapping serves logical-named images") {
+    val t = freshTable()
+    TxTable.enableChangeFeed(spark, t)
+    TxTable.append(df(0 until 3, "a"), t) // v1
+    TxTable.renameColumn(spark, t, "tag", "label") // v2 (alter: no slice)
+    TxTable.deleteWhere(spark, t, Seq(("k", 1.0, 1.0))) // v3: recorded
+    val q = readStreamOf(t, "readChangeFeed" -> "true")
+      .writeStream.format("memory")
+      .queryName("txs_mapped_cdf").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("txs_mapped_cdf")
+        .select($"k", $"label", col(TxTable.ChangeTypeCol))
+        .as[(Long, String, String)].collect().sorted.toSeq
+      assert(got === Seq((0L, "a", "insert"), (1L, "a", "delete"),
+        (1L, "a", "insert"), (2L, "a", "insert")))
+    } finally q.stop()
+  }
+
   test("defining a stream over a never-committed table fails loudly") {
     val t = freshTable()
     val e = intercept[Exception] { readStreamOf(t) }
