@@ -23,7 +23,8 @@ private[sources] object TxProcedures {
 
   val names: Seq[String] =
     Seq("compact", "restore", "vacuum", "vacuum_older_than", "history",
-      "create_checkpoint", "enable_change_feed", "detail")
+      "create_checkpoint", "enable_change_feed", "detail",
+      "add_constraint", "drop_constraint", "constraints")
 
   def apply(name: String, root: String): UnboundProcedure = name match {
     case "compact" => new TxProc(name, root,
@@ -129,6 +130,39 @@ private[sources] object TxProcedures {
             s"no committed version at $dir")).version
         TxTable.writeCheckpointAt(spark, dir, v)
         Seq(new GenericInternalRow(Array[Any](v)))
+      })
+    // Delta's ALTER TABLE ADD CONSTRAINT ... CHECK (...) as a
+    // procedure (Spark's generic ALTER grammar has no CONSTRAINT
+    // clause to intercept): validates the whole existing table, then
+    // every write enforces in-plan
+    case "add_constraint" => new TxProc(name, root,
+      params = Seq("table" -> StringType, "name" -> StringType,
+        "expr" -> StringType),
+      out = StructType(Seq(StructField("name", StringType),
+        StructField("expr", StringType))),
+      run = { (spark, dir, args) =>
+        val cn = args(1).asInstanceOf[String]
+        val ce = args(2).asInstanceOf[String]
+        TxTable.addConstraint(spark, dir, cn, ce)
+        Seq(new GenericInternalRow(Array[Any](
+          UTF8String.fromString(cn), UTF8String.fromString(ce))))
+      })
+    case "drop_constraint" => new TxProc(name, root,
+      params = Seq("table" -> StringType, "name" -> StringType),
+      out = StructType(Seq(StructField("dropped", BooleanType))),
+      run = { (spark, dir, args) =>
+        Seq(new GenericInternalRow(Array[Any](TxTable.dropConstraint(
+          spark, dir, args(1).asInstanceOf[String]))))
+      })
+    case "constraints" => new TxProc(name, root,
+      params = Seq("table" -> StringType),
+      out = StructType(Seq(StructField("name", StringType),
+        StructField("expr", StringType))),
+      run = { (spark, dir, _) =>
+        TxTable.constraints(spark, dir).map { case (n, e) =>
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(n), UTF8String.fromString(e)))
+        }
       })
     case other => throw new UnsupportedOperationException(
       s"txtable: unknown procedure system.$other " +

@@ -253,6 +253,88 @@ object TxSql {
     (ranges.result(), valueEq.result())
   }
 
+  /** Timestamp/date range bounds per column derived from top-level
+    * conjuncts — the GENERATED-PARTITION-FILTER derivation (Delta's
+    * generated-column pruning shape): a predicate `ts >= X AND ts <
+    * Y` implies `days(ts)` ∈ [day(X), day(Y)], so a days()/months()-
+    * partitioned table prunes files at PLAN time from a plain
+    * timestamp range — the most common production query shape.
+    * Returns `(col, loDay, hiDay)` as INCLUSIVE UTC `yyyy-MM-dd`
+    * bounds (lexicographic compare is chronological for this form);
+    * both directions conservative (floor/ceil to whole days — more
+    * files kept, never fewer than correct). Callers must gate on a
+    * UTC session zone: the recorded day strings come from
+    * session-zone `to_date`, and the micros→day math here is UTC. */
+  private[sources] def timestampDayPrunes(filters: Seq[Expression])
+      : Seq[(String, String, String)] = {
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    def attr(e: Expression): Option[String] = e match {
+      case a: Attribute => Some(a.name)
+      case _ => None
+    }
+    def dayLit(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, TimestampType) =>
+        Some(Math.floorDiv(v, 86400000000L))
+      case Literal(v: Long, TimestampNTZType) =>
+        Some(Math.floorDiv(v, 86400000000L))
+      case Literal(v: Int, DateType) => Some(v.toLong)
+      case _ => None
+    }
+    // `ts < midnight(d)` implies day(ts) <= d-1 EXACTLY — the common
+    // half-open day-range predicate prunes its upper boundary day
+    def dayLitStrictUpper(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, TimestampType)
+        if Math.floorMod(v, 86400000000L) == 0L =>
+        Some(Math.floorDiv(v, 86400000000L) - 1)
+      case Literal(v: Long, TimestampNTZType)
+        if Math.floorMod(v, 86400000000L) == 0L =>
+        Some(Math.floorDiv(v, 86400000000L) - 1)
+      case Literal(v: Int, DateType) => Some(v.toLong - 1)
+      case other => dayLit(other)
+    }
+    val lo = scala.collection.mutable.Map.empty[String, Long]
+    val hi = scala.collection.mutable.Map.empty[String, Long]
+    def tighten(m: scala.collection.mutable.Map[String, Long], c: String,
+        d: Long, upper: Boolean): Unit =
+      m.updateWith(c)(cur => Some(cur.fold(d)(x =>
+        if (upper) math.min(x, d) else math.max(x, d))))
+    def walk(f: Expression): Unit = f match {
+      case And(l, r) => walk(l); walk(r)
+      case GreaterThanOrEqual(a, v) if attr(a).isDefined && dayLit(v).isDefined =>
+        tighten(lo, attr(a).get, dayLit(v).get, upper = false)
+      case GreaterThan(a, v) if attr(a).isDefined && dayLit(v).isDefined =>
+        tighten(lo, attr(a).get, dayLit(v).get, upper = false)
+      case LessThanOrEqual(a, v) if attr(a).isDefined && dayLit(v).isDefined =>
+        tighten(hi, attr(a).get, dayLit(v).get, upper = true)
+      case LessThan(a, v)
+        if attr(a).isDefined && dayLitStrictUpper(v).isDefined =>
+        tighten(hi, attr(a).get, dayLitStrictUpper(v).get, upper = true)
+      case EqualTo(a, v) if attr(a).isDefined && dayLit(v).isDefined =>
+        tighten(lo, attr(a).get, dayLit(v).get, upper = false)
+        tighten(hi, attr(a).get, dayLit(v).get, upper = true)
+      // literal-first orientations
+      case GreaterThanOrEqual(v, a) if attr(a).isDefined && dayLit(v).isDefined =>
+        tighten(hi, attr(a).get, dayLit(v).get, upper = true)
+      case GreaterThan(v, a)
+        if attr(a).isDefined && dayLitStrictUpper(v).isDefined =>
+        tighten(hi, attr(a).get, dayLitStrictUpper(v).get, upper = true)
+      case LessThanOrEqual(v, a) if attr(a).isDefined && dayLit(v).isDefined =>
+        tighten(lo, attr(a).get, dayLit(v).get, upper = false)
+      case LessThan(v, a) if attr(a).isDefined && dayLit(v).isDefined =>
+        tighten(lo, attr(a).get, dayLit(v).get, upper = false)
+      case EqualTo(v, a) if attr(a).isDefined && dayLit(v).isDefined =>
+        tighten(lo, attr(a).get, dayLit(v).get, upper = false)
+        tighten(hi, attr(a).get, dayLit(v).get, upper = true)
+      case _ => ()
+    }
+    filters.foreach(walk)
+    def dayStr(d: Long): String = java.time.LocalDate.ofEpochDay(d).toString
+    (lo.keySet ++ hi.keySet).toSeq.sorted.map { c =>
+      (c, lo.get(c).map(dayStr).getOrElse("0000-01-01"),
+        hi.get(c).map(dayStr).getOrElse("9999-12-31"))
+    }
+  }
+
   /** The file names (data/<name> relative form) surviving every
     * manifest prune for the given Catalyst filters — the single
     * pruning decision [[TxFileIndex]] and the specs share. String
@@ -333,10 +415,29 @@ private[sources] class TxFileIndex(spark: SparkSession, table: String,
     // manifest's stats/value sets/bloom column are keyed LOGICAL —
     // map the predicate names back before consulting the manifest
     val (ranges0, valueEq0) = TxSql.toManifestPredicates(dataFilters)
-    val keep = TxSql.candidateNamesPruned(snap,
+    val keep0 = TxSql.candidateNamesPruned(snap,
       ranges0.map { case (n, lo, hi) => (nameToLogical(n), lo, hi) },
       valueEq0.map { case (n, v) => (nameToLogical(n), v) },
       logicalSchema.getOrElse(tableSchema))
+    // generated-partition-filter derivation: a plain timestamp/date
+    // range prunes against days()/months() value sets (UTC sessions
+    // only — the recorded day strings are session-zone to_date)
+    val tsPrunes =
+      if (spark.sessionState.conf.sessionLocalTimeZone != "UTC") Nil
+      else TxSql.timestampDayPrunes(dataFilters)
+    val keep =
+      if (tsPrunes.isEmpty) keep0
+      else keep0 intersect snap.files.filter { f =>
+        tsPrunes.forall { case (c, loDay, hiDay) =>
+          val lc = nameToLogical(c)
+          val loMonth = loDay.take(8) + "01"
+          val hiMonth = hiDay.take(8) + "01"
+          snap.fileValues.get(f).flatMap(_.get(s"days($lc)")).forall(
+            _.exists(d => d >= loDay && d <= hiDay)) &&
+            snap.fileValues.get(f).flatMap(_.get(s"months($lc)")).forall(
+              _.exists(m => m >= loMonth && m <= hiMonth))
+        }
+      }.map(_.split('/').last).toSet
     lastCandidates = Some(keep)
     super.listFiles(partitionFilters, dataFilters).map { pd =>
       PartitionDirectory(pd.values,

@@ -463,8 +463,10 @@ object TxTable {
       version: Long): Seq[String] = {
     val spark = df.sparkSession
     // the df→file boundary: every writer hands in a LOGICAL frame;
+    // CHECK constraints gate here (in-plan, logical names), then
     // files always store PHYSICAL names (ColumnMapping invariant)
-    val dfP = mappingAt(spark, table).fold(df)(_.toPhysical(df))
+    val dfG = enforceConstraints(spark, table, df)
+    val dfP = mappingAt(spark, table).fold(dfG)(_.toPhysical(dfG))
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(table, s"_tmp_v$version-$tag")
     dfP.write.mode("overwrite").parquet(tmp.toString)
@@ -803,6 +805,10 @@ object TxTable {
         s"no column '$from' at $table (columns: ${logicals.mkString(", ")})")
       require(!logicals.contains(to),
         s"column '$to' already exists at $table")
+      constraints(spark, table).foreach { case (cn, ce) =>
+        require(!constraintColumns(spark, ce).contains(from),
+          s"cannot rename '$from': CHECK constraint '$cn' ($ce) " +
+            s"references it — drop the constraint first") }
       val p = m0.phys(from)
       val kept = m0.entries.filterNot(e => !e.dropped && e.logical == from)
       val entries =
@@ -828,6 +834,10 @@ object TxTable {
           .map(PartTransform.parse(_).col).contains(name),
         s"'$name' is a declared partition column at $table — " +
           "repartition the table before dropping it")
+      constraints(spark, table).foreach { case (cn, ce) =>
+        require(!constraintColumns(spark, ce).contains(name),
+          s"cannot drop '$name': CHECK constraint '$cn' ($ce) " +
+            s"references it — drop the constraint first") }
       val p = m0.phys(name)
       val kept = m0.entries.filterNot(e => !e.dropped && e.logical == name)
       (ColumnMapping.Mapping(
@@ -850,6 +860,101 @@ object TxTable {
       (ColumnMapping.Mapping(m0.entries :+ ColumnMapping.Entry(
         name, s"${name}__v${cur.version + 1}", dropped = false)),
         Map.empty)
+    }
+
+  // ======== CHECK constraints (Delta table constraints) ========
+
+  private def constraintsPath(table: String) =
+    new Path(logDir(table), "_constraints")
+
+  /** Declared CHECK constraints: (name, SQL predicate over LOGICAL
+    * columns). Enforced IN-PLAN on every write through [[writeFiles]]
+    * (a raise_error-gated filter rides the write's own pass — no
+    * extra scan, and EVERY writer goes through it: append, overwrite,
+    * SQL INSERT, streaming sink, DML rewrites). SQL semantics: a row
+    * violates only when the predicate evaluates to FALSE — NULL
+    * passes (add `col IS NOT NULL` for nullability). Like `_schema`,
+    * the sidecar is table-level config, not versioned state. */
+  def constraints(spark: SparkSession, table: String): Seq[(String, String)] = {
+    val p = constraintsPath(table)
+    val f = fs(spark, p)
+    if (!f.exists(p)) Nil
+    else graft.Json.parseObject(new String(readFully(f, p), "UTF-8"))
+      .get("constraints") match {
+      case Some(l: List[_]) => l.collect { case m: Map[_, _] =>
+        val e = m.asInstanceOf[Map[String, Any]]
+        (e("name").asInstanceOf[String], e("expr").asInstanceOf[String])
+      }
+      case _ => Nil
+    }
+  }
+
+  private def writeConstraints(spark: SparkSession, table: String,
+      cons: Seq[(String, String)]): Unit = {
+    val f = fs(spark, logDir(table))
+    f.mkdirs(logDir(table))
+    if (cons.isEmpty) { f.delete(constraintsPath(table), false); () }
+    else {
+      val body = "{\"constraints\":[" + cons.map { case (n, e) =>
+        s"""{"name":${jq(n)},"expr":${jq(e)}}""" }.mkString(",") + "]}"
+      val out = f.create(constraintsPath(table), true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** The in-plan enforcement gate: violations fail the WRITE action
+    * with a named error carrying the row (Delta's
+    * DELTA_VIOLATE_CONSTRAINT shape) — the table never sees them. */
+  private def enforceConstraints(spark: SparkSession, table: String,
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, concat, expr, lit, raise_error, struct, to_json, when}
+    constraints(spark, table).foldLeft(df) { case (acc, (n, e)) =>
+      acc.filter(
+        when(coalesce(expr(e), lit(true)), lit(true))
+          .otherwise(raise_error(concat(
+            lit(s"CHECK constraint '$n' violated ($e) at $table, row: "),
+            to_json(struct(acc.columns.toSeq.map(
+              org.apache.spark.sql.functions.col): _*))))))
+    }
+  }
+
+  /** `ALTER TABLE ADD CONSTRAINT name CHECK (expr)` — validates the
+    * WHOLE existing table first (one scan; any violating row refuses
+    * the add with its count, Delta's contract), then records the
+    * constraint; every subsequent write enforces it in-plan. */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+      exprSql: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    require(name.nonEmpty && exprSql.nonEmpty)
+    val cur = constraints(spark, table)
+    require(!cur.exists(_._1 == name),
+      s"constraint '$name' already exists at $table")
+    val parsed = expr(exprSql) // parse failure throws here, named
+    if (snapshot(spark, table).exists(_.files.nonEmpty)) {
+      val bad = read(spark, table)
+        .filter(!coalesce(parsed, lit(true))).count()
+      require(bad == 0L,
+        s"cannot add CHECK constraint '$name' at $table: $bad existing " +
+          s"row(s) violate ($exprSql)")
+    }
+    writeConstraints(spark, table, cur :+ (name -> exprSql))
+  }
+
+  /** Drop a constraint by name; false when absent. */
+  def dropConstraint(spark: SparkSession, table: String,
+      name: String): Boolean = {
+    val cur = constraints(spark, table)
+    if (!cur.exists(_._1 == name)) false
+    else { writeConstraints(spark, table, cur.filterNot(_._1 == name)); true }
+  }
+
+  /** Column names a constraint expression references (top-level
+    * attributes) — rename/drop validation consults this. */
+  private def constraintColumns(spark: SparkSession,
+      exprSql: String): Seq[String] =
+    spark.sessionState.sqlParser.parseExpression(exprSql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name
     }
 
   /** Overwrite: next version = exactly `df`. Returns the version.

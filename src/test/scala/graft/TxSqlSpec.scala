@@ -584,6 +584,32 @@ class TxSqlSpec extends AnyFunSuite {
         .contains("unsupported partitioning")))
   }
 
+  test("CHECK constraints via CALL procedures gate SQL INSERT") {
+    val root = freshRoot()
+    TxSql.installCatalog(spark, "txck", root)
+    spark.sql("CREATE TABLE txck.c (k BIGINT, amt DOUBLE)")
+    spark.sql("INSERT INTO txck.c VALUES (1, 1.5)")
+    spark.sql("CALL txck.system.add_constraint('c', 'amt_pos', 'amt > 0')")
+    assert(spark.sql("CALL txck.system.constraints('c')")
+      .as[(String, String)].collect().toSeq === Seq("amt_pos" -> "amt > 0"))
+    // violating SQL INSERT fails at action time; nothing commits
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO txck.c VALUES (2, -1.0)") }
+    def rootMsg(x: Throwable): String =
+      Option(x.getCause).map(rootMsg).getOrElse(x.getMessage)
+    assert(e.getMessage.contains("amt_pos") || rootMsg(e).contains("amt_pos"))
+    assert(spark.sql("SELECT count(*) FROM txck.c").as[Long].head() === 1L)
+    spark.sql("INSERT INTO txck.c VALUES (2, 2.5)")
+    assert(spark.sql("SELECT count(*) FROM txck.c").as[Long].head() === 2L)
+    // adding a constraint existing rows violate refuses with the count
+    val e2 = intercept[Exception] {
+      spark.sql("CALL txck.system.add_constraint('c', 'k1', 'k < 2')") }
+    assert(e2.getMessage.contains("existing row") ||
+      rootMsg(e2).contains("existing row"))
+    assert(spark.sql("CALL txck.system.drop_constraint('c', 'amt_pos')")
+      .as[Boolean].head())
+  }
+
   test("PARTITIONED BY days(ts): dynamic overwrite replaces exactly the incoming days") {
     val root = freshRoot()
     val dir = s"$root/td"
@@ -636,6 +662,37 @@ class TxSqlSpec extends AnyFunSuite {
     val sm = graft.sources.TxTable.snapshot(spark, s"$root/tm").get
     assert(sm.fileValues.values.flatMap(_.get("months(d)")).flatten.toSet
       === Set("2024-03-01", "2024-04-01"))
+  }
+
+  test("timestamp range predicates prune days()-partitioned files at plan time") {
+    // the generated-partition-filter derivation: `ts BETWEEN x AND y`
+    // implies days(ts) ∈ [day(x), day(y)] — a plain time-range query
+    // on a day-partitioned table opens only that window's files
+    val root = freshRoot()
+    val dir = s"$root/tr"
+    TxSql.installCatalog(spark, "txtr", root)
+    spark.sql("CREATE TABLE txtr.tr (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    val rows = (0 until 96).map(h => (h.toLong,
+      java.sql.Timestamp.valueOf(
+        f"2024-03-${1 + h / 24}%02d ${h % 24}%02d:30:00")))
+    rows.toDF("k", "ts").createOrReplaceTempView("tr_src")
+    spark.sql("INSERT INTO txtr.tr SELECT k, ts FROM tr_src")
+    val snap = TxTable.snapshot(spark, dir).get
+    assert(snap.fileValues.values.exists(_.contains("days(ts)")))
+    val q = spark.sql("SELECT k FROM txtr.tr WHERE " +
+      "ts >= TIMESTAMP '2024-03-02 00:00:00' AND " +
+      "ts < TIMESTAMP '2024-03-03 00:00:00'")
+    val got = q.as[Long].collect().sorted.toSeq
+    assert(got === (24L until 48L), "wrong rows through the day prune")
+    val opened = scannedFiles(q)
+    val dayFiles = snap.files.filter(f =>
+      snap.fileValues.get(f).flatMap(_.get("days(ts)"))
+        .exists(_.contains("2024-03-02"))).map(_.split('/').last).toSet
+    assert(opened.subsetOf(dayFiles),
+      s"scan opened non-matching-day files: ${opened -- dayFiles}")
+    assert(opened.size < snap.files.size,
+      s"time-range query did not prune: ${opened.size}/${snap.files.size}")
   }
 
   test("ALTER TABLE ADD COLUMN: old rows read null, next write populates") {

@@ -403,6 +403,47 @@ class TxTableSpec extends AnyFunSuite {
     assert(content === Seq(12 -> "v12"))
   }
 
+  test("CHECK constraints gate every write in-plan; violations fail the action") {
+    val t = freshTable()
+    TxTable.append(Seq((1, 10L), (2, 20L)).toDF("k", "amt"), t) // v1
+    // add validates the WHOLE existing table first
+    TxTable.addConstraint(spark, t, "amt_pos", "amt > 0")
+    val e0 = intercept[IllegalArgumentException] {
+      TxTable.addConstraint(spark, t, "amt_small", "amt < 15") }
+    assert(e0.getMessage.contains("1 existing row"))
+    // a violating append fails the write ACTION; nothing lands
+    val vBefore = TxTable.snapshot(spark, t).get.version
+    val e = intercept[Exception] {
+      TxTable.append(Seq((3, -5L)).toDF("k", "amt"), t) }
+    def rootMsg(x: Throwable): String =
+      Option(x.getCause).map(rootMsg).getOrElse(x.getMessage)
+    assert(e.getMessage.contains("amt_pos") ||
+      rootMsg(e).contains("amt_pos"))
+    assert(TxTable.snapshot(spark, t).get.version === vBefore,
+      "a violating write must not commit")
+    // clean writes pass; NULL passes (SQL CHECK semantics)
+    TxTable.append(Seq((3, Some(5L)), (4, None))
+      .toDF("k", "amt"), t)
+    assert(TxTable.read(spark, t).count() === 4)
+    // merge (a rewriting verb) enforces too
+    val e2 = intercept[Exception] {
+      TxTable.merge(spark, t, Seq((1, -1L)).toDF("k", "amt"), "k") }
+    assert(e2.getMessage.contains("amt_pos") ||
+      rootMsg(e2).contains("amt_pos"))
+    // dropping the constraint re-opens the gate
+    assert(TxTable.dropConstraint(spark, t, "amt_pos"))
+    assert(!TxTable.dropConstraint(spark, t, "amt_pos"))
+    TxTable.append(Seq((9, -9L)).toDF("k", "amt"), t)
+    // a constrained column refuses rename/drop with a named error
+    TxTable.addConstraint(spark, t, "k_pos", "k > 0")
+    val e3 = intercept[IllegalArgumentException] {
+      TxTable.renameColumn(spark, t, "k", "id") }
+    assert(e3.getMessage.contains("k_pos"))
+    val e4 = intercept[IllegalArgumentException] {
+      TxTable.dropColumn(spark, t, "k") }
+    assert(e4.getMessage.contains("k_pos"))
+  }
+
   test("checkpoint STATE serves a cold read with hint and manifests gone") {
     val t = freshTable()
     // ten commits → the automatic checkpoint at v10 embeds the state
