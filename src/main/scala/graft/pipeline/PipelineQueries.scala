@@ -752,6 +752,39 @@ object PipelineQueries extends QueryModule {
         .orderBy($"o_orderpriority")
     }),
 
+    // CHECK-CONSTRAINT write gate end to end: a constrained table
+    // takes two gated appends, REJECTS a violating batch at action
+    // time with NOTHING committed (REQUIREd: same version before and
+    // after the refused write), then serves the clean aggregate. The
+    // oracle recomputes from orders — a leaked violating row, a lost
+    // clean batch, or a gate that perturbed passing rows all diverge.
+    "pipe_constraint_gate" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.TxTable
+      val dir = sys.props("java.io.tmpdir") +
+        "/graft_txtable_ck_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val base = T.orders(s, d).select(
+        $"o_orderkey".as("k"), $"o_orderpriority".as("pr"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      TxTable.addConstraint(s, dir, "cents_pos", "cents > 0")
+      TxTable.append(base.filter($"pr" === "1-URGENT"), dir) // v1 gated
+      TxTable.append(base.filter($"pr" === "2-HIGH"), dir) // v2 gated
+      val vBefore = TxTable.snapshot(s, dir).get.version
+      val rejected =
+        try { TxTable.append(base.filter($"pr" === "3-MEDIUM")
+          .withColumn("cents", -$"cents"), dir); false }
+        catch { case _: Exception => true }
+      require(rejected, "the violating batch must fail the write action")
+      require(TxTable.snapshot(s, dir).get.version == vBefore,
+        "a refused write must not commit")
+      TxTable.read(s, dir)
+        .groupBy($"pr".as("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // TIME-TRANSFORM PARTITIONING end to end (`days(ts)` — the most
     // common real table layout): events append-partitioned by day
     // (per-file value sets record the DERIVED day strings), then ONE
@@ -1159,6 +1192,19 @@ object PipelineQueries extends QueryModule {
         |SELECT pr AS o_orderpriority, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents
         |FROM final GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    // gated-append replay: exactly the two CLEAN batches, straight
+    // from orders — equal only if the gate rejected atomically and
+    // passed clean rows untouched
+    "pipe_constraint_gate" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pr,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT pr AS o_orderpriority, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM base WHERE pr IN ('1-URGENT', '2-HIGH')
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     // day-partition replay: kept days straight from events, the two
     // replaced days re-derived with the bump — equal only if the

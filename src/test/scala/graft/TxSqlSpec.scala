@@ -724,6 +724,29 @@ class TxSqlSpec extends AnyFunSuite {
       e2.getMessage.toLowerCase.contains("unsupported alter"))
   }
 
+  test("SQL scan on a mapped table: manifest prune + pushdown under new names") {
+    // stats rekeyed at rename + filter translation in the scan
+    // wrapper compose: a range on the RENAMED column still prunes
+    // files at plan time, and the parquet reader sees physical names
+    val root = freshRoot()
+    val dir = s"$root/mp"
+    val grid = (1 to 40).map(i => (i.toLong, s"g${i % 4}")).toDF("x", "g")
+    TxTable.overwriteIndexedMulti(grid, dir, statCols = Seq("x"))
+    TxTable.renameColumn(spark, dir, "x", "xid")
+    TxSql.installCatalog(spark, "txmp", root)
+    val snap = TxTable.snapshot(spark, dir).get
+    val q = spark.sql("SELECT xid, g FROM txmp.mp WHERE xid BETWEEN 1 AND 5")
+    assert(q.as[(Long, String)].collect().map(_._1).sorted.toSeq ===
+      (1L to 5L))
+    val opened = scannedFiles(q)
+    assert(opened.size < snap.files.size,
+      s"mapped-table range did not prune: ${opened.size}/${snap.files.size}")
+    // physical pushdown: the scan description carries the FILE name
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("x"),
+      s"no pushed filters in:\n${plan.take(2000)}")
+  }
+
   test("write-time schema evolution widens the declared schema in one step") {
     // the autoMerge shape: a 2-column append lands on a 1-column
     // DECLARED table; the declaration widens with the write, so SQL
