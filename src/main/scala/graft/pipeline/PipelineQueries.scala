@@ -752,6 +752,53 @@ object PipelineQueries extends QueryModule {
         .orderBy($"o_orderpriority")
     }),
 
+    // SHALLOW CLONE end to end: clone a value-set-indexed orders
+    // table (zero data copied — REQUIREd empty clone data dir), run
+    // INDEPENDENT DML on the clone (pruned delete + append), and
+    // REQUIRE the source unchanged. The clone aggregate must equal
+    // the oracle's replay AND the source must still equal its own
+    // recompute — a clone that copied, leaked DML to the source, or
+    // lost referenced files diverges. The source-side check rides the
+    // same output (union with a source marker row set).
+    "pipe_shallow_clone" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.TxTable
+      val slug = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tmp = sys.props("java.io.tmpdir")
+      val srcDir = tmp + "/graft_clone_src_" + slug
+      val dstDir = tmp + "/graft_clone_dst_" + slug
+      val hconf = s.sparkContext.hadoopConfiguration
+      Seq(srcDir, dstDir).foreach { p0 =>
+        val p = new org.apache.hadoop.fs.Path(p0)
+        p.getFileSystem(hconf).delete(p, true)
+      }
+      val base = T.orders(s, d).select(
+        $"o_orderkey".as("k"), $"o_orderpriority".as("pr"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      TxTable.overwriteIndexedMulti(base, srcDir,
+        statCols = Nil, valueCols = Seq("pr"))
+      TxTable.cloneShallow(s, srcDir, dstDir)
+      val dd = new org.apache.hadoop.fs.Path(dstDir, "data")
+      val fsys = dd.getFileSystem(hconf)
+      require(!fsys.exists(dd) || fsys.listStatus(dd).isEmpty,
+        "shallow clone copied data files")
+      // independent DML on the clone only
+      TxTable.deleteWhere(s, dstDir, Nil, Seq(("pr", "1-URGENT")))
+      TxTable.append(base.filter($"pr" === "2-HIGH")
+        .select($"k" + 9000000L, lit("Z-CLONED").as("pr"), $"cents")
+        .toDF("k", "pr", "cents"), dstDir)
+      val cloneAgg = TxTable.read(s, dstDir)
+        .groupBy($"pr").agg(count(lit(1)).as("n"),
+          sum($"cents").as("cents"))
+      val srcAgg = TxTable.read(s, srcDir)
+        .groupBy($"pr").agg(count(lit(1)).as("n"),
+          sum($"cents").as("cents"))
+      cloneAgg.withColumn("side", lit("clone"))
+        .unionByName(srcAgg.withColumn("side", lit("src")))
+        .select($"side", $"pr".as("o_orderpriority"), $"n", $"cents")
+        .orderBy($"side", $"o_orderpriority")
+    }),
+
     // CHECK-CONSTRAINT write gate end to end: a constrained table
     // takes two gated appends, REJECTS a violating batch at action
     // time with NOTHING committed (REQUIREd: same version before and
@@ -1192,6 +1239,29 @@ object PipelineQueries extends QueryModule {
         |SELECT pr AS o_orderpriority, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents
         |FROM final GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    // clone-vs-source replay: the clone side reflects its own DML
+    // (urgent deleted, Z-CLONED appended), the src side is the plain
+    // recompute — both from orders
+    "pipe_shallow_clone" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pr,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |clone_side AS (
+        |  SELECT k, pr, cents FROM base WHERE pr <> '1-URGENT'
+        |  UNION ALL
+        |  SELECT k + 9000000, 'Z-CLONED', cents FROM base
+        |  WHERE pr = '2-HIGH'),
+        |agg AS (
+        |  SELECT 'clone' AS side, pr AS o_orderpriority, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM clone_side GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'src', pr, count(*), CAST(sum(cents) AS BIGINT)
+        |  FROM base GROUP BY 1, 2)
+        |SELECT side, o_orderpriority, n, cents FROM agg
+        |ORDER BY side, o_orderpriority""".stripMargin,
 
     // gated-append replay: exactly the two CLEAN batches, straight
     // from orders — equal only if the gate rejected atomically and

@@ -24,7 +24,7 @@ private[sources] object TxProcedures {
   val names: Seq[String] =
     Seq("compact", "restore", "vacuum", "vacuum_older_than", "history",
       "create_checkpoint", "enable_change_feed", "detail",
-      "add_constraint", "drop_constraint", "constraints")
+      "add_constraint", "drop_constraint", "constraints", "clone")
 
   def apply(name: String, root: String): UnboundProcedure = name match {
     case "compact" => new TxProc(name, root,
@@ -130,6 +130,19 @@ private[sources] object TxProcedures {
             s"no committed version at $dir")).version
         TxTable.writeCheckpointAt(spark, dir, v)
         Seq(new GenericInternalRow(Array[Any](v)))
+      })
+    // Delta's CREATE TABLE ... SHALLOW CLONE as a procedure: the
+    // second arg is the TARGET table name under the same root
+    case "clone" => new TxProc(name, root,
+      params = Seq("table" -> StringType, "target" -> StringType),
+      out = StructType(Seq(StructField("version", LongType),
+        StructField("n_files", LongType))),
+      run = { (spark, dir, args) =>
+        val dst = new org.apache.hadoop.fs.Path(root,
+          args(1).asInstanceOf[String]).toString
+        val v = TxTable.cloneShallow(spark, dir, dst)
+        Seq(new GenericInternalRow(Array[Any](v,
+          TxTable.snapshot(spark, dst).get.files.size.toLong)))
       })
     // Delta's ALTER TABLE ADD CONSTRAINT ... CHECK (...) as a
     // procedure (Spark's generic ALTER grammar has no CONSTRAINT

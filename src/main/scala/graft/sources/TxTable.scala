@@ -697,7 +697,8 @@ object TxTable {
   private def mappingValid(spark: SparkSession, table: String,
       v: Long): Boolean =
     peekManifest(spark, table, v) match {
-      case Some(p) => p.op == "alter_mapping"
+      // clone snapshots the source's mapping as its v1 sidecar
+      case Some(p) => p.op == "alter_mapping" || p.op == "clone"
       case None => true
     }
 
@@ -861,6 +862,58 @@ object TxTable {
         name, s"${name}__v${cur.version + 1}", dropped = false)),
         Map.empty)
     }
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE src`):
+    * `dst` becomes a zero-copy table whose v1 manifest references
+    * `src`'s data files (at `asOf`, default head) by ABSOLUTE path —
+    * no data moves, so cloning a 100 TB table costs one manifest
+    * write. The clone is fully independent from then on: DML and
+    * appends write into dst's own data/, referenced source files
+    * carry verbatim through every copy-on-write, and dst's vacuum
+    * reclaims only dst's own data dir — src never notices. Index
+    * metadata (stats / value sets / blooms) carries keyed by the
+    * absolute references, so pruning works immediately; the declared
+    * schema, partition transforms, CHECK constraints and column
+    * mapping are SNAPSHOTTED so the clone presents the same logical
+    * surface and then evolves its own. Hazard (Delta's, documented):
+    * vacuuming SRC reclaims files the clone still references — clone
+    * from sources with a retention window. Returns dst's version 1. */
+  def cloneShallow(spark: SparkSession, src: String, dst: String,
+      asOf: Option[Long] = None): Long = {
+    val snap = snapshot(spark, src, asOf).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed version${asOf.fold("")(v => s" <= $v")} at $src"))
+    require(snapshot(spark, dst).isEmpty,
+      s"clone target $dst already exists")
+    def abs(f: String): String = new Path(src, f).toString
+    val files = snap.files.map(abs)
+    def rekey[V](m: Map[String, V]): Map[String, V] =
+      m.map { case (k, v) => abs(k) -> v }
+    // sidecars snapshot BEFORE the commit so the first reader of v1
+    // already sees the full logical surface
+    declaredSchema(spark, src).foreach(declareSchema(spark, dst, _))
+    declaredPartitions(spark, src) match {
+      case Seq() => ()
+      case parts => declarePartitions(spark, dst, parts)
+    }
+    constraints(spark, src) match {
+      case Seq() => ()
+      case cons => writeConstraints(spark, dst, cons)
+    }
+    mappingAt(spark, src, Some(snap.version)).foreach { m =>
+      val f = fs(spark, logDir(dst))
+      f.mkdirs(logDir(dst))
+      f.create(mappingMarkerPath(dst), true).close()
+      val out = f.create(mappingPath(dst, 1L), true)
+      try out.write(ColumnMapping.toJson(m).getBytes("UTF-8"))
+      finally out.close()
+    }
+    commit(spark, dst, 1L, files, Map.empty,
+      snap.statsCol, rekey(snap.stats), rekey(snap.multiStats),
+      rekey(snap.fileValues), snap.bloomCol, rekey(snap.blooms),
+      op = "clone")
+    1L
+  }
 
   // ======== CHECK constraints (Delta table constraints) ========
 
@@ -2463,10 +2516,33 @@ object TxTable {
           s"version $version does not exist at $table (vacuumed?)"))
     val next = cur.version + 1
     // txns carry FORWARD from the head, not the target: an epoch
-    // already applied must stay deduplicated even across a rollback
+    // already applied must stay deduplicated even across a rollback.
+    // Index metadata keys are LOGICAL names at the TARGET's mapping;
+    // the restored head keeps the CURRENT mapping (a restore moves
+    // data, never names) — compose target-logical → physical →
+    // head-logical so pruning survives a restore across renames
+    // (a key whose column was dropped since simply drops).
+    val targetM = mappingAt(spark, table, Some(target.version))
+      .getOrElse(ColumnMapping.Mapping(Nil))
+    val headM = mappingAt(spark, table, Some(cur.version))
+      .getOrElse(ColumnMapping.Mapping(Nil))
+    def rk(k: String): Option[String] = PartTransform.parse(k) match {
+      case PartIdentity(cn) => headM.logicalOf(targetM.phys(cn))
+      case PartDays(cn) =>
+        headM.logicalOf(targetM.phys(cn)).map(n => s"days($n)")
+      case PartMonths(cn) =>
+        headM.logicalOf(targetM.phys(cn)).map(n => s"months($n)")
+    }
+    val ms2 = target.multiStats.map { case (file, cols) =>
+      file -> cols.flatMap { case (k, v) => rk(k).map(_ -> v) } }
+    val fv2 = target.fileValues.map { case (file, cols) =>
+      file -> cols.flatMap { case (k, v) => rk(k).map(_ -> v) } }
+    val statsCol2 = target.statsCol.flatMap(rk)
+    val bloomCol2 = target.bloomCol.flatMap(rk)
     commit(spark, table, next, target.files, cur.txns,
-      target.statsCol, target.stats, target.multiStats,
-      target.fileValues, target.bloomCol, target.blooms,
+      statsCol2, if (statsCol2.isDefined) target.stats else Map.empty,
+      ms2, fv2,
+      bloomCol2, if (bloomCol2.isDefined) target.blooms else Map.empty,
       op = "restore")
     next
   }

@@ -403,6 +403,65 @@ class TxTableSpec extends AnyFunSuite {
     assert(content === Seq(12 -> "v12"))
   }
 
+  test("restore across a rename rekeys index metadata to the head's names") {
+    val t = freshTable()
+    val grid = (1 to 40).map(i => (i.toLong, s"g${i % 4}")).toDF("x", "g")
+    TxTable.overwriteIndexedMulti(grid, t, statCols = Seq("x")) // v1
+    TxTable.renameColumn(spark, t, "x", "xid") // v2
+    TxTable.append(Seq((99L, "z")).toDF("xid", "g"), t) // v3
+    TxTable.restore(spark, t, 1) // v4: pre-append data, CURRENT names
+    // the restored head serves the HEAD's logical names
+    assert(TxTable.read(spark, t).columns.toSeq === Seq("xid", "g"))
+    assert(TxTable.read(spark, t).count() === 40)
+    // and the target's stats were rekeyed x → xid, so pruning works
+    val snap = TxTable.snapshot(spark, t).get
+    assert(snap.multiStats.values.forall(m =>
+      m.contains("xid") && !m.contains("x")),
+      s"restore kept stale stat keys: ${snap.multiStats.values.headOption}")
+    assert(TxTable.pruneFilesWhere(snap, Seq(("xid", 1.0, 5.0)), Nil)
+      .size < snap.files.size)
+    assert(TxTable.readRange(spark, t, "xid", 1.0, 5.0).count() === 5)
+  }
+
+  test("shallow clone: zero-copy, fully independent, pruning carries") {
+    val src = freshTable()
+    val dst = freshTable()
+    val grid = (1 to 40).map(i => (i.toLong, s"g${i % 4}")).toDF("x", "g")
+    TxTable.overwriteIndexedMulti(grid, src, statCols = Seq("x")) // v1
+    TxTable.renameColumn(spark, src, "g", "grp") // v2: mapped source
+    TxTable.addConstraint(spark, src, "x_pos", "x > 0")
+    TxTable.cloneShallow(spark, src, dst)
+    // zero-copy: the clone's data dir holds NOTHING
+    val dd = new org.apache.hadoop.fs.Path(dst, "data")
+    val f = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(dd) || f.listStatus(dd).isEmpty,
+      "shallow clone copied data files")
+    // same content, same logical surface (mapping snapshotted)
+    assert(TxTable.read(spark, dst).columns.toSeq === Seq("x", "grp"))
+    assert(TxTable.read(spark, dst).count() === 40)
+    // index metadata carried: range reads prune on the clone
+    val dsnap = TxTable.snapshot(spark, dst).get
+    assert(TxTable.pruneFilesWhere(dsnap, Seq(("x", 1.0, 5.0)), Nil)
+      .size < dsnap.files.size, "clone lost the stats carry")
+    assert(TxTable.readRange(spark, dst, "x", 1.0, 5.0).count() === 5)
+    // constraints snapshotted: a violating write on the CLONE refuses
+    intercept[Exception] {
+      TxTable.append(Seq((-1L, "bad")).toDF("x", "grp"), dst) }
+    // DML on the clone: copy-on-write lands in dst's OWN data dir,
+    // untouched source refs carry, and SRC never changes
+    TxTable.deleteWhere(spark, dst, Seq(("x", 1.0, 20.0)))
+    TxTable.append(Seq((100L, "new")).toDF("x", "grp"), dst)
+    assert(TxTable.read(spark, dst).count() === 21)
+    assert(TxTable.read(spark, src).count() === 40, "clone DML hit src")
+    // vacuum on the clone reclaims only its own files: src intact
+    TxTable.vacuum(spark, dst, retainLast = 1)
+    assert(TxTable.read(spark, src).count() === 40)
+    assert(TxTable.read(spark, dst).count() === 21)
+    // cloning onto an existing table refuses
+    intercept[IllegalArgumentException] {
+      TxTable.cloneShallow(spark, src, dst) }
+  }
+
   test("CHECK constraints gate every write in-plan; violations fail the action") {
     val t = freshTable()
     TxTable.append(Seq((1, 10L), (2, 20L)).toDF("k", "amt"), t) // v1
