@@ -24,7 +24,8 @@ private[sources] object TxProcedures {
   val names: Seq[String] =
     Seq("compact", "restore", "vacuum", "vacuum_older_than", "history",
       "create_checkpoint", "enable_change_feed", "detail",
-      "add_constraint", "drop_constraint", "constraints", "clone")
+      "add_constraint", "drop_constraint", "constraints", "clone",
+      "compact_where")
 
   def apply(name: String, root: String): UnboundProcedure = name match {
     case "compact" => new TxProc(name, root,
@@ -130,6 +131,22 @@ private[sources] object TxProcedures {
             s"no committed version at $dir")).version
         TxTable.writeCheckpointAt(spark, dir, v)
         Seq(new GenericInternalRow(Array[Any](v)))
+      })
+    // OPTIMIZE ... WHERE: compact one partition's small files, not
+    // the table (values comma-separated; partCol may be a transform)
+    case "compact_where" => new TxProc(name, root,
+      params = Seq("table" -> StringType, "part_col" -> StringType,
+        "values" -> StringType, "target_files" -> IntegerType),
+      out = StructType(Seq(StructField("version", LongType),
+        StructField("n_files", LongType))),
+      run = { (spark, dir, args) =>
+        val v = TxTable.compactWhere(spark, dir,
+          args(1).asInstanceOf[String],
+          args(2).asInstanceOf[String].split(',').toSeq
+            .map(_.trim).filter(_.nonEmpty),
+          args(3).asInstanceOf[Int])
+        Seq(new GenericInternalRow(Array[Any](v,
+          TxTable.snapshot(spark, dir).get.files.size.toLong)))
       })
     // Delta's CREATE TABLE ... SHALLOW CLONE as a procedure: the
     // second arg is the TARGET table name under the same root

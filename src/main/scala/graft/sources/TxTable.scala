@@ -2417,6 +2417,57 @@ object TxTable {
     * A concurrent writer committing first wins the version and this
     * throws [[TxConflictException]]; compaction is safe to just
     * re-run. */
+  /** PARTITION-SCOPED compaction (Delta's `OPTIMIZE ... WHERE` /
+    * Iceberg's rewrite_data_files with a filter): rewrite ONLY the
+    * files whose recorded value set for `partCol` admits one of
+    * `values` — at 100 TB you compact yesterday's small-file
+    * partition, not the table. Scoped files merge into
+    * `targetFiles` clustered files with recomputed metadata; every
+    * other file — and its index metadata — carries over
+    * byte-untouched in the same atomic commit. Content-identical
+    * (op = compact, dataChange-false semantics: the change feed
+    * skips it). `partCol` may be a transform entry ("days(ts)").
+    * Files with NO recorded value set are conservatively IN SCOPE
+    * (they may hold the partition; compacting them is correct and
+    * finally gives them value sets). Returns the committed version
+    * (the current head when nothing is in scope). */
+  def compactWhere(spark: SparkSession, table: String, partCol: String,
+      values: Seq[String], targetFiles: Int = 1): Long = {
+    require(values.nonEmpty && targetFiles >= 1)
+    val cur = snapshot(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"nothing to compact at $table"))
+    val next = cur.version + 1
+    val vset = values.toSet
+    val t = PartTransform.parse(partCol)
+    val scoped = cur.files.filter(f =>
+      cur.fileValues.get(f).flatMap(_.get(t.name)) match {
+        case Some(vs) => vs.exists(vset)
+        case None => true // no metadata → may hold the partition
+      })
+    if (scoped.isEmpty) return cur.version
+    val untouched = cur.files.filterNot(scoped.toSet)
+    val m = mappingAt(spark, table, Some(cur.version))
+    val scopedDf = toLogicalFrame(
+      spark.read.parquet(scoped.map(new Path(table, _).toString): _*), m)
+    val statCols = cur.multiStats.values.flatMap(_.keys).toSeq.distinct.sorted
+    val valueCols = (cur.fileValues.values.flatMap(_.keys).toSeq
+      ++ Seq(t.name)).distinct.sorted
+    val files = writeFiles(
+      scopedDf.repartitionByRange(targetFiles, t.expr), table, next)
+    val (ms, fv) = recomputeMetadata(spark, table, files,
+      statCols, valueCols)
+    val untouchedSet = untouched.toSet
+    val keptBlooms = cur.blooms.filter { case (f, _) => untouchedSet(f) }
+    val keptStats = cur.stats.filter { case (f, _) => untouchedSet(f) }
+    commit(spark, table, next, untouched ++ files, cur.txns,
+      cur.statsCol.filter(_ => keptStats.nonEmpty), keptStats,
+      cur.multiStats.filter { case (f, _) => untouchedSet(f) } ++ ms,
+      cur.fileValues.filter { case (f, _) => untouchedSet(f) } ++ fv,
+      cur.bloomCol.filter(_ => keptBlooms.nonEmpty), keptBlooms,
+      op = "compact")
+    next
+  }
+
   def compact(spark: SparkSession, table: String, targetFiles: Int): Long = {
     import org.apache.spark.sql.functions.{col => c, input_file_name, max => fmax, min => fmin}
     require(targetFiles >= 1)

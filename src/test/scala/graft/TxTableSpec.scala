@@ -403,6 +403,35 @@ class TxTableSpec extends AnyFunSuite {
     assert(content === Seq(12 -> "v12"))
   }
 
+  test("compactWhere rewrites ONE partition's files; everything else carries") {
+    val t = freshTable()
+    val rows = (1 to 40).map(i => (i.toLong, s"g${i % 4}")).toDF("k", "g")
+    // partitioned appends: several small files per partition
+    TxTable.appendPartitionedMulti(rows.filter($"k" <= 20), t, Seq("g"))
+    TxTable.appendPartitionedMulti(rows.filter($"k" > 20), t, Seq("g"))
+    val snap1 = TxTable.snapshot(spark, t).get
+    val g1Before = snap1.files.filter(f =>
+      snap1.fileValues.get(f).flatMap(_.get("g")).exists(_.contains("g1")))
+    assert(g1Before.size > 1, "test setup: g1 must span several files")
+    val others = snap1.files.filterNot(g1Before.toSet)
+    TxTable.compactWhere(spark, t, "g", Seq("g1"), targetFiles = 1)
+    val snap2 = TxTable.snapshot(spark, t).get
+    // untouched partitions carried byte-identical; g1 merged
+    assert(others.forall(snap2.files.contains),
+      "compactWhere rewrote out-of-scope files")
+    val g1After = snap2.files.filterNot(others.toSet)
+    assert(g1After.size < g1Before.size,
+      s"no merge: ${g1Before.size} -> ${g1After.size}")
+    // content identical, value sets recomputed for the new files
+    assert(TxTable.read(spark, t).as[(Long, String)].collect().sorted
+      .toSeq === (1L to 40L).map(i => i -> s"g${i % 4}").sortBy(identity))
+    assert(g1After.forall(f => snap2.fileValues.get(f)
+      .flatMap(_.get("g")).exists(_.contains("g1"))))
+    // nothing in scope = no-op at the current head
+    val v = TxTable.compactWhere(spark, t, "g", Seq("nope"))
+    assert(v === snap2.version)
+  }
+
   test("restore across a rename rekeys index metadata to the head's names") {
     val t = freshTable()
     val grid = (1 to 40).map(i => (i.toLong, s"g${i % 4}")).toDF("x", "g")
