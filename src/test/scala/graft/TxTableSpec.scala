@@ -403,6 +403,44 @@ class TxTableSpec extends AnyFunSuite {
     assert(content === Seq(12 -> "v12"))
   }
 
+  test("rename racing an append: version CAS picks one winner, state stays consistent") {
+    // both verbs capture the head at their start and commit at
+    // head+1, so whatever the interleaving the commit CAS admits
+    // exactly one of them per version — the loser throws
+    // TxConflictException with nothing visible (the rename's staged
+    // sidecar is deleted; the append's staged files stay
+    // unreferenced). The retry then sees the winner's state.
+    for (round <- 1 to 3) {
+      val t = freshTable()
+      TxTable.append(df(1 -> "a"), t) // v1
+      val barrier = new CyclicBarrier(2)
+      @volatile var renameOk = false
+      @volatile var appendOk = false
+      val r = new Thread(() => {
+        barrier.await()
+        try { TxTable.renameColumn(spark, t, "v", "w"); renameOk = true }
+        catch { case _: TxConflictException => () }
+      })
+      val a = new Thread(() => {
+        barrier.await()
+        try { TxTable.append(df(2 -> "b"), t); appendOk = true }
+        catch { case _: TxConflictException => () }
+      })
+      r.start(); a.start(); r.join(); a.join()
+      assert(renameOk || appendOk, s"round $round: both racers lost")
+      // retry the loser against the winner's state
+      if (!renameOk) TxTable.renameColumn(spark, t, "v", "w")
+      if (!appendOk) {
+        // post-rename, the logical column is w
+        TxTable.append(Seq((2, "b")).toDF("k", "w"), t)
+      }
+      assert(TxTable.read(spark, t).columns.toSeq === Seq("k", "w"),
+        s"round $round: rename lost silently")
+      assert(TxTable.read(spark, t).as[(Int, String)].collect().sorted
+        .toSeq === Seq(1 -> "a", 2 -> "b"), s"round $round: rows wrong")
+    }
+  }
+
   test("compactWhere rewrites ONE partition's files; everything else carries") {
     val t = freshTable()
     val rows = (1 to 40).map(i => (i.toLong, s"g${i % 4}")).toDF("k", "g")
