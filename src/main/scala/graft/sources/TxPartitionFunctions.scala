@@ -77,9 +77,29 @@ private[sources] object TxPartitionFunctions {
     }
   }
 
+  val Hours: UnboundFunction = new UnboundFunction {
+    override def name(): String = "hours"
+    override def description(): String =
+      "partition transform: hours since epoch of a timestamp"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1,
+        s"hours() takes one argument, got ${inputType.catalogString}")
+      inputType.fields(0).dataType match {
+        case dt @ (TimestampType | TimestampNTZType) =>
+          new Bound("hours", dt) {
+            override def produceResult(input: InternalRow): Integer =
+              Math.floorDiv(input.getLong(0), 3600000000L).toInt
+          }
+        case other => throw new UnsupportedOperationException(
+          s"hours() needs a timestamp column, got $other")
+      }
+    }
+  }
+
   def lookup(name: String): Option[UnboundFunction] = name match {
     case "days" => Some(Days)
     case "months" => Some(Months)
+    case "hours" => Some(Hours)
     case _ => None
   }
 }

@@ -471,6 +471,7 @@ private[sources] class TxSparkTable(spark: SparkSession, path: String,
       case TxTable.PartIdentity(c) => Expressions.identity(c)
       case TxTable.PartDays(c) => Expressions.days(c)
       case TxTable.PartMonths(c) => Expressions.months(c)
+      case TxTable.PartHours(c) => Expressions.hours(c)
     }).toArray
   }
   // Infer from ONE file, not the whole snapshot: footer reads are
@@ -741,7 +742,8 @@ class TxTableCatalog extends TableCatalog
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)
       Array(Identifier.of(Array.empty, "days"),
-        Identifier.of(Array.empty, "months"))
+        Identifier.of(Array.empty, "months"),
+        Identifier.of(Array.empty, "hours"))
     else Array.empty
 
   override def initialize(name: String,
@@ -832,16 +834,21 @@ class TxTableCatalog extends TableCatalog
           f.dataType == org.apache.spark.sql.types.DateType ||
             f.dataType == org.apache.spark.sql.types.TimestampType ||
             f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+      def tsOnly(c: String): Boolean =
+        schema.find(_.name == c).exists(f =>
+          f.dataType == org.apache.spark.sql.types.TimestampType ||
+            f.dataType == org.apache.spark.sql.types.TimestampNTZType)
       val cols = partitions.toSeq.map { t =>
         (t.name, refOf(t)) match {
           case ("identity", Some(c)) => c
           case ("days", Some(c)) if temporal(c) => s"days($c)"
           case ("months", Some(c)) if temporal(c) => s"months($c)"
+          case ("hours", Some(c)) if tsOnly(c) => s"hours($c)"
           case _ => throw new UnsupportedOperationException(
             s"txtable: unsupported partitioning $t — " +
-              "PARTITIONED BY (<declared columns>), days(<date/ts>) " +
-              "and months(<date/ts>) are supported (manifest " +
-              "value-set pruning, not hive directories)")
+              "PARTITIONED BY (<declared columns>), days(<date/ts>), " +
+              "months(<date/ts>) and hours(<ts>) are supported " +
+              "(manifest value-set pruning, not hive directories)")
         }
       }
       require(cols.distinct == cols,

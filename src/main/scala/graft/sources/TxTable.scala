@@ -766,6 +766,7 @@ object TxTable {
       case PartIdentity(cn) => rk(cn)
       case PartDays(cn) => rk(cn).map(n => s"days($n)")
       case PartMonths(cn) => rk(cn).map(n => s"months($n)")
+      case PartHours(cn) => rk(cn).map(n => s"hours($n)")
     }
     val ms2 = cur.multiStats.map { case (file, cols) =>
       file -> cols.flatMap { case (k, v) => rk(k).map(_ -> v) } }
@@ -1912,14 +1913,22 @@ object TxTable {
         org.apache.spark.sql.functions.col(col))
         .cast("date").cast("string")
   }
+  final case class PartHours(col: String) extends PartTransform {
+    val name: String = s"hours($col)"
+    def expr: org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.date_trunc("hour",
+        org.apache.spark.sql.functions.col(col)).cast("string")
+  }
   object PartTransform {
     private val Days = """days\(([^(),\s]+)\)""".r
     private val Months = """months\(([^(),\s]+)\)""".r
-    /** Parse one `_partition` entry — `col`, `days(col)` or
-      * `months(col)`. */
+    private val Hours = """hours\(([^(),\s]+)\)""".r
+    /** Parse one `_partition` entry — `col`, `days(col)`,
+      * `months(col)` or `hours(col)`. */
     def parse(entry: String): PartTransform = entry.trim match {
       case Days(c) => PartDays(c)
       case Months(c) => PartMonths(c)
+      case Hours(c) => PartHours(c)
       case c => PartIdentity(c)
     }
   }
@@ -2583,6 +2592,8 @@ object TxTable {
         headM.logicalOf(targetM.phys(cn)).map(n => s"days($n)")
       case PartMonths(cn) =>
         headM.logicalOf(targetM.phys(cn)).map(n => s"months($n)")
+      case PartHours(cn) =>
+        headM.logicalOf(targetM.phys(cn)).map(n => s"hours($n)")
     }
     val ms2 = target.multiStats.map { case (file, cols) =>
       file -> cols.flatMap { case (k, v) => rk(k).map(_ -> v) } }

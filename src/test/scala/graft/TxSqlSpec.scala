@@ -662,6 +662,24 @@ class TxSqlSpec extends AnyFunSuite {
     val sm = graft.sources.TxTable.snapshot(spark, s"$root/tm").get
     assert(sm.fileValues.values.flatMap(_.get("months(d)")).flatten.toSet
       === Set("2024-03-01", "2024-04-01"))
+    // hours() records hour-truncated sets and replaces exact hours
+    spark.sql("CREATE TABLE txdays.th (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (hours(ts))")
+    spark.sql("INSERT INTO txdays.th VALUES " +
+      "(1, TIMESTAMP '2024-03-01 08:15:00'), " +
+      "(2, TIMESTAMP '2024-03-01 09:45:00')")
+    graft.sources.TxTable.overwritePartitions(
+      Seq((20L, java.sql.Timestamp.valueOf("2024-03-01 09:01:00")))
+        .toDF("k", "ts"), s"$root/th", "hours(ts)")
+    assert(spark.sql("SELECT k FROM txdays.th ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 20L))
+    // hours() on a DATE column refuses (calendar hours need a ts)
+    val eh = intercept[Exception] {
+      spark.sql("CREATE TABLE txdays.bad (k BIGINT, d DATE) " +
+        "PARTITIONED BY (hours(d))") }
+    assert(eh.getMessage.contains("unsupported partitioning") ||
+      Option(eh.getCause).exists(_.getMessage
+        .contains("unsupported partitioning")))
   }
 
   test("timestamp range predicates prune days()-partitioned files at plan time") {
