@@ -23,7 +23,8 @@ private[sources] object TxProcedures {
 
   val names: Seq[String] =
     Seq("compact", "restore", "vacuum", "vacuum_older_than", "history",
-      "create_checkpoint", "enable_change_feed", "detail",
+      "create_checkpoint", "enable_change_feed",
+      "enable_deletion_vectors", "detail",
       "add_constraint", "drop_constraint", "constraints", "clone",
       "compact_where")
 
@@ -70,7 +71,8 @@ private[sources] object TxProcedures {
         StructField("multi_stat_cols", StringType),
         StructField("bloom_col", StringType),
         StructField("n_change_files", LongType),
-        StructField("commit_ts", LongType))),
+        StructField("commit_ts", LongType),
+        StructField("n_dels", LongType))),
       run = { (spark, dir, _) =>
         TxTable.history(spark, dir).collect().toSeq.map { r =>
           new GenericInternalRow(Array[Any](
@@ -79,7 +81,7 @@ private[sources] object TxProcedures {
             Option(r.getString(4)).map(UTF8String.fromString).orNull,
             Option(r.getString(5)).map(UTF8String.fromString).orNull,
             Option(r.getString(6)).map(UTF8String.fromString).orNull,
-            r.getLong(7), r.getLong(8)))
+            r.getLong(7), r.getLong(8), r.getLong(9)))
         }
       })
     // DESCRIBE DETAIL analog: one row of table-level operational
@@ -120,6 +122,13 @@ private[sources] object TxProcedures {
       out = StructType(Seq(StructField("enabled", BooleanType))),
       run = { (spark, dir, _) =>
         TxTable.enableChangeFeed(spark, dir)
+        Seq(new GenericInternalRow(Array[Any](true)))
+      })
+    case "enable_deletion_vectors" => new TxProc(name, root,
+      params = Seq("table" -> StringType),
+      out = StructType(Seq(StructField("enabled", BooleanType))),
+      run = { (spark, dir, _) =>
+        TxTable.enableDeletionVectors(spark, dir)
         Seq(new GenericInternalRow(Array[Any](true)))
       })
     case "create_checkpoint" => new TxProc(name, root,

@@ -107,10 +107,17 @@ private[sources] class TxRowLevelOperation(spark: SparkSession,
         val delegate = ParquetScanBuilder(spark,
           new TxFileIndex(spark, path, restricted, physSchema),
           physSchema, physSchema, options).build()
-        mapping match {
+        val logicalScan = mapping match {
           case None => delegate
           case Some(m) => new MappedScan(delegate, m.logicalByPhys)
         }
+        // merge-on-read: the op scan must see only VISIBLE rows — a
+        // rewrite fed hidden rows would resurrect them in the
+        // replacement content
+        if (snap.dels.isEmpty) logicalScan
+        else DvScan.wrapScan(spark, logicalScan, schema,
+          snap.delsByFile.map { case (f, es) =>
+            f.split('/').last -> es })
       }
     }
   }
@@ -205,10 +212,13 @@ private[sources] class TxReplaceBatchWrite(path: String, schema: StructType,
           mapping.fold(df)(_.toLogical(df))
         val post = logical(spark.read.parquet(
           files.map(f => new Path(path, f).toString): _*))
+        // pre-images are the replaced files' VISIBLE rows (standing
+        // deletion predicates applied), matching what the op scan fed
+        // the rewrite — hidden rows must not surface as CDF deletes
         val pre =
           if (replaced.isEmpty) post.limit(0)
-          else logical(spark.read.parquet(
-            replaced.toSeq.map(f => new Path(path, f).toString): _*))
+          else TxTable.readFilesDv(spark, path, snap, replaced.toSeq,
+            mapping)
         val (preType, postType) =
           if (op == "update") ("update_preimage", "update_postimage")
           else ("delete", "insert")
@@ -231,7 +241,10 @@ private[sources] class TxReplaceBatchWrite(path: String, schema: StructType,
       snap.bloomCol.filter(_ =>
         snap.blooms.exists { case (f, _) => untouched.contains(f) }),
       snap.blooms.filter { case (f, _) => untouched.contains(f) },
-      op = op, changes = changes)
+      op = op, changes = changes,
+      // replaced files' dels fold into the rewrite (the op scan served
+      // visible rows); untouched files keep theirs
+      dels = snap.dels.filter(d => untouched.contains(d.path)))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

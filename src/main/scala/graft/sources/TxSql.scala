@@ -253,6 +253,33 @@ object TxSql {
     (ranges.result(), valueEq.result())
   }
 
+  /** Whether [[filterPrunes]]' translation of these filters is the
+    * EXACT predicate (not just a conservative hint) — the gate for
+    * serving a SQL DELETE as a merge-on-read deletion-predicate
+    * commit: the recorded predicate is replayed verbatim by every
+    * reader, so a widened bound (strict `>` stored as `>=`) or a
+    * precision-lossy long would delete MORE than the statement said.
+    * Conjunctions of closed numeric bounds, exact-double numeric
+    * equalities and string equalities qualify; everything else falls
+    * back to copy-on-write (correct, just rewrites). */
+  private[sources] def filterLossless(
+      f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.{sources => sf}
+    def exactNum(v: Any): Boolean = v match {
+      case _: Byte | _: Short | _: Int | _: Float | _: Double => true
+      case l: Long => math.abs(l) < (1L << 53)
+      case _ => false
+    }
+    f match {
+      case sf.And(l, r) => filterLossless(l) && filterLossless(r)
+      case sf.EqualTo(_, _: String) => true
+      case sf.EqualTo(_, v) => exactNum(v)
+      case sf.GreaterThanOrEqual(_, v) => exactNum(v)
+      case sf.LessThanOrEqual(_, v) => exactNum(v)
+      case _ => false
+    }
+  }
+
   /** Timestamp/date range bounds per column derived from top-level
     * conjuncts — the GENERATED-PARTITION-FILTER derivation (Delta's
     * generated-column pruning shape): a predicate `ts >= X AND ts <
@@ -652,14 +679,21 @@ private[sources] class TxSparkTable(spark: SparkSession, path: String,
       base + TableCapability.BATCH_WRITE + TableCapability.OVERWRITE_DYNAMIC
     else base).asJava
   }
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    mapping match {
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val base: ScanBuilder = mapping match {
       case None =>
         ParquetScanBuilder(spark, index, dataSchema, dataSchema, options)
       case Some(m) => new MappedScanBuilder(
         ParquetScanBuilder(spark, index, physSchema, physSchema, options),
         m.physByLogical, m.logicalByPhys)
     }
+    // merge-on-read: a snapshot carrying deletion predicates reads
+    // through the DV wrapper (clean files stay vectorized; DV'd files
+    // filter row-based) — see DvScan.scala
+    if (snap.dels.isEmpty) base
+    else DvScan.builder(spark, base, dataSchema,
+      snap.delsByFile.map { case (f, es) => f.split('/').last -> es })
+  }
 
   /** SQL `UPDATE` / `MERGE INTO` → group-based copy-on-write
     * ReplaceData (see [[TxRowLevelOperation]]): the op scans through
@@ -694,6 +728,13 @@ private[sources] class TxSparkTable(spark: SparkSession, path: String,
       TxTable.overwrite(
         TxTable.read(spark, path)
           .filter(org.apache.spark.sql.functions.lit(false)), path)
+    } else if (TxTable.deletionVectorsEnabled(spark, path) &&
+      filters.forall(TxSql.filterLossless)) {
+      // merge-on-read: the filters ARE the conjunctive language, so
+      // the recorded predicate replays the statement exactly — zero
+      // data files rewrite
+      val (ranges, valueEq) = TxSql.filterPrunes(filters.toSeq)
+      TxTable.deleteWhereDvCounted(spark, path, ranges, valueEq)
     } else {
       val cond = filters.flatMap(TxSql.filterToColumn)
         .reduce(_ && _)

@@ -906,11 +906,18 @@ object TxTable {
       file -> cols.flatMap { case (k, v) => rkEntry(k).map(_ -> v) } }
     val statsCol2 = cur.statsCol.flatMap(rk)
     val bloomCol2 = cur.bloomCol.flatMap(rk)
+    // deletion predicates rekey with the rename (dropColumn refuses
+    // while a del references the column, so rk always resolves here)
+    val dels2 = cur.dels.map { d =>
+      def re(c: String): String = rk(c).getOrElse(c)
+      DelEntry(d.path, d.ranges.map { case (c, lo, hi) => (re(c), lo, hi) },
+        d.eqs.map { case (c, v2) => (re(c), v2) })
+    }
     try commit(spark, table, next, cur.files, cur.txns,
       statsCol2, if (statsCol2.isDefined) cur.stats else Map.empty,
       ms2, fv2,
       bloomCol2, if (bloomCol2.isDefined) cur.blooms else Map.empty,
-      op = "alter_mapping")
+      op = "alter_mapping", dels = dels2)
     catch { case e: Throwable =>
       f.delete(mappingPath(table, next), false); throw e
     }
@@ -972,6 +979,11 @@ object TxTable {
         require(!constraintColumns(spark, ce).contains(name),
           s"cannot drop '$name': CHECK constraint '$cn' ($ce) " +
             s"references it — drop the constraint first") }
+      snapshot(spark, table).foreach(s => require(
+        !s.dels.exists(d => d.ranges.exists(_._1 == name) ||
+          d.eqs.exists(_._1 == name)),
+        s"cannot drop '$name': a deletion predicate references it — " +
+          "compact the table first (folds the predicates into files)"))
       val p = m0.phys(name)
       val kept = m0.entries.filterNot(e => !e.dropped && e.logical == name)
       (ColumnMapping.Mapping(
@@ -1044,7 +1056,9 @@ object TxTable {
     commit(spark, dst, 1L, files, Map.empty,
       snap.statsCol, rekey(snap.stats), rekey(snap.multiStats),
       rekey(snap.fileValues), snap.bloomCol, rekey(snap.blooms),
-      op = "clone")
+      op = "clone",
+      // deletion predicates follow their files (absolute references)
+      dels = snap.dels.map(d => d.copy(path = abs(d.path))))
     1L
   }
 
@@ -1334,6 +1348,12 @@ object TxTable {
       throw new IllegalArgumentException(s"no committed version at $table"))
     if (head.version <= sinceVersion)
       return (spark.emptyDataFrame, head.version)
+    // bootstrap (since 0) of a DV'd table: the full snapshot IS the
+    // change set, served dv-aware; the incremental walk below stays
+    // strictly append-only (addedBetween fails fast on dels drift)
+    if (sinceVersion <= 0 && head.dels.nonEmpty)
+      return (readFilesDv(spark, table, head, head.files,
+        mappingAt(spark, table, Some(head.version))), head.version)
     val added = addedBetween(spark, table, sinceVersion, head)
     if (added.isEmpty) (spark.emptyDataFrame, head.version)
     else (toLogicalFrame(
@@ -1361,6 +1381,19 @@ object TxTable {
       s"versions ($from, ${to.version}] rewrote " +
         s"${removed.size} file(s) at $table: change consumption is exact " +
         "only for append-only commits — reprocess from a full snapshot")
+    // deletion predicates are the REWRITE-LESS rewrite: rows vanished
+    // with the file set unchanged, so files≡rows breaks the same way.
+    // Fail fast when any del touches the range — either the dels
+    // changed (a DV DML landed), or an added file already carries one
+    // (a clone's referenced source state). Use the CDF mode instead —
+    // DV DML records exact change files there.
+    val baseDels =
+      if (from <= 0) Nil
+      else snapshot(spark, table, Some(from)).map(_.dels).getOrElse(Nil)
+    if (to.dels.toSet != baseDels.toSet) throw new IllegalArgumentException(
+      s"versions ($from, ${to.version}] changed deletion predicates at " +
+        s"$table: merge-on-read DELETE has no added-files form — consume " +
+        "the change feed (readChangeFeed) or reprocess from a full snapshot")
     to.files.filterNot(baseFiles)
   }
 
@@ -1403,9 +1436,15 @@ object TxTable {
     // spanning a rename unions cleanly under the new names)
     val m = mappingAt(spark, table, Some(toV))
     val frames = changeSlices(spark, table, from, toV).map {
-      case ChangeSlice(v, kind, files) =>
-        val df = toLogicalFrame(
-          spark.read.parquet(files.map(new Path(table, _).toString): _*), m)
+      case ChangeSlice(v, kind, files, sliceDels) =>
+        val byFile = sliceDels.groupBy(_.path)
+        // per-del-signature groups, like readFilesDv: derived slices
+        // serve each file's VISIBLE rows at its version
+        val df = files.groupBy(f => byFile.getOrElse(f, Nil)).toSeq
+          .sortBy(_._2.headOption.getOrElse("")).map { case (ds, fs) =>
+            applyDels(toLogicalFrame(spark.read.parquet(
+              fs.map(new Path(table, _).toString): _*), m), ds)
+          }.reduce(_.unionByName(_))
         (if (kind == "recorded") df
          else df.withColumn(ChangeTypeCol, lit(kind)))
           .withColumn(CommitVersionCol, lit(v))
@@ -1430,7 +1469,7 @@ object TxTable {
     * files whose rows are inserts) or `"delete"` (REMOVED data files
     * whose rows are deletes — the derived feed of an overwrite). */
   private[graft] case class ChangeSlice(version: Long, kind: String,
-      files: Seq[String])
+      files: Seq[String], dels: Seq[DelEntry] = Nil)
 
   /** The change feed's per-version file slices over `(from, to]`.
     * Shared by the batch [[changeFeed]] and the streaming source's
@@ -1458,10 +1497,21 @@ object TxTable {
           s"version $v is vacuumed at $table — the change consumer " +
             "lost its place; reprocess from a full snapshot"))
     lazy val feedOn = changeFeedEnabled(spark, table)
-    var prevFiles: Set[String] =
-      if (from == 0) Set.empty else snapAt(from).files.toSet
+    val first: Option[Peek] =
+      if (from == 0) None else Some(snapAt(from))
+    var prevFiles: Set[String] = first.map(_.files.toSet).getOrElse(Set.empty)
+    // deletion predicates per file at the PREVIOUS version — derived
+    // slices must serve each version's VISIBLE rows: a removed file's
+    // delete-rows exclude what its dels already hid, an added file's
+    // insert-rows exclude what its (clone-carried) dels hide
+    var prevDels: Map[String, Seq[DelEntry]] =
+      first.map(_.dels.groupBy(_.path)).getOrElse(Map.empty)
+    def delsFor(byFile: Map[String, Seq[DelEntry]],
+        files: Seq[String]): Seq[DelEntry] =
+      files.flatMap(f => byFile.getOrElse(f, Nil))
     ((from + 1) to to).flatMap { v =>
       val snap = snapAt(v)
+      val curDels = snap.dels.groupBy(_.path)
       val out: Seq[ChangeSlice] =
         if (snap.changes.nonEmpty) Seq(ChangeSlice(v, "recorded", snap.changes))
         else snap.op match {
@@ -1474,9 +1524,11 @@ object TxTable {
             val removed = (prevFiles -- snap.files.toSet).toSeq.sorted
             val added = snap.files.filterNot(prevFiles)
             (if (removed.isEmpty) Nil
-             else Seq(ChangeSlice(v, "delete", removed))) ++
+             else Seq(ChangeSlice(v, "delete", removed,
+               delsFor(prevDels, removed)))) ++
               (if (added.isEmpty) Nil
-               else Seq(ChangeSlice(v, "insert", added)))
+               else Seq(ChangeSlice(v, "insert", added,
+                 delsFor(curDels, added))))
           case op @ ("overwrite" | "restore") =>
             throw new IllegalArgumentException(
               s"version $v is a $op at $table with the change feed " +
@@ -1491,10 +1543,23 @@ object TxTable {
                 "disabled — enableChangeFeed before DML, or reprocess " +
                 "from a full snapshot")
             val added = snap.files.filterNot(prevFiles)
+            // a DV DML with the feed DISABLED changes dels on SURVIVING
+            // files with nothing recorded: rows vanished invisibly —
+            // the same fail-fast as a feed-disabled rewrite
+            val survivorDelsChanged = snap.files.filter(prevFiles)
+              .exists(f => curDels.getOrElse(f, Nil).toSet !=
+                prevDels.getOrElse(f, Nil).toSet)
+            if (survivorDelsChanged) throw new IllegalArgumentException(
+              s"change feed not recorded for version $v (op=$opName) at " +
+                s"$table: the commit changed deletion predicates with " +
+                "the feed disabled — enableChangeFeed before DV DML, " +
+                "or reprocess from a full snapshot")
             if (added.isEmpty) Nil
-            else Seq(ChangeSlice(v, "insert", added))
+            else Seq(ChangeSlice(v, "insert", added,
+              delsFor(curDels, added)))
         }
       prevFiles = snap.files.toSet
+      prevDels = curDels
       out
     }
   }
@@ -1890,9 +1955,11 @@ object TxTable {
     def withKeys(df: DataFrame): DataFrame =
       transforms.zipWithIndex.foldLeft(df) { case (acc, (t, i)) =>
         acc.withColumn(s"__k$i", t.expr) }
-    val touchedDf = () => toLogicalFrame(
-      spark.read.parquet(touched.map(new Path(table, _).toString): _*),
-      dynMapping)
+    // standing deletion predicates on touched files apply first, so
+    // the remainder rewrite never resurrects hidden rows
+    val touchedDf = () => cur.fold(
+      spark.emptyDataFrame)(c => readFilesDv(spark, table, c, touched,
+        dynMapping))
     val changeFiles: Seq[String] =
       if (!changeFeedEnabled(spark, table)) Nil
       else if (fresh.isEmpty && touched.isEmpty) Nil
@@ -1954,7 +2021,9 @@ object TxTable {
         case (f, _) => untouchedSet(f) }).getOrElse(Map.empty) ++ fv,
       bloomCol = cur.flatMap(_.bloomCol).filter(_ => keptBlooms.nonEmpty),
       blooms = keptBlooms,
-      op = "overwrite_partitions", changes = changeFiles)
+      op = "overwrite_partitions", changes = changeFiles,
+      dels = cur.map(_.dels.filter(d => untouchedSet(d.path)))
+        .getOrElse(Nil))
     next
   }
 
@@ -2510,11 +2579,11 @@ object TxTable {
     // prune bounds the change write, so a one-partition delete
     // records one partition's changes, never the table's.
     // touchedDf serves LOGICAL names: the rewrite/changeRows closures
-    // come from user predicates; writeFiles re-physicalizes.
+    // come from user predicates; writeFiles re-physicalizes. Standing
+    // deletion predicates apply FIRST — a rewrite of a DV'd file must
+    // start from its VISIBLE rows, never resurrect hidden ones.
     val cowMapping = mappingAt(spark, table, Some(cur.version))
-    val touchedDf = () => toLogicalFrame(
-      spark.read.parquet(touched.map(new Path(table, _).toString): _*),
-      cowMapping)
+    val touchedDf = () => readFilesDv(spark, table, cur, touched, cowMapping)
     val changeFiles: Seq[String] =
       if (changeRows == null || touched.isEmpty ||
         !changeFeedEnabled(spark, table)) Nil
@@ -2541,24 +2610,139 @@ object TxTable {
       cur.multiStats.filter { case (f, _) => untouched.contains(f) } ++ newMs,
       cur.fileValues.filter { case (f, _) => untouched.contains(f) } ++ newFv,
       cur.bloomCol.filter(_ => keptBlooms.nonEmpty), keptBlooms,
-      op = op, changes = changeFiles)
+      op = op, changes = changeFiles,
+      // rewritten files folded their dels in (touchedDf applied them);
+      // untouched files keep theirs
+      dels = cur.dels.filter(d => untouched.contains(d.path)))
     (next, touched.size, cur.files.size)
   }
 
+  // ======== merge-on-read deletion vectors ========
+
+  private def dvMarkerPath(table: String) = new Path(logDir(table), "_dv")
+
+  /** Enable MERGE-ON-READ deletion vectors (Delta's
+    * `enableDeletionVectors` / Iceberg v2 delete semantics, in the
+    * predicate form [[DelEntry]] documents): from the next DML on,
+    * [[deleteWhere]] and [[updateWhere]] commit deletion predicates
+    * instead of rewriting candidate files — a point DELETE on a
+    * 100 TB table is ONE manifest commit (plus, for UPDATE, one fresh
+    * file holding the updated rows). Reads stay exact (every read
+    * path applies the predicates); [[compact]]/[[compactWhere]] fold
+    * them back into clean files; the change feed stays exact (DV DML
+    * records the same change files as copy-on-write). Opt-in like
+    * Delta's: the read-side predicate evaluation is a per-row cost on
+    * DV'd files that pure-append tables should never pay. */
+  def enableDeletionVectors(spark: SparkSession, table: String): Unit = {
+    val ld = logDir(table)
+    val f = fs(spark, ld)
+    f.mkdirs(ld)
+    val out = f.create(dvMarkerPath(table), /* overwrite = */ true)
+    try out.write("enabled".getBytes("UTF-8")) finally out.close()
+  }
+
+  def deletionVectorsEnabled(spark: SparkSession, table: String): Boolean =
+    fs(spark, logDir(table)).exists(dvMarkerPath(table))
+
+  /** DELETE as a deletion-vector commit: candidate files (the same
+    * manifest prune as copy-on-write) gain a [[DelEntry]]; ZERO data
+    * files rewrite, every byte and every index entry carries over
+    * verbatim (stats/value sets/blooms stay correct as conservative
+    * supersets of the visible rows). Returns (version, dvFiles,
+    * totalFiles) — dvFiles = files that gained a predicate, the
+    * number copy-on-write would have REWRITTEN. */
+  private[graft] def deleteWhereDvCounted(spark: SparkSession,
+      table: String, ranges: Seq[(String, Double, Double)],
+      valueEq: Seq[(String, String)] = Nil): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val cur = snapshot(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $table"))
+    val next = cur.version + 1
+    val touched =
+      candidateFiles(cur, ranges, canonicalValueEq(spark, table, cur, valueEq))
+    val pred = predicateColumn(ranges, valueEq)
+    // change feed (opt-in): the deleted images are the touched files'
+    // currently-VISIBLE matching rows — exactly what copy-on-write
+    // records, so CDF consumers can't tell the strategies apart
+    val changeFiles: Seq[String] =
+      if (touched.isEmpty || !changeFeedEnabled(spark, table)) Nil
+      else writeChangeFiles(
+        readFilesDv(spark, table, cur, touched,
+          mappingAt(spark, table, Some(cur.version)))
+          .filter(coalesce(pred, lit(false)))
+          .withColumn(ChangeTypeCol, lit("delete")), table, next)
+    commit(spark, table, next, cur.files, cur.txns,
+      cur.statsCol, cur.stats, cur.multiStats, cur.fileValues,
+      cur.bloomCol, cur.blooms,
+      op = "delete", changes = changeFiles,
+      dels = cur.dels ++ touched.map(f => DelEntry(f, ranges, valueEq)))
+    (next, touched.size, cur.files.size)
+  }
+
+  /** UPDATE as a deletion-vector commit: candidate files gain the
+    * predicate as a [[DelEntry]] (hiding the pre-images in place) and
+    * ONE fresh file set carries the post-images — the Delta DV-update
+    * shape: a one-row UPDATE writes one row, not the row's gigabyte
+    * file. The fresh files carry no dels, so updated rows stay
+    * visible even when they still match the del predicate. */
+  private def updateWhereDv(spark: SparkSession, table: String,
+      ranges: Seq[(String, Double, Double)],
+      valueEq: Seq[(String, String)],
+      applySet: DataFrame => DataFrame): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val cur = snapshot(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $table"))
+    val next = cur.version + 1
+    val touched =
+      candidateFiles(cur, ranges, canonicalValueEq(spark, table, cur, valueEq))
+    val pred = predicateColumn(ranges, valueEq)
+    val matched = () => readFilesDv(spark, table, cur, touched,
+      mappingAt(spark, table, Some(cur.version)))
+      .filter(coalesce(pred, lit(false)))
+    val changeFiles: Seq[String] =
+      if (touched.isEmpty || !changeFeedEnabled(spark, table)) Nil
+      else writeChangeFiles(
+        matched().withColumn(ChangeTypeCol, lit("update_preimage"))
+          .unionByName(applySet(matched())
+            .withColumn(ChangeTypeCol, lit("update_postimage"))),
+        table, next)
+    val fresh: Seq[String] =
+      if (touched.isEmpty) Nil
+      else writeFiles(applySet(matched()), table, next)
+    // fresh post-image files get index metadata over the same tracked
+    // columns, so they prune like any other file; old files' entries
+    // stay valid as supersets
+    val statCols = cur.multiStats.values.flatMap(_.keys).toSeq.distinct.sorted
+    val valueCols = cur.fileValues.values.flatMap(_.keys).toSeq.distinct.sorted
+    val (freshMs, freshFv) =
+      recomputeMetadata(spark, table, fresh, statCols, valueCols)
+    commit(spark, table, next, cur.files ++ fresh, cur.txns,
+      cur.statsCol, cur.stats,
+      cur.multiStats ++ freshMs, cur.fileValues ++ freshFv,
+      cur.bloomCol, cur.blooms,
+      op = "update", changes = changeFiles,
+      dels = cur.dels ++ touched.map(f => DelEntry(f, ranges, valueEq)))
+    next
+  }
+
   /** DELETE rows matching the conjunctive predicate (every range AND
-    * equality must hold), copy-on-write with manifest file pruning:
-    * only files whose recorded metadata admits a match are rewritten
-    * (minus the matching rows); everything else carries over
-    * byte-untouched. Atomic like every commit — a reader sees the
-    * table before the whole delete or after it. Older snapshots still
-    * time-travel to the pre-delete rows until [[vacuum]]. Returns the
-    * committed version. */
+    * equality must hold). Strategy is table-configured: with
+    * [[enableDeletionVectors]] set this is a MERGE-ON-READ commit
+    * (predicates recorded, zero rewrites); otherwise copy-on-write
+    * with manifest file pruning — only files whose recorded metadata
+    * admits a match are rewritten (minus the matching rows),
+    * everything else carries over byte-untouched. Atomic like every
+    * commit — a reader sees the table before the whole delete or
+    * after it. Older snapshots still time-travel to the pre-delete
+    * rows until [[vacuum]]. Returns the committed version. */
   def deleteWhere(spark: SparkSession, table: String,
       ranges: Seq[(String, Double, Double)],
       valueEq: Seq[(String, String)] = Nil): Long = {
     require(ranges.nonEmpty || valueEq.nonEmpty,
       "refusing an unconditional DELETE: pass overwrite(empty) instead")
-    deleteWhereCounted(spark, table, ranges, valueEq)._1
+    if (deletionVectorsEnabled(spark, table))
+      deleteWhereDvCounted(spark, table, ranges, valueEq)._1
+    else deleteWhereCounted(spark, table, ranges, valueEq)._1
   }
 
   /** UPDATE rows matching the conjunctive predicate: each `(column ->
@@ -2595,6 +2779,8 @@ object TxTable {
         }
       }: _*)
     }
+    if (deletionVectorsEnabled(spark, table))
+      return updateWhereDv(spark, table, ranges, valueEq, applySet)
     copyOnWrite(spark, table, ranges, valueEq, applySet, op = "update",
       changeRows = { df =>
         val matched = df.filter(coalesce(pred, lit(false)))
@@ -2690,9 +2876,10 @@ object TxTable {
       })
     if (scoped.isEmpty) return cur.version
     val untouched = cur.files.filterNot(scoped.toSet)
-    val m = mappingAt(spark, table, Some(cur.version))
-    val scopedDf = toLogicalFrame(
-      spark.read.parquet(scoped.map(new Path(table, _).toString): _*), m)
+    // compaction FOLDS deletion predicates: scoped files rewrite from
+    // their visible rows and shed their dels (Delta's DV-fold)
+    val scopedDf = readFilesDv(spark, table, cur, scoped,
+      mappingAt(spark, table, Some(cur.version)))
     val statCols = cur.multiStats.values.flatMap(_.keys).toSeq.distinct.sorted
     val valueCols = (cur.fileValues.values.flatMap(_.keys).toSeq
       ++ Seq(t.name)).distinct.sorted
@@ -2708,7 +2895,8 @@ object TxTable {
       cur.multiStats.filter { case (f, _) => untouchedSet(f) } ++ ms,
       cur.fileValues.filter { case (f, _) => untouchedSet(f) } ++ fv,
       cur.bloomCol.filter(_ => keptBlooms.nonEmpty), keptBlooms,
-      op = "compact")
+      op = "compact",
+      dels = cur.dels.filter(d => untouchedSet(d.path)))
     next
   }
 
@@ -2787,12 +2975,13 @@ object TxTable {
           s.statsCol.orNull,
           s.multiStats.values.flatMap(_.keys).toSeq.distinct.sorted
             .mkString(","),
-          s.bloomCol.orNull, s.changes.size.toLong, s.ts)
+          s.bloomCol.orNull, s.changes.size.toLong, s.ts,
+          s.dels.size.toLong)
       }
     import spark.implicits._
     rows.toDF("version", "op", "n_files", "n_txns",
       "stats_col", "multi_stat_cols", "bloom_col", "n_change_files",
-      "commit_ts")
+      "commit_ts", "n_dels")
   }
 
   /** RESTORE: make `version`'s content the new HEAD as a fresh commit
@@ -2836,11 +3025,24 @@ object TxTable {
       file -> cols.flatMap { case (k, v) => rk(k).map(_ -> v) } }
     val statsCol2 = target.statsCol.flatMap(rk)
     val bloomCol2 = target.bloomCol.flatMap(rk)
+    // deletion predicates travel with the files they hide rows of;
+    // their columns rekey like every logical-keyed field. A predicate
+    // column DROPPED since the target cannot rekey — restoring would
+    // silently resurrect its hidden rows, so refuse loudly.
+    val dels2 = target.dels.map { d =>
+      def re(c: String): String = rk(c).getOrElse(
+        throw new IllegalArgumentException(
+          s"cannot restore v$version at $table: deletion predicate " +
+            s"column '$c' was dropped since — its hidden rows would " +
+            "resurrect; compact v" + version + " first"))
+      DelEntry(d.path, d.ranges.map { case (c, lo, hi) => (re(c), lo, hi) },
+        d.eqs.map { case (c, v2) => (re(c), v2) })
+    }
     commit(spark, table, next, target.files, cur.txns,
       statsCol2, if (statsCol2.isDefined) target.stats else Map.empty,
       ms2, fv2,
       bloomCol2, if (bloomCol2.isDefined) target.blooms else Map.empty,
-      op = "restore")
+      op = "restore", dels = dels2)
     next
   }
 

@@ -212,13 +212,26 @@ private[graft] class TxTableSource(spark: SparkSession, table: String,
         TxTable.ChangeTypeCol, org.apache.spark.sql.types.StringType))
     val metaCols = schema.fieldNames.map(org.apache.spark.sql.functions.col)
     val frames = TxTable.changeSlices(spark, table, from, to).map {
-      case TxTable.ChangeSlice(v, kind, files) =>
+      case TxTable.ChangeSlice(v, kind, files, sliceDels) =>
         val base =
           if (kind == "recorded")
             toPinnedLogical(streamingParquet(files, phys(withCt)), withCt)
-          else toPinnedLogical(
-            streamingParquet(files, phys(dataSchema)), dataSchema)
-            .withColumn(TxTable.ChangeTypeCol, lit(kind))
+          else {
+            // derived slices serve each file's VISIBLE rows: apply the
+            // slice's deletion predicates per del-signature group (the
+            // batch changeFeed's discipline, on streaming relations)
+            val byFile = sliceDels.groupBy(_.path)
+            files.groupBy(f => byFile.getOrElse(f, Nil)).toSeq
+              .sortBy(_._2.headOption.getOrElse("")).map { case (ds, fs) =>
+                ds.foldLeft(toPinnedLogical(
+                  streamingParquet(fs, phys(dataSchema)), dataSchema)) {
+                  (acc, d) => acc.filter(!org.apache.spark.sql.functions
+                    .coalesce(d.predicate,
+                      org.apache.spark.sql.functions.lit(false)))
+                }
+              }.reduce(_.unionByName(_))
+              .withColumn(TxTable.ChangeTypeCol, lit(kind))
+          }
         base.withColumn(TxTable.CommitVersionCol, lit(v))
           .select(metaCols.toSeq: _*) // pin the checkpointed column order
     }

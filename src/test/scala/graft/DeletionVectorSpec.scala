@@ -1,0 +1,273 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{TxSql, TxTable}
+
+/** MERGE-ON-READ deletion vectors (predicate form): point DML commits
+  * a deletion predicate instead of rewriting candidate files — the
+  * r16 verdict's #1 missing piece ("a point delete in a 1 GB file
+  * rewrites the gigabyte"). Contract pinned here:
+  *
+  *   - DELETE with DVs rewrites ZERO data files (manifest: same file
+  *     list + a del entry); every reader — API, SQL scan, CDF —
+  *     serves only visible rows;
+  *   - UPDATE with DVs hides the pre-images in place and writes ONE
+  *     fresh post-image file set;
+  *   - compact / copy-on-write rewrites FOLD the predicates away;
+  *   - time travel below the delete still serves the full rows;
+  *   - renames rekey predicate columns; drops refuse while referenced;
+  *   - incremental consumers fail fast (non-CDF) or stay exact (CDF).
+  */
+class DeletionVectorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_dv_").toString
+
+  /** Multi-file indexed table: k 1..40 range-clustered (disjoint
+    * per-file k-ranges, so a point predicate prunes to one file). */
+  private def buildTable(dir: String): Unit = {
+    val df = (1 to 40).map(i => (i.toLong, s"t${i % 4}")).toDF("k", "v")
+    TxTable.overwriteIndexedMulti(df, dir, statCols = Seq("k"))
+    TxTable.enableDeletionVectors(spark, dir)
+  }
+
+  test("point DELETE: zero data-file rewrites, exact visibility") {
+    val dir = freshRoot() + "/t"
+    buildTable(dir)
+    val before = TxTable.snapshot(spark, dir).get
+    assert(before.files.size > 1, "need a multi-file table")
+    val v = TxTable.deleteWhere(spark, dir, Seq(("k", 7.0, 7.0)))
+    val after = TxTable.snapshot(spark, dir).get
+    assert(v === 2L)
+    // THE claim: same file list, byte-identical — only a del entry
+    assert(after.files === before.files,
+      "DV delete must not rewrite or add any data file")
+    assert(after.dels.nonEmpty && after.dels.forall(_.ranges ===
+      Seq(("k", 7.0, 7.0))))
+    // and the predicate attached only to the pruned candidates
+    assert(after.dels.size < before.files.size,
+      "del entries must target only manifest-pruned candidate files")
+    // visibility: every read path hides k=7
+    assert(TxTable.read(spark, dir).count() === 39L)
+    assert(TxTable.read(spark, dir).filter($"k" === 7L).count() === 0L)
+    assert(TxTable.readWhere(spark, dir, Seq(("k", 1.0, 10.0)))
+      .as[(Long, String)].collect().map(_._1).sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L, 5L, 6L, 8L, 9L, 10L))
+    // time travel below the delete still serves the row
+    assert(TxTable.read(spark, dir, asOf = Some(1L))
+      .filter($"k" === 7L).count() === 1L)
+    // index metadata carried verbatim (supersets stay correct)
+    assert(after.multiStats === before.multiStats)
+    assert(after.fileValues === before.fileValues)
+  }
+
+  test("predicates stack; equality form; null predicate keeps rows") {
+    val dir = freshRoot() + "/t"
+    buildTable(dir)
+    TxTable.deleteWhere(spark, dir, Seq(("k", 7.0, 7.0)))
+    TxTable.deleteWhere(spark, dir, valueEq = Seq(("v", "t2")), ranges = Nil)
+    val snap = TxTable.snapshot(spark, dir).get
+    assert(snap.version === 3L)
+    val got = TxTable.read(spark, dir).as[(Long, String)].collect()
+    assert(!got.exists(_._1 == 7L) && !got.exists(_._2 == "t2"))
+    assert(got.length === 29) // 40 - k=7 (t3) - the 10 t2 rows
+    // a second delete of the same rows is idempotent
+    TxTable.deleteWhere(spark, dir, Seq(("k", 7.0, 7.0)))
+    assert(TxTable.read(spark, dir).count() === got.length.toLong)
+  }
+
+  test("UPDATE with DVs: pre-images hidden in place, one fresh file set") {
+    val dir = freshRoot() + "/t"
+    buildTable(dir)
+    val before = TxTable.snapshot(spark, dir).get
+    TxTable.updateWhere(spark, dir, Seq(("k", 5.0, 8.0)), Nil,
+      Map("v" -> lit("UP")))
+    val after = TxTable.snapshot(spark, dir).get
+    // every pre-existing file carries over; only fresh files add
+    assert(before.files.toSet.subsetOf(after.files.toSet),
+      "DV update must not rewrite existing files")
+    val fresh = after.files.filterNot(before.files.toSet)
+    assert(fresh.nonEmpty && after.dels.nonEmpty)
+    // updated rows visible ONCE with the new value — even though they
+    // still match the del predicate region (fresh files carry no del)
+    val got = TxTable.read(spark, dir).as[(Long, String)].collect()
+      .sortBy(_._1)
+    assert(got.length === 40)
+    assert(got.filter(r => r._1 >= 5 && r._1 <= 8).forall(_._2 == "UP"))
+    assert(got.filter(r => r._1 < 5 || r._1 > 8)
+      .forall(_._2 != "UP"))
+    // fresh files got index metadata over the tracked columns
+    assert(fresh.forall(f => after.multiStats.contains(f)),
+      "fresh post-image files must carry recomputed stats")
+  }
+
+  test("compact folds predicates into clean files; compactWhere folds only in scope") {
+    val dir = freshRoot() + "/t"
+    buildTable(dir)
+    TxTable.deleteWhere(spark, dir, Seq(("k", 7.0, 7.0)))
+    val expect = TxTable.read(spark, dir).as[(Long, String)]
+      .collect().sorted.toSeq
+    TxTable.compact(spark, dir, targetFiles = 2)
+    val snap = TxTable.snapshot(spark, dir).get
+    assert(snap.dels.isEmpty, "compact must fold deletion predicates")
+    assert(TxTable.read(spark, dir).as[(Long, String)]
+      .collect().sorted.toSeq === expect)
+    // partition-scoped fold: dels on out-of-scope files survive
+    val dir2 = freshRoot() + "/t2"
+    buildTable(dir2)
+    TxTable.deleteWhere(spark, dir2, valueEq = Seq(("v", "t1")),
+      ranges = Nil)
+    val expect2 = TxTable.read(spark, dir2).as[(Long, String)]
+      .collect().sorted.toSeq
+    val scope = TxTable.snapshot(spark, dir2).get.dels.head
+    // compact only the partition holding v-values including t1's files
+    TxTable.compactWhere(spark, dir2, "v", Seq("t1"), targetFiles = 1)
+    val snap2 = TxTable.snapshot(spark, dir2).get
+    assert(TxTable.read(spark, dir2).as[(Long, String)]
+      .collect().sorted.toSeq === expect2,
+      "scoped compaction changed content")
+    assert(snap2.dels.size < TxTable.snapshot(spark, dir2, Some(2L))
+      .get.dels.size || snap2.dels.isEmpty,
+      s"scoped compaction must fold in-scope dels (was ${scope})")
+  }
+
+  test("copy-on-write DML on a DV'd table folds touched files' dels") {
+    val dir = freshRoot() + "/t"
+    buildTable(dir)
+    TxTable.deleteWhere(spark, dir, Seq(("k", 7.0, 7.0)))
+    // direct CoW delete (bypassing the DV dispatch): touched files
+    // rewrite from VISIBLE rows — k=7 must not resurrect
+    TxTable.deleteWhereCounted(spark, dir, Seq(("k", 9.0, 9.0)))
+    val got = TxTable.read(spark, dir).as[(Long, String)].collect()
+    assert(!got.exists(_._1 == 7L), "CoW rewrite resurrected a DV'd row")
+    assert(!got.exists(_._1 == 9L))
+    assert(got.length === 38)
+  }
+
+  test("SQL reads serve visible rows; vectorized clean files; widened del columns") {
+    val root = freshRoot()
+    val dir = s"$root/q"
+    buildTable(dir)
+    TxTable.deleteWhere(spark, dir, Seq(("k", 7.0, 7.0)))
+    TxSql.installCatalog(spark, "txdv", root)
+    // count (no columns) — the widening path: k is needed only by the
+    // del predicate
+    assert(spark.sql("SELECT count(*) AS n FROM txdv.q").as[Long]
+      .head() === 39L)
+    // projection WITHOUT the predicate column
+    assert(spark.sql("SELECT v FROM txdv.q").count() === 39L)
+    // filter + aggregate over both
+    assert(spark.sql(
+      "SELECT sum(k) AS s FROM txdv.q WHERE k BETWEEN 1 AND 10")
+      .as[Long].head() === (1L to 10L).sum - 7L)
+    // version time travel below the delete
+    assert(spark.read.format("txtable").option("version", 1)
+      .load(dir).count() === 40L)
+  }
+
+  test("SQL DELETE routes to a DV commit; SQL UPDATE never resurrects") {
+    val root = freshRoot()
+    val dir = s"$root/d"
+    buildTable(dir)
+    TxSql.installCatalog(spark, "txdvd", root)
+    val before = TxTable.snapshot(spark, dir).get
+    spark.sql("DELETE FROM txdvd.d WHERE k = 11")
+    val after = TxTable.snapshot(spark, dir).get
+    assert(after.files === before.files,
+      "lossless SQL DELETE on a DV table must not rewrite files")
+    assert(after.dels.nonEmpty)
+    assert(spark.sql("SELECT count(*) AS n FROM txdvd.d").as[Long]
+      .head() === 39L)
+    // strict bound is NOT lossless → falls back to copy-on-write,
+    // still correct
+    spark.sql("DELETE FROM txdvd.d WHERE k > 38")
+    assert(spark.sql("SELECT count(*) AS n FROM txdvd.d").as[Long]
+      .head() === 37L)
+    // SQL UPDATE through the row-level op scan: reads only VISIBLE
+    // rows, folds the replaced files' dels
+    spark.sql("UPDATE txdvd.d SET v = 'X' WHERE k <= 2")
+    val got = spark.sql("SELECT k, v FROM txdvd.d").as[(Long, String)]
+      .collect()
+    assert(got.length === 37, "SQL UPDATE resurrected DV'd rows")
+    assert(!got.exists(_._1 == 11L))
+    assert(got.filter(_._1 <= 2L).forall(_._2 == "X"))
+  }
+
+  test("change feed stays exact across DV DML; non-CDF consumers fail fast") {
+    val dir = freshRoot() + "/t"
+    buildTable(dir)
+    TxTable.enableChangeFeed(spark, dir)
+    val v0 = TxTable.snapshot(spark, dir).get.version
+    TxTable.deleteWhere(spark, dir, Seq(("k", 3.0, 4.0)))
+    TxTable.updateWhere(spark, dir, Seq(("k", 10.0, 10.0)), Nil,
+      Map("v" -> lit("U")))
+    val feed = TxTable.changeFeed(spark, dir, from = v0)
+    val deletes = feed.filter(col(TxTable.ChangeTypeCol) === "delete")
+      .select($"k").as[Long].collect().sorted.toSeq
+    assert(deletes === Seq(3L, 4L))
+    val pre = feed.filter(col(TxTable.ChangeTypeCol) === "update_preimage")
+      .select($"k", $"v").as[(Long, String)].collect().toSeq
+    val post = feed.filter(col(TxTable.ChangeTypeCol) === "update_postimage")
+      .select($"k", $"v").as[(Long, String)].collect().toSeq
+    assert(pre.map(_._1) === Seq(10L) && post === Seq((10L, "U")))
+    // a second delete of an ALREADY-hidden row records nothing new
+    TxTable.deleteWhere(spark, dir, Seq(("k", 3.0, 3.0)))
+    assert(TxTable.changeFeed(spark, dir,
+      from = TxTable.snapshot(spark, dir).get.version - 1)
+      .filter(col(TxTable.ChangeTypeCol) === "delete").count() === 0L)
+    // non-CDF incremental consumption across the DV DML fails fast
+    val e = intercept[IllegalArgumentException] {
+      TxTable.changesSince(spark, dir, v0) }
+    assert(e.getMessage.contains("deletion predicates"))
+    // but bootstrap-from-zero serves the VISIBLE snapshot (40 minus
+    // the two deleted keys; the update replaces, never removes)
+    val (boot, _) = TxTable.changesSince(spark, dir, 0L)
+    assert(boot.count() === 38L)
+  }
+
+  test("rename rekeys del predicates; drop refuses while referenced; restore carries") {
+    val dir = freshRoot() + "/t"
+    buildTable(dir)
+    TxTable.deleteWhere(spark, dir, Seq(("k", 7.0, 7.0)))
+    TxTable.renameColumn(spark, dir, "k", "kid")
+    val snap = TxTable.snapshot(spark, dir).get
+    assert(snap.dels.forall(_.ranges.forall(_._1 == "kid")),
+      "rename must rekey deletion-predicate columns")
+    assert(TxTable.read(spark, dir).filter($"kid" === 7L).count() === 0L)
+    val e = intercept[Exception] { TxTable.dropColumn(spark, dir, "kid") }
+    assert(e.getMessage.contains("deletion predicate"))
+    // restore to the DV'd version re-references files AND predicates
+    TxTable.compact(spark, dir, 1) // folds
+    TxTable.restore(spark, dir, snap.version)
+    assert(TxTable.snapshot(spark, dir).get.dels.nonEmpty)
+    assert(TxTable.read(spark, dir).filter($"kid" === 7L).count() === 0L)
+    assert(TxTable.read(spark, dir).count() === 39L)
+  }
+
+  test("appends after a DV delete carry the predicates; clone carries them") {
+    val dir = freshRoot() + "/t"
+    buildTable(dir)
+    TxTable.deleteWhere(spark, dir, Seq(("k", 7.0, 7.0)))
+    TxTable.append(Seq((100L, "new")).toDF("k", "v"), dir)
+    // the append must not resurrect k=7; the new row is visible even
+    // though... k=100 doesn't match; and a new row MATCHING the del
+    // predicate in a FRESH file stays visible (per-file semantics)
+    TxTable.append(Seq((7L, "again")).toDF("k", "v"), dir)
+    val got = TxTable.read(spark, dir).filter($"k" === 7L)
+      .as[(Long, String)].collect().toSeq
+    assert(got === Seq((7L, "again")),
+      s"per-file del semantics violated: $got")
+    assert(TxTable.read(spark, dir).count() === 41L)
+    // shallow clone: predicates follow the referenced files
+    val dst = freshRoot() + "/clone"
+    TxTable.cloneShallow(spark, dir, dst)
+    assert(TxTable.read(spark, dst).count() === 41L)
+    assert(TxTable.read(spark, dst).filter($"k" === 7L).count() === 1L)
+  }
+}
