@@ -682,6 +682,68 @@ object PipelineQueries extends QueryModule {
         .orderBy($"o_orderpriority")
     }),
 
+    // STORAGE-PARTITIONED JOIN end to end (Iceberg/Delta's bucket
+    // transform + SPARK-37375): customer and orders land in two
+    // TxTables PARTITIONED BY (bucket(8, custkey)) — one bucket per
+    // file, singleton value sets — and their equi-join is REQUIREd to
+    // plan with ZERO shuffle exchanges (the scan-reported
+    // KeyGroupedPartitioning makes both sides co-partitioned; the
+    // layout paid the Exchange once at write time, every later join
+    // rides it free — the 100 TB daily fact-dim join shape). The
+    // oracle is the plain join: SPJ must change the PLAN, never the
+    // answer.
+    "pipe_bucket_spj" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.{TxSql, TxTable}
+      val root = sys.props("java.io.tmpdir") +
+        "/graft_spj_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      TxSql.installCatalog(s, "gspj", root)
+      s.sql("CREATE TABLE gspj.c (k BIGINT, seg STRING) " +
+        "PARTITIONED BY (bucket(8, k))")
+      s.sql("CREATE TABLE gspj.o (k BIGINT, cents BIGINT) " +
+        "PARTITIONED BY (bucket(8, k))")
+      T.customer(s, d).select($"c_custkey".as("k"),
+        $"c_mktsegment".as("seg"))
+        .createOrReplaceTempView("gspj_c_src")
+      T.orders(s, d).select($"o_custkey".as("k"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("gspj_o_src")
+      s.sql("INSERT INTO gspj.c SELECT * FROM gspj_c_src")
+      s.sql("INSERT INTO gspj.o SELECT * FROM gspj_o_src")
+      val bk = "spark.sql.sources.v2.bucketing.enabled"
+      val prevBk = s.conf.getOption(bk)
+      val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set(bk, "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = s.sql(
+          "SELECT c.seg, o.cents FROM gspj.c c JOIN gspj.o o ON c.k = o.k")
+        val plan = joined.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a.executedPlan
+          case q => q
+        }
+        val nEx = plan.collect {
+          case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeLike => e
+        }.size
+        require(nEx == 0,
+          s"storage-partitioned join planned $nEx shuffle exchange(s):\n" +
+            plan.toString.take(2000))
+        joined.groupBy($"seg")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+          .orderBy($"seg")
+      } finally {
+        prevBk match {
+          case Some(v) => s.conf.set(bk, v)
+          case None => s.conf.unset(bk)
+        }
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      }
+    }),
+
     // CHANGE DATA FEED end to end (Delta CDF analog): two appends,
     // a ranged UPDATE, a ranged DELETE — all with the feed enabled —
     // then ONE read of changeFeed(0) aggregated by (version, type).
@@ -1248,6 +1310,15 @@ object PipelineQueries extends QueryModule {
         |SELECT p AS o_orderpriority, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents
         |FROM after_upd GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    // the plain join — the storage-partitioned plan must be
+    // content-identical to the shuffled one
+    "pipe_bucket_spj" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY seg""".stripMargin,
 
     // pure-SQL replay of the change-feed cycle: v1/v2 appends are
     // inserts, v3's update pairs pre/post images over the SAME

@@ -96,10 +96,44 @@ private[sources] object TxPartitionFunctions {
     }
   }
 
+  /** `bucket(n, col)` — Iceberg's bucket transform shape over Spark's
+    * own Murmur3 (`functions.hash`, seed 42): `pmod(hash(col), n)`.
+    * The SAME derivation as [[TxTable.PartBucket.expr]], so the
+    * manifest's recorded bucket values, the write clustering, and the
+    * catalyst `TransformExpression` Spark builds for STORAGE-
+    * PARTITIONED JOINS all agree. Two bucketed TxTables joined on the
+    * bucket column compare these functions by `canonicalName` +
+    * numBuckets (`KeyGroupedShuffleSpec`) — equal → ZERO Exchange. */
+  val Bucket: UnboundFunction = new UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "partition transform: pmod(murmur3_hash(col), n)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"bucket() takes (n, col), got ${inputType.catalogString}")
+      val dt = inputType.fields(1).dataType
+      new ScalarFunction[Integer] {
+        override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+        override def resultType(): DataType = IntegerType
+        override def name(): String = "bucket"
+        override def canonicalName(): String =
+          s"txtable.bucket(${dt.catalogString})"
+        override def produceResult(input: InternalRow): Integer = {
+          val n = input.getInt(0)
+          val v = input.get(1, dt)
+          val h = org.apache.spark.sql.catalyst.expressions
+            .Murmur3HashFunction.hash(v, dt, 42L).toInt
+          ((h % n) + n) % n
+        }
+      }
+    }
+  }
+
   def lookup(name: String): Option[UnboundFunction] = name match {
     case "days" => Some(Days)
     case "months" => Some(Months)
     case "hours" => Some(Hours)
+    case "bucket" => Some(Bucket)
     case _ => None
   }
 }

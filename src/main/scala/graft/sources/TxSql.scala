@@ -608,6 +608,7 @@ private[sources] class TxSparkTable(spark: SparkSession, path: String,
       case TxTable.PartDays(c) => Expressions.days(c)
       case TxTable.PartMonths(c) => Expressions.months(c)
       case TxTable.PartHours(c) => Expressions.hours(c)
+      case TxTable.PartBucket(n, c) => Expressions.bucket(n, c)
     }).toArray
   }
   // Infer from ONE file, not the whole snapshot: footer reads are
@@ -690,10 +691,31 @@ private[sources] class TxSparkTable(spark: SparkSession, path: String,
     // merge-on-read: a snapshot carrying deletion predicates reads
     // through the DV wrapper (clean files stay vectorized; DV'd files
     // filter row-based) — see DvScan.scala
-    if (snap.dels.isEmpty) base
-    else DvScan.builder(spark, base, dataSchema,
-      snap.delsByFile.map { case (f, es) => f.split('/').last -> es })
+    if (snap.dels.nonEmpty)
+      DvScan.builder(spark, base, dataSchema,
+        snap.delsByFile.map { case (f, es) => f.split('/').last -> es })
+    else spjBucketGroups match {
+      // bucket table with the one-bucket-per-file layout intact:
+      // report KeyGroupedPartitioning so equi-joins of two
+      // same-bucketed tables plan with ZERO Exchange (see SpjScan)
+      case Some((t, byName)) => new SpjScanBuilder(base, t, byName)
+      case None => base
+    }
   }
+
+  /** The bucket transform + fileName→bucket map when this snapshot
+    * can serve storage-partitioned joins: a single declared bucket()
+    * transform, no column mapping in force (the reported transform
+    * names the LOGICAL column; a mapped table's physical files would
+    * need a translated report — fall back to plain scans), and every
+    * file carrying a singleton bucket value set. */
+  private lazy val spjBucketGroups
+      : Option[(TxTable.PartBucket, Map[String, Int])] =
+    (partCols.map(TxTable.PartTransform.parse), mapping) match {
+      case (Seq(t: TxTable.PartBucket), None) =>
+        SpjScan.bucketByName(snap, t).map(t -> _)
+      case _ => None
+    }
 
   /** SQL `UPDATE` / `MERGE INTO` → group-based copy-on-write
     * ReplaceData (see [[TxRowLevelOperation]]): the op scans through
@@ -988,17 +1010,28 @@ class TxTableCatalog extends TableCatalog
         schema.find(_.name == c).exists(f =>
           f.dataType == org.apache.spark.sql.types.TimestampType ||
             f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+      def bucketN(t: Transform): Option[Int] = t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+          if l.dataType == org.apache.spark.sql.types.IntegerType =>
+          l.value.asInstanceOf[Int]
+      }
       val cols = partitions.toSeq.map { t =>
         (t.name, refOf(t)) match {
           case ("identity", Some(c)) => c
           case ("days", Some(c)) if temporal(c) => s"days($c)"
           case ("months", Some(c)) if temporal(c) => s"months($c)"
           case ("hours", Some(c)) if tsOnly(c) => s"hours($c)"
+          case ("bucket", Some(c)) if bucketN(t).exists(_ >= 1) =>
+            require(partitions.length == 1,
+              "txtable: bucket() must be the only partition transform " +
+                "(the one-bucket-per-file layout is table-wide)")
+            s"bucket(${bucketN(t).get},$c)"
           case _ => throw new UnsupportedOperationException(
             s"txtable: unsupported partitioning $t — " +
               "PARTITIONED BY (<declared columns>), days(<date/ts>), " +
-              "months(<date/ts>) and hours(<ts>) are supported " +
-              "(manifest value-set pruning, not hive directories)")
+              "months(<date/ts>), hours(<ts>) and bucket(n, <col>) are " +
+              "supported (manifest value-set pruning, not hive " +
+              "directories)")
         }
       }
       require(cols.distinct == cols,

@@ -585,6 +585,48 @@ object TxTable {
     moved
   }
 
+  /** [[writeFiles]] with the ONE-BUCKET-PER-FILE layout a
+    * storage-partitioned join needs: rows cluster into `t.n` tasks on
+    * the bucket value, each task writes per-bucket files via Spark's
+    * own `partitionBy` staging (exactly one file per bucket), and the
+    * staged subdirectories flatten into data/ — the bucket value is
+    * NOT stored in the file (it derives from the data column;
+    * [[recomputeMetadata]] re-derives the singleton value sets the
+    * SPJ scan groups by). Same invisibility/tagging discipline as
+    * [[writeFiles]]. */
+  private[graft] def writeFilesBucketed(df: DataFrame, table: String,
+      version: Long, t: PartBucket): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val dfG = enforceConstraints(spark, table, df)
+    val dfP = mappingAt(spark, table).fold(dfG)(_.toPhysical(dfG))
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(table, s"_tmp_v$version-$tag")
+    dfP.withColumn("__graft_bucket", t.expr)
+      .repartition(t.n, col("__graft_bucket"))
+      .write.partitionBy("__graft_bucket")
+      .mode("overwrite").parquet(tmp.toString)
+    val f = fs(spark, tmp)
+    val dd = dataDir(table)
+    f.mkdirs(dd)
+    val moved = f.listStatus(tmp).toSeq
+      .filter(_.getPath.getName.startsWith("__graft_bucket="))
+      .sortBy(_.getPath.getName)
+      .flatMap { dirSt =>
+        val b = dirSt.getPath.getName.stripPrefix("__graft_bucket=")
+        f.listStatus(dirSt.getPath).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .zipWithIndex.map { case (s, i) =>
+            val dst = new Path(dd, s"v$version-$tag-b$b-$i.parquet")
+            require(f.rename(s.getPath, dst),
+              s"rename failed: ${s.getPath}")
+            s"data/${dst.getName}"
+          }
+      }
+    f.delete(tmp, true)
+    moved
+  }
+
   /** The change-type metadata column carried inside recorded change
     * files and surfaced by [[changeFeed]] — Delta CDF's name, values
     * `insert` / `update_preimage` / `update_postimage` / `delete`. */
@@ -899,6 +941,7 @@ object TxTable {
       case PartDays(cn) => rk(cn).map(n => s"days($n)")
       case PartMonths(cn) => rk(cn).map(n => s"months($n)")
       case PartHours(cn) => rk(cn).map(n => s"hours($n)")
+      case PartBucket(nb, cn) => rk(cn).map(n => s"bucket($nb,$n)")
     }
     val ms2 = cur.multiStats.map { case (file, cols) =>
       file -> cols.flatMap { case (k, v) => rk(k).map(_ -> v) } }
@@ -1838,9 +1881,13 @@ object TxTable {
     // in them (value sets recorded below make the NEXT overwrite
     // prune) — a days(ts) table clusters whole days per file
     val next0 = snapshot(spark, table).map(_.version + 1).getOrElse(1L)
-    val fresh = writeFiles(
-      df.repartitionByRange(nParts, transforms.map(_.expr): _*),
-      table, next0)
+    val fresh = transforms match {
+      // bucket layout: one bucket per file (the SPJ invariant)
+      case Seq(b: PartBucket) => writeFilesBucketed(df, table, next0, b)
+      case _ => writeFiles(
+        df.repartitionByRange(nParts, transforms.map(_.expr): _*),
+        table, next0)
+    }
     dynamicOverwriteCommit(spark, table, fresh, partCols, maxPartitions)
   }
 
@@ -2044,9 +2091,13 @@ object TxTable {
     val cur = snapshot(spark, table)
     val next = cur.map(_.version + 1).getOrElse(1L)
     val nParts = math.max(2, spark.sessionState.conf.numShufflePartitions)
-    val files = writeFiles(
-      df.repartitionByRange(nParts, transforms.map(_.expr): _*),
-      table, next)
+    val files = transforms match {
+      // bucket layout: one bucket per file (the SPJ invariant)
+      case Seq(b: PartBucket) => writeFilesBucketed(df, table, next, b)
+      case _ => writeFiles(
+        df.repartitionByRange(nParts, transforms.map(_.expr): _*),
+        table, next)
+    }
     val (_, fv) = recomputeMetadata(spark, table, files, Nil,
       transforms.map(_.name))
     commit(spark, table, next, cur.map(_.files).getOrElse(Nil) ++ files,
@@ -2111,17 +2162,34 @@ object TxTable {
     * sound: day strings recorded under zone A compared against UTC
     * literal math under zone B can silently drop files holding
     * matching rows (r16 ADVICE). */
+  /** Split a comma-joined partition-entry list at paren depth 0 —
+    * `bucket(8,k)` carries a comma INSIDE its transform syntax. */
+  private def splitPartitionEntries(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   def declarePartitions(spark: SparkSession, table: String,
       cols: Seq[String]): Unit = {
     require(cols.nonEmpty && cols.distinct == cols &&
-      cols.forall(!_.contains(",")),
+      cols.forall(c => !PartTransform.parse(c).isInstanceOf[PartIdentity]
+        || !c.contains(",")),
       s"invalid partition columns: ${cols.mkString(", ")}")
     val ld = logDir(table)
     val f = fs(spark, ld)
     f.mkdirs(ld)
     val temporal = cols.map(PartTransform.parse).exists {
-      case PartIdentity(_) => false
-      case _ => true
+      case _: PartDays | _: PartMonths | _: PartHours => true
+      case _ => false // identity and bucket are zone-free
     }
     val body = cols.mkString(",") + (if (temporal)
       "\ntz=" + spark.sessionState.conf.sessionLocalTimeZone else "")
@@ -2141,9 +2209,9 @@ object TxTable {
     val p = new Path(logDir(table), "_partition")
     val f = fs(spark, p)
     if (!f.exists(p)) Nil
-    else new String(readFully(f, p), "UTF-8").linesIterator
-      .nextOption().getOrElse("").trim.split(',').toSeq
-      .map(_.trim).filter(_.nonEmpty)
+    else splitPartitionEntries(
+      new String(readFully(f, p), "UTF-8").linesIterator
+        .nextOption().getOrElse("").trim)
   }
 
   /** The session timezone the partition declaration (and so every
@@ -2171,8 +2239,8 @@ object TxTable {
   private def requireZoneAgreement(spark: SparkSession, table: String,
       transforms: Seq[PartTransform]): Unit = {
     val temporal = transforms.exists {
-      case PartIdentity(_) => false
-      case _ => true
+      case _: PartDays | _: PartMonths | _: PartHours => true
+      case _ => false // identity and bucket are zone-free
     }
     if (!temporal) return
     declaredPartitionTz(spark, table).foreach { declared =>
@@ -2225,16 +2293,34 @@ object TxTable {
       org.apache.spark.sql.functions.date_trunc("hour",
         org.apache.spark.sql.functions.col(col)).cast("string")
   }
+  /** `bucket(n, col)` — Iceberg's bucket transform over Spark's own
+    * Murmur3 (`functions.hash`, seed 42): partition value =
+    * `pmod(hash(col), n)` as a canonical string. The write path lays
+    * out ONE bucket per file ([[writeFilesBucketed]]), which is what
+    * lets the SQL scan report `KeyGroupedPartitioning` and two
+    * same-bucketed tables join with ZERO Exchange (storage-partitioned
+    * join). Derivation matches [[TxPartitionFunctions.Bucket]]
+    * exactly — manifest values and the catalog function must agree. */
+  final case class PartBucket(n: Int, col: String) extends PartTransform {
+    require(n >= 1, s"bucket($n, $col): n must be positive")
+    val name: String = s"bucket($n,$col)"
+    def expr: org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions.{col => c, hash, lit, pmod}
+      pmod(hash(c(col)), lit(n)).cast("string")
+    }
+  }
   object PartTransform {
     private val Days = """days\(([^(),\s]+)\)""".r
     private val Months = """months\(([^(),\s]+)\)""".r
     private val Hours = """hours\(([^(),\s]+)\)""".r
+    private val Bucket = """bucket\((\d+)\s*,\s*([^(),\s]+)\)""".r
     /** Parse one `_partition` entry — `col`, `days(col)`,
-      * `months(col)` or `hours(col)`. */
+      * `months(col)`, `hours(col)` or `bucket(n,col)`. */
     def parse(entry: String): PartTransform = entry.trim match {
       case Days(c) => PartDays(c)
       case Months(c) => PartMonths(c)
       case Hours(c) => PartHours(c)
+      case Bucket(n, c) => PartBucket(n.toInt, c)
       case c => PartIdentity(c)
     }
   }
@@ -2925,9 +3011,13 @@ object TxTable {
       commit(spark, table, next, files, cur.txns, multiStats = ms,
         op = "compact")
     } else if (statCols.nonEmpty || valueCols.nonEmpty) {
+      // value-col entries may be transform names ("days(ts)",
+      // "bucket(8,k)") — cluster on the DERIVED expression
       val files = writeFiles(
         read(spark, table)
-          .repartitionByRange(targetFiles, (valueCols ++ statCols).map(c): _*),
+          .repartitionByRange(targetFiles,
+            valueCols.map(v => PartTransform.parse(v).expr)
+              ++ statCols.map(c): _*),
         table, next)
       val (ms, fv) = recomputeMetadata(spark, table, files, statCols, valueCols)
       commit(spark, table, next, files, cur.txns,
@@ -3018,6 +3108,8 @@ object TxTable {
         headM.logicalOf(targetM.phys(cn)).map(n => s"months($n)")
       case PartHours(cn) =>
         headM.logicalOf(targetM.phys(cn)).map(n => s"hours($n)")
+      case PartBucket(nb, cn) =>
+        headM.logicalOf(targetM.phys(cn)).map(n => s"bucket($nb,$n)")
     }
     val ms2 = target.multiStats.map { case (file, cols) =>
       file -> cols.flatMap { case (k, v) => rk(k).map(_ -> v) } }

@@ -574,10 +574,11 @@ class TxSqlSpec extends AnyFunSuite {
       case None =>
         spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    // unsupported transforms still refuse loudly
+    // unsupported transforms still refuse loudly (bucket() graduated
+    // to a supported layout in r17 — SpjSpec owns it now)
     val e = intercept[Exception] {
       spark.sql("CREATE TABLE txpt.bad (k BIGINT, seg STRING) " +
-        "PARTITIONED BY (bucket(4, k))")
+        "PARTITIONED BY (years(seg))")
     }
     assert(e.getMessage.contains("unsupported partitioning") ||
       Option(e.getCause).exists(_.getMessage
