@@ -145,13 +145,14 @@ object FeatureQueries3 extends QueryModule {
         .groupBy($"o_orderpriority", $"o_totalprice".cast("double").as("v"))
         .agg(count(lit(1)).as("c"))
         .localCheckpoint(false)
-      val q = graft.operators.ExactPercentile.perGroupWeighted(
-          hist, "o_orderpriority", "v", "c",
-          Seq("q1" -> 0.25, "med" -> 0.5, "q3" -> 0.75), unique = true)
-        .select($"o_orderpriority", r4($"q1").as("q1"), r4($"med").as("med"),
-          r4($"q3").as("q3"))
-      hist.join(broadcast(q), "o_orderpriority")
-        .withColumn("sc", ($"v" - $"med") / ($"q3" - $"q1"))
+      // few-group literal path: quartiles fold in as literals
+      val P = graft.operators.ExactPercentile
+      val q = P.perGroupWeightedLocal(hist, "o_orderpriority", "v", "c",
+        Seq("q1" -> 0.25, "med" -> 0.5, "q3" -> 0.75))
+      def qc(nm: String) = P.litCol(
+        q.map { case (g, m) => g -> P.r4d(m(nm)) }, $"o_orderpriority")
+      hist
+        .withColumn("sc", ($"v" - qc("med")) / (qc("q3") - qc("q1")))
         .groupBy($"o_orderpriority").agg(
           sum($"c").as("n"),
           r4(sum($"c" * $"sc") / sum($"c")).as("mean_scaled"),
@@ -176,11 +177,18 @@ object FeatureQueries3 extends QueryModule {
         .groupBy($"l_returnflag", $"l_extendedprice".cast("double").as("v"))
         .agg(count(lit(1)).as("c"))
         .localCheckpoint(false)
-      val bounds = graft.operators.ExactPercentile.perGroupWeighted(
-          hist, "l_returnflag", "v", "c", Seq("lo" -> 0.05, "hi" -> 0.95),
-          unique = true)
-        .select($"l_returnflag", r4($"lo").as("lo"), r4($"hi").as("hi"))
-      hist.join(broadcast(bounds), "l_returnflag")
+      // few-group literal path (see ExactPercentile.perGroupWeightedLocal):
+      // the p05/p95 bounds come back driver-side and fold into the
+      // closing aggregate as literal when-chains — no join, no window,
+      // three literal-plan jobs instead of the generic chain
+      val P = graft.operators.ExactPercentile
+      val b = P.perGroupWeightedLocal(hist, "l_returnflag", "v", "c",
+        Seq("lo" -> 0.05, "hi" -> 0.95))
+      val loC = P.litCol(b.map { case (g, m) => g -> P.r4d(m("lo")) },
+        $"l_returnflag")
+      val hiC = P.litCol(b.map { case (g, m) => g -> P.r4d(m("hi")) },
+        $"l_returnflag")
+      hist.withColumn("lo", loC).withColumn("hi", hiC)
         .groupBy($"l_returnflag").agg(
           sum($"c").as("n"),
           sum(when($"v" < $"lo", $"c").otherwise(0L)).as("n_lo"),

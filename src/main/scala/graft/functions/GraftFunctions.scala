@@ -49,5 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[ArrayDot].getName, name), builder))
     }
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+    // OPTIMIZE / VACUUM / DESCRIBE HISTORY statement sugar over the
+    // CALL maintenance procedures (see TxMaintenanceParser)
+    e.injectParser((_, delegate) =>
+      new graft.sources.TxMaintenanceParser(delegate))
   }
 }

@@ -183,22 +183,23 @@ object AnalyticsQueries extends QueryModule {
         .groupBy($"l_returnflag", $"l_extendedprice".cast("double").as("v"))
         .agg(count(lit(1)).as("c"))
         .localCheckpoint(false)
-      // med is CHECKPOINTED (groups-sized) because round 2's plan
-      // arms each execute broadcast(med) independently — uncheckpointed,
-      // every arm re-runs round 1's whole selection plan (broadcast
-      // reuse never spans separate plan executions)
-      val med = ExactPercentile.perGroupWeighted(hist,
-        "l_returnflag", "v", "c", Seq("med" -> 0.5), unique = true)
-        .localCheckpoint(false)
-      // deviation collisions (symmetric |v − med| pairs) stay exact
-      // without consolidation (ROWS-frame rank spans), and the frame
-      // is a map-side projection off round 1's checkpointed blocks —
-      // so round 2 adds NO shuffle and NO second checkpoint
-      val devHist = hist.join(broadcast(med), "l_returnflag")
-        .select($"l_returnflag", abs($"v" - $"med").as("dev"), $"c")
-      ExactPercentile.perGroupWeighted(devHist,
-        "l_returnflag", "dev", "c", Seq("m" -> 0.5), unique = true)
-        .select($"l_returnflag", r4($"m").as("mad"))
+      // few-group literal path, TWICE: round 1's medians come back
+      // driver-side and fold into round 2's deviation projection as
+      // literals (no broadcast join, no med checkpoint); round 2's
+      // deviation histogram is still a map-side projection off round
+      // 1's checkpointed blocks — no second table pass, no window
+      val med = ExactPercentile.perGroupWeightedLocal(hist,
+        "l_returnflag", "v", "c", Seq("med" -> 0.5))
+      val medC = ExactPercentile.litCol(
+        med.map { case (g, m) => g -> m("med") }, $"l_returnflag")
+      val devHist = hist
+        .select($"l_returnflag", abs($"v" - medC).as("dev"), $"c")
+      val m2 = ExactPercentile.perGroupWeightedLocal(devHist,
+        "l_returnflag", "dev", "c", Seq("m" -> 0.5))
+      m2.toSeq.map { case (g, m) =>
+        (g.asInstanceOf[String], ExactPercentile.r4d(m("m"))) }
+        .sortBy(_._1)
+        .toDF("l_returnflag", "mad")
         .orderBy($"l_returnflag")
     }),
 

@@ -31,9 +31,13 @@ object AnalyticsQueries3 extends QueryModule {
         .groupBy($"l_returnflag", $"l_extendedprice".cast("double").as("v"))
         .agg(sum($"l_quantity").cast("long").as("w"))
         .localCheckpoint(false)
-      ExactPercentile.perGroupDiscWeighted(byVal, "l_returnflag", "v", "w",
-          Seq("w_median" -> 0.5), unique = true)
-        .select($"l_returnflag", r4($"w_median").as("w_median"))
+      // few-group literal path, discrete selection
+      val m = ExactPercentile.perGroupWeightedLocal(byVal,
+        "l_returnflag", "v", "w", Seq("w_median" -> 0.5), disc = true)
+      m.toSeq.map { case (g, vs) =>
+        (g.asInstanceOf[String], ExactPercentile.r4d(vs("w_median"))) }
+        .sortBy(_._1)
+        .toDF("l_returnflag", "w_median")
         .orderBy($"l_returnflag")
     }),
 

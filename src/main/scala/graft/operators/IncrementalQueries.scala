@@ -126,13 +126,15 @@ object IncrementalQueries extends QueryModule {
         .groupBy($"l_returnflag", $"l_extendedprice".cast("double").as("v"))
         .agg(count(lit(1)).as("c"))
         .localCheckpoint(false)
-      val bounds = ExactPercentile.perGroupWeighted(hist,
-          "l_returnflag", "v", "c", Seq("p25" -> 0.25, "p75" -> 0.75),
-          unique = true)
-        .withColumn("lo", $"p25" - lit(1.5) * ($"p75" - $"p25"))
-        .withColumn("hi", $"p75" + lit(1.5) * ($"p75" - $"p25"))
-        .select($"l_returnflag", $"lo", $"hi")
-      hist.join(broadcast(bounds), "l_returnflag")
+      // few-group literal path: the Tukey fences derive driver-side
+      // from the quartiles and fold into the tally as literals
+      val q = ExactPercentile.perGroupWeightedLocal(hist,
+        "l_returnflag", "v", "c", Seq("p25" -> 0.25, "p75" -> 0.75))
+      val loC = ExactPercentile.litCol(q.map { case (g, m) =>
+        g -> (m("p25") - 1.5 * (m("p75") - m("p25"))) }, $"l_returnflag")
+      val hiC = ExactPercentile.litCol(q.map { case (g, m) =>
+        g -> (m("p75") + 1.5 * (m("p75") - m("p25"))) }, $"l_returnflag")
+      hist.withColumn("lo", loC).withColumn("hi", hiC)
         .groupBy($"l_returnflag")
         .agg(sum(when($"v" < $"lo" || $"v" > $"hi", $"c").otherwise(0L)).as("n_out"),
           sum($"c").as("n"),

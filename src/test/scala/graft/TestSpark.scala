@@ -10,6 +10,9 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // the library's blessed install: custom functions + the opt-in
+    // range-join rule + the maintenance-statement parser sugar
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .getOrCreate()
 
   val sf: String = "/root/testdata/sf0.001"
