@@ -7,7 +7,6 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
 import org.apache.spark.sql.execution.datasources.FilePartition
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.types.StructType
-import org.apache.spark.sql.vectorized.ColumnarBatch
 
 /** The SQL read path for a snapshot carrying MERGE-ON-READ deletion
   * predicates ([[TxTable.DelEntry]]) — the scan-side half of deletion

@@ -118,18 +118,20 @@ object TxTable {
     * references); otherwise table-relative. */
   private[sources] def readFilesDv(spark: SparkSession, table: String,
       snap: Snapshot, files: Seq[String],
-      m: Option[ColumnMapping.Mapping]): DataFrame = {
+      m: Option[ColumnMapping.Mapping],
+      mergeSchema: Boolean = false): DataFrame = {
     def path(f: String) = new Path(table, f).toString
+    def rd(fs: Seq[String]) =
+      spark.read.option("mergeSchema", mergeSchema.toString)
+        .parquet(fs.map(path): _*)
     if (snap.dels.isEmpty)
-      return toLogicalFrame(
-        spark.read.parquet(files.map(path): _*), m)
+      return toLogicalFrame(rd(files), m)
     val byFile = snap.delsByFile
     val groups = files.groupBy(f => byFile.getOrElse(f, Nil))
     groups.toSeq.sortBy(_._2.headOption.getOrElse("")).map {
       case (entries, fs) =>
-        applyDels(toLogicalFrame(
-          spark.read.parquet(fs.map(path): _*), m), entries)
-    }.reduce(_.unionByName(_))
+        applyDels(toLogicalFrame(rd(fs), m), entries)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
@@ -544,11 +546,7 @@ object TxTable {
     // files speak physical names; the MAPPING AT THE READ VERSION
     // translates — so time travel below a rename serves the old names
     val m = mappingAt(spark, table, Some(snap.version))
-    if (snap.dels.isEmpty)
-      toLogicalFrame(
-        spark.read.option("mergeSchema", mergeSchema.toString)
-          .parquet(snap.files.map(new Path(table, _).toString): _*), m)
-    else readFilesDv(spark, table, snap, snap.files, m)
+    readFilesDv(spark, table, snap, snap.files, m, mergeSchema)
   }
 
   /** Write `df`'s rows as new immutable files for `version`; returns

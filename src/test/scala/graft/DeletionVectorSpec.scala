@@ -250,6 +250,37 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(TxTable.read(spark, dir).count() === 39L)
   }
 
+  test("streaming CDF serves DV DML images exactly (recorded slices)") {
+    val dir = freshRoot() + "/t"
+    val ckpt = Files.createTempDirectory("graft_dv_cdfckpt_").toString
+    TxTable.enableChangeFeed(spark, dir)
+    buildTable(dir) // v1 (overwriteIndexedMulti) — dv marker set
+    TxTable.deleteWhere(spark, dir, Seq(("k", 5.0, 6.0))) // v2: DV delete
+    TxTable.updateWhere(spark, dir, Seq(("k", 9.0, 9.0)), Nil,
+      Map("v" -> lit("U"))) // v3: DV update
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, String, Long)]()
+    val q = spark.readStream.format("graft.sources.TxTableStreamSource")
+      .option("path", dir).option("readChangeFeed", "true")
+      .option("startingVersion", "1") // past the initial overwrite
+      .option("maxVersionsPerBatch", "1").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        b.select($"k", col(TxTable.ChangeTypeCol),
+            col(TxTable.CommitVersionCol))
+          .as[(Long, String, Long)].collect().foreach(buf.add)
+      }
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val got = buf.asScala.toSeq.sorted
+    assert(got === Seq(
+      (5L, "delete", 2L), (6L, "delete", 2L),
+      (9L, "update_preimage", 3L), (9L, "update_postimage", 3L)).sorted,
+      s"streaming CDF over DV DML diverged: $got")
+  }
+
   test("appends after a DV delete carry the predicates; clone carries them") {
     val dir = freshRoot() + "/t"
     buildTable(dir)
