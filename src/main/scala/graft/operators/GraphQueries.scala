@@ -235,67 +235,47 @@ object GraphQueries extends QueryModule {
       var fixed: Option[(Long, Long)] = None
       var prevM = -1L
       // measured-size broadcast guard (judge r15): round r's survivors
-      // are a subset of round r-1's active members, so an earlier
-      // round's n (already collected in its action) bounds this
+      // are a subset of round r-1's active members, so the previous
+      // round's n (already collected in its ONE action) bounds this
       // round's broadcast for free; round 1 uses the free part-catalog
       // bound (nodes are l_partkey values).
       var nBound = -1L
-      // one peel: degree-filter survivors, semi-join both endpoints
-      def survivors(edges: org.apache.spark.sql.DataFrame)
-          : org.apache.spark.sql.DataFrame = {
-        val nodes = edges.select($"p1".as("v"))
-          .unionAll(edges.select($"p2".as("v")))
-          .groupBy($"v").agg(count(lit(1)).as("deg"))
-          .filter($"deg" >= k).select($"v")
-          .localCheckpoint(false)
-        edges
-          .join(guarded(nodes.select($"v".as("p1")), nBound),
-            Seq("p1"), "left_semi")
-          .join(guarded(nodes.select($"v".as("p2")), nBound),
-            Seq("p2"), "left_semi")
-          .select($"p1", $"p2")
-          .localCheckpoint(false)
-      }
-      def stats(edges: org.apache.spark.sql.DataFrame, tag: Int) =
-        edges.select(explode(array($"p1", $"p2")).as("v"))
-          .agg(countDistinct($"v").as("n"),
-            (count(lit(1)) / 2).cast("long").as("m"))
-          .select(lit(tag).as("_r"), $"n", $"m")
-      // TWO peel rounds per ACTION (judge r16 item #6): the lazy
-      // checkpoints materialize once under the single collect and the
-      // second round's plan reads the first's blocks — the CONTRACT
-      // stays 8 oracle rounds, only the driver-side job count halves
-      // (per-action scheduling overhead is this query's entire cost
-      // model at small SF; at scale the same blocks flow either way).
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-      var r = 1
-      while (r <= 8) {
+      val rows = (1 to 8).map { r =>
         fixed match {
-          case Some((n, m)) =>
-            buf += ((r.toLong, n, m)); r += 1
+          case Some((n, m)) => (r.toLong, n, m)
           case None =>
+            val nodes = e.select($"p1".as("v"))
+              .unionAll(e.select($"p2".as("v")))
+              .groupBy($"v").agg(count(lit(1)).as("deg"))
+              .filter($"deg" >= k).select($"v")
+              // node-count-sized (bounded by the part catalog):
+              // broadcast both survivor semi-joins (size-guarded)
+              // instead of shuffling the edge list twice per round —
+              // the q_triangles degree-frame argument, applied per peel
+              .localCheckpoint(false)
             if (nBound < 0) nBound = T.part(s, d).count()
-            val eA = survivors(e)
-            val eB = survivors(eA) // bound still valid: subsets only
-            val st = stats(eA, 0).unionAll(stats(eB, 1))
-              .collect().sortBy(_.getInt(0))
-            val (nA, mA) = (st(0).getLong(1), st(0).getLong(2))
-            val (nB, mB) = (st(1).getLong(1), st(1).getLong(2))
-            buf += ((r.toLong, nA, mA))
-            if (mA == prevM) fixed = Some((nA, mA))
-            if (r + 1 <= 8) fixed match {
-              case Some((n, m)) => buf += (((r + 1).toLong, n, m))
-              case None =>
-                buf += (((r + 1).toLong, nB, mB))
-                if (mB == mA) fixed = Some((nB, mB))
-            }
-            prevM = mB
-            nBound = math.max(nB, 1L)
-            e = eB
-            r += 2
+            val e2 = e
+              .join(guarded(nodes.select($"v".as("p1")), nBound),
+                Seq("p1"), "left_semi")
+              .join(guarded(nodes.select($"v".as("p2")), nBound),
+                Seq("p2"), "left_semi")
+              .select($"p1", $"p2")
+              .localCheckpoint(false)
+            // ONE action per round: active members (distinct endpoints
+            // of the restricted edges) and edge count from the same
+            // exploded frame — the lazy checkpoint materializes under it
+            val st = e2.select(explode(array($"p1", $"p2")).as("v"))
+              .agg(countDistinct($"v").as("n"),
+                (count(lit(1)) / 2).cast("long").as("m")).head()
+            val (n, m) = (st.getLong(0), st.getLong(1))
+            if (m == prevM) fixed = Some((n, m))
+            prevM = m
+            nBound = n
+            e = e2
+            (r.toLong, n, m)
         }
       }
-      buf.toSeq.toDF("round", "n_nodes", "n_edges").orderBy($"round")
+      rows.toDF("round", "n_nodes", "n_edges").orderBy($"round")
     }),
 
     // Shortest hop distance from NATION_0 over the top-2-trade-partner
