@@ -95,7 +95,13 @@ private class SpjScanImpl(delegate: Scan, t: TxTable.PartBucket,
   override def toBatch: Batch = spjBatch
 
   override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(
+    // a fully-pruned scan (every file excluded by predicates) has no
+    // key groups to report — claim nothing rather than a 0-partition
+    // KeyGroupedPartitioning the join planner never expects
+    if (spjBatch.planned.isEmpty)
+      new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(0)
+    else new KeyGroupedPartitioning(
       Array(Expressions.bucket(t.n, t.col)),
       spjBatch.planned.length)
 

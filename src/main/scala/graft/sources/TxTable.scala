@@ -2797,7 +2797,18 @@ object TxTable {
     * them back into clean files; the change feed stays exact (DV DML
     * records the same change files as copy-on-write). Opt-in like
     * Delta's: the read-side predicate evaluation is a per-row cost on
-    * DV'd files that pure-append tables should never pay. */
+    * DV'd files that pure-append tables should never pay.
+    *
+    * Scope, stated loudly: [[merge]]/[[applyCdc]] (set-keyed upserts)
+    * and SQL UPDATE/MERGE (group-based ReplaceData) stay COPY-ON-WRITE
+    * even with DVs enabled — a key-set delete is not expressible in
+    * the conjunctive [[DelEntry]] language without one entry per
+    * (file, key), whose per-entry read filters would grow the read
+    * plan with the batch size (Delta's DV-merge rides position
+    * bitmaps + SupportsDelta row ids, a representation this manifest
+    * deliberately doesn't carry). Point/range DML — the GDPR-erasure
+    * and backfill-correction shapes that motivate DVs — is exactly
+    * what the predicate form serves. */
   def enableDeletionVectors(spark: SparkSession, table: String): Unit = {
     val ld = logDir(table)
     val f = fs(spark, ld)

@@ -112,6 +112,28 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("fully-pruned side under v2 bucketing: no partitioning claim, exact empty result") {
+    val root = freshRoot()
+    TxSql.installCatalog(spark, "spje", root)
+    spark.sql("CREATE TABLE spje.a (k BIGINT, x BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE spje.b (k BIGINT, y BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    (1 to 50).map(i => (i.toLong, i.toLong)).toDF("k", "x")
+      .createOrReplaceTempView("spje_sa")
+    (1 to 50).map(i => (i.toLong, i.toLong)).toDF("k", "y")
+      .createOrReplaceTempView("spje_sb")
+    spark.sql("INSERT INTO spje.a SELECT * FROM spje_sa")
+    spark.sql("INSERT INTO spje.b SELECT * FROM spje_sb")
+    withBucketing {
+      // x = -1 prunes every file of a (manifest stats) — the scan must
+      // not report a 0-partition KeyGroupedPartitioning
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM spje.a a JOIN spje.b b ON a.k = b.k " +
+          "WHERE a.x = -1").as[Long].head() === 0L)
+    }
+  }
+
   test("same join WITHOUT v2 bucketing: shuffled but identical result") {
     val root = freshRoot()
     TxSql.installCatalog(spark, "spjo", root)
