@@ -279,7 +279,60 @@ class PropertySpec extends AnyFunSuite {
       assert(a == b, s"frame $i: duplicated-row histogram diverged: $a vs $b")
     }
   }
+
+  test("DelEntry manifest round-trip: random predicates survive commit -> snapshot exactly") {
+    import graft.sources.TxTable
+    // adversarial content: quotes, backslashes, control chars and
+    // unicode in equality values; +/-Infinity and extreme magnitudes
+    // in range bounds (serialized as Double.toString strings exactly
+    // because bare JSON numbers cannot carry Infinity). NaN excluded:
+    // a NaN bound matches no row and NaN != NaN breaks == round-trip.
+    val genCol = Gen.identifier.map(_.take(12)).suchThat(_.nonEmpty)
+    val genBound = Gen.oneOf(
+      Gen.choose(-1e6, 1e6),
+      Gen.oneOf(Double.NegativeInfinity, Double.PositiveInfinity,
+        0.0, -0.0, 1.5e300, -2.2250738585072014e-308))
+    val genVal = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(10)),
+      Gen.const("q\"uo\"te"), Gen.const("back\\slash"),
+      Gen.const("new\nline\ttab"), Gen.const("uni\u00e9\u4e2d"))
+    val genEntry = for {
+      i <- Gen.choose(0, 4)
+      nr <- Gen.choose(0, 3)
+      ne <- Gen.choose(0, 3)
+      rs <- Gen.listOfN(nr, Gen.zip(genCol, genBound, genBound))
+      es <- Gen.listOfN(ne, Gen.zip(genCol, genVal))
+    } yield TxTable.DelEntry(s"data/f$i.parquet", rs, es)
+    val genEntries = Gen.choose(0, 5).flatMap(Gen.listOfN(_, genEntry))
+    for ((entries, i) <- cases(genEntries, 60).zipWithIndex) {
+      val t = java.nio.file.Files
+        .createTempDirectory(s"graft_prop_dels_$i").toString + "/t"
+      TxTable.commit(spark, t, 1L, Seq("data/f0.parquet"),
+        dels = entries)
+      val got = TxTable.snapshot(spark, t).get.dels
+      assert(got == entries, s"case $i: $got != $entries")
+    }
+  }
+
+  test("PartTransform name/parse round-trip over random columns and bucket widths") {
+    import graft.sources.TxTable.PartTransform
+    val genCol = Gen.identifier.map(_.take(16)).suchThat(_.nonEmpty)
+    for (c <- cases(genCol, 200)) {
+      for (t <- Seq(
+        graft.sources.TxTable.PartIdentity(c),
+        graft.sources.TxTable.PartDays(c),
+        graft.sources.TxTable.PartMonths(c),
+        graft.sources.TxTable.PartHours(c))) {
+        assert(PartTransform.parse(t.name) == t, s"round-trip: ${t.name}")
+      }
+    }
+    for ((c, n) <- cases(Gen.zip(genCol, Gen.choose(1, 4096)), 200)) {
+      val b = graft.sources.TxTable.PartBucket(n, c)
+      assert(PartTransform.parse(b.name) == b, s"round-trip: ${b.name}")
+    }
+  }
 }
+
 
 /** Helper keeping the runningSums call noise out of the property. */
 private object Rank12Helper {
@@ -290,3 +343,4 @@ private object Rank12Helper {
       .select("id", "rs", "rs_total")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
 }
+
