@@ -51,9 +51,14 @@ object TxMaintenanceParser {
   private val OptimizeInto =
     ("""(?is)\s*OPTIMIZE\s+""" + Ident +
       """\s+INTO\s+(\d+)\s+FILES\s*;?\s*""").r
+  // the partition key may be a TRANSFORM entry — days(ts), months(d),
+  // hours(ts), bucket(8,k) — exactly the compact_where language
+  private val PartKey =
+    """([A-Za-z_][\w]*(?:\(\s*(?:\d+\s*,\s*)?[A-Za-z_][\w]*\s*\))?)"""
   private val OptimizeWhere =
     ("""(?is)\s*OPTIMIZE\s+""" + Ident +
-      """\s+WHERE\s+([A-Za-z_][\w]*)\s+IN\s*\(([^)]*)\)\s*;?\s*""").r
+      """\s+WHERE\s+""" + PartKey +
+      """\s+IN\s*\(([^)]*)\)\s*;?\s*""").r
   private val Vacuum =
     ("""(?is)\s*VACUUM\s+""" + Ident +
       """\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""").r

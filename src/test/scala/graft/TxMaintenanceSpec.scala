@@ -25,6 +25,10 @@ class TxMaintenanceSpec extends AnyFunSuite {
       "CALL c.system.compact('t', 3)")
     assert(rewrite("OPTIMIZE c.t WHERE seg IN ('a', 'b')") ===
       "CALL c.system.compact_where('t', 'seg', 'a,b', 1)")
+    assert(rewrite("OPTIMIZE c.t WHERE days(ts) IN ('2024-03-01')") ===
+      "CALL c.system.compact_where('t', 'days(ts)', '2024-03-01', 1)")
+    assert(rewrite("OPTIMIZE c.t WHERE bucket(8, k) IN ('3')") ===
+      "CALL c.system.compact_where('t', 'bucket(8, k)', '3', 1)")
     assert(rewrite("VACUUM c.t RETAIN 5 VERSIONS") ===
       "CALL c.system.vacuum('t', 5)")
     assert(rewrite("DESCRIBE HISTORY c.ns.t") ===
