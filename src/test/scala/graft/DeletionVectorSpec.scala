@@ -250,6 +250,32 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(TxTable.read(spark, dir).count() === 39L)
   }
 
+  test("dynamic partition overwrite on a DV'd table: untouched days keep their dels, replaced days fold") {
+    val dir = freshRoot() + "/t"
+    import java.sql.Timestamp
+    def rows(day: Int, n: Int) = (0 until n).map(i =>
+      (day * 100 + i.toLong, Timestamp.valueOf(f"2024-03-0$day 0$i:00:00")))
+    TxTable.declarePartitions(spark, dir, Seq("days(ts)"))
+    TxTable.overwritePartitions(
+      (rows(1, 4) ++ rows(2, 4)).toDF("k", "ts"), dir, "days(ts)")
+    TxTable.enableDeletionVectors(spark, dir)
+    // DV-delete one row in EACH day
+    TxTable.deleteWhere(spark, dir, Seq(("k", 101.0, 101.0)))
+    TxTable.deleteWhere(spark, dir, Seq(("k", 201.0, 201.0)))
+    assert(TxTable.read(spark, dir).count() === 6L)
+    // replace day 2 only: day 1's del must survive, day 2's folds
+    TxTable.overwritePartitions(
+      rows(2, 2).toDF("k", "ts"), dir, "days(ts)")
+    val got = TxTable.read(spark, dir).select($"k").as[Long]
+      .collect().sorted.toSeq
+    assert(got === Seq(100L, 102L, 103L, 200L, 201L),
+      s"day-1 del lost or day-2 del leaked: $got")
+    val snap = TxTable.snapshot(spark, dir).get
+    assert(snap.dels.nonEmpty &&
+      snap.dels.forall(d => snap.files.contains(d.path)),
+      "dels must reference only live files after the overwrite")
+  }
+
   test("streaming CDF serves DV DML images exactly (recorded slices)") {
     val dir = freshRoot() + "/t"
     val ckpt = Files.createTempDirectory("graft_dv_cdfckpt_").toString
