@@ -250,6 +250,39 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(TxTable.read(spark, dir).count() === 39L)
   }
 
+  test("IVM over a DV-DML'd source: recorded images fold exactly") {
+    import graft.sources.IncrementalView
+    val src = freshRoot() + "/src"
+    val dst = freshRoot() + "/dst"
+    TxTable.enableChangeFeed(spark, src)
+    TxTable.overwriteIndexedMulti(
+      (1 to 40).map(i => (i.toLong, s"g${i % 4}", i.toLong * 10))
+        .toDF("k", "g", "cents"), src, statCols = Seq("k"))
+    TxTable.enableDeletionVectors(spark, src)
+    IncrementalView.maintain(spark, src, dst, "g", "cents")
+    def view(): Map[String, (Long, Long)] =
+      TxTable.read(spark, dst).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val v0 = view()
+    assert(v0("g1") === (10L, (1 to 40).filter(_ % 4 == 1)
+      .map(_ * 10L).sum))
+    // DV DELETE + DV UPDATE land on the source; the maintainer folds
+    // their RECORDED images (the same dialect as copy-on-write)
+    TxTable.deleteWhere(spark, src, Seq(("k", 5.0, 8.0)))
+    TxTable.updateWhere(spark, src, Seq(("k", 13.0, 13.0)), Nil,
+      Map("cents" -> lit(999L)))
+    IncrementalView.maintain(spark, src, dst, "g", "cents")
+    val v1 = view()
+    val expect = (1 to 40).filterNot(i => i >= 5 && i <= 8)
+      .map(i => (s"g${i % 4}", if (i == 13) 999L else i * 10L))
+      .groupBy(_._1).map { case (g, xs) =>
+        g -> (xs.size.toLong, xs.map(_._2).sum) }
+    assert(v1 === expect, s"IVM over DV DML diverged: $v1 vs $expect")
+    // replayed maintain is a no-op (marker discipline intact)
+    IncrementalView.maintain(spark, src, dst, "g", "cents")
+    assert(view() === expect)
+  }
+
   test("dynamic partition overwrite on a DV'd table: untouched days keep their dels, replaced days fold") {
     val dir = freshRoot() + "/t"
     import java.sql.Timestamp
