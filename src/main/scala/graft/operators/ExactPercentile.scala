@@ -147,10 +147,14 @@ object ExactPercentile {
       weight: String, fracs: Seq[(String, Double)], disc: Boolean = false,
       maxGroups: Int = 64): Map[Any, Map[String, Double]] = {
     require(fracs.nonEmpty)
+    // NULL group values are excluded by contract (the literal
+    // when-chains and the driver map cannot key on SQL NULL; the
+    // generic path's own bounds join drops them too) — stated here
+    // rather than crashing in the extraction join
     val src = hist.select(col(group).as("_g"),
       col(value).cast("double").as("v"),
       col(weight).cast("long").as("c"))
-      .filter(col("v").isNotNull)
+      .filter(col("v").isNotNull && col("_g").isNotNull)
     val nB = 32
     // job 1: per-group (min, max) → equal-width literal boundaries
     val mm = src.groupBy(col("_g"))

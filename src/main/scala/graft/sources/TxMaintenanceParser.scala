@@ -82,9 +82,14 @@ object TxMaintenanceParser {
       s"CALL $cat.system.compact(${q(t)}, $n)"
     case OptimizeWhere(ident, col, values) =>
       val (cat, t) = split(ident)
-      val vs = values.split(',').map(_.trim)
-        .map(v => v.stripPrefix("'").stripSuffix("'"))
-        .filter(_.nonEmpty).mkString(",")
+      // quote-aware: a quoted value may itself contain commas — take
+      // the quoted tokens when any exist, else split on commas
+      val quoted = "'([^']*)'".r.findAllMatchIn(values)
+        .map(_.group(1)).toSeq
+      val parts =
+        if (quoted.nonEmpty) quoted
+        else values.split(',').map(_.trim).toSeq
+      val vs = parts.filter(_.nonEmpty).mkString(",")
       s"CALL $cat.system.compact_where(${q(t)}, ${q(col)}, ${q(vs)}, 1)"
     case Optimize(ident) =>
       val (cat, t) = split(ident)

@@ -266,7 +266,13 @@ object TxSql {
       f: org.apache.spark.sql.sources.Filter): Boolean = {
     import org.apache.spark.sql.{sources => sf}
     def exactNum(v: Any): Boolean = v match {
-      case _: Byte | _: Short | _: Int | _: Float | _: Double => true
+      // NaN is NOT lossless: SQL `=` treats NaN = NaN as TRUE but the
+      // recorded range predicate (c >= NaN && c <= NaN) matches no
+      // row under IEEE comparisons — routing it to DV would silently
+      // delete nothing; fall back to copy-on-write
+      case d: Double => !d.isNaN
+      case f: Float => !f.isNaN
+      case _: Byte | _: Short | _: Int => true
       case l: Long => math.abs(l) < (1L << 53)
       case _ => false
     }
@@ -520,11 +526,23 @@ private[sources] class TxFileIndex(spark: SparkSession, table: String,
   /** The zone the table's temporal value sets were recorded under —
     * read once per index; the derived prune below is sound only when
     * recorded zone AND reader session are both UTC (the literal
-    * micros→day/hour math is UTC). A non-UTC deployment loses the
-    * optimization fail-open, with a one-time log so the loss is
-    * visible instead of a day of profiling (r16 verdict blemish). */
+    * micros→day/hour math is UTC). A non-UTC deployment — or a table
+    * declared before zones were recorded — loses the optimization
+    * fail-open, with a one-time log so the loss is visible instead
+    * of a day of profiling (r16 verdict blemish). Zone spellings
+    * normalize through ZoneId ("Etc/UTC", "+00:00" count as UTC). */
   private lazy val recordedTz: Option[String] =
     TxTable.declaredPartitionTz(spark, table)
+  private lazy val hasTemporalDecl: Boolean =
+    TxTable.declaredPartitions(spark, table)
+      .map(TxTable.PartTransform.parse).exists {
+        case _: TxTable.PartDays | _: TxTable.PartMonths |
+          _: TxTable.PartHours => true
+        case _ => false
+      }
+  private def isUtcZone(z: String): Boolean =
+    try java.time.ZoneId.of(z).normalized() == java.time.ZoneOffset.UTC
+    catch { case _: Exception => false }
   @volatile private var warnedTz = false
 
   override def listFiles(partitionFilters: Seq[Expression],
@@ -544,13 +562,13 @@ private[sources] class TxFileIndex(spark: SparkSession, table: String,
     // UTC (recorded strings are writer-session calendar; the literal
     // micros→bucket math here is UTC; r16 ADVICE: a non-UTC writer's
     // day strings under UTC math silently dropped matching files)
-    val zonesAgree = recordedTz.contains("UTC") &&
-      spark.sessionState.conf.sessionLocalTimeZone == "UTC"
-    if (!zonesAgree && recordedTz.isDefined && !warnedTz) {
+    val zonesAgree = recordedTz.exists(isUtcZone) &&
+      isUtcZone(spark.sessionState.conf.sessionLocalTimeZone)
+    if (!zonesAgree && hasTemporalDecl && !warnedTz) {
       warnedTz = true
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         s"txtable $table: generated partition filters disabled — " +
-          s"recorded tz ${recordedTz.get} / session tz " +
+          s"recorded tz ${recordedTz.getOrElse("<none>")} / session tz " +
           s"${spark.sessionState.conf.sessionLocalTimeZone} (need both UTC)")
     }
     val tsPrunes =

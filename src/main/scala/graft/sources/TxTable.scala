@@ -597,11 +597,15 @@ object TxTable {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     val dfG = enforceConstraints(spark, table, df)
-    val dfP = mappingAt(spark, table).fold(dfG)(_.toPhysical(dfG))
+    // the bucket expression names the LOGICAL column — derive it
+    // BEFORE physicalization (a renamed source column no longer
+    // exists after toPhysical; the helper column itself is unmapped
+    // and passes through untouched)
+    val dfB = dfG.withColumn("__graft_bucket", t.expr)
+    val dfP = mappingAt(spark, table).fold(dfB)(_.toPhysical(dfB))
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(table, s"_tmp_v$version-$tag")
-    dfP.withColumn("__graft_bucket", t.expr)
-      .repartition(t.n, col("__graft_bucket"))
+    dfP.repartition(t.n, col("__graft_bucket"))
       .write.partitionBy("__graft_bucket")
       .mode("overwrite").parquet(tmp.toString)
     val f = fs(spark, tmp)
@@ -873,15 +877,21 @@ object TxTable {
     // manifest range the validity rule needs
     val names = f.listStatus(ld).toSeq.map(_.getPath)
     val manifests = names.flatMap(versionOf)
-    val maxManifest = if (manifests.isEmpty) None else Some(manifests.max)
+    // the head bound an orphan sidecar is judged against: the newest
+    // retained manifest, or — on a checkpoint-state-only table (all
+    // manifests cleaned) — the checkpoint's own version; a sidecar
+    // ABOVE either is an uncommitted alter's orphan
+    val maxManifest =
+      (if (manifests.isEmpty) None else Some(manifests.max))
+        .orElse(readCheckpoint(f, table))
     def valid(v: Long): Boolean =
       if (manifests.contains(v)) mappingValid(spark, table, v)
       else maxManifest match {
         // staged above the retained head: an in-flight/crashed alter's
         // orphan — inert until (unless) its manifest commits
         case Some(mx) if v > mx => false
-        // below the retained floor (or a checkpoint-state-only table):
-        // vacuum validated-or-deleted it before dropping its manifest
+        // below the retained floor: vacuum validated-or-deleted it
+        // before dropping its manifest
         case _ => true
       }
     names.map(_.getName)
@@ -970,7 +980,10 @@ object TxTable {
     }
     val parts = declaredPartitions(spark, table)
     if (parts.nonEmpty && parts.exists(p => !rkEntry(p).contains(p)))
-      declarePartitions(spark, table, parts.flatMap(rkEntry))
+      // preserve the ORIGINAL recording zone: the rename moves names,
+      // never the calendar the value sets were derived under
+      declarePartitionsWithTz(spark, table, parts.flatMap(rkEntry),
+        declaredPartitionTz(spark, table))
     next
   }
 
@@ -1083,7 +1096,9 @@ object TxTable {
     declaredSchema(spark, src).foreach(declareSchema(spark, dst, _))
     declaredPartitions(spark, src) match {
       case Seq() => ()
-      case parts => declarePartitions(spark, dst, parts)
+      // the clone's value sets ARE the source's — carry its zone
+      case parts => declarePartitionsWithTz(spark, dst, parts,
+        declaredPartitionTz(spark, src))
     }
     constraints(spark, src) match {
       case Seq() => ()
@@ -1136,18 +1151,33 @@ object TxTable {
     if (refs.isEmpty) return Set.empty
     val dataPrefix = "/" + dataDir(table).getName + "/" // "/data/"
     refs.flatMap { st =>
+      // the CLONE may live on a different filesystem (hdfs/s3 clone
+      // of a local table) — resolve ITS fs, never reuse src's handle
+      // (Hadoop throws Wrong-FS). A ref we cannot READ fails vacuum
+      // with a NAMED error: silently skipping it would reclaim files
+      // a live clone references — the one outcome this registry
+      // exists to prevent. Delete the marker by hand to force it.
       val dst = new String(readFully(f, st.getPath), "UTF-8").trim
-      val dstLog = logDir(dst)
-      if (!f.exists(dstLog)) {
-        f.delete(st.getPath, false) // clone dropped: unregister
-        Nil
-      } else {
-        val tableAbs = new Path(table).toString
-        f.listStatus(dstLog).toSeq.flatMap(s => versionOf(s.getPath))
-          .flatMap(v => peekManifest(spark, dst, v))
-          .flatMap(_.files)
-          .filter(p => p.startsWith(tableAbs) && p.contains(dataPrefix))
-          .map(_.split('/').last)
+      try {
+        val dstLog = logDir(dst)
+        val df2 = fs(spark, dstLog)
+        if (!df2.exists(dstLog)) {
+          f.delete(st.getPath, false) // clone dropped: unregister
+          Nil
+        } else {
+          val tableAbs = new Path(table).toString
+          df2.listStatus(dstLog).toSeq.flatMap(s => versionOf(s.getPath))
+            .flatMap(v => peekManifest(spark, dst, v))
+            .flatMap(_.files)
+            .filter(p => p.startsWith(tableAbs) && p.contains(dataPrefix))
+            .map(_.split('/').last)
+        }
+      } catch { case e: Exception =>
+        throw new IllegalStateException(
+          s"vacuum at $table: registered clone '$dst' " +
+            s"(${st.getPath.getName}) is unreadable — refusing to " +
+            "reclaim files it may reference; repair the clone or " +
+            "delete the marker to proceed", e)
       }
     }.toSet
   }
@@ -1465,12 +1495,15 @@ object TxTable {
     * lost its place). */
   private[graft] def addedBetween(spark: SparkSession, table: String,
       from: Long, to: Snapshot): Seq[String] = {
-    val baseFiles: Set[String] =
-      if (from <= 0) Set.empty
-      else snapshot(spark, table, Some(from)).map(_.files.toSet)
+    // ONE manifest parse serves both the file set and the dels guard
+    // (the incremental hot path runs this per poll/micro-batch)
+    val base: Option[Snapshot] =
+      if (from <= 0) None
+      else Some(snapshot(spark, table, Some(from))
         .getOrElse(throw new IllegalArgumentException(
           s"version $from is vacuumed at $table — the consumer " +
-            "lost its place; reprocess from a full snapshot"))
+            "lost its place; reprocess from a full snapshot")))
+    val baseFiles: Set[String] = base.map(_.files.toSet).getOrElse(Set.empty)
     val removed = baseFiles -- to.files.toSet
     if (removed.nonEmpty) throw new IllegalArgumentException(
       s"versions ($from, ${to.version}] rewrote " +
@@ -1482,9 +1515,7 @@ object TxTable {
     // changed (a DV DML landed), or an added file already carries one
     // (a clone's referenced source state). Use the CDF mode instead —
     // DV DML records exact change files there.
-    val baseDels =
-      if (from <= 0) Nil
-      else snapshot(spark, table, Some(from)).map(_.dels).getOrElse(Nil)
+    val baseDels = base.map(_.dels).getOrElse(Nil)
     if (to.dels.toSet != baseDels.toSet) throw new IllegalArgumentException(
       s"versions ($from, ${to.version}] changed deletion predicates at " +
         s"$table: merge-on-read DELETE has no added-files form — consume " +
@@ -2248,7 +2279,20 @@ object TxTable {
   }
 
   def declarePartitions(spark: SparkSession, table: String,
-      cols: Seq[String]): Unit = {
+      cols: Seq[String]): Unit =
+    declarePartitionsWithTz(spark, table, cols,
+      Some(spark.sessionState.conf.sessionLocalTimeZone))
+
+  /** [[declarePartitions]] with an EXPLICIT recording zone — the
+    * rename/clone paths rewrite the `_partition` sidecar and must
+    * PRESERVE the originally-recorded zone: re-stamping the current
+    * session's would silently re-enable generated-filter pruning over
+    * value sets recorded under a different calendar (found by the
+    * r17 self-review — the exact corruption the tz gate exists to
+    * prevent). `tz = None` records no zone (pruning stays disabled
+    * fail-open). */
+  private def declarePartitionsWithTz(spark: SparkSession, table: String,
+      cols: Seq[String], tz: Option[String]): Unit = {
     require(cols.nonEmpty && cols.distinct == cols &&
       cols.forall(c => !PartTransform.parse(c).isInstanceOf[PartIdentity]
         || !c.contains(",")),
@@ -2268,8 +2312,10 @@ object TxTable {
       case _: PartDays | _: PartMonths | _: PartHours => true
       case _ => false // identity and bucket are zone-free
     }
-    val body = cols.mkString(",") + (if (temporal)
-      "\ntz=" + spark.sessionState.conf.sessionLocalTimeZone else "")
+    val body = cols.mkString(",") + (tz match {
+      case Some(z) if temporal => "\ntz=" + z
+      case _ => ""
+    })
     val out = f.create(new Path(ld, "_partition"), true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
   }
@@ -2294,7 +2340,7 @@ object TxTable {
   /** The session timezone the partition declaration (and so every
     * temporal-transform value set) was recorded under — None for
     * identity-only or undeclared tables. */
-  private[sources] def declaredPartitionTz(spark: SparkSession,
+  private[graft] def declaredPartitionTz(spark: SparkSession,
       table: String): Option[String] = {
     val p = new Path(logDir(table), "_partition")
     val f = fs(spark, p)

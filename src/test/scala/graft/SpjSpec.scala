@@ -152,6 +152,28 @@ class SpjSpec extends AnyFunSuite {
     assert(q.as[Long].head() === 0L)
   }
 
+  test("bucket table writes survive a source-column rename (logical-frame derivation)") {
+    val root = freshRoot()
+    TxSql.installCatalog(spark, "spjr", root)
+    spark.sql("CREATE TABLE spjr.t (k BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO spjr.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE spjr.t RENAME COLUMN k TO kid")
+    assert(TxTable.declaredPartitions(spark, s"$root/t") ===
+      Seq("bucket(4,kid)"))
+    // the bucket expression must derive on the LOGICAL frame — the
+    // physical files still store 'k' (r17 self-review finding)
+    spark.sql("INSERT INTO spjr.t VALUES (3, 'c')")
+    assert(spark.sql("SELECT kid, v FROM spjr.t ORDER BY kid")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    val snap = TxTable.snapshot(spark, s"$root/t").get
+    assert(snap.files.map(f =>
+      snap.fileValues.get(f).flatMap(_.get("bucket(4,kid)")))
+      .forall(_.exists(_.size == 1)),
+      "post-rename bucket files must keep singleton value sets")
+  }
+
   test("bucket tables stay correct under DML; DV'd snapshots fall back from SPJ") {
     val root = freshRoot()
     TxSql.installCatalog(spark, "spjd", root)

@@ -229,6 +229,21 @@ class TxHardeningSpec extends AnyFunSuite {
       val snap = TxTable.snapshot(spark, dir).get
       assert(scannedFiles(q).size === snap.files.size,
         "generated filter must be DISABLED for non-UTC recordings")
+      // a rename under a UTC session must PRESERVE the recorded zone —
+      // re-stamping the session's would re-enable the unsound prune
+      // (r17 self-review finding)
+      TxTable.renameColumn(spark, dir, "ts", "event_ts")
+      assert(TxTable.declaredPartitions(spark, dir) ===
+        Seq("days(event_ts)"))
+      assert(TxTable.declaredPartitionTz(spark, dir) ===
+        Some("America/New_York"),
+        "rename re-stamped the recording zone")
+      // and a shallow clone carries the SOURCE's zone, not the session's
+      val dst = s"$root/zclone"
+      TxTable.cloneShallow(spark, dir, dst)
+      assert(TxTable.declaredPartitionTz(spark, dst) ===
+        Some("America/New_York"),
+        "clone re-stamped the recording zone")
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
