@@ -81,7 +81,8 @@ private class DvScanBuilder(spark: SparkSession, delegate: ScanBuilder,
   /** Column names any deletion predicate references. */
   private val delCols: Seq[String] =
     delsByName.values.flatten.toSeq
-      .flatMap(d => d.ranges.map(_._1) ++ d.eqs.map(_._1)).distinct
+      .flatMap(d => d.ranges.map(_._1) ++ d.eqs.map(_._1) ++
+        d.ins.map(_._1)).distinct
 
   private var pruned: StructType = fullSchema
   private var widened: StructType = fullSchema

@@ -82,13 +82,22 @@ object TxMaintenanceParser {
       s"CALL $cat.system.compact(${q(t)}, $n)"
     case OptimizeWhere(ident, col, values) =>
       val (cat, t) = split(ident)
-      // quote-aware: a quoted value may itself contain commas — take
-      // the quoted tokens when any exist, else split on commas
+      // quote-aware: take the quoted tokens when any exist, else
+      // split on commas. compact_where's single argument is itself
+      // comma-joined, so a value CONTAINING a comma cannot ride this
+      // sugar losslessly — refuse loudly rather than re-split into
+      // the wrong partition values downstream
       val quoted = "'([^']*)'".r.findAllMatchIn(values)
         .map(_.group(1)).toSeq
       val parts =
         if (quoted.nonEmpty) quoted
         else values.split(',').map(_.trim).toSeq
+      val withComma = parts.filter(_.contains(','))
+      if (withComma.nonEmpty) throw new IllegalArgumentException(
+        s"OPTIMIZE ... WHERE: partition value(s) containing a comma " +
+          s"(${withComma.mkString("; ")}) are not expressible through " +
+          "this statement's comma-joined rewrite — CALL " +
+          "system.compact_where once per value instead")
       val vs = parts.filter(_.nonEmpty).mkString(",")
       s"CALL $cat.system.compact_where(${q(t)}, ${q(col)}, ${q(vs)}, 1)"
     case Optimize(ident) =>

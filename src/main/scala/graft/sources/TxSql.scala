@@ -276,12 +276,17 @@ object TxSql {
       case l: Long => math.abs(l) < (1L << 53)
       case _ => false
     }
+    // nested paths ("s.x") are NOT DV-recordable: the DelEntry
+    // language keys flat logical names (DvScan widening, drop/rename
+    // guards, prune translation all assume it) — route to
+    // copy-on-write, whose Column translation handles nesting
+    def flatAttr(a: String): Boolean = !a.contains('.')
     f match {
       case sf.And(l, r) => filterLossless(l) && filterLossless(r)
-      case sf.EqualTo(_, _: String) => true
-      case sf.EqualTo(_, v) => exactNum(v)
-      case sf.GreaterThanOrEqual(_, v) => exactNum(v)
-      case sf.LessThanOrEqual(_, v) => exactNum(v)
+      case sf.EqualTo(a, _: String) => flatAttr(a)
+      case sf.EqualTo(a, v) => flatAttr(a) && exactNum(v)
+      case sf.GreaterThanOrEqual(a, v) => flatAttr(a) && exactNum(v)
+      case sf.LessThanOrEqual(a, v) => flatAttr(a) && exactNum(v)
       case _ => false
     }
   }

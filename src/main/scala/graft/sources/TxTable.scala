@@ -88,14 +88,34 @@ object TxTable {
     * 100 TB table is one manifest commit: no data file rewrites at
     * all — the gap r16 named its biggest ([[deleteWhereDv]]). Columns
     * are LOGICAL names; renames rekey them like every other
-    * logical-keyed manifest field. */
+    * logical-keyed manifest field.
+    *
+    * `ins` is the KEY-SET form (Iceberg's equality-delete file reduced
+    * to the manifest): rows whose column's canonical string form is IN
+    * the recorded value set are deleted — what lets [[merge]] commit
+    * merge-on-read ([[mergeDvCounted]]) instead of rewriting candidate
+    * files. Bounded by [[DvMergeMaxKeys]] at the writer, so the
+    * manifest and every reader's InSet stay driver/plan-safe. */
   case class DelEntry(path: String,
       ranges: Seq[(String, Double, Double)],
-      eqs: Seq[(String, String)]) {
+      eqs: Seq[(String, String)],
+      ins: Seq[(String, Seq[String])] = Nil) {
+    require(ranges.nonEmpty || eqs.nonEmpty || ins.nonEmpty,
+      s"deletion entry for $path with no predicate would hide every row")
+    require(ins.forall(_._2.nonEmpty),
+      s"deletion entry for $path carries an empty IN-set")
     /** The DELETED-rows predicate — exactly the conjunctive Column the
-      * copy-on-write verbs test, so DV and rewrite agree row-for-row. */
-    def predicate: org.apache.spark.sql.Column =
-      predicateColumn(ranges, eqs)
+      * copy-on-write verbs test, so DV and rewrite agree row-for-row.
+      * `ins` compares the column's CANONICAL STRING form (the same
+      * `cast(col as string)` that derived the recorded values), so
+      * equality is exact by construction — no coercion ambiguity. */
+    def predicate: org.apache.spark.sql.Column = {
+      val base = predicateColumn(ranges, eqs)
+      ins.foldLeft(base) { case (acc, (c0, vs)) =>
+        acc && org.apache.spark.sql.functions.col(c0)
+          .cast("string").isin(vs: _*)
+      }
+    }
   }
 
   /** `acc` with `entries`' deletion predicates applied — the single
@@ -445,8 +465,24 @@ object TxTable {
           }
           case _ => Nil
         }
-        DelEntry(e("path").asInstanceOf[String], ranges, eqs)
-      }
+        val ins = e.get("i") match {
+          case Some(il: List[_]) => il.collect { case t: List[_] =>
+            val List(c, vs) = t
+            (c.asInstanceOf[String],
+              vs.asInstanceOf[List[_]].collect { case s: String => s })
+          }
+          case _ => Nil
+        }
+        // "paths" (shared-body form, current writer) or "path"
+        // (one-entry form, pre-r18 manifests) — the expanded entries
+        // share the SAME ranges/eqs/ins instances, so per-file memory
+        // stays O(paths), not O(paths × keys)
+        val paths = e.get("paths") match {
+          case Some(pl: List[_]) => pl.collect { case s: String => s }
+          case _ => List(e("path").asInstanceOf[String])
+        }
+        paths.map(p => DelEntry(p, ranges, eqs, ins))
+      }.flatten
       case _ => Nil
     }
 
@@ -775,16 +811,28 @@ object TxTable {
           }.mkString(",") + "]}"
       case _ => ""
     }
+    // entries sharing a predicate body serialize ONCE with a "paths"
+    // list (a merge's IN-set touches many files — repeating a 100k-key
+    // list per file would multiply the manifest by the candidate
+    // count); the shared body also keeps readFilesDv's del-signature
+    // grouping coarse (one relation per DML, not per file)
     val delsJson =
       if (dels.isEmpty) ""
-      else ",\"dels\":[" + dels.map { d =>
-        val r = d.ranges.map { case (c, lo, hi) =>
-          s"[${jq(c)},${jq(lo.toString)},${jq(hi.toString)}]" }
-          .mkString("[", ",", "]")
-        val e = d.eqs.map { case (c, v) => s"[${jq(c)},${jq(v)}]" }
-          .mkString("[", ",", "]")
-        s"""{"path":${jq(d.path)},"r":$r,"e":$e}"""
-      }.mkString(",") + "]"
+      else ",\"dels\":[" + dels.groupBy(d => (d.ranges, d.eqs, d.ins))
+        .toSeq.sortBy(_._2.head.path).map { case ((rs, es, is), ds) =>
+          val r = rs.map { case (c, lo, hi) =>
+            s"[${jq(c)},${jq(lo.toString)},${jq(hi.toString)}]" }
+            .mkString("[", ",", "]")
+          val e = es.map { case (c, v) => s"[${jq(c)},${jq(v)}]" }
+            .mkString("[", ",", "]")
+          val i =
+            if (is.isEmpty) ""
+            else ",\"i\":" + is.map { case (c, vs) =>
+              s"[${jq(c)},[${vs.map(jq).mkString(",")}]]" }
+              .mkString("[", ",", "]")
+          val paths = ds.map(x => jq(x.path)).mkString(",")
+          s"""{"paths":[$paths],"r":$r,"e":$e$i}"""
+        }.mkString(",") + "]"
     val body =
       s"""{"version":$version,"files":[$filesJson]$opJson$tsJson$changesJson$txnsJson$statsJson$mstatsJson$bloomsJson$delsJson}"""
     val target = new Path(ld, s"v$version.json")
@@ -958,11 +1006,17 @@ object TxTable {
     val statsCol2 = cur.statsCol.flatMap(rk)
     val bloomCol2 = cur.bloomCol.flatMap(rk)
     // deletion predicates rekey with the rename (dropColumn refuses
-    // while a del references the column, so rk always resolves here)
+    // while a del references the column, so rk always resolves here).
+    // Dotted entries (old manifests only — new DV commits refuse
+    // nested names) rekey their HEAD so renaming "s" moves "s.x" too.
     val dels2 = cur.dels.map { d =>
-      def re(c: String): String = rk(c).getOrElse(c)
+      def re(c: String): String = {
+        val h = c.takeWhile(_ != '.')
+        rk(h).getOrElse(h) + c.drop(h.length)
+      }
       DelEntry(d.path, d.ranges.map { case (c, lo, hi) => (re(c), lo, hi) },
-        d.eqs.map { case (c, v2) => (re(c), v2) })
+        d.eqs.map { case (c, v2) => (re(c), v2) },
+        d.ins.map { case (c, vs) => (re(c), vs) })
     }
     try commit(spark, table, next, cur.files, cur.txns,
       statsCol2, if (statsCol2.isDefined) cur.stats else Map.empty,
@@ -1033,9 +1087,14 @@ object TxTable {
         require(!constraintColumns(spark, ce).contains(name),
           s"cannot drop '$name': CHECK constraint '$cn' ($ce) " +
             s"references it — drop the constraint first") }
+      // key on the dotted path's HEAD (nameParts discipline, like
+      // constraintColumns): new DV commits refuse nested names, but an
+      // old manifest's "s.x" entry must still block dropping "s"
       snapshot(spark, table).foreach(s => require(
-        !s.dels.exists(d => d.ranges.exists(_._1 == name) ||
-          d.eqs.exists(_._1 == name)),
+        !s.dels.exists(d =>
+          d.ranges.exists(_._1.takeWhile(_ != '.') == name) ||
+            d.eqs.exists(_._1.takeWhile(_ != '.') == name) ||
+            d.ins.exists(_._1.takeWhile(_ != '.') == name)),
         s"cannot drop '$name': a deletion predicate references it — " +
           "compact the table first (folds the predicates into files)"))
       val p = m0.phys(name)
@@ -1131,9 +1190,17 @@ object TxTable {
     1L
   }
 
-  private def cloneRefPath(src: String, dst: String): Path =
-    new Path(logDir(src), "_ref_" + java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dst)))
+  /** Clone registration marker, named by SHA-256 of the destination
+    * path — collision-free (a 32-bit hash let two clones silently
+    * overwrite each other's registration), fixed-length (no filename
+    * limit however long the path), and idempotent per destination
+    * (re-cloning to the same dst overwrites with identical content). */
+  private def cloneRefPath(src: String, dst: String): Path = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dst.getBytes("UTF-8"))
+    new Path(logDir(src),
+      "_ref_" + digest.map("%02x".format(_)).mkString)
+  }
 
   /** Data-file NAMES of `table` that registered shallow clones still
     * reference — [[vacuum]] keeps them alive even when no local
@@ -1165,11 +1232,20 @@ object TxTable {
           f.delete(st.getPath, false) // clone dropped: unregister
           Nil
         } else {
-          val tableAbs = new Path(table).toString
+          // compare NORMALIZED path components (URI path, scheme and
+          // trailing-slash spelling stripped): the clone recorded the
+          // src path as spelled at CLONE time, which need not match
+          // vacuum-time spelling. A scheme mismatch at the same path
+          // keeps extra files — fail-open, never reclaims a live ref.
+          val tableNorm = new Path(table).toUri.getPath
           df2.listStatus(dstLog).toSeq.flatMap(s => versionOf(s.getPath))
             .flatMap(v => peekManifest(spark, dst, v))
             .flatMap(_.files)
-            .filter(p => p.startsWith(tableAbs) && p.contains(dataPrefix))
+            .filter { p =>
+              val pn = try new Path(p).toUri.getPath catch {
+                case _: Exception => p }
+              pn.startsWith(tableNorm + "/") && p.contains(dataPrefix)
+            }
             .map(_.split('/').last)
         }
       } catch { case e: Exception =>
@@ -2866,6 +2942,41 @@ object TxTable {
   def deletionVectorsEnabled(spark: SparkSession, table: String): Boolean =
     fs(spark, logDir(table)).exists(dvMarkerPath(table))
 
+  /** Validate the columns a DV commit is about to record, BEFORE the
+    * manifest publishes — copy-on-write fails naturally pre-commit
+    * (the predicate evaluates against a real read), but a [[DelEntry]]
+    * is recorded blind and replayed by every later reader, so a typo'd
+    * or nested name here would poison every subsequent read of the
+    * table. Rules mirror [[requireTopLevel]]: every referenced column
+    * must exist as a TOP-LEVEL logical column; dotted paths refuse
+    * (the predicate-replay machinery — [[DvScan]]'s schema widening,
+    * drop/rename guards, prune translation — keys on flat names). */
+  private def requireDvColumns(spark: SparkSession, table: String,
+      cur: Snapshot, cols: Seq[String]): Unit = {
+    val nested = cols.filter(_.contains('.'))
+    require(nested.isEmpty,
+      s"deletion vectors cannot reference nested field(s): " +
+        s"${nested.mkString(", ")} — DV predicates record top-level " +
+        "columns only; use copy-on-write (a table without " +
+        "enableDeletionVectors) for nested-field DML")
+    val schemaOpt: Option[org.apache.spark.sql.types.StructType] =
+      declaredSchema(spark, table).orElse(cur.files.headOption.flatMap { f =>
+        try {
+          val raw =
+            spark.read.parquet(new Path(table, f).toString).schema
+          Some(mappingAt(spark, table, Some(cur.version))
+            .fold(raw)(_.logicalize(raw)))
+        } catch { case _: Exception => None }
+      })
+    schemaOpt.foreach { sch =>
+      val missing = cols.filterNot(sch.fieldNames.contains)
+      require(missing.isEmpty,
+        s"DV DML references nonexistent column(s) at $table: " +
+          s"${missing.mkString(", ")} (columns: " +
+          s"${sch.fieldNames.mkString(", ")})")
+    }
+  }
+
   /** DELETE as a deletion-vector commit: candidate files (the same
     * manifest prune as copy-on-write) gain a [[DelEntry]]; ZERO data
     * files rewrite, every byte and every index entry carries over
@@ -2879,6 +2990,8 @@ object TxTable {
     import org.apache.spark.sql.functions.{coalesce, lit}
     val cur = snapshot(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $table"))
+    requireDvColumns(spark, table, cur,
+      (ranges.map(_._1) ++ valueEq.map(_._1)).distinct)
     val next = cur.version + 1
     val touched =
       candidateFiles(cur, ranges, canonicalValueEq(spark, table, cur, valueEq))
@@ -2914,6 +3027,8 @@ object TxTable {
     import org.apache.spark.sql.functions.{coalesce, lit}
     val cur = snapshot(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $table"))
+    requireDvColumns(spark, table, cur,
+      (ranges.map(_._1) ++ valueEq.map(_._1)).distinct)
     val next = cur.version + 1
     val touched =
       candidateFiles(cur, ranges, canonicalValueEq(spark, table, cur, valueEq))
@@ -3258,13 +3373,19 @@ object TxTable {
     // column DROPPED since the target cannot rekey — restoring would
     // silently resurrect its hidden rows, so refuse loudly.
     val dels2 = target.dels.map { d =>
-      def re(c: String): String = rk(c).getOrElse(
-        throw new IllegalArgumentException(
-          s"cannot restore v$version at $table: deletion predicate " +
-            s"column '$c' was dropped since — its hidden rows would " +
-            "resurrect; compact v" + version + " first"))
+      // dotted entries (old manifests only) rekey their HEAD, like
+      // the alterMapping rekey — same refusal when the head dropped
+      def re(c: String): String = {
+        val h = c.takeWhile(_ != '.')
+        rk(h).getOrElse(
+          throw new IllegalArgumentException(
+            s"cannot restore v$version at $table: deletion predicate " +
+              s"column '$c' was dropped since — its hidden rows would " +
+              "resurrect; compact v" + version + " first")) + c.drop(h.length)
+      }
       DelEntry(d.path, d.ranges.map { case (c, lo, hi) => (re(c), lo, hi) },
-        d.eqs.map { case (c, v2) => (re(c), v2) })
+        d.eqs.map { case (c, v2) => (re(c), v2) },
+        d.ins.map { case (c, vs) => (re(c), vs) })
     }
     commit(spark, table, next, target.files, cur.txns,
       statsCol2, if (statsCol2.isDefined) target.stats else Map.empty,

@@ -186,6 +186,20 @@ private[graft] class TxTableSource(spark: SparkSession, table: String,
       throw new IllegalStateException(
         s"txtable-stream: offset version $to is gone at $table (vacuumed " +
           "past the checkpoint) — restart from a fresh checkpoint"))
+    // bootstrap of a DV'd table (batch changesSince's discipline):
+    // the initial batch IS the full snapshot, served dv-aware per
+    // del-signature group. The incremental walk below stays strictly
+    // append-only (addedBetween fails fast on dels drift).
+    if (from <= 0 && toSnap.dels.nonEmpty) {
+      import org.apache.spark.sql.functions.{coalesce, lit, not}
+      val byFile = toSnap.delsByFile
+      return toSnap.files.groupBy(f => byFile.getOrElse(f, Nil)).toSeq
+        .sortBy(_._2.headOption.getOrElse("")).map { case (ds, fls) =>
+          ds.foldLeft(toPinnedLogical(
+            streamingParquet(fls, phys(schema)), schema))((acc, d) =>
+            acc.filter(not(coalesce(d.predicate, lit(false)))))
+        }.reduce(_.unionByName(_))
+    }
     val added = TxTable.addedBetween(spark, table, from, toSnap)
     if (added.isEmpty) emptyBatch
     else toPinnedLogical(streamingParquet(added, phys(schema)), schema)

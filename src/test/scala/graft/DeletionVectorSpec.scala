@@ -360,4 +360,45 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(TxTable.read(spark, dst).count() === 41L)
     assert(TxTable.read(spark, dst).filter($"k" === 7L).count() === 1L)
   }
+
+  test("DV DML validates predicate columns pre-commit; nested names refuse") {
+    val dir = freshRoot() + "/t"
+    buildTable(dir)
+    // a typo'd column would be recorded blind and poison every later
+    // read (CoW fails naturally at the predicate's evaluation; DV
+    // must validate explicitly) — refused BEFORE the commit
+    val e1 = intercept[IllegalArgumentException](
+      TxTable.deleteWhere(spark, dir, Seq(("nope", 1.0, 2.0))))
+    assert(e1.getMessage.contains("nonexistent"))
+    val e2 = intercept[IllegalArgumentException](
+      TxTable.deleteWhere(spark, dir, ranges = Nil,
+        valueEq = Seq(("s.x", "1"))))
+    assert(e2.getMessage.contains("nested"))
+    val e3 = intercept[IllegalArgumentException](
+      TxTable.updateWhere(spark, dir, Seq(("nope", 1.0, 2.0)), Nil,
+        Map("v" -> lit("z"))))
+    assert(e3.getMessage.contains("nonexistent"))
+    // nothing recorded, nothing hidden
+    val snap = TxTable.snapshot(spark, dir).get
+    assert(snap.version === 1L && snap.dels.isEmpty)
+    assert(TxTable.read(spark, dir).count() === 40L)
+  }
+
+  test("SQL DELETE on a nested field never records a DelEntry") {
+    val root = freshRoot()
+    val dir = s"$root/t"
+    val df = (1 to 10).map(i => (i.toLong, s"x$i", i.toLong * 10))
+      .toDF("k", "a", "b")
+      .select($"k", struct($"a", $"b").as("s"))
+    TxTable.overwrite(df, dir)
+    TxTable.enableDeletionVectors(spark, dir)
+    TxSql.installCatalog(spark, "txdvn", root)
+    spark.sql("DELETE FROM txdvn.t WHERE s.b = 30")
+    val snap = TxTable.snapshot(spark, dir).get
+    assert(snap.dels.isEmpty,
+      "a nested predicate must route to copy-on-write, not a DV entry")
+    assert(TxTable.read(spark, dir).count() === 9L)
+    assert(spark.sql("SELECT count(*) FROM txdvn.t WHERE s.b = 30")
+      .as[Long].head() === 0L)
+  }
 }

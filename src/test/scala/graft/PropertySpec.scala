@@ -300,9 +300,15 @@ class PropertySpec extends AnyFunSuite {
       i <- Gen.choose(0, 4)
       nr <- Gen.choose(0, 3)
       ne <- Gen.choose(0, 3)
+      ni <- Gen.choose(0, 2)
       rs <- Gen.listOfN(nr, Gen.zip(genCol, genBound, genBound))
       es <- Gen.listOfN(ne, Gen.zip(genCol, genVal))
-    } yield TxTable.DelEntry(s"data/f$i.parquet", rs, es)
+      is <- Gen.listOfN(ni, Gen.zip(genCol,
+        Gen.choose(1, 4).flatMap(Gen.listOfN(_, genVal))))
+      // an all-empty predicate would hide every row — the verbs never
+      // produce one and DelEntry now refuses it at construction
+      if rs.nonEmpty || es.nonEmpty || is.nonEmpty
+    } yield TxTable.DelEntry(s"data/f$i.parquet", rs, es, is)
     val genEntries = Gen.choose(0, 5).flatMap(Gen.listOfN(_, genEntry))
     for ((entries, i) <- cases(genEntries, 60).zipWithIndex) {
       val t = java.nio.file.Files
@@ -310,7 +316,13 @@ class PropertySpec extends AnyFunSuite {
       TxTable.commit(spark, t, 1L, Seq("data/f0.parquet"),
         dels = entries)
       val got = TxTable.snapshot(spark, t).get.dels
-      assert(got == entries, s"case $i: $got != $entries")
+      // MULTISET equality: the writer groups shared predicate bodies
+      // under one "paths" list (sorted by head path), so entry ORDER
+      // is not preserved — predicates are conjunctive, order never
+      // affects visibility
+      def ms(es0: Seq[TxTable.DelEntry]) =
+        es0.groupBy(identity).view.mapValues(_.size).toMap
+      assert(ms(got) == ms(entries), s"case $i: $got != $entries")
     }
   }
 

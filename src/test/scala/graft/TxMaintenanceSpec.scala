@@ -124,4 +124,36 @@ class TxMaintenanceSpec extends AnyFunSuite {
     assert(TxTable.read(spark, src).as[(Long, String)]
       .collect().toSeq === Seq((99L, "new")))
   }
+
+  test("OPTIMIZE ... WHERE refuses a quoted value containing a comma") {
+    // compact_where's argument is comma-joined: a value with a comma
+    // would re-split into the wrong partition values downstream
+    val e = intercept[IllegalArgumentException](
+      graft.sources.TxMaintenanceParser.rewrite(
+        "OPTIMIZE cat.t WHERE region IN ('a,b')"))
+    assert(e.getMessage.contains("comma"))
+    // comma-free quoted values still pass through
+    assert(graft.sources.TxMaintenanceParser.rewrite(
+      "OPTIMIZE cat.t WHERE region IN ('a', 'b')")
+      === "CALL cat.system.compact_where('t', 'region', 'a,b', 1)")
+  }
+
+  test("clone protection survives a re-spelled src path at vacuum time") {
+    val src = freshRoot() + "/src"
+    val dst = freshRoot() + "/dst"
+    TxTable.overwrite((1 to 10).map(i => (i.toLong, s"v$i"))
+      .toDF("k", "v"), src)
+    TxTable.cloneShallow(spark, src, dst)
+    val cloneRows = TxTable.read(spark, dst).as[(Long, String)]
+      .collect().sorted.toSeq
+    TxTable.overwrite(Seq((99L, "new")).toDF("k", "v"), src)
+    // vacuum under a scheme-qualified spelling of the SAME path: the
+    // normalized prefix compare must still match the clone's recorded
+    // (plain-path) references — protection is spelling-independent
+    val (_, deleted) = TxTable.vacuum(spark, "file:" + src, retainLast = 1)
+    assert(deleted === 0,
+      "re-spelled src path dropped clone protection")
+    assert(TxTable.read(spark, dst).as[(Long, String)]
+      .collect().sorted.toSeq === cloneRows)
+  }
 }

@@ -245,6 +245,32 @@ class TxTableStreamSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no committed version"))
   }
 
+  test("streaming a DV'd table from scratch serves the dv-aware snapshot") {
+    val t = freshTable()
+    TxTable.overwriteIndexedMulti(df(0 until 20, "v1"), t,
+      statCols = Seq("k"))
+    TxTable.enableDeletionVectors(spark, t)
+    TxTable.deleteWhere(spark, t, Seq(("k", 7.0, 7.0)))
+    // bootstrap (from version 0) must serve VISIBLE rows — the batch
+    // changesSince discipline, not addedBetween's dels fail-fast
+    val q = readStreamOf(t).writeStream.format("memory")
+      .queryName("txs_dv_boot").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("txs_dv_boot").select($"k").as[Long]
+        .collect().sorted.toSeq
+      assert(got === (0L until 20L).filterNot(_ == 7L),
+        s"DV bootstrap diverged: $got")
+      // appends after the bootstrap stay incremental and exact
+      // (dels unchanged across the range)
+      TxTable.append(df(20 until 25, "v2"), t)
+      q.processAllAvailable()
+      assert(spark.table("txs_dv_boot").select($"k").as[Long]
+        .collect().sorted.toSeq ===
+        ((0L until 20L).filterNot(_ == 7L) ++ (20L until 25L)))
+    } finally q.stop()
+  }
+
   test("CDF mode streams recorded DML images; restart stays exactly-once") {
     val t = freshTable()
     val ckpt = Files.createTempDirectory("graft_txstream_cdfckpt_").toString
