@@ -713,11 +713,20 @@ private[sources] class TxSparkTable(spark: SparkSession, path: String,
     }
     // merge-on-read: a snapshot carrying deletion predicates reads
     // through the DV wrapper (clean files stay vectorized; DV'd files
-    // filter row-based) — see DvScan.scala
-    if (snap.dels.nonEmpty)
-      DvScan.builder(spark, base, dataSchema,
-        snap.delsByFile.map { case (f, es) => f.split('/').last -> es })
-    else spjBucketGroups match {
+    // filter row-based) — see DvScan.scala. A BUCKETED DV'd snapshot
+    // composes both wrappers (SpjDvScanBuilder): the zero-Exchange
+    // join survives merge-on-read DML — per-bucket files stay grouped,
+    // each filtered through its visibility predicates.
+    if (snap.dels.nonEmpty) {
+      val delsByName =
+        snap.delsByFile.map { case (f, es) => f.split('/').last -> es }
+      spjBucketGroups match {
+        case Some((t, byName)) =>
+          new SpjDvScanBuilder(spark, base, dataSchema, delsByName,
+            t, byName)
+        case None => DvScan.builder(spark, base, dataSchema, delsByName)
+      }
+    } else spjBucketGroups match {
       // bucket table with the one-bucket-per-file layout intact:
       // report KeyGroupedPartitioning so equi-joins of two
       // same-bucketed tables plan with ZERO Exchange (see SpjScan)

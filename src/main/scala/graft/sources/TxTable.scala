@@ -1484,8 +1484,15 @@ object TxTable {
     * or N+1, never a mixture. */
   def merge(spark: SparkSession, table: String, updates: DataFrame,
       key: String): Long = {
-    import org.apache.spark.sql.functions.lit
     val cur = snapshot(spark, table)
+    // merge-on-read: a DV-enabled table commits the batch's keys as
+    // an IN-set deletion entry + fresh post-image files — zero
+    // pre-existing files rewrite (None → fall through to CoW when the
+    // key type is not canonically lossless or the batch exceeds
+    // DvMergeMaxKeys; see mergeDvCounted's scaladoc)
+    val dv = cur.filter(_ => deletionVectorsEnabled(spark, table))
+      .flatMap(c => mergeDvCounted(spark, table, updates, key, c))
+    if (dv.isDefined) return dv.get._1
     val next = cur.map(_.version + 1).getOrElse(1L)
     val merged = cur match {
       case None => updates
@@ -1498,36 +1505,43 @@ object TxTable {
           .join(updates.select(key).distinct(), Seq(key), "left_anti")
           .unionByName(updates, allowMissingColumns = true)
     }
-    // change feed (opt-in): keys present in both sides pair as
-    // update_preimage (current rows) / update_postimage (update
-    // rows); keys only in `updates` are inserts. Computed as three
-    // semi/anti joins against the update KEY SET — broadcastable
-    // exactly when the merge itself is, never wider than the delta.
-    val changeFiles: Seq[String] =
-      if (!changeFeedEnabled(spark, table)) Nil
-      else {
-        val keys = updates.select(key).distinct()
-        val delta = cur match {
-          case None => updates.withColumn(ChangeTypeCol, lit("insert"))
-          case Some(_) =>
-            val current = read(spark, table)
-            val curKeys = current.select(key).distinct()
-            current.join(keys, Seq(key), "left_semi")
-              .withColumn(ChangeTypeCol, lit("update_preimage"))
-              .unionByName(updates.join(curKeys, Seq(key), "left_semi")
-                .withColumn(ChangeTypeCol, lit("update_postimage")),
-                allowMissingColumns = true)
-              .unionByName(updates.join(curKeys, Seq(key), "left_anti")
-                .withColumn(ChangeTypeCol, lit("insert")),
-                allowMissingColumns = true)
-        }
-        writeChangeFiles(delta, table, next)
-      }
+    val changeFiles = mergeChangeFiles(spark, table, cur, updates, key, next)
     val files = writeFiles(merged, table, next)
     commit(spark, table, next, files, cur.map(_.txns).getOrElse(Map.empty),
       op = "merge", changes = changeFiles)
     widenDeclared(spark, table, updates)
     next
+  }
+
+  /** The merge's change-feed delta (opt-in): keys present in both
+    * sides pair as update_preimage (current rows) / update_postimage
+    * (update rows); keys only in `updates` are inserts. Computed as
+    * three semi/anti joins against the update KEY SET — broadcastable
+    * exactly when the merge itself is, never wider than the delta.
+    * SHARED by copy-on-write [[merge]] and merge-on-read
+    * [[mergeDvCounted]], so CDF consumers cannot tell the strategies
+    * apart (`read` is dv-aware, so pre-images are the VISIBLE rows). */
+  private def mergeChangeFiles(spark: SparkSession, table: String,
+      cur: Option[Snapshot], updates: DataFrame, key: String,
+      next: Long): Seq[String] = {
+    import org.apache.spark.sql.functions.lit
+    if (!changeFeedEnabled(spark, table)) return Nil
+    val keys = updates.select(key).distinct()
+    val delta = cur match {
+      case None => updates.withColumn(ChangeTypeCol, lit("insert"))
+      case Some(_) =>
+        val current = read(spark, table)
+        val curKeys = current.select(key).distinct()
+        current.join(keys, Seq(key), "left_semi")
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+          .unionByName(updates.join(curKeys, Seq(key), "left_semi")
+            .withColumn(ChangeTypeCol, lit("update_postimage")),
+            allowMissingColumns = true)
+          .unionByName(updates.join(curKeys, Seq(key), "left_anti")
+            .withColumn(ChangeTypeCol, lit("insert")),
+            allowMissingColumns = true)
+    }
+    writeChangeFiles(delta, table, next)
   }
 
   /** Incremental consumption: the rows ADDED after `sinceVersion`,
@@ -2921,16 +2935,21 @@ object TxTable {
     * Delta's: the read-side predicate evaluation is a per-row cost on
     * DV'd files that pure-append tables should never pay.
     *
-    * Scope, stated loudly: [[merge]]/[[applyCdc]] (set-keyed upserts)
-    * and SQL UPDATE/MERGE (group-based ReplaceData) stay COPY-ON-WRITE
-    * even with DVs enabled — a key-set delete is not expressible in
-    * the conjunctive [[DelEntry]] language without one entry per
-    * (file, key), whose per-entry read filters would grow the read
-    * plan with the batch size (Delta's DV-merge rides position
-    * bitmaps + SupportsDelta row ids, a representation this manifest
-    * deliberately doesn't carry). Point/range DML — the GDPR-erasure
-    * and backfill-correction shapes that motivate DVs — is exactly
-    * what the predicate form serves. */
+    * Scope, stated loudly: [[deleteWhere]]/[[updateWhere]] (predicate
+    * DML), SQL DELETE/UPDATE under the lossless gate, and [[merge]]
+    * (API upsert, via the IN-set [[DelEntry]] form up to
+    * [[DvMergeMaxKeys]] distinct keys — [[mergeDvCounted]]) all
+    * commit merge-on-read. [[applyCdc]] and SQL MERGE INTO stay
+    * COPY-ON-WRITE even with DVs enabled: the SQL row-level path is
+    * Spark's group-based ReplaceData, which hands this table the
+    * POST-state of every touched group — the deleted pre-image set is
+    * not recoverable there without SupportsDelta row ids (Delta's
+    * DV-MERGE rides position bitmaps + row ids, a representation this
+    * manifest deliberately doesn't carry); applyCdc's op-typed deltas
+    * can arrive with per-op semantics the keyed IN-set can't replay.
+    * Point/range/keyed DML — the GDPR-erasure, backfill-correction
+    * and daily-upsert shapes that motivate DVs — is exactly what the
+    * predicate form serves. */
   def enableDeletionVectors(spark: SparkSession, table: String): Unit = {
     val ld = logDir(table)
     val f = fs(spark, ld)
@@ -2975,6 +2994,143 @@ object TxTable {
           s"${missing.mkString(", ")} (columns: " +
           s"${sch.fieldNames.mkString(", ")})")
     }
+  }
+
+  /** Cap on the distinct-key count a MERGE may record as an IN-set
+    * deletion entry — bounds the manifest body, the driver-side key
+    * collect, and every reader's InSet. Above it the merge falls back
+    * to copy-on-write, DELIBERATELY: a batch that big touches most
+    * candidate files anyway (the rewrite amortizes), while the
+    * predicate would bloat every later manifest and read plan.
+    * Delta's DV-MERGE rides position bitmaps + SupportsDelta row ids
+    * for that regime; this manifest's predicate form serves the
+    * point-to-moderate-batch upsert that motivates DVs. */
+  private[graft] val DvMergeMaxKeys: Int = 100000
+
+  /** Key types whose canonical string form (`cast(col as string)`)
+    * round-trips EXACTLY — the predicate-losslessness gate for
+    * [[mergeDvCounted]]'s IN-set entries, the same discipline as
+    * [[TxSql.filterLossless]]: float/double (NaN, -0.0), timestamp
+    * (session-zone rendering) and binary keys fall back to
+    * copy-on-write rather than risk a drifted replay. */
+  private def dvMergeKeyLossless(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType |
+        org.apache.spark.sql.types.ShortType |
+        org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.LongType |
+        org.apache.spark.sql.types.StringType |
+        org.apache.spark.sql.types.DateType => true
+    case _ => false
+  }
+
+  /** Files of `snap` that MAY hold any of `keys` (canonical string
+    * form) in `col` — the IN-set analog of [[candidateFiles]],
+    * consulting per-file (min,max) stats (when every key parses
+    * numeric), recorded value sets, and bloom filters. Files without
+    * metadata are always candidates — pruning is an optimization,
+    * never a filter. Driver cost is O(files × log keys + bloom
+    * probes), the same manifest-sized class as every prune here. */
+  private def candidateFilesForKeys(snap: Snapshot, col: String,
+      keys: Seq[String]): Seq[String] = {
+    val keySet = keys.toSet
+    val numeric: Option[Array[Double]] = {
+      val ds = keys.flatMap(_.toDoubleOption)
+      if (ds.length == keys.length) Some(ds.toArray.sorted) else None
+    }
+    def admits(mn: Double, mx: Double): Boolean = numeric match {
+      case Some(arr) =>
+        val i = java.util.Arrays.binarySearch(arr, mn)
+        val at = if (i >= 0) i else -i - 1
+        at < arr.length && arr(at) <= mx
+      case None => true
+    }
+    lazy val bloomed: Map[String, org.apache.spark.util.sketch.BloomFilter] =
+      if (!snap.bloomCol.contains(col)) Map.empty
+      else snap.blooms.map { case (f, bytes) =>
+        f -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bytes))
+      }
+    snap.files.filter { f =>
+      val multiOk = snap.multiStats.getOrElse(f, Map.empty).get(col)
+        .forall { case (mn, mx) => admits(mn, mx) }
+      val singleOk = !snap.statsCol.contains(col) ||
+        snap.stats.get(f).forall { case (mn, mx) => admits(mn, mx) }
+      val valsOk = snap.fileValues.getOrElse(f, Map.empty).get(col)
+        .forall(_.exists(keySet))
+      val bloomOk =
+        bloomed.get(f).forall(bf => keys.exists(bf.mightContainString))
+      multiOk && singleOk && valsOk && bloomOk
+    }
+  }
+
+  /** [[writeFiles]] respecting the table's declared layout: a
+    * single-`bucket()` table keeps its one-bucket-per-file SPJ
+    * invariant for EVERY fresh file set (DV update post-images, merge
+    * batches), so storage-partitioned joins survive merge-on-read DML;
+    * everything else writes plainly. */
+  private def writeFilesDispatch(df: DataFrame, table: String,
+      version: Long): Seq[String] =
+    declaredPartitions(df.sparkSession, table)
+      .map(PartTransform.parse) match {
+      case Seq(b: PartBucket) => writeFilesBucketed(df, table, version, b)
+      case _ => writeFiles(df, table, version)
+    }
+
+  /** MERGE as a merge-on-read commit — Delta's DV-MERGE / Iceberg's
+    * equality-delete shape, reduced to the manifest: the batch's
+    * distinct keys record as ONE shared IN-set [[DelEntry]] body on
+    * the candidate files (hiding every pre-image in place) and the
+    * batch itself lands as fresh post-image files. ZERO pre-existing
+    * data files rewrite — the daily-upsert write path at 100 TB costs
+    * one manifest commit plus the batch's own bytes. None → fall back
+    * to copy-on-write when the key type is not canonically lossless
+    * ([[dvMergeKeyLossless]]), the batch exceeds [[DvMergeMaxKeys]],
+    * or the table is empty (first write has nothing to hide).
+    * Content-equal to the CoW [[merge]] by construction: the IN-set
+    * hides exactly the rows the anti-join drops (same canonical cast
+    * both sides), fresh files carry no dels so post-images matching
+    * their own key stay visible, and CDF images come from the SAME
+    * recording ([[mergeChangeFiles]]). */
+  private[graft] def mergeDvCounted(spark: SparkSession, table: String,
+      updates: DataFrame, key: String,
+      cur: Snapshot): Option[(Long, Int, Int)] = {
+    import org.apache.spark.sql.functions.col
+    if (cur.files.isEmpty) return None
+    val keyType = updates.schema.fields.find(_.name == key).map(_.dataType)
+    if (!keyType.exists(dvMergeKeyLossless)) return None
+    // bounded driver state: the batch's distinct keys in canonical
+    // form — limit(cap+1) bounds the collect BEFORE it runs
+    val keysRaw = updates.filter(col(key).isNotNull)
+      .select(col(key).cast("string")).distinct()
+      .limit(DvMergeMaxKeys + 1)
+      .collect().map(_.getString(0))
+    if (keysRaw.length > DvMergeMaxKeys) return None
+    requireDvColumns(spark, table, cur, Seq(key))
+    val next = cur.version + 1
+    val keys = keysRaw.sorted.toSeq
+    val touched =
+      if (keys.isEmpty) Nil else candidateFilesForKeys(cur, key, keys)
+    // change feed first: it reads the PRE-merge (visible) table
+    val changeFiles =
+      mergeChangeFiles(spark, table, Some(cur), updates, key, next)
+    val fresh = writeFilesDispatch(updates, table, next)
+    // fresh post-image files get index metadata over the same tracked
+    // columns (old files' entries stay valid as supersets)
+    val statCols = cur.multiStats.values.flatMap(_.keys).toSeq.distinct.sorted
+    val valueCols = cur.fileValues.values.flatMap(_.keys).toSeq.distinct.sorted
+    val (freshMs, freshFv) =
+      recomputeMetadata(spark, table, fresh, statCols, valueCols)
+    val ins = Seq(key -> keys)
+    commit(spark, table, next, cur.files ++ fresh, cur.txns,
+      cur.statsCol, cur.stats,
+      cur.multiStats ++ freshMs, cur.fileValues ++ freshFv,
+      cur.bloomCol, cur.blooms,
+      op = "merge", changes = changeFiles,
+      dels = cur.dels ++ (if (keys.isEmpty) Nil
+        else touched.map(f => DelEntry(f, Nil, Nil, ins))))
+    widenDeclared(spark, table, updates)
+    Some((next, touched.size, cur.files.size))
   }
 
   /** DELETE as a deletion-vector commit: candidate files (the same
@@ -3045,7 +3201,7 @@ object TxTable {
         table, next)
     val fresh: Seq[String] =
       if (touched.isEmpty) Nil
-      else writeFiles(applySet(matched()), table, next)
+      else writeFilesDispatch(applySet(matched()), table, next)
     // fresh post-image files get index metadata over the same tracked
     // columns, so they prune like any other file; old files' entries
     // stay valid as supersets

@@ -384,6 +384,81 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(TxTable.read(spark, dir).count() === 40L)
   }
 
+  test("MERGE with DVs: zero pre-existing rewrites; content and CDF equal the CoW twin") {
+    val dvDir = freshRoot() + "/dv"
+    val cowDir = freshRoot() + "/cow"
+    val base = (1 to 40).map(i => (i.toLong, s"t${i % 4}", i * 100L))
+      .toDF("k", "v", "c")
+    for (d <- Seq(dvDir, cowDir)) {
+      TxTable.overwriteIndexedMulti(base, d, statCols = Seq("k"))
+      TxTable.enableChangeFeed(spark, d)
+    }
+    TxTable.enableDeletionVectors(spark, dvDir)
+    val batch = Seq((7L, "upd", 777L), (14L, "upd", 1414L),
+      (100L, "new", 10000L)).toDF("k", "v", "c")
+    val before = TxTable.snapshot(spark, dvDir).get
+    TxTable.merge(spark, dvDir, batch, "k")
+    TxTable.merge(spark, cowDir, batch, "k")
+    val after = TxTable.snapshot(spark, dvDir).get
+    // THE claim: every pre-existing file carries over byte-untouched;
+    // the batch's keys land as IN-set entries on pruned candidates
+    assert(before.files.toSet.subsetOf(after.files.toSet),
+      "DV merge must not rewrite any pre-existing data file")
+    assert(after.dels.nonEmpty && after.dels.forall(d =>
+      d.ins.nonEmpty && d.ranges.isEmpty && d.eqs.isEmpty))
+    assert(after.dels.size < before.files.size,
+      "IN-set entries must attach only to key-pruned candidate files")
+    // content equal to the copy-on-write twin
+    def rows(d: String) = TxTable.read(spark, d)
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(rows(dvDir) === rows(cowDir))
+    // CDF images identical — consumers cannot tell the strategies apart
+    def feed(d: String) = TxTable.changeFeed(spark, d, 1)
+      .select($"k", $"v", $"c", col(TxTable.ChangeTypeCol))
+      .as[(Long, String, Long, String)].collect().sorted.toSeq
+    assert(feed(dvDir) === feed(cowDir))
+    // a second merge stacks: its entry hides merge 1's post-image in
+    // the FRESH file too (fresh files are candidates like any other)
+    val batch2 = Seq((7L, "upd2", 778L)).toDF("k", "v", "c")
+    TxTable.merge(spark, dvDir, batch2, "k")
+    TxTable.merge(spark, cowDir, batch2, "k")
+    assert(TxTable.read(spark, dvDir).filter($"k" === 7L)
+      .as[(Long, String, Long)].collect().toSeq ===
+      Seq((7L, "upd2", 778L)))
+    // compact folds the IN-set predicates into clean files
+    TxTable.compact(spark, dvDir, 2)
+    val folded = TxTable.snapshot(spark, dvDir).get
+    assert(folded.dels.isEmpty, "compact must fold IN-set entries away")
+    assert(rows(dvDir) === rows(cowDir))
+  }
+
+  test("DV merge fallbacks: double key and oversized batch go copy-on-write") {
+    // double keys are not canonically lossless → CoW, correct content
+    val dir = freshRoot() + "/t"
+    TxTable.overwrite((1 to 20).map(i => (i.toDouble, s"v$i"))
+      .toDF("k", "v"), dir)
+    TxTable.enableDeletionVectors(spark, dir)
+    TxTable.merge(spark, dir, Seq((7.0, "upd")).toDF("k", "v"), "k")
+    val snap = TxTable.snapshot(spark, dir).get
+    assert(snap.dels.isEmpty, "double key must not record an IN-set")
+    assert(TxTable.read(spark, dir).filter($"k" === 7.0)
+      .as[(Double, String)].head()._2 === "upd")
+    assert(TxTable.read(spark, dir).count() === 20L)
+    // a batch above DvMergeMaxKeys falls back (the rewrite amortizes
+    // at that size; the predicate would bloat every later manifest)
+    val dir2 = freshRoot() + "/t2"
+    TxTable.overwrite((1 to 100).map(i => (i.toLong, "x"))
+      .toDF("k", "v"), dir2)
+    TxTable.enableDeletionVectors(spark, dir2)
+    val big = spark.range(TxTable.DvMergeMaxKeys + 1)
+      .select($"id".as("k"), lit("y").as("v"))
+    TxTable.merge(spark, dir2, big, "k")
+    val snap2 = TxTable.snapshot(spark, dir2).get
+    assert(snap2.dels.isEmpty, "oversized batch must fall back to CoW")
+    assert(TxTable.read(spark, dir2).count() ===
+      (TxTable.DvMergeMaxKeys + 1).toLong)
+  }
+
   test("SQL DELETE on a nested field never records a DelEntry") {
     val root = freshRoot()
     val dir = s"$root/t"

@@ -174,7 +174,7 @@ class SpjSpec extends AnyFunSuite {
       "post-rename bucket files must keep singleton value sets")
   }
 
-  test("bucket tables stay correct under DML; DV'd snapshots fall back from SPJ") {
+  test("bucket tables stay correct under DML; compaction folds exactly") {
     val root = freshRoot()
     TxSql.installCatalog(spark, "spjd", root)
     spark.sql("CREATE TABLE spjd.t (k BIGINT, v STRING) " +
@@ -185,8 +185,7 @@ class SpjSpec extends AnyFunSuite {
     val dir = s"$root/t"
     TxTable.enableDeletionVectors(spark, dir)
     spark.sql("DELETE FROM spjd.t WHERE k = 42")
-    // DV'd snapshot: reads stay exact (the DV wrapper takes precedence
-    // over the SPJ report)
+    // DV'd bucketed snapshot: reads stay exact (SpjDv composition)
     assert(spark.sql("SELECT count(*) AS n FROM spjd.t").as[Long]
       .head() === 99L)
     // compaction folds the DV but rewrites without the bucket layout —
@@ -194,5 +193,54 @@ class SpjSpec extends AnyFunSuite {
     TxTable.compact(spark, dir, 2)
     assert(spark.sql("SELECT count(*) AS n FROM spjd.t").as[Long]
       .head() === 99L)
+  }
+
+  test("DV'd bucketed tables still join with ZERO Exchange, visibility-exact") {
+    // the r17 verdict's item #2: the zero-Exchange daily join must
+    // SURVIVE merge-on-read DML on the fact table — per-bucket files
+    // still group one partition per bucket; each partition filters
+    // its files through the bound visibility predicates
+    val root = freshRoot()
+    TxSql.installCatalog(spark, "spjv", root)
+    spark.sql("CREATE TABLE spjv.a (k BIGINT, x BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql("CREATE TABLE spjv.b (k BIGINT, y BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    (1 to 400).map(i => (i.toLong, i.toLong * 2)).toDF("k", "x")
+      .createOrReplaceTempView("spjv_sa")
+    (1 to 400).map(i => (i.toLong, i.toLong * 3)).toDF("k", "y")
+      .createOrReplaceTempView("spjv_sb")
+    spark.sql("INSERT INTO spjv.a SELECT * FROM spjv_sa")
+    spark.sql("INSERT INTO spjv.b SELECT * FROM spjv_sb")
+    val dirA = s"$root/a"
+    TxTable.enableDeletionVectors(spark, dirA)
+    // DV DELETE (IN-range predicate) + DV MERGE (IN-set entry + fresh
+    // bucketed post-image files) — both must keep SPJ alive
+    spark.sql("DELETE FROM spjv.a WHERE k <= 10")
+    TxTable.merge(spark, dirA,
+      Seq((42L, 999L), (500L, 1000L)).toDF("k", "x"), "k")
+    val snapA = TxTable.snapshot(spark, dirA).get
+    assert(snapA.dels.nonEmpty, "the DML must be merge-on-read")
+    withBucketing {
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val q = spark.sql(
+          "SELECT a.k, a.x, b.y FROM spjv.a a JOIN spjv.b b ON a.k = b.k")
+        assert(shuffles(q) === 0,
+          "DV'd storage-partitioned join must plan with zero Exchange:\n" +
+            q.queryExecution.executedPlan.toString.take(3000))
+        val got = q.as[(Long, Long, Long)].collect().sortBy(_._1)
+        // k 1..10 hidden by the DV delete; k 42 updated by the DV
+        // merge; k 500 has no b-side match
+        assert(got.length === 390)
+        assert(!got.exists(_._1 <= 10), "DV-deleted rows leaked into SPJ")
+        assert(got.find(_._1 == 42L).map(_._2) === Some(999L),
+          "DV-merged post-image missing from SPJ")
+        assert(got.filter(t => t._1 != 42L)
+          .forall { case (k, x, y) => x == 2 * k && y == 3 * k })
+      } finally spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
   }
 }
