@@ -867,6 +867,53 @@ object PipelineQueries extends QueryModule {
         .orderBy($"o_orderpriority")
     }),
 
+    // JOIN-IVM end to end (the r17 verdict's item #5): the fact-dim
+    // rollup everyone materializes — sum of order cents per customer
+    // SEGMENT — maintained from BOTH tables' change feeds with the
+    // bag-algebra delta rule Δ(A⋈B) = ΔA⋈B_new + A_new⋈ΔB − ΔA⋈ΔB,
+    // across fact appends + a fact delete AND a dim segment-move
+    // update + a dim delete. The replayed maintain REQUIREs no-op at
+    // both markers. The oracle replays the whole cycle as one pure
+    // SQL recompute — maintain ≡ recompute is the contract.
+    "pipe_ivm_join" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.{IncrementalView, TxTable}
+      val key = d.replaceAll("[^A-Za-z0-9]", "_")
+      val srcA = sys.props("java.io.tmpdir") + "/graft_ivmj_a_" + key
+      val srcB = sys.props("java.io.tmpdir") + "/graft_ivmj_b_" + key
+      val dst = sys.props("java.io.tmpdir") + "/graft_ivmj_v_" + key
+      Seq(srcA, srcB, dst).foreach { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      TxTable.enableChangeFeed(s, srcA)
+      TxTable.enableChangeFeed(s, srcB)
+      val fact = T.orders(s, d).select($"o_custkey".as("k"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      val dim = T.customer(s, d).select($"c_custkey".as("k"),
+        $"c_mktsegment".as("seg"))
+      TxTable.append(fact.filter($"cents" % 3 === 0), srcA) // A v1
+      TxTable.append(dim, srcB)                             // B v1
+      IncrementalView.maintainJoin(s, srcA, srcB, dst, "k", "seg",
+        "cents")
+      TxTable.append(fact.filter($"cents" % 3 === 1), srcA) // A v2
+      TxTable.deleteWhere(s, srcA, Seq(("cents", 0.0, 1.0e6))) // A v3
+      TxTable.updateWhere(s, srcB, Nil,
+        Seq(("seg", "BUILDING")), Map("seg" -> lit("BUILT"))) // B v2
+      TxTable.deleteWhere(s, srcB, ranges = Nil,
+        valueEq = Seq(("seg", "MACHINERY")))                  // B v3
+      val consumed = IncrementalView.maintainJoin(s, srcA, srcB, dst,
+        "k", "seg", "cents")
+      require(consumed == (3L, 3L), s"unexpected heads: $consumed")
+      val again = IncrementalView.maintainJoin(s, srcA, srcB, dst,
+        "k", "seg", "cents")
+      require(again == (3L, 3L),
+        s"replayed maintainJoin must be a no-op at both markers: $again")
+      TxTable.read(s, dst)
+        .select($"seg", $"n", $"s".as("cents"))
+        .orderBy($"seg")
+    }),
+
     // DYNAMIC PARTITION OVERWRITE end to end (the idempotent-backfill
     // write shape): orders clustered by priority with per-file value
     // sets, then ONE commit replaces exactly two partitions — the
@@ -1432,6 +1479,25 @@ object PipelineQueries extends QueryModule {
         |SELECT pr AS o_orderpriority, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents
         |FROM fin GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    // the join view's full recompute: maintain-from-deltas must equal
+    // this whatever interleaving of fact/dim changes produced it
+    "pipe_ivm_join" ->
+      """WITH fact0 AS (
+        |  SELECT o_custkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |factA AS (SELECT * FROM fact0 WHERE cents % 3 IN (0, 1)),
+        |factF AS (SELECT * FROM factA
+        |  WHERE NOT (cents BETWEEN 0 AND 1000000)),
+        |dim0 AS (SELECT c_custkey AS k, c_mktsegment AS seg
+        |  FROM customer),
+        |dim1 AS (SELECT k, CASE WHEN seg = 'BUILDING' THEN 'BUILT'
+        |    ELSE seg END AS seg FROM dim0),
+        |dimF AS (SELECT * FROM dim1 WHERE seg <> 'MACHINERY')
+        |SELECT seg, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM factF JOIN dimF USING (k)
+        |GROUP BY 1 ORDER BY seg""".stripMargin,
 
     // set-algebra replay of the dynamic partition overwrite: kept
     // partitions straight from orders, '1-URGENT' re-derived with the

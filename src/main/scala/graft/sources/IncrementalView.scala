@@ -61,7 +61,8 @@ object IncrementalView {
             coalesce(col("__ds"), lit(0L))).as("s"))
         .filter(col("n") =!= 0L) // emptied groups leave the view
       try {
-        TxTable.overwriteWithTxn(merged, dst, appId, srcHead)
+        TxTable.overwriteWithTxn(merged, dst, appId, srcHead,
+          requireTxns = Map(appId -> consumed))
         return srcHead
       } catch {
         case _: TxTable.TxConflictException =>
@@ -201,6 +202,104 @@ object IncrementalView {
     -1L // unreachable
   }
 
+  /** JOIN-IVM: maintain an aggregated two-table equi-join view
+    *
+    *   dst = SELECT b.grp, count(*) n, sum(a.val) s
+    *         FROM a JOIN b ON a.key = b.key GROUP BY b.grp
+    *
+    * from BOTH sources' change feeds with the standard bag-algebra
+    * delta rule (the fact-dim rollup everyone materializes — the r17
+    * verdict's item #5). With A_new = A_old + ΔA (signed bags, the
+    * same ±1 signing as [[maintain]]):
+    *
+    *   Δ(A⋈B) = ΔA⋈B_new + A_new⋈ΔB − ΔA⋈ΔB
+    *
+    * — each term's row sign is the product of its delta signs, the
+    * third term subtracts the double-counted Δ×Δ cross. The signed
+    * joined delta then folds into the view by group exactly like
+    * [[maintain]]'s single-table rule. Scale shape: the Δ sides are
+    * delta-sized (broadcastable), so the two source scans each join
+    * against a small side and the Δ⋈Δ term is tiny; neither the old
+    * join nor the view recomputes. Snapshot consistency: each source
+    * is read AS OF the head its feed was cut at, so a concurrent
+    * writer never tears the algebra. BOTH consumption markers commit
+    * atomically WITH the state (one manifest txns map) — crash or
+    * replay can never double-apply one side. Returns the consumed
+    * (aHead, bHead). */
+  def maintainJoin(spark: SparkSession, srcA: String, srcB: String,
+      dst: String, keyCol: String, grpCol: String, valCol: String,
+      appId: String = "ivmj", maxRetries: Int = 10): (Long, Long) = {
+    val (markA, markB) = (s"$appId:a", s"$appId:b")
+    var attempts = 0
+    while (true) {
+      val headA = TxTable.snapshot(spark, srcA).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed version at $srcA")).version
+      val headB = TxTable.snapshot(spark, srcB).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed version at $srcB")).version
+      val dstSnap = TxTable.snapshot(spark, dst)
+      val consumedA = dstSnap.flatMap(_.txns.get(markA)).getOrElse(0L)
+      val consumedB = dstSnap.flatMap(_.txns.get(markB)).getOrElse(0L)
+      if (headA <= consumedA && headB <= consumedB)
+        return (consumedA, consumedB) // caught up: no-op
+      val sign = when(col(TxTable.ChangeTypeCol)
+        .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+      // signed deltas over each source's unconsumed tail (possibly
+      // one-sided: the other side contributes an empty delta)
+      def emptyLike(d: DataFrame) = d.filter(lit(false))
+      val dA0 = TxTable.read(spark, srcA, asOf = Some(headA))
+        .select(col(keyCol), col(valCol))
+      val dB0 = TxTable.read(spark, srcB, asOf = Some(headB))
+        .select(col(keyCol), col(grpCol))
+      val dA =
+        if (headA <= consumedA) emptyLike(dA0).withColumn("__sa", lit(1L))
+        else TxTable.changeFeed(spark, srcA, consumedA, Some(headA))
+          .select(col(keyCol), col(valCol), sign.as("__sa"))
+      val dB =
+        if (headB <= consumedB) emptyLike(dB0).withColumn("__sb", lit(1L))
+        else TxTable.changeFeed(spark, srcB, consumedB, Some(headB))
+          .select(col(keyCol), col(grpCol), sign.as("__sb"))
+      // Δ(A⋈B), one signed (grp, val) bag from the three terms
+      val t1 = dA.join(dB0, Seq(keyCol))
+        .select(col(grpCol), col(valCol), col("__sa").as("__sign"))
+      val t2 = dA0.join(dB, Seq(keyCol))
+        .select(col(grpCol), col(valCol), col("__sb").as("__sign"))
+      val t3 = dA.join(dB, Seq(keyCol))
+        .select(col(grpCol), col(valCol),
+          (-col("__sa") * col("__sb")).as("__sign"))
+      val delta = t1.unionByName(t2).unionByName(t3)
+        .groupBy(col(grpCol))
+        .agg(sum(col("__sign")).as("__dn"),
+          sum(col("__sign") * col(valCol)).as("__ds"))
+      val merged = (dstSnap match {
+        case Some(s) if s.files.nonEmpty =>
+          TxTable.read(spark, dst).join(delta, Seq(grpCol), "full")
+        case _ => delta
+          .withColumn("n", lit(null).cast("long"))
+          .withColumn("s", lit(null).cast("long"))
+      })
+        .select(col(grpCol),
+          (coalesce(col("n"), lit(0L)) +
+            coalesce(col("__dn"), lit(0L))).as("n"),
+          (coalesce(col("s"), lit(0L)) +
+            coalesce(col("__ds"), lit(0L))).as("s"))
+        .filter(col("n") =!= 0L) // emptied groups leave the view
+      try {
+        TxTable.overwriteWithTxns(merged, dst,
+          Map(markA -> headA, markB -> headB),
+          requireTxns = Map(markA -> consumedA, markB -> consumedB))
+        return (headA, headB)
+      } catch {
+        case _: TxTable.TxConflictException =>
+          attempts += 1
+          if (attempts >= maxRetries) throw new TxTable.TxConflictException(
+            s"maintainJoin lost $maxRetries races at $dst")
+      }
+    }
+    (-1L, -1L) // unreachable
+  }
+
   /** Fold ONE change-feed micro-batch into the view — the
     * `foreachBatch` body of the STREAMING composition
     * (`readStream.option("readChangeFeed", true)` → this): the same
@@ -238,7 +337,9 @@ object IncrementalView {
             coalesce(col("__ds"), lit(0L))).as("s"))
         .filter(col("n") =!= 0L)
       try {
-        TxTable.overwriteWithTxn(merged, dst, appId, epochId)
+        TxTable.overwriteWithTxn(merged, dst, appId, epochId,
+          requireTxns = Map(
+            appId -> dstSnap.flatMap(_.txns.get(appId)).getOrElse(0L)))
         return true
       } catch {
         case _: TxTable.TxConflictException =>

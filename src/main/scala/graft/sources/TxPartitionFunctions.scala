@@ -96,6 +96,69 @@ private[sources] object TxPartitionFunctions {
     }
   }
 
+  val Years: UnboundFunction = new UnboundFunction {
+    override def name(): String = "years"
+    override def description(): String =
+      "partition transform: years since epoch of a date/timestamp"
+    private def yearOfDay(epochDay: Long): Int =
+      java.time.LocalDate.ofEpochDay(epochDay).getYear - 1970
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1,
+        s"years() takes one argument, got ${inputType.catalogString}")
+      inputType.fields(0).dataType match {
+        case dt @ (TimestampType | TimestampNTZType) =>
+          new Bound("years", dt) {
+            override def produceResult(input: InternalRow): Integer =
+              yearOfDay(daysOf(input.getLong(0)).toLong)
+          }
+        case DateType => new Bound("years", DateType) {
+          override def produceResult(input: InternalRow): Integer =
+            yearOfDay(input.getInt(0).toLong)
+        }
+        case other => throw new UnsupportedOperationException(
+          s"years() needs a date/timestamp column, got $other")
+      }
+    }
+  }
+
+  /** `truncate(w, col)` — the string-prefix transform (see
+    * [[TxTable.PartTruncate]]): first `w` characters, the same
+    * derivation the manifest value sets record. */
+  val Truncate: UnboundFunction = new UnboundFunction {
+    override def name(): String = "truncate"
+    override def description(): String =
+      "partition transform: first w characters of a string column"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"truncate() takes (w, col), got ${inputType.catalogString}")
+      val types = inputType.fields.map(_.dataType)
+      // accept either argument order ((w, col) or (col, w)) — the SQL
+      // parser preserves what the user wrote
+      val (wIdx, sIdx) = types match {
+        case Array(IntegerType,
+          org.apache.spark.sql.types.StringType) => (0, 1)
+        case Array(org.apache.spark.sql.types.StringType,
+          IntegerType) => (1, 0)
+        case _ => throw new UnsupportedOperationException(
+          s"truncate() needs (int width, string col), got " +
+            inputType.catalogString)
+      }
+      new ScalarFunction[org.apache.spark.unsafe.types.UTF8String] {
+        override def inputTypes(): Array[DataType] = types
+        override def resultType(): DataType =
+          org.apache.spark.sql.types.StringType
+        override def name(): String = "truncate"
+        override def canonicalName(): String = "txtable.truncate(string)"
+        override def produceResult(input: InternalRow)
+            : org.apache.spark.unsafe.types.UTF8String = {
+          val s = input.getUTF8String(sIdx)
+          if (s == null) null
+          else s.substring(0, math.min(input.getInt(wIdx), s.numChars()))
+        }
+      }
+    }
+  }
+
   /** `bucket(n, col)` — Iceberg's bucket transform shape over Spark's
     * own Murmur3 (`functions.hash`, seed 42): `pmod(hash(col), n)`.
     * The SAME derivation as [[TxTable.PartBucket.expr]], so the
@@ -133,7 +196,9 @@ private[sources] object TxPartitionFunctions {
     case "days" => Some(Days)
     case "months" => Some(Months)
     case "hours" => Some(Hours)
+    case "years" => Some(Years)
     case "bucket" => Some(Bucket)
+    case "truncate" => Some(Truncate)
     case _ => None
   }
 }

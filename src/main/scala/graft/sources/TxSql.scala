@@ -542,7 +542,7 @@ private[sources] class TxFileIndex(spark: SparkSession, table: String,
     TxTable.declaredPartitions(spark, table)
       .map(TxTable.PartTransform.parse).exists {
         case _: TxTable.PartDays | _: TxTable.PartMonths |
-          _: TxTable.PartHours => true
+          _: TxTable.PartHours | _: TxTable.PartYears => true
         case _ => false
       }
   private def isUtcZone(z: String): Boolean =
@@ -580,21 +580,40 @@ private[sources] class TxFileIndex(spark: SparkSession, table: String,
       if (!zonesAgree) Nil else TxSql.timestampDayPrunes(dataFilters)
     val hourPrunes =
       if (!zonesAgree) Nil else TxSql.timestampHourPrunes(dataFilters)
+    // truncate(w, col) generated filters are ZONE-FREE (string
+    // prefix algebra): `col = v` implies truncate(w,col) = v.take(w),
+    // exactly the canonical form PartTruncate.expr records
+    val truncPrunes = valueEq0.map { case (n, v) => (nameToLogical(n), v) }
     val keep =
-      if (tsPrunes.isEmpty && hourPrunes.isEmpty) keep0
+      if (tsPrunes.isEmpty && hourPrunes.isEmpty && truncPrunes.isEmpty)
+        keep0
       else keep0 intersect snap.files.filter { f =>
         tsPrunes.forall { case (c, loDay, hiDay) =>
           val lc = nameToLogical(c)
           val loMonth = loDay.take(8) + "01"
           val hiMonth = hiDay.take(8) + "01"
+          // years' canonical value is the year's first day — the day
+          // bounds' 4-char prefix gives the inclusive year window
+          val loYear = loDay.take(5) + "01-01"
+          val hiYear = hiDay.take(5) + "01-01"
           snap.fileValues.get(f).flatMap(_.get(s"days($lc)")).forall(
             _.exists(d => d >= loDay && d <= hiDay)) &&
             snap.fileValues.get(f).flatMap(_.get(s"months($lc)")).forall(
-              _.exists(m => m >= loMonth && m <= hiMonth))
+              _.exists(m => m >= loMonth && m <= hiMonth)) &&
+            snap.fileValues.get(f).flatMap(_.get(s"years($lc)")).forall(
+              _.exists(y => y >= loYear && y <= hiYear))
         } && hourPrunes.forall { case (c, loHour, hiHour) =>
           val lc = nameToLogical(c)
           snap.fileValues.get(f).flatMap(_.get(s"hours($lc)")).forall(
             _.exists(h => h >= loHour && h <= hiHour))
+        } && truncPrunes.forall { case (lc, v) =>
+          snap.fileValues.get(f).forall(_.forall {
+            case (entry, vs) => TxTable.PartTransform.parse(entry) match {
+              case TxTable.PartTruncate(w, c0) if c0 == lc =>
+                vs.exists(_ == v.take(w))
+              case _ => true
+            }
+          })
         }
       }.map(_.split('/').last).toSet
     lastCandidates = Some(keep)
@@ -631,7 +650,10 @@ private[sources] class TxSparkTable(spark: SparkSession, path: String,
       case TxTable.PartDays(c) => Expressions.days(c)
       case TxTable.PartMonths(c) => Expressions.months(c)
       case TxTable.PartHours(c) => Expressions.hours(c)
+      case TxTable.PartYears(c) => Expressions.years(c)
       case TxTable.PartBucket(n, c) => Expressions.bucket(n, c)
+      case TxTable.PartTruncate(w, c) => Expressions.apply(
+        "truncate", Expressions.column(c), Expressions.literal(w))
     }).toArray
   }
   // Infer from ONE file, not the whole snapshot: footer reads are
@@ -1047,21 +1069,33 @@ class TxTableCatalog extends TableCatalog
           if l.dataType == org.apache.spark.sql.types.IntegerType =>
           l.value.asInstanceOf[Int]
       }
+      def stringCol(c: String): Boolean =
+        schema.find(_.name == c).exists(
+          _.dataType == org.apache.spark.sql.types.StringType)
       val cols = partitions.toSeq.map { t =>
         (t.name, refOf(t)) match {
           case ("identity", Some(c)) => c
           case ("days", Some(c)) if temporal(c) => s"days($c)"
           case ("months", Some(c)) if temporal(c) => s"months($c)"
           case ("hours", Some(c)) if tsOnly(c) => s"hours($c)"
+          case ("years", Some(c)) if temporal(c) => s"years($c)"
           case ("bucket", Some(c)) if bucketN(t).exists(_ >= 1) =>
             require(partitions.length == 1,
               "txtable: bucket() must be the only partition transform " +
                 "(the one-bucket-per-file layout is table-wide)")
             s"bucket(${bucketN(t).get},$c)"
+          // truncate is the STRING-prefix transform here: the recorded
+          // value is substring(col, 1, w) — on other types the
+          // canonical-string prefix is NOT Iceberg's numeric floor, so
+          // the SQL surface refuses them rather than surprise
+          case ("truncate", Some(c))
+            if stringCol(c) && bucketN(t).exists(_ >= 1) =>
+            s"truncate(${bucketN(t).get},$c)"
           case _ => throw new UnsupportedOperationException(
             s"txtable: unsupported partitioning $t — " +
               "PARTITIONED BY (<declared columns>), days(<date/ts>), " +
-              "months(<date/ts>), hours(<ts>) and bucket(n, <col>) are " +
+              "months(<date/ts>), hours(<ts>), years(<date/ts>), " +
+              "truncate(w, <string col>) and bucket(n, <col>) are " +
               "supported (manifest value-set pruning, not hive " +
               "directories)")
         }

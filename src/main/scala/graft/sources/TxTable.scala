@@ -997,7 +997,9 @@ object TxTable {
       case PartDays(cn) => rk(cn).map(n => s"days($n)")
       case PartMonths(cn) => rk(cn).map(n => s"months($n)")
       case PartHours(cn) => rk(cn).map(n => s"hours($n)")
+      case PartYears(cn) => rk(cn).map(n => s"years($n)")
       case PartBucket(nb, cn) => rk(cn).map(n => s"bucket($nb,$n)")
+      case PartTruncate(w, cn) => rk(cn).map(n => s"truncate($w,$n)")
     }
     val ms2 = cur.multiStats.map { case (file, cols) =>
       file -> cols.flatMap { case (k, v) => rk(k).map(_ -> v) } }
@@ -1420,13 +1422,34 @@ object TxTable {
     * lost race (the caller re-reads the marker and retries — a
     * completed twin then shows as already-consumed). */
   private[sources] def overwriteWithTxn(df: DataFrame, table: String,
-      appId: String, marker: Long): Long = {
+      appId: String, marker: Long,
+      requireTxns: Map[String, Long] = Map.empty): Long =
+    overwriteWithTxns(df, table, Map(appId -> marker), requireTxns)
+
+  /** [[overwriteWithTxn]] carrying SEVERAL markers in one atomic
+    * commit — a view maintained from two sources ([[IncrementalView
+    * .maintainJoin]]) must advance both consumption positions WITH
+    * the state, or a crash between them double-applies one side.
+    * `requireTxns` is the marker GUARD (maintainPartitioned's
+    * discipline): the commit conflicts out unless each named marker
+    * still holds the expected value (0 = absent) — closing the
+    * compute window between a maintainer's marker read and its
+    * commit, where a racing fold's commit would otherwise be silently
+    * overwritten from stale state. */
+  private[sources] def overwriteWithTxns(df: DataFrame, table: String,
+      markers: Map[String, Long],
+      requireTxns: Map[String, Long] = Map.empty): Long = {
     val spark = df.sparkSession
     val cur = snapshot(spark, table)
+    val curTxns = cur.map(_.txns).getOrElse(Map.empty)
+    requireTxns.foreach { case (app, expected) =>
+      val actual = curTxns.getOrElse(app, 0L)
+      if (actual != expected) throw new TxConflictException(
+        s"marker $app moved at $table ($actual != $expected): rebase")
+    }
     val next = cur.map(_.version + 1).getOrElse(1L)
     val files = writeFiles(df, table, next)
-    commit(spark, table, next, files,
-      cur.map(_.txns).getOrElse(Map.empty) + (appId -> marker),
+    commit(spark, table, next, files, curTxns ++ markers,
       op = "overwrite")
     next
   }
@@ -2399,8 +2422,9 @@ object TxTable {
     val f = fs(spark, ld)
     f.mkdirs(ld)
     val temporal = cols.map(PartTransform.parse).exists {
-      case _: PartDays | _: PartMonths | _: PartHours => true
-      case _ => false // identity and bucket are zone-free
+      case _: PartDays | _: PartMonths | _: PartHours |
+        _: PartYears => true
+      case _ => false // identity, bucket and truncate are zone-free
     }
     val body = cols.mkString(",") + (tz match {
       case Some(z) if temporal => "\ntz=" + z
@@ -2452,8 +2476,9 @@ object TxTable {
   private def requireZoneAgreement(spark: SparkSession, table: String,
       transforms: Seq[PartTransform]): Unit = {
     val temporal = transforms.exists {
-      case _: PartDays | _: PartMonths | _: PartHours => true
-      case _ => false // identity and bucket are zone-free
+      case _: PartDays | _: PartMonths | _: PartHours |
+        _: PartYears => true
+      case _ => false // identity, bucket and truncate are zone-free
     }
     if (!temporal) return
     declaredPartitionTz(spark, table).foreach { declared =>
@@ -2506,6 +2531,34 @@ object TxTable {
       org.apache.spark.sql.functions.date_trunc("hour",
         org.apache.spark.sql.functions.col(col)).cast("string")
   }
+  /** `years(ts)` — the coarsest Iceberg time transform: canonical
+    * value is the year's first day (`yyyy-01-01`), the same
+    * truncated-date-string style as months, so lexicographic compare
+    * stays chronological and the generated-filter derivation is the
+    * day bounds' 4-char prefix. */
+  final case class PartYears(col: String) extends PartTransform {
+    val name: String = s"years($col)"
+    def expr: org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.date_trunc("year",
+        org.apache.spark.sql.functions.col(col))
+        .cast("date").cast("string")
+  }
+  /** `truncate(w, col)` — Iceberg's width-truncate reduced to the
+    * canonical-string language: the recorded value is the first `w`
+    * characters of `cast(col as string)`. For STRING columns this is
+    * exactly Iceberg's prefix transform (the id-prefix / locale-family
+    * layout); other types derive their decimal-string prefix —
+    * deterministic and prune-consistent (writer and prober share the
+    * derivation), though NOT Iceberg's numeric floor-to-multiple. The
+    * SQL surface therefore admits truncate on STRING columns only;
+    * the API accepts what the caller declares. */
+  final case class PartTruncate(w: Int, col: String) extends PartTransform {
+    require(w >= 1, s"truncate($w, $col): width must be positive")
+    val name: String = s"truncate($w,$col)"
+    def expr: org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.col(col).cast("string"), 1, w)
+  }
   /** `bucket(n, col)` — Iceberg's bucket transform over Spark's own
     * Murmur3 (`functions.hash`, seed 42): partition value =
     * `pmod(hash(col), n)` as a canonical string. The write path lays
@@ -2526,14 +2579,19 @@ object TxTable {
     private val Days = """days\(([^(),\s]+)\)""".r
     private val Months = """months\(([^(),\s]+)\)""".r
     private val Hours = """hours\(([^(),\s]+)\)""".r
+    private val Years = """years\(([^(),\s]+)\)""".r
     private val Bucket = """bucket\((\d+)\s*,\s*([^(),\s]+)\)""".r
+    private val Truncate = """truncate\((\d+)\s*,\s*([^(),\s]+)\)""".r
     /** Parse one `_partition` entry — `col`, `days(col)`,
-      * `months(col)`, `hours(col)` or `bucket(n,col)`. */
+      * `months(col)`, `hours(col)`, `years(col)`, `bucket(n,col)` or
+      * `truncate(w,col)`. */
     def parse(entry: String): PartTransform = entry.trim match {
       case Days(c) => PartDays(c)
       case Months(c) => PartMonths(c)
       case Hours(c) => PartHours(c)
+      case Years(c) => PartYears(c)
       case Bucket(n, c) => PartBucket(n.toInt, c)
+      case Truncate(w, c) => PartTruncate(w.toInt, c)
       case c => PartIdentity(c)
     }
   }
@@ -3515,8 +3573,12 @@ object TxTable {
         headM.logicalOf(targetM.phys(cn)).map(n => s"months($n)")
       case PartHours(cn) =>
         headM.logicalOf(targetM.phys(cn)).map(n => s"hours($n)")
+      case PartYears(cn) =>
+        headM.logicalOf(targetM.phys(cn)).map(n => s"years($n)")
       case PartBucket(nb, cn) =>
         headM.logicalOf(targetM.phys(cn)).map(n => s"bucket($nb,$n)")
+      case PartTruncate(w, cn) =>
+        headM.logicalOf(targetM.phys(cn)).map(n => s"truncate($w,$n)")
     }
     val ms2 = target.multiStats.map { case (file, cols) =>
       file -> cols.flatMap { case (k, v) => rk(k).map(_ -> v) } }

@@ -276,4 +276,94 @@ class TxHardeningSpec extends AnyFunSuite {
     assert(opened.size < snap.files.size,
       s"hour-range query did not prune: ${opened.size}/${snap.files.size}")
   }
+
+  test("years(ts) cycle: value sets, dynamic overwrite, generated-filter prune") {
+    val root = freshRoot()
+    val dir = s"$root/y"
+    TxSql.installCatalog(spark, "txyy", root)
+    spark.sql("CREATE TABLE txyy.y (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (years(ts))")
+    // three years, 8 rows each
+    val rows = for (y <- 2021 to 2023; i <- 0 until 8) yield
+      ((y - 2021) * 8 + i.toLong,
+        java.sql.Timestamp.valueOf(f"$y-0${1 + i % 9}-15 12:00:00"))
+    rows.toDF("k", "ts").createOrReplaceTempView("yy_src")
+    spark.sql("INSERT INTO txyy.y SELECT k, ts FROM yy_src")
+    val snap1 = TxTable.snapshot(spark, dir).get
+    assert(snap1.fileValues.values.exists(_.contains("years(ts)")),
+      "years() INSERT must record year value sets")
+    // a plain ts range inside ONE year opens only that year's files
+    val q = spark.sql("SELECT k FROM txyy.y WHERE " +
+      "ts >= TIMESTAMP '2022-01-01 00:00:00' AND " +
+      "ts < TIMESTAMP '2023-01-01 00:00:00'")
+    assert(q.as[Long].collect().sorted.toSeq === (8L until 16L))
+    val opened = scannedFiles(q)
+    val yearFiles = snap1.files.filter(f =>
+      snap1.fileValues.get(f).flatMap(_.get("years(ts)"))
+        .exists(_.contains("2022-01-01")))
+      .map(_.split('/').last).toSet
+    assert(opened.subsetOf(yearFiles),
+      s"scan opened non-matching-year files: ${opened -- yearFiles}")
+    assert(opened.size < snap1.files.size,
+      s"year-range query did not prune: ${opened.size}/${snap1.files.size}")
+    // dynamic overwrite replaces exactly the incoming year
+    TxTable.overwritePartitions(
+      Seq((100L, java.sql.Timestamp.valueOf("2022-06-01 00:00:00")))
+        .toDF("k", "ts"), dir, "years(ts)")
+    val got = spark.sql("SELECT k FROM txyy.y ORDER BY k")
+      .as[Long].collect().toSeq
+    assert(got === ((0L until 8L) ++ (16L until 24L) :+ 100L).sorted)
+    val snap2 = TxTable.snapshot(spark, dir).get
+    val untouched = snap1.files.filter(f =>
+      snap1.fileValues.get(f).flatMap(_.get("years(ts)"))
+        .exists(vs => !vs("2022-01-01")))
+    assert(untouched.nonEmpty && untouched.forall(snap2.files.toSet),
+      "years() overwrite rewrote a provably-untouched year")
+  }
+
+  test("truncate(w, col) cycle: prefix value sets, dynamic overwrite, equality prune") {
+    val root = freshRoot()
+    val dir = s"$root/t"
+    TxSql.installCatalog(spark, "txtr", root)
+    spark.sql("CREATE TABLE txtr.t (code STRING, v BIGINT) " +
+      "PARTITIONED BY (truncate(4, code))")
+    val rows = for (p <- Seq("AAAA", "BBBB", "CCCC"); i <- 0 until 6)
+      yield (s"$p-$i", i.toLong)
+    rows.toDF("code", "v").createOrReplaceTempView("tr_src")
+    spark.sql("INSERT INTO txtr.t SELECT code, v FROM tr_src")
+    val snap1 = TxTable.snapshot(spark, dir).get
+    assert(snap1.fileValues.values.exists(_.contains("truncate(4,code)")),
+      "truncate() INSERT must record prefix value sets")
+    // a string equality prunes through the prefix generated filter
+    val q = spark.sql("SELECT v FROM txtr.t WHERE code = 'BBBB-3'")
+    assert(q.as[Long].collect().toSeq === Seq(3L))
+    val opened = scannedFiles(q)
+    val prefFiles = snap1.files.filter(f =>
+      snap1.fileValues.get(f).flatMap(_.get("truncate(4,code)"))
+        .exists(_.contains("BBBB")))
+      .map(_.split('/').last).toSet
+    assert(opened.subsetOf(prefFiles),
+      s"scan opened non-matching-prefix files: ${opened -- prefFiles}")
+    assert(opened.size < snap1.files.size,
+      s"prefix-equality query did not prune: " +
+        s"${opened.size}/${snap1.files.size}")
+    // dynamic overwrite replaces exactly the incoming prefix
+    TxTable.overwritePartitions(
+      Seq(("BBBB-9", 99L)).toDF("code", "v"), dir, "truncate(4,code)")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM txtr.t WHERE code LIKE 'BBBB%'")
+      .as[Long].head() === 1L)
+    assert(spark.sql("SELECT count(*) AS n FROM txtr.t").as[Long]
+      .head() === 13L)
+    val snap2 = TxTable.snapshot(spark, dir).get
+    val untouched = snap1.files.filter(f =>
+      snap1.fileValues.get(f).flatMap(_.get("truncate(4,code)"))
+        .exists(vs => !vs("BBBB")))
+    assert(untouched.nonEmpty && untouched.forall(snap2.files.toSet),
+      "truncate() overwrite rewrote a provably-untouched prefix")
+    // non-string truncate refuses loudly at CREATE
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE txtr.bad (k BIGINT) PARTITIONED BY (truncate(4, k))"))
+    assert(e.getMessage.contains("unsupported partitioning"))
+  }
 }

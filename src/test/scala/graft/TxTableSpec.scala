@@ -1309,6 +1309,48 @@ class TxTableSpec extends AnyFunSuite {
       .collect().sorted.toSeq === view())
   }
 
+  test("maintainJoin: two-sided delta rule equals full recompute; replay no-op") {
+    import graft.sources.IncrementalView
+    val srcA = freshTable() // facts (k, v)
+    val srcB = freshTable() // dims (k, g)
+    val dst = freshTable()
+    TxTable.enableChangeFeed(spark, srcA)
+    TxTable.enableChangeFeed(spark, srcB)
+    TxTable.append(Seq((1L, 10L), (2L, 20L), (3L, 5L), (4L, 7L))
+      .toDF("k", "v"), srcA) // A v1
+    TxTable.append(Seq((1L, "a"), (2L, "a"), (3L, "b"), (5L, "c"))
+      .toDF("k", "g"), srcB) // B v1
+    IncrementalView.maintainJoin(spark, srcA, srcB, dst, "k", "g", "v")
+    def view(): Seq[(String, Long, Long)] =
+      TxTable.read(spark, dst).as[(String, Long, Long)]
+        .collect().sorted.toSeq
+    // k=4 has no dim, k=5 has no fact
+    assert(view() === Seq(("a", 2L, 30L), ("b", 1L, 5L)))
+    // two-sided churn, including SAME-KEY changes on both sides (k=2
+    // gains a fact while its dim moves group — the Δ⋈Δ term):
+    TxTable.append(Seq((5L, 100L), (2L, 50L)).toDF("k", "v"), srcA) // A v2
+    TxTable.deleteWhere(spark, srcA, Seq(("v", 5.0, 5.0)))          // A v3
+    TxTable.updateWhere(spark, srcB, Seq(("k", 2.0, 2.0)), Nil,
+      Map("g" -> lit("z")))                                         // B v2
+    TxTable.deleteWhere(spark, srcB, Seq(("k", 1.0, 1.0)))          // B v3
+    val consumed =
+      IncrementalView.maintainJoin(spark, srcA, srcB, dst, "k", "g", "v")
+    assert(consumed === (3L, 3L))
+    // full recompute: facts {1→10, 2→20, 2→50, 4→7, 5→100},
+    // dims {2→z, 3→b, 5→c} ⇒ z:(2,70), c:(1,100); a and b leave
+    assert(view() === Seq(("c", 1L, 100L), ("z", 2L, 70L)),
+      "join-IVM diverged from the full recompute")
+    // replay is a no-op at both markers
+    assert(IncrementalView.maintainJoin(
+      spark, srcA, srcB, dst, "k", "g", "v") === (3L, 3L))
+    assert(view() === Seq(("c", 1L, 100L), ("z", 2L, 70L)))
+    // one-sided advance: only A moves; B's feed contributes nothing
+    TxTable.append(Seq((5L, 1L)).toDF("k", "v"), srcA) // A v4
+    assert(IncrementalView.maintainJoin(
+      spark, srcA, srcB, dst, "k", "g", "v") === (4L, 3L))
+    assert(view() === Seq(("c", 2L, 101L), ("z", 2L, 70L)))
+  }
+
   test("applyFeedBatch: exactly-once fold of a CDF micro-batch by epoch") {
     import graft.sources.IncrementalView
     val src = freshTable()
