@@ -26,7 +26,8 @@ private[sources] object TxProcedures {
       "create_checkpoint", "enable_change_feed",
       "enable_deletion_vectors", "detail",
       "add_constraint", "drop_constraint", "constraints", "clone",
-      "compact_where")
+      "compact_where", "dv_pressure", "compact_deleted",
+      "evolve_partitions")
 
   def apply(name: String, root: String): UnboundProcedure = name match {
     case "compact" => new TxProc(name, root,
@@ -97,7 +98,9 @@ private[sources] object TxProcedures {
         StructField("data_bytes", LongType),
         StructField("partition_col", StringType),
         StructField("change_feed", BooleanType),
-        StructField("n_change_files", LongType))),
+        StructField("n_change_files", LongType),
+        StructField("n_dv_files", LongType),
+        StructField("dv_hidden_rows", LongType))),
       run = { (spark, dir, _) =>
         val snap = TxTable.snapshot(spark, dir).getOrElse(
           throw new IllegalArgumentException(
@@ -109,13 +112,60 @@ private[sources] object TxProcedures {
           val p = new org.apache.hadoop.fs.Path(dir, f)
           if (fsys.exists(p)) fsys.getFileStatus(p).getLen else 0L
         }.sum
+        // deletion pressure: exact hidden-row totals over the DV'd
+        // files only (no predicates standing → zero-cost zeros)
+        val pressure = TxTable.dvPressure(spark, dir)
         Seq(new GenericInternalRow(Array[Any](
           snap.version, UTF8String.fromString(snap.op), snap.ts,
           snap.files.size.toLong, bytes,
           TxTable.declaredPartition(spark, dir)
             .map(UTF8String.fromString).orNull,
           TxTable.changeFeedEnabled(spark, dir),
-          snap.changes.size.toLong)))
+          snap.changes.size.toLong,
+          pressure.size.toLong, pressure.map(_._3).sum)))
+      })
+    // per-file deletion pressure (the `n_dv_files`/`dv_hidden_rows`
+    // aggregate in `detail`, itemized): which files are worth folding
+    case "dv_pressure" => new TxProc(name, root,
+      params = Seq("table" -> StringType),
+      out = StructType(Seq(StructField("file", StringType),
+        StructField("total_rows", LongType),
+        StructField("hidden_rows", LongType),
+        StructField("del_ratio", DoubleType))),
+      run = { (spark, dir, _) =>
+        TxTable.dvPressure(spark, dir).map { case (f, tot, hid) =>
+          new GenericInternalRow(Array[Any](UTF8String.fromString(f),
+            tot, hid, if (tot == 0L) 0.0 else hid.toDouble / tot))
+        }
+      })
+    // Iceberg's partition-spec evolution: change a live table's
+    // declared partitioning with zero rewrites — old files keep
+    // pruning under their recorded spec, new writes land under the
+    // new one (transforms comma-separated, e.g. 'hours(ts)')
+    case "evolve_partitions" => new TxProc(name, root,
+      params = Seq("table" -> StringType, "transforms" -> StringType),
+      out = StructType(Seq(StructField("previous", StringType),
+        StructField("current", StringType))),
+      run = { (spark, dir, args) =>
+        val prev = TxTable.declaredPartitions(spark, dir).mkString(",")
+        val cols = args(1).asInstanceOf[String].split(',').toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        TxTable.evolvePartitions(spark, dir, cols)
+        Seq(new GenericInternalRow(Array[Any](
+          UTF8String.fromString(prev),
+          UTF8String.fromString(cols.mkString(",")))))
+      })
+    // Delta's tombstone-ratio maintenance: fold ONLY files whose
+    // hidden-row ratio crosses the threshold
+    case "compact_deleted" => new TxProc(name, root,
+      params = Seq("table" -> StringType,
+        "min_del_ratio" -> DoubleType, "target_files" -> IntegerType),
+      out = StructType(Seq(StructField("version", LongType),
+        StructField("folded_files", LongType))),
+      run = { (spark, dir, args) =>
+        val (v, folded) = TxTable.compactDeleted(spark, dir,
+          args(1).asInstanceOf[Double], args(2).asInstanceOf[Int])
+        Seq(new GenericInternalRow(Array[Any](v, folded.toLong)))
       })
     case "enable_change_feed" => new TxProc(name, root,
       params = Seq("table" -> StringType),
@@ -232,6 +282,7 @@ private class TxProc(name0: String, root: String,
         case StringType => input.getUTF8String(i).toString
         case IntegerType => input.getInt(i)
         case LongType => input.getLong(i)
+        case DoubleType => input.getDouble(i)
         case other => throw new IllegalStateException(other.sql)
       }
     }

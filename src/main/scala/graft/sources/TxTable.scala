@@ -2396,6 +2396,72 @@ object TxTable {
     declarePartitionsWithTz(spark, table, cols,
       Some(spark.sessionState.conf.sessionLocalTimeZone))
 
+  /** PARTITION-SPEC EVOLUTION (Iceberg's spec evolution reduced to
+    * the manifest's per-file metadata): change a LIVE table's declared
+    * partitioning — days→hours, adding a dimension, string→truncate —
+    * with ZERO data rewrites. New writes cluster and record value sets
+    * under the NEW transforms; existing files keep their OLD-spec
+    * value sets and keep pruning under them, because every prune here
+    * is per-file fail-open metadata: a file without an entry for a
+    * transform is simply always a candidate for it, so the two
+    * generations COMPOSE in every reader (a ts-range query prunes old
+    * files through `days(ts)` sets and new files through `hours(ts)`
+    * sets in the same scan). Dynamic partition overwrites after an
+    * evolution conservatively rewrite old-generation files they cannot
+    * prove disjoint (no new-spec metadata → in scope) — correct, and
+    * each such rewrite migrates the file to the new spec. Storage-
+    * partitioned joins require EVERY file single-bucket, so evolving
+    * to `bucket()` enables SPJ only once old files compact away.
+    *
+    * Unlike Iceberg, the declaration is a sidecar, not a versioned
+    * spec list: time travel reads old DATA exactly (value sets ride
+    * the manifests), but writes after a restore land under the LATEST
+    * declared spec. Zone continuity: a previously-recorded zone
+    * carries over (old temporal value sets were derived under it;
+    * re-stamping the session zone would corrupt their prune gate).
+    *
+    * Refusals, loudly: unknown/nested source columns; `bucket()` not
+    * alone; a same-column different-derivation identity↔transform
+    * flip is ALLOWED (entries are keyed by transform name, they never
+    * collide). */
+  def evolvePartitions(spark: SparkSession, table: String,
+      newCols: Seq[String]): Unit = {
+    val cur = snapshot(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $table"))
+    val old = declaredPartitions(spark, table)
+    require(old.nonEmpty,
+      s"no partition declaration at $table — use declarePartitions")
+    if (old == newCols) return
+    val transforms = newCols.map(PartTransform.parse)
+    require(!transforms.exists(_.isInstanceOf[PartBucket]) ||
+      transforms.length == 1,
+      "bucket() must be the only partition transform " +
+        "(the one-bucket-per-file layout is table-wide)")
+    // source columns must exist as top-level logical columns
+    val logicals: Set[String] = declaredSchema(spark, table)
+      .map(_.fieldNames.toSet)
+      .orElse(cur.files.headOption.flatMap { f =>
+        try {
+          val raw = spark.read.parquet(new Path(table, f).toString).schema
+          Some(mappingAt(spark, table, Some(cur.version))
+            .fold(raw)(_.logicalize(raw)).fieldNames.toSet)
+        } catch { case _: Exception => None }
+      }).getOrElse(Set.empty)
+    if (logicals.nonEmpty) transforms.map(_.col).foreach(c =>
+      require(logicals.contains(c),
+        s"cannot evolve partitioning at $table: source column '$c' " +
+          s"does not exist (columns: ${logicals.toSeq.sorted.mkString(", ")})"))
+    val newTemporal = transforms.exists {
+      case _: PartDays | _: PartMonths | _: PartHours | _: PartYears => true
+      case _ => false
+    }
+    val tz = declaredPartitionTz(spark, table).orElse(
+      if (newTemporal)
+        Some(spark.sessionState.conf.sessionLocalTimeZone)
+      else None)
+    declarePartitionsWithTz(spark, table, newCols, tz)
+  }
+
   /** [[declarePartitions]] with an EXPLICIT recording zone — the
     * rename/clone paths rewrite the `_partition` sidecar and must
     * PRESERVE the originally-recorded zone: re-stamping the current
@@ -3189,6 +3255,96 @@ object TxTable {
         else touched.map(f => DelEntry(f, Nil, Nil, ins))))
     widenDeclared(spark, table, updates)
     Some((next, touched.size, cur.files.size))
+  }
+
+  /** Per-file DELETION PRESSURE of the head snapshot: `(table-relative
+    * file, total rows, hidden rows)` for every file carrying deletion
+    * predicates — what surfaces "this file is 40% deleted" so
+    * maintenance folds the files worth folding instead of the table
+    * (Delta's tombstone-ratio heuristics). One distributed pass over
+    * the DV'd files ONLY (clean files never scan), grouped per
+    * del-signature like every DV read. Empty when no predicates
+    * stand. */
+  def dvPressure(spark: SparkSession,
+      table: String): Seq[(String, Long, Long)] = {
+    val cur = snapshot(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $table"))
+    dvPressureOf(spark, table, cur)
+  }
+
+  private def dvPressureOf(spark: SparkSession, table: String,
+      cur: Snapshot): Seq[(String, Long, Long)] = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit, sum, when}
+    if (cur.dels.isEmpty) return Nil
+    val m = mappingAt(spark, table, Some(cur.version))
+    val byFile = cur.delsByFile
+    val dvFiles = cur.files.filter(byFile.contains)
+    val frames = dvFiles.groupBy(byFile(_)).toSeq
+      .sortBy(_._2.headOption.getOrElse("")).map { case (entries, fs) =>
+        val deleted = entries
+          .map(d => coalesce(d.predicate, lit(false))).reduce(_ || _)
+        toLogicalFrame(spark.read.parquet(
+          fs.map(f => new Path(table, f).toString): _*), m)
+          .select(input_file_name().as("__f"),
+            when(deleted, 1L).otherwise(0L).as("__hid"))
+          .groupBy(col("__f"))
+          .agg(count(lit(1)).as("__tot"), sum(col("__hid")).as("__h"))
+      }
+    val byName = dvFiles.map(f => f.split('/').last -> f).toMap
+    frames.reduce(_.unionByName(_)).collect().toSeq.flatMap { r =>
+      byName.get(r.getString(0).split('/').last)
+        .map(f => (f, r.getLong(1), r.getLong(2)))
+    }.sortBy(_._1)
+  }
+
+  /** DV-PRESSURE COMPACTION (Delta's tombstone-ratio maintenance as
+    * an explicit verb): fold ONLY the files whose hidden-row ratio is
+    * at least `minDelRatio` — they rewrite from their visible rows
+    * and shed their predicates; every other file, clean or
+    * lightly-deleted, carries over BYTE-UNTOUCHED with its predicates
+    * (and index metadata) intact. At 100 TB this is the difference
+    * between folding yesterday's GDPR-hit files and rewriting the
+    * table. Returns (version, foldedFiles) — the head version
+    * unchanged when nothing crosses the threshold. */
+  def compactDeleted(spark: SparkSession, table: String,
+      minDelRatio: Double, targetFiles: Int = 1): (Long, Int) = {
+    import org.apache.spark.sql.functions.{col => c}
+    require(minDelRatio > 0.0 && minDelRatio <= 1.0,
+      s"minDelRatio must be in (0, 1], got $minDelRatio")
+    require(targetFiles >= 1)
+    val cur = snapshot(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"nothing to compact at $table"))
+    if (cur.dels.isEmpty) return (cur.version, 0)
+    val scoped = dvPressureOf(spark, table, cur).collect {
+      case (f, tot, hid) if tot > 0L &&
+        hid.toDouble / tot >= minDelRatio => f
+    }
+    if (scoped.isEmpty) return (cur.version, 0)
+    val next = cur.version + 1
+    val untouched = cur.files.filterNot(scoped.toSet)
+    val scopedDf = readFilesDv(spark, table, cur, scoped,
+      mappingAt(spark, table, Some(cur.version)))
+    val statCols = cur.multiStats.values.flatMap(_.keys).toSeq.distinct.sorted
+    val valueCols = cur.fileValues.values.flatMap(_.keys).toSeq.distinct.sorted
+    val cluster = valueCols.map(v => PartTransform.parse(v).expr) ++
+      statCols.map(c)
+    val fresh = writeFiles(
+      if (cluster.nonEmpty)
+        scopedDf.repartitionByRange(targetFiles, cluster: _*)
+      else scopedDf.repartition(targetFiles), table, next)
+    val (ms, fv) = recomputeMetadata(spark, table, fresh,
+      statCols, valueCols)
+    val untouchedSet = untouched.toSet
+    val keptBlooms = cur.blooms.filter { case (f, _) => untouchedSet(f) }
+    val keptStats = cur.stats.filter { case (f, _) => untouchedSet(f) }
+    commit(spark, table, next, untouched ++ fresh, cur.txns,
+      cur.statsCol.filter(_ => keptStats.nonEmpty), keptStats,
+      cur.multiStats.filter { case (f, _) => untouchedSet(f) } ++ ms,
+      cur.fileValues.filter { case (f, _) => untouchedSet(f) } ++ fv,
+      cur.bloomCol.filter(_ => keptBlooms.nonEmpty), keptBlooms,
+      op = "compact",
+      dels = cur.dels.filter(d => untouchedSet(d.path)))
+    (next, scoped.size)
   }
 
   /** DELETE as a deletion-vector commit: candidate files (the same

@@ -324,18 +324,18 @@ class TxHardeningSpec extends AnyFunSuite {
   test("truncate(w, col) cycle: prefix value sets, dynamic overwrite, equality prune") {
     val root = freshRoot()
     val dir = s"$root/t"
-    TxSql.installCatalog(spark, "txtr", root)
-    spark.sql("CREATE TABLE txtr.t (code STRING, v BIGINT) " +
+    TxSql.installCatalog(spark, "txtru", root)
+    spark.sql("CREATE TABLE txtru.t (code STRING, v BIGINT) " +
       "PARTITIONED BY (truncate(4, code))")
     val rows = for (p <- Seq("AAAA", "BBBB", "CCCC"); i <- 0 until 6)
       yield (s"$p-$i", i.toLong)
     rows.toDF("code", "v").createOrReplaceTempView("tr_src")
-    spark.sql("INSERT INTO txtr.t SELECT code, v FROM tr_src")
+    spark.sql("INSERT INTO txtru.t SELECT code, v FROM tr_src")
     val snap1 = TxTable.snapshot(spark, dir).get
     assert(snap1.fileValues.values.exists(_.contains("truncate(4,code)")),
       "truncate() INSERT must record prefix value sets")
     // a string equality prunes through the prefix generated filter
-    val q = spark.sql("SELECT v FROM txtr.t WHERE code = 'BBBB-3'")
+    val q = spark.sql("SELECT v FROM txtru.t WHERE code = 'BBBB-3'")
     assert(q.as[Long].collect().toSeq === Seq(3L))
     val opened = scannedFiles(q)
     val prefFiles = snap1.files.filter(f =>
@@ -351,9 +351,9 @@ class TxHardeningSpec extends AnyFunSuite {
     TxTable.overwritePartitions(
       Seq(("BBBB-9", 99L)).toDF("code", "v"), dir, "truncate(4,code)")
     assert(spark.sql(
-      "SELECT count(*) AS n FROM txtr.t WHERE code LIKE 'BBBB%'")
+      "SELECT count(*) AS n FROM txtru.t WHERE code LIKE 'BBBB%'")
       .as[Long].head() === 1L)
-    assert(spark.sql("SELECT count(*) AS n FROM txtr.t").as[Long]
+    assert(spark.sql("SELECT count(*) AS n FROM txtru.t").as[Long]
       .head() === 13L)
     val snap2 = TxTable.snapshot(spark, dir).get
     val untouched = snap1.files.filter(f =>
@@ -363,7 +363,7 @@ class TxHardeningSpec extends AnyFunSuite {
       "truncate() overwrite rewrote a provably-untouched prefix")
     // non-string truncate refuses loudly at CREATE
     val e = intercept[Exception](spark.sql(
-      "CREATE TABLE txtr.bad (k BIGINT) PARTITIONED BY (truncate(4, k))"))
+      "CREATE TABLE txtru.bad (k BIGINT) PARTITIONED BY (truncate(4, k))"))
     assert(e.getMessage.contains("unsupported partitioning"))
   }
 }

@@ -138,6 +138,61 @@ class TxMaintenanceSpec extends AnyFunSuite {
       === "CALL cat.system.compact_where('t', 'region', 'a,b', 1)")
   }
 
+  test("dv_pressure surfaces hidden-row counts; compact_deleted folds only past the threshold") {
+    val root = freshRoot()
+    val dir = s"$root/t"
+    TxSql.installCatalog(spark, "txdvp", root)
+    // exactly two files: k 1..20 and k 21..40 (no stats, so the
+    // delete's predicate attaches to BOTH — the threshold, not the
+    // prune, must pick the fold set)
+    TxTable.overwrite((1 to 20).map(i => (i.toLong, s"v$i"))
+      .toDF("k", "v").repartition(1), dir)
+    TxTable.append((21 to 40).map(i => (i.toLong, s"v$i"))
+      .toDF("k", "v").repartition(1), dir)
+    val before = TxTable.snapshot(spark, dir).get
+    assert(before.files.size === 2, "test setup: need exactly two files")
+    TxTable.enableDeletionVectors(spark, dir)
+    // hides HALF of the low file's rows; zero of the high file's
+    TxTable.deleteWhere(spark, dir, Seq(("k", 1.0, 10.0)))
+    // detail shows the aggregate pressure (both files carry entries)
+    val detail = spark.sql("CALL txdvp.system.detail('t')").head()
+    assert(detail.getAs[Long]("n_dv_files") === 2L)
+    assert(detail.getAs[Long]("dv_hidden_rows") === 10L)
+    // per-file itemization: one 50%-hidden file, one 0%-hidden
+    val pressure = spark.sql("CALL txdvp.system.dv_pressure('t')")
+      .collect().sortBy(-_.getAs[Double]("del_ratio"))
+    assert(pressure.length === 2)
+    assert(pressure(0).getAs[Long]("total_rows") === 20L)
+    assert(pressure(0).getAs[Long]("hidden_rows") === 10L)
+    assert(pressure(0).getAs[Double]("del_ratio") === 0.5)
+    assert(pressure(1).getAs[Long]("hidden_rows") === 0L)
+    val hotFile = pressure(0).getAs[String]("file")
+    val cleanFile = pressure(1).getAs[String]("file")
+    // a 60% threshold folds nothing (head version unchanged)
+    val none = spark.sql(
+      "CALL txdvp.system.compact_deleted('t', 0.6, 1)").head()
+    assert(none.getAs[Long]("folded_files") === 0L)
+    assert(TxTable.snapshot(spark, dir).get.version === before.version + 1)
+    // a 50% threshold folds EXACTLY the pressured file; the clean one
+    // carries over byte-untouched (keeping its no-op predicate)
+    val folded = spark.sql(
+      "CALL txdvp.system.compact_deleted('t', 0.5, 1)").head()
+    assert(folded.getAs[Long]("folded_files") === 1L)
+    val after = TxTable.snapshot(spark, dir).get
+    assert(!after.files.contains(hotFile),
+      "the pressured file must rewrite")
+    assert(after.files.contains(cleanFile),
+      "compact_deleted rewrote the clean file")
+    assert(after.dels.nonEmpty && after.dels.forall(_.path == cleanFile),
+      "only the carried file's predicate may remain")
+    assert(TxTable.read(spark, dir).as[(Long, String)]
+      .collect().map(_._1).sorted.toSeq === (11L to 40L))
+    // replay at the same threshold: nothing left to fold
+    val again = spark.sql(
+      "CALL txdvp.system.compact_deleted('t', 0.5, 1)").head()
+    assert(again.getAs[Long]("folded_files") === 0L)
+  }
+
   test("clone protection survives a re-spelled src path at vacuum time") {
     val src = freshRoot() + "/src"
     val dst = freshRoot() + "/dst"

@@ -714,6 +714,80 @@ class TxSqlSpec extends AnyFunSuite {
       s"time-range query did not prune: ${opened.size}/${snap.files.size}")
   }
 
+  test("partition-spec evolution: days -> hours, both generations prune in one query") {
+    val root = freshRoot()
+    val dir = s"$root/ev"
+    TxSql.installCatalog(spark, "txevo", root)
+    spark.sql("CREATE TABLE txevo.ev (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    // generation A (spec days): March 1-3, hourly rows
+    val genA = (0 until 72).map(h => (h.toLong,
+      java.sql.Timestamp.valueOf(
+        f"2024-03-${1 + h / 24}%02d ${h % 24}%02d:30:00")))
+    genA.toDF("k", "ts").createOrReplaceTempView("ev_a")
+    spark.sql("INSERT INTO txevo.ev SELECT k, ts FROM ev_a")
+    val snapA = TxTable.snapshot(spark, dir).get
+    assert(snapA.fileValues.values.exists(_.contains("days(ts)")))
+    // EVOLVE the live table: days(ts) -> hours(ts), zero rewrites
+    val res = spark.sql(
+      "CALL txevo.system.evolve_partitions('ev', 'hours(ts)')").head()
+    assert(res.getAs[String]("previous") === "days(ts)")
+    assert(res.getAs[String]("current") === "hours(ts)")
+    assert(TxTable.snapshot(spark, dir).get.files === snapA.files,
+      "evolution must not rewrite any data file")
+    // generation B (spec hours): March 4, quarter-hour rows
+    val genB = (0 until 96).map(i => (100 + i.toLong,
+      java.sql.Timestamp.valueOf(
+        f"2024-03-04 ${i / 4}%02d:${15 * (i % 4)}%02d:00")))
+    genB.toDF("k", "ts").createOrReplaceTempView("ev_b")
+    spark.sql("INSERT INTO txevo.ev SELECT k, ts FROM ev_b")
+    val snapB = TxTable.snapshot(spark, dir).get
+    val newFiles = snapB.files.filterNot(snapA.files.toSet)
+    assert(newFiles.nonEmpty && newFiles.forall(f =>
+      snapB.fileValues.get(f).exists(_.contains("hours(ts)"))),
+      "post-evolution writes must record value sets under the NEW spec")
+    assert(snapA.files.forall(f =>
+      snapB.fileValues.get(f).exists(_.contains("days(ts)"))),
+      "old-generation files must keep their old-spec value sets")
+    // ONE query spanning the boundary: old files prune via days sets,
+    // new files via hours sets — day 2024-03-02 + two hours of 03-04
+    val q = spark.sql("SELECT k FROM txevo.ev WHERE " +
+      "ts >= TIMESTAMP '2024-03-02 00:00:00' AND " +
+      "ts < TIMESTAMP '2024-03-03 00:00:00' OR " +
+      "ts >= TIMESTAMP '2024-03-04 05:00:00' AND " +
+      "ts < TIMESTAMP '2024-03-04 07:00:00'")
+    assert(q.as[Long].collect().sorted.toSeq ===
+      ((24L until 48L) ++ (120L until 128L)))
+    // a query INSIDE generation A must not open any new-gen file (the
+    // hours sets exclude them) and prunes old-gen to the matching day
+    val qa = spark.sql("SELECT k FROM txevo.ev WHERE " +
+      "ts >= TIMESTAMP '2024-03-02 00:00:00' AND " +
+      "ts < TIMESTAMP '2024-03-03 00:00:00'")
+    assert(qa.as[Long].collect().sorted.toSeq === (24L until 48L))
+    val openedA = scannedFiles(qa)
+    val newNames = newFiles.map(_.split('/').last).toSet
+    assert(openedA.intersect(newNames).isEmpty,
+      "generation-A query opened new-generation files")
+    assert(openedA.size < snapB.files.size)
+    // a query INSIDE generation B: hours prune on new files, day
+    // prune excludes every old file
+    val qb = spark.sql("SELECT k FROM txevo.ev WHERE " +
+      "ts >= TIMESTAMP '2024-03-04 05:00:00' AND " +
+      "ts < TIMESTAMP '2024-03-04 07:00:00'")
+    assert(qb.as[Long].collect().sorted.toSeq === (120L until 128L))
+    val openedB = scannedFiles(qb)
+    val oldNames = snapA.files.map(_.split('/').last).toSet
+    assert(openedB.intersect(oldNames).isEmpty,
+      "generation-B query opened old-generation files")
+    // refusal paths, named
+    val e1 = intercept[Exception](TxTable.evolvePartitions(spark, dir,
+      Seq("days(nope)")))
+    assert(e1.getMessage.contains("does not exist"))
+    val e2 = intercept[Exception](TxTable.evolvePartitions(spark, dir,
+      Seq("bucket(8,k)", "days(ts)")))
+    assert(e2.getMessage.contains("only partition transform"))
+  }
+
   test("ALTER TABLE ADD COLUMN: old rows read null, next write populates") {
     val root = freshRoot()
     TxSql.installCatalog(spark, "txalt", root)
