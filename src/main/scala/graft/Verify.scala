@@ -42,6 +42,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // bench-only timed twins (no oracle BY DESIGN): lets a mechanical
+    // correctness scan resolve their `no_oracle` entries against the
+    // twin's verdict instead of flagging them
+    val twins = SparkEntry.timedTwinOf
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/timed_twins.json"), twins)
     spark.stop()
   }
 }

@@ -176,7 +176,7 @@ object FeatureQueries3 extends QueryModule {
       val hist = T.lineitem(s, d)
         .groupBy($"l_returnflag", $"l_extendedprice".cast("double").as("v"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint(false)
+        .persist() // cache, not checkpoint: measured faster (r18)
       // few-group literal path (see ExactPercentile.perGroupWeightedLocal):
       // the p05/p95 bounds come back driver-side and fold into the
       // closing aggregate as literal when-chains — no join, no window,

@@ -30,7 +30,7 @@ object AnalyticsQueries3 extends QueryModule {
       val byVal = T.lineitem(s, d)
         .groupBy($"l_returnflag", $"l_extendedprice".cast("double").as("v"))
         .agg(sum($"l_quantity").cast("long").as("w"))
-        .localCheckpoint(false)
+        .persist() // cache, not checkpoint: measured faster (r18)
       // few-group literal path, discrete selection
       val m = ExactPercentile.perGroupWeightedLocal(byVal,
         "l_returnflag", "v", "w", Seq("w_median" -> 0.5), disc = true)

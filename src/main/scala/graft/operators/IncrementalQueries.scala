@@ -125,7 +125,7 @@ object IncrementalQueries extends QueryModule {
       val hist = T.lineitem(s, d)
         .groupBy($"l_returnflag", $"l_extendedprice".cast("double").as("v"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint(false)
+        .persist() // cache, not checkpoint: measured faster (r18)
       // few-group literal path: the Tukey fences derive driver-side
       // from the quartiles and fold into the tally as literals
       val q = ExactPercentile.perGroupWeightedLocal(hist,
