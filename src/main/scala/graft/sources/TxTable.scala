@@ -1821,6 +1821,13 @@ object TxTable {
     require(dupKeys == 0,
       s"unconsolidated CDC batch: $dupKeys keys appear more than once")
     val cur = snapshot(spark, table)
+    // merge-on-read (the mergeDvCounted discipline): every changed
+    // key hides as one IN-set entry, upserts land as fresh files —
+    // zero pre-existing rewrites. Same lossless-key and key-count
+    // gates; None falls through to copy-on-write.
+    val dv = cur.filter(_ => deletionVectorsEnabled(spark, table))
+      .flatMap(c => applyCdcDv(spark, table, changes, key, opCol, c))
+    if (dv.isDefined) return dv.get
     val next = cur.map(_.version + 1).getOrElse(1L)
     val upserts = changes.filter(col(opCol) =!= "d").drop(opCol)
     val merged = cur match {
@@ -1832,37 +1839,84 @@ object TxTable {
           .join(changes.select(col(key)).distinct(), Seq(key), "left_anti")
           .unionByName(upserts)
     }
-    // change feed (opt-in): a "d" op on an EXISTING key emits that
-    // key's current rows as deletes (a "d" on an absent key changes
-    // nothing, so it records nothing); an upsert on an existing key
-    // pairs preimage/postimage; an upsert on a new key is an insert.
-    val changeFiles: Seq[String] =
-      if (!changeFeedEnabled(spark, table)) Nil
-      else {
-        import org.apache.spark.sql.functions.lit
-        val delta = cur match {
-          case None => upserts.withColumn(ChangeTypeCol, lit("insert"))
-          case Some(_) =>
-            val current = read(spark, table)
-            val curKeys = current.select(col(key)).distinct()
-            val delKeys = changes.filter(col(opCol) === "d")
-              .select(col(key)).distinct()
-            val upKeys = upserts.select(col(key)).distinct()
-            current.join(delKeys, Seq(key), "left_semi")
-              .withColumn(ChangeTypeCol, lit("delete"))
-              .unionByName(current.join(upKeys, Seq(key), "left_semi")
-                .withColumn(ChangeTypeCol, lit("update_preimage")))
-              .unionByName(upserts.join(curKeys, Seq(key), "left_semi")
-                .withColumn(ChangeTypeCol, lit("update_postimage")))
-              .unionByName(upserts.join(curKeys, Seq(key), "left_anti")
-                .withColumn(ChangeTypeCol, lit("insert")))
-        }
-        writeChangeFiles(delta, table, next)
-      }
+    val changeFiles = cdcChangeFiles(spark, table, cur, changes, key,
+      opCol, next)
     val files = writeFiles(merged, table, next)
     commit(spark, table, next, files, cur.map(_.txns).getOrElse(Map.empty),
       op = "cdc", changes = changeFiles)
     next
+  }
+
+  /** The CDC batch's change-feed delta (opt-in): a "d" op on an
+    * EXISTING key emits that key's current rows as deletes (a "d" on
+    * an absent key changes nothing, so it records nothing); an upsert
+    * on an existing key pairs preimage/postimage; an upsert on a new
+    * key is an insert. SHARED by the copy-on-write and merge-on-read
+    * [[applyCdc]] paths — feed consumers cannot tell them apart
+    * (`read` is dv-aware, so images are the VISIBLE rows). */
+  private def cdcChangeFiles(spark: SparkSession, table: String,
+      cur: Option[Snapshot], changes: DataFrame, key: String,
+      opCol: String, next: Long): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (!changeFeedEnabled(spark, table)) return Nil
+    val upserts = changes.filter(col(opCol) =!= "d").drop(opCol)
+    val delta = cur match {
+      case None => upserts.withColumn(ChangeTypeCol, lit("insert"))
+      case Some(_) =>
+        val current = read(spark, table)
+        val curKeys = current.select(col(key)).distinct()
+        val delKeys = changes.filter(col(opCol) === "d")
+          .select(col(key)).distinct()
+        val upKeys = upserts.select(col(key)).distinct()
+        current.join(delKeys, Seq(key), "left_semi")
+          .withColumn(ChangeTypeCol, lit("delete"))
+          .unionByName(current.join(upKeys, Seq(key), "left_semi")
+            .withColumn(ChangeTypeCol, lit("update_preimage")))
+          .unionByName(upserts.join(curKeys, Seq(key), "left_semi")
+            .withColumn(ChangeTypeCol, lit("update_postimage")))
+          .unionByName(upserts.join(curKeys, Seq(key), "left_anti")
+            .withColumn(ChangeTypeCol, lit("insert")))
+    }
+    writeChangeFiles(delta, table, next)
+  }
+
+  /** [[applyCdc]] as a merge-on-read commit — identical gates and
+    * mechanics to [[mergeDvCounted]], with the CDC twist that "d"
+    * keys contribute to the hide set but nothing to the fresh files. */
+  private def applyCdcDv(spark: SparkSession, table: String,
+      changes: DataFrame, key: String, opCol: String,
+      cur: Snapshot): Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    if (cur.files.isEmpty) return None
+    val keyType = changes.schema.fields.find(_.name == key).map(_.dataType)
+    if (!keyType.exists(dvMergeKeyLossless)) return None
+    val keysRaw = changes.filter(col(key).isNotNull)
+      .select(col(key).cast("string")).distinct()
+      .limit(DvMergeMaxKeys + 1)
+      .collect().map(_.getString(0))
+    if (keysRaw.length > DvMergeMaxKeys) return None
+    requireDvColumns(spark, table, cur, Seq(key))
+    val next = cur.version + 1
+    val keys = keysRaw.sorted.toSeq
+    val touched =
+      if (keys.isEmpty) Nil else candidateFilesForKeys(cur, key, keys)
+    val changeFiles = cdcChangeFiles(spark, table, Some(cur), changes,
+      key, opCol, next)
+    val upserts = changes.filter(col(opCol) =!= "d").drop(opCol)
+    val fresh = writeFilesDispatch(upserts, table, next)
+    val statCols = cur.multiStats.values.flatMap(_.keys).toSeq.distinct.sorted
+    val valueCols = cur.fileValues.values.flatMap(_.keys).toSeq.distinct.sorted
+    val (freshMs, freshFv) =
+      recomputeMetadata(spark, table, fresh, statCols, valueCols)
+    val ins = Seq(key -> keys)
+    commit(spark, table, next, cur.files ++ fresh, cur.txns,
+      cur.statsCol, cur.stats,
+      cur.multiStats ++ freshMs, cur.fileValues ++ freshFv,
+      cur.bloomCol, cur.blooms,
+      op = "cdc", changes = changeFiles,
+      dels = cur.dels ++ (if (keys.isEmpty) Nil
+        else touched.map(f => DelEntry(f, Nil, Nil, ins))))
+    Some(next)
   }
 
   /** Exactly-once streaming append: apply `df` as `(appId, epochId)`
@@ -3060,20 +3114,19 @@ object TxTable {
     * DV'd files that pure-append tables should never pay.
     *
     * Scope, stated loudly: [[deleteWhere]]/[[updateWhere]] (predicate
-    * DML), SQL DELETE/UPDATE under the lossless gate, and [[merge]]
-    * (API upsert, via the IN-set [[DelEntry]] form up to
-    * [[DvMergeMaxKeys]] distinct keys — [[mergeDvCounted]]) all
-    * commit merge-on-read. [[applyCdc]] and SQL MERGE INTO stay
-    * COPY-ON-WRITE even with DVs enabled: the SQL row-level path is
-    * Spark's group-based ReplaceData, which hands this table the
-    * POST-state of every touched group — the deleted pre-image set is
-    * not recoverable there without SupportsDelta row ids (Delta's
-    * DV-MERGE rides position bitmaps + row ids, a representation this
-    * manifest deliberately doesn't carry); applyCdc's op-typed deltas
-    * can arrive with per-op semantics the keyed IN-set can't replay.
-    * Point/range/keyed DML — the GDPR-erasure, backfill-correction
-    * and daily-upsert shapes that motivate DVs — is exactly what the
-    * predicate form serves. */
+    * DML), SQL DELETE/UPDATE under the lossless gate, [[merge]] (API
+    * upsert) and [[applyCdc]] (op-typed batches) — the latter two via
+    * the IN-set [[DelEntry]] form up to [[DvMergeMaxKeys]] distinct
+    * keys ([[mergeDvCounted]]/[[applyCdcDv]]) — all commit
+    * merge-on-read. SQL MERGE INTO stays COPY-ON-WRITE even with DVs
+    * enabled: the SQL row-level path is Spark's group-based
+    * ReplaceData, which hands this table the POST-state of every
+    * touched group — the deleted pre-image set is not recoverable
+    * there without SupportsDelta row ids (Delta's DV-MERGE rides
+    * position bitmaps + row ids, a representation this manifest
+    * deliberately doesn't carry). Point/range/keyed DML — the
+    * GDPR-erasure, backfill-correction and daily-upsert shapes that
+    * motivate DVs — is exactly what the predicate form serves. */
   def enableDeletionVectors(spark: SparkSession, table: String): Unit = {
     val ld = logDir(table)
     val f = fs(spark, ld)

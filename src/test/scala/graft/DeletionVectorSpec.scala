@@ -432,6 +432,40 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(rows(dvDir) === rows(cowDir))
   }
 
+  test("applyCdc with DVs: hide-only deletes, zero pre-existing rewrites, CDF equals CoW twin") {
+    val dvDir = freshRoot() + "/dv"
+    val cowDir = freshRoot() + "/cow"
+    val base = (1 to 30).map(i => (i.toLong, s"t${i % 3}", i * 10L))
+      .toDF("k", "v", "c")
+    for (d <- Seq(dvDir, cowDir)) {
+      TxTable.overwriteIndexedMulti(base, d, statCols = Seq("k"))
+      TxTable.enableChangeFeed(spark, d)
+    }
+    TxTable.enableDeletionVectors(spark, dvDir)
+    // one delete, one update, one insert, one delete-of-absent
+    val batch = Seq(
+      (5L, "x", 0L, "d"), (7L, "upd", 777L, "u"),
+      (100L, "new", 1000L, "i"), (999L, "x", 0L, "d"))
+      .toDF("k", "v", "c", "op")
+    val before = TxTable.snapshot(spark, dvDir).get
+    TxTable.applyCdc(spark, dvDir, batch, "k", "op")
+    TxTable.applyCdc(spark, cowDir, batch, "k", "op")
+    val after = TxTable.snapshot(spark, dvDir).get
+    assert(before.files.toSet.subsetOf(after.files.toSet),
+      "DV applyCdc must not rewrite any pre-existing data file")
+    assert(after.dels.nonEmpty && after.dels.forall(_.ins.nonEmpty))
+    def rows(d: String) = TxTable.read(spark, d)
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(rows(dvDir) === rows(cowDir))
+    assert(!rows(dvDir).exists(_._1 == 5L))
+    assert(rows(dvDir).find(_._1 == 7L) === Some((7L, "upd", 777L)))
+    def feed(d: String) = TxTable.changeFeed(spark, d, 1)
+      .select($"k", $"v", $"c", col(TxTable.ChangeTypeCol))
+      .as[(Long, String, Long, String)].collect().sorted.toSeq
+    assert(feed(dvDir) === feed(cowDir),
+      "CDC feed must not distinguish the strategies")
+  }
+
   test("DV merge fallbacks: double key and oversized batch go copy-on-write") {
     // double keys are not canonically lossless → CoW, correct content
     val dir = freshRoot() + "/t"
