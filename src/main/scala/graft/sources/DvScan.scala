@@ -67,8 +67,22 @@ private[sources] object DvScan {
     val output: Seq[Attribute] = analyzed.output
     require(output.map(_.name) == schema.fieldNames.toSeq,
       s"analyzed output ${output.map(_.name)} drifted from ${schema.fieldNames.toSeq}")
-    BindReferences.bindReference(
-      conds.reduce(And), AttributeSeq(output))
+    // the condition is ANALYZED, not optimized — a merge's IN-set
+    // DelEntry arrives as In(col, <up to 100k literals>), whose
+    // codegen overflows the method limit and falls back to an O(keys)
+    // per-row linear scan. Apply OptimizeIn's conversion by hand
+    // (literal set → InSet hash lookup), the same plan the API read
+    // path gets from the full optimizer.
+    val optimized = conds.reduce(And).transformUp {
+      case org.apache.spark.sql.catalyst.expressions.In(v, list)
+        if list.size > 10 && list.forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+            .Literal]) =>
+        org.apache.spark.sql.catalyst.expressions.InSet(v,
+          list.map(_.asInstanceOf[org.apache.spark.sql.catalyst
+            .expressions.Literal].value).toSet)
+    }
+    BindReferences.bindReference(optimized, AttributeSeq(output))
   }
 }
 

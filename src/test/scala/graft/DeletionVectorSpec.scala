@@ -466,6 +466,29 @@ class DeletionVectorSpec extends AnyFunSuite {
       "CDC feed must not distinguish the strategies")
   }
 
+  test("SQL reads after a many-key DV merge stay exact (InSet visibility)") {
+    val root = freshRoot()
+    val dir = s"$root/t"
+    val base = (1 to 200).map(i => (i.toLong, i * 10L)).toDF("k", "c")
+    TxTable.overwriteIndexedMulti(base, dir, statCols = Seq("k"))
+    TxTable.enableDeletionVectors(spark, dir)
+    // 50 matched keys — well past the In→InSet conversion threshold,
+    // so the scan-side visibility predicate must hash-lookup, and
+    // either way serve exactly the post-merge rows
+    val batch = (1 to 200).filter(_ % 4 == 0)
+      .map(i => (i.toLong, i * 1000L)).toDF("k", "c")
+    TxTable.merge(spark, dir, batch, "k")
+    TxSql.installCatalog(spark, "txdvm", root)
+    assert(spark.sql("SELECT count(*) FROM txdvm.t").as[Long]
+      .head() === 200L)
+    assert(spark.sql("SELECT sum(c) FROM txdvm.t").as[Long].head() ===
+      (1 to 200).map(i => if (i % 4 == 0) i * 1000L else i * 10L).sum)
+    assert(spark.sql("SELECT c FROM txdvm.t WHERE k = 8").as[Long]
+      .head() === 8000L)
+    assert(spark.sql("SELECT c FROM txdvm.t WHERE k = 7").as[Long]
+      .head() === 70L)
+  }
+
   test("DV merge fallbacks: double key and oversized batch go copy-on-write") {
     // double keys are not canonically lossless → CoW, correct content
     val dir = freshRoot() + "/t"
