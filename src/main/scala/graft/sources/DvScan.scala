@@ -173,12 +173,15 @@ private class DvBatch(spark: SparkSession, delegate: Batch,
     f.urlEncodedPath.split('/').last
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // visibility expressions per distinct del-signature, built once
-    // on the driver (analyzed against the widened schema)
-    val exprCache =
-      scala.collection.mutable.Map.empty[Seq[TxTable.DelEntry], Expression]
+    // visibility expressions per distinct PATH-ERASED del-signature,
+    // built once on the driver (analyzed against the widened schema) —
+    // keyed on the predicate bodies, so a DML's N candidate files
+    // share one analysis instead of paying it N times
+    val exprCache = scala.collection.mutable
+      .Map.empty[Seq[(Seq[(String, Double, Double)],
+        Seq[(String, String)], Seq[(String, Seq[String])])], Expression]
     def exprFor(entries: Seq[TxTable.DelEntry]): Expression =
-      exprCache.getOrElseUpdate(entries,
+      exprCache.getOrElseUpdate(TxTable.delSignature(entries),
         DvScan.visibilityExpr(spark, widened, entries))
     delegate.planInputPartitions().flatMap {
       case fp: FilePartition =>

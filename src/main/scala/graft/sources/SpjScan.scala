@@ -283,11 +283,14 @@ private class SpjDvBatch(spark: SparkSession, delegate: Batch,
     * bucket, each file paired with its visibility expression (built
     * once per distinct del-signature on the driver). */
   lazy val planned: Array[InputPartition] = {
+    // keyed on the PATH-ERASED signature: a DML's N candidate files
+    // share one analyzed visibility expression
     val exprCache = scala.collection.mutable
-      .Map.empty[Seq[TxTable.DelEntry],
+      .Map.empty[Seq[(Seq[(String, Double, Double)],
+        Seq[(String, String)], Seq[(String, Seq[String])])],
         org.apache.spark.sql.catalyst.expressions.Expression]
     def exprFor(entries: Seq[TxTable.DelEntry]) =
-      exprCache.getOrElseUpdate(entries,
+      exprCache.getOrElseUpdate(TxTable.delSignature(entries),
         DvScan.visibilityExpr(spark, widened, entries))
     val files = delegate.planInputPartitions().flatMap {
       case fp: FilePartition => fp.files

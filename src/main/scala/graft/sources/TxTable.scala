@@ -108,12 +108,23 @@ object TxTable {
       * copy-on-write verbs test, so DV and rewrite agree row-for-row.
       * `ins` compares the column's CANONICAL STRING form (the same
       * `cast(col as string)` that derived the recorded values), so
-      * equality is exact by construction — no coercion ambiguity. */
+      * equality is exact by construction — no coercion ambiguity.
+      * Built as ONE `InSet` node (set payload) rather than
+      * `isin(v1..vk)`: a merge batch's key set can be 100k values,
+      * and an In expression with 100k literal CHILDREN costs every
+      * analyzer/optimizer tree walk O(k) per rule — measured 22 s of
+      * pure plan time for a 24k-key merge's read-back before this. */
     def predicate: org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.catalyst.expressions.{Cast, InSet}
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.types.StringType
       val base = predicateColumn(ranges, eqs)
       ins.foldLeft(base) { case (acc, (c0, vs)) =>
-        acc && org.apache.spark.sql.functions.col(c0)
-          .cast("string").isin(vs: _*)
+        acc && org.apache.spark.sql.GraftColumnBridge.column(
+          InSet(Cast(UnresolvedAttribute.quoted(c0), StringType),
+            vs.iterator.map(v =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(v)
+                : Any).toSet))
       }
     }
   }
@@ -129,13 +140,25 @@ object TxTable {
       df.filter(not(coalesce(d.predicate, lit(false)))))
   }
 
+  /** Path-erased predicate signature: whether two files' deletion
+    * entries are THE SAME predicate is decided by the predicate
+    * bodies alone — every DelEntry names its own file, so grouping by
+    * the raw entry lists would put every DV'd file in its own group
+    * (one parquet relation + one predicate per file; a 16-file merge
+    * built a 16-way union before this — the r18 plan-cost finding). */
+  private[sources] def delSignature(entries: Seq[DelEntry])
+      : Seq[(Seq[(String, Double, Double)], Seq[(String, String)],
+        Seq[(String, Seq[String])])] =
+    entries.map(d => (d.ranges, d.eqs, d.ins))
+
   /** Read `files` of a snapshot with its per-file deletion predicates
     * applied — the ONE dv-aware scan every read path routes through.
     * Files sharing a del-signature scan together (one parquet relation
     * per signature group, unioned), so the common all-clean case is a
-    * single plain scan, and a table with one DV'd file costs exactly
-    * one extra relation. `abs` = files are already absolute (clone
-    * references); otherwise table-relative. */
+    * single plain scan, a table with one DV'd file costs exactly one
+    * extra relation, and ONE DML's candidates — however many files —
+    * cost one relation total. `abs` = files are already absolute
+    * (clone references); otherwise table-relative. */
   private[sources] def readFilesDv(spark: SparkSession, table: String,
       snap: Snapshot, files: Seq[String],
       m: Option[ColumnMapping.Mapping],
@@ -147,10 +170,12 @@ object TxTable {
     if (snap.dels.isEmpty)
       return toLogicalFrame(rd(files), m)
     val byFile = snap.delsByFile
-    val groups = files.groupBy(f => byFile.getOrElse(f, Nil))
+    val groups =
+      files.groupBy(f => delSignature(byFile.getOrElse(f, Nil)))
     groups.toSeq.sortBy(_._2.headOption.getOrElse("")).map {
-      case (entries, fs) =>
-        applyDels(toLogicalFrame(rd(fs), m), entries)
+      case (_, fs) =>
+        applyDels(toLogicalFrame(rd(fs), m),
+          byFile.getOrElse(fs.head, Nil))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -1677,12 +1702,15 @@ object TxTable {
     val frames = changeSlices(spark, table, from, toV).map {
       case ChangeSlice(v, kind, files, sliceDels) =>
         val byFile = sliceDels.groupBy(_.path)
-        // per-del-signature groups, like readFilesDv: derived slices
-        // serve each file's VISIBLE rows at its version
-        val df = files.groupBy(f => byFile.getOrElse(f, Nil)).toSeq
-          .sortBy(_._2.headOption.getOrElse("")).map { case (ds, fs) =>
+        // per-del-signature groups, like readFilesDv (path-erased —
+        // one relation per predicate body): derived slices serve each
+        // file's VISIBLE rows at its version
+        val df = files
+          .groupBy(f => delSignature(byFile.getOrElse(f, Nil))).toSeq
+          .sortBy(_._2.headOption.getOrElse("")).map { case (_, fs) =>
             applyDels(toLogicalFrame(spark.read.parquet(
-              fs.map(new Path(table, _).toString): _*), m), ds)
+              fs.map(new Path(table, _).toString): _*), m),
+              byFile.getOrElse(fs.head, Nil))
           }.reduce(_.unionByName(_))
         (if (kind == "recorded") df
          else df.withColumn(ChangeTypeCol, lit(kind)))
@@ -3332,9 +3360,9 @@ object TxTable {
     val m = mappingAt(spark, table, Some(cur.version))
     val byFile = cur.delsByFile
     val dvFiles = cur.files.filter(byFile.contains)
-    val frames = dvFiles.groupBy(byFile(_)).toSeq
-      .sortBy(_._2.headOption.getOrElse("")).map { case (entries, fs) =>
-        val deleted = entries
+    val frames = dvFiles.groupBy(f => delSignature(byFile(f))).toSeq
+      .sortBy(_._2.headOption.getOrElse("")).map { case (_, fs) =>
+        val deleted = byFile(fs.head)
           .map(d => coalesce(d.predicate, lit(false))).reduce(_ || _)
         toLogicalFrame(spark.read.parquet(
           fs.map(f => new Path(table, f).toString): _*), m)

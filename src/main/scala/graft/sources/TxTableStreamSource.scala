@@ -193,9 +193,11 @@ private[graft] class TxTableSource(spark: SparkSession, table: String,
     if (from <= 0 && toSnap.dels.nonEmpty) {
       import org.apache.spark.sql.functions.{coalesce, lit, not}
       val byFile = toSnap.delsByFile
-      return toSnap.files.groupBy(f => byFile.getOrElse(f, Nil)).toSeq
-        .sortBy(_._2.headOption.getOrElse("")).map { case (ds, fls) =>
-          ds.foldLeft(toPinnedLogical(
+      return toSnap.files
+        .groupBy(f => TxTable.delSignature(byFile.getOrElse(f, Nil)))
+        .toSeq.sortBy(_._2.headOption.getOrElse(""))
+        .map { case (_, fls) =>
+          byFile.getOrElse(fls.head, Nil).foldLeft(toPinnedLogical(
             streamingParquet(fls, phys(schema)), schema))((acc, d) =>
             acc.filter(not(coalesce(d.predicate, lit(false)))))
         }.reduce(_.unionByName(_))
@@ -235,9 +237,10 @@ private[graft] class TxTableSource(spark: SparkSession, table: String,
             // slice's deletion predicates per del-signature group (the
             // batch changeFeed's discipline, on streaming relations)
             val byFile = sliceDels.groupBy(_.path)
-            files.groupBy(f => byFile.getOrElse(f, Nil)).toSeq
-              .sortBy(_._2.headOption.getOrElse("")).map { case (ds, fs) =>
-                ds.foldLeft(toPinnedLogical(
+            files.groupBy(f =>
+              TxTable.delSignature(byFile.getOrElse(f, Nil))).toSeq
+              .sortBy(_._2.headOption.getOrElse("")).map { case (_, fs) =>
+                byFile.getOrElse(fs.head, Nil).foldLeft(toPinnedLogical(
                   streamingParquet(fs, phys(dataSchema)), dataSchema)) {
                   (acc, d) => acc.filter(!org.apache.spark.sql.functions
                     .coalesce(d.predicate,
