@@ -705,14 +705,19 @@ object PipelineQueries extends QueryModule {
       TxTable.overwriteIndexedMulti(base, dir, statCols = Seq("k"))
       TxTable.enableDeletionVectors(s, dir)
       val before = TxTable.snapshot(s, dir).get
-      // the upsert batch: every 7th key in the LOWER HALF of the key
-      // space gets cents+55 (scale-relative bound, so the k-stats
-      // prune provably skips the upper-half files at any SF), every
-      // 11th key re-lands shifted as a pure insert
-      val half = base.agg(max($"k")).head().getLong(0) / 2
-      val batch = base.filter($"k" % 7 === 0 && $"k" <= half)
+      // the upsert batch: every 7th key below min(half, 200k) gets
+      // cents+55, every 11th below the same bound re-lands shifted as
+      // a pure insert. The bound is BOTH scale-relative (the k-stats
+      // prune provably skips upper files at any SF) and absolutely
+      // capped (the batch's distinct keys stay well under
+      // DvMergeMaxKeys at any SF — an uncapped sf1 batch would
+      // legitimately fall back to copy-on-write and fail the
+      // zero-rewrite REQUIRE)
+      val bound = math.min(
+        base.agg(max($"k")).head().getLong(0) / 2, 200000L)
+      val batch = base.filter($"k" % 7 === 0 && $"k" <= bound)
         .withColumn("cents", $"cents" + 55)
-        .unionByName(base.filter($"k" % 11 === 0)
+        .unionByName(base.filter($"k" % 11 === 0 && $"k" <= bound)
           .select(($"k" + 10000000L).as("k"), lit("NEW").as("p"),
             $"cents"))
       TxTable.merge(s, dir, batch, "k")
@@ -1415,12 +1420,14 @@ object PipelineQueries extends QueryModule {
         |  SELECT o_orderkey AS k, o_orderpriority AS p,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |  FROM orders),
+        |bound AS (
+        |  SELECT LEAST(max(k) // 2, 200000) AS b FROM base),
         |upd AS (
         |  SELECT k, p, cents + 55 AS cents FROM base
-        |  WHERE k % 7 = 0 AND k <= (SELECT max(k) // 2 FROM base)),
+        |  WHERE k % 7 = 0 AND k <= (SELECT b FROM bound)),
         |ins AS (
         |  SELECT k + 10000000 AS k, 'NEW' AS p, cents FROM base
-        |  WHERE k % 11 = 0),
+        |  WHERE k % 11 = 0 AND k <= (SELECT b FROM bound)),
         |batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
         |merged AS (
         |  SELECT * FROM base
