@@ -2474,9 +2474,20 @@ object TxTable {
   }
 
   def declarePartitions(spark: SparkSession, table: String,
-      cols: Seq[String]): Unit =
+      cols: Seq[String]): Unit = {
+    // record the declaring session's zone only when the spec is
+    // TEMPORAL (the zone governs its value-set calendar) — an
+    // identity/bucket declaration recording an arbitrary creation
+    // zone would stick to a later temporal evolution
+    val temporal = cols.map(PartTransform.parse).exists {
+      case _: PartDays | _: PartMonths | _: PartHours |
+        _: PartYears => true
+      case _ => false
+    }
     declarePartitionsWithTz(spark, table, cols,
-      Some(spark.sessionState.conf.sessionLocalTimeZone))
+      if (temporal) Some(spark.sessionState.conf.sessionLocalTimeZone)
+      else None)
+  }
 
   /** PARTITION-SPEC EVOLUTION (Iceberg's spec evolution reduced to
     * the manifest's per-file metadata): change a LIVE table's declared
@@ -2569,13 +2580,16 @@ object TxTable {
     val ld = logDir(table)
     val f = fs(spark, ld)
     f.mkdirs(ld)
-    val temporal = cols.map(PartTransform.parse).exists {
-      case _: PartDays | _: PartMonths | _: PartHours |
-        _: PartYears => true
-      case _ => false // identity, bucket and truncate are zone-free
-    }
+    // the tz line persists whenever a zone is KNOWN — not only for
+    // temporal specs: an evolution chain temporal → bucket → temporal
+    // must keep the ORIGINAL recording zone across the non-temporal
+    // hop, or the final hop would re-stamp the session zone and
+    // silently re-enable generated-filter pruning over value sets
+    // recorded under a different calendar (r18 self-review). A tz
+    // line on a zone-free spec is inert: the prune gate and the
+    // zone-agreement check both key on temporal transforms.
     val body = cols.mkString(",") + (tz match {
-      case Some(z) if temporal => "\ntz=" + z
+      case Some(z) => "\ntz=" + z
       case _ => ""
     })
     val out = f.create(new Path(ld, "_partition"), true)

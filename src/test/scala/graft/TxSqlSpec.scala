@@ -786,6 +786,15 @@ class TxSqlSpec extends AnyFunSuite {
     val e2 = intercept[Exception](TxTable.evolvePartitions(spark, dir,
       Seq("bucket(8,k)", "days(ts)")))
     assert(e2.getMessage.contains("only partition transform"))
+    // zone continuity across a NON-TEMPORAL hop: days → bucket → days
+    // must carry the ORIGINAL recording zone (re-stamping the session
+    // zone would re-enable pruning over old sets' different calendar)
+    val tz0 = TxTable.declaredPartitionTz(spark, dir)
+    assert(tz0.isDefined, "temporal declaration must record a zone")
+    TxTable.evolvePartitions(spark, dir, Seq("bucket(4, k)"))
+    TxTable.evolvePartitions(spark, dir, Seq("days(ts)"))
+    assert(TxTable.declaredPartitionTz(spark, dir) === tz0,
+      "the recorded zone must survive a non-temporal evolution hop")
   }
 
   test("ALTER TABLE ADD COLUMN: old rows read null, next write populates") {
