@@ -226,6 +226,43 @@ object IncrementalView {
     * atomically WITH the state (one manifest txns map) — crash or
     * replay can never double-apply one side. Returns the consumed
     * (aHead, bHead). */
+  /** The signed joined delta Δ(A⋈B) grouped per `grpCol` — shared by
+    * [[maintainJoin]] and [[maintainJoinPartitioned]]. */
+  private def joinDelta(spark: SparkSession, srcA: String, srcB: String,
+      keyCol: String, grpCol: String, valCol: String,
+      consumedA: Long, headA: Long, consumedB: Long,
+      headB: Long): DataFrame = {
+    val sign = when(col(TxTable.ChangeTypeCol)
+      .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+    // signed deltas over each source's unconsumed tail (possibly
+    // one-sided: the other side contributes an empty delta)
+    def emptyLike(d: DataFrame) = d.filter(lit(false))
+    val dA0 = TxTable.read(spark, srcA, asOf = Some(headA))
+      .select(col(keyCol), col(valCol))
+    val dB0 = TxTable.read(spark, srcB, asOf = Some(headB))
+      .select(col(keyCol), col(grpCol))
+    val dA =
+      if (headA <= consumedA) emptyLike(dA0).withColumn("__sa", lit(1L))
+      else TxTable.changeFeed(spark, srcA, consumedA, Some(headA))
+        .select(col(keyCol), col(valCol), sign.as("__sa"))
+    val dB =
+      if (headB <= consumedB) emptyLike(dB0).withColumn("__sb", lit(1L))
+      else TxTable.changeFeed(spark, srcB, consumedB, Some(headB))
+        .select(col(keyCol), col(grpCol), sign.as("__sb"))
+    // Δ(A⋈B), one signed (grp, val) bag from the three terms
+    val t1 = dA.join(dB0, Seq(keyCol))
+      .select(col(grpCol), col(valCol), col("__sa").as("__sign"))
+    val t2 = dA0.join(dB, Seq(keyCol))
+      .select(col(grpCol), col(valCol), col("__sb").as("__sign"))
+    val t3 = dA.join(dB, Seq(keyCol))
+      .select(col(grpCol), col(valCol),
+        (-col("__sa") * col("__sb")).as("__sign"))
+    t1.unionByName(t2).unionByName(t3)
+      .groupBy(col(grpCol))
+      .agg(sum(col("__sign")).as("__dn"),
+        sum(col("__sign") * col(valCol)).as("__ds"))
+  }
+
   def maintainJoin(spark: SparkSession, srcA: String, srcB: String,
       dst: String, keyCol: String, grpCol: String, valCol: String,
       appId: String = "ivmj", maxRetries: Int = 10): (Long, Long) = {
@@ -243,35 +280,8 @@ object IncrementalView {
       val consumedB = dstSnap.flatMap(_.txns.get(markB)).getOrElse(0L)
       if (headA <= consumedA && headB <= consumedB)
         return (consumedA, consumedB) // caught up: no-op
-      val sign = when(col(TxTable.ChangeTypeCol)
-        .isin("insert", "update_postimage"), 1L).otherwise(-1L)
-      // signed deltas over each source's unconsumed tail (possibly
-      // one-sided: the other side contributes an empty delta)
-      def emptyLike(d: DataFrame) = d.filter(lit(false))
-      val dA0 = TxTable.read(spark, srcA, asOf = Some(headA))
-        .select(col(keyCol), col(valCol))
-      val dB0 = TxTable.read(spark, srcB, asOf = Some(headB))
-        .select(col(keyCol), col(grpCol))
-      val dA =
-        if (headA <= consumedA) emptyLike(dA0).withColumn("__sa", lit(1L))
-        else TxTable.changeFeed(spark, srcA, consumedA, Some(headA))
-          .select(col(keyCol), col(valCol), sign.as("__sa"))
-      val dB =
-        if (headB <= consumedB) emptyLike(dB0).withColumn("__sb", lit(1L))
-        else TxTable.changeFeed(spark, srcB, consumedB, Some(headB))
-          .select(col(keyCol), col(grpCol), sign.as("__sb"))
-      // Δ(A⋈B), one signed (grp, val) bag from the three terms
-      val t1 = dA.join(dB0, Seq(keyCol))
-        .select(col(grpCol), col(valCol), col("__sa").as("__sign"))
-      val t2 = dA0.join(dB, Seq(keyCol))
-        .select(col(grpCol), col(valCol), col("__sb").as("__sign"))
-      val t3 = dA.join(dB, Seq(keyCol))
-        .select(col(grpCol), col(valCol),
-          (-col("__sa") * col("__sb")).as("__sign"))
-      val delta = t1.unionByName(t2).unionByName(t3)
-        .groupBy(col(grpCol))
-        .agg(sum(col("__sign")).as("__dn"),
-          sum(col("__sign") * col(valCol)).as("__ds"))
+      val delta = joinDelta(spark, srcA, srcB, keyCol, grpCol, valCol,
+        consumedA, headA, consumedB, headB)
       val merged = (dstSnap match {
         case Some(s) if s.files.nonEmpty =>
           TxTable.read(spark, dst).join(delta, Seq(grpCol), "full")
@@ -295,6 +305,136 @@ object IncrementalView {
           attempts += 1
           if (attempts >= maxRetries) throw new TxTable.TxConflictException(
             s"maintainJoin lost $maxRetries races at $dst")
+      }
+    }
+    (-1L, -1L) // unreachable
+  }
+
+  /** [[maintainJoin]] with PARTIAL state rewrites — the
+    * [[maintainPartitioned]] discipline applied to the join view: the
+    * view lays out one-group-per-file-cluster (per-file value sets on
+    * `grpCol`) and each cycle routes through the dynamic-partition-
+    * overwrite machinery, so a delta touching g groups rewrites the
+    * file clusters holding those g groups and every other group's
+    * files carry over BYTE-UNTOUCHED — removing [[maintainJoin]]'s
+    * O(view) write amplification per cycle at large group
+    * cardinality. Emptied groups are explicitly-named
+    * replaced-with-nothing partitions. BOTH consumption markers
+    * commit atomically with the state, and the commit carries a
+    * marker GUARD on both (a maintainer whose delta was computed
+    * against stale markers conflicts out and rebases). NULL groups
+    * refuse (null is not a partition value); use [[maintainJoin]]
+    * for nullable group keys. */
+  def maintainJoinPartitioned(spark: SparkSession, srcA: String,
+      srcB: String, dst: String, keyCol: String, grpCol: String,
+      valCol: String, appId: String = "ivmj",
+      maxRetries: Int = 10): (Long, Long) = {
+    val (markA, markB) = (s"$appId:a", s"$appId:b")
+    var attempts = 0
+    while (true) {
+      val headA = TxTable.snapshot(spark, srcA).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed version at $srcA")).version
+      val headB = TxTable.snapshot(spark, srcB).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed version at $srcB")).version
+      val dstSnap = TxTable.snapshot(spark, dst)
+      val consumedA = dstSnap.flatMap(_.txns.get(markA)).getOrElse(0L)
+      val consumedB = dstSnap.flatMap(_.txns.get(markB)).getOrElse(0L)
+      if (headA <= consumedA && headB <= consumedB)
+        return (consumedA, consumedB) // caught up: no-op
+      val delta = joinDelta(spark, srcA, srcB, keyCol, grpCol, valCol,
+        consumedA, headA, consumedB, headB)
+        .localCheckpoint(false)
+      val changedGroups = delta.select(col(grpCol).cast("string"))
+        .distinct().collect().map { r =>
+          require(!r.isNullAt(0),
+            s"null $grpCol in the join delta: null is not a " +
+              "partition value — use maintainJoin() for nullable groups")
+          r.getString(0)
+        }.toSeq
+      if (changedGroups.isEmpty) {
+        // no row-level change: one marker-only commit (files and
+        // index metadata unchanged), guarded on BOTH markers
+        try {
+          if (dstSnap.flatMap(_.txns.get(markA)).getOrElse(0L) != consumedA
+            || dstSnap.flatMap(_.txns.get(markB)).getOrElse(0L) != consumedB)
+            throw new TxTable.TxConflictException(
+              s"markers $appId moved at $dst: rebase")
+          TxTable.commit(spark, dst,
+            dstSnap.map(_.version + 1).getOrElse(1L),
+            dstSnap.map(_.files).getOrElse(Nil),
+            dstSnap.map(_.txns).getOrElse(Map.empty) +
+              (markA -> headA) + (markB -> headB),
+            dstSnap.flatMap(_.statsCol),
+            dstSnap.map(_.stats).getOrElse(Map.empty),
+            dstSnap.map(_.multiStats).getOrElse(Map.empty),
+            dstSnap.map(_.fileValues).getOrElse(Map.empty),
+            dstSnap.flatMap(_.bloomCol),
+            dstSnap.map(_.blooms).getOrElse(Map.empty),
+            op = "append")
+          return (headA, headB)
+        } catch {
+          case _: TxTable.TxConflictException =>
+            attempts += 1
+            if (attempts >= maxRetries)
+              throw new TxTable.TxConflictException(
+                s"maintainJoinPartitioned lost $maxRetries races at $dst")
+        }
+      } else {
+        // current rows for the CHANGED groups only: value-set prune
+        // over the view's own manifest (files without metadata fail
+        // open)
+        val current: DataFrame = dstSnap match {
+          case Some(snap) if snap.files.nonEmpty =>
+            val gSet = changedGroups.toSet
+            val keep = snap.files.filter(f =>
+              snap.fileValues.get(f).flatMap(_.get(grpCol)) match {
+                case Some(vs) => vs.exists(gSet)
+                case None => true
+              })
+            if (keep.isEmpty)
+              TxTable.read(spark, dst).filter(lit(false))
+            else spark.read.parquet(
+              keep.map(new org.apache.hadoop.fs.Path(dst, _).toString): _*)
+              .filter(col(grpCol).cast("string").isin(changedGroups: _*))
+          case _ => delta.select(col(grpCol), lit(0L).as("n"),
+            lit(0L).as("s")).filter(lit(false))
+        }
+        val replacement = current.join(delta, Seq(grpCol), "full")
+          .select(col(grpCol),
+            (coalesce(col("n"), lit(0L)) +
+              coalesce(col("__dn"), lit(0L))).as("n"),
+            (coalesce(col("s"), lit(0L)) +
+              coalesce(col("__ds"), lit(0L))).as("s"))
+          .filter(col("n") =!= 0L)
+          .localCheckpoint(false)
+        val survivors = replacement.select(col(grpCol).cast("string"))
+          .distinct().collect().map(_.getString(0)).toSet
+        val emptied = changedGroups.filterNot(survivors).map(Seq(_))
+        try {
+          val next0 = dstSnap.map(_.version + 1).getOrElse(1L)
+          val nParts = math.max(2,
+            spark.sessionState.conf.numShufflePartitions)
+          val fresh =
+            if (survivors.isEmpty) Nil
+            else TxTable.writeFiles(
+              replacement.repartitionByRange(
+                math.min(nParts, math.max(1, survivors.size)),
+                col(grpCol)),
+              dst, next0)
+          TxTable.dynamicOverwriteCommit(spark, dst, fresh, Seq(grpCol),
+            extraTuples = emptied,
+            addTxns = Map(markA -> headA, markB -> headB),
+            requireTxns = Map(markA -> consumedA, markB -> consumedB))
+          return (headA, headB)
+        } catch {
+          case _: TxTable.TxConflictException =>
+            attempts += 1
+            if (attempts >= maxRetries)
+              throw new TxTable.TxConflictException(
+                s"maintainJoinPartitioned lost $maxRetries races at $dst")
+        }
       }
     }
     (-1L, -1L) // unreachable

@@ -2201,7 +2201,8 @@ object TxTable {
       maxPartitions: Int = 10000,
       extraTuples: Seq[Seq[String]] = Nil,
       addTxns: Map[String, Long] = Map.empty,
-      requireTxn: Option[(String, Long)] = None): Long = {
+      requireTxn: Option[(String, Long)] = None,
+      requireTxns: Map[String, Long] = Map.empty): Long = {
     import org.apache.spark.sql.functions.{broadcast, lit}
     // entries may be transforms ("days(ts)"): the partition VALUE is
     // the transform's derived canonical string, the manifest key is
@@ -2214,7 +2215,7 @@ object TxTable {
     // caller computed its replacement against a consumption marker;
     // if another maintainer advanced it since, committing would
     // double-apply — conflict out so the caller rebases
-    requireTxn.foreach { case (app, expected) =>
+    (requireTxns ++ requireTxn).foreach { case (app, expected) =>
       val got = cur.flatMap(_.txns.get(app)).getOrElse(0L)
       if (got != expected) throw new TxConflictException(
         s"marker $app moved ($expected -> $got) at $table: rebase")

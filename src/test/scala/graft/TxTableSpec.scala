@@ -1351,6 +1351,90 @@ class TxTableSpec extends AnyFunSuite {
     assert(view() === Seq(("c", 2L, 101L), ("z", 2L, 70L)))
   }
 
+  test("maintainJoinPartitioned rewrites ONLY touched-group clusters") {
+    import graft.sources.IncrementalView
+    val srcA = freshTable()
+    val srcB = freshTable()
+    val dst = freshTable()
+    TxTable.enableChangeFeed(spark, srcA)
+    TxTable.enableChangeFeed(spark, srcB)
+    TxTable.append(Seq((1L, 10L), (2L, 20L), (3L, 5L), (4L, 7L),
+      (5L, 9L)).toDF("k", "v"), srcA) // A v1
+    TxTable.append(Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"),
+      (5L, "d")).toDF("k", "g"), srcB) // B v1
+    IncrementalView.maintainJoinPartitioned(
+      spark, srcA, srcB, dst, "k", "g", "v")
+    def view(): Seq[(String, Long, Long)] =
+      TxTable.read(spark, dst).as[(String, Long, Long)]
+        .collect().sorted.toSeq
+    assert(view() === Seq(("a", 2L, 30L), ("b", 1L, 5L),
+      ("c", 1L, 7L), ("d", 1L, 9L)))
+    val snap1 = TxTable.snapshot(spark, dst).get
+    assert(snap1.fileValues.values.exists(_.contains("g")),
+      "partitioned join view must record per-file group value sets")
+    // delta touches ONLY group a (fact update via delete+append on
+    // k=1) and b (emptied: its only fact deleted)
+    TxTable.deleteWhere(spark, srcA, Seq(("k", 3.0, 3.0))) // A v2
+    TxTable.deleteWhere(spark, srcA, Seq(("k", 1.0, 1.0))) // A v3
+    TxTable.append(Seq((1L, 110L)).toDF("k", "v"), srcA)   // A v4
+    val consumed = IncrementalView.maintainJoinPartitioned(
+      spark, srcA, srcB, dst, "k", "g", "v")
+    assert(consumed === (4L, 1L))
+    assert(view() === Seq(("a", 2L, 130L), ("c", 1L, 7L), ("d", 1L, 9L)),
+      "b must leave; a must fold; c/d untouched")
+    // files provably holding ONLY untouched groups carried over
+    val snap2 = TxTable.snapshot(spark, dst).get
+    val untouched = snap1.files.filter(f =>
+      snap1.fileValues.get(f).flatMap(_.get("g"))
+        .exists(vs => !vs("a") && !vs("b")))
+    assert(untouched.nonEmpty, "test setup: no provably-untouched file")
+    untouched.foreach(f => assert(snap2.files.contains(f),
+      s"untouched-group file $f was rewritten by a 2-group delta"))
+    // replay no-op; partial path equals the full path
+    assert(IncrementalView.maintainJoinPartitioned(
+      spark, srcA, srcB, dst, "k", "g", "v") === (4L, 1L))
+    val dst2 = freshTable()
+    IncrementalView.maintainJoin(spark, srcA, srcB, dst2, "k", "g", "v")
+    assert(TxTable.read(spark, dst2).as[(String, Long, Long)]
+      .collect().sorted.toSeq === view())
+  }
+
+  test("maintainJoin over DV-DML'd sources: merge-on-read images fold exactly") {
+    import graft.sources.IncrementalView
+    val srcA = freshTable() // facts (k, v)
+    val srcB = freshTable() // dims (k, g)
+    val dst = freshTable()
+    TxTable.enableChangeFeed(spark, srcA)
+    TxTable.enableChangeFeed(spark, srcB)
+    TxTable.enableDeletionVectors(spark, srcA)
+    TxTable.enableDeletionVectors(spark, srcB)
+    TxTable.append(Seq((1L, 10L), (2L, 20L), (3L, 5L))
+      .toDF("k", "v"), srcA) // A v1
+    TxTable.append(Seq((1L, "a"), (2L, "a"), (3L, "b"))
+      .toDF("k", "g"), srcB) // B v1
+    IncrementalView.maintainJoin(spark, srcA, srcB, dst, "k", "g", "v")
+    def view(): Seq[(String, Long, Long)] =
+      TxTable.read(spark, dst).as[(String, Long, Long)]
+        .collect().sorted.toSeq
+    assert(view() === Seq(("a", 2L, 30L), ("b", 1L, 5L)))
+    // DV DML on BOTH sides: a merge-on-read DELETE on the fact and a
+    // DV MERGE on the dim — the feeds record the same images as CoW,
+    // so the fold must stay exact (and the A-side read is dv-aware)
+    TxTable.deleteWhere(spark, srcA, Seq(("k", 1.0, 1.0)))   // A v2 (DV)
+    TxTable.merge(spark, srcB,
+      Seq((3L, "z")).toDF("k", "g"), "k")                    // B v2 (DV)
+    assert(TxTable.snapshot(spark, srcA).get.dels.nonEmpty)
+    assert(TxTable.snapshot(spark, srcB).get.dels.nonEmpty)
+    val consumed =
+      IncrementalView.maintainJoin(spark, srcA, srcB, dst, "k", "g", "v")
+    assert(consumed === (2L, 2L))
+    // recompute: facts {2→20, 3→5}, dims {1→a, 2→a, 3→z}
+    assert(view() === Seq(("a", 1L, 20L), ("z", 1L, 5L)),
+      "join-IVM over DV feeds diverged from the recompute")
+    assert(IncrementalView.maintainJoin(
+      spark, srcA, srcB, dst, "k", "g", "v") === (2L, 2L))
+  }
+
   test("applyFeedBatch: exactly-once fold of a CDF micro-batch by epoch") {
     import graft.sources.IncrementalView
     val src = freshTable()
