@@ -3424,10 +3424,14 @@ object TxTable {
     val valueCols = cur.fileValues.values.flatMap(_.keys).toSeq.distinct.sorted
     val cluster = valueCols.map(v => PartTransform.parse(v).expr) ++
       statCols.map(c)
-    val fresh = writeFiles(
-      if (cluster.nonEmpty)
-        scopedDf.repartitionByRange(targetFiles, cluster: _*)
-      else scopedDf.repartition(targetFiles), table, next)
+    val fresh = declaredBucket(spark, table) match {
+      // single-bucket table: folded files keep the SPJ layout
+      case Some(b) => writeFilesBucketed(scopedDf, table, next, b)
+      case None => writeFiles(
+        if (cluster.nonEmpty)
+          scopedDf.repartitionByRange(targetFiles, cluster: _*)
+        else scopedDf.repartition(targetFiles), table, next)
+    }
     val (ms, fv) = recomputeMetadata(spark, table, fresh,
       statCols, valueCols)
     val untouchedSet = untouched.toSet
@@ -3686,8 +3690,12 @@ object TxTable {
     val statCols = cur.multiStats.values.flatMap(_.keys).toSeq.distinct.sorted
     val valueCols = (cur.fileValues.values.flatMap(_.keys).toSeq
       ++ Seq(t.name)).distinct.sorted
-    val files = writeFiles(
-      scopedDf.repartitionByRange(targetFiles, t.expr), table, next)
+    val files = declaredBucket(spark, table) match {
+      // single-bucket table: the scoped rewrite keeps the SPJ layout
+      case Some(b) => writeFilesBucketed(scopedDf, table, next, b)
+      case None => writeFiles(
+        scopedDf.repartitionByRange(targetFiles, t.expr), table, next)
+    }
     val (ms, fv) = recomputeMetadata(spark, table, files,
       statCols, valueCols)
     val untouchedSet = untouched.toSet
@@ -3703,6 +3711,19 @@ object TxTable {
     next
   }
 
+  /** Whether `table` declares the single-`bucket()` layout whose
+    * one-bucket-per-file invariant is LOAD-BEARING (storage-
+    * partitioned joins ride it). Compaction/fold rewrites route
+    * through [[writeFilesBucketed]] for these tables — `targetFiles`
+    * yields to the bucket count, and the zero-Exchange join survives
+    * OPTIMIZE / DV folds instead of silently degrading to shuffles. */
+  private def declaredBucket(spark: SparkSession,
+      table: String): Option[PartBucket] =
+    declaredPartitions(spark, table).map(PartTransform.parse) match {
+      case Seq(b: PartBucket) => Some(b)
+      case _ => None
+    }
+
   def compact(spark: SparkSession, table: String, targetFiles: Int): Long = {
     import org.apache.spark.sql.functions.{col => c, input_file_name, max => fmax, min => fmin}
     require(targetFiles >= 1)
@@ -3711,7 +3732,17 @@ object TxTable {
     val next = cur.version + 1
     val statCols = cur.multiStats.values.flatMap(_.keys).toSeq.distinct.sorted
     val valueCols = cur.fileValues.values.flatMap(_.keys).toSeq.distinct.sorted
-    if (cur.bloomCol.isDefined) {
+    val bucketDecl = declaredBucket(spark, table)
+    if (bucketDecl.isDefined) {
+      // single-bucket table: preserve the SPJ layout (one bucket per
+      // file) and recompute the metadata the layout prunes by
+      val files =
+        writeFilesBucketed(read(spark, table), table, next, bucketDecl.get)
+      val (ms, fv) = recomputeMetadata(spark, table, files,
+        statCols, valueCols)
+      commit(spark, table, next, files, cur.txns,
+        multiStats = ms, fileValues = fv, op = "compact")
+    } else if (cur.bloomCol.isDefined) {
       val bc = cur.bloomCol.get
       val files = writeFiles(
         read(spark, table).repartition(targetFiles, c(bc)), table, next)

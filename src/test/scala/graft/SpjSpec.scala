@@ -188,11 +188,59 @@ class SpjSpec extends AnyFunSuite {
     // DV'd bucketed snapshot: reads stay exact (SpjDv composition)
     assert(spark.sql("SELECT count(*) AS n FROM spjd.t").as[Long]
       .head() === 99L)
-    // compaction folds the DV but rewrites without the bucket layout —
-    // value sets may widen; reads stay exact either way
+    // compaction folds the DV AND preserves the one-bucket-per-file
+    // layout (SPJ survives OPTIMIZE on a declared-bucket table)
     TxTable.compact(spark, dir, 2)
     assert(spark.sql("SELECT count(*) AS n FROM spjd.t").as[Long]
       .head() === 99L)
+    val folded = TxTable.snapshot(spark, dir).get
+    assert(folded.dels.isEmpty, "compact must fold the predicates")
+    assert(folded.files.forall(f =>
+      folded.fileValues.get(f).flatMap(_.get("bucket(4,k)"))
+        .exists(_.size == 1)),
+      "compaction of a declared-bucket table must keep singleton " +
+        "bucket value sets (the SPJ invariant)")
+  }
+
+  test("compact_deleted on a DV-merged bucket table: fold keeps zero-Exchange joins") {
+    val root = freshRoot()
+    TxSql.installCatalog(spark, "spjf", root)
+    spark.sql("CREATE TABLE spjf.a (k BIGINT, x BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE spjf.b (k BIGINT, y BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    (1 to 200).map(i => (i.toLong, i.toLong * 2)).toDF("k", "x")
+      .createOrReplaceTempView("spjf_sa")
+    (1 to 200).map(i => (i.toLong, i.toLong * 3)).toDF("k", "y")
+      .createOrReplaceTempView("spjf_sb")
+    spark.sql("INSERT INTO spjf.a SELECT * FROM spjf_sa")
+    spark.sql("INSERT INTO spjf.b SELECT * FROM spjf_sb")
+    val dirA = s"$root/a"
+    TxTable.enableDeletionVectors(spark, dirA)
+    // a DV merge hides half the rows across every bucket, then the
+    // pressure fold rewrites the hot files — THROUGH the bucket layout
+    TxTable.merge(spark, dirA,
+      (1 to 100).map(i => (i.toLong, i.toLong * 20)).toDF("k", "x"), "k")
+    assert(TxTable.snapshot(spark, dirA).get.dels.nonEmpty)
+    val (_, nFolded) = TxTable.compactDeleted(spark, dirA, 0.3)
+    assert(nFolded > 0, "the merge-hidden files must fold")
+    assert(TxTable.snapshot(spark, dirA).get.dels.isEmpty)
+    withBucketing {
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val q = spark.sql(
+          "SELECT a.k, a.x, b.y FROM spjf.a a JOIN spjf.b b ON a.k = b.k")
+        assert(shuffles(q) === 0,
+          "SPJ must survive a compact_deleted fold on a bucket table:\n" +
+            q.queryExecution.executedPlan.toString.take(2000))
+        val got = q.as[(Long, Long, Long)].collect().sortBy(_._1)
+        assert(got.length === 200)
+        assert(got.forall { case (k, x, _) =>
+          x == (if (k <= 100) 20 * k else 2 * k) })
+      } finally spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
   }
 
   test("DV'd bucketed tables still join with ZERO Exchange, visibility-exact") {
