@@ -280,6 +280,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("DV merge ≡ CoW merge on random tables and batches (8 cases)") {
+    import graft.sources.TxTable
+    import spark.implicits._
+    // the merge-on-read path's whole contract in one property: for
+    // ANY base table and ANY batch (overlapping keys, fresh keys,
+    // duplicate batch keys, adversarial string values), the
+    // DV-enabled merge must read back EXACTLY what the copy-on-write
+    // twin reads. A candidate-prune bug (file skipped that held a
+    // key), a canonical-form mismatch, or a resurrection through
+    // fresh files all falsify it.
+    val genVal = Gen.oneOf(Gen.alphaNumStr.map(_.take(8)),
+      Gen.const("q\"uo\"te"), Gen.const("unié中"))
+    val genCase = for {
+      nBase <- Gen.choose(5, 40)
+      base <- Gen.listOfN(nBase,
+        Gen.zip(Gen.choose(0L, 30L), genVal))
+      nBatch <- Gen.choose(1, 15)
+      batch <- Gen.listOfN(nBatch,
+        Gen.zip(Gen.choose(0L, 45L), genVal)) // overlaps + fresh keys
+    } yield (base, batch)
+    for (((base, batch), i) <- cases(genCase, 8).zipWithIndex) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_prop_mdv_$i").toString
+      val (dvDir, cowDir) = (s"$root/dv", s"$root/cow")
+      val baseDf = base.toDF("k", "v")
+      val batchDf = batch.toDF("k", "v")
+      for (d <- Seq(dvDir, cowDir))
+        TxTable.overwriteIndexedMulti(baseDf, d, statCols = Seq("k"))
+      TxTable.enableDeletionVectors(spark, dvDir)
+      TxTable.merge(spark, dvDir, batchDf, "k")
+      TxTable.merge(spark, cowDir, batchDf, "k")
+      val got = TxTable.read(spark, dvDir)
+        .as[(Long, String)].collect().sorted.toSeq
+      val want = TxTable.read(spark, cowDir)
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(got == want, s"case $i: DV merge diverged from CoW\n" +
+        s"base=$base\nbatch=$batch\ndv=$got\ncow=$want")
+      // and the DV side really was merge-on-read (an all-fresh-keys
+      // batch legitimately prunes to ZERO candidates — no entry)
+      val maxBase = base.map(_._1).max
+      assert(TxTable.snapshot(spark, dvDir).get.dels.nonEmpty ||
+        batch.forall(_._1 > maxBase),
+        s"case $i: merge did not record an IN-set")
+    }
+  }
+
   test("DelEntry manifest round-trip: random predicates survive commit -> snapshot exactly") {
     import graft.sources.TxTable
     // adversarial content: quotes, backslashes, control chars and
