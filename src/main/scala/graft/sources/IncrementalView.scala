@@ -355,10 +355,14 @@ object IncrementalView {
         }.toSeq
       if (changedGroups.isEmpty) {
         // no row-level change: one marker-only commit (files and
-        // index metadata unchanged), guarded on BOTH markers
+        // index metadata unchanged), guarded on BOTH markers — the
+        // guard RE-READS the snapshot (comparing against dstSnap would
+        // be tautological); the commit protocol's create-exclusive
+        // version file backstops the remaining window
         try {
-          if (dstSnap.flatMap(_.txns.get(markA)).getOrElse(0L) != consumedA
-            || dstSnap.flatMap(_.txns.get(markB)).getOrElse(0L) != consumedB)
+          val fresh = TxTable.snapshot(spark, dst)
+          if (fresh.flatMap(_.txns.get(markA)).getOrElse(0L) != consumedA
+            || fresh.flatMap(_.txns.get(markB)).getOrElse(0L) != consumedB)
             throw new TxTable.TxConflictException(
               s"markers $appId moved at $dst: rebase")
           TxTable.commit(spark, dst,

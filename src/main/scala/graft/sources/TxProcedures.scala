@@ -100,7 +100,7 @@ private[sources] object TxProcedures {
         StructField("change_feed", BooleanType),
         StructField("n_change_files", LongType),
         StructField("n_dv_files", LongType),
-        StructField("dv_hidden_rows", LongType))),
+        StructField("n_del_entries", LongType))),
       run = { (spark, dir, _) =>
         val snap = TxTable.snapshot(spark, dir).getOrElse(
           throw new IllegalArgumentException(
@@ -112,9 +112,10 @@ private[sources] object TxProcedures {
           val p = new org.apache.hadoop.fs.Path(dir, f)
           if (fsys.exists(p)) fsys.getFileStatus(p).getLen else 0L
         }.sum
-        // deletion pressure: exact hidden-row totals over the DV'd
-        // files only (no predicates standing → zero-cost zeros)
-        val pressure = TxTable.dvPressure(spark, dir)
+        // deletion pressure stays MANIFEST-DERIVED here: DV'd-file and
+        // standing-entry counts come from the snapshot alone, so
+        // `detail` never triggers a data scan — exact hidden-row
+        // totals belong to the dedicated dv_pressure procedure
         Seq(new GenericInternalRow(Array[Any](
           snap.version, UTF8String.fromString(snap.op), snap.ts,
           snap.files.size.toLong, bytes,
@@ -122,7 +123,7 @@ private[sources] object TxProcedures {
             .map(UTF8String.fromString).orNull,
           TxTable.changeFeedEnabled(spark, dir),
           snap.changes.size.toLong,
-          pressure.size.toLong, pressure.map(_._3).sum)))
+          snap.delsByFile.size.toLong, snap.dels.size.toLong)))
       })
     // per-file deletion pressure (the `n_dv_files`/`dv_hidden_rows`
     // aggregate in `detail`, itemized): which files are worth folding

@@ -610,7 +610,13 @@ private[sources] class TxFileIndex(spark: SparkSession, table: String,
           snap.fileValues.get(f).forall(_.forall {
             case (entry, vs) => TxTable.PartTransform.parse(entry) match {
               case TxTable.PartTruncate(w, c0) if c0 == lc =>
-                vs.exists(_ == v.take(w))
+                // probe prefix must be CODE-POINT-aware to match the
+                // recorded canonical form (substring(col, 1, w) counts
+                // code points; Scala's take(w) counts UTF-16 units, so
+                // non-BMP values would falsely prune the file)
+                val probe = org.apache.spark.unsafe.types.UTF8String
+                  .fromString(v).substringSQL(1, w).toString
+                vs.exists(_ == probe)
               case _ => true
             }
           })

@@ -384,6 +384,7 @@ object TxTable {
       case e: graft.Json.JsonException => throw new IllegalStateException(
         s"corrupt manifest v$v.json at $table: ${e.getMessage}")
     }
+    checkReaderVersion(root, table, v)
     def asDouble(x: Any): Double = x match {
       case l: Long => l.toDouble
       case d: Double => d
@@ -466,6 +467,25 @@ object TxTable {
       bloomCol, blooms, op, changes, ts, parseDels(root))
   }
 
+  /** Highest manifest reader-feature level this build understands.
+    * Level 2 = shared-body deletion entries (`{"paths":[...]}` with
+    * the "i" IN-set field). Writers stamp `minReader` ONLY on commits
+    * that actually use a level-2 feature, so tables that never carry
+    * deletion predicates stay readable by any build; readers refuse
+    * manifests demanding a HIGHER level with an actionable message
+    * instead of an opaque parse exception — Delta's protocol-version
+    * discipline reduced to the manifest. */
+  private[graft] val SupportedReaderVersion = 2L
+
+  private def checkReaderVersion(root: Map[String, Any], table: String,
+      v: Long): Unit =
+    root.get("minReader").collect { case l: Long => l }.foreach { mr =>
+      if (mr > SupportedReaderVersion) throw new IllegalStateException(
+        s"manifest v$v.json at $table was written by a newer writer: " +
+          s"it requires reader version $mr but this build supports " +
+          s"$SupportedReaderVersion — upgrade before reading this table")
+    }
+
   /** Deletion-predicate entries of one parsed manifest root — shared
     * by [[parseManifest]] and [[peekManifest]] (the change-feed walk
     * needs dels context per version). Bounds serialize as STRINGS
@@ -532,6 +552,7 @@ object TxTable {
       case e: graft.Json.JsonException => throw new IllegalStateException(
         s"corrupt manifest v$v.json at $table: ${e.getMessage}")
     }
+    checkReaderVersion(root, table, v)
     val files = root.get("files") match {
       case Some(l: List[_]) => l.collect { case s: String => s }
       case _ => Nil
@@ -840,10 +861,13 @@ object TxTable {
     // list (a merge's IN-set touches many files — repeating a 100k-key
     // list per file would multiply the manifest by the candidate
     // count); the shared body also keeps readFilesDv's del-signature
-    // grouping coarse (one relation per DML, not per file)
+    // grouping coarse (one relation per DML, not per file). The form
+    // is a reader-visible format feature, so the commit stamps the
+    // protocol floor ("minReader":2) — see [[SupportedReaderVersion]]
     val delsJson =
       if (dels.isEmpty) ""
-      else ",\"dels\":[" + dels.groupBy(d => (d.ranges, d.eqs, d.ins))
+      else ",\"minReader\":" + SupportedReaderVersion +
+        ",\"dels\":[" + dels.groupBy(d => (d.ranges, d.eqs, d.ins))
         .toSeq.sortBy(_._2.head.path).map { case ((rs, es, is), ds) =>
           val r = rs.map { case (c, lo, hi) =>
             s"[${jq(c)},${jq(lo.toString)},${jq(hi.toString)}]" }
@@ -1592,6 +1616,87 @@ object TxTable {
     writeChangeFiles(delta, table, next)
   }
 
+  /** MERGE full-sync by key — SQL's `WHEN MATCHED UPDATE / WHEN NOT
+    * MATCHED INSERT / WHEN NOT MATCHED BY SOURCE DELETE` as one
+    * atomic verb: `updates` upserts by `key` exactly like [[merge]],
+    * and current rows INSIDE the scope whose key is absent from
+    * `updates` DELETE. Scope is the DML verbs' conjunctive
+    * range/equality language (empty = whole table), which is what
+    * makes the daily regional sync cheap at 100 TB: "replace this
+    * region's rows with today's feed, drop what the feed no longer
+    * carries" touches that region's files only — every other file
+    * carries over byte-untouched under the manifest prune. Rows the
+    * scope predicate evaluates NULL on are KEPT (SQL WHERE
+    * semantics, same as [[deleteWhere]]). DV-enabled tables commit
+    * merge-on-read ([[mergeSyncDv]]): upsert pre-images hide under
+    * the batch-key IN-set, vanished rows hide under a SCOPED IN-set
+    * (scope AND key IN vanished — conjunctive in ONE [[DelEntry]]),
+    * and ZERO pre-existing data files rewrite. */
+  def mergeSync(spark: SparkSession, table: String, updates: DataFrame,
+      key: String, scopeRanges: Seq[(String, Double, Double)] = Nil,
+      scopeEq: Seq[(String, String)] = Nil): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val cur = snapshot(spark, table)
+    val dv = cur.filter(_ => deletionVectorsEnabled(spark, table))
+      .flatMap(c => mergeSyncDv(spark, table, updates, key,
+        scopeRanges, scopeEq, c))
+    if (dv.isDefined) return dv.get
+    val next = cur.map(_.version + 1).getOrElse(1L)
+    val scopePred = predicateColumn(scopeRanges, scopeEq)
+    val merged = cur match {
+      case None => updates
+      case Some(_) =>
+        val current = read(spark, table)
+        val updKeys = updates.select(key).distinct()
+        // not-matched-by-source: anti-join keeps unmatched rows
+        // (NULL target keys never match, exactly MERGE's ON), then
+        // the scope filter drops the vanished ones
+        current.join(updKeys, Seq(key), "left_anti")
+          .filter(not(coalesce(scopePred, lit(false))))
+          .unionByName(updates, allowMissingColumns = true)
+    }
+    val changeFiles = mergeSyncChangeFiles(spark, table, cur, updates,
+      key, scopeRanges, scopeEq, next)
+    val files = writeFiles(merged, table, next)
+    commit(spark, table, next, files, cur.map(_.txns).getOrElse(Map.empty),
+      op = "merge", changes = changeFiles)
+    widenDeclared(spark, table, updates)
+    next
+  }
+
+  /** [[mergeSync]]'s change-feed delta: [[mergeChangeFiles]]'s three
+    * arms plus the by-source DELETE arm (scoped visible rows whose
+    * key vanished). Shared by copy-on-write and merge-on-read, so
+    * CDF consumers cannot tell the strategies apart. */
+  private def mergeSyncChangeFiles(spark: SparkSession, table: String,
+      cur: Option[Snapshot], updates: DataFrame, key: String,
+      scopeRanges: Seq[(String, Double, Double)],
+      scopeEq: Seq[(String, String)], next: Long): Seq[String] = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    if (!changeFeedEnabled(spark, table)) return Nil
+    val keys = updates.select(key).distinct()
+    val delta = cur match {
+      case None => updates.withColumn(ChangeTypeCol, lit("insert"))
+      case Some(_) =>
+        val current = read(spark, table)
+        val curKeys = current.select(key).distinct()
+        val scopePred = predicateColumn(scopeRanges, scopeEq)
+        current.join(keys, Seq(key), "left_semi")
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+          .unionByName(updates.join(curKeys, Seq(key), "left_semi")
+            .withColumn(ChangeTypeCol, lit("update_postimage")),
+            allowMissingColumns = true)
+          .unionByName(updates.join(curKeys, Seq(key), "left_anti")
+            .withColumn(ChangeTypeCol, lit("insert")),
+            allowMissingColumns = true)
+          .unionByName(current.filter(coalesce(scopePred, lit(false)))
+            .join(keys, Seq(key), "left_anti")
+            .withColumn(ChangeTypeCol, lit("delete")),
+            allowMissingColumns = true)
+    }
+    writeChangeFiles(delta, table, next)
+  }
+
   /** Incremental consumption: the rows ADDED after `sinceVersion`,
     * as (frame, headVersion) — the manifest set-difference between
     * the head snapshot and the consumed one, which is exact for
@@ -1927,7 +2032,8 @@ object TxTable {
     val next = cur.version + 1
     val keys = keysRaw.sorted.toSeq
     val touched =
-      if (keys.isEmpty) Nil else candidateFilesForKeys(cur, key, keys)
+      if (keys.isEmpty) Nil
+      else candidateFilesForKeys(cur, key, keys, keyType)
     val changeFiles = cdcChangeFiles(spark, table, Some(cur), changes,
       key, opCol, next)
     val upserts = changes.filter(col(opCol) =!= "d").drop(opCol)
@@ -3246,17 +3352,30 @@ object TxTable {
 
   /** Files of `snap` that MAY hold any of `keys` (canonical string
     * form) in `col` — the IN-set analog of [[candidateFiles]],
-    * consulting per-file (min,max) stats (when every key parses
-    * numeric), recorded value sets, and bloom filters. Files without
-    * metadata are always candidates — pruning is an optimization,
-    * never a filter. Driver cost is O(files × log keys + bloom
-    * probes), the same manifest-sized class as every prune here. */
+    * consulting per-file (min,max) stats (ONLY when the key column is
+    * integral — recorded stats are `min/max(col).cast("double")`, so a
+    * string key's stats are lexicographic-then-cast artifacts: {"9",
+    * "10"} records the inverted interval (10.0, 9.0) and non-numeric
+    * strings record (0.0, 0.0) via null-unboxing, either of which
+    * would falsely prune a file that holds the key; string/date keys
+    * rely on value sets and blooms instead), recorded value sets, and
+    * bloom filters. Files without metadata are always candidates —
+    * pruning is an optimization, never a filter. Driver cost is
+    * O(files × log keys + bloom probes), the same manifest-sized
+    * class as every prune here. */
   private def candidateFilesForKeys(snap: Snapshot, col: String,
-      keys: Seq[String]): Seq[String] = {
+      keys: Seq[String],
+      keyType: Option[org.apache.spark.sql.types.DataType]): Seq[String] = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
     val keySet = keys.toSet
+    val statsSound = keyType.exists {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
     val numeric: Option[Array[Double]] = {
       val ds = keys.flatMap(_.toDoubleOption)
-      if (ds.length == keys.length) Some(ds.toArray.sorted) else None
+      if (statsSound && ds.length == keys.length) Some(ds.toArray.sorted)
+      else None
     }
     def admits(mn: Double, mx: Double): Boolean = numeric match {
       case Some(arr) =>
@@ -3330,7 +3449,8 @@ object TxTable {
     val next = cur.version + 1
     val keys = keysRaw.sorted.toSeq
     val touched =
-      if (keys.isEmpty) Nil else candidateFilesForKeys(cur, key, keys)
+      if (keys.isEmpty) Nil
+      else candidateFilesForKeys(cur, key, keys, keyType)
     // change feed first: it reads the PRE-merge (visible) table
     val changeFiles =
       mergeChangeFiles(spark, table, Some(cur), updates, key, next)
@@ -3351,6 +3471,89 @@ object TxTable {
         else touched.map(f => DelEntry(f, Nil, Nil, ins))))
     widenDeclared(spark, table, updates)
     Some((next, touched.size, cur.files.size))
+  }
+
+  /** [[mergeSync]] as a merge-on-read commit — [[mergeDvCounted]]'s
+    * mechanics plus the by-source arm: the vanished keys (visible
+    * scoped rows whose key is absent from the batch) record as a
+    * SCOPED IN-set [[DelEntry]] (scope AND key IN vanished — the
+    * entry language is conjunctive, so the hide is exact even when a
+    * key also has rows OUTSIDE the scope), the upsert keys record as
+    * the usual unscoped IN-set, and the batch lands as fresh
+    * post-image files. ZERO pre-existing files rewrite. None → fall
+    * back to copy-on-write when the key type is not canonically
+    * lossless, the combined key sets exceed [[DvMergeMaxKeys]], a
+    * scoped visible row carries a NULL key (an IN-set cannot hide
+    * NULL; CoW can), or the table is empty. */
+  private def mergeSyncDv(spark: SparkSession, table: String,
+      updates: DataFrame, key: String,
+      scopeRanges: Seq[(String, Double, Double)],
+      scopeEq: Seq[(String, String)],
+      cur: Snapshot): Option[Long] = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+    if (cur.files.isEmpty) return None
+    val keyType = updates.schema.fields.find(_.name == key).map(_.dataType)
+    if (!keyType.exists(dvMergeKeyLossless)) return None
+    val batchRaw = updates.filter(col(key).isNotNull)
+      .select(col(key).cast("string")).distinct()
+      .limit(DvMergeMaxKeys + 1)
+      .collect().map(_.getString(0))
+    if (batchRaw.length > DvMergeMaxKeys) return None
+    // vanished keys: one bounded pass over the VISIBLE scoped rows,
+    // anti-joined against the broadcast batch key set. NULL target
+    // keys never match MERGE's ON, so they count as vanished — but
+    // an IN-set cannot express NULL: surface them and fall back.
+    val scopePred = predicateColumn(scopeRanges, scopeEq)
+    import spark.implicits.newStringEncoder
+    val batchDf = spark.createDataset(batchRaw.toSeq).toDF("__sync_k")
+    val vanishedRows = read(spark, table)
+      .filter(coalesce(scopePred, lit(false)))
+      .select(col(key).cast("string").as("__sync_k")).distinct()
+      .join(broadcast(batchDf), Seq("__sync_k"), "left_anti")
+      .limit(DvMergeMaxKeys + 1)
+      .collect()
+    if (vanishedRows.exists(_.isNullAt(0))) return None
+    val vanished = vanishedRows.map(_.getString(0))
+    if (batchRaw.length + vanished.length > DvMergeMaxKeys) return None
+    requireDvColumns(spark, table, cur,
+      (Seq(key) ++ scopeRanges.map(_._1) ++ scopeEq.map(_._1)).distinct)
+    val next = cur.version + 1
+    val batchKeys = batchRaw.sorted.toSeq
+    val vanKeys = vanished.sorted.toSeq
+    val touchedUpsert =
+      if (batchKeys.isEmpty) Nil
+      else candidateFilesForKeys(cur, key, batchKeys, keyType)
+    // the by-source entry's candidates: files the scope prune admits
+    // AND the vanished-key prune admits (the entry is the conjunction)
+    val touchedSync =
+      if (vanKeys.isEmpty) Nil
+      else candidateFiles(cur, scopeRanges,
+        canonicalValueEq(spark, table, cur, scopeEq))
+        .intersect(candidateFilesForKeys(cur, key, vanKeys, keyType))
+    // change feed first: it reads the PRE-merge (visible) table
+    val changeFiles = mergeSyncChangeFiles(spark, table, Some(cur),
+      updates, key, scopeRanges, scopeEq, next)
+    val fresh = writeFilesDispatch(updates, table, next)
+    val statCols = cur.multiStats.values.flatMap(_.keys).toSeq.distinct.sorted
+    val valueCols = cur.fileValues.values.flatMap(_.keys).toSeq.distinct.sorted
+    val (freshMs, freshFv) =
+      recomputeMetadata(spark, table, fresh, statCols, valueCols)
+    val upsertDels =
+      if (batchKeys.isEmpty) Nil
+      else touchedUpsert.map(f =>
+        DelEntry(f, Nil, Nil, Seq(key -> batchKeys)))
+    val syncDels =
+      if (vanKeys.isEmpty) Nil
+      else touchedSync.map(f =>
+        DelEntry(f, scopeRanges, scopeEq, Seq(key -> vanKeys)))
+    commit(spark, table, next, cur.files ++ fresh, cur.txns,
+      cur.statsCol, cur.stats,
+      cur.multiStats ++ freshMs, cur.fileValues ++ freshFv,
+      cur.bloomCol, cur.blooms,
+      op = "merge", changes = changeFiles,
+      dels = cur.dels ++ upsertDels ++ syncDels)
+    widenDeclared(spark, table, updates)
+    Some(next)
   }
 
   /** Per-file DELETION PRESSURE of the head snapshot: `(table-relative

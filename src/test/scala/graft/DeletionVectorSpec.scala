@@ -489,6 +489,112 @@ class DeletionVectorSpec extends AnyFunSuite {
       .head() === 70L)
   }
 
+  test("DV merge on a STRING key ignores recorded numeric stats (no false prune)") {
+    // min/max stats record as cast("double") — for a string column
+    // that is lexicographic-then-cast garbage: {"9","10"} records the
+    // INVERTED interval (10.0, 9.0). A numeric-looking batch key "9"
+    // consulted against that interval would falsely prune the file,
+    // the IN-set entry would never attach, and the merge would
+    // silently produce a duplicate key. String keys must skip the
+    // stats prune and rely on value sets/blooms. (Non-numeric string
+    // values are the OTHER arm — ANSI cast makes those fail loudly at
+    // recording time, so only numeric-looking strings can corrupt.)
+    val dir = freshRoot() + "/t"
+    val base = Seq(("9", 900L), ("10", 1000L), ("8", 800L))
+      .toDF("sk", "c").repartition(1)
+    TxTable.overwriteIndexedMulti(base, dir, statCols = Seq("sk"))
+    val snap0 = TxTable.snapshot(spark, dir).get
+    assert(snap0.multiStats.values.exists(_.contains("sk")),
+      "test setup: string stats must be recorded for the prune to arm")
+    TxTable.enableDeletionVectors(spark, dir)
+    val batch = Seq(("9", 999L), ("42", 4200L)).toDF("sk", "c")
+    TxTable.merge(spark, dir, batch, "sk")
+    val after = TxTable.snapshot(spark, dir).get
+    assert(snap0.files.toSet.subsetOf(after.files.toSet),
+      "string-key merge must still go merge-on-read")
+    assert(after.dels.nonEmpty, "IN-set entry must attach")
+    val rows = TxTable.read(spark, dir).as[(String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows === Seq(("10", 1000L), ("42", 4200L), ("8", 800L),
+      ("9", 999L)).sortBy(_._1),
+      s"duplicate or lost keys after string-key DV merge: $rows")
+  }
+
+  test("mergeSync (NOT MATCHED BY SOURCE): scoped deletes land as DelEntries, content and CDF equal the CoW twin") {
+    val dvDir = freshRoot() + "/dv"
+    val cowDir = freshRoot() + "/cow"
+    // two regions; k 1..40 in eu, 41..80 in us
+    val base = (1 to 80).map(i =>
+      (i.toLong, if (i <= 40) "eu" else "us", i * 100L))
+      .toDF("k", "region", "cents")
+    for (d <- Seq(dvDir, cowDir)) {
+      TxTable.overwriteIndexedMulti(base, d, statCols = Seq("k"),
+        valueCols = Seq("region"))
+      TxTable.enableChangeFeed(spark, d)
+    }
+    TxTable.enableDeletionVectors(spark, dvDir)
+    // today's eu feed: k 1..10 re-land (2 updated), k 100 is new —
+    // every other eu row VANISHED from the feed and must delete;
+    // us rows are out of scope and must survive untouched
+    val feed = ((1 to 10).map(i =>
+      (i.toLong, "eu", if (i <= 2) i * 1000L else i * 100L)) :+
+      ((100L, "eu", 42L))).toDF("k", "region", "cents")
+    val before = TxTable.snapshot(spark, dvDir).get
+    TxTable.mergeSync(spark, dvDir, feed, "k",
+      scopeEq = Seq(("region", "eu")))
+    TxTable.mergeSync(spark, cowDir, feed, "k",
+      scopeEq = Seq(("region", "eu")))
+    val after = TxTable.snapshot(spark, dvDir).get
+    assert(before.files.toSet.subsetOf(after.files.toSet),
+      "mergeSync on a DV table must rewrite ZERO pre-existing files")
+    // by-source deletes land as SCOPED IN-set entries (scope AND key)
+    assert(after.dels.exists(d => d.eqs.nonEmpty && d.ins.nonEmpty),
+      s"expected a scoped IN-set entry, got ${after.dels}")
+    def rows(d: String) = TxTable.read(spark, d)
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(rows(dvDir) === rows(cowDir))
+    // exact semantics: eu = exactly the feed; us untouched
+    assert(rows(dvDir).filter(_._2 == "eu").map(_._1).sorted ===
+      ((1L to 10L) :+ 100L))
+    assert(rows(dvDir).count(_._2 == "us") === 40)
+    // CDF images typed identically across strategies
+    def feedOf(d: String) = TxTable.changeFeed(spark, d, 1)
+      .select($"k", $"cents", col(TxTable.ChangeTypeCol))
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(feedOf(dvDir) === feedOf(cowDir),
+      "CDF must not distinguish the strategies")
+    val types = feedOf(dvDir).map(_._3).distinct.sorted
+    assert(types === Seq("delete", "insert", "update_postimage",
+      "update_preimage"), s"all four image types expected: $types")
+    // compact folds the scoped entries away; content is stable
+    TxTable.compact(spark, dvDir, 2)
+    assert(TxTable.snapshot(spark, dvDir).get.dels.isEmpty)
+    assert(rows(dvDir) === rows(cowDir))
+  }
+
+  test("mergeSync fallback: a NULL key inside scope goes copy-on-write and deletes it") {
+    val dir = freshRoot() + "/t"
+    val base = Seq((Some(1L), "eu", 100L), (None, "eu", 200L),
+      (Some(3L), "us", 300L)).toDF("k", "region", "cents")
+    TxTable.overwriteIndexedMulti(base, dir, statCols = Nil,
+      valueCols = Seq("region"))
+    TxTable.enableDeletionVectors(spark, dir)
+    val before = TxTable.snapshot(spark, dir).get
+    TxTable.mergeSync(spark, dir,
+      Seq((1L, "eu", 111L)).toDF("k", "region", "cents"), "k",
+      scopeEq = Seq(("region", "eu")))
+    // the NULL-key eu row vanished from the feed: MERGE's ON never
+    // matches NULL, so by-source DELETE takes it — only CoW can
+    val got = TxTable.read(spark, dir)
+      .select($"k", $"region", $"cents")
+      .as[(Option[Long], String, Long)].collect().sortBy(_._3).toSeq
+    assert(got === Seq((Some(1L), "eu", 111L), (Some(3L), "us", 300L)))
+    assert(!before.files.toSet.subsetOf(
+      TxTable.snapshot(spark, dir).get.files.toSet) ||
+      TxTable.snapshot(spark, dir).get.dels.isEmpty,
+      "NULL-key scope must have fallen back to copy-on-write")
+  }
+
   test("DV merge fallbacks: double key and oversized batch go copy-on-write") {
     // double keys are not canonically lossless → CoW, correct content
     val dir = freshRoot() + "/t"

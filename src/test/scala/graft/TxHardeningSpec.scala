@@ -366,4 +366,64 @@ class TxHardeningSpec extends AnyFunSuite {
       "CREATE TABLE txtru.bad (k BIGINT) PARTITIONED BY (truncate(4, k))"))
     assert(e.getMessage.contains("unsupported partitioning"))
   }
+
+  test("truncate() prune is code-point-aware: non-BMP values never falsely prune") {
+    // the recorded canonical prefix is substring(col, 1, w) — CODE
+    // POINTS; a probe built with Scala's take(w) counts UTF-16 units,
+    // so an emoji-bearing value (surrogate pair = 2 units, 1 point)
+    // would probe a SHORTER prefix than recorded and falsely prune
+    // the file, silently returning no rows
+    val root = freshRoot()
+    val dir = s"$root/t"
+    TxSql.installCatalog(spark, "txtcp", root)
+    spark.sql("CREATE TABLE txtcp.t (code STRING, v BIGINT) " +
+      "PARTITIONED BY (truncate(2, code))")
+    val emoji = new String(Character.toChars(0x1F600)) // non-BMP
+    Seq((s"${emoji}A-1", 1L), (s"${emoji}A-2", 2L), ("BB-1", 3L))
+      .toDF("code", "v").createOrReplaceTempView("tcp_src")
+    spark.sql("INSERT INTO txtcp.t SELECT code, v FROM tcp_src")
+    val snap = TxTable.snapshot(spark, dir).get
+    // recorded form: 2 code points = emoji + 'A' (3 UTF-16 units)
+    assert(snap.fileValues.values
+      .exists(_.get("truncate(2,code)").exists(_.contains(s"${emoji}A"))),
+      "canonical prefix must be code-point sliced")
+    // equality through the generated filter must find the row
+    assert(spark.sql(
+      s"SELECT v FROM txtcp.t WHERE code = '${emoji}A-2'")
+      .as[Long].collect().toSeq === Seq(2L))
+    // and still PRUNE: the BB file stays unopened
+    val q = spark.sql(s"SELECT v FROM txtcp.t WHERE code = '${emoji}A-1'")
+    assert(q.as[Long].collect().toSeq === Seq(1L))
+    val opened = scannedFiles(q)
+    val bbFiles = snap.files.filter(f =>
+      snap.fileValues.get(f).flatMap(_.get("truncate(2,code)"))
+        .exists(_.contains("BB"))).map(_.split('/').last).toSet
+    assert(opened.intersect(bbFiles).isEmpty,
+      "emoji-prefix equality must still prune the other prefix's files")
+  }
+
+  test("reader-version gate: a manifest demanding a newer reader fails actionably") {
+    val root = freshRoot()
+    val dir = s"$root/t"
+    TxTable.overwrite(Seq((1L, "a")).toDF("k", "v"), dir)
+    // DV commits stamp the protocol floor; this build reads them
+    TxTable.enableDeletionVectors(spark, dir)
+    TxTable.deleteWhere(spark, dir, Seq(("k", 1.0, 1.0)))
+    val head = TxTable.snapshot(spark, dir).get
+    assert(head.dels.nonEmpty) // the level-2 feature round-trips
+    // hand-write a FUTURE-level manifest: the reader must refuse with
+    // an actionable message, not an opaque NoSuchElementException
+    val log = new java.io.File(dir, "_graft_log")
+    val next = head.version + 1
+    val body = s"""{"version":$next,"files":[],"minReader":99,""" +
+      """"futureFeature":{"x":1}}"""
+    java.nio.file.Files.write(
+      new java.io.File(log, s"v$next.json").toPath,
+      body.getBytes("UTF-8"))
+    val e = intercept[IllegalStateException](
+      TxTable.snapshot(spark, dir))
+    assert(e.getMessage.contains("newer writer") &&
+      e.getMessage.contains("reader version 99"),
+      s"unexpected error: ${e.getMessage}")
+  }
 }

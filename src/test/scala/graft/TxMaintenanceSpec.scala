@@ -154,10 +154,11 @@ class TxMaintenanceSpec extends AnyFunSuite {
     TxTable.enableDeletionVectors(spark, dir)
     // hides HALF of the low file's rows; zero of the high file's
     TxTable.deleteWhere(spark, dir, Seq(("k", 1.0, 10.0)))
-    // detail shows the aggregate pressure (both files carry entries)
+    // detail shows manifest-derived pressure only (both files carry
+    // entries; no data scan — exact hidden rows are dv_pressure's job)
     val detail = spark.sql("CALL txdvp.system.detail('t')").head()
     assert(detail.getAs[Long]("n_dv_files") === 2L)
-    assert(detail.getAs[Long]("dv_hidden_rows") === 10L)
+    assert(detail.getAs[Long]("n_del_entries") >= 2L)
     // per-file itemization: one 50%-hidden file, one 0%-hidden
     val pressure = spark.sql("CALL txdvp.system.dv_pressure('t')")
       .collect().sortBy(-_.getAs[Double]("del_ratio"))

@@ -380,6 +380,44 @@ class TxSqlSpec extends AnyFunSuite {
       "MERGE must be exactly one atomic commit")
   }
 
+  test("SQL MERGE WHEN NOT MATCHED BY SOURCE: delete + update forms, mixed clauses") {
+    val root = freshRoot()
+    val dir = s"$root/t"
+    TxTable.overwrite(
+      Seq((1L, 100L, "keep"), (2L, 200L, "keep"), (3L, 300L, "keep"),
+        (4L, 400L, "old"))
+        .toDF("k", "cents", "tag"), dir)
+    TxSql.installCatalog(spark, "txms", root)
+    Seq((2L, 999L), (9L, 900L)).toDF("k", "cents")
+      .createOrReplaceTempView("txms_src")
+    // the CDC full-sync idiom: matched update, not-matched insert,
+    // vanished-from-source DELETE — but only where tag = 'old' (the
+    // conditional by-source form); unconditioned vanished rows get
+    // the UPDATE-by-source flagging form
+    spark.sql(
+      """MERGE INTO txms.t AS t USING txms_src AS c ON t.k = c.k
+        |WHEN MATCHED THEN UPDATE SET cents = c.cents
+        |WHEN NOT MATCHED THEN INSERT (k, cents, tag) VALUES (c.k, c.cents, 'new')
+        |WHEN NOT MATCHED BY SOURCE AND t.tag = 'old' THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET tag = 'stale'
+        |""".stripMargin)
+    assert(spark.sql("SELECT k, cents, tag FROM txms.t ORDER BY k")
+      .as[(Long, Long, String)].collect().toSeq ===
+      Seq((1L, 100L, "stale"), (2L, 999L, "keep"), (3L, 300L, "stale"),
+        (9L, 900L, "new")))
+    assert(TxTable.snapshot(spark, dir).get.version === 2L,
+      "by-source MERGE must be exactly one atomic commit")
+    // pure delete-by-source: drop everything the source no longer has
+    Seq((2L, 0L)).toDF("k", "cents").createOrReplaceTempView("txms_src2")
+    spark.sql(
+      """MERGE INTO txms.t AS t USING txms_src2 AS c ON t.k = c.k
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE
+        |""".stripMargin)
+    assert(spark.sql("SELECT k, cents, tag FROM txms.t ORDER BY k")
+      .as[(Long, Long, String)].collect().toSeq ===
+      Seq((2L, 999L, "keep")))
+  }
+
   test("SQL UPDATE prunes: untouched files carry over with their metadata") {
     val root = freshRoot()
     val dir = seed(root) // amt stats + prio value sets, multiple files
