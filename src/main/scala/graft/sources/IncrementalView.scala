@@ -3,6 +3,15 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** The merged tier state one [[IncrementalView.maintainMinMax]] group
+  * carries after a delta fold (top-level so UDF codegen can reach the
+  * constructor). `rescan = true` means a tier EMPTIED while the group
+  * still has rows — the only case that forces a source re-read, and
+  * only for that group. */
+case class TierState(n: Long, mn: Long, mx: Long,
+    loV: Seq[Long], loC: Seq[Long], loB: Long,
+    hiV: Seq[Long], hiC: Seq[Long], hiB: Long, rescan: Boolean)
+
 /** Incremental view maintenance (IVM) over the change data feed — the
   * materialized-aggregate pattern every warehouse pays for nightly,
   * maintained here from row-level deltas instead of recomputation:
@@ -493,5 +502,192 @@ object IncrementalView {
       }
     }
     false // unreachable
+  }
+
+  /** Fold one group's signed (value, multiplicity) delta into its
+    * bounded tier synopsis — the support-count algebra for MIN/MAX
+    * under deletions. Invariant: the lo tier tracks EVERY source
+    * value <= loB with its exact multiplicity (hi mirrors with >=
+    * hiB), so a delete at or below the boundary always hits a
+    * tracked entry; values beyond the boundary are ignored (they
+    * can never become the extremum while the tier is non-empty).
+    * Trimming past k entries LOWERS the boundary, which preserves
+    * the invariant. Work is O(tier + delta values) per CHANGED
+    * group — key-cardinality-sized, never source-sized. */
+  private def mergeTierState(k: Int)(
+      oldN: java.lang.Long,
+      loV: Seq[Long], loC: Seq[Long], loB: java.lang.Long,
+      hiV: Seq[Long], hiC: Seq[Long], hiB: java.lang.Long,
+      dn: java.lang.Long, dV: Seq[Long], dM: Seq[Long]): TierState = {
+    val n1 = Option(oldN).map(_.longValue).getOrElse(0L) +
+      Option(dn).map(_.longValue).getOrElse(0L)
+    require(n1 >= 0L, s"negative group count $n1: inconsistent feed")
+    if (n1 == 0L) // group leaves the view (caller filters n == 0)
+      return TierState(0L, 0L, 0L, Nil, Nil, 0L, Nil, Nil, 0L, false)
+    val bLo = Option(loB).map(_.longValue).getOrElse(Long.MaxValue)
+    val bHi = Option(hiB).map(_.longValue).getOrElse(Long.MinValue)
+    val lo = scala.collection.mutable.LinkedHashMap[Long, Long]() ++=
+      Option(loV).getOrElse(Nil).zip(Option(loC).getOrElse(Nil))
+    val hi = scala.collection.mutable.LinkedHashMap[Long, Long]() ++=
+      Option(hiV).getOrElse(Nil).zip(Option(hiC).getOrElse(Nil))
+    Option(dV).getOrElse(Nil).zip(Option(dM).getOrElse(Nil))
+      .foreach { case (v, m) =>
+        if (v <= bLo) {
+          val c = lo.getOrElse(v, 0L) + m
+          require(c >= 0L,
+            s"value $v multiplicity $c below the lo boundary: " +
+              "inconsistent feed")
+          if (c == 0L) lo.remove(v) else lo(v) = c
+        }
+        if (v >= bHi) {
+          val c = hi.getOrElse(v, 0L) + m
+          require(c >= 0L,
+            s"value $v multiplicity $c above the hi boundary: " +
+              "inconsistent feed")
+          if (c == 0L) hi.remove(v) else hi(v) = c
+        }
+      }
+    if (lo.isEmpty || hi.isEmpty) // tier exhausted, rows remain
+      return TierState(n1, 0L, 0L, Nil, Nil, 0L, Nil, Nil, 0L,
+        rescan = true)
+    val loSorted = lo.toSeq.sortBy(_._1)
+    val hiSorted = hi.toSeq.sortBy(-_._1)
+    val loKept = loSorted.take(k)
+    val hiKept = hiSorted.take(k)
+    val newBLo = if (loSorted.size > k) loKept.last._1 else bLo
+    val newBHi = if (hiSorted.size > k) hiKept.last._1 else bHi
+    TierState(n1, loKept.head._1, hiKept.head._1,
+      loKept.map(_._1), loKept.map(_._2), newBLo,
+      hiKept.map(_._1), hiKept.map(_._2), newBHi, rescan = false)
+  }
+
+  /** MIN/MAX incremental view — the non-distributive aggregates
+    * [[maintain]] cannot fold (a deletion hitting the current max has
+    * no inverse), maintained with the standard SUPPORT-COUNT algebra:
+    *
+    *   dst = SELECT key, count(*) n, min(val) mn, max(val) mx
+    *         FROM src GROUP BY key
+    *
+    * Each group carries two bounded synopses beside the answer: the
+    * k smallest distinct values with exact multiplicities (exhaustive
+    * at or below a persisted boundary `lo_b`) and the mirrored k
+    * largest (`hi_b`). Inserts inside a tier's range update it;
+    * deletes decrement support, and the extremum moves to the tier's
+    * next value for free. ONLY a tier that empties while the group
+    * still has rows forces a re-read — of THAT GROUP alone, never
+    * the table (the rescanned-group count returns so callers can
+    * bound it). `valCol` must be integral (the cents discipline —
+    * LONG tiers keep cross-engine exactness). The consumption marker
+    * commits atomically with the state exactly like [[maintain]];
+    * replays are no-ops; racing maintainers rebase. Returns
+    * (consumed source version, groups rescanned this cycle). */
+  def maintainMinMax(spark: SparkSession, src: String, dst: String,
+      keyCol: String, valCol: String, appId: String = "ivmm",
+      k: Int = 8, maxRetries: Int = 10): (Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"tier size k must be >= 1, got $k")
+    val stateCols = Seq("n", "mn", "mx", "lo_v", "lo_c", "lo_b",
+      "hi_v", "hi_c", "hi_b")
+    var attempts = 0
+    while (true) {
+      val srcHead = TxTable.snapshot(spark, src).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed version at $src")).version
+      val dstSnap = TxTable.snapshot(spark, dst)
+      val consumed = dstSnap.flatMap(_.txns.get(appId)).getOrElse(0L)
+      if (srcHead <= consumed) return (consumed, 0L) // caught up
+      val feed = TxTable.changeFeed(spark, src, consumed, Some(srcHead))
+      val sign = when(col(TxTable.ChangeTypeCol)
+        .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+      // net signed multiplicity per (key, value) — same-window
+      // insert+delete pairs cancel here, so the tier fold only ever
+      // sees real movement
+      val delta = feed
+        .groupBy(col(keyCol), col(valCol).cast("long").as("__v"))
+        .agg(sum(sign).as("__m"))
+        .filter(col("__m") =!= 0L)
+        .groupBy(col(keyCol))
+        .agg(sum(col("__m")).as("__dn"),
+          collect_list(col("__v")).as("__dv"),
+          collect_list(col("__m")).as("__dm"))
+      val mergeUdf = udf(mergeTierState(k) _)
+      val state = dstSnap match {
+        case Some(s) if s.files.nonEmpty => TxTable.read(spark, dst)
+        case _ => delta.select(col(keyCol),
+          lit(null).cast("long").as("n"),
+          lit(null).cast("long").as("mn"),
+          lit(null).cast("long").as("mx"),
+          lit(null).cast("array<long>").as("lo_v"),
+          lit(null).cast("array<long>").as("lo_c"),
+          lit(null).cast("long").as("lo_b"),
+          lit(null).cast("array<long>").as("hi_v"),
+          lit(null).cast("array<long>").as("hi_c"),
+          lit(null).cast("long").as("hi_b")).filter(lit(false))
+      }
+      val merged = state.join(delta, Seq(keyCol), "full")
+        .withColumn("__st", mergeUdf(col("n"),
+          col("lo_v"), col("lo_c"), col("lo_b"),
+          col("hi_v"), col("hi_c"), col("hi_b"),
+          col("__dn"), col("__dv"), col("__dm")))
+        .select(col(keyCol), col("__st.n").as("n"),
+          col("__st.mn").as("mn"), col("__st.mx").as("mx"),
+          col("__st.loV").as("lo_v"), col("__st.loC").as("lo_c"),
+          col("__st.loB").as("lo_b"),
+          col("__st.hiV").as("hi_v"), col("__st.hiC").as("hi_c"),
+          col("__st.hiB").as("hi_b"), col("__st.rescan").as("rescan"))
+        .filter(col("n") =!= 0L)
+        .localCheckpoint(false)
+      // tier-exhausted groups: re-read THOSE GROUPS from the source
+      // as of the consumed head — group-bounded by construction
+      val rescanKeys = merged.filter(col("rescan"))
+        .select(col(keyCol)).collect().map(_.get(0)).toSeq
+      val rescanned: DataFrame =
+        if (rescanKeys.isEmpty) merged.drop("rescan")
+        else {
+          val pairs = TxTable.read(spark, src, asOf = Some(srcHead))
+            .filter(col(keyCol).isInCollection(rescanKeys))
+            .groupBy(col(keyCol), col(valCol).cast("long").as("__v"))
+            .agg(count(lit(1)).as("__c"))
+          val w = Window.partitionBy(col(keyCol))
+          val ranked = pairs
+            .withColumn("__rlo",
+              row_number().over(w.orderBy(col("__v").asc)))
+            .withColumn("__rhi",
+              row_number().over(w.orderBy(col("__v").desc)))
+          val rebuilt = ranked.groupBy(col(keyCol)).agg(
+            sum(col("__c")).as("n"),
+            min(col("__v")).as("mn"), max(col("__v")).as("mx"),
+            sort_array(collect_list(when(col("__rlo") <= k,
+              struct(col("__v"), col("__c"))))).as("__lo"),
+            sort_array(collect_list(when(col("__rhi") <= k,
+              struct(col("__v"), col("__c")))), asc = false).as("__hi"),
+            max(col("__rlo")).as("__nd"))
+            .select(col(keyCol), col("n"), col("mn"), col("mx"),
+              expr("transform(__lo, x -> x.__v)").as("lo_v"),
+              expr("transform(__lo, x -> x.__c)").as("lo_c"),
+              when(col("__nd") > k,
+                expr("element_at(transform(__lo, x -> x.__v), -1)"))
+                .otherwise(lit(Long.MaxValue)).as("lo_b"),
+              expr("transform(__hi, x -> x.__v)").as("hi_v"),
+              expr("transform(__hi, x -> x.__c)").as("hi_c"),
+              when(col("__nd") > k,
+                expr("element_at(transform(__hi, x -> x.__v), -1)"))
+                .otherwise(lit(Long.MinValue)).as("hi_b"))
+          merged.filter(!col("rescan")).drop("rescan")
+            .unionByName(rebuilt)
+        }
+      try {
+        TxTable.overwriteWithTxn(
+          rescanned.select(col(keyCol) +: stateCols.map(col): _*),
+          dst, appId, srcHead, requireTxns = Map(appId -> consumed))
+        return (srcHead, rescanKeys.size.toLong)
+      } catch {
+        case _: TxTable.TxConflictException =>
+          attempts += 1
+          if (attempts >= maxRetries) throw new TxTable.TxConflictException(
+            s"maintainMinMax lost $maxRetries races at $dst")
+      }
+    }
+    (-1L, -1L) // unreachable
   }
 }

@@ -1309,6 +1309,63 @@ class TxTableSpec extends AnyFunSuite {
       .collect().sorted.toSeq === view())
   }
 
+  test("maintainMinMax: support-count tiers absorb extremum deletes; rescan only on tier exhaustion") {
+    import graft.sources.IncrementalView
+    val src = freshTable()
+    val dst = freshTable()
+    TxTable.enableChangeFeed(spark, src)
+    // a: values 1..10; b: 5,6,7; m: duplicate support {5,5,9}
+    val base = (1 to 10).map(i => (i, "a", i.toLong)) ++
+      Seq((21, "b", 5L), (22, "b", 6L), (23, "b", 7L),
+        (31, "m", 5L), (32, "m", 5L), (33, "m", 9L))
+    TxTable.append(base.toDF("k", "g", "v"), src) // v1
+    def view(): Seq[(String, Long, Long, Long)] =
+      TxTable.read(spark, dst).select($"g", $"n", $"mn", $"mx")
+        .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    def recompute(): Seq[(String, Long, Long, Long)] =
+      TxTable.read(spark, src).groupBy($"g")
+        .agg(count(lit(1)), min($"v"), max($"v"))
+        .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    // bootstrap (k=2 tiers so exhaustion is reachable)
+    val (c1, r1) = IncrementalView.maintainMinMax(
+      spark, src, dst, "g", "v", k = 2)
+    assert(c1 === 1L && r1 === 0L)
+    assert(view() === recompute())
+    assert(view().find(_._1 == "a").get === (("a", 10L, 1L, 10L)))
+    // delete a's current max: the tier serves the next value, no rescan
+    TxTable.deleteWhere(spark, src, Seq(("k", 10.0, 10.0))) // v2
+    val (c2, r2) = IncrementalView.maintainMinMax(
+      spark, src, dst, "g", "v", k = 2)
+    assert(c2 === 2L && r2 === 0L,
+      s"an in-tier extremum delete must not rescan (rescanned $r2)")
+    assert(view() === recompute())
+    assert(view().find(_._1 == "a").get === (("a", 9L, 1L, 9L)))
+    // delete the REST of a's hi tier: exhaustion → rescan of a ONLY
+    TxTable.deleteWhere(spark, src, Seq(("k", 9.0, 9.0))) // v3
+    val (c3, r3) = IncrementalView.maintainMinMax(
+      spark, src, dst, "g", "v", k = 2)
+    assert(c3 === 3L && r3 === 1L,
+      s"tier exhaustion must rescan exactly the one group (got $r3)")
+    assert(view() === recompute())
+    assert(view().find(_._1 == "a").get === (("a", 8L, 1L, 8L)))
+    // batch: b empties (leaves the view), a gains a new min BELOW the
+    // tier boundary, one of m's duplicate-support 5s goes (support
+    // count 2→1 — min must NOT move)
+    TxTable.deleteWhere(spark, src, Seq(("k", 21.0, 23.0))) // v4
+    TxTable.append(Seq((40, "a", 0L)).toDF("k", "g", "v"), src) // v5
+    TxTable.deleteWhere(spark, src, Seq(("k", 31.0, 31.0))) // v6
+    val (c4, r4) = IncrementalView.maintainMinMax(
+      spark, src, dst, "g", "v", k = 2)
+    assert(c4 === 6L && r4 === 0L)
+    assert(view() === recompute())
+    assert(view() === Seq(("a", 9L, 0L, 8L), ("m", 2L, 5L, 9L)),
+      "b must leave; a's new min lands; m's duplicate support holds")
+    // replay is a no-op at the marker
+    assert(IncrementalView.maintainMinMax(
+      spark, src, dst, "g", "v", k = 2) === ((6L, 0L)))
+    assert(view() === recompute())
+  }
+
   test("maintainJoin: two-sided delta rule equals full recompute; replay no-op") {
     import graft.sources.IncrementalView
     val srcA = freshTable() // facts (k, v)
