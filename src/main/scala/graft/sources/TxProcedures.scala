@@ -27,7 +27,7 @@ private[sources] object TxProcedures {
       "enable_deletion_vectors", "detail",
       "add_constraint", "drop_constraint", "constraints", "clone",
       "compact_where", "dv_pressure", "compact_deleted",
-      "evolve_partitions")
+      "evolve_partitions", "migrate_layout")
 
   def apply(name: String, root: String): UnboundProcedure = name match {
     case "compact" => new TxProc(name, root,
@@ -149,8 +149,23 @@ private[sources] object TxProcedures {
         StructField("current", StringType))),
       run = { (spark, dir, args) =>
         val prev = TxTable.declaredPartitions(spark, dir).mkString(",")
-        val cols = args(1).asInstanceOf[String].split(',').toSeq
-          .map(_.trim).filter(_.nonEmpty)
+        // split on TOP-LEVEL commas only: 'bucket(8,k)' is one
+        // transform, 'days(ts),region' is two
+        val raw = args(1).asInstanceOf[String]
+        val cols = {
+          val out = Seq.newBuilder[String]
+          var depth = 0
+          val curr = new StringBuilder
+          raw.foreach {
+            case '(' => depth += 1; curr += '('
+            case ')' => depth -= 1; curr += ')'
+            case ',' if depth == 0 =>
+              out += curr.result(); curr.clear()
+            case c => curr += c
+          }
+          out += curr.result()
+          out.result().map(_.trim).filter(_.nonEmpty)
+        }
         TxTable.evolvePartitions(spark, dir, cols)
         Seq(new GenericInternalRow(Array[Any](
           UTF8String.fromString(prev),
@@ -167,6 +182,20 @@ private[sources] object TxProcedures {
         val (v, folded) = TxTable.compactDeleted(spark, dir,
           args(1).asInstanceOf[Double], args(2).asInstanceOf[Int])
         Seq(new GenericInternalRow(Array[Any](v, folded.toLong)))
+      })
+    // bridge from spec evolution to SPJ: rewrite ONLY the files that
+    // predate the declared bucket() layout (max_files bounds one
+    // call's bytes — incremental migration over maintenance windows)
+    case "migrate_layout" => new TxProc(name, root,
+      params = Seq("table" -> StringType, "max_files" -> IntegerType),
+      out = StructType(Seq(StructField("version", LongType),
+        StructField("migrated_files", LongType),
+        StructField("remaining_files", LongType))),
+      run = { (spark, dir, args) =>
+        val (v, moved, left) = TxTable.migrateLayout(spark, dir,
+          args(1).asInstanceOf[Int])
+        Seq(new GenericInternalRow(Array[Any](v, moved.toLong,
+          left.toLong)))
       })
     case "enable_change_feed" => new TxProc(name, root,
       params = Seq("table" -> StringType),

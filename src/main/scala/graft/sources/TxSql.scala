@@ -765,14 +765,16 @@ private[sources] class TxSparkTable(spark: SparkSession, path: String,
 
   /** The bucket transform + fileName→bucket map when this snapshot
     * can serve storage-partitioned joins: a single declared bucket()
-    * transform, no column mapping in force (the reported transform
-    * names the LOGICAL column; a mapped table's physical files would
-    * need a translated report — fall back to plain scans), and every
-    * file carrying a singleton bucket value set. */
+    * transform and every file carrying a singleton bucket value set.
+    * Column mapping COMPOSES: the declared transform, the value-set
+    * keys (`alterMapping` rekeys `bucket(n,col)` entries on rename),
+    * and the scan's output schema (MappedScan declares logical) all
+    * speak the HEAD-LOGICAL name, so the KeyGroupedPartitioning
+    * report stays consistent across renames. */
   private lazy val spjBucketGroups
       : Option[(TxTable.PartBucket, Map[String, Int])] =
-    (partCols.map(TxTable.PartTransform.parse), mapping) match {
-      case (Seq(t: TxTable.PartBucket), None) =>
+    partCols.map(TxTable.PartTransform.parse) match {
+      case Seq(t: TxTable.PartBucket) =>
         SpjScan.bucketByName(snap, t).map(t -> _)
       case _ => None
     }

@@ -3914,6 +3914,60 @@ object TxTable {
     next
   }
 
+  /** Migrate OLD-GENERATION files into the declared `bucket()`
+    * layout — the one-shot (or incremental, via `maxFiles`) bridge
+    * from partition-spec evolution to storage-partitioned joins:
+    * evolving a live table to `bucket(n, col)` leaves pre-evolution
+    * files without singleton bucket value sets, which parks SPJ
+    * until natural compaction touches them. This rewrites EXACTLY
+    * the non-conforming files through [[writeFilesBucketed]] (one
+    * bucket per file), recording the bucket value sets the SPJ
+    * report needs; already-conforming files carry over
+    * byte-untouched, and the migrated files' deletion predicates
+    * fold away (the rewrite reads DV-aware). `maxFiles` bounds one
+    * call's rewrite bytes so a 100 TB table migrates over several
+    * maintenance windows while every intermediate state stays
+    * correct (SPJ simply stays off until the last call). Returns
+    * (version, migratedFiles, remainingNonConforming) — version
+    * unchanged when nothing needs migrating. */
+  def migrateLayout(spark: SparkSession, table: String,
+      maxFiles: Int = Int.MaxValue): (Long, Int, Int) = {
+    require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
+    val cur = snapshot(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed version at $table"))
+    val b = declaredBucket(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"migrate_layout requires a declared bucket() layout at " +
+          s"$table — CALL system.evolve_partitions first"))
+    val nonConforming = cur.files.filter(f =>
+      !cur.fileValues.get(f).flatMap(_.get(b.name)).exists(_.size == 1))
+    if (nonConforming.isEmpty) return (cur.version, 0, 0)
+    val scoped = nonConforming.take(maxFiles)
+    val scopedSet = scoped.toSet
+    val next = cur.version + 1
+    val scopedDf = readFilesDv(spark, table, cur, scoped,
+      mappingAt(spark, table, Some(cur.version)))
+    val fresh = writeFilesBucketed(scopedDf, table, next, b)
+    val statCols = cur.multiStats.values.flatMap(_.keys).toSeq.distinct.sorted
+    val valueCols = (cur.fileValues.values.flatMap(_.keys).toSeq ++
+      Seq(b.name)).distinct.sorted
+    val (ms, fv) = recomputeMetadata(spark, table, fresh,
+      statCols, valueCols)
+    val kept = cur.files.filterNot(scopedSet)
+    val keptSet = kept.toSet
+    val keptBlooms = cur.blooms.filter { case (f, _) => keptSet(f) }
+    val keptStats = cur.stats.filter { case (f, _) => keptSet(f) }
+    commit(spark, table, next, kept ++ fresh, cur.txns,
+      cur.statsCol.filter(_ => keptStats.nonEmpty), keptStats,
+      cur.multiStats.filter { case (f, _) => keptSet(f) } ++ ms,
+      cur.fileValues.filter { case (f, _) => keptSet(f) } ++ fv,
+      cur.bloomCol.filter(_ => keptBlooms.nonEmpty), keptBlooms,
+      op = "compact",
+      dels = cur.dels.filter(d => keptSet(d.path)))
+    (next, scoped.size, nonConforming.size - scoped.size)
+  }
+
   /** Whether `table` declares the single-`bucket()` layout whose
     * one-bucket-per-file invariant is LOAD-BEARING (storage-
     * partitioned joins ride it). Compaction/fold rewrites route

@@ -28,14 +28,23 @@ class SpjSpec extends AnyFunSuite {
     Files.createTempDirectory("graft_spj_").toString
 
   private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     df.collect() // materialize so AQE settles on the final plan
-    val root = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
+    // walk THROUGH query stages: a materialized AQE plan wraps each
+    // exchange in a QueryStageExec whose subtree is not in children,
+    // so a plain collect() silently under-counts to zero
+    def walk(p: SparkPlan): Int = {
+      val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      self + kids.map(walk).sum
     }
-    root.collect { case s: ShuffleExchangeLike => s }.size
+    walk(df.queryExecution.executedPlan)
   }
 
   private def withBucketing[A](f: => A): A = {
@@ -289,6 +298,134 @@ class SpjSpec extends AnyFunSuite {
           .forall { case (k, x, y) => x == 2 * k && y == 3 * k })
       } finally spark.conf.set(
         "spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  test("column-mapped SPJ: a renamed bucket key still joins with ZERO Exchange under the new name") {
+    val root = freshRoot()
+    TxSql.installCatalog(spark, "spjcm", root)
+    spark.sql("CREATE TABLE spjcm.a (k BIGINT, x BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql("CREATE TABLE spjcm.b (kid BIGINT, y BIGINT) " +
+      "PARTITIONED BY (bucket(8, kid))")
+    (1 to 300).map(i => (i.toLong, i.toLong * 2)).toDF("k", "x")
+      .createOrReplaceTempView("spjcm_sa")
+    (1 to 300).map(i => (i.toLong, i.toLong * 3)).toDF("kid", "y")
+      .createOrReplaceTempView("spjcm_sb")
+    spark.sql("INSERT INTO spjcm.a SELECT * FROM spjcm_sa")
+    spark.sql("INSERT INTO spjcm.b SELECT * FROM spjcm_sb")
+    // the rename puts a column mapping in force on the bucket KEY
+    spark.sql("ALTER TABLE spjcm.a RENAME COLUMN k TO kid")
+    val snap = TxTable.snapshot(spark, s"$root/a").get
+    assert(snap.files.forall(f =>
+      snap.fileValues.get(f).flatMap(_.get("bucket(8,kid)"))
+        .exists(_.size == 1)),
+      "rename must rekey the bucket value sets to the new name")
+    withBucketing {
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val q = spark.sql("SELECT a.kid, a.x, b.y FROM spjcm.a a " +
+          "JOIN spjcm.b b ON a.kid = b.kid")
+        assert(shuffles(q) === 0,
+          "renamed-key storage-partitioned join must plan with zero " +
+            "Exchange:\n" +
+            q.queryExecution.executedPlan.toString.take(3000))
+        val got = q.as[(Long, Long, Long)].collect().sortBy(_._1)
+        assert(got.length === 300)
+        assert(got.forall { case (k, x, y) => x == 2 * k && y == 3 * k })
+      } finally spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  test("migrate_layout: evolve to bucket(), migrate incrementally, zero-Exchange join returns") {
+    val root = freshRoot()
+    TxSql.installCatalog(spark, "spjm", root)
+    // spec-A history: a seg-partitioned table accumulates files that
+    // know nothing about buckets
+    spark.sql("CREATE TABLE spjm.a (k BIGINT, x BIGINT, seg STRING) " +
+      "PARTITIONED BY (seg)")
+    (1 to 200).map(i =>
+      (i.toLong, i.toLong * 2, if (i % 2 == 0) "e" else "o"))
+      .toDF("k", "x", "seg").createOrReplaceTempView("spjm_sa")
+    spark.sql("INSERT INTO spjm.a SELECT * FROM spjm_sa")
+    spark.sql("INSERT INTO spjm.a VALUES (201, 402, 'o'), " +
+      "(202, 404, 'e')")
+    // evolve the live table to the bucket layout; old files predate it
+    spark.sql("CALL spjm.system.evolve_partitions('a', 'bucket(8,k)')")
+    // a post-evolution append is ALREADY conforming
+    spark.sql("INSERT INTO spjm.a VALUES (203, 406, 'o')")
+    val snapE = TxTable.snapshot(spark, s"$root/a").get
+    val conforming = snapE.files.filter(f =>
+      snapE.fileValues.get(f).flatMap(_.get("bucket(8,k)"))
+        .exists(_.size == 1))
+    assert(conforming.nonEmpty && conforming.size < snapE.files.size,
+      "test setup: need both generations present")
+    // the co-bucketed dim side
+    spark.sql("CREATE TABLE spjm.b (k BIGINT, y BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    (1 to 203).map(i => (i.toLong, i.toLong * 3)).toDF("k", "y")
+      .createOrReplaceTempView("spjm_sb")
+    spark.sql("INSERT INTO spjm.b SELECT * FROM spjm_sb")
+    def join() = spark.sql(
+      "SELECT a.k, a.x, b.y FROM spjm.a a JOIN spjm.b b ON a.k = b.k")
+    def checkContent(): Unit = {
+      val got = join().as[(Long, Long, Long)].collect().sortBy(_._1)
+      assert(got.length === 203)
+      assert(got.forall { case (k, x, y) => x == 2 * k && y == 3 * k })
+    }
+    withBucketing {
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevMpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // keep scans multi-partition: a single-FilePartition scan
+      // reports SinglePartition and satisfies the join without any
+      // Exchange, which would make the negative assertion vacuous
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+      try {
+        // mixed generations: SPJ off (never wrong), join shuffles
+        assert(shuffles(join()) > 0,
+          "mixed-generation table must not claim SPJ:\n" +
+            join().queryExecution.executedPlan.toString.take(3000))
+        checkContent()
+        // incremental migration: one file per call, correct throughout
+        val r1 = spark.sql(
+          "CALL spjm.system.migrate_layout('a', 1)").head()
+        assert(r1.getAs[Long]("migrated_files") === 1L)
+        assert(r1.getAs[Long]("remaining_files") >= 1L)
+        checkContent()
+        // finish the migration: conforming files carry byte-untouched
+        val before2 = TxTable.snapshot(spark, s"$root/a").get
+        val r2 = spark.sql(
+          "CALL spjm.system.migrate_layout('a', 100000)").head()
+        assert(r2.getAs[Long]("remaining_files") === 0L)
+        val after2 = TxTable.snapshot(spark, s"$root/a").get
+        val conformingBefore2 = before2.files.filter(f =>
+          before2.fileValues.get(f).flatMap(_.get("bucket(8,k)"))
+            .exists(_.size == 1))
+        assert(conformingBefore2.forall(after2.files.toSet),
+          "already-conforming files must carry over byte-untouched")
+        // the zero-Exchange join is back
+        assert(shuffles(join()) === 0,
+          "fully-migrated table must serve SPJ:\n" +
+            join().queryExecution.executedPlan.toString.take(3000))
+        checkContent()
+        // idempotent: nothing left to migrate, version unchanged
+        val r3 = spark.sql(
+          "CALL spjm.system.migrate_layout('a', 100000)").head()
+        assert(r3.getAs[Long]("migrated_files") === 0L &&
+          r3.getAs[Long]("version") === after2.version)
+        // refuses without a declared bucket layout
+        spark.sql("CREATE TABLE spjm.plain (k BIGINT)")
+        val e = intercept[Exception](spark.sql(
+          "CALL spjm.system.migrate_layout('plain', 10)").collect())
+        assert(e.getMessage.contains("bucket") ||
+          Option(e.getCause).exists(_.getMessage.contains("bucket")))
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prevMpb)
+      }
     }
   }
 }
