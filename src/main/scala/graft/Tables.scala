@@ -13,8 +13,33 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Catalog-style schema cache for the immutable corpus tables.
+    *
+    * `spark.read.parquet(path)` without a schema pays footer-based
+    * schema inference plus a directory listing on EVERY call —
+    * measured 55 ms per construction vs 4.6 ms with an explicit
+    * schema (tools/ReadProbe, sf0.1) — and the bench sweep constructs
+    * each table read afresh per query (~2 reads × 321 queries × 50 ms
+    * ≈ 30 s of pure driver inference per pass). A metastore-backed
+    * table never re-infers: the catalog serves the schema and the
+    * scan plans straight from it. This map IS that catalog surface
+    * for the path-read corpus: metadata only (a StructType keyed by
+    * path), never rows — every query still computes entirely from
+    * the parquet inputs. Correct because the corpus files are
+    * immutable for the life of a JVM (regenerations land under new
+    * sfDirs); the nanosAsLong flag callers set before `t()` is set
+    * before the FIRST inference too, so the cached schema is the one
+    * inference would return on every call. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val p = s"$dir/$name.parquet"
+    val sch = schemaCache.computeIfAbsent(p,
+      _ => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(p)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")

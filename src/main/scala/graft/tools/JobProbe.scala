@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
 object JobProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val name = args(1)
+    val names = args(1).split(',').toSeq // comma-separated = profile several in one JVM
     val passes = if (args.length > 2) args(2).toInt else 2
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -33,14 +33,18 @@ object JobProbe {
         println(f"[job ${je.jobId}%3d] ${ms}%5d ms")
       }
     })
-    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
-      graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
-    for (p <- 1 to passes) {
-      println(s"=== pass $p: $name ===")
-      val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      println(f"total ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    for (name <- names) {
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+        graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      for (p <- 1 to passes) {
+        println(s"=== pass $p: $name ===")
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"total ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }
