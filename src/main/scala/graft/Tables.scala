@@ -34,11 +34,32 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[String,
       org.apache.spark.sql.types.StructType]
 
+  /** The catalog surface, public for every other immutable-path read
+    * in the engine (vendor/reference parquet, stable pipeline sinks):
+    * infer the schema once per JVM per path, serve it explicitly ever
+    * after. Callers that ever rewrite a path IN PLACE with a different
+    * schema must [[invalidateSchema]] first — an explicit-schema read
+    * of a changed file silently yields nulls for renamed columns
+    * instead of failing (r19 ADVICE), so the hook exists to make such
+    * rewrites loud. No current caller rewrites a cached path with a
+    * new schema: the corpus and reference files are immutable per JVM
+    * and the pipeline sinks that re-land per invocation keep a fixed,
+    * code-determined schema. */
+  def schemaFor(spark: SparkSession,
+      path: String): org.apache.spark.sql.types.StructType =
+    schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+
+  /** Drop one cached schema (call before re-reading a path rewritten
+    * with a DIFFERENT schema) — the r19 ADVICE invalidation hook. */
+  def invalidateSchema(path: String): Unit = schemaCache.remove(path)
+
+  /** Drop every cached schema (test isolation hook). */
+  def clearSchemaCache(): Unit = schemaCache.clear()
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val p = s"$dir/$name.parquet"
-    val sch = schemaCache.computeIfAbsent(p,
-      _ => spark.read.parquet(p).schema)
-    spark.read.schema(sch).parquet(p)
+    spark.read.schema(schemaFor(spark, p)).parquet(p)
   }
 
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")

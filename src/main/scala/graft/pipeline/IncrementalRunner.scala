@@ -40,9 +40,15 @@ object IncrementalRunner {
     write(pipe.run(input.filter(col(partCol) === lit(partVal))),
       partCol, path)
 
-  /** The materialized pipeline output across all runs so far. */
+  /** The materialized pipeline output across all runs so far. Schema
+    * served from the catalog cache (r19 verdict #1): the sink re-lands
+    * per invocation but its schema is code-determined and fixed per
+    * JVM, so inference (footer reads + an extra listing of the
+    * partition tree) is paid once, not per read. A pipeline change
+    * that alters the sink schema is a code change — new JVM, fresh
+    * cache. */
   def readSink(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(path)
+    s.read.schema(graft.Tables.schemaFor(s, path)).parquet(path)
 
   private def write(out: DataFrame, partCol: String, path: String): Unit =
     out.write.mode("overwrite")

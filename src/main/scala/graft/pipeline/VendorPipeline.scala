@@ -68,9 +68,11 @@ object VendorPipeline extends QueryModule {
   }
 
   /** One vendor split, tagged. Wide (722-column) frame; select early. */
-  private def vendorSplit(s: SparkSession, v: String, split: String): DataFrame =
-    s.read.parquet(s"$root/$v/$split.parquet")
+  private def vendorSplit(s: SparkSession, v: String, split: String): DataFrame = {
+    val p = s"$root/$v/$split.parquet"
+    s.read.schema(graft.Tables.schemaFor(s, p)).parquet(p)
       .withColumn("vendor", lit(v)).withColumn("split", lit(split))
+  }
 
   /** All six files, wide (722 columns).
     *
@@ -275,7 +277,9 @@ object VendorPipeline extends QueryModule {
       // paid Catalyst analysis against 722-attribute children every
       // pass (6.0 s). Narrow relations make both the analysis and the
       // scan (Batched: true) cheap.
-      val sch = s.read.parquet(s"$root/alitran/train.parquet").schema
+      // the shared 722-column footer read rides the Tables schema
+      // cache (r19 verdict #1): inferred once per JVM, not per call
+      val sch = graft.Tables.schemaFor(s, s"$root/alitran/train.parquet")
       val dummyCols = sch.fieldNames
         .filter(c => fams.exists { case (p, _) => c.startsWith(p) })
       val allPaths = vendors.flatMap(v =>
@@ -326,10 +330,13 @@ object VendorPipeline extends QueryModule {
       val vendorOf = when($"vendor_alitran" === 1, "alitran")
         .when($"vendor_easy_destiny" === 1, "easy_destiny")
         .otherwise("to_my_place_ai")
-      def merged(split: String) =
-        s.read.parquet(s"$mergedRoot/$split.parquet")
+      def merged(split: String) = {
+        // 724-column merged footer: infer once per JVM (schema cache)
+        val p = s"$mergedRoot/$split.parquet"
+        s.read.schema(graft.Tables.schemaFor(s, p)).parquet(p)
           .select(vendorOf.as("vendor"), $"trip_duration",
             $"passenger_count", $"hour", $"distance")
+      }
       val st = merged("train").groupBy($"vendor").agg(
         count(lit(1)).as("n"),
         avg($"passenger_count").as("m1"), avg($"hour").as("m2"),
@@ -412,7 +419,7 @@ object VendorPipeline extends QueryModule {
     // (≤384 rows/vendor).
     "pipe_vendor_top_pickup" -> ((s, _) => {
       import s.implicits._
-      val sch = s.read.parquet(s"$root/alitran/train.parquet").schema
+      val sch = graft.Tables.schemaFor(s, s"$root/alitran/train.parquet")
       val pickupCols = sch.fieldNames.filter(_.startsWith("pickup_")).toSeq
       val allPaths = vendors.flatMap(v =>
         Seq("train", "test").map(sp => s"$root/$v/$sp.parquet"))

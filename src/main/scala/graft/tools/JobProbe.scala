@@ -43,6 +43,12 @@ object JobProbe {
           .write.format("noop").mode("overwrite").save()
         println(f"total ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
+      // clearCache too (r19 ADVICE): unpersisting RDDs leaves
+      // CacheManager entries behind, so a later name whose plan
+      // matches an earlier .cache()d relation would silently reuse
+      // (and re-materialize) the InMemoryRelation, skewing multi-name
+      // profiles vs single-name runs
+      spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }

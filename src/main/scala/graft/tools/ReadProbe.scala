@@ -32,9 +32,14 @@ object ReadProbe {
     }
     val schemas = tables.map(t =>
       t -> spark.read.parquet(s"$sfDir/$t.parquet").schema).toMap
+    // basename match, not substring (r19 ADVICE): an sfDir containing
+    // a table name — e.g. .../partitioned/sf1 matching "part" — would
+    // pick the wrong schema or .get-throw
+    def tableOf(p: String): String =
+      tables.find(t => p.endsWith(s"/$t.parquet")).getOrElse(
+        sys.error(s"no known table basename in $p"))
     round("explicit schema") { p =>
-      val t = tables.find(p.contains).get
-      val df = spark.read.schema(schemas(t)).parquet(p); df.schema; df
+      val df = spark.read.schema(schemas(tableOf(p))).parquet(p); df.schema; df
     }
     // and the cost of one trivial action on each (plan+run floor)
     def actionRound(label: String)(mk: String => org.apache.spark.sql.DataFrame): Unit = {
@@ -52,8 +57,7 @@ object ReadProbe {
       spark.read.parquet(p)
     }
     actionRound("schema+action") { p =>
-      val t = tables.find(p.contains).get
-      spark.read.schema(schemas(t)).parquet(p)
+      spark.read.schema(schemas(tableOf(p))).parquet(p)
     }
     spark.stop()
   }
