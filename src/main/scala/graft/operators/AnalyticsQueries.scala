@@ -187,15 +187,24 @@ object AnalyticsQueries extends QueryModule {
       // driver-side and fold into round 2's deviation projection as
       // literals (no broadcast join, no med checkpoint); round 2's
       // deviation histogram is still a map-side projection off round
-      // 1's checkpointed blocks — no second table pass, no window
-      val med = ExactPercentile.perGroupWeightedLocal(hist,
+      // 1's checkpointed blocks — no second table pass, no window.
+      // Round 2 DERIVES its bucket bounds from round 1's collected
+      // (min, max) + median — dev = |v − med| ∈ [0, max(mx−med,
+      // med−mn)] without looking at the data (bounds are balance-only)
+      // — skipping round 2's min/max job (r19 verdict #3: one fewer
+      // serial barrier, 7 → 6 jobs).
+      val (med, mm) = ExactPercentile.perGroupWeightedLocalStats(hist,
         "l_returnflag", "v", "c", Seq("med" -> 0.5))
       val medC = ExactPercentile.litCol(
         med.map { case (g, m) => g -> m("med") }, $"l_returnflag")
       val devHist = hist
         .select($"l_returnflag", abs($"v" - medC).as("dev"), $"c")
-      val m2 = ExactPercentile.perGroupWeightedLocal(devHist,
-        "l_returnflag", "dev", "c", Seq("m" -> 0.5))
+      val devMM = mm.map { case (g, (mn, mx)) =>
+        val m0 = med(g)("med")
+        g -> (0.0, math.max(mx - m0, m0 - mn)) }
+      val m2 = ExactPercentile.perGroupWeightedLocalStats(devHist,
+        "l_returnflag", "dev", "c", Seq("m" -> 0.5),
+        knownMinMax = Some(devMM))._1
       m2.toSeq.map { case (g, m) =>
         (g.asInstanceOf[String], ExactPercentile.r4d(m("m"))) }
         .sortBy(_._1)

@@ -167,12 +167,23 @@ object EventQueries extends QueryModule {
         .filter($"p" > $"v")
         .select((weekday($"vts") + 1).as("dow"),
           (($"p" - $"v") / 60000000.0).as("latency_min"))
-      val pct = ExactPercentile.perGroup(conv, "dow", "latency_min",
+      // few-group literal path (7 weekdays — r19 verdict #3): ONE
+      // events reduction feeds both the histogram (checkpointed) and
+      // the per-dow counts (Σc over it), where the old shape computed
+      // `conv` twice (once under the generic percentile, once for the
+      // counts); p50/p90 fold in as literals — no broadcast join.
+      val P = ExactPercentile
+      val hist = conv
+        .groupBy($"dow", $"latency_min".as("v"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val pct = P.perGroupWeightedLocal(hist, "dow", "v", "c",
         Seq("p50" -> 0.5, "p90" -> 0.9))
-      conv.groupBy($"dow").agg(count(lit(1)).as("n_converted"))
-        .join(broadcast(pct), "dow")
+      def pc(nm: String) = P.litCol(
+        pct.map { case (g, m) => g -> P.r4d(m(nm)) }, $"dow")
+      hist.groupBy($"dow").agg(sum($"c").as("n_converted"))
         .select($"dow", $"n_converted",
-          r4($"p50").as("p50_min"), r4($"p90").as("p90_min"))
+          pc("p50").as("p50_min"), pc("p90").as("p90_min"))
         .orderBy($"dow")
     }),
 

@@ -145,7 +145,25 @@ object ExactPercentile {
     * physical shape. */
   def perGroupWeightedLocal(hist: DataFrame, group: String, value: String,
       weight: String, fracs: Seq[(String, Double)], disc: Boolean = false,
-      maxGroups: Int = 64): Map[Any, Map[String, Double]] = {
+      maxGroups: Int = 64): Map[Any, Map[String, Double]] =
+    perGroupWeightedLocalStats(hist, group, value, weight, fracs, disc,
+      maxGroups)._1
+
+  /** [[perGroupWeightedLocal]] that ALSO returns the per-group
+    * (min, max) its first job collected, so a second percentile round
+    * over a DERIVED transform of the same histogram (q_mad's
+    * |v − med|) can hand bounds back via `knownMinMax` and skip its
+    * own min/max job — one fewer serial barrier per derived round
+    * (guide §2.4: remove the pass outright). `knownMinMax` bounds may
+    * OVER-approximate the true range: boundaries are balance-only,
+    * never answers (a too-wide range just leaves some buckets empty),
+    * so e.g. dev ∈ [0, max(mx−med, med−mn)] is valid without looking
+    * at the data. */
+  def perGroupWeightedLocalStats(hist: DataFrame, group: String,
+      value: String, weight: String, fracs: Seq[(String, Double)],
+      disc: Boolean = false, maxGroups: Int = 64,
+      knownMinMax: Option[Map[Any, (Double, Double)]] = None)
+      : (Map[Any, Map[String, Double]], Map[Any, (Double, Double)]) = {
     require(fracs.nonEmpty)
     // NULL group values are excluded by contract (the literal
     // when-chains and the driver map cannot key on SQL NULL; the
@@ -157,25 +175,27 @@ object ExactPercentile {
       .filter(col("v").isNotNull && col("_g").isNotNull)
     val nB = 32
     // job 1: per-group (min, max) → equal-width literal boundaries
-    val mm = src.groupBy(col("_g"))
-      .agg(min(col("v")).as("_mn"), max(col("v")).as("_mx")).collect()
-    if (mm.isEmpty) return Map.empty
-    if (mm.length > maxGroups) {
+    // (skipped entirely when the caller already knows a valid range)
+    val mmMap: Map[Any, (Double, Double)] = knownMinMax.getOrElse(
+      src.groupBy(col("_g"))
+        .agg(min(col("v")).as("_mn"), max(col("v")).as("_mx")).collect()
+        .map(r => r.get(0) -> (r.getDouble(1), r.getDouble(2))).toMap)
+    if (mmMap.isEmpty) return (Map.empty, mmMap)
+    if (mmMap.size > maxGroups) {
       val rows = (if (disc)
         perGroupDiscWeighted(hist, group, value, weight, fracs,
           unique = true)
       else perGroupWeighted(hist, group, value, weight, fracs,
         unique = true)).collect()
-      return rows.map(r => r.get(0) ->
+      return (rows.map(r => r.get(0) ->
         fracs.indices.map(i => fracs(i)._1 -> r.getDouble(i + 1)).toMap)
-        .toMap
+        .toMap, mmMap)
     }
-    val boundsByG: Map[Any, Seq[Double]] = mm.map { r =>
-      val (mn, mx) = (r.getDouble(1), r.getDouble(2))
+    val boundsByG: Map[Any, Seq[Double]] = mmMap.map { case (g, (mn, mx)) =>
       val step = (mx - mn) / nB
-      r.get(0) -> (if (step <= 0) Seq.empty[Double]
-      else (1 until nB).map(i => mn + i * step))
-    }.toMap
+      g -> (if (step <= 0) Seq.empty[Double]
+      else (1 until nB).map(i => mn + i * step): Seq[Double])
+    }
     val bucketCol = boundsByG.foldLeft(lit(0)) { case (acc, (g, bs)) =>
       if (bs.isEmpty) acc // constant group: single bucket 0
       else when(col("_g") === lit(g),
@@ -213,7 +233,7 @@ object ExactPercentile {
       case _ => Nil
     }.groupBy(_._1).map { case (k, vs) =>
       k -> vs.map(_._2).distinct.sorted }
-    if (needs.isEmpty) return Map.empty
+    if (needs.isEmpty) return (Map.empty, mmMap)
     // job 3: in-executor extraction over ONLY the needed buckets
     val filterCond = needs.keys.map { case (g, b) =>
       col("_g") === lit(g) && col("_b") === lit(b) }.reduce(_ || _)
@@ -244,7 +264,7 @@ object ExactPercentile {
       locals.zip(vals).map { case (lr, v) =>
         (g, lr + byG(g).offs(b)) -> v }
     }.toMap
-    byG.collect { case (g, gi) if gi.n > 0 =>
+    (byG.collect { case (g, gi) if gi.n > 0 =>
       g -> fracs.map { case (nm, p) =>
         nm -> (if (disc)
           valueAt((g, math.max(1L, math.ceil(p * gi.n).toLong)))
@@ -256,7 +276,7 @@ object ExactPercentile {
           vLo + (pos - lo) * (vHi - vLo)
         })
       }.toMap
-    }
+    }, mmMap)
   }
 
   /** Driver-side round-half-up to 4 dp matching Spark's `round(x, 4)`

@@ -107,29 +107,41 @@ object ForecastQueries extends QueryModule {
 
     "q_anomaly_mad" -> ((s, d) => {
       import s.implicits._
+      // Few-group literal path (event_type is handful-sized): both
+      // percentile rounds ride ExactPercentile.perGroupWeightedLocal
+      // — the q_mad shape, r19 verdict #3 — so the generic chain's
+      // sample job + rank window + TWO broadcast joins collapse into
+      // literal-plan jobs, and round 2's bucket bounds derive from
+      // round 1's (min, max, med) without a min/max job. The closing
+      // report is ONE aggregate over the checkpointed histogram with
+      // med/mad folded in as literals. Same selection algorithm, same
+      // comparison expressions — values unchanged (oracle-gated).
       val ev = T.events(s, d).select($"event_type", $"value")
       val hist = ev
         .groupBy($"event_type", $"value".cast("double").as("v"))
         .agg(count(lit(1)).as("c"))
         .localCheckpoint(false)
-      // checkpointed: three downstream arms execute broadcast(med)
-      // in separate plan executions (see q_mad)
-      val med = ExactPercentile.perGroupWeighted(hist,
-        "event_type", "v", "c", Seq("med" -> 0.5), unique = true)
-        .localCheckpoint(false)
-      // shuffle-free projection off the checkpointed histogram;
-      // deviation collisions are exact without consolidation
-      val dev = hist.join(broadcast(med), "event_type")
-        .select($"event_type", abs($"v" - $"med").as("dv"), $"c")
-      val mad = ExactPercentile.perGroupWeighted(dev,
-        "event_type", "dv", "c", Seq("mad" -> 0.5), unique = true)
-      hist.join(broadcast(med), "event_type")
-        .join(broadcast(mad), "event_type")
-        .groupBy($"event_type")
+      val P = ExactPercentile
+      val (med, mm) = P.perGroupWeightedLocalStats(hist,
+        "event_type", "v", "c", Seq("med" -> 0.5))
+      val medC = P.litCol(
+        med.map { case (g, m) => g -> m("med") }, $"event_type")
+      val devHist = hist
+        .select($"event_type", abs($"v" - medC).as("dv"), $"c")
+      val devMM = mm.map { case (g, (mn, mx)) =>
+        val m0 = med(g)("med")
+        g -> (0.0, math.max(mx - m0, m0 - mn)) }
+      val mad = P.perGroupWeightedLocalStats(devHist,
+        "event_type", "dv", "c", Seq("mad" -> 0.5),
+        knownMinMax = Some(devMM))._1
+      val madC = P.litCol(
+        mad.map { case (g, m) => g -> m("mad") }, $"event_type")
+      hist.groupBy($"event_type")
         .agg(sum($"c").as("n"),
-          r4(first($"med")).as("med"), r4(first($"mad")).as("mad"),
-          sum(when(abs($"v" - $"med") > lit(3.5) * lit(1.4826) * $"mad",
+          sum(when(abs($"v" - medC) > lit(3.5) * lit(1.4826) * madC,
             $"c").otherwise(0L)).as("n_outliers"))
+        .select($"event_type", $"n",
+          r4(medC).as("med"), r4(madC).as("mad"), $"n_outliers")
         .orderBy($"event_type")
     }),
 
@@ -169,15 +181,19 @@ object ForecastQueries extends QueryModule {
         .groupBy($"o_orderpriority", $"lag")
         .agg(count(lit(1)).as("c"))
         .localCheckpoint(false)
-      val pct = ExactPercentile.perGroupWeighted(hist,
-        "o_orderpriority", "lag", "c",
-        Seq("p50" -> 0.5, "p90" -> 0.9), unique = true)
-      val mean = hist.groupBy($"o_orderpriority")
+      // few-group literal path (5 priorities — r19 verdict #3): the
+      // p50/p90 come back driver-side and fold into the closing
+      // aggregate as literals, replacing the generic chain + join
+      val P = ExactPercentile
+      val pct = P.perGroupWeightedLocal(hist,
+        "o_orderpriority", "lag", "c", Seq("p50" -> 0.5, "p90" -> 0.9))
+      def pc(nm: String) = P.litCol(
+        pct.map { case (g, m) => g -> P.r4d(m(nm)) }, $"o_orderpriority")
+      hist.groupBy($"o_orderpriority")
         .agg(sum($"c").as("n"),
           r4(sum($"lag" * $"c") / sum($"c")).as("mean_lag"))
-      mean.join(pct, "o_orderpriority")
         .select($"o_orderpriority", $"n", $"mean_lag",
-          r4($"p50").as("p50"), r4($"p90").as("p90"))
+          pc("p50").as("p50"), pc("p90").as("p90"))
         .orderBy($"o_orderpriority")
     }),
 

@@ -253,27 +253,48 @@ object RelationalQueries extends QueryModule {
 
     "q_percentile" -> ((s, d) => {
       import s.implicits._
-      // Exact interpolated percentiles via the scalable two-stage
-      // plan (see [[ExactPercentile]] — no per-group value buffering).
-      ExactPercentile.perGroup(T.lineitem(s, d),
-          "l_returnflag", "l_extendedprice",
-          Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
-        .select($"l_returnflag", r4($"p25").as("p25"),
-          r4($"p50").as("p50"), r4($"p75").as("p75"))
+      // Exact interpolated percentiles. l_returnflag has 3 groups, so
+      // this rides the FEW-GROUP literal path (r19 verdict #3, the
+      // q_mad shape): one histogram shuffle + three literal-plan jobs
+      // instead of the generic chain's sample job + broadcast join +
+      // rank window (~13 AQE stage-jobs). Same percentile_cont
+      // selection, same interpolation arithmetic (r4d is bit-for-bit
+      // Catalyst round(x,4)), so values are unchanged; above 64 groups
+      // the local helper itself falls back to the distributed path.
+      val hist = T.lineitem(s, d)
+        .groupBy($"l_returnflag", $"l_extendedprice".cast("double").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val q = ExactPercentile.perGroupWeightedLocal(hist,
+        "l_returnflag", "v", "c",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+      q.toSeq.map { case (g, m) => (g.asInstanceOf[String],
+          ExactPercentile.r4d(m("p25")), ExactPercentile.r4d(m("p50")),
+          ExactPercentile.r4d(m("p75"))) }
+        .sortBy(_._1)
+        .toDF("l_returnflag", "p25", "p50", "p75")
         .orderBy($"l_returnflag")
     }),
 
     "q_percentile_disc" -> ((s, d) => {
       import s.implicits._
       // ANSI percentile_disc: the actual value at rank ceil(p·n) —
-      // the other standard percentile semantics, same scalable rank
-      // machinery, no interpolation (fractions are binary-exact so
-      // the rank can't flip vs the oracle's double arithmetic).
-      ExactPercentile.perGroupDisc(T.lineitem(s, d),
-          "l_returnflag", "l_extendedprice",
-          Seq("d25" -> 0.25, "d50" -> 0.5, "d75" -> 0.75))
-        .select($"l_returnflag", r4($"d25").as("d25"),
-          r4($"d50").as("d50"), r4($"d75").as("d75"))
+      // the other standard percentile semantics, no interpolation
+      // (fractions are binary-exact so the rank can't flip vs the
+      // oracle's double arithmetic). Few-group literal path as in
+      // q_percentile (r19 verdict #3), disc selection.
+      val hist = T.lineitem(s, d)
+        .groupBy($"l_returnflag", $"l_extendedprice".cast("double").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val q = ExactPercentile.perGroupWeightedLocal(hist,
+        "l_returnflag", "v", "c",
+        Seq("d25" -> 0.25, "d50" -> 0.5, "d75" -> 0.75), disc = true)
+      q.toSeq.map { case (g, m) => (g.asInstanceOf[String],
+          ExactPercentile.r4d(m("d25")), ExactPercentile.r4d(m("d50")),
+          ExactPercentile.r4d(m("d75"))) }
+        .sortBy(_._1)
+        .toDF("l_returnflag", "d25", "d50", "d75")
         .orderBy($"l_returnflag")
     }),
 

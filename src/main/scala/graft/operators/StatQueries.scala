@@ -111,8 +111,19 @@ object StatQueries extends QueryModule {
       val rows = T.orders(s, d)
         .join(T.customer(s, d), $"o_custkey" === $"c_custkey")
         .select($"c_mktsegment".as("g"), $"o_totalprice".cast("double").as("x"))
-      val med = ExactPercentile.perGroup(rows, "g", "x", Seq("med" -> 0.5))
-      val z = rows.join(broadcast(med), "g").select($"g", abs($"x" - $"med").as("z"))
+      // few-group literal path (5 segments — r19 verdict #3): the
+      // medians come back driver-side and fold into the |x − med|
+      // projection as literals — no generic percentile chain, no
+      // broadcast join. The z aggregation below is unchanged (same
+      // per-row float math), so the statistic is bit-identical.
+      val hist = rows
+        .groupBy($"g", $"x".as("v")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val med = ExactPercentile.perGroupWeightedLocal(hist,
+        "g", "v", "c", Seq("med" -> 0.5))
+      val medC = ExactPercentile.litCol(
+        med.map { case (g, m) => g -> m("med") }, $"g")
+      val z = rows.select($"g", abs($"x" - medC).as("z"))
       val per = z.groupBy($"g")
         .agg(count(lit(1)).cast("double").as("n"), avg($"z").as("zb"),
           // Σ (z − z̄_j)² via the moment identity, one pass
