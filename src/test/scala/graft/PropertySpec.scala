@@ -318,10 +318,16 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"case $i: DV merge diverged from CoW\n" +
         s"base=$base\nbatch=$batch\ndv=$got\ncow=$want")
       // and the DV side really was merge-on-read (an all-fresh-keys
-      // batch legitimately prunes to ZERO candidates — no entry)
-      val maxBase = base.map(_._1).max
+      // batch legitimately prunes to ZERO candidates — no entry).
+      // "Fresh" means NOT PRESENT IN THE BASE KEY SET — the old
+      // `forall(_ > maxBase)` proxy was too strict and flaked on
+      // random draws where a batch key fell inside the base's key
+      // RANGE without matching any base row (no preimage to hide →
+      // correctly no IN-set; the got == want gate above already
+      // proved the semantics).
+      val baseKeys = base.map(_._1).toSet
       assert(TxTable.snapshot(spark, dvDir).get.dels.nonEmpty ||
-        batch.forall(_._1 > maxBase),
+        !batch.exists(b => baseKeys(b._1)),
         s"case $i: merge did not record an IN-set")
     }
   }
