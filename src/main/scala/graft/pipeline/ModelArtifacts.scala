@@ -45,7 +45,12 @@ object ModelArtifacts {
       .parquet(path)
   }
 
-  /** Reload one run's artifact (partition-pruned on run_id). */
+  /** Reload one run's artifact (partition-pruned on run_id). Schema
+    * served from the catalog cache (r19 verdict #1): the artifact
+    * store re-lands per invocation but its schema is code-determined
+    * and fixed per JVM, so footer inference + the extra partition-tree
+    * listing are paid once, not per reload. */
   def load(s: SparkSession, path: String, runId: String): DataFrame =
-    s.read.parquet(path).filter(col("run_id") === runId).drop("run_id")
+    s.read.schema(graft.Tables.schemaFor(s, path)).parquet(path)
+      .filter(col("run_id") === runId).drop("run_id")
 }

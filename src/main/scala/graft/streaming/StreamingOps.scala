@@ -29,8 +29,14 @@ object StreamingOps {
     // the file stream source wants a directory: stream the sf dir,
     // globbed down to the events table
     val glob = "events.parquet"
-    val fileSchema = spark.read.option("pathGlobFilter", glob)
-      .parquet(dir).schema
+    // one inference per JVM via the catalog cache (r19 verdict #1):
+    // the glob resolves to exactly $dir/events.parquet — the same
+    // immutable corpus file Tables serves — and the batch inference
+    // here additionally paid a FULL sfDir listing per stream
+    // construction. The drift-resilience contract is unchanged: the
+    // schema still comes from the actual file (first read per JVM),
+    // never a hand-pinned StructType.
+    val fileSchema = graft.Tables.schemaFor(spark, s"$dir/events.parquet")
     graft.Tables.normalizeTs(
       spark.readStream.schema(fileSchema)
         .option("pathGlobFilter", glob)
