@@ -57,11 +57,7 @@ object Dedup {
     // by the ContextCleaner once the plan is unreferenced.
     val post = shinglePostings(df, id, text, n).localCheckpoint()
     val sizes = post.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
-    val inter = post.as("a")
-      .join(post.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.__id") < col("b.__id"))
-      .groupBy(col("a.__id").as("a_id"), col("b.__id").as("b_id"))
-      .agg(count(lit(1)).as("__i"))
+    val inter = interCounts(post)
     inter
       .join(sizes.select(col("__id").as("a_id"), col("__n").as("__na")), "a_id")
       .join(sizes.select(col("__id").as("b_id"), col("__n").as("__nb")), "b_id")
@@ -70,6 +66,26 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
+
+  /** Per-pair intersection counts |A∩B| over the postings — the
+    * inverted-index core shared by [[jaccardPairs]] and
+    * [[containmentPairs]]. Formulated as the per-group sorted-array
+    * pair comb (the coOrderPairs/q_triangles shape): ONE shuffle on
+    * the shingle + the codegen'd in-row comb replaces the former
+    * self-join, which exchanged the postings TWICE (both join sides
+    * hash on shingle) before emitting the identical match stream.
+    * Memory per shingle group is unchanged — the sort-merge join
+    * buffered one side's equal-key group exactly like the collected
+    * list here — and ids-per-shingle are distinct, so the strict comb
+    * on the sorted list emits each a < b pair once with the same
+    * multiplicity the join produced. */
+  private def interCounts(post: DataFrame): DataFrame =
+    post.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+      .select(explode(graft.functions.ArrayPairs.of(col("__ids"),
+        strict = true)).as("__pr"))
+      .groupBy(col("__pr.p1").as("a_id"), col("__pr.p2").as("b_id"))
+      .agg(count(lit(1)).as("__i"))
 
   /** Shingle-set CONTAINMENT pairs: |A∩B| / min(|A|, |B|) ≥ threshold
     * — the asymmetric near-dup test Jaccard misses: a short document
@@ -82,11 +98,7 @@ object Dedup {
       n: Int, threshold: Double): DataFrame = {
     val post = shinglePostings(df, id, text, n).localCheckpoint()
     val sizes = post.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
-    val inter = post.as("a")
-      .join(post.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.__id") < col("b.__id"))
-      .groupBy(col("a.__id").as("a_id"), col("b.__id").as("b_id"))
-      .agg(count(lit(1)).as("__i"))
+    val inter = interCounts(post) // one-exchange pair comb, see above
     inter
       .join(sizes.select(col("__id").as("a_id"), col("__n").as("__na")), "a_id")
       .join(sizes.select(col("__id").as("b_id"), col("__n").as("__nb")), "b_id")

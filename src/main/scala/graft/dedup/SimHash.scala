@@ -81,7 +81,12 @@ object SimHash {
         col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
-      .distinct()
+      // filter BEFORE the dedup exchange (§2.3): hamming is a pure
+      // function of the pair, so filter∘distinct ≡ distinct∘filter —
+      // but filtering first shuffles only the ≤ maxHamming survivors,
+      // not every random 15-bit chunk collision (at corpus scale the
+      // collision set dwarfs the near-pair set)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }
